@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sources (SURVEY.md §2 A): all fixture tables for one scale-factor dir.
+  *
+  * Design notes (100 TB): each accessor is a plain parquet scan, so Catalyst
+  * predicate pushdown / column pruning / partition pruning apply untouched.
+  * Nothing is cached or collected here; a real deployment would point these
+  * at partitioned table roots instead of single files.
+  */
+final case class Tables(spark: SparkSession, sfDir: String) {
+  // Deterministic µs-precision parquet output (driver's DuckDB compare reads it).
+  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+  private def read(name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region: DataFrame     = read("region")
+  def nation: DataFrame     = read("nation")
+  def customer: DataFrame   = read("customer")
+  def supplier: DataFrame   = read("supplier")
+  def part: DataFrame       = read("part")
+  def orders: DataFrame     = read("orders")
+  def lineitem: DataFrame   = read("lineitem")
+  def documents: DataFrame  = read("documents")
+  def embeddings: DataFrame = read("embeddings")
+
+  /** events.ts is parquet timestamp[ns] (SURVEY §1.2): Spark 4 refuses it by
+    * default. Read nanos as long, then integral-divide to µs — `div`, not
+    * double `/`, because ~1.7e18 ns does not fit double's 53-bit mantissa.
+    * Fixture ts values are whole µs, so the conversion is lossless and the
+    * DuckDB side (`CAST(ts AS TIMESTAMP)`) lands on identical µs instants.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read("events").withColumn("ts",
+      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+
+  /** Raw schema of `events` as Spark sees it with nanosAsLong (ts: long).
+    * Needed by streaming reads, which require an explicit schema. */
+  def eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+}
+
+object Tables {
+  /** Exact, order-independent SUM over a double column: sum in DECIMAL(27,6)
+    * (so partial-aggregation merge order can never change the result — the
+    * whole point at 1000-executor scale), then back to double. The DuckDB
+    * oracle does the same: CAST(sum(CAST(x AS DECIMAL(27,6))) AS DOUBLE).
+    */
+  def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(27, 6))).cast("double")
+
+  /** Matching oracle fragment. */
+  def dsumSql(x: String): String = s"CAST(sum(CAST(($x) AS DECIMAL(27,6))) AS DOUBLE)"
+
+  /** Order-independent AVG: exact decimal sum, one double division. */
+  def davg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (sum(c.cast(DecimalType(27, 6))).cast("double") / count(c)).cast("double")
+
+  def davgSql(x: String): String =
+    s"(CAST(sum(CAST(($x) AS DECIMAL(27,6))) AS DOUBLE) / count($x))"
+
+  /** Timestamps must leave the engine as TIMESTAMP_NTZ: Spark's TimestampType
+    * writes parquet `isAdjustedToUTC=true`, which DuckDB reads as TIMESTAMPTZ
+    * and the oracle compare then sees a type mismatch. Session TZ is pinned
+    * UTC, so the cast preserves the wall-clock value.
+    */
+  def ntz(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("timestamp_ntz")
+
+  /** Total order over every output column — the safe ORDER BY for outputs
+    * without a unique key (lineitem has none). Oracle side: ORDER BY ALL.
+    * Only valid when no output column is nullable (DuckDB defaults to
+    * NULLS LAST, Spark to NULLS FIRST) — nullable queries spell it out.
+    */
+  def orderAll(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+}

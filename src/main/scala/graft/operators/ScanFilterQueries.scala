@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 A (scans/sources/sinks) + B (projection/filter).
+  *
+  * Every query ends in a total ORDER BY with a unique tiebreaker and rounds
+  * floating projections (§7.4 determinism rules).
+  */
+object ScanFilterQueries extends QueryModule {
+
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_$name"
+
+  val queries: Seq[(String, QFn)] = Seq(
+    // A1: plain parquet scan.
+    "a1_scan_parquet" -> ((s, dir) =>
+      Tables(s, dir).region.orderBy("r_regionkey")),
+
+    // A2: nanosecond-timestamp scan (events) — ns read as long, exact µs convert.
+    "a2_scan_parquet_nanos" -> ((s, dir) =>
+      Tables(s, dir).events
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"), col("props"))
+        .orderBy("event_id")),
+
+    // A3: CSV round-trip — write the region fixture as CSV, read it back with
+    // an explicit schema. Oracle reads the parquet directly (round-trip is
+    // lossless for these types).
+    "a3_scan_csv" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val path = tmp("csv_region")
+      t.region.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+      s.read.schema("r_regionkey INT, r_name STRING")
+        .option("header", "true").csv(path)
+        .orderBy("r_regionkey")
+    }),
+
+    // A3b: JSON round-trip over nation.
+    "a3b_scan_json" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val path = tmp("json_nation")
+      t.nation.coalesce(1).write.mode("overwrite").json(path)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").json(path)
+        .orderBy("n_nationkey")
+    }),
+
+    // A4: parquet sink round-trip (write → re-read → aggregate).
+    "a4_sink_parquet_roundtrip" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val path = tmp("sink_orders")
+      t.orders.filter(col("o_totalprice") > 300000.0)
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // B1: projection incl. computed column; per-row double math is
+    // IEEE-identical across engines. lineitem has no unique key → ORDER BY ALL.
+    "b1_project" -> ((s, dir) =>
+      Tables.orderAll(Tables(s, dir).lineitem.select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("charge")))),
+
+    // B2: conjunctive/disjunctive predicates, BETWEEN / IN / LIKE; all pushed
+    // to the parquet scan (asserted in PlanSpec).
+    "b2_filter_pred" -> ((s, dir) =>
+      Tables(s, dir).lineitem
+        .filter(col("l_shipdate").between(lit("1996-01-01").cast("timestamp"),
+          lit("1998-12-31").cast("timestamp")))
+        .filter(col("l_discount").between(0.02, 0.08))
+        .filter(col("l_returnflag").isin("A", "R") || col("l_linestatus") === "F")
+        .filter(col("l_quantity") < 30.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), col("l_linestatus"))
+        .transform(Tables.orderAll))
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "a1_scan_parquet" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "a2_scan_parquet_nanos" ->
+      ("SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, " +
+        "round(value, 6) AS value, props FROM events ORDER BY event_id"),
+
+    "a3_scan_csv" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "a3b_scan_json" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "a4_sink_parquet_roundtrip" ->
+      (s"SELECT o_orderstatus, count(*) AS n, ${Tables.dsumSql("o_totalprice")} AS total " +
+        "FROM orders WHERE o_totalprice > 300000.0 GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+
+    "b1_project" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "round(l_extendedprice * (1.0 - l_discount), 6) AS revenue, " +
+        "round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 6) AS charge " +
+        "FROM lineitem ORDER BY ALL"),
+
+    "b2_filter_pred" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus FROM lineitem " +
+        "WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31' " +
+        "AND l_discount BETWEEN 0.02 AND 0.08 " +
+        "AND (l_returnflag IN ('A','R') OR l_linestatus = 'F') " +
+        "AND l_quantity < 30.0 " +
+        "ORDER BY ALL")
+  )
+}
