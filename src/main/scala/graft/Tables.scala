@@ -11,9 +11,7 @@ import org.apache.spark.sql.types._
   * Nothing is cached or collected here; a real deployment would point these
   * at partitioned table roots instead of single files.
   */
-final case class Tables(spark: SparkSession, sfDir: String) {
-  // Deterministic µs-precision parquet output (driver's DuckDB compare reads it).
-  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+final class Tables(val spark: SparkSession, val sfDir: String) {
 
   private def read(name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
@@ -34,11 +32,9 @@ final case class Tables(spark: SparkSession, sfDir: String) {
     * Fixture ts values are whole µs, so the conversion is lossless and the
     * DuckDB side (`CAST(ts AS TIMESTAMP)`) lands on identical µs instants.
     */
-  def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events: DataFrame =
     read("events").withColumn("ts",
       timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-  }
 
   /** Raw schema of `events` as Spark sees it with nanosAsLong (ts: long).
     * Needed by streaming reads, which require an explicit schema. */
@@ -52,6 +48,21 @@ final case class Tables(spark: SparkSession, sfDir: String) {
 }
 
 object Tables {
+  /** Session-wide reader/writer settings, applied once per Tables handle
+    * (idempotent): µs-precision parquet output (the driver's DuckDB compare
+    * reads our dumps) and nanos-as-long for the events table (SURVEY §1.2).
+    */
+  def apply(spark: SparkSession, sfDir: String): Tables = {
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    new Tables(spark, sfDir)
+  }
+
+  /** DECIMAL(27,6) — enough integer digits for any sf0.1 money sum. */
+  val dec: DecimalType = DecimalType(27, 6)
+  /** High-scale decimal for unit-magnitude vector components (G6). */
+  val decHi: DecimalType = DecimalType(38, 12)
+
   /** Exact, order-independent SUM over a double column: sum in DECIMAL(27,6)
     * (so partial-aggregation merge order can never change the result — the
     * whole point at 1000-executor scale), then back to double. The DuckDB

@@ -37,6 +37,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full declared-query list, so selfcheck can FAIL (not silently skip) any
+    // declared query that crashed before writing output — even oracle-less ones.
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      SparkEntry.queries.keys.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 D (aggregations D1–D8).
+  *
+  * Scale notes (100 TB): every groupBy here is a HashAggregate with automatic
+  * map-side partial aggregation, so the shuffle carries one row per
+  * (partition × group), not per input row. Double sums/avgs go through
+  * DECIMAL(27,6) (Tables.dsum/davg) so the result is independent of partial-
+  * merge order — the property that actually matters at 1000 executors.
+  * COUNT(DISTINCT) expands to a two-phase plan; the HLL variant (D3) is the
+  * sketch to reach for first at 100 TB.
+  */
+object AggQueries extends QueryModule {
+
+  val queries: Seq[(String, QFn)] = Seq(
+    // D1: TPC-H Q1 shape — wide multi-aggregate over lineitem.
+    "d1_agg_hash" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Tables.dsum(col("l_quantity")).as("sum_qty"),
+          Tables.dsum(col("l_extendedprice")).as("sum_base_price"),
+          Tables.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          Tables.davg(col("l_quantity")).as("avg_qty"),
+          Tables.davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // D2: exact COUNT(DISTINCT) per group.
+    "d2_agg_distinct" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.orders.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // D3: HLL approximate distinct — the 100 TB path for D2. Approximate →
+    // no hash oracle; unit test asserts 1%-rsd tolerance vs exact instead.
+    "d3_agg_approx_distinct" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.events.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .orderBy("event_type")
+    }),
+
+    // D4: ROLLUP subtotals. Grouping nulls are mapped to a sentinel on both
+    // sides so null-ordering dialect differences can't bite.
+    "d4_agg_rollup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")
+    }),
+
+    // D5: CUBE — all margin combinations.
+    "d5_agg_cube" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.orders.cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("orderstatus"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("orderpriority"),
+          col("n"), col("total"))
+        .orderBy("orderstatus", "orderpriority")
+    }),
+
+    // D6: per-group sorted value list (sorted for determinism).
+    "d6_agg_collect" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.orders.groupBy(col("o_orderpriority"))
+        .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // D7: exact interpolated percentiles (median / p95).
+    "d7_agg_percentile" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.orders.groupBy(col("o_orderpriority"))
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // D8: statistical aggregates. Rounding absorbs the last-ulp differences
+    // of the two engines' streaming variance implementations.
+    "d8_agg_stats" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem.groupBy(col("l_returnflag"))
+        .agg(round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          round(stddev_pop(col("l_extendedprice")), 4).as("sdp_price"),
+          round(corr(col("l_extendedprice"), col("l_discount")), 6).as("corr_pd"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "d1_agg_hash" ->
+      (s"SELECT l_returnflag, l_linestatus, ${Tables.dsumSql("l_quantity")} AS sum_qty, " +
+        s"${Tables.dsumSql("l_extendedprice")} AS sum_base_price, " +
+        s"${Tables.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price, " +
+        s"${Tables.davgSql("l_quantity")} AS avg_qty, " +
+        s"${Tables.davgSql("l_discount")} AS avg_disc, " +
+        "count(*) AS count_order FROM lineitem " +
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+
+    "d2_agg_distinct" ->
+      ("SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    // d3: approximate — oracle intentionally omitted (rows-only check).
+
+    "d4_agg_rollup" ->
+      (s"SELECT COALESCE(l_returnflag, '(all)') AS returnflag, " +
+        "COALESCE(l_linestatus, '(all)') AS linestatus, " +
+        s"count(*) AS n, ${Tables.dsumSql("l_quantity")} AS sum_qty " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY returnflag, linestatus"),
+
+    "d5_agg_cube" ->
+      (s"SELECT COALESCE(o_orderstatus, '(all)') AS orderstatus, " +
+        "COALESCE(o_orderpriority, '(all)') AS orderpriority, " +
+        s"count(*) AS n, ${Tables.dsumSql("o_totalprice")} AS total " +
+        "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+        "ORDER BY orderstatus, orderpriority"),
+
+    "d6_agg_collect" ->
+      ("SELECT o_orderpriority, list_sort(list(DISTINCT o_orderstatus)) AS statuses, " +
+        "count(*) AS n FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    "d7_agg_percentile" ->
+      ("SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5), 4) AS p50, " +
+        "round(quantile_cont(o_totalprice, 0.95), 4) AS p95 " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    "d8_agg_stats" ->
+      ("SELECT l_returnflag, round(stddev_samp(l_extendedprice), 4) AS sd_price, " +
+        "round(stddev_pop(l_extendedprice), 4) AS sdp_price, " +
+        "round(corr(l_extendedprice, l_discount), 6) AS corr_pd, count(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+  )
+}

@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY §2 C (joins C1–C11).
+  *
+  * Scale notes (100 TB): dimension sides (region/nation/customer at dim
+  * scale, the generated band/hour tables) are explicitly `broadcast()` so no
+  * shuffle of the fact side ever happens for them; the large-large joins
+  * (C2/C3) shuffle on their join key exactly once and the aggregation that
+  * follows reuses that partitioning. The as-of join (C10) is expressed as a
+  * single window pass (one shuffle by user_id) rather than a self-join,
+  * which is the plan that survives skewed users at scale (AQE splits any
+  * oversized partition).
+  */
+object JoinQueries extends QueryModule {
+
+  val queries: Seq[(String, QFn)] = Seq(
+    // C1: dim-to-fact equi-join; dim side broadcast (no shuffle of orders).
+    "c1_join_broadcast" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.orders.join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"), Tables.dsum(col("o_totalprice")).as("total"))
+        .orderBy("c_nationkey")
+    }),
+
+    // C2: large-large equi-join pinned to shuffle-hash (both sides shuffle on
+    // l_orderkey/o_orderkey, no sort). Map-side partial agg follows.
+    "c2_join_shuffle_hash" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem.hint("SHUFFLE_HASH")
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"), Tables.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // C3: same shape pinned to sort-merge (Spark's default above thresholds;
+    // the sort order is reusable by downstream ops at scale).
+    "c3_join_sort_merge" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem.hint("MERGE")
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"), Tables.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus", "l_linestatus")
+    }),
+
+    // C4: FLAGSHIP — 5-way star rollup region→nation→customer→orders→lineitem
+    // (TPC-H Q5 shape). Dims broadcast; only the orders⋈lineitem join shuffles.
+    "c4_join_5way_star" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          Tables.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // C5: left outer with null fill — every customer, order count may be 0.
+    "c5_join_outer" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(Tables.dsum(col("o_totalprice")), lit(0.0)).as("total"))
+        .orderBy("c_custkey")
+    }),
+
+    // C6: left semi (EXISTS) — orders having at least one near-full-qty item.
+    "c6_join_semi" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.orders.join(t.lineitem.filter(col("l_quantity") >= 49.0),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
+    // C7: left anti (NOT EXISTS) — customers with no orders at all.
+    "c7_join_anti" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // C8: pure theta join — orders against generated price bands
+    // (BroadcastNestedLoopJoin; band side is 10 rows, always broadcast).
+    "c8_join_theta" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val bands = s.range(0, 10).select(col("id").as("band"),
+        (col("id") * 100000.0).as("lo"), ((col("id") + 1) * 100000.0).as("hi"))
+      t.orders.join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_orders"), Tables.dsum(col("o_totalprice")).as("total"))
+        .orderBy("band")
+    }),
+
+    // C9: range bucketing as an equi-join on date_trunc against a generated
+    // hour spine (broadcast) — the scale-safe formulation of a range join.
+    "c9_join_range" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val hours = s.sql(
+        """SELECT explode(sequence(timestamp_ntz'2024-01-01 00:00:00',
+          |                        timestamp_ntz'2024-01-31 00:00:00',
+          |                        interval 1 hour)) AS h""".stripMargin)
+      t.events.withColumn("eh", date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+        .join(broadcast(hours), col("eh") === col("h"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n_events"), Tables.dsum(col("value")).as("val_sum"))
+        .orderBy("h")
+    }),
+
+    // C10: as-of join — each purchase matched to the user's most recent prior
+    // click, as one window pass (single shuffle by user_id; no self-join).
+    "c10_join_asof" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t.events
+        .withColumn("prev_click_ts",
+          last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("prev_click_ts"))
+        .orderBy("event_id")
+    }),
+
+    // C11: small cartesian product.
+    "c11_join_cross" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.nation.crossJoin(t.region)
+        .select(col("n_nationkey"), col("r_regionkey"), col("n_name"), col("r_name"))
+        .orderBy("n_nationkey", "r_regionkey")
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "c1_join_broadcast" ->
+      (s"SELECT c_nationkey, count(*) AS n_orders, ${Tables.dsumSql("o_totalprice")} AS total " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
+
+    "c2_join_shuffle_hash" ->
+      (s"SELECT o_orderpriority, count(*) AS n_items, ${Tables.dsumSql("l_extendedprice")} AS sum_price " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    "c3_join_sort_merge" ->
+      (s"SELECT o_orderstatus, l_linestatus, count(*) AS n_items, ${Tables.dsumSql("l_quantity")} AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderstatus, l_linestatus ORDER BY o_orderstatus, l_linestatus"),
+
+    "c4_join_5way_star" ->
+      (s"SELECT r_name, n_name, count(*) AS n_items, " +
+        s"${Tables.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+
+    "c5_join_outer" ->
+      (s"SELECT c_custkey, c_name, count(o_orderkey) AS n_orders, " +
+        s"COALESCE(${Tables.dsumSql("o_totalprice")}, 0.0) AS total " +
+        "FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_custkey, c_name ORDER BY c_custkey"),
+
+    "c6_join_semi" ->
+      ("SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
+        "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0) " +
+        "ORDER BY o_orderkey"),
+
+    "c7_join_anti" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "ORDER BY c_custkey"),
+
+    "c8_join_theta" ->
+      (s"SELECT band, count(*) AS n_orders, ${Tables.dsumSql("o_totalprice")} AS total " +
+        "FROM orders JOIN (SELECT i AS band, i * 100000.0 AS lo, (i + 1) * 100000.0 AS hi " +
+        "FROM range(0, 10) t(i)) b ON o_totalprice >= lo AND o_totalprice < hi " +
+        "GROUP BY band ORDER BY band"),
+
+    "c9_join_range" ->
+      (s"SELECT h, count(*) AS n_events, ${Tables.dsumSql("value")} AS val_sum " +
+        "FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31', INTERVAL 1 HOUR) t(h) " +
+        "JOIN events ON date_trunc('hour', CAST(ts AS TIMESTAMP)) = h " +
+        "GROUP BY h ORDER BY h"),
+
+    "c10_join_asof" ->
+      ("SELECT event_id, user_id, ts, prev_click_ts FROM (" +
+        "SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, " +
+        "last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts " +
+        "FROM events) WHERE event_type = 'purchase' ORDER BY event_id"),
+
+    "c11_join_cross" ->
+      ("SELECT n_nationkey, r_regionkey, n_name, r_name FROM nation CROSS JOIN region " +
+        "ORDER BY n_nationkey, r_regionkey")
+  )
+}

@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   */
 object ScanFilterQueries extends QueryModule {
 
-  private def tmp(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_$name"
+  // Keyed by the sf dir so concurrent Verify/Bench runs at different scale
+  // factors can't race on the same round-trip directories (ADVICE r1).
+  private def tmp(name: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${dir.hashCode & 0x7fffffff}"
 
   val queries: Seq[(String, QFn)] = Seq(
     // A1: plain parquet scan.
@@ -30,7 +32,7 @@ object ScanFilterQueries extends QueryModule {
     // lossless for these types).
     "a3_scan_csv" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val path = tmp("csv_region")
+      val path = tmp("csv_region", dir)
       t.region.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
       s.read.schema("r_regionkey INT, r_name STRING")
         .option("header", "true").csv(path)
@@ -40,7 +42,7 @@ object ScanFilterQueries extends QueryModule {
     // A3b: JSON round-trip over nation.
     "a3b_scan_json" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val path = tmp("json_nation")
+      val path = tmp("json_nation", dir)
       t.nation.coalesce(1).write.mode("overwrite").json(path)
       s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").json(path)
         .orderBy("n_nationkey")
@@ -49,7 +51,7 @@ object ScanFilterQueries extends QueryModule {
     // A4: parquet sink round-trip (write → re-read → aggregate).
     "a4_sink_parquet_roundtrip" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val path = tmp("sink_orders")
+      val path = tmp("sink_orders", dir)
       t.orders.filter(col("o_totalprice") > 300000.0)
         .coalesce(1).write.mode("overwrite").parquet(path)
       s.read.parquet(path)

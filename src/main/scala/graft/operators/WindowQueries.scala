@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY §2 E (window functions E1–E7).
+  *
+  * Scale notes (100 TB): each query shuffles once on its PARTITION BY key and
+  * sorts within partitions — the canonical window plan. Every ORDER BY inside
+  * a window spec carries a unique tiebreaker (orderkey / event_id) so rank
+  * and frame contents are total-order deterministic. Windowed double sums go
+  * through DECIMAL(27,6): DuckDB evaluates sliding frames with a segment tree
+  * (different association order than Spark's running accumulation), which
+  * diverges in ulps for doubles but is exact — hence identical — in decimal.
+  */
+object WindowQueries extends QueryModule {
+
+  val queries: Seq[(String, QFn)] = Seq(
+    // E1: top-3 orders per customer.
+    "e1_win_rownumber_topk" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t.orders.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // E2: rank / dense_rank / ntile(4) per priority.
+    "e2_win_rank_dense" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t.orders
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("tile"))
+        .filter(col("rnk") <= 100)
+        .orderBy("o_orderpriority", "rnk")
+    }),
+
+    // E3: per-user lag/lead of event timestamps.
+    "e3_win_lag_lead" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t.events
+        .select(col("event_id"), col("user_id"), col("ts"),
+          lag(col("ts"), 1).over(w).as("prev_ts"),
+          lead(col("ts"), 1).over(w).as("next_ts"))
+        .orderBy("event_id")
+    }),
+
+    // E4: running revenue per customer (rows frame, decimal accumulation).
+    "e4_win_running_sum" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.orders
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(Tables.dec)).over(w).cast("double").as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // E5: 7-row moving average over the daily revenue series.
+    "e5_win_moving_avg" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val daily = t.lineitem
+        .groupBy(date_trunc("day", col("l_shipdate")).cast("timestamp_ntz").as("day"))
+        .agg(Tables.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily
+        .select(col("day"), round(col("rev"), 6).as("rev"),
+          round(sum(col("rev").cast(Tables.dec)).over(w).cast("double")
+            / count(col("rev")).over(w), 6).as("mov7"))
+        .orderBy("day")
+    }),
+
+    // E6: value-range frame — sum of events within 10.0 trailing value units.
+    // Range frames with fractional bounds need the SQL form in Spark.
+    "e6_win_range_frame" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .select(col("event_id"), col("event_type"), col("value"),
+          expr("CAST(sum(CAST(value AS DECIMAL(27,6))) OVER (PARTITION BY event_type ORDER BY value " +
+            "RANGE BETWEEN 10.0 PRECEDING AND CURRENT ROW) AS DOUBLE)").as("range_sum"))
+        .orderBy("event_id")
+    }),
+
+    // E7: first/last event_type per user-day (explicit full frame + distinct).
+    "e7_win_first_last" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val withDay = t.events.withColumn("day", date_trunc("day", col("ts")).cast("timestamp_ntz"))
+      val w = Window.partitionBy("user_id", "day").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      withDay
+        .select(col("user_id"), col("day"),
+          first(col("event_type")).over(w).as("first_et"),
+          last(col("event_type")).over(w).as("last_et"))
+        .distinct()
+        .orderBy("user_id", "day")
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "e1_win_rownumber_topk" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"),
+
+    "e2_win_rank_dense" ->
+      ("SELECT o_orderpriority, o_orderkey, rnk, drnk, tile FROM (" +
+        "SELECT o_orderpriority, o_orderkey, " +
+        "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, ntile(4) OVER w AS tile " +
+        "FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)) " +
+        "WHERE rnk <= 100 ORDER BY o_orderpriority, rnk"),
+
+    "e3_win_lag_lead" ->
+      ("SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "lag(CAST(ts AS TIMESTAMP), 1) OVER w AS prev_ts, " +
+        "lead(CAST(ts AS TIMESTAMP), 1) OVER w AS next_ts " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) " +
+        "ORDER BY event_id"),
+
+    "e4_win_running_sum" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS DOUBLE) AS running_total FROM orders ORDER BY o_custkey, o_orderkey"),
+
+    "e5_win_moving_avg" ->
+      (s"WITH daily AS (SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day, " +
+        s"${Tables.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS rev " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT day, round(rev, 6) AS rev, " +
+        "round(CAST(sum(CAST(rev AS DECIMAL(27,6))) OVER w AS DOUBLE) / count(rev) OVER w, 6) AS mov7 " +
+        "FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY day"),
+
+    "e6_win_range_frame" ->
+      ("SELECT event_id, event_type, value, " +
+        "CAST(sum(CAST(value AS DECIMAL(27,6))) OVER (PARTITION BY event_type ORDER BY value " +
+        "RANGE BETWEEN 10.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum " +
+        "FROM events ORDER BY event_id"),
+
+    "e7_win_first_last" ->
+      ("SELECT DISTINCT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day, " +
+        "first_value(event_type) OVER w AS first_et, last_value(event_type) OVER w AS last_et " +
+        "FROM events WINDOW w AS (PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) " +
+        "ORDER BY CAST(ts AS TIMESTAMP), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY user_id, day")
+  )
+}

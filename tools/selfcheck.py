@@ -30,6 +30,10 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    declared = []
+    if os.path.exists(f"{out_dir}/queries.json"):
+        with open(f"{out_dir}/queries.json") as f:
+            declared = json.load(f)
     n_pass = n_fail = n_skip = 0
     names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
     for name in names:
@@ -84,10 +88,11 @@ def main():
         else:
             print(f"PASS {name}: {len(got_rows)} rows")
             n_pass += 1
-    # oracles declared but no output written (query crashed in Verify)
-    for name in oracles:
+    # declared queries with no output written (query crashed in Verify) —
+    # covers oracle-less (rows-only) queries too via queries.json
+    for name in set(oracles) | set(declared):
         if (not only or name in only) and name not in names:
-            print(f"FAIL {name}: oracle declared but no spark output present")
+            print(f"FAIL {name}: declared but no spark output present")
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_skip} rows-only ==")
     sys.exit(1 if n_fail else 0)
