@@ -15,7 +15,11 @@ object SparkEntry {
     operators.AggQueries,
     operators.WindowQueries,
     operators.SortSetQueries,
-    operators.FunctionQueries
+    operators.FunctionQueries,
+    operators.TextQueries,
+    operators.VectorQueries,
+    operators.StreamingQueries,
+    operators.DagQueries
   )
 
   /** Flagship query (5-way star join rollup, C4) on sf0.001; driver

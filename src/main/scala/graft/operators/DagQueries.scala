@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.plans.{Dag, Job}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 J — the orchestration surface as declared queries. The demo DAG
+  * mirrors a daily reporting pipeline: two loads fan in to a revenue rollup,
+  * a parallel branch ranks customers, and a final report joins both.
+  *
+  *   load_lineitem ─┐
+  *                  ├─ rev_by_status ─┐
+  *   load_orders ───┤                 ├─ report
+  *                  └─ cust_rank ─────┘
+  */
+object DagQueries extends QueryModule {
+
+  private def buildDemo(dir: String): Dag = new Dag(Seq(
+    Job("load_lineitem", Nil, 0, (s, _) => Tables(s, dir).lineitem),
+    Job("load_orders", Nil, 0, (s, _) => Tables(s, dir).orders),
+    Job("rev_by_status", Seq("load_lineitem", "load_orders"), 0, (s, deps) =>
+      deps("load_lineitem")
+        .join(deps("load_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(Tables.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))),
+    Job("cust_rank", Seq("load_orders"), 0, (s, deps) =>
+      deps("load_orders").groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"))),
+    Job("report", Seq("rev_by_status", "cust_rank"), 0, (s, deps) =>
+      deps("rev_by_status").join(deps("cust_rank"), "o_orderstatus")
+        .select(col("o_orderstatus"), round(col("revenue"), 6).as("revenue"), col("n_cust"))
+        .orderBy("o_orderstatus"))
+  ))
+
+  val queries: Seq[(String, QFn)] = Seq(
+    // J1: DAG declaration + deterministic topological order (Kahn,
+    // alphabetical tie-break). Pure driver-side — output is the plan itself.
+    "j1_dag_define" -> ((s, dir) => {
+      val order = buildDemo(dir).topoOrder
+      val spark = s
+      import spark.implicits._
+      order.zipWithIndex.map { case (n, i) => (i, n) }.toDF("pos", "job")
+        .orderBy("pos")
+    }),
+
+    // J2: execute the DAG (parallel branches on a fixed pool); the declared
+    // result is the final report job's DataFrame.
+    "j2_dag_run" -> ((s, dir) => {
+      val (dfs, runs) = buildDemo(dir).run(s, parallelism = 4)
+      require(runs.forall(_.status == "ok"), s"dag failed: $runs")
+      dfs("report")
+    }),
+
+    // J3: retry + downstream skip. `flaky` succeeds on its 3rd attempt,
+    // `bad` exhausts retries, `child_of_bad` is skipped.
+    "j3_dag_retry_skip" -> ((s, dir) => {
+      val flakyCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val dag = new Dag(Seq(
+        Job("steady", Nil, 0, (sp, _) => Tables(sp, dir).region),
+        Job("flaky", Nil, 2, (sp, _) => {
+          if (flakyCounter.incrementAndGet() < 3) sys.error("transient failure")
+          Tables(sp, dir).nation
+        }),
+        Job("bad", Nil, 1, (_, _) => sys.error("permanent failure")),
+        Job("child_of_bad", Seq("bad"), 0, (sp, _) => Tables(sp, dir).region)
+      ))
+      val (_, runs) = dag.run(s, parallelism = 2)
+      val spark = s
+      import spark.implicits._
+      runs.map(r => (r.name, r.status, r.attempts)).toDF("job", "status", "attempts")
+        .orderBy("job")
+    }),
+
+    // J4: lineage — which fixture files each job actually scanned.
+    "j4_dag_lineage" -> ((s, dir) => {
+      val (_, runs) = buildDemo(dir).run(s, parallelism = 4)
+      val spark = s
+      import spark.implicits._
+      runs.map(r => (r.name, r.inputs.mkString(","))).toDF("job", "inputs")
+        .orderBy("job")
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "j1_dag_define" ->
+      ("SELECT * FROM (VALUES (0, 'load_lineitem'), (1, 'load_orders'), " +
+        "(2, 'cust_rank'), (3, 'rev_by_status'), (4, 'report')) t(pos, job) ORDER BY pos"),
+
+    "j2_dag_run" ->
+      (s"SELECT o_orderstatus, round(${Tables.dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS revenue, " +
+        "n_cust FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN (SELECT o_orderstatus AS st, count(DISTINCT o_custkey) AS n_cust FROM orders GROUP BY 1) c " +
+        "ON o_orderstatus = c.st " +
+        "GROUP BY o_orderstatus, n_cust ORDER BY o_orderstatus"),
+
+    "j3_dag_retry_skip" ->
+      ("SELECT * FROM (VALUES ('bad', 'failed', 2), ('child_of_bad', 'skipped', 0), " +
+        "('flaky', 'ok', 3), ('steady', 'ok', 1)) t(job, status, attempts) ORDER BY job"),
+
+    "j4_dag_lineage" ->
+      ("SELECT * FROM (VALUES ('load_lineitem', 'lineitem.parquet'), " +
+        "('load_orders', 'orders.parquet'), " +
+        "('cust_rank', 'orders.parquet'), " +
+        "('rev_by_status', 'lineitem.parquet,orders.parquet'), " +
+        "('report', 'lineitem.parquet,orders.parquet')) t(job, inputs) ORDER BY job"),
+  )
+}

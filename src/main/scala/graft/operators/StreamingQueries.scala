@@ -1,0 +1,185 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** SURVEY §2 I (Structured Streaming I1–I8). All rows-only (✘ oracle):
+  * streaming output depends on micro-batch boundaries, which no batch SQL
+  * oracle can replay. Deterministic-enough behavior comes from
+  * Trigger.AvailableNow + a chronologically-ordered chunked file source;
+  * exact semantics are asserted in StreamingSpec.
+  *
+  * Scale notes (100 TB): these are the same plans a production job would run
+  * — file-source backpressure via maxFilesPerTrigger, event-time watermarks
+  * bounding all state, session/tumbling aggregation state partitioned by
+  * group key, and stream-static joins broadcasting the static dim.
+  */
+object StreamingQueries extends QueryModule {
+
+  /** Streaming-source schema after chunk materialization (ts already µs). */
+  private val chunkSchema =
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+
+  /** Materialize events as 4 parquet files keyed by event_id quartile —
+    * each spans the full time range, so every batch after the first carries
+    * events behind the watermark (genuine late data). Idempotent per sfDir. */
+  private def chunkedSource(s: SparkSession, dir: String): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src_${dir.hashCode & 0x7fffffff}"
+    val ready = Paths.get(base, "_ready")
+    if (!Files.exists(ready)) {
+      val ev = Tables(s, dir).events.withColumn("ts", col("ts").cast("timestamp"))
+      val ids = ev.agg(max(col("event_id"))).head().getLong(0)
+      Files.createDirectories(Paths.get(base))
+      (0 until 4).foreach { i =>
+        val lo = ids * i / 4
+        val hi = if (i == 3) ids + 1 else ids * (i + 1) / 4
+        val tmpDir = s"$base/stage_$i"
+        ev.filter(col("event_id") >= lo && col("event_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(tmpDir)
+        val part = Files.list(Paths.get(tmpDir)).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.move(part, Paths.get(base, f"chunk_$i%02d.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        // modification order == chronological order for the file source
+        Thread.sleep(5)
+      }
+      Files.createFile(ready)
+    }
+    base
+  }
+
+  private def stream(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(chunkSchema).option("maxFilesPerTrigger", "1")
+      .parquet(chunkedSource(s, dir))
+
+  /** Run to completion (AvailableNow) into an in-memory table, return it. */
+  private def runMemory(q: DataFrame, mode: String, name: String): DataFrame = {
+    val spark = q.sparkSession
+    val qn = s"graft_${name}_${System.nanoTime()}"
+    val sq = q.writeStream.format("memory").queryName(qn).outputMode(mode)
+      .trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    spark.table(qn)
+  }
+
+  /** Run to completion via foreachBatch into a fresh parquet dir, return the
+    * read-back (I8's sink pattern, reused by the stateful op). */
+  private def runForeachBatch(q: DataFrame, name: String, dir: String): DataFrame = {
+    val spark = q.sparkSession
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${dir.hashCode & 0x7fffffff}_${System.nanoTime()}"
+    val sq = q.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.withColumn("batch_id", lit(id)).write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    spark.read.parquet(out)
+  }
+
+  val queries: Seq[(String, QFn)] = Seq(
+    // I1: tumbling 5-minute counts per event type.
+    "i1_stream_tumbling" -> ((s, dir) => {
+      val q = stream(s, dir)
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      runMemory(q, "complete", "i1")
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"), col("event_type"), col("n"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    // I2: sliding 10-minute window every 5 minutes.
+    "i2_stream_sliding" -> ((s, dir) => {
+      val q = stream(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("val_sum"))
+      runMemory(q, "complete", "i2")
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"), col("n"),
+          round(col("val_sum"), 6).as("val_sum"))
+        .orderBy("w_start")
+    }),
+
+    // I3: per-user session windows (30-minute gap), closed by the watermark.
+    "i3_stream_session" -> ((s, dir) => {
+      val q = stream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      runMemory(q, "append", "i3")
+        .select(col("session_window.start").cast("timestamp_ntz").as("s_start"),
+          col("user_id"), col("n"))
+        .orderBy("s_start", "user_id")
+    }),
+
+    // I4: watermark late-drop — hourly tumbling counts in append mode; events
+    // arriving behind the 1-hour watermark (chunks 2–4) are dropped.
+    "i4_stream_watermark_late" -> ((s, dir) => {
+      val q = stream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      runMemory(q, "append", "i4")
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"), col("event_type"), col("n"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    // I5: streaming dedup — each event duplicated in-stream, then
+    // dropDuplicatesWithinWatermark collapses the copies.
+    "i5_stream_dedup" -> ((s, dir) => {
+      val q = stream(s, dir)
+        .withColumn("copy", explode(array(lit(1), lit(2))))
+        .drop("copy")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n"))
+      runMemory(q, "append", "i5")
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"), col("n"))
+        .orderBy("w_start")
+    }),
+
+    // I6: custom state — running per-user event counters via
+    // flatMapGroupsWithState (update mode through foreachBatch).
+    "i6_stream_stateful" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val q = stream(s, dir).select(col("user_id"), col("event_id")).as[(Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+          (uid: Long, rows: Iterator[(Long, Long)], st: GroupState[Long]) =>
+            val c = st.getOption.getOrElse(0L) + rows.size
+            st.update(c)
+            Iterator((uid, c))
+        }.toDF("user_id", "n_so_far")
+      runForeachBatch(q, "i6", dir)
+        .groupBy(col("user_id")).agg(max(col("n_so_far")).as("n_total"),
+          count(lit(1)).as("n_updates"))
+        .orderBy("user_id")
+    }),
+
+    // I7: stream-static join — enrich the stream with the customer dim.
+    "i7_stream_static_join" -> ((s, dir) => {
+      val cust = Tables(s, dir).customer
+      val q = stream(s, dir)
+        .join(cust, col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("c_mktsegment"))
+      runMemory(q, "append", "i7")
+        .groupBy(col("c_mktsegment"), col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment", "event_type")
+    }),
+
+    // I8: deterministic sink — foreachBatch append to parquet, one batch id
+    // per source chunk.
+    "i8_stream_sink" -> ((s, dir) => {
+      val q = stream(s, dir).select(col("event_id"), col("event_type"), col("value"))
+      runForeachBatch(q, "i8", dir)
+        .groupBy(col("batch_id")).agg(count(lit(1)).as("n"))
+        .orderBy("batch_id")
+    })
+  )
+
+  // Streaming output is micro-batch dependent — no SQL oracles (rows-only).
+  val oracles: Seq[(String, String)] = Seq.empty
+}

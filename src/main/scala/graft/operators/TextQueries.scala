@@ -1,0 +1,233 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.functions.{MinHashLSH, TextFunctions => TF}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY §2 G text band (G1/G2/G7/G8/G9) + north-star text analysis
+  * (language-ID features, quality scoring, BPE-ish token counting, document
+  * fingerprinting) + the UDF/UDTF surface H1/H4.
+  *
+  * Scale notes (100 TB): tokenization/shingling are narrow per-row transforms
+  * inside whole-stage codegen; dedup candidate generation is blocked (prefix
+  * key in the graded g2, MinHash bands in g2b) so no O(n²) pair join ever
+  * materializes; term aggregations are map-side-combined groupBys.
+  */
+object TextQueries extends QueryModule {
+
+  private val stopList = TF.StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val queries: Seq[(String, QFn)] = Seq(
+    // G1: exact dedup on normalized text with a deterministic survivor
+    // (lowest doc_id), via window — not dropDuplicates, whose survivor is
+    // partition-order dependent.
+    "g1_dedup_exact" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("norm")).orderBy(col("doc_id"))
+      t.documents.withColumn("norm", lower(trim(col("text"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // G2: near-dup pairs — 40-char-prefix blocking + exact 3-shingle Jaccard.
+    "g2_dedup_near_jaccard" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.documents
+        .withColumn("toks", TF.tokens(lower(col("text"))))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), substring(lower(col("text")), 1, 40).as("blk"),
+          TF.shingles3("toks").as("sh"))
+      val a = base.select(col("doc_id").as("a_id"), col("blk"), col("sh").as("sha"))
+      val b = base.select(col("doc_id").as("b_id"), col("blk").as("blkb"), col("sh").as("shb"))
+      a.join(b, col("blk") === col("blkb") && col("a_id") < col("b_id"))
+        .withColumn("jac", TF.jaccard(col("sha"), col("shb")))
+        .filter(col("jac") >= 0.4)
+        .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // G2b: the scale path — MinHash banding instead of prefix blocking, same
+    // exact-Jaccard verification. Hash-based → no SQL oracle (rows-only);
+    // pair-set equivalence vs brute force is asserted in MinHashSpec.
+    "g2b_dedup_minhash_lsh" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.documents
+        .withColumn("toks", TF.tokens(lower(col("text"))))
+        .select(col("doc_id").as("id"), TF.shingles3("toks").as("sh"))
+      MinHashLSH.nearDupPairs(base, threshold = 0.4)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // G7: global term frequencies.
+    "g7_text_tokenize_wordcount" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents.select(explode(TF.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term").asc)
+        .limit(1000)
+    }),
+
+    // G8: per-language document stats incl. distinct-term diversity.
+    "g8_text_stats_by_lang" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), Tables.davg(col("n_chars")).as("avg_chars"))
+      val terms = t.documents
+        .select(col("lang"), explode(TF.tokens(col("text"))).as("term"))
+        .groupBy(col("lang")).agg(countDistinct(col("term")).as("n_terms"))
+      docs.join(terms, "lang").orderBy("lang")
+    }),
+
+    // G9: top-5 TF-IDF terms per source; ranked on the ROUNDED score so rank
+    // order can't diverge on sub-6dp float noise between engines.
+    "g9_tfidf_topterms" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val toks = t.documents.select(col("source"), explode(TF.tokens(lower(col("text")))).as("term"))
+      val tf = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nsrc = t.documents.select(countDistinct(col("source")).as("n_src"))
+      val scored = tf.join(df, "term").crossJoin(broadcast(nsrc))
+        .withColumn("tfidf", round(col("tf") * log(col("n_src").cast("double") / col("df")), 6))
+      val w = Window.partitionBy("source").orderBy(col("tfidf").desc, col("term").asc)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("source"), col("term"), col("tf"), col("df"), col("tfidf"), col("rn"))
+        .orderBy("source", "rn")
+    }),
+
+    // North-star: language-ID features (char-ngram heuristic). The fixture
+    // vocabulary is language-independent (verified), so the guess is a
+    // deterministic feature-tier label — the operator is the feature plumbing.
+    "g11_text_langid" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .withColumn("vr", TF.vowelRatio(col("text")))
+        .withColumn("n_toks", size(TF.tokens(col("text"))))
+        .select(col("doc_id"), col("lang"), round(col("vr"), 6).as("vowel_ratio"),
+          round(col("n_chars").cast("double") / col("n_toks"), 6).as("avg_tok_len"),
+          when(col("vr") >= 0.40, "vowel-heavy")
+            .when(col("vr") >= 0.34, "balanced")
+            .otherwise("consonant-heavy").as("guess"))
+        .orderBy("doc_id")
+    }),
+
+    // North-star: document fingerprints — exact (normalized text) and
+    // bag-of-words (order-independent), both MD5.
+    "g12_text_fingerprint" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .withColumn("toks", TF.tokens(lower(col("text"))))
+        .select(col("doc_id"),
+          md5(lower(trim(col("text"))).cast("binary")).as("fp_exact"),
+          md5(concat_ws(" ", sort_array(array_distinct(col("toks")))).cast("binary")).as("fp_bag"))
+        .orderBy("doc_id")
+    }),
+
+    // North-star: token counting — whitespace vs BPE-ish regex segmentation.
+    "g13_token_count" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents.select(col("doc_id"),
+          size(TF.tokens(col("text"))).as("n_ws"),
+          regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
+    // H1: scalar UDF (quality score), SQL-replayable arithmetic.
+    "h1_udf_quality" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents.select(col("doc_id"),
+          size(TF.tokens(col("text"))).as("n_toks"),
+          round(TF.qualityScore(col("text")), 6).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    // H4: generator — one row per (doc, position, token) via posexplode.
+    "h4_udtf_posexplode" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents.filter(col("doc_id") < 10)
+        .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("pos", "term")))
+        .orderBy("doc_id", "pos")
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "g1_dedup_exact" ->
+      ("SELECT doc_id, lang, source, n_chars FROM (" +
+        "SELECT doc_id, lang, source, n_chars, " +
+        "row_number() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn " +
+        "FROM documents) WHERE rn = 1 ORDER BY doc_id"),
+
+    "g2_dedup_near_jaccard" ->
+      ("WITH s AS (SELECT doc_id, substring(lower(text), 1, 40) AS blk, " +
+        "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh " +
+        "FROM (SELECT doc_id, text, str_split(lower(text), ' ') AS toks FROM documents) " +
+        "WHERE len(toks) >= 3) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)), 6) AS jaccard " +
+        "FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.4 " +
+        "ORDER BY a_id, b_id"),
+
+    // g2b: hash-based (xxhash64) — oracle intentionally omitted.
+
+    "g7_text_tokenize_wordcount" ->
+      ("SELECT term, count(*) AS n FROM (SELECT unnest(str_split(text, ' ')) AS term " +
+        "FROM documents) GROUP BY term ORDER BY n DESC, term LIMIT 1000"),
+
+    "g8_text_stats_by_lang" ->
+      (s"SELECT d.lang AS lang, n_docs, avg_chars, n_terms FROM " +
+        s"(SELECT lang, count(*) AS n_docs, ${Tables.davgSql("n_chars")} AS avg_chars " +
+        "FROM documents GROUP BY lang) d JOIN " +
+        "(SELECT lang, count(DISTINCT term) AS n_terms FROM " +
+        "(SELECT lang, unnest(str_split(text, ' ')) AS term FROM documents) GROUP BY lang) t " +
+        "ON d.lang = t.lang ORDER BY lang"),
+
+    "g9_tfidf_topterms" ->
+      ("WITH toks AS (SELECT source, unnest(str_split(lower(text), ' ')) AS term FROM documents), " +
+        "tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY source, term), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+        "n AS (SELECT count(DISTINCT source) AS n_src FROM documents), " +
+        "scored AS (SELECT source, term, tf, df, " +
+        "round(tf * ln(CAST(n_src AS DOUBLE) / df), 6) AS tfidf FROM tf JOIN df USING(term) CROSS JOIN n) " +
+        "SELECT source, term, tf, df, tfidf, rn FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, term) AS rn FROM scored) " +
+        "WHERE rn <= 5 ORDER BY source, rn"),
+
+    "g11_text_langid" ->
+      ("SELECT doc_id, lang, round(vr, 6) AS vowel_ratio, " +
+        "round(CAST(n_chars AS DOUBLE) / len(str_split(text, ' ')), 6) AS avg_tok_len, " +
+        "CASE WHEN vr >= 0.40 THEN 'vowel-heavy' WHEN vr >= 0.34 THEN 'balanced' " +
+        "ELSE 'consonant-heavy' END AS guess FROM (" +
+        "SELECT doc_id, lang, n_chars, text, " +
+        "CAST(length(lower(text)) - length(regexp_replace(lower(text), '[aeiou]', '', 'g')) AS DOUBLE) " +
+        "/ length(lower(text)) AS vr FROM documents) ORDER BY doc_id"),
+
+    "g12_text_fingerprint" ->
+      ("SELECT doc_id, md5(lower(trim(text))) AS fp_exact, " +
+        "md5(array_to_string(list_sort(list_distinct(str_split(lower(text), ' '))), ' ')) AS fp_bag " +
+        "FROM documents ORDER BY doc_id"),
+
+    "g13_token_count" ->
+      ("SELECT doc_id, len(str_split(text, ' ')) AS n_ws, " +
+        "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe " +
+        "FROM documents ORDER BY doc_id"),
+
+    "h1_udf_quality" ->
+      (s"SELECT doc_id, len(str_split(text, ' ')) AS n_toks, " +
+        "round(ln(1 + len(str_split(text, ' '))) * " +
+        "(1.0 - CAST(len(list_filter(str_split(lower(text), ' '), " +
+        s"x -> list_contains($stopList, x))) AS DOUBLE) / len(str_split(text, ' '))), 6) AS score " +
+        "FROM documents ORDER BY doc_id"),
+
+    "h4_udtf_posexplode" ->
+      ("SELECT doc_id, u.pos AS pos, u.term AS term FROM (" +
+        "SELECT doc_id, unnest(list_transform(range(len(toks)), " +
+        "i -> {'pos': i, 'term': toks[i+1]})) AS u " +
+        "FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents WHERE doc_id < 10)) t " +
+        "ORDER BY doc_id, pos")
+  )
+}

@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.functions.VecSumAgg
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY §2 G vector band (G3–G6, G10) + H2 (typed Aggregator UDAF) + the
+  * north-star multimodal-binary pipeline.
+  *
+  * Scale notes (100 TB): pairwise similarity never goes all-pairs — g3 blocks
+  * on label, g5 brute-forces only because k-NN over the full set is the
+  * declared semantic (its scale path g5b buckets by sign-LSH first); norms
+  * are precomputed per row before any join so the join side carries one
+  * double, not a recomputed aggregate; centroid/vector-sum aggregations are
+  * two-phase partial aggregates (flat (label,pos) keys → even shuffle).
+  */
+object VectorQueries extends QueryModule {
+
+  /** embedding float[] → double[] (all math in double; float formatting
+    * diverges between engines). */
+  private def vd = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+
+  /** Sequential left-fold dot product — index order fixed, so the double
+    * result is bit-identical across engines evaluating the same order. */
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (s, v) -> s + v)")
+
+  val queries: Seq[(String, QFn)] = Seq(
+    // G3: pairwise cosine within each label block.
+    "g3_sim_cosine_pairs" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings.select(col("vec_id"), col("label"), vd.as("v"))
+        .withColumn("nrm", sqrt(dot("v", "v")))
+      val a = e.select(col("vec_id").as("a_id"), col("label"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("b_id"), col("label").as("lb"), col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, col("label") === col("lb") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("label"),
+          round(dot("va", "vb") / (col("na") * col("nb")), 6).as("cos"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // G4: top-k most similar vectors to a query vector (vec_id 0), ranked on
+    // the ROUNDED cosine with vec_id tiebreak so the cut is engine-stable.
+    "g4_sim_topk_search" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings.select(col("vec_id"), col("label"), vd.as("v"))
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(dot("v", "qv") / (sqrt(dot("v", "v")) * sqrt(dot("qv", "qv"))), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // G5: brute-force k-NN join (k=5) — the exactness baseline.
+    "g5_knn_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings.select(col("vec_id"), vd.as("v"))
+        .withColumn("nrm", sqrt(dot("v", "v")))
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
+      val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id").asc)
+      a.join(b, col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(dot("va", "vb") / (col("na") * col("nb")), 6).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy("a_id", "rn")
+    }),
+
+    // G5b: the scale path — sign-LSH bucketing (4 deterministic hyperplanes
+    // → 16 buckets), k-NN within bucket. Hash-free planes derived from a
+    // fixed seed; approximate → rows-only (recall asserted in VectorSpec).
+    "g5b_knn_lsh" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val planes = lshPlanes(4, 64)
+      val planeCols = planes.zipWithIndex.map { case (p, i) =>
+        when(expr(s"aggregate(zip_with(v, ${litArraySql(p)}, (x, y) -> x * y), 0D, (s, v) -> s + v)") >= 0, 1 << i).otherwise(0)
+      }
+      val e = t.embeddings.select(col("vec_id"), vd.as("v"))
+        .withColumn("nrm", sqrt(dot("v", "v")))
+        .withColumn("bucket", planeCols.reduce(_ + _))
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"), col("bucket").as("bucket_b"))
+      val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id").asc)
+      a.join(b, col("bucket") === col("bucket_b") && col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"), col("bucket"),
+          round(dot("va", "vb") / (col("na") * col("nb")), 6).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy("a_id", "rn")
+    }),
+
+    // G6: per-label centroid, flat (label, pos) output. Decimal(38,12)
+    // accumulation → merge-order independent.
+    "g6_centroid_per_label" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.embeddings
+        .select(col("label"), posexplode(vd).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(sum(col("x").cast(Tables.decHi)).cast("double") / count(col("x")), 6).as("c"))
+        .orderBy("label", "pos")
+    }),
+
+    // H2: the same vector sum as a typed Aggregator UDAF (one buffer per
+    // group crosses the shuffle instead of 64 rows).
+    "h2_udaf_vecsum" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val vecsum = udaf(VecSumAgg)
+      t.embeddings.groupBy(col("label"))
+        .agg(vecsum(col("embedding")).as("vsum"))
+        .select(col("label"), posexplode(col("vsum")).as(Seq("pos", "sx")))
+        .select(col("label"), col("pos"), round(col("sx"), 6).as("sx"))
+        .orderBy("label", "pos")
+    }),
+
+    // G10: multimodal join — text table ⋈ vector table, filtered on both.
+    "g10_multimodal_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents.join(t.embeddings, col("doc_id") === col("vec_id"))
+        .filter(col("lang") === "en" && col("label") < 5 && col("n_chars") > 200)
+        .select(col("doc_id"), col("lang"), col("source"), col("label"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // North-star multimodal-binary pipeline: treat content as an opaque
+    // binary column + typed metadata, run a (stubbed-deterministic) decode /
+    // feature-extract via mapPartitions — the Spark-side plumbing (schema,
+    // partitioning, batch shape) is real; a production build swaps
+    // `fakeDecode` for an actual image/audio codec.
+    "g14_multimodal_binary" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val t = Tables(s, dir)
+      val bin = t.documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"),
+          struct(col("lang").as("lang"), col("source").as("source")).as("meta"))
+      val decoded = bin.select(col("doc_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val (len, first) = fakeDecode(bytes)
+          (id, len, first)
+        })
+        .toDF("doc_id", "byte_len", "first_byte")
+      bin.join(decoded, "doc_id")
+        .select(col("doc_id"), col("meta.lang").as("lang"), col("byte_len"), col("first_byte"))
+        .orderBy("doc_id")
+    })
+  )
+
+  /** Stub decoder for the multimodal pipeline: deterministic features of the
+    * raw bytes (length + first byte). Stands in for image/audio decoding —
+    * the codec libraries aren't in this environment. */
+  private def fakeDecode(bytes: Array[Byte]): (Long, Int) =
+    (bytes.length.toLong, if (bytes.isEmpty) -1 else bytes(0) & 0xff)
+
+  /** Deterministic pseudo-random unit hyperplanes (splitmix64 from a fixed
+    * seed) — reproducible across runs without Math.random. */
+  private def lshPlanes(n: Int, dim: Int): Seq[Array[Double]] = {
+    var state = 0x9e3779b97f4a7c15L
+    def next(): Long = {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Seq.fill(n)(Array.fill(dim)(next().toDouble / Long.MaxValue))
+  }
+
+  private def litArraySql(p: Array[Double]): String =
+    p.mkString("array(", ", ", ")")
+
+  val oracles: Seq[(String, String)] = Seq(
+    "g3_sim_cosine_pairs" ->
+      ("SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label, " +
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
+        "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
+        "ORDER BY a_id, b_id"),
+
+    "g4_sim_topk_search" ->
+      ("WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) " +
+        "SELECT vec_id, label, " +
+        "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cos " +
+        "FROM embeddings, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10"),
+
+    "g5_knn_join" ->
+      ("SELECT a_id, b_id, cos, rn FROM (SELECT a_id, b_id, cos, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn FROM (" +
+        "SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)) " +
+        "WHERE rn <= 5 ORDER BY a_id, rn"),
+
+    // g5b: approximate (LSH) — oracle intentionally omitted.
+
+    "g6_centroid_per_label" ->
+      ("SELECT label, pos, round(CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(v), 6) AS c " +
+        "FROM (SELECT label, pos, CAST(embedding AS DOUBLE[])[pos + 1] AS v " +
+        "FROM embeddings, range(64) t(pos)) " +
+        "GROUP BY label, pos ORDER BY label, pos"),
+
+    "h2_udaf_vecsum" ->
+      ("SELECT label, pos, round(sum(v), 6) AS sx " +
+        "FROM (SELECT label, pos, CAST(embedding AS DOUBLE[])[pos + 1] AS v " +
+        "FROM embeddings, range(64) t(pos)) " +
+        "GROUP BY label, pos ORDER BY label, pos"),
+
+    "g10_multimodal_join" ->
+      ("SELECT doc_id, lang, source, label, n_chars FROM documents " +
+        "JOIN embeddings ON doc_id = vec_id " +
+        "WHERE lang = 'en' AND label < 5 AND n_chars > 200 ORDER BY doc_id"),
+
+    "g14_multimodal_binary" ->
+      ("SELECT doc_id, lang, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, " +
+        "ascii(substring(text, 1, 1)) AS first_byte " +
+        "FROM documents ORDER BY doc_id")
+  )
+}
