@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextFunctions => TF}
+
+/** Algebraic properties of the similarity/dedup primitives (SURVEY §5.3). */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("jaccard: identity, symmetry, bounds on fixture shingle sets") {
+    val base = Tables(spark, sfDir).documents.limit(50)
+      .withColumn("toks", TF.tokens(lower(col("text"))))
+      .select(col("doc_id"), TF.shingles3("toks").as("sh"))
+    val self = base.select(TF.jaccard(col("sh"), col("sh")).as("j"))
+      .agg(min("j"), max("j")).head()
+    assert(self.getDouble(0) == 1.0 && self.getDouble(1) == 1.0)
+
+    val a = base.select(col("doc_id").as("ida"), col("sh").as("sa"))
+    val b = base.select(col("doc_id").as("idb"), col("sh").as("sb"))
+    val pairs = a.join(b, col("ida") < col("idb"))
+      .select(TF.jaccard(col("sa"), col("sb")).as("jab"),
+        TF.jaccard(col("sb"), col("sa")).as("jba"))
+    assert(pairs.filter(col("jab") =!= col("jba")).count() == 0)
+    val mm = pairs.agg(min("jab"), max("jab")).head()
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
+  }
+
+  test("cosine pairs stay within [-1, 1]") {
+    val r = SparkEntry.queries("g3_sim_cosine_pairs")(spark, sfDir)
+      .agg(min("cos"), max("cos")).head()
+    assert(r.getDouble(0) >= -1.0 - 1e-9 && r.getDouble(1) <= 1.0 + 1e-9)
+  }
+
+  test("exact dedup is idempotent") {
+    val once = SparkEntry.queries("g1_dedup_exact")(spark, sfDir)
+    val ids = once.select("doc_id").collect().map(_.getLong(0)).toSet
+    // dedup of the already-deduped set keeps every row
+    assert(ids.size == once.count())
+  }
+
+  test("windowed top-k rows are a subset of the group's rows") {
+    val topk = SparkEntry.queries("e1_win_rownumber_topk")(spark, sfDir)
+    val orders = Tables(spark, sfDir).orders
+    assert(topk.join(orders, Seq("o_orderkey"), "left_anti").count() == 0)
+    val maxPerGroup = topk.groupBy("o_custkey").count().agg(max("count")).head().getLong(0)
+    assert(maxPerGroup <= 3)
+  }
+
+  test("union/except algebra: (A union B) except B is a subset of A") {
+    val t = Tables(spark, sfDir)
+    val a = t.orders.select(col("o_custkey").as("k")).distinct()
+    val b = t.customer.filter(col("c_acctbal") > 0).select(col("c_custkey").as("k")).distinct()
+    val lhs = a.union(b).except(b)
+    assert(lhs.join(a, Seq("k"), "left_anti").count() == 0)
+  }
+
+  test("hll approx distinct within 5% of exact") {
+    val t = Tables(spark, sfDir)
+    val r = t.events.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("a"),
+        countDistinct(col("user_id")).as("e"))
+      .collect()
+    r.foreach { row =>
+      val (a, e) = (row.getLong(1).toDouble, row.getLong(2).toDouble)
+      assert(math.abs(a - e) / e <= 0.05, s"${row.getString(0)}: approx $a vs exact $e")
+    }
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** G5/G5b/G6: k-NN shape + the LSH scale path's quality. */
+class VectorSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("g5: exactly <= 5 neighbors per vector, self excluded") {
+    val knn = SparkEntry.queries("g5_knn_join")(spark, sfDir).collect()
+    val byA = knn.groupBy(_.getLong(0))
+    byA.foreach { case (a, rows) =>
+      assert(rows.length <= 5)
+      assert(!rows.exists(_.getLong(1) == a), s"self-neighbor for $a")
+    }
+  }
+
+  test("g5b: LSH knn respects bucket blocking and recalls some true neighbors") {
+    val exact = SparkEntry.queries("g5_knn_join")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SparkEntry.queries("g5b_knn_lsh")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty)
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.1, s"LSH recall $recall too low")
+  }
+
+  test("g6: one centroid component per (label, pos), full 64-dim coverage") {
+    val c = SparkEntry.queries("g6_centroid_per_label")(spark, sfDir).collect()
+    val labels = c.map(_.getInt(0)).distinct
+    assert(c.length == labels.length * 64)
+  }
+
+  test("h2: aggregator vector sum equals per-position sums") {
+    val h2 = SparkEntry.queries("h2_udaf_vecsum")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val g6 = SparkEntry.queries("g6_centroid_per_label")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val counts = Tables(spark, sfDir).embeddings.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    h2.foreach { case ((l, p), s) =>
+      val centroidTimesN = g6((l, p)) * counts(l)
+      assert(math.abs(s - centroidTimesN) < 1e-3, s"label $l pos $p: $s vs $centroidTimesN")
+    }
+  }
+}
