@@ -19,7 +19,8 @@ object SparkEntry {
     operators.TextQueries,
     operators.VectorQueries,
     operators.StreamingQueries,
-    operators.DagQueries
+    operators.DagQueries,
+    operators.SqlQueries
   )
 
   /** Flagship query (5-way star join rollup, C4) on sf0.001; driver

@@ -45,6 +45,40 @@ object TextFunctions {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** FNV-1a 64-bit hash of a token (UTF-8 bytes) — the per-token hash under
+    * the SimHash fingerprint. */
+  def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes("UTF-8")
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** 64-bit SimHash over whitespace tokens (tf-weighted by occurrence). */
+  def simhash64(text: String): Long = {
+    val acc = new Array[Int](64)
+    text.split(" ", -1).foreach { tok =>
+      val h = fnv64(tok)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) {
+      if (acc(i) >= 0) fp |= (1L << i)
+      i += 1
+    }
+    fp
+  }
+
   /** Vowel ratio of a document — the char-ngram feature for the lang-id
     * heuristic (the fixture vocabulary is lang-independent, so the operator's
     * value is the feature plumbing, not linguistic accuracy).

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+
+/** SQL interface — the engine's surface is not only the DataFrame API: every
+  * fixture table registers as a temp view and ANSI SQL runs through the same
+  * Catalyst pipeline. The declared SQL is dialect-shared with DuckDB, so the
+  * oracle replays the IDENTICAL statement.
+  */
+object SqlQueries extends QueryModule {
+
+  private val tpch3 =
+    "SELECT o_orderkey, " +
+      s"round(${Tables.dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS revenue " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON l_orderkey = o_orderkey " +
+      "WHERE c_mktsegment = 'BUILDING' " +
+      "AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01' " +
+      "GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10"
+
+  private val sqlWindow =
+    "SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (" +
+      "SELECT c_nationkey, c_custkey, c_acctbal, " +
+      "rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk " +
+      "FROM customer) ranked WHERE rnk <= 3 ORDER BY c_nationkey, rnk"
+
+  private def registerAll(s: org.apache.spark.sql.SparkSession, dir: String): Tables = {
+    val t = Tables(s, dir)
+    t.region.createOrReplaceTempView("region")
+    t.nation.createOrReplaceTempView("nation")
+    t.customer.createOrReplaceTempView("customer")
+    t.supplier.createOrReplaceTempView("supplier")
+    t.part.createOrReplaceTempView("part")
+    t.orders.createOrReplaceTempView("orders")
+    t.lineitem.createOrReplaceTempView("lineitem")
+    t.documents.createOrReplaceTempView("documents")
+    t.embeddings.createOrReplaceTempView("embeddings")
+    t
+  }
+
+  val queries: Seq[(String, QFn)] = Seq(
+    // TPC-H Q3 shape, straight through spark.sql.
+    "s1_sql_tpch3" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(tpch3)
+    }),
+
+    // SQL window function through the shared dialect.
+    "s2_sql_window_rank" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(sqlWindow)
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "s1_sql_tpch3" -> tpch3,
+    "s2_sql_window_rank" -> sqlWindow
+  )
+}

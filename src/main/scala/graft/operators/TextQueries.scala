@@ -62,6 +62,34 @@ object TextQueries extends QueryModule {
         .orderBy("a_id", "b_id")
     }),
 
+    // G2c: SimHash near-dup — 64-bit fingerprints from token hashes, banded
+    // into 4×16-bit chunks for candidate generation, hamming <= 6 verify.
+    // One narrow map + one small shuffle on chunk values; the fingerprint is
+    // 8 bytes/doc regardless of document size — the cheapest dedup signal at
+    // 100 TB. Hash-based → rows-only (behavior asserted in SimHashSpec).
+    "g2c_dedup_simhash" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val t = Tables(s, dir)
+      val fps = t.documents.select(col("doc_id"), lower(col("text")).as("txt"))
+        .as[(Long, String)]
+        .map { case (id, txt) => (id, TF.simhash64(txt)) }
+        .toDF("id", "fp")
+      val chunks = fps.select(col("id"), col("fp"),
+        posexplode(array((0 until 4).map(i =>
+          shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("chunk", "cval")))
+      val cand = chunks
+        .join(chunks.select(col("id").as("id_b"), col("fp").as("fp_b"),
+            col("chunk").as("chunk_b"), col("cval").as("cval_b")),
+          col("chunk") === col("chunk_b") && col("cval") === col("cval_b") &&
+            col("id") < col("id_b"))
+        .select(col("id").as("a_id"), col("id_b").as("b_id"),
+          bit_count(col("fp").bitwiseXOR(col("fp_b"))).as("hamming"))
+        .distinct()
+      cand.filter(col("hamming") <= 6).orderBy("a_id", "b_id")
+    }),
+
     // G7: global term frequencies.
     "g7_text_tokenize_wordcount" -> ((s, dir) => {
       val t = Tables(s, dir)

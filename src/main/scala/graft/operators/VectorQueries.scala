@@ -145,6 +145,102 @@ object VectorQueries extends QueryModule {
         .orderBy("a_id", "rn")
     }),
 
+    // G4b: IVF top-k — a data-derived coarse codebook (per-label centroids),
+    // each vector assigned to its NEAREST centroid, query probes the 2
+    // closest cells and searches only those. The codebook is tiny (10×64)
+    // and driver-held; the scan prunes ~80% of vectors — the ANN plan that
+    // scales. Approximate → rows-only (recall asserted in VectorSpec).
+    "g4b_sim_topk_ivf" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val t = Tables(s, dir)
+      def dotd(x: Array[Double], y: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i) * y(i); i += 1 }
+        acc
+      }
+      def round6(x: Double): Double =
+        java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      def cos(a: Array[Double], b: Array[Double]): Double =
+        dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
+      // codebook: mean vector per label (any k-means-style codebook works;
+      // the label field gives a deterministic one)
+      val codebook = t.embeddings.select(col("label"), col("embedding"))
+        .as[(Int, Seq[Float])].collect()
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (l, vs) =>
+          val dim = vs.head._2.length
+          val c = new Array[Double](dim)
+          vs.foreach { case (_, v) => var i = 0; while (i < dim) { c(i) += v(i); i += 1 } }
+          (l, c.map(_ / vs.length))
+        }
+      val bcCb = s.sparkContext.broadcast(codebook.toArray)
+      val query = t.embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding")).as[Seq[Float]].head().map(_.toDouble).toArray
+      val probed = codebook.map { case (l, c) => (l, cos(query, c)) }
+        .sortBy { case (l, sim) => (-sim, l) }.take(2).map(_._1).toSet
+      val bcProbed = s.sparkContext.broadcast(probed)
+      val bcQ = s.sparkContext.broadcast(query)
+      t.embeddings.select(col("vec_id"), col("label"), col("embedding"))
+        .as[(Long, Int, Seq[Float])]
+        .filter { case (id, _, vf) =>
+          if (id == 0) false
+          else {
+            val v = vf.map(_.toDouble).toArray
+            val cb = bcCb.value
+            var best = 0; var bestSim = Double.NegativeInfinity
+            var i = 0
+            while (i < cb.length) {
+              val sim = cos(v, cb(i)._2)
+              if (sim > bestSim) { bestSim = sim; best = cb(i)._1 }
+              i += 1
+            }
+            bcProbed.value.contains(best)
+          }
+        }
+        .map { case (id, label, vf) =>
+          (id, label, round6(cos(vf.map(_.toDouble).toArray, bcQ.value)))
+        }
+        .toDF("vec_id", "label", "cos")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // G15: embedding-cosine near-duplicate pairs — the vector-space member
+    // of the dedup family: any pair with rounded cosine >= 0.45 (the fixture
+    // max is ~0.51). Same broadcast + local kernel as g5.
+    "g15_dedup_embed_cosine" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val t = Tables(s, dir)
+      def dotd(x: Array[Double], y: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i) * y(i); i += 1 }
+        acc
+      }
+      def round6(x: Double): Double =
+        java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val all = t.embeddings.select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+        .map { case (id, v) =>
+          val d = v.map(_.toDouble).toArray
+          (id, d, math.sqrt(dotd(d, d)))
+        }
+      val bc = s.sparkContext.broadcast(all)
+      t.embeddings.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+        .repartition(s.sparkContext.defaultParallelism)
+        .flatMap { case (aId, av) =>
+          val a = av.map(_.toDouble).toArray
+          val na = math.sqrt(dotd(a, a))
+          bc.value.iterator
+            .filter(_._1 > aId)
+            .map { case (bId, b, nb) => (aId, bId, round6(dotd(a, b) / (na * nb))) }
+            .filter(_._3 >= 0.45)
+        }
+        .toDF("a_id", "b_id", "cos")
+        .orderBy("a_id", "b_id")
+    }),
+
     // G6: per-label centroid, flat (label, pos) output. Decimal(38,12)
     // accumulation → merge-order independent.
     "g6_centroid_per_label" -> ((s, dir) => {
@@ -244,6 +340,14 @@ object VectorQueries extends QueryModule {
         "WHERE rn <= 5 ORDER BY a_id, rn"),
 
     // g5b: approximate (LSH) — oracle intentionally omitted.
+    // g4b: approximate (IVF) — oracle intentionally omitted.
+
+    "g15_dedup_embed_cosine" ->
+      ("SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.45 " +
+        "ORDER BY a_id, b_id"),
 
     "g6_centroid_per_label" ->
       ("SELECT label, pos, round(CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(v), 6) AS c " +

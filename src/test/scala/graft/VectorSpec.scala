@@ -25,6 +25,24 @@ class VectorSpec extends AnyFunSuite {
     assert(recall >= 0.1, s"LSH recall $recall too low")
   }
 
+  test("g4b: IVF probe recalls a reasonable share of the exact top-10") {
+    val exact = SparkEntry.queries("g4_sim_topk_search")(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val ivf = SparkEntry.queries("g4b_sim_topk_ivf")(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    assert(ivf.size == 10)
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall $recall")
+  }
+
+  test("g15: embedding near-dup pairs respect the threshold and ordering") {
+    val pairs = SparkEntry.queries("g15_dedup_embed_cosine")(spark, sfDir).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.45 && r.getDouble(2) <= 1.0)
+    }
+  }
+
   test("g6: one centroid component per (label, pos), full 64-dim coverage") {
     val c = SparkEntry.queries("g6_centroid_per_label")(spark, sfDir).collect()
     val labels = c.map(_.getInt(0)).distinct
