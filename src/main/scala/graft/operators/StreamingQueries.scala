@@ -51,9 +51,14 @@ object StreamingQueries extends QueryModule {
     base
   }
 
-  private def stream(s: SparkSession, dir: String): DataFrame =
-    s.readStream.schema(chunkSchema).option("maxFilesPerTrigger", "1")
+  /** perBatch=true replays one chunk per micro-batch (watermark/late-data
+    * semantics need batch boundaries); false ingests everything in one batch
+    * — cheaper for the complete-mode aggregations that don't. */
+  private def stream(s: SparkSession, dir: String, perBatch: Boolean = true): DataFrame = {
+    val r = s.readStream.schema(chunkSchema)
+    (if (perBatch) r.option("maxFilesPerTrigger", "1") else r)
       .parquet(chunkedSource(s, dir))
+  }
 
   /** Run to completion (AvailableNow) into an in-memory table, return it. */
   private def runMemory(q: DataFrame, mode: String, name: String): DataFrame = {
@@ -82,7 +87,7 @@ object StreamingQueries extends QueryModule {
   val queries: Seq[(String, QFn)] = Seq(
     // I1: tumbling 5-minute counts per event type.
     "i1_stream_tumbling" -> ((s, dir) => {
-      val q = stream(s, dir)
+      val q = stream(s, dir, perBatch = false)
         .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"))
       runMemory(q, "complete", "i1")
@@ -92,7 +97,7 @@ object StreamingQueries extends QueryModule {
 
     // I2: sliding 10-minute window every 5 minutes.
     "i2_stream_sliding" -> ((s, dir) => {
-      val q = stream(s, dir)
+      val q = stream(s, dir, perBatch = false)
         .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
         .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("val_sum"))
       runMemory(q, "complete", "i2")
@@ -162,7 +167,7 @@ object StreamingQueries extends QueryModule {
     // I7: stream-static join — enrich the stream with the customer dim.
     "i7_stream_static_join" -> ((s, dir) => {
       val cust = Tables(s, dir).customer
-      val q = stream(s, dir)
+      val q = stream(s, dir, perBatch = false)
         .join(cust, col("user_id") === col("c_custkey"))
         .select(col("event_id"), col("user_id"), col("event_type"), col("c_mktsegment"))
       runMemory(q, "append", "i7")

@@ -295,6 +295,25 @@ object VectorQueries extends QueryModule {
       bin.join(decoded, "doc_id")
         .select(col("doc_id"), col("meta.lang").as("lang"), col("byte_len"), col("first_byte"))
         .orderBy("doc_id")
+    }),
+
+    // North-star multimodal frame sampling: slice the opaque binary into
+    // fixed-width "frames" (stand-in for video frame extraction), one row per
+    // frame with index/length/first-byte/hash — declarative, codegen'd, and
+    // oracle-replayable because the fixture payload is ASCII text.
+    "g14b_multimodal_frames" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents.filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(3))).as("frame_idx"))
+        .filter(col("frame_idx") * 64 < length(col("text")))
+        .select(col("doc_id"), col("frame_idx"),
+          expr("substring(text, frame_idx * 64 + 1, 64)").as("frame"))
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame")).as("frame_len"),
+          ascii(col("frame")).as("first_byte"),
+          md5(col("frame").cast("binary")).as("frame_hash"))
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -369,6 +388,13 @@ object VectorQueries extends QueryModule {
     "g14_multimodal_binary" ->
       ("SELECT doc_id, lang, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, " +
         "ascii(substring(text, 1, 1)) AS first_byte " +
-        "FROM documents ORDER BY doc_id")
+        "FROM documents ORDER BY doc_id"),
+
+    "g14b_multimodal_frames" ->
+      ("SELECT doc_id, i AS frame_idx, length(frame) AS frame_len, " +
+        "ascii(substring(frame, 1, 1)) AS first_byte, md5(frame) AS frame_hash FROM (" +
+        "SELECT doc_id, i, substring(text, i * 64 + 1, 64) AS frame " +
+        "FROM (SELECT doc_id, text FROM documents WHERE doc_id < 50), range(4) t(i) " +
+        "WHERE i * 64 < length(text)) ORDER BY doc_id, frame_idx")
   )
 }
