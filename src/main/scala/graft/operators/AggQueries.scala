@@ -89,6 +89,22 @@ object AggQueries extends QueryModule {
         .orderBy("o_orderpriority")
     }),
 
+    // D9: salted two-phase aggregation — the skew pattern at 100 TB: a hot
+    // grouping key (5 event types over millions of rows) is sharded across
+    // 16 salts so no single reducer owns a hot key; the final regroup merges
+    // 16 partials per key. Decimal partials make the two-phase result
+    // EXACTLY equal to the direct group-by, so the plain SQL is the oracle.
+    "d9_agg_salted" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(sum(col("value").cast(Tables.dec)).as("psum"), count(lit(1)).as("pn"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("psum")).cast("double").as("val_sum"), sum(col("pn")).as("n"))
+        .orderBy("event_type")
+    }),
+
     // D8: statistical aggregates. Rounding absorbs the last-ulp differences
     // of the two engines' streaming variance implementations.
     "d8_agg_stats" -> ((s, dir) => {
@@ -141,6 +157,11 @@ object AggQueries extends QueryModule {
       ("SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5), 4) AS p50, " +
         "round(quantile_cont(o_totalprice, 0.95), 4) AS p95 " +
         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    "d9_agg_salted" ->
+      (s"SELECT event_type, ${Tables.dsumSql("value")} AS val_sum, " +
+        "CAST(count(*) AS BIGINT) AS n FROM events " +
+        "GROUP BY event_type ORDER BY event_type"),
 
     "d8_agg_stats" ->
       ("SELECT l_returnflag, round(stddev_samp(l_extendedprice), 4) AS sd_price, " +

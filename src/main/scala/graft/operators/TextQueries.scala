@@ -163,6 +163,35 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // G16: the composed training-data pipeline — quality filter → exact
+    // dedup → near-dup removal (keep lowest doc_id) → per-language corpus
+    // stats. Each stage is a §2 operator; chained they are the cleaning
+    // pass a 100 TB corpus job runs: narrow filters first (pushed to scan),
+    // then the window dedup (one shuffle on the norm-text hash), then the
+    // blocked near-dup join, and a final map-side-combined rollup.
+    "g16_pipeline_clean_corpus" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val scored = t.documents
+        .withColumn("norm", lower(trim(col("text"))))
+        .withColumn("toks", TF.tokens(lower(col("text"))))
+        .withColumn("blk", substring(lower(col("text")), 1, 40))
+        .withColumn("score", round(TF.qualityScore(col("text")), 6))
+      val quality = scored.filter(col("score") >= 3.5)
+      val w = Window.partitionBy(col("norm")).orderBy(col("doc_id"))
+      val exact = quality.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val sh = exact.filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), col("blk"), TF.shingles3("toks").as("sh"))
+      val dupB = sh.select(col("doc_id").as("a_id"), col("blk"), col("sh").as("sha"))
+        .join(sh.select(col("doc_id").as("b_id"), col("blk").as("blkb"), col("sh").as("shb")),
+          col("blk") === col("blkb") && col("a_id") < col("b_id"))
+        .filter(TF.jaccard(col("sha"), col("shb")) >= 0.4)
+        .select(col("b_id").as("doc_id")).distinct()
+      exact.join(dupB, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), Tables.davg(col("n_chars")).as("avg_chars"))
+        .orderBy("lang")
+    }),
+
     // H1: scalar UDF (quality score), SQL-replayable arithmetic.
     "h1_udf_quality" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -243,6 +272,24 @@ object TextQueries extends QueryModule {
       ("SELECT doc_id, len(str_split(text, ' ')) AS n_ws, " +
         "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe " +
         "FROM documents ORDER BY doc_id"),
+
+    "g16_pipeline_clean_corpus" ->
+      ("WITH scored AS (SELECT doc_id, lang, n_chars, lower(trim(text)) AS norm, " +
+        "str_split(lower(text), ' ') AS toks, substring(lower(text), 1, 40) AS blk, " +
+        "round(ln(1 + len(str_split(text, ' '))) * " +
+        "(1.0 - CAST(len(list_filter(str_split(lower(text), ' '), " +
+        s"x -> list_contains($stopList, x))) AS DOUBLE) / len(str_split(text, ' '))), 6) AS score " +
+        "FROM documents), " +
+        "q AS (SELECT * FROM scored WHERE score >= 3.5), " +
+        "d AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn FROM q) WHERE rn = 1), " +
+        "s AS (SELECT doc_id, blk, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM d WHERE len(toks) >= 3), " +
+        "dup AS (SELECT DISTINCT b.doc_id AS b_id FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.4) " +
+        "SELECT lang, count(*) AS n_docs, " +
+        s"${Tables.davgSql("n_chars")} AS avg_chars " +
+        "FROM d WHERE doc_id NOT IN (SELECT b_id FROM dup) " +
+        "GROUP BY lang ORDER BY lang"),
 
     "h1_udf_quality" ->
       (s"SELECT doc_id, len(str_split(text, ' ')) AS n_toks, " +
