@@ -105,6 +105,19 @@ object AggQueries extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // D10: pivot — daily event counts spread to one column per event type
+    // (explicit value list so the plan needs no extra distinct-scan pass).
+    "d10_pivot" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .withColumn("day", date_trunc("day", col("ts")).cast("timestamp_ntz"))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("day")
+    }),
+
     // D8: statistical aggregates. Rounding absorbs the last-ulp differences
     // of the two engines' streaming variance implementations.
     "d8_agg_stats" -> ((s, dir) => {
@@ -162,6 +175,12 @@ object AggQueries extends QueryModule {
       (s"SELECT event_type, ${Tables.dsumSql("value")} AS val_sum, " +
         "CAST(count(*) AS BIGINT) AS n FROM events " +
         "GROUP BY event_type ORDER BY event_type"),
+
+    "d10_pivot" ->
+      ("SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day, " +
+        Seq("click", "error", "purchase", "signup", "view").map(t =>
+          s"CAST(count(CASE WHEN event_type = '$t' THEN 1 END) AS BIGINT) AS $t").mkString(", ") +
+        " FROM events GROUP BY 1 ORDER BY day"),
 
     "d8_agg_stats" ->
       ("SELECT l_returnflag, round(stddev_samp(l_extendedprice), 4) AS sd_price, " +

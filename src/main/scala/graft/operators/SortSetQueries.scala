@@ -67,6 +67,18 @@ object SortSetQueries extends QueryModule {
       val positive = t.customer.filter(col("c_acctbal") > 0.0).select(col("c_custkey").as("k"))
       val withOrders = t.orders.select(col("o_custkey").as("k"))
       positive.except(withOrders).orderBy("k")
+    }),
+
+    // F12: unpivot — wide per-flag aggregates back to (measure, value) long
+    // form via the stack generator.
+    "f12_unpivot" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem.groupBy(col("l_returnflag"))
+        .agg(Tables.dsum(col("l_quantity")).as("sum_qty"),
+          Tables.dsum(col("l_extendedprice")).as("sum_price"))
+        .selectExpr("l_returnflag",
+          "stack(2, 'qty', sum_qty, 'price', sum_price) AS (measure, value)")
+        .orderBy("l_returnflag", "measure")
     })
   )
 
@@ -98,6 +110,13 @@ object SortSetQueries extends QueryModule {
 
     "f4b_set_except" ->
       ("SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0.0 EXCEPT " +
-        "SELECT o_custkey AS k FROM orders ORDER BY k")
+        "SELECT o_custkey AS k FROM orders ORDER BY k"),
+
+    "f12_unpivot" ->
+      (s"WITH agg AS (SELECT l_returnflag, ${Tables.dsumSql("l_quantity")} AS sum_qty, " +
+        s"${Tables.dsumSql("l_extendedprice")} AS sum_price FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, 'qty' AS measure, sum_qty AS value FROM agg " +
+        "UNION ALL SELECT l_returnflag, 'price' AS measure, sum_price AS value FROM agg " +
+        "ORDER BY l_returnflag, measure")
   )
 }

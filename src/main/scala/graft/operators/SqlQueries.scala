@@ -24,6 +24,15 @@ object SqlQueries extends QueryModule {
       "rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk " +
       "FROM customer) ranked WHERE rnk <= 3 ORDER BY c_nationkey, rnk"
 
+  // Correlated scalar subquery (Catalyst decorrelates it into a join; SURVEY
+  // §4). The per-customer average goes through decimal so the threshold
+  // comparison is bit-identical across engines.
+  private val sqlCorrelated =
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders o " +
+      "WHERE o_totalprice > 2 * (SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(27,6))) AS DOUBLE) / count(*) " +
+      "FROM orders o2 WHERE o2.o_custkey = o.o_custkey) " +
+      "ORDER BY o_orderkey"
+
   private def registerAll(s: org.apache.spark.sql.SparkSession, dir: String): Tables = {
     val t = Tables(s, dir)
     t.region.createOrReplaceTempView("region")
@@ -49,11 +58,18 @@ object SqlQueries extends QueryModule {
     "s2_sql_window_rank" -> ((s, dir) => {
       registerAll(s, dir)
       s.sql(sqlWindow)
+    }),
+
+    // Correlated scalar subquery through the shared dialect.
+    "s3_sql_correlated" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(sqlCorrelated)
     })
   )
 
   val oracles: Seq[(String, String)] = Seq(
     "s1_sql_tpch3" -> tpch3,
-    "s2_sql_window_rank" -> sqlWindow
+    "s2_sql_window_rank" -> sqlWindow,
+    "s3_sql_correlated" -> sqlCorrelated
   )
 }
