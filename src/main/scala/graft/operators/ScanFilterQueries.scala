@@ -48,6 +48,15 @@ object ScanFilterQueries extends QueryModule {
         .orderBy("n_nationkey")
     }),
 
+    // A3c: ORC round-trip — third columnar format; oracle reads the original
+    // parquet (round-trip is lossless for these types).
+    "a3c_scan_orc" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val path = tmp("orc_nation", dir)
+      t.nation.coalesce(1).write.mode("overwrite").orc(path)
+      s.read.orc(path).orderBy("n_nationkey")
+    }),
+
     // A4: parquet sink round-trip (write → re-read → aggregate).
     "a4_sink_parquet_roundtrip" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -94,6 +103,9 @@ object ScanFilterQueries extends QueryModule {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
 
     "a3b_scan_json" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "a3c_scan_orc" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
     "a4_sink_parquet_roundtrip" ->

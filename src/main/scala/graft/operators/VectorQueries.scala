@@ -40,6 +40,22 @@ object VectorQueries extends QueryModule {
         .orderBy("a_id", "b_id")
     }),
 
+    // G3b: same pair set as G3, but cosine as a native codegen'd Catalyst
+    // expression (single fused dot+norms pass inside whole-stage codegen) —
+    // the custom-Expression extension tier. Identical fold order → identical
+    // doubles → same oracle formulation as G3.
+    "g3b_sim_cosine_native" -> ((s, dir) => {
+      graft.functions.CosineSim.register(s)
+      val t = Tables(s, dir)
+      val e = t.embeddings.select(col("vec_id"), col("label"), vd.as("v"))
+      val a = e.select(col("vec_id").as("a_id"), col("label"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("b_id"), col("label").as("lb"), col("v").as("vb"))
+      a.join(b, col("label") === col("lb") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("label"),
+          round(expr("cosine_sim(va, vb)"), 6).as("cos"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // G4: top-k most similar vectors to a query vector (vec_id 0), ranked on
     // the ROUNDED cosine with vec_id tiebreak so the cut is engine-stable.
     "g4_sim_topk_search" -> ((s, dir) => {
@@ -339,6 +355,12 @@ object VectorQueries extends QueryModule {
 
   val oracles: Seq[(String, String)] = Seq(
     "g3_sim_cosine_pairs" ->
+      ("SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label, " +
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
+        "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
+        "ORDER BY a_id, b_id"),
+
+    "g3b_sim_cosine_native" ->
       ("SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label, " +
         "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
         "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +

@@ -43,6 +43,20 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("g3b: native codegen cosine expression matches the HOF formulation exactly") {
+    val hof = SparkEntry.queries("g3_sim_cosine_pairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val df = SparkEntry.queries("g3b_sim_cosine_native")(spark, sfDir)
+    val native = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(native == hof)
+    // and it must run inside whole-stage codegen, not as a fallback: the
+    // `*(n)` stage marker on the projection that evaluates cosine_sim
+    // (collect() above finalized this df's adaptive plan)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[[^\n]*cosine_sim""".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("g6: one centroid component per (label, pos), full 64-dim coverage") {
     val c = SparkEntry.queries("g6_centroid_per_label")(spark, sfDir).collect()
     val labels = c.map(_.getInt(0)).distinct
