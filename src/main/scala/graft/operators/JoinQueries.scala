@@ -133,6 +133,38 @@ object JoinQueries extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // C12: bucketed co-located join — both fact tables written CLUSTERED BY
+    // the join key into the same bucket count, so the sort-merge join runs
+    // with NO shuffle exchange on either side (asserted in PlanSpec). At
+    // 100 TB this is the difference between re-shuffling petabytes per query
+    // and a pure local merge per bucket.
+    "c12_join_bucketed" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_${dir.hashCode & 0x7fffffff}"
+      def materialize(name: String, df: org.apache.spark.sql.DataFrame, key: String): String = {
+        val tbl = s"graft_b_${name}_${dir.hashCode & 0x7fffffff}"
+        if (!s.catalog.tableExists(tbl)) {
+          df.write.mode("overwrite")
+            .bucketBy(8, key).sortBy(key)
+            .option("path", s"$base/$name")
+            .saveAsTable(tbl)
+        }
+        tbl
+      }
+      val lt = materialize("lineitem", t.lineitem
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")), "l_orderkey")
+      val ot = materialize("orders", t.orders
+        .select(col("o_orderkey"), col("o_orderpriority")), "o_orderkey")
+      // MERGE hint: at fixture scale the small side would broadcast (also
+      // shuffle-free); the hint pins the sort-merge path so the plan shows
+      // the bucketed zero-exchange join a 100 TB fact-fact join takes.
+      s.table(lt).hint("MERGE").join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          Tables.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // C11: small cartesian product.
     "c11_join_cross" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -205,6 +237,12 @@ object JoinQueries extends QueryModule {
 
     "c11_join_cross" ->
       ("SELECT n_nationkey, r_regionkey, n_name, r_name FROM nation CROSS JOIN region " +
-        "ORDER BY n_nationkey, r_regionkey")
+        "ORDER BY n_nationkey, r_regionkey"),
+
+    "c12_join_bucketed" ->
+      (s"SELECT o_orderpriority, count(*) AS n_items, " +
+        s"${Tables.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority")
   )
 }

@@ -69,6 +69,24 @@ object ScanFilterQueries extends QueryModule {
         .orderBy("o_orderstatus")
     }),
 
+    // A6: partitioned layout + partition pruning — events written
+    // partitioned by day, then read with a single-day filter: the scan
+    // lists ONE directory (PartitionFilters, asserted in PlanSpec), the
+    // on-disk layout every 100 TB table needs. Oracle filters the original.
+    "a6_partition_pruning" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val path = tmp("events_byday", dir)
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        t.events.withColumn("day", date_trunc("day", col("ts")).cast("date"))
+          .write.mode("overwrite").partitionBy("day").parquet(path)
+      }
+      s.read.parquet(path)
+        .filter(col("day") === lit("2024-01-05").cast("date"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("val_sum"))
+        .orderBy("event_type")
+    }),
+
     // B1: projection incl. computed column; per-row double math is
     // IEEE-identical across engines. lineitem has no unique key → ORDER BY ALL.
     "b1_project" -> ((s, dir) =>
@@ -111,6 +129,11 @@ object ScanFilterQueries extends QueryModule {
     "a4_sink_parquet_roundtrip" ->
       (s"SELECT o_orderstatus, count(*) AS n, ${Tables.dsumSql("o_totalprice")} AS total " +
         "FROM orders WHERE o_totalprice > 300000.0 GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+
+    "a6_partition_pruning" ->
+      (s"SELECT event_type, count(*) AS n, ${Tables.dsumSql("value")} AS val_sum " +
+        "FROM events WHERE date_trunc('day', CAST(ts AS TIMESTAMP)) = TIMESTAMP '2024-01-05' " +
+        "GROUP BY event_type ORDER BY event_type"),
 
     "b1_project" ->
       ("SELECT l_orderkey, l_linenumber, " +

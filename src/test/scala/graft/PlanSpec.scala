@@ -48,4 +48,18 @@ class PlanSpec extends AnyFunSuite {
   test("c8: tiny band table joins as broadcast nested loop") {
     assert(finalPlan("c8_join_theta").contains("BroadcastNestedLoopJoin"))
   }
+
+  test("c12: bucketed tables join with no shuffle on the join key") {
+    val p = finalPlan("c12_join_bucketed")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("hashpartitioning(l_orderkey"), "lineitem side re-shuffled")
+    assert(!p.contains("hashpartitioning(o_orderkey"), "orders side re-shuffled")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"), p)
+  }
+
+  test("a6: day filter prunes partitions at the scan") {
+    val p = finalPlan("a6_partition_pruning")
+    assert(p.contains("PartitionFilters: ["), p)
+    assert(p.contains("2024-01-05"), p)
+  }
 }
