@@ -105,6 +105,17 @@ object AggQueries extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // D11: approximate percentile (Greenwald-Khanna sketch) — the 100 TB
+    // path for D7: mergeable, bounded-memory, one pass. Approximate → no
+    // hash oracle; PropertySpec asserts tolerance vs the exact quantile.
+    "d11_agg_approx_percentile" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.orders.groupBy(col("o_orderpriority"))
+        .agg(round(expr("percentile_approx(o_totalprice, 0.5, 1000)"), 4).as("p50_approx"),
+          round(expr("percentile_approx(o_totalprice, 0.95, 1000)"), 4).as("p95_approx"))
+        .orderBy("o_orderpriority")
+    }),
+
     // D10: pivot — daily event counts spread to one column per event type
     // (explicit value list so the plan needs no extra distinct-scan pass).
     "d10_pivot" -> ((s, dir) => {

@@ -165,6 +165,30 @@ object JoinQueries extends QueryModule {
         .orderBy("o_orderpriority")
     }),
 
+    // C13: time-series gap fill — hourly per-type sums left-joined onto a
+    // generated (hour × type) spine, missing hours forward-filled with the
+    // last observed value (IGNORE NULLS running window). The standard
+    // regularization step before any time-series model consumes event data.
+    "c13_gapfill_forward" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val hours = s.sql(
+        """SELECT explode(sequence(timestamp_ntz'2024-01-01 00:00:00',
+          |                        timestamp_ntz'2024-01-03 23:00:00',
+          |                        interval 1 hour)) AS h""".stripMargin)
+      val types = t.events.select(col("event_type").as("et")).distinct()
+      val hourly = t.events
+        .withColumn("eh", date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+        .groupBy(col("eh"), col("event_type"))
+        .agg(Tables.dsum(col("value")).as("v"))
+      val spine = hours.crossJoin(broadcast(types))
+      val w = Window.partitionBy("et").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, col("h") === col("eh") && col("et") === col("event_type"), "left_outer")
+        .select(col("h"), col("et"), round(col("v"), 6).as("v_raw"),
+          round(last(col("v"), ignoreNulls = true).over(w), 6).as("v_filled"))
+        .orderBy("h", "et")
+    }),
+
     // C11: small cartesian product.
     "c11_join_cross" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -238,6 +262,18 @@ object JoinQueries extends QueryModule {
     "c11_join_cross" ->
       ("SELECT n_nationkey, r_regionkey, n_name, r_name FROM nation CROSS JOIN region " +
         "ORDER BY n_nationkey, r_regionkey"),
+
+    "c13_gapfill_forward" ->
+      (s"WITH hourly AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS eh, event_type, " +
+        s"${Tables.dsumSql("value")} AS v FROM events GROUP BY 1, 2), " +
+        "spine AS (SELECT h, et FROM generate_series(TIMESTAMP '2024-01-01', " +
+        "TIMESTAMP '2024-01-03 23:00:00', INTERVAL 1 HOUR) t(h) " +
+        "CROSS JOIN (SELECT DISTINCT event_type AS et FROM events)) " +
+        "SELECT h, et, round(v, 6) AS v_raw, " +
+        "round(last_value(v IGNORE NULLS) OVER (PARTITION BY et ORDER BY h " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled " +
+        "FROM spine LEFT OUTER JOIN hourly ON h = eh AND et = event_type " +
+        "ORDER BY h, et"),
 
     "c12_join_bucketed" ->
       (s"SELECT o_orderpriority, count(*) AS n_items, " +

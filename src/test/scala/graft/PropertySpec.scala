@@ -56,6 +56,18 @@ class PropertySpec extends AnyFunSuite {
     assert(lhs.join(a, Seq("k"), "left_anti").count() == 0)
   }
 
+  test("approx percentile within 5% of exact quantile") {
+    val approx = SparkEntry.queries("d11_agg_approx_percentile")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = SparkEntry.queries("d7_agg_percentile")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (p50, p95)) =>
+      val (a50, a95) = approx(k)
+      assert(math.abs(a50 - p50) / p50 <= 0.05, s"$k p50: $a50 vs $p50")
+      assert(math.abs(a95 - p95) / p95 <= 0.05, s"$k p95: $a95 vs $p95")
+    }
+  }
+
   test("hll approx distinct within 5% of exact") {
     val t = Tables(spark, sfDir)
     val r = t.events.groupBy("event_type")
