@@ -44,8 +44,11 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = {
     val os = modules.flatMap(_.oracles)
+    val names = os.map(_._1)
+    require(names.distinct.size == names.size,
+      s"duplicate oracle names: ${names.diff(names.distinct).distinct.mkString(", ")}")
     val qNames = queries.keySet
-    val orphans = os.map(_._1).filterNot(qNames)
+    val orphans = names.filterNot(qNames)
     require(orphans.isEmpty, s"oracles without queries: ${orphans.mkString(", ")}")
     ListMap(os: _*)
   }
