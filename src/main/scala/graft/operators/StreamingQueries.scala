@@ -175,6 +175,28 @@ object StreamingQueries extends QueryModule {
         .orderBy("c_mktsegment", "event_type")
     }),
 
+    // I9: stream-stream join — each purchase joined to the same user's
+    // clicks within the preceding hour; BOTH sides watermarked so the join
+    // state is bounded (the only stream-stream join shape that is safe at
+    // scale: unbounded state otherwise).
+    "i9_stream_stream_join" -> ((s, dir) => {
+      val clicks = stream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = stream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val q = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      runMemory(q, "append", "i9")
+        .groupBy(col("p_user")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy("p_user")
+    }),
+
     // I8: deterministic sink — foreachBatch append to parquet, one batch id
     // per source chunk.
     "i8_stream_sink" -> ((s, dir) => {

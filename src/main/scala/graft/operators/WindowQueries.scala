@@ -28,6 +28,25 @@ object WindowQueries extends QueryModule {
         .orderBy("o_custkey", "rn")
     }),
 
+    // E1b: the same top-3-per-customer as E1, but via a bounded partial
+    // top-k Aggregator instead of a window sort: the shuffle carries at most
+    // k rows per (partition × group) and nothing is ever fully sorted —
+    // the plan that survives when a customer has a billion orders. Same
+    // oracle as E1 (identical output contract).
+    "e1b_win_topk_agg" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val t = Tables(s, dir)
+      val topk = udaf(graft.functions.TopKAgg(3))
+      t.orders
+        .groupBy(col("o_custkey"))
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "pair")))
+        .select(col("o_custkey"), col("pair._2").as("o_orderkey"),
+          col("pair._1").as("o_totalprice"), (col("i") + 1).as("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
     // E2: rank / dense_rank / ntile(4) per priority.
     "e2_win_rank_dense" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -105,6 +124,12 @@ object WindowQueries extends QueryModule {
 
   val oracles: Seq[(String, String)] = Seq(
     "e1_win_rownumber_topk" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"),
+
+    "e1b_win_topk_agg" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
         "SELECT o_custkey, o_orderkey, o_totalprice, " +
         "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +

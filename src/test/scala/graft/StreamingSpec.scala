@@ -33,6 +33,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(total == totalEvents)
   }
 
+  test("i9: stream-stream join emits bounded click-purchase pairs") {
+    val rows = SparkEntry.queries("i9_stream_stream_join")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // upper bound: can never exceed clicks × purchases of the same user
+    val byUser = Tables(spark, sfDir).events
+      .groupBy("user_id").pivot("event_type", Seq("click", "purchase")).count()
+      .na.fill(0L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (c, p) = byUser(r.getLong(0))
+      assert(r.getLong(1) <= c * p, s"user ${r.getLong(0)}: ${r.getLong(1)} > $c*$p")
+    }
+  }
+
   test("i8: one batch per source chunk") {
     val batches = SparkEntry.queries("i8_stream_sink")(spark, sfDir).count()
     assert(batches == 4)
