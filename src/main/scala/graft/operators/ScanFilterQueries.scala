@@ -57,6 +57,16 @@ object ScanFilterQueries extends QueryModule {
       s.read.orc(path).orderBy("n_nationkey")
     }),
 
+    // A3d: line-text round-trip — the rawest source format (one string
+    // column per line), the shape crawled corpora arrive in.
+    "a3d_scan_text" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val path = tmp("text_docs", dir)
+      t.documents.select(col("text")).coalesce(1)
+        .write.mode("overwrite").text(path)
+      s.read.text(path).orderBy("value")
+    }),
+
     // A4: parquet sink round-trip (write → re-read → aggregate).
     "a4_sink_parquet_roundtrip" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -125,6 +135,9 @@ object ScanFilterQueries extends QueryModule {
 
     "a3c_scan_orc" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "a3d_scan_text" ->
+      "SELECT text AS value FROM documents ORDER BY value",
 
     "a4_sink_parquet_roundtrip" ->
       (s"SELECT o_orderstatus, count(*) AS n, ${Tables.dsumSql("o_totalprice")} AS total " +

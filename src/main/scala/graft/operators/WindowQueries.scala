@@ -60,6 +60,18 @@ object WindowQueries extends QueryModule {
         .orderBy("o_orderpriority", "rnk")
     }),
 
+    // E2b: distribution window functions — percent_rank / cume_dist.
+    "e2b_win_distribution" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t.orders
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
     // E3: per-user lag/lead of event timestamps.
     "e3_win_lag_lead" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -141,6 +153,12 @@ object WindowQueries extends QueryModule {
         "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, ntile(4) OVER w AS tile " +
         "FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)) " +
         "WHERE rnk <= 100 ORDER BY o_orderpriority, rnk"),
+
+    "e2b_win_distribution" ->
+      ("SELECT o_orderpriority, o_orderkey, " +
+        "round(percent_rank() OVER w, 6) AS pr, round(cume_dist() OVER w, 6) AS cd " +
+        "FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) " +
+        "ORDER BY o_orderpriority, o_orderkey"),
 
     "e3_win_lag_lead" ->
       ("SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, " +
