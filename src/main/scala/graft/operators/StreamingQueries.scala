@@ -180,11 +180,11 @@ object StreamingQueries extends QueryModule {
     // state is bounded (the only stream-stream join shape that is safe at
     // scale: unbounded state otherwise).
     "i9_stream_stream_join" -> ((s, dir) => {
-      val clicks = stream(s, dir)
+      val clicks = stream(s, dir, perBatch = false)
         .filter(col("event_type") === "click")
         .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
         .withWatermark("c_ts", "1 hour")
-      val purchases = stream(s, dir)
+      val purchases = stream(s, dir, perBatch = false)
         .filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
         .withWatermark("p_ts", "1 hour")
