@@ -1,6 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Headline queries reported in the final JSON line. The driver keeps only
+    * the last ~2000 chars of output, so the per-query map must stay compact —
+    * the full 90+-query detail is printed on an earlier line for humans.
+    * These cover the BASELINE.md probe shapes plus the heaviest operators.
+    */
+  private val headline = Seq(
+    "d1_agg_hash", "d2_agg_distinct", "c4_join_5way_star",
+    "e1_win_rownumber_topk", "g8_text_stats_by_lang", "b2_filter_pred",
+    "f1_sort_global", "g3_sim_cosine_pairs", "g5_knn_join",
+    "g9_tfidf_topterms", "g2b_dedup_minhash_lsh", "g16_pipeline_clean_corpus",
+    "s1_sql_tpch3", "i1_stream_tumbling", "i3_stream_session")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,10 +28,16 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val full = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_detail","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}""")
+    val compact = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + r3(v)))
+      .mkString("{", ",", "}")
+    // stop BEFORE the final line so shutdown logs can't push it out of the
+    // driver's 2000-char tail buffer
     spark.stop()
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$compact,"sf":"$sfDir"}""")
   }
 }

@@ -71,11 +71,12 @@ object AggQueries extends QueryModule {
         .orderBy("orderstatus", "orderpriority")
     }),
 
-    // D6: per-group sorted value list (sorted for determinism).
+    // D6: per-group sorted value list (sorted for determinism). Serialized to
+    // a string because the driver's comparator hashes scalar columns only.
     "d6_agg_collect" -> ((s, dir) => {
       val t = Tables(s, dir)
       t.orders.groupBy(col("o_orderpriority"))
-        .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+        .agg(concat_ws(",", sort_array(collect_set(col("o_orderstatus")))).as("statuses"),
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
     }),
@@ -174,7 +175,7 @@ object AggQueries extends QueryModule {
         "ORDER BY orderstatus, orderpriority"),
 
     "d6_agg_collect" ->
-      ("SELECT o_orderpriority, list_sort(list(DISTINCT o_orderstatus)) AS statuses, " +
+      ("SELECT o_orderpriority, array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses, " +
         "count(*) AS n FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
 
     "d7_agg_percentile" ->

@@ -82,11 +82,13 @@ object FunctionQueries extends QueryModule {
         .select(
           col("doc_id"),
           size(col("toks")).as("n_toks"),
-          slice(col("toks"), 1, 5).as("first5"),
+          // The driver's comparator sorts/hashes scalar columns only, so
+          // array results are serialized to strings on both engines.
+          concat_ws(",", slice(col("toks"), 1, 5)).as("first5"),
           size(array_distinct(col("toks"))).as("n_distinct"),
           array_contains(col("toks"), "data").as("has_data"),
           expr("CAST(aggregate(toks, 0L, (a, x) -> a + length(x)) AS BIGINT)").as("total_len"),
-          expr("transform(slice(toks, 1, 3), x -> upper(x))").as("upper3"))
+          concat_ws(",", expr("transform(slice(toks, 1, 3), x -> upper(x))")).as("upper3"))
         .orderBy("doc_id")
     }),
 
@@ -152,16 +154,17 @@ object FunctionQueries extends QueryModule {
         "round(ln(p_retailprice), 6) AS ln_p, " +
         "round(exp(p_retailprice / 1000.0), 6) AS exp_p, " +
         "round(pow(CAST(p_size AS DOUBLE), 2.0), 6) AS size_sq, " +
-        "floor(p_retailprice) AS fl, ceil(p_retailprice) AS ce, " +
+        "CAST(floor(p_retailprice) AS BIGINT) AS fl, CAST(ceil(p_retailprice) AS BIGINT) AS ce, " +
         "CAST(sign(CAST(p_size - 25 AS DOUBLE)) AS INT) AS sgn " +
         "FROM part ORDER BY p_partkey"),
 
     "f9_fn_array" ->
-      ("SELECT doc_id, len(toks) AS n_toks, list_slice(toks, 1, 5) AS first5, " +
+      ("SELECT doc_id, len(toks) AS n_toks, " +
+        "array_to_string(list_slice(toks, 1, 5), ',') AS first5, " +
         "len(list_distinct(toks)) AS n_distinct, " +
         "list_contains(toks, 'data') AS has_data, " +
         "CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_len, " +
-        "list_transform(list_slice(toks, 1, 3), x -> upper(x)) AS upper3 " +
+        "array_to_string(list_transform(list_slice(toks, 1, 3), x -> upper(x)), ',') AS upper3 " +
         "FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents) " +
         "ORDER BY doc_id"),
 

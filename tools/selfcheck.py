@@ -1,26 +1,64 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's correctness gate: read Verify's parquet
 dumps, run each oracle SQL in DuckDB over the same fixture tables, and
-compare column names (sorted), row counts, and values exactly.
+compare column names (sorted), row counts, and values.
+
+Mirrors the driver's stricter semantics (learned in round 2):
+  * columns are sorted by name, then ROWS are sorted by all columns
+    (the driver sort_values-es every column before hashing);
+  * value comparison is dtype-strict — an int on one side and a float
+    on the other is a FAIL even when numerically equal (the driver
+    hashes formatted values, so 1 != 1.0);
+  * non-scalar output columns (LIST/STRUCT/MAP) in an oracle-backed
+    query are a FAIL outright — the driver's pandas sort step raises
+    `unhashable type: numpy.ndarray` on them.
 
 Usage: selfcheck.py <sfDir> <outDir> [query ...]
 """
 import sys, os, json, math
+from decimal import Decimal
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, norm(x)) for k, x in v.items()))
-    return v
+NONSCALAR = ("[]", "STRUCT", "MAP", "LIST", "UNION")
+
+
+def bad_types(cols_types):
+    return [f"{c}:{t}" for c, t in cols_types
+            if any(m in t.upper() for m in NONSCALAR)]
+
+
+def is_float(v):
+    return isinstance(v, float)
+
+
+def is_int(v):
+    return isinstance(v, int) and not isinstance(v, bool)
+
+
+def veq(a, b):
+    """Dtype-strict scalar equality (int vs float mismatch = fail)."""
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, Decimal):
+        a = float(a)
+    if isinstance(b, Decimal):
+        b = float(b)
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if is_int(a) != is_int(b) or is_float(a) != is_float(b):
+        return False
+    if is_float(a) and is_float(b) and math.isnan(a) and math.isnan(b):
+        return True
+    return a == b
+
+
+def sort_key(row):
+    # deterministic total order over heterogeneous scalar tuples
+    return tuple((v is None, type(v).__name__, str(v)) for v in row)
+
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -41,6 +79,8 @@ def main():
             continue
         spath = f"{out_dir}/{name}/*.parquet"
         try:
+            got_types = con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{spath}')").fetchall()
             got = con.execute(f"SELECT * FROM read_parquet('{spath}')")
             got_cols = [d[0] for d in got.description]
             got_rows = got.fetchall()
@@ -52,12 +92,24 @@ def main():
             print(f"SKIP {name}: no oracle (rows-only: {len(got_rows)} rows)")
             n_skip += 1
             continue
+        bad_spark = bad_types([(r[0], r[1]) for r in got_types])
+        if bad_spark:
+            print(f"FAIL {name}: non-scalar spark output columns {bad_spark} "
+                  "(driver comparator cannot sort/hash these)")
+            n_fail += 1
+            continue
         try:
+            exp_types = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
             exp = con.execute(oracles[name])
             exp_cols = [d[0] for d in exp.description]
             exp_rows = exp.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        bad_oracle = bad_types([(r[0], r[1]) for r in exp_types])
+        if bad_oracle:
+            print(f"FAIL {name}: non-scalar oracle columns {bad_oracle}")
             n_fail += 1
             continue
         if sorted(got_cols) != sorted(exp_cols):
@@ -68,19 +120,19 @@ def main():
             print(f"FAIL {name}: rows {len(got_rows)} != {len(exp_rows)}")
             n_fail += 1
             continue
-        # driver sorts columns by name before hashing
+        # driver: sort columns by name, then sort rows by all columns
         gi = [got_cols.index(c) for c in sorted(got_cols)]
         ei = [exp_cols.index(c) for c in sorted(exp_cols)]
+        gsorted = sorted((tuple(r[i] for i in gi) for r in got_rows), key=sort_key)
+        esorted = sorted((tuple(r[i] for i in ei) for r in exp_rows), key=sort_key)
         bad = None
-        for r, (g, e) in enumerate(zip(got_rows, exp_rows)):
-            gs = tuple(norm(g[i]) for i in gi)
-            es = tuple(norm(e[i]) for i in ei)
-            if gs != es:
-                bad = (r, gs, es)
+        for r, (g, e) in enumerate(zip(gsorted, esorted)):
+            if not all(veq(a, b) for a, b in zip(g, e)):
+                bad = (r, g, e)
                 break
         if bad:
             r, gs, es = bad
-            print(f"FAIL {name}: first diff at row {r}:")
+            print(f"FAIL {name}: first diff at sorted row {r}:")
             print(f"  cols  : {sorted(got_cols)}")
             print(f"  spark : {gs}")
             print(f"  duckdb: {es}")
@@ -96,6 +148,7 @@ def main():
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_skip} rows-only ==")
     sys.exit(1 if n_fail else 0)
+
 
 if __name__ == "__main__":
     main()
