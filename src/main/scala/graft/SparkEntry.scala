@@ -17,6 +17,7 @@ object SparkEntry {
     operators.SortSetQueries,
     operators.FunctionQueries,
     operators.TextQueries,
+    operators.PipelineQueries,
     operators.VectorQueries,
     operators.StreamingQueries,
     operators.DagQueries,

@@ -195,6 +195,24 @@ object JoinQueries extends QueryModule {
       t.nation.crossJoin(t.region)
         .select(col("n_nationkey"), col("r_regionkey"), col("n_name"), col("r_name"))
         .orderBy("n_nationkey", "r_regionkey")
+    }),
+
+    // C14: salted skew join — the join-side twin of d9's salted aggregation.
+    // A hot build key at 100 TB puts one reducer under the whole key; here
+    // the dim side is replicated across 8 salts and the fact side hashes
+    // into them, so the hot key's rows spread over 8 reducers. Result is
+    // EXACTLY the plain join (the oracle), the salt only reshapes the shuffle.
+    "c14_join_salted_skew" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val salts = 8
+      val ev = t.events
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(salts)))
+      val cust = t.customer.select(col("c_custkey"), col("c_mktsegment"))
+        .withColumn("salt", explode(array((0 until salts).map(i => lit(i)): _*)))
+      ev.join(cust, ev("user_id") === cust("c_custkey") && ev("salt") === cust("salt"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("val_sum"))
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -279,6 +297,12 @@ object JoinQueries extends QueryModule {
       (s"SELECT o_orderpriority, count(*) AS n_items, " +
         s"${Tables.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
-        "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    // c14: the salt only reshapes the shuffle — the plain join is the oracle.
+    "c14_join_salted_skew" ->
+      (s"SELECT c_mktsegment, count(*) AS n, ${Tables.dsumSql("value")} AS val_sum " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment")
   )
 }

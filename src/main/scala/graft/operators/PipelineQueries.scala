@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data-pipeline operators beyond the SURVEY §2 G band: benchmark
+  * contamination checking, deterministic stratified sampling, PII-style regex
+  * redaction, sliding-window document chunking, and int8 embedding
+  * quantization — the remaining pieces a 100 TB LLM corpus job needs that the
+  * dedup/similarity/text bands don't already cover.
+  *
+  * Scale notes (100 TB):
+  *  - g17: the benchmark n-gram set is tiny relative to the corpus, so the
+  *    contamination check is a broadcast semi-join keyed on the n-gram — the
+  *    corpus side never shuffles.
+  *  - g18: sampling rank is computed per stratum with one window shuffle on
+  *    the stratum key; the md5 sort key makes the sample deterministic and
+  *    uniformly spread regardless of input order or partitioning.
+  *  - g19/g20: narrow per-row regex/array transforms, fully codegen'd, no
+  *    shuffle at all — they run at scan speed.
+  *  - g21: per-vector fold over a 64-wide array, also narrow; the scale
+  *    factor (max|x|/127) is recomputed per row so no global pass is needed.
+  */
+object PipelineQueries extends QueryModule {
+
+  val queries: Seq[(String, QFn)] = Seq(
+    // G17: benchmark contamination — which training docs share word
+    // 3-shingles with the held-out "benchmark" slice (doc_id % 10 == 0)?
+    "g17_contamination_ngram" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val sh = t.documents
+        .withColumn("toks", TF.tokens(lower(col("text"))))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(TF.shingles3("toks")).as("sh"))
+      val bench = sh.filter(col("doc_id") % 10 === 0).select(col("sh")).distinct()
+      sh.filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(bench), "sh")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("sh")).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
+    // G18: deterministic stratified sampling — top ceil(20%) of each lang
+    // stratum ranked by md5(doc_id), so the sample is stable across engines,
+    // partitionings, and reruns (no RNG involved).
+    "g18_stratified_sample" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("lang")).orderBy(col("k"), col("doc_id"))
+      val cw = Window.partitionBy(col("lang"))
+      t.documents
+        .withColumn("k", md5(col("doc_id").cast("string")))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_stratum", count(lit(1)).over(cw))
+        .filter(col("rn") <= ceil(col("n_stratum") * 0.2))
+        .select(col("doc_id"), col("lang"), col("rn").as("pick_rank"))
+        .orderBy("lang", "pick_rank")
+    }),
+
+    // G19: regex redaction — digit runs become <NUM>, 12+-letter words
+    // become <LONG>; per-doc match counts alongside a redacted preview.
+    "g19_text_redaction" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents.select(
+          col("doc_id"),
+          substring(
+            regexp_replace(regexp_replace(col("text"), "[0-9]+", "<NUM>"),
+              "[a-zA-Z]{12,}", "<LONG>"), 1, 80).as("red80"),
+          regexp_count(col("text"), lit("[0-9]+")).as("n_num"),
+          regexp_count(col("text"), lit("[a-zA-Z]{12,}")).as("n_long"))
+        .orderBy("doc_id")
+    }),
+
+    // G20: sliding-window chunking — 16-token chunks with stride 12 (4-token
+    // overlap), one output row per chunk with its token span.
+    "g20_doc_chunking" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .withColumn("toks", TF.tokens(col("text")))
+        .withColumn("st", explode(expr("sequence(1, size(toks), 12)")))
+        .select(col("doc_id"),
+          expr("CAST((st - 1) DIV 12 AS BIGINT)").as("chunk_id"),
+          size(expr("slice(toks, st, 16)")).as("n_toks"),
+          concat_ws(" ", expr("slice(toks, st, 16)")).as("chunk"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // G21: symmetric int8 quantization of embeddings — per-vector scale
+    // max|x|/127, nearest-int via floor(x/scale + 0.5) (identical rounding on
+    // both engines, unlike round()'s dialect-specific half cases); reports
+    // the L2 reconstruction error and the saturated-component count.
+    "g21_embed_quantize" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.embeddings
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
+        .filter(col("mx") > 0)
+        .select(col("vec_id"), col("label"),
+          round(col("mx") / 127.0, 9).as("scale_r"),
+          round(sqrt(expr(
+            "aggregate(v, 0D, (a, x) -> a + pow(x - floor(x / (mx / 127.0) + 0.5) * (mx / 127.0), 2))")), 6)
+            .as("qerr"),
+          expr("CAST(aggregate(v, 0, (a, x) -> a + (CASE WHEN abs(floor(x / (mx / 127.0) + 0.5)) >= 127 THEN 1 ELSE 0 END)) AS INT)")
+            .as("n_sat"))
+        .orderBy("vec_id")
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "g17_contamination_ngram" ->
+      ("WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(1, greatest(len(toks) - 2, 0) + 1), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh " +
+        "FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents) " +
+        "WHERE len(toks) >= 3), " +
+        "bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0) " +
+        "SELECT s.doc_id AS doc_id, count(DISTINCT s.sh) AS n_shared " +
+        "FROM sh s JOIN bench b ON s.sh = b.sh WHERE s.doc_id % 10 <> 0 " +
+        "GROUP BY s.doc_id ORDER BY doc_id"),
+
+    "g18_stratified_sample" ->
+      ("SELECT doc_id, lang, rn AS pick_rank FROM (" +
+        "SELECT doc_id, lang, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY lang) AS n_stratum FROM documents) " +
+        "WHERE rn <= ceil(n_stratum * 0.2) ORDER BY lang, pick_rank"),
+
+    "g19_text_redaction" ->
+      ("SELECT doc_id, substring(regexp_replace(" +
+        "regexp_replace(text, '[0-9]+', '<NUM>', 'g'), " +
+        "'[a-zA-Z]{12,}', '<LONG>', 'g'), 1, 80) AS red80, " +
+        "len(regexp_extract_all(text, '[0-9]+')) AS n_num, " +
+        "len(regexp_extract_all(text, '[a-zA-Z]{12,}')) AS n_long " +
+        "FROM documents ORDER BY doc_id"),
+
+    "g20_doc_chunking" ->
+      ("SELECT doc_id, (st - 1) // 12 AS chunk_id, " +
+        "len(list_slice(toks, st, least(st + 15, len(toks)))) AS n_toks, " +
+        "array_to_string(list_slice(toks, st, least(st + 15, len(toks))), ' ') AS chunk " +
+        "FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 12)) AS st " +
+        "FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)) " +
+        "ORDER BY doc_id, chunk_id"),
+
+    "g21_embed_quantize" ->
+      ("SELECT vec_id, label, round(mx / 127, 9) AS scale_r, " +
+        "round(sqrt(list_sum(list_transform(v, " +
+        "x -> pow(x - floor(x / (mx / 127) + 0.5) * (mx / 127), 2)))), 6) AS qerr, " +
+        "CAST(list_sum(list_transform(v, " +
+        "x -> CASE WHEN abs(floor(x / (mx / 127) + 0.5)) >= 127 THEN 1 ELSE 0 END)) AS INT) AS n_sat " +
+        "FROM (SELECT vec_id, label, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, " +
+        "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx " +
+        "FROM embeddings) WHERE mx > 0 ORDER BY vec_id")
+  )
+}

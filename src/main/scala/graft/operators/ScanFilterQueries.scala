@@ -97,6 +97,24 @@ object ScanFilterQueries extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // A7: schema evolution — two parquet files with different schemas (v2
+    // adds n_regionkey) merged into one logical table via mergeSchema; the
+    // missing column null-fills. This is how a 100 TB table absorbs a schema
+    // change without rewriting history. Oracle reproduces the union shape.
+    "a7_schema_evolution" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val path = tmp("evo_nation", dir)
+      t.nation.select(col("n_nationkey"), col("n_name"))
+        .withColumn("v", lit("v1"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/p1")
+      t.nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .withColumn("v", lit("v2"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/p2")
+      s.read.option("mergeSchema", "true").parquet(s"$path/p1", s"$path/p2")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"), col("v"))
+        .orderBy("v", "n_nationkey")
+    }),
+
     // B1: projection incl. computed column; per-row double math is
     // IEEE-identical across engines. lineitem has no unique key → ORDER BY ALL.
     "b1_project" -> ((s, dir) =>
@@ -147,6 +165,11 @@ object ScanFilterQueries extends QueryModule {
       (s"SELECT event_type, count(*) AS n, ${Tables.dsumSql("value")} AS val_sum " +
         "FROM events WHERE date_trunc('day', CAST(ts AS TIMESTAMP)) = TIMESTAMP '2024-01-05' " +
         "GROUP BY event_type ORDER BY event_type"),
+
+    "a7_schema_evolution" ->
+      ("SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey, 'v1' AS v FROM nation " +
+        "UNION ALL SELECT n_nationkey, n_name, n_regionkey, 'v2' AS v FROM nation " +
+        "ORDER BY v, n_nationkey"),
 
     "b1_project" ->
       ("SELECT l_orderkey, l_linenumber, " +

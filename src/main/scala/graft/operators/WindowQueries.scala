@@ -131,6 +131,28 @@ object WindowQueries extends QueryModule {
           last(col("event_type")).over(w).as("last_et"))
         .distinct()
         .orderBy("user_id", "day")
+    }),
+
+    // E8: batch sessionization — the window-function dual of I3's streaming
+    // session_window: a session break is a >30-minute gap, session ids are a
+    // running sum of breaks per user. Two window passes over the same
+    // (user_id, ts) sort order, so Spark reuses a single shuffle+sort.
+    "e8_win_sessionize" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t.events
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts").cast("timestamp")) -
+              unix_timestamp(col("prev_ts").cast("timestamp"))) > 1800, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          Tables.ntz(min(col("ts"))).as("s_start"),
+          Tables.ntz(max(col("ts"))).as("s_end"))
+        .orderBy("user_id", "session_id")
     })
   )
 
@@ -193,6 +215,16 @@ object WindowQueries extends QueryModule {
         "first_value(event_type) OVER w AS first_et, last_value(event_type) OVER w AS last_et " +
         "FROM events WINDOW w AS (PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) " +
         "ORDER BY CAST(ts AS TIMESTAMP), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
-        "ORDER BY user_id, day")
+        "ORDER BY user_id, day"),
+
+    "e8_win_sessionize" ->
+      ("WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e), " +
+        "n AS (SELECT *, CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800 " +
+        "THEN 1 ELSE 0 END AS new_s FROM l), " +
+        "s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM n) " +
+        "SELECT user_id, session_id, count(*) AS n_events, min(ts) AS s_start, max(ts) AS s_end " +
+        "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id")
   )
 }
