@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextFunctions => TF}
+
+/** Behavior of the round-3 training-pipeline operators (PipelineQueries +
+  * e8/a7/c14) beyond what the DuckDB oracle already proves: structural
+  * invariants that must hold at any scale factor.
+  */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("g17: no benchmark doc appears on the training side") {
+    val r = SparkEntry.queries("g17_contamination_ngram")(spark, sfDir)
+    assert(r.filter(col("doc_id") % 10 === 0).count() == 0)
+    assert(r.filter(col("n_shared") < 1).count() == 0)
+  }
+
+  test("g18: sample takes exactly ceil(20%) of every stratum") {
+    val sample = SparkEntry.queries("g18_stratified_sample")(spark, sfDir)
+      .groupBy("lang").count()
+    val strata = Tables(spark, sfDir).documents.groupBy("lang").count()
+      .withColumnRenamed("count", "n")
+    val bad = sample.join(strata, "lang")
+      .filter(col("count") =!= ceil(col("n") * 0.2))
+    assert(bad.count() == 0)
+  }
+
+  test("g19: redacted preview contains no digit runs or 12+-letter words") {
+    val r = SparkEntry.queries("g19_text_redaction")(spark, sfDir)
+    // strip the markers, then nothing matching the redaction patterns remains
+    val leftover = r.withColumn("clean",
+        regexp_replace(regexp_replace(col("red80"), "<NUM>", ""), "<LONG>", ""))
+      .filter(regexp_count(col("clean"), lit("[0-9]+")) > 0 ||
+        regexp_count(col("clean"), lit("[a-zA-Z]{12,}")) > 0)
+    assert(leftover.count() == 0)
+  }
+
+  test("g20: chunks cover every token and overlap by 4 on interior chunks") {
+    val chunks = SparkEntry.queries("g20_doc_chunking")(spark, sfDir)
+    val docs = Tables(spark, sfDir).documents
+      .select(col("doc_id"), size(TF.tokens(col("text"))).as("n"))
+    // token coverage: chunk starts stride 12, size 16 > stride → no gaps;
+    // so sum of n_toks == n + 4 * (n_chunks - 1) per doc (each overlap
+    // double-counts 4 tokens, except the possibly-short final chunk)
+    val agg = chunks.groupBy("doc_id")
+      .agg(sum("n_toks").as("tok_sum"), count(lit(1)).as("n_chunks"),
+        max(col("chunk_id")).as("max_id"))
+    val joined = agg.join(docs, "doc_id")
+    // chunk ids are dense 0..n_chunks-1
+    assert(joined.filter(col("max_id") =!= col("n_chunks") - 1).count() == 0)
+    // every token is covered at least once
+    assert(joined.filter(col("tok_sum") < col("n")).count() == 0)
+  }
+
+  test("g21: quantization error bounded by scale/2 per component (L2 <= 4*scale)") {
+    // per-component |err| <= scale/2, so L2 over 64 dims <= sqrt(64)*scale/2
+    val r = SparkEntry.queries("g21_embed_quantize")(spark, sfDir)
+    val bad = r.filter(col("qerr") > col("scale_r") * 4.0 + 1e-9)
+    assert(bad.count() == 0)
+  }
+
+  test("e8: session gaps never exceed 30 minutes inside a session") {
+    // consecutive sessions of one user must be separated by > 30 min:
+    // next session's start minus this session's end > 1800s
+    val s8 = SparkEntry.queries("e8_win_sessionize")(spark, sfDir)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("session_id")
+    val gaps = s8.withColumn("next_start", lead(col("s_start"), 1).over(w))
+      .filter(col("next_start").isNotNull)
+      .filter(unix_timestamp(col("next_start").cast("timestamp")) -
+        unix_timestamp(col("s_end").cast("timestamp")) <= 1800)
+    assert(gaps.count() == 0)
+    // and every event lands in exactly one session
+    val nEvents = s8.agg(sum("n_events")).head().getLong(0)
+    assert(nEvents == Tables(spark, sfDir).events.count())
+  }
+
+  test("c14: salted join equals the plain join exactly") {
+    val salted = SparkEntry.queries("c14_join_salted_skew")(spark, sfDir)
+    val t = Tables(spark, sfDir)
+    val plain = t.events.join(t.customer, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("val_sum"))
+      .orderBy("c_mktsegment")
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+  }
+
+  test("a7: merged read null-fills the added column for v1 rows only") {
+    val r = SparkEntry.queries("a7_schema_evolution")(spark, sfDir)
+    assert(r.filter(col("v") === "v1" && col("n_regionkey").isNotNull).count() == 0)
+    assert(r.filter(col("v") === "v2" && col("n_regionkey").isNull).count() == 0)
+  }
+}
