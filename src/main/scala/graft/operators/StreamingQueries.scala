@@ -60,12 +60,29 @@ object StreamingQueries extends QueryModule {
       .parquet(chunkedSource(s, dir))
   }
 
+  /** Stateful micro-batches pay per state-store-instance overhead each
+    * trigger: with P shuffle partitions every stateful operator maintains P
+    * HDFS-backed stores and snapshots them per batch. At fixture scale the
+    * state is tiny, so fewer, fatter state partitions win; a real 100 TB
+    * deployment sizes this to keep per-store state in memory instead. The
+    * conf is captured at query START, so setting it around start() scopes it
+    * to the streaming query without touching the batch session default.
+    */
+  private def withStreamShufflePartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Run to completion (AvailableNow) into an in-memory table, return it. */
   private def runMemory(q: DataFrame, mode: String, name: String): DataFrame = {
     val spark = q.sparkSession
     val qn = s"graft_${name}_${System.nanoTime()}"
-    val sq = q.writeStream.format("memory").queryName(qn).outputMode(mode)
-      .trigger(Trigger.AvailableNow()).start()
+    val sq = withStreamShufflePartitions(spark) {
+      q.writeStream.format("memory").queryName(qn).outputMode(mode)
+        .trigger(Trigger.AvailableNow()).start()
+    }
     sq.awaitTermination()
     spark.table(qn)
   }
@@ -75,11 +92,13 @@ object StreamingQueries extends QueryModule {
   private def runForeachBatch(q: DataFrame, name: String, dir: String): DataFrame = {
     val spark = q.sparkSession
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${dir.hashCode & 0x7fffffff}_${System.nanoTime()}"
-    val sq = q.writeStream.outputMode(OutputMode.Update())
-      .foreachBatch { (df: DataFrame, id: Long) =>
-        df.withColumn("batch_id", lit(id)).write.mode("append").parquet(out)
-      }
-      .trigger(Trigger.AvailableNow()).start()
+    val sq = withStreamShufflePartitions(spark) {
+      q.writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.withColumn("batch_id", lit(id)).write.mode("append").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
     sq.awaitTermination()
     spark.read.parquet(out)
   }
