@@ -115,6 +115,53 @@ object ScanFilterQueries extends QueryModule {
         .orderBy("v", "n_nationkey")
     }),
 
+    // A8: dynamic-partition-overwrite upsert — the lakehouse-free way to
+    // correct one day of a 100 TB partitioned table: rewrite ONLY the
+    // affected partition directory, leave the other 29 days' files alone.
+    // Seed writes all days (static overwrite), the "correction" doubles day
+    // 3's values and overwrites just that partition (dynamic mode).
+    "a8_upsert_dynamic_partition" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val path = tmp("events_upsert", dir)
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.get(modeKey)
+      val ev = t.events.withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      try {
+        s.conf.set(modeKey, "static")
+        ev.write.mode("overwrite").partitionBy("day").parquet(path)
+        s.conf.set(modeKey, "dynamic")
+        ev.filter(col("day") === lit("2024-01-03").cast("date"))
+          .withColumn("value", col("value") * 2)
+          .write.mode("overwrite").partitionBy("day").parquet(path)
+      } finally s.conf.set(modeKey, prev)
+      s.read.parquet(path)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("val_sum"))
+        .orderBy("day")
+    }),
+
+    // A9: small-file compaction — ingest leaves 16 files per day partition;
+    // one repartition-by-partition-key pass rewrites each day as a single
+    // file (every day hashes to exactly one task). input_file_name() proves
+    // it: 1 distinct file per day after compaction. The no-op-looking shuffle
+    // is the entire point — at 100 TB, file-count pathology kills scans.
+    "a9_compact_small_files" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val path = tmp("events_compact", dir)
+      val ev = t.events.withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      ev.repartition(16)
+        .write.mode("overwrite").partitionBy("day").parquet(s"$path/frag")
+      s.read.parquet(s"$path/frag")
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(s"$path/compact")
+      s.read.parquet(s"$path/compact")
+        .withColumn("fname", input_file_name())
+        .groupBy(col("day"))
+        .agg(countDistinct(col("fname")).as("n_files"),
+          count(lit(1)).as("n"), Tables.dsum(col("value")).as("val_sum"))
+        .orderBy("day")
+    }),
+
     // B1: projection incl. computed column; per-row double math is
     // IEEE-identical across engines. lineitem has no unique key → ORDER BY ALL.
     "b1_project" -> ((s, dir) =>
@@ -170,6 +217,20 @@ object ScanFilterQueries extends QueryModule {
       ("SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey, 'v1' AS v FROM nation " +
         "UNION ALL SELECT n_nationkey, n_name, n_regionkey, 'v2' AS v FROM nation " +
         "ORDER BY v, n_nationkey"),
+
+    "a8_upsert_dynamic_partition" ->
+      (s"SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day, " +
+        "count(*) AS n, " +
+        s"${Tables.dsumSql(
+          "CASE WHEN CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) = DATE '2024-01-03' " +
+            "THEN value * 2 ELSE value END")} AS val_sum " +
+        "FROM events GROUP BY 1 ORDER BY day"),
+
+    "a9_compact_small_files" ->
+      (s"SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day, " +
+        "CAST(1 AS BIGINT) AS n_files, count(*) AS n, " +
+        s"${Tables.dsumSql("value")} AS val_sum " +
+        "FROM events GROUP BY 1 ORDER BY day"),
 
     "b1_project" ->
       ("SELECT l_orderkey, l_linenumber, " +
