@@ -25,23 +25,41 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated name filter for local profiling runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // A failed query must be visible, not bench as ~0 s: record -1 for its
+    // time, keep its error, and surface n_failed in both JSON lines.
+    var failures = List.empty[(String, String)]
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch {
+            case e: Throwable =>
+              failures ::= (name, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+              false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
+    failures.reverse.foreach { case (n, msg) => System.err.println(s"BENCH FAIL $n — $msg") }
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val full = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total_detail","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total_detail","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failures.size},"queries":$full,"sf":"$sfDir"}""")
     val compact = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + r3(v)))
       .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failures.size},"queries":$compact,"sf":"$sfDir"}"""
+    // mirror the headline JSON to a file so it survives even if stdout is
+    // truncated or mangled by the sbt prefix (BENCH_r03 had parsed:null)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     // stop BEFORE the final line so shutdown logs can't push it out of the
-    // driver's 2000-char tail buffer
-    spark.stop()
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$compact,"sf":"$sfDir"}""")
+    // driver's 2000-char tail buffer; a shutdown race must not eat the line
+    try spark.stop() catch { case _: Throwable => () }
+    println(line)
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

@@ -180,16 +180,23 @@ object VectorQueries extends QueryModule {
       def cos(a: Array[Double], b: Array[Double]): Double =
         dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
       // codebook: mean vector per label (any k-means-style codebook works;
-      // the label field gives a deterministic one)
-      val codebook = t.embeddings.select(col("label"), col("embedding"))
-        .as[(Int, Seq[Float])].collect()
-        .groupBy(_._1).toSeq.sortBy(_._1)
-        .map { case (l, vs) =>
-          val dim = vs.head._2.length
-          val c = new Array[Double](dim)
-          vs.foreach { case (_, v) => var i = 0; while (i < dim) { c(i) += v(i); i += 1 } }
-          (l, c.map(_ / vs.length))
-        }
+      // the label field gives a deterministic one). Built DISTRIBUTED with
+      // the same two-phase partial-agg plan as g6 — only the k×dim codebook
+      // (10×64 doubles) ever reaches the driver, so the index build holds at
+      // 100 TB where a full-table collect() would OOM the driver.
+      val codebook: Seq[(Int, Array[Double])] =
+        t.embeddings
+          .select(col("label"), posexplode(vd).as(Seq("pos", "x")))
+          .groupBy(col("label"), col("pos"))
+          .agg((sum(col("x").cast(Tables.decHi)).cast("double") / count(col("x"))).as("c"))
+          .as[(Int, Int, Double)].collect()
+          .groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (l, cells) =>
+            val dim = cells.map(_._2).max + 1
+            val c = new Array[Double](dim)
+            cells.foreach { case (_, pos, v) => c(pos) = v }
+            (l, c)
+          }
       val bcCb = s.sparkContext.broadcast(codebook.toArray)
       val query = t.embeddings.filter(col("vec_id") === 0)
         .select(col("embedding")).as[Seq[Float]].head().map(_.toDouble).toArray
@@ -253,6 +260,60 @@ object VectorQueries extends QueryModule {
             .map { case (bId, b, nb) => (aId, bId, round6(dotd(a, b) / (na * nb))) }
             .filter(_._3 >= 0.45)
         }
+        .toDF("a_id", "b_id", "cos")
+        .orderBy("a_id", "b_id")
+    }),
+
+    // G15b: the scale path for embedding dedup — banded sign-LSH (8 bands ×
+    // 2 hyperplanes): each vector lands in one bucket per band, candidate
+    // pairs are generated only inside buckets, and every candidate is
+    // verified with the exact cosine before the threshold cut. A true
+    // near-dup pair (cos ≥ 0.45 → angle ≤ ~63°) collides in at least one
+    // band w.p. ~0.99, so recall stays high while no node ever holds the
+    // full table: per-band bucket size is tuned by planes-per-band, and the
+    // only shuffle is on (band, bucket). Approximate → rows-only; recall and
+    // emitted ⊆ exact are asserted in VectorSpec against g15's brute force.
+    "g15b_dedup_embed_lsh" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val t = Tables(s, dir)
+      val nBands = 8
+      val planesPerBand = 2
+      val planes = lshPlanes(nBands * planesPerBand, 64)
+      val bcPlanes = s.sparkContext.broadcast(planes.toArray)
+      def dotd(x: Array[Double], y: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i) * y(i); i += 1 }
+        acc
+      }
+      def round6(x: Double): Double =
+        java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      t.embeddings.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+        .flatMap { case (id, vf) =>
+          val v = vf.map(_.toDouble).toArray
+          val ps = bcPlanes.value
+          (0 until nBands).iterator.map { b =>
+            var sig = 0
+            var i = 0
+            while (i < planesPerBand) {
+              if (dotd(v, ps(b * planesPerBand + i)) >= 0) sig |= (1 << i)
+              i += 1
+            }
+            (b * (1 << planesPerBand) + sig, id, v)
+          }
+        }
+        .groupByKey(_._1)
+        .flatMapGroups { (_: Int, it: Iterator[(Int, Long, Array[Double])]) =>
+          val vecs = it.map { case (_, id, v) => (id, v, math.sqrt(dotd(v, v))) }
+            .toArray.sortBy(_._1)
+          for {
+            i <- vecs.indices.iterator
+            j <- (i + 1 until vecs.length).iterator
+            cos = round6(dotd(vecs(i)._2, vecs(j)._2) / (vecs(i)._3 * vecs(j)._3))
+            if cos >= 0.45
+          } yield (vecs(i)._1, vecs(j)._1, cos)
+        }
+        .distinct() // the same pair can surface from several bands
         .toDF("a_id", "b_id", "cos")
         .orderBy("a_id", "b_id")
     }),

@@ -43,6 +43,17 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("g15b: banded LSH dedup emits only true pairs and recalls most of brute force") {
+    val exact = SparkEntry.queries("g15_dedup_embed_cosine")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("g15b_dedup_embed_lsh")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact-verify step ⇒ precision is 1.0 by construction
+    assert((lsh -- exact).isEmpty, s"LSH emitted non-pairs: ${(lsh -- exact).take(5)}")
+    val recall = (lsh & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"banded LSH recall $recall too low (${lsh.size}/${exact.size})")
+  }
+
   test("g3b: native codegen cosine expression matches the HOF formulation exactly") {
     val hof = SparkEntry.queries("g3_sim_cosine_pairs")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
