@@ -33,6 +33,28 @@ object SqlQueries extends QueryModule {
       "FROM orders o2 WHERE o2.o_custkey = o.o_custkey) " +
       "ORDER BY o_orderkey"
 
+  // TPC-H Q2 shape over this fixture's schema (lineitem stands in for
+  // partsupp: l_partkey/l_suppkey carry the part-supplier relation). For
+  // each PROMO small part, the suppliers in EUROPE offering it at the
+  // region-wide minimum price — a correlated aggregate over a 4-way join
+  // that Catalyst must decorrelate into a shared min-per-part subplan.
+  // DISTINCT collapses repeat lineitems of the same (part, supplier) at the
+  // minimum; ordering is total (s_name unique, p_partkey breaks the rest).
+  private val sqlQ2 =
+    "SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_type, l_extendedprice AS min_price " +
+      "FROM part JOIN lineitem ON l_partkey = p_partkey " +
+      "JOIN supplier ON s_suppkey = l_suppkey " +
+      "JOIN nation ON n_nationkey = s_nationkey " +
+      "JOIN region ON r_regionkey = n_regionkey " +
+      "WHERE r_name = 'EUROPE' AND p_size <= 10 AND p_type = 'PROMO' " +
+      "AND l_extendedprice = (" +
+      "SELECT min(l2.l_extendedprice) FROM lineitem l2 " +
+      "JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey " +
+      "JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey " +
+      "JOIN region r2 ON r2.r_regionkey = n2.n_regionkey " +
+      "WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE') " +
+      "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"
+
   private def registerAll(s: org.apache.spark.sql.SparkSession, dir: String): Tables = {
     val t = Tables(s, dir)
     t.region.createOrReplaceTempView("region")
@@ -64,12 +86,19 @@ object SqlQueries extends QueryModule {
     "s3_sql_correlated" -> ((s, dir) => {
       registerAll(s, dir)
       s.sql(sqlCorrelated)
+    }),
+
+    // TPC-H Q2 shape: min-cost supplier per part via correlated aggregate.
+    "s4_sql_tpch2" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(sqlQ2)
     })
   )
 
   val oracles: Seq[(String, String)] = Seq(
     "s1_sql_tpch3" -> tpch3,
     "s2_sql_window_rank" -> sqlWindow,
-    "s3_sql_correlated" -> sqlCorrelated
+    "s3_sql_correlated" -> sqlCorrelated,
+    "s4_sql_tpch2" -> sqlQ2
   )
 }
