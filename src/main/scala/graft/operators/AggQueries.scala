@@ -48,6 +48,18 @@ object AggQueries extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // H3: the same sketch as D3 but through our own TypedImperativeAggregate
+    // HLL (internal-API extension tier) — 16 KiB register blob per group
+    // crosses the shuffle, register-max merge. Approximate → rows-only;
+    // PropertySpec asserts error vs exact within tolerance.
+    "h3_udaf_hll" -> ((s, dir) => {
+      graft.functions.HllSketchAgg.register(s)
+      val t = Tables(s, dir)
+      t.events.groupBy(col("event_type"))
+        .agg(expr("hll_approx(user_id)").as("approx_users"))
+        .orderBy("event_type")
+    }),
+
     // D4: ROLLUP subtotals. Grouping nulls are mapped to a sentinel on both
     // sides so null-ordering dialect differences can't bite.
     "d4_agg_rollup" -> ((s, dir) => {
