@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 /** SURVEY §2 I (Structured Streaming I1–I8). All rows-only (✘ oracle):
   * streaming output depends on micro-batch boundaries, which no batch SQL
@@ -73,6 +73,20 @@ object StreamingQueries extends QueryModule {
     val prev = s.conf.get(key)
     s.conf.set(key, "8")
     try body finally s.conf.set(key, prev)
+  }
+
+  /** transformWithState requires the RocksDB state store; the conf is
+    * captured at query START, so scoping it around start() leaves the
+    * HDFS-backed default in place for every other streaming query. */
+  private def withRocksDbStateStore[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
   /** Run to completion (AvailableNow) into an in-memory table, return it. */
@@ -164,20 +178,25 @@ object StreamingQueries extends QueryModule {
         .orderBy("w_start")
     }),
 
-    // I6: custom state — running per-user event counters via
-    // flatMapGroupsWithState (update mode through foreachBatch).
+    // I6: custom state — running per-user event counters on the Spark 4.x
+    // arbitrary-state API (transformWithState + RocksDB store), with an
+    // event-time idle timer evicting users 7 days after their last activity
+    // (the fixture's user set stays active throughout, so no timer fires
+    // here; expiry semantics are proven on a crafted stream in
+    // StreamingSpec). Update mode through foreachBatch.
     "i6_stream_stateful" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val q = stream(s, dir).select(col("user_id"), col("event_id")).as[(Long, Long)]
+      val q = stream(s, dir).select(col("user_id"), col("ts"))
+        .withWatermark("ts", "1 hour")
+        .as[(Long, java.sql.Timestamp)]
         .groupByKey(_._1)
-        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-          (uid: Long, rows: Iterator[(Long, Long)], st: GroupState[Long]) =>
-            val c = st.getOption.getOrElse(0L) + rows.size
-            st.update(c)
-            Iterator((uid, c))
-        }.toDF("user_id", "n_so_far")
-      runForeachBatch(q, "i6", dir)
+        .transformWithState(
+          new graft.streaming.UserCounterProcessor(7L * 24 * 3600 * 1000),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Update())
+        .toDF("user_id", "n_so_far")
+      withRocksDbStateStore(s) { runForeachBatch(q, "i6", dir) }
         .groupBy(col("user_id")).agg(max(col("n_so_far")).as("n_total"),
           count(lit(1)).as("n_updates"))
         .orderBy("user_id")

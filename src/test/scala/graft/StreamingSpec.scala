@@ -33,6 +33,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(total == totalEvents)
   }
 
+  test("i6: idle-user state expires via the event-time timer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import spark.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, java.sql.Timestamp)](spark)
+      // base offset keeps event times strictly above the initial watermark
+      // (epoch 0), which would otherwise drop the first batch as late
+      def ts(min: Long) = new java.sql.Timestamp((1000 + min) * 60000L)
+      val q = in.toDS().toDF("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.UserCounterProcessor(10L * 60 * 1000), // 10 min idle
+          TimeMode.EventTime(),
+          OutputMode.Update())
+        .toDF("user_id", "n")
+      val name = s"i6_expiry_${System.nanoTime()}"
+      val sq = q.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        // batch 1: both users active
+        in.addData((1L, ts(0)), (2L, ts(0)))
+        sq.processAllAvailable()
+        // batch 2: only user 2 — watermark moves to min 30, past user 1's
+        // min-10 timer → user 1 evicted (tombstone), state cleared
+        in.addData((2L, ts(30)))
+        sq.processAllAvailable()
+        // batch 3: user 1 returns — counter must restart from scratch
+        in.addData((1L, ts(31)))
+        sq.processAllAvailable()
+        val rows = spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        assert(rows.contains((1L, -1L)), s"no eviction tombstone for user 1: ${rows.toSeq}")
+        // the post-expiry count restarted at 1, proving state was dropped
+        val afterExpiry = rows.filter(r => r._1 == 1L && r._2 >= 0).map(_._2)
+        assert(afterExpiry.sorted.toSeq == Seq(1L, 1L), s"user 1 counts: ${afterExpiry.toSeq}")
+        // user 2 was never evicted and kept accumulating
+        assert(rows.filter(_._1 == 2L).map(_._2).max == 2L)
+      } finally sq.stop()
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("i9: stream-stream join emits bounded click-purchase pairs") {
     val rows = SparkEntry.queries("i9_stream_stream_join")(spark, sfDir).collect()
     assert(rows.nonEmpty)
