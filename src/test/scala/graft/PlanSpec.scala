@@ -57,6 +57,47 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"), p)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (no manual salt needed)") {
+    // c14/d9 salt by hand; this documents the other tool in the box — AQE's
+    // OptimizeSkewedJoin — with thresholds scaled down to fixture size (the
+    // defaults target 256 MB shuffle partitions). A production job keeps the
+    // defaults and gets the same split when a hot key exceeds 5x the median.
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4kb",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2kb",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val t = Tables(spark, sfDir)
+      // 80% of the fact rows share one hot key; the rest spread over users.
+      // props rides along so the hot shuffle partition is fat enough to
+      // clear the (scaled-down) skew threshold at fixture size, and the
+      // repartition(8) gives the map side >1 task — AQE can only split a
+      // skewed reducer partition on MAPPER boundaries, so a single-mapper
+      // fixture scan would make the skew unsplittable no matter its size.
+      val fact = t.events.repartition(8).select(
+        when(pmod(col("event_id"), lit(5)) < 4, lit(1L))
+          .otherwise(col("user_id") + 1000000L).as("k"),
+        col("value"), col("props"))
+      val dim = spark.range(1000000L, 1000200L).select(col("id").as("k"))
+        .union(spark.range(1L, 2L).select(col("id").as("k")))
+        .withColumn("payload", col("k") * 2)
+      val df = fact.join(dim.hint("MERGE"), "k")
+        .agg(count(lit(1)).as("n"), sum(col("payload")).as("p"),
+          sum(length(col("props"))).as("plen"))
+      df.collect() // finalize THIS df's adaptive plan (count() would plan anew)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"no skew split in plan:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("a6: day filter prunes partitions at the scan") {
     val p = finalPlan("a6_partition_pruning")
     assert(p.contains("PartitionFilters: ["), p)
