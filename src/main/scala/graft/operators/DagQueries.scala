@@ -110,6 +110,14 @@ object DagQueries extends QueryModule {
       val afterRun1 = Seq("load_orders", "priority_counts", "status_counts")
         .map(n => n -> Option(computes.get(n)).map(_.get()).getOrElse(0)).toMap
       mk().run(s, parallelism = 2)
+      // the result derives from the local counters, not the parquet sinks —
+      // delete the per-invocation tmp output so repeated runs don't leak
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles()
+        if (cs != null) cs.foreach(rmrf)
+        f.delete(); ()
+      }
+      rmrf(new java.io.File(base))
       val spark = s
       import spark.implicits._
       afterRun1.keys.toSeq.sorted.map { n =>

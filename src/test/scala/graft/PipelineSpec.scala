@@ -30,9 +30,11 @@ class PipelineSpec extends AnyFunSuite {
 
   test("g19: redacted preview contains no digit runs or 12+-letter words") {
     val r = SparkEntry.queries("g19_text_redaction")(spark, sfDir)
-    // strip the markers, then nothing matching the redaction patterns remains
+    // strip the markers (with a space, so two adjacent sub-threshold runs
+    // can't merge into a false 12+-letter positive), then nothing matching
+    // the redaction patterns remains
     val leftover = r.withColumn("clean",
-        regexp_replace(regexp_replace(col("red80"), "<NUM>", ""), "<LONG>", ""))
+        regexp_replace(regexp_replace(col("red80"), "<NUM>", " "), "<LONG>", " "))
       .filter(regexp_count(col("clean"), lit("[0-9]+")) > 0 ||
         regexp_count(col("clean"), lit("[a-zA-Z]{12,}")) > 0)
     assert(leftover.count() == 0)

@@ -42,10 +42,12 @@ def veq(a, b):
     """Dtype-strict scalar equality (int vs float mismatch = fail)."""
     if a is None or b is None:
         return a is None and b is None
-    if isinstance(a, Decimal):
-        a = float(a)
-    if isinstance(b, Decimal):
-        b = float(b)
+    # Decimal vs float IS a dtype mismatch (the driver hashes formatted
+    # values, so '1.000000' vs '1.0' would fail there — fail here too)
+    if isinstance(a, Decimal) != isinstance(b, Decimal):
+        return False
+    if isinstance(a, Decimal) and isinstance(b, Decimal):
+        return a == b
     if isinstance(a, bool) != isinstance(b, bool):
         return False
     if is_int(a) != is_int(b) or is_float(a) != is_float(b):
