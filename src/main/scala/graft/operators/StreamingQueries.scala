@@ -68,10 +68,10 @@ object StreamingQueries extends QueryModule {
     * conf is captured at query START, so setting it around start() scopes it
     * to the streaming query without touching the batch session default.
     */
-  private def withStreamShufflePartitions[T](s: SparkSession)(body: => T): T = {
+  private def withStreamShufflePartitions[T](s: SparkSession, n: Int = 8)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, "8")
+    s.conf.set(key, n.toString)
     try body finally s.conf.set(key, prev)
   }
 
@@ -79,13 +79,18 @@ object StreamingQueries extends QueryModule {
     * captured at query START, so scoping it around start() leaves the
     * HDFS-backed default in place for every other streaming query. */
   private def withRocksDbStateStore[T](s: SparkSession)(body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      // incremental changelog checkpoints instead of a full snapshot upload
+      // every micro-batch — the production setting for large state
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
     }
   }
 
@@ -103,10 +108,11 @@ object StreamingQueries extends QueryModule {
 
   /** Run to completion via foreachBatch into a fresh parquet dir, return the
     * read-back (I8's sink pattern, reused by the stateful op). */
-  private def runForeachBatch(q: DataFrame, name: String, dir: String): DataFrame = {
+  private def runForeachBatch(q: DataFrame, name: String, dir: String,
+      statePartitions: Int = 8): DataFrame = {
     val spark = q.sparkSession
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${dir.hashCode & 0x7fffffff}_${System.nanoTime()}"
-    val sq = withStreamShufflePartitions(spark) {
+    val sq = withStreamShufflePartitions(spark, statePartitions) {
       q.writeStream.outputMode(OutputMode.Update())
         .foreachBatch { (df: DataFrame, id: Long) =>
           df.withColumn("batch_id", lit(id)).write.mode("append").parquet(out)
@@ -196,7 +202,10 @@ object StreamingQueries extends QueryModule {
           org.apache.spark.sql.streaming.TimeMode.EventTime(),
           OutputMode.Update())
         .toDF("user_id", "n_so_far")
-      withRocksDbStateStore(s) { runForeachBatch(q, "i6", dir) }
+      // 2 state partitions: RocksDB pays a per-instance-per-batch startup
+      // cost, and the fixture state (one counter per user) is tiny; a real
+      // deployment sizes this to keep each store's working set in memory
+      withRocksDbStateStore(s) { runForeachBatch(q, "i6", dir, statePartitions = 2) }
         .groupBy(col("user_id")).agg(max(col("n_so_far")).as("n_total"),
           count(lit(1)).as("n_updates"))
         .orderBy("user_id")
