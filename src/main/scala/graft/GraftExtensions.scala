@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Library entry point for Spark's extension mechanism: a user who sets
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * (or `SparkSession.builder().withExtensions(new GraftExtensions)`) gets
+  * every graft-native function registered in the session catalog at build
+  * time — no per-query `register(...)` calls. This is the supported way to
+  * ship Catalyst extensions as a library: the injection happens before any
+  * analysis, so the functions resolve in plain SQL, views, and thrift-server
+  * sessions alike.
+  *
+  * Injected functions:
+  *  - `cosine_sim(array<double>, array<double>)` — codegen'd cosine
+  *    similarity ([[graft.functions.CosineSim]])
+  *  - `hll_approx(col)` — HyperLogLog distinct-count sketch aggregate
+  *    ([[graft.functions.HllSketchAgg]])
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => graft.functions.CosineSim(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hll_approx"),
+      new ExpressionInfo(classOf[graft.functions.HllSketchAgg].getName, "hll_approx"),
+      (exprs: Seq[Expression]) => graft.functions.HllSketchAgg(exprs.head)))
+  }
+}
