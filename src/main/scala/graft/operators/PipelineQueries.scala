@@ -22,6 +22,9 @@ import org.apache.spark.sql.expressions.Window
   *    shuffle at all — they run at scan speed.
   *  - g21: per-vector fold over a 64-wide array, also narrow; the scale
   *    factor (max|x|/127) is recomputed per row so no global pass is needed.
+  *  - g22: repetition scoring is a narrow per-row trigram fold — no shuffle.
+  *  - g23: sequence packing windows WITHIN a partition key (source), never
+  *    through a single global cumsum — the packing shape that scales.
   */
 object PipelineQueries extends QueryModule {
 
@@ -104,6 +107,48 @@ object PipelineQueries extends QueryModule {
           expr("CAST(aggregate(v, 0, (a, x) -> a + (CASE WHEN abs(floor(x / (mx / 127.0) + 0.5)) >= 127 THEN 1 ELSE 0 END)) AS INT)")
             .as("n_sat"))
         .orderBy("vec_id")
+    }),
+
+    // G22: intra-document repetition — share of repeated word 3-grams, the
+    // standard pretraining quality signal for boilerplate/spam (a high
+    // ratio means the document repeats itself). Narrow per-row array
+    // transform, codegen'd, shuffle-free.
+    "g22_repetition_ratio" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .withColumn("toks", TF.tokens(lower(col("text"))))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("tris",
+          expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
+        .select(col("doc_id"),
+          size(col("tris")).as("n_tri"),
+          size(array_distinct(col("tris"))).as("n_uniq"))
+        .withColumn("rep_ratio",
+          round(lit(1.0) - col("n_uniq").cast("double") / col("n_tri"), 6))
+        .withColumn("bucket",
+          when(col("rep_ratio") >= 0.5, "high")
+            .when(col("rep_ratio") >= 0.2, "medium")
+            .otherwise("low"))
+        .orderBy("doc_id")
+    }),
+
+    // G23: token-budget sequence packing — stream documents (per source, in
+    // doc_id order) into training sequences cut at a 256-token budget: a
+    // doc starts a new sequence when the running total before it crosses
+    // the next budget boundary. The window is PARTITIONED (one shuffle on
+    // source), which is the shape that scales — a 100 TB job packs within
+    // shards exactly like this, never through one global cumsum.
+    "g23_seq_packing" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t.documents
+        .withColumn("n_toks", size(TF.tokens(col("text"))).cast("long"))
+        .withColumn("cum_excl", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+        .withColumn("seq_id", expr("cum_excl DIV 256"))
+        .groupBy(col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("seq_toks"))
+        .orderBy("source", "seq_id")
     })
   )
 
@@ -151,6 +196,25 @@ object PipelineQueries extends QueryModule {
         "FROM (SELECT vec_id, label, " +
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, " +
         "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx " +
-        "FROM embeddings) WHERE mx > 0 ORDER BY vec_id")
+        "FROM embeddings) WHERE mx > 0 ORDER BY vec_id"),
+
+    "g22_repetition_ratio" ->
+      ("SELECT doc_id, n_tri, n_uniq, rep_ratio, " +
+        "CASE WHEN rep_ratio >= 0.5 THEN 'high' WHEN rep_ratio >= 0.2 THEN 'medium' " +
+        "ELSE 'low' END AS bucket FROM (" +
+        "SELECT doc_id, len(tris) AS n_tri, len(list_distinct(tris)) AS n_uniq, " +
+        "round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris), 6) AS rep_ratio " +
+        "FROM (SELECT doc_id, list_transform(range(1, len(toks) - 2 + 1), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tris " +
+        "FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents) " +
+        "WHERE len(toks) >= 3)) ORDER BY doc_id"),
+
+    "g23_seq_packing" ->
+      ("SELECT source, seq_id, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS seq_toks " +
+        "FROM (SELECT source, doc_id, n_toks, " +
+        "COALESCE(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS seq_id " +
+        "FROM (SELECT source, doc_id, len(str_split(text, ' ')) AS n_toks FROM documents)) " +
+        "GROUP BY source, seq_id ORDER BY source, seq_id")
   )
 }
