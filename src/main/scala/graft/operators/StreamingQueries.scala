@@ -111,7 +111,16 @@ object StreamingQueries extends QueryModule {
   private def runForeachBatch(q: DataFrame, name: String, dir: String,
       statePartitions: Int = 8): DataFrame = {
     val spark = q.sparkSession
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${dir.hashCode & 0x7fffffff}_${System.nanoTime()}"
+    // deterministic per-(query, fixture) path, cleared up front: reruns
+    // overwrite instead of accumulating tmp output (each invocation's
+    // result is consumed eagerly, so clearing at the NEXT run is safe)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${dir.hashCode & 0x7fffffff}"
+    def rmrf(f: java.io.File): Unit = {
+      val cs = f.listFiles()
+      if (cs != null) cs.foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(out))
     val sq = withStreamShufflePartitions(spark, statePartitions) {
       q.writeStream.outputMode(OutputMode.Update())
         .foreachBatch { (df: DataFrame, id: Long) =>
