@@ -162,6 +162,18 @@ object ScanFilterQueries extends QueryModule {
         .orderBy("day")
     }),
 
+    // A10: custom DataSource V2 connector (graft.sources.RangeEventsSource)
+    // — the source extension tier for feeds the built-in formats can't read.
+    // The generated stream is a pure function of the row id, so DuckDB
+    // replays it from range(); aggregation is all-integer (no float risk).
+    "a10_scan_custom_source" -> ((s, dir) => {
+      s.read.format("graft.sources.RangeEventsSource")
+        .option("rows", "10000").option("parts", "8").load()
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
+        .orderBy("grp")
+    }),
+
     // B1: projection incl. computed column; per-row double math is
     // IEEE-identical across engines. lineitem has no unique key → ORDER BY ALL.
     "b1_project" -> ((s, dir) =>
@@ -231,6 +243,11 @@ object ScanFilterQueries extends QueryModule {
         "CAST(1 AS BIGINT) AS n_files, count(*) AS n, " +
         s"${Tables.dsumSql("value")} AS val_sum " +
         "FROM events GROUP BY 1 ORDER BY day"),
+
+    "a10_scan_custom_source" ->
+      ("SELECT CAST(id % 10 AS INT) AS grp, count(*) AS n, " +
+        "CAST(sum((id * 2654435761) % 1000003) AS BIGINT) AS hsum " +
+        "FROM range(10000) t(id) GROUP BY 1 ORDER BY grp"),
 
     "b1_project" ->
       ("SELECT l_orderkey, l_linenumber, " +

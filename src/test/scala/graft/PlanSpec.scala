@@ -98,6 +98,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("a10: column pruning pushes into the custom DSv2 source") {
+    val df = spark.read.format("graft.sources.RangeEventsSource")
+      .option("rows", "100").load()
+      .select(org.apache.spark.sql.functions.col("grp"))
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("grp"), scan)
+    assert(!scan.contains("hsum") && !scan.contains("h#") && !scan.contains("id#"),
+      s"unpruned columns survive in the scan: $scan")
+  }
+
   test("a6: day filter prunes partitions at the scan") {
     val p = finalPlan("a6_partition_pruning")
     assert(p.contains("PartitionFilters: ["), p)
