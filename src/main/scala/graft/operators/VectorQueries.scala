@@ -113,6 +113,67 @@ object VectorQueries extends QueryModule {
         .orderBy("a_id", "rn")
     }),
 
+    // G5c: EXACT k-NN with no driver collect and no full-set broadcast — the
+    // block nested-loop plan that holds at 100 TB: rows are hashed into B
+    // blocks; each row is replicated B times as a query (to buckets
+    // (myBlock, *)) and B times as a candidate (to buckets (*, myBlock)),
+    // every (qBlock, cBlock) bucket runs the local top-k kernel over its
+    // n/B × n/B slice, and a final per-query merge of the B partial top-k
+    // lists yields the global top-k (each global winner is a within-block
+    // winner, so the union of partials always contains it). One shuffle of
+    // 2B data copies; per-task memory is 2n/B vectors — B trades shuffle
+    // volume against task memory. Arithmetic is bit-identical to g5
+    // (ascending-index fold, HALF_UP 6dp), so the exact g5 oracle replays.
+    "g5c_knn_block" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val t = Tables(s, dir)
+      val B = 4
+      def dotd(x: Array[Double], y: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i) * y(i); i += 1 }
+        acc
+      }
+      def round6(x: Double): Double =
+        java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      t.embeddings.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+        .flatMap { case (id, vf) =>
+          val v = vf.map(_.toDouble).toArray
+          val m = (id % B).toInt
+          // role 0 = query copy, role 1 = candidate copy
+          (0 until B).iterator.flatMap { o =>
+            Iterator((m * B + o, 0, id, v), (o * B + m, 1, id, v))
+          }
+        }
+        .groupByKey(_._1)
+        .flatMapGroups { (_: Int, it: Iterator[(Int, Int, Long, Array[Double])]) =>
+          val (qs, cs) = it.map { case (_, role, id, v) =>
+            (role, id, v, math.sqrt(dotd(v, v)))
+          }.toArray.partition(_._1 == 0)
+          qs.iterator.flatMap { case (_, aId, a, na) =>
+            cs.iterator
+              .filter(_._2 != aId)
+              .map { case (_, bId, b, nb) => (bId, round6(dotd(a, b) / (na * nb))) }
+              .toArray
+              .sortBy { case (bId, cos) => (-cos, bId) }
+              .take(5)
+              .iterator
+              .map { case (bId, cos) => (aId, bId, cos) }
+          }
+        }
+        .groupByKey(_._1)
+        .flatMapGroups { (aId: Long, partials: Iterator[(Long, Long, Double)]) =>
+          partials.map { case (_, bId, cos) => (bId, cos) }
+            .toArray
+            .sortBy { case (bId, cos) => (-cos, bId) }
+            .take(5)
+            .iterator.zipWithIndex
+            .map { case ((bId, cos), i) => (aId, bId, cos, i + 1) }
+        }
+        .toDF("a_id", "b_id", "cos", "rn")
+        .orderBy("a_id", "rn")
+    }),
+
     // G5b: the scale path — sign-LSH bucketing (4 deterministic hyperplanes
     // → 16 buckets), then k-NN inside each bucket as a local kernel behind a
     // single shuffle on the bucket id: exactly the IVF/LSH plan that holds at
@@ -443,6 +504,15 @@ object VectorQueries extends QueryModule {
 
     // g5b: approximate (LSH) — oracle intentionally omitted.
     // g4b: approximate (IVF) — oracle intentionally omitted.
+
+    // g5c: EXACT block nested-loop kNN — same answer, same oracle as g5.
+    "g5c_knn_block" ->
+      ("SELECT a_id, b_id, cos, rn FROM (SELECT a_id, b_id, cos, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn FROM (" +
+        "SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)) " +
+        "WHERE rn <= 5 ORDER BY a_id, rn"),
 
     "g15_dedup_embed_cosine" ->
       ("SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +

@@ -43,6 +43,14 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("g5c: block nested-loop kNN equals the broadcast-kernel kNN exactly") {
+    val bc = SparkEntry.queries("g5_knn_join")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val blk = SparkEntry.queries("g5c_knn_block")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(blk == bc)
+  }
+
   test("g15b: banded LSH dedup emits only true pairs and recalls most of brute force") {
     val exact = SparkEntry.queries("g15_dedup_embed_cosine")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
