@@ -325,6 +325,62 @@ object VectorQueries extends QueryModule {
         .orderBy("a_id", "b_id")
     }),
 
+    // G15c: EXACT embedding dedup with no driver collect — the block
+    // upper-triangle plan: rows hash into B blocks, each row is sent to the
+    // B buckets {(min(m,o), max(m,o))}, and bucket (i,j) emits exactly the
+    // pairs with one side in block i and one in block j (within-block pairs
+    // for i==j) — every unordered pair lands in EXACTLY one bucket, so no
+    // dedup pass is needed. B(B+1)/2 buckets, one shuffle of B copies,
+    // per-task memory 2n/B vectors. Same arithmetic as g15 → same oracle.
+    "g15c_dedup_embed_block" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val t = Tables(s, dir)
+      val B = 4
+      def dotd(x: Array[Double], y: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i) * y(i); i += 1 }
+        acc
+      }
+      def round6(x: Double): Double =
+        java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      t.embeddings.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+        .flatMap { case (id, vf) =>
+          val v = vf.map(_.toDouble).toArray
+          val m = (id % B).toInt
+          (0 until B).iterator.map { o =>
+            (math.min(m, o) * B + math.max(m, o), m, id, v)
+          }
+        }
+        .groupByKey(_._1)
+        .flatMapGroups { (key: Int, it: Iterator[(Int, Int, Long, Array[Double])]) =>
+          val i = key / B
+          val j = key % B
+          val rows = it.map { case (_, m, id, v) =>
+            (m, id, v, math.sqrt(dotd(v, v)))
+          }.toArray
+          val out = Iterator.newBuilder[(Long, Long, Double)]
+          if (i == j) {
+            val rs = rows.sortBy(_._2)
+            for (x <- rs.indices; y <- x + 1 until rs.length) {
+              val cos = round6(dotd(rs(x)._3, rs(y)._3) / (rs(x)._4 * rs(y)._4))
+              if (cos >= 0.45) out += ((rs(x)._2, rs(y)._2, cos))
+            }
+          } else {
+            val as = rows.filter(_._1 == i)
+            val bs = rows.filter(_._1 == j)
+            for (ra <- as; rb <- bs) {
+              val cos = round6(dotd(ra._3, rb._3) / (ra._4 * rb._4))
+              if (cos >= 0.45)
+                out += ((math.min(ra._2, rb._2), math.max(ra._2, rb._2), cos))
+            }
+          }
+          out.result()
+        }
+        .toDF("a_id", "b_id", "cos")
+        .orderBy("a_id", "b_id")
+    }),
+
     // G15b: the scale path for embedding dedup — banded sign-LSH (8 bands ×
     // 2 hyperplanes): each vector lands in one bucket per band, candidate
     // pairs are generated only inside buckets, and every candidate is
@@ -515,6 +571,14 @@ object VectorQueries extends QueryModule {
         "WHERE rn <= 5 ORDER BY a_id, rn"),
 
     "g15_dedup_embed_cosine" ->
+      ("SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.45 " +
+        "ORDER BY a_id, b_id"),
+
+    // g15c: EXACT block-bucketed dedup — same answer, same oracle as g15.
+    "g15c_dedup_embed_block" ->
       ("SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
         "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
