@@ -46,10 +46,47 @@ object MinHashLSH {
     sig
   }
 
+  /** Distinct word-3-shingle FNV-1a hash set of a text, whitespace-tokenized
+    * with the same semantics as `TextFunctions.tokens` (Spark's split keeps
+    * trailing empties → limit -1). Hashing the shingles instead of
+    * materializing them as Catalyst string arrays is the whole ballgame:
+    * building ~n shingle strings per doc through the expression tree or the
+    * Dataset encoder measured ~4-5 s per 5k docs, the arithmetic below is
+    * milliseconds. */
+  def shingleHashes(txt: String): Array[Long] = {
+    val toks = txt.split(" ", -1)
+    if (toks.length < 3) return Array.emptyLongArray
+    val seen = new java.util.HashSet[java.lang.Long](toks.length * 2)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](toks.length - 2)
+    var i = 0
+    while (i + 2 < toks.length) {
+      val h = TextFunctions.fnv64(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Exact Jaccard of two distinct-hash sets (ascending sort + merge). */
+  def jaccardHashes(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 0.0
+    val sa = a.sorted
+    val sb = b.sorted
+    var i = 0; var j = 0; var inter = 0
+    while (i < sa.length && j < sb.length) {
+      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+      else if (sa(i) < sb(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (sa.length + sb.length - inter)
+  }
+
   /** Near-dup pairs (a_id < b_id) with exact Jaccard >= threshold.
-    * `docs` must have columns (id, sh) where sh is a distinct shingle array.
-    * Rows with empty shingle sets never match (array_min of empty is null →
-    * banding buckets on null hash are dropped).
+    * `docs` must have columns (id, txt); shingling, minhashing, and the
+    * final exact-Jaccard verification all run on 3-shingle FNV hashes in
+    * JVM kernels — shingle STRINGS are never materialized as Catalyst data
+    * (doing so dominated the old runtime). Docs with fewer than 3 tokens
+    * never pair.
     */
   def nearDupPairs(docs: DataFrame, threshold: Double,
                    numHashes: Int = 32, numBands: Int = 8): DataFrame = {
@@ -57,36 +94,42 @@ object MinHashLSH {
     val rowsPerBand = numHashes / numBands
     val spark = docs.sparkSession
     import spark.implicits._
-    // shingle strings hashed once by codegen'd xxhash64; signatures + band
-    // hashes in the JVM kernel (one mix64 fold per band slice)
-    val sig = docs.filter(size(col("sh")) > 0)
-      .withColumn("hs", transform(col("sh"), x => xxhash64(x)))
-      .select(col("id").as[Long], col("sh").as[Seq[String]], col("hs").as[Seq[Long]])
-      .map { case (id, sh, hs) =>
-        val s = minhashSig(hs, numHashes)
-        val bands = Array.tabulate(numBands) { b =>
-          var acc = 0x9e3779b97f4a7c15L * (b + 1)
-          var i = b * rowsPerBand
-          while (i < (b + 1) * rowsPerBand) { acc = mix64(acc ^ s(i)); i += 1 }
-          acc
+    val txts = docs.select(col("id"), col("txt"))
+    val sig = txts.as[(Long, String)]
+      .map { case (id, txt) =>
+        val hs = shingleHashes(txt)
+        if (hs.isEmpty) (id, Array.emptyLongArray)
+        else {
+          val s = minhashSig(hs, numHashes)
+          val bands = Array.tabulate(numBands) { b =>
+            var acc = 0x9e3779b97f4a7c15L * (b + 1)
+            var i = b * rowsPerBand
+            while (i < (b + 1) * rowsPerBand) { acc = mix64(acc ^ s(i)); i += 1 }
+            acc
+          }
+          (id, bands)
         }
-        (id, sh, bands)
-      }.toDF("id", "sh", "bands")
-      .persist() // reused by both sides of the band join and the verify join
-    // candidates carry only (ids, band key) — the wide shingle arrays are
-    // joined back ONLY for the few candidate pairs, never shuffled all-pairs
+      }
+      .filter(_._2.nonEmpty)
+      .toDF("id", "bands")
+    // candidates carry only (ids, band key) — the raw texts are joined back
+    // ONLY for the few candidate pairs, never shuffled all-pairs
     val banded = sig.select(col("id"), posexplode(col("bands")).as(Seq("band", "bhash")))
+      .persist() // both sides of the self-join
     val cand = banded
       .join(banded.select(col("id").as("id_b"), col("band").as("band_b"), col("bhash").as("bhash_b")),
         col("band") === col("band_b") && col("bhash") === col("bhash_b") && col("id") < col("id_b"))
       .select(col("id").as("a_id"), col("id_b").as("b_id"))
       .distinct() // same pair can collide in several bands
-    val sh = sig.select(col("id"), col("sh"))
     cand
-      .join(sh.select(col("id").as("a_id"), col("sh").as("sha")), "a_id")
-      .join(sh.select(col("id").as("b_id"), col("sh").as("shb")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        TextFunctions.jaccard(col("sha"), col("shb")).as("jaccard"))
+      .join(txts.select(col("id").as("a_id"), col("txt").as("ta")), "a_id")
+      .join(txts.select(col("id").as("b_id"), col("txt").as("tb")), "b_id")
+      .select(col("a_id").as[Long], col("b_id").as[Long],
+        col("ta").as[String], col("tb").as[String])
+      .map { case (a, b, ta, tb) =>
+        (a, b, jaccardHashes(shingleHashes(ta), shingleHashes(tb)))
+      }
+      .toDF("a_id", "b_id", "jaccard")
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -55,8 +55,7 @@ object TextQueries extends QueryModule {
     "g2b_dedup_minhash_lsh" -> ((s, dir) => {
       val t = Tables(s, dir)
       val base = t.documents
-        .withColumn("toks", TF.tokens(lower(col("text"))))
-        .select(col("doc_id").as("id"), TF.shingles3("toks").as("sh"))
+        .select(col("doc_id").as("id"), lower(col("text")).as("txt"))
       MinHashLSH.nearDupPairs(base, threshold = 0.4)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a_id", "b_id")

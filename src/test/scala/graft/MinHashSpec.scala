@@ -23,8 +23,14 @@ class MinHashSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
   }
 
+  // the brute side above stays on declarative shingle ARRAYS while the LSH
+  // path runs entirely on kernel shingle hashes — agreeing jaccard values
+  // cross-check the two independent formulations
   private lazy val lsh: Map[(Long, Long), Double] =
-    MinHashLSH.nearDupPairs(base, threshold = 0.4)
+    MinHashLSH.nearDupPairs(
+      Tables(spark, sfDir).documents
+        .select(col("doc_id").as("id"), lower(col("text")).as("txt")),
+      threshold = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
 
   test("every LSH pair is a true near-duplicate (no false positives)") {
