@@ -25,14 +25,25 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  private def requireArity(fn: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$fn expects $n argument${if (n == 1) "" else "s"}, got ${exprs.length}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => graft.functions.CosineSim(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        requireArity("cosine_sim(array<double>, array<double>)", exprs, 2)
+        graft.functions.CosineSim(exprs.head, exprs(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("hll_approx"),
       new ExpressionInfo(classOf[graft.functions.HllSketchAgg].getName, "hll_approx"),
-      (exprs: Seq[Expression]) => graft.functions.HllSketchAgg(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        requireArity("hll_approx(col)", exprs, 1)
+        graft.functions.HllSketchAgg(exprs.head)
+      }))
   }
 }

@@ -206,10 +206,9 @@ object JoinQueries extends QueryModule {
       val t = Tables(s, dir)
       val salts = 8
       val ev = t.events
-        // coalesce: a NULL event_id must salt to a real bucket, not drop the
-        // row the plain-join oracle keeps (fixture is non-null; stay exact
-        // for any input)
-        .withColumn("salt", pmod(coalesce(xxhash64(col("event_id")), lit(0L)), lit(salts)))
+        // xxhash64 never returns NULL (null inputs hash to the seed), so the
+        // salt is total — every row lands in a real bucket
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(salts)))
       val cust = t.customer.select(col("c_custkey"), col("c_mktsegment"))
         .withColumn("salt", explode(array((0 until salts).map(i => lit(i)): _*)))
       ev.join(cust, ev("user_id") === cust("c_custkey") && ev("salt") === cust("salt"))

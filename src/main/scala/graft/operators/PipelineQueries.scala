@@ -212,8 +212,8 @@ object PipelineQueries extends QueryModule {
     "g23_seq_packing" ->
       ("SELECT source, seq_id, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS seq_toks " +
         "FROM (SELECT source, doc_id, n_toks, " +
-        "COALESCE(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS seq_id " +
+        "CAST(COALESCE(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS BIGINT) AS seq_id " +
         "FROM (SELECT source, doc_id, len(str_split(text, ' ')) AS n_toks FROM documents)) " +
         "GROUP BY source, seq_id ORDER BY source, seq_id")
   )

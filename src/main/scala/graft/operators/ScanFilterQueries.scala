@@ -174,6 +174,34 @@ object ScanFilterQueries extends QueryModule {
         .orderBy("grp")
     }),
 
+    // A10b: the same custom source with range predicates on `id` PUSHED into
+    // the generator (SupportsPushDownFilters clips the slice bounds — rows
+    // outside [2000, 7000) are never materialized; plan-asserted in PlanSpec).
+    "a10b_scan_custom_pushdown" -> ((s, dir) => {
+      s.read.format("graft.sources.RangeEventsSource")
+        .option("rows", "10000").option("parts", "8").load()
+        .filter(col("id") >= 2000 && col("id") < 7000)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
+        .orderBy("grp")
+    }),
+
+    // A11: custom DataSource V2 WRITE path (graft.sources.GraftTsvSink) —
+    // executor-local part files + driver-side atomic-rename commit, then
+    // read back through the same provider. The oracle recomputes the
+    // aggregate directly, so the roundtrip must preserve every value.
+    "a11_sink_custom_roundtrip" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val path = tmp("graft_tsv_a11", dir)
+      t.orders
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice")).as("total"))
+        .write.format("graft.sources.GraftTsvSink")
+        .mode("overwrite").option("path", path).save()
+      s.read.format("graft.sources.GraftTsvSink").option("path", path).load()
+        .orderBy("o_orderpriority")
+    }),
+
     // B1: projection incl. computed column; per-row double math is
     // IEEE-identical across engines. lineitem has no unique key → ORDER BY ALL.
     "b1_project" -> ((s, dir) =>
@@ -248,6 +276,15 @@ object ScanFilterQueries extends QueryModule {
       ("SELECT CAST(id % 10 AS INT) AS grp, count(*) AS n, " +
         "CAST(sum((id * 2654435761) % 1000003) AS BIGINT) AS hsum " +
         "FROM range(10000) t(id) GROUP BY 1 ORDER BY grp"),
+
+    "a10b_scan_custom_pushdown" ->
+      ("SELECT CAST(id % 10 AS INT) AS grp, count(*) AS n, " +
+        "CAST(sum((id * 2654435761) % 1000003) AS BIGINT) AS hsum " +
+        "FROM range(2000, 7000) t(id) GROUP BY 1 ORDER BY grp"),
+
+    "a11_sink_custom_roundtrip" ->
+      (s"SELECT o_orderpriority, count(*) AS n, ${Tables.dsumSql("o_totalprice")} AS total " +
+        "FROM orders GROUP BY 1 ORDER BY o_orderpriority"),
 
     "b1_project" ->
       ("SELECT l_orderkey, l_linenumber, " +

@@ -8,12 +8,13 @@ import org.apache.spark.sql.expressions.Window
 /** SURVEY §2 G vector band (G3–G6, G10) + H2 (typed Aggregator UDAF) + the
   * north-star multimodal-binary pipeline.
   *
-  * Scale notes (100 TB): pairwise similarity never goes all-pairs — g3 blocks
-  * on label, g5 brute-forces only because k-NN over the full set is the
-  * declared semantic (its scale path g5b buckets by sign-LSH first); norms
-  * are precomputed per row before any join so the join side carries one
-  * double, not a recomputed aggregate; centroid/vector-sum aggregations are
-  * two-phase partial aggregates (flat (label,pos) keys → even shuffle).
+  * Scale notes (100 TB): pairwise similarity never collects and never holds
+  * the full set on one node — g3 blocks on label, exact kNN/dedup use block
+  * replication (`knnBlock`/`dedupBlock`), and the approximate paths bucket
+  * by sign-LSH; norms are precomputed per row before any join so the join
+  * side carries one double, not a recomputed aggregate; centroid/vector-sum
+  * aggregations are two-phase partial aggregates (flat (label,pos) keys →
+  * even shuffle).
   */
 object VectorQueries extends QueryModule {
 
@@ -25,6 +26,120 @@ object VectorQueries extends QueryModule {
     * result is bit-identical across engines evaluating the same order. */
   private def dot(a: String, b: String) =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (s, v) -> s + v)")
+
+  private def dotd(x: Array[Double], y: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < x.length) { acc += x(i) * y(i); i += 1 }
+    acc
+  }
+
+  /** HALF_UP 6dp — what Spark's round() does, so kernel output matches the
+    * declarative form (and the DuckDB oracle) bit-for-bit. */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** EXACT k-NN (k=5) with no driver collect and no full-set broadcast — the
+    * block nested-loop plan that holds at 100 TB: rows are hashed into B
+    * blocks; each row is replicated B times as a query (to buckets
+    * (myBlock, *)) and B times as a candidate (to buckets (*, myBlock)),
+    * every (qBlock, cBlock) bucket runs the local top-k kernel over its
+    * n/B × n/B slice, and a final per-query merge of the B partial top-k
+    * lists yields the global top-k (each global winner is a within-block
+    * winner, so the union of partials always contains it). One shuffle of
+    * 2B data copies; per-task memory is 2n/B vectors — B trades shuffle
+    * volume against task memory. Ascending-index fold + HALF_UP 6dp, so the
+    * exact all-pairs oracle replays bit-for-bit. */
+  private def knnBlock: QFn = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val t = Tables(s, dir)
+    val B = 4
+    t.embeddings.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .flatMap { case (id, vf) =>
+        val v = vf.map(_.toDouble).toArray
+        val m = (id % B).toInt
+        // role 0 = query copy, role 1 = candidate copy
+        (0 until B).iterator.flatMap { o =>
+          Iterator((m * B + o, 0, id, v), (o * B + m, 1, id, v))
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Int, it: Iterator[(Int, Int, Long, Array[Double])]) =>
+        val (qs, cs) = it.map { case (_, role, id, v) =>
+          (role, id, v, math.sqrt(dotd(v, v)))
+        }.toArray.partition(_._1 == 0)
+        qs.iterator.flatMap { case (_, aId, a, na) =>
+          cs.iterator
+            .filter(_._2 != aId)
+            .map { case (_, bId, b, nb) => (bId, round6(dotd(a, b) / (na * nb))) }
+            .toArray
+            .sortBy { case (bId, cos) => (-cos, bId) }
+            .take(5)
+            .iterator
+            .map { case (bId, cos) => (aId, bId, cos) }
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (aId: Long, partials: Iterator[(Long, Long, Double)]) =>
+        partials.map { case (_, bId, cos) => (bId, cos) }
+          .toArray
+          .sortBy { case (bId, cos) => (-cos, bId) }
+          .take(5)
+          .iterator.zipWithIndex
+          .map { case ((bId, cos), i) => (aId, bId, cos, i + 1) }
+      }
+      .toDF("a_id", "b_id", "cos", "rn")
+      .orderBy("a_id", "rn")
+  }
+
+  /** EXACT embedding near-dup pairs (cos >= 0.45) with no driver collect —
+    * the block upper-triangle plan: rows hash into B blocks, each row is
+    * sent to the B buckets {(min(m,o), max(m,o))}, and bucket (i,j) emits
+    * exactly the pairs with one side in block i and one in block j
+    * (within-block pairs for i==j) — every unordered pair lands in EXACTLY
+    * one bucket, so no dedup pass is needed. B(B+1)/2 buckets, one shuffle
+    * of B copies, per-task memory 2n/B vectors. */
+  private def dedupBlock: QFn = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val t = Tables(s, dir)
+    val B = 4
+    t.embeddings.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .flatMap { case (id, vf) =>
+        val v = vf.map(_.toDouble).toArray
+        val m = (id % B).toInt
+        (0 until B).iterator.map { o =>
+          (math.min(m, o) * B + math.max(m, o), m, id, v)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (key: Int, it: Iterator[(Int, Int, Long, Array[Double])]) =>
+        val i = key / B
+        val j = key % B
+        val rows = it.map { case (_, m, id, v) =>
+          (m, id, v, math.sqrt(dotd(v, v)))
+        }.toArray
+        val out = Iterator.newBuilder[(Long, Long, Double)]
+        if (i == j) {
+          val rs = rows.sortBy(_._2)
+          for (x <- rs.indices; y <- x + 1 until rs.length) {
+            val cos = round6(dotd(rs(x)._3, rs(y)._3) / (rs(x)._4 * rs(y)._4))
+            if (cos >= 0.45) out += ((rs(x)._2, rs(y)._2, cos))
+          }
+        } else {
+          val as = rows.filter(_._1 == i)
+          val bs = rows.filter(_._1 == j)
+          for (ra <- as; rb <- bs) {
+            val cos = round6(dotd(ra._3, rb._3) / (ra._4 * rb._4))
+            if (cos >= 0.45)
+              out += ((math.min(ra._2, rb._2), math.max(ra._2, rb._2), cos))
+          }
+        }
+        out.result()
+      }
+      .toDF("a_id", "b_id", "cos")
+      .orderBy("a_id", "b_id")
+  }
 
   val queries: Seq[(String, QFn)] = Seq(
     // G3: pairwise cosine within each label block.
@@ -69,110 +184,14 @@ object VectorQueries extends QueryModule {
         .limit(10)
     }),
 
-    // G5: exact k-NN join (k=5). The build side is broadcast once and each
-    // partition runs a tight local dot-product + top-k kernel — the plan a
-    // hand-written engine would pick, with no 4M-row pair materialization,
-    // no shuffle, and no window sort. Arithmetic mirrors the declarative
-    // form bit-for-bit: ascending-index fold for the dot product, HALF_UP
-    // 6dp rounding (what Spark's round() does), (−cos, b_id) ordering.
-    // Exact all-pairs k-NN inherently needs the full set per node — the
-    // 100 TB path is g5b (LSH bucketing), not a bigger broadcast.
-    "g5_knn_join" -> ((s, dir) => {
-      val spark = s
-      import spark.implicits._
-      val t = Tables(s, dir)
-      def dotd(x: Array[Double], y: Array[Double]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < x.length) { acc += x(i) * y(i); i += 1 }
-        acc
-      }
-      def round6(x: Double): Double =
-        java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-      val all = t.embeddings.select(col("vec_id"), col("embedding"))
-        .as[(Long, Seq[Float])].collect()
-        .map { case (id, v) => (id, v.map(_.toDouble).toArray) }
-      val withNorm = all.map { case (id, v) => (id, v, math.sqrt(dotd(v, v))) }
-      val bc = s.sparkContext.broadcast(withNorm)
-      t.embeddings.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-        .repartition(s.sparkContext.defaultParallelism)
-        .mapPartitions { it =>
-          val others = bc.value
-          it.flatMap { case (aId, av) =>
-            val a = av.map(_.toDouble).toArray
-            val na = math.sqrt(dotd(a, a))
-            val top = others.iterator
-              .filter(_._1 != aId)
-              .map { case (bId, b, nb) => (bId, round6(dotd(a, b) / (na * nb))) }
-              .toArray
-              .sortBy { case (bId, cos) => (-cos, bId) }
-              .take(5)
-            top.iterator.zipWithIndex.map { case ((bId, cos), i) => (aId, bId, cos, i + 1) }
-          }
-        }
-        .toDF("a_id", "b_id", "cos", "rn")
-        .orderBy("a_id", "rn")
-    }),
+    // G5: exact k-NN join (k=5), served by the block nested-loop plan (see
+    // `knnBlock`) — no driver collect, no full-set broadcast. The approximate
+    // 100 TB path is g5b (LSH bucketing).
+    "g5_knn_join" -> knnBlock,
 
-    // G5c: EXACT k-NN with no driver collect and no full-set broadcast — the
-    // block nested-loop plan that holds at 100 TB: rows are hashed into B
-    // blocks; each row is replicated B times as a query (to buckets
-    // (myBlock, *)) and B times as a candidate (to buckets (*, myBlock)),
-    // every (qBlock, cBlock) bucket runs the local top-k kernel over its
-    // n/B × n/B slice, and a final per-query merge of the B partial top-k
-    // lists yields the global top-k (each global winner is a within-block
-    // winner, so the union of partials always contains it). One shuffle of
-    // 2B data copies; per-task memory is 2n/B vectors — B trades shuffle
-    // volume against task memory. Arithmetic is bit-identical to g5
-    // (ascending-index fold, HALF_UP 6dp), so the exact g5 oracle replays.
-    "g5c_knn_block" -> ((s, dir) => {
-      val spark = s
-      import spark.implicits._
-      val t = Tables(s, dir)
-      val B = 4
-      def dotd(x: Array[Double], y: Array[Double]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < x.length) { acc += x(i) * y(i); i += 1 }
-        acc
-      }
-      def round6(x: Double): Double =
-        java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-      t.embeddings.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-        .flatMap { case (id, vf) =>
-          val v = vf.map(_.toDouble).toArray
-          val m = (id % B).toInt
-          // role 0 = query copy, role 1 = candidate copy
-          (0 until B).iterator.flatMap { o =>
-            Iterator((m * B + o, 0, id, v), (o * B + m, 1, id, v))
-          }
-        }
-        .groupByKey(_._1)
-        .flatMapGroups { (_: Int, it: Iterator[(Int, Int, Long, Array[Double])]) =>
-          val (qs, cs) = it.map { case (_, role, id, v) =>
-            (role, id, v, math.sqrt(dotd(v, v)))
-          }.toArray.partition(_._1 == 0)
-          qs.iterator.flatMap { case (_, aId, a, na) =>
-            cs.iterator
-              .filter(_._2 != aId)
-              .map { case (_, bId, b, nb) => (bId, round6(dotd(a, b) / (na * nb))) }
-              .toArray
-              .sortBy { case (bId, cos) => (-cos, bId) }
-              .take(5)
-              .iterator
-              .map { case (bId, cos) => (aId, bId, cos) }
-          }
-        }
-        .groupByKey(_._1)
-        .flatMapGroups { (aId: Long, partials: Iterator[(Long, Long, Double)]) =>
-          partials.map { case (_, bId, cos) => (bId, cos) }
-            .toArray
-            .sortBy { case (bId, cos) => (-cos, bId) }
-            .take(5)
-            .iterator.zipWithIndex
-            .map { case ((bId, cos), i) => (aId, bId, cos, i + 1) }
-        }
-        .toDF("a_id", "b_id", "cos", "rn")
-        .orderBy("a_id", "rn")
-    }),
+    // G5c: the same block plan under its original extension-tier name (kept
+    // so both declared inventory rows stay green against the same oracle).
+    "g5c_knn_block" -> knnBlock,
 
     // G5b: the scale path — sign-LSH bucketing (4 deterministic hyperplanes
     // → 16 buckets), then k-NN inside each bucket as a local kernel behind a
@@ -292,94 +311,13 @@ object VectorQueries extends QueryModule {
 
     // G15: embedding-cosine near-duplicate pairs — the vector-space member
     // of the dedup family: any pair with rounded cosine >= 0.45 (the fixture
-    // max is ~0.51). Same broadcast + local kernel as g5.
-    "g15_dedup_embed_cosine" -> ((s, dir) => {
-      val spark = s
-      import spark.implicits._
-      val t = Tables(s, dir)
-      def dotd(x: Array[Double], y: Array[Double]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < x.length) { acc += x(i) * y(i); i += 1 }
-        acc
-      }
-      def round6(x: Double): Double =
-        java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-      val all = t.embeddings.select(col("vec_id"), col("embedding"))
-        .as[(Long, Seq[Float])].collect()
-        .map { case (id, v) =>
-          val d = v.map(_.toDouble).toArray
-          (id, d, math.sqrt(dotd(d, d)))
-        }
-      val bc = s.sparkContext.broadcast(all)
-      t.embeddings.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-        .repartition(s.sparkContext.defaultParallelism)
-        .flatMap { case (aId, av) =>
-          val a = av.map(_.toDouble).toArray
-          val na = math.sqrt(dotd(a, a))
-          bc.value.iterator
-            .filter(_._1 > aId)
-            .map { case (bId, b, nb) => (aId, bId, round6(dotd(a, b) / (na * nb))) }
-            .filter(_._3 >= 0.45)
-        }
-        .toDF("a_id", "b_id", "cos")
-        .orderBy("a_id", "b_id")
-    }),
+    // max is ~0.51). Served by the block upper-triangle plan (`dedupBlock`)
+    // — no driver collect, no full-set broadcast.
+    "g15_dedup_embed_cosine" -> dedupBlock,
 
-    // G15c: EXACT embedding dedup with no driver collect — the block
-    // upper-triangle plan: rows hash into B blocks, each row is sent to the
-    // B buckets {(min(m,o), max(m,o))}, and bucket (i,j) emits exactly the
-    // pairs with one side in block i and one in block j (within-block pairs
-    // for i==j) — every unordered pair lands in EXACTLY one bucket, so no
-    // dedup pass is needed. B(B+1)/2 buckets, one shuffle of B copies,
-    // per-task memory 2n/B vectors. Same arithmetic as g15 → same oracle.
-    "g15c_dedup_embed_block" -> ((s, dir) => {
-      val spark = s
-      import spark.implicits._
-      val t = Tables(s, dir)
-      val B = 4
-      def dotd(x: Array[Double], y: Array[Double]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < x.length) { acc += x(i) * y(i); i += 1 }
-        acc
-      }
-      def round6(x: Double): Double =
-        java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-      t.embeddings.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-        .flatMap { case (id, vf) =>
-          val v = vf.map(_.toDouble).toArray
-          val m = (id % B).toInt
-          (0 until B).iterator.map { o =>
-            (math.min(m, o) * B + math.max(m, o), m, id, v)
-          }
-        }
-        .groupByKey(_._1)
-        .flatMapGroups { (key: Int, it: Iterator[(Int, Int, Long, Array[Double])]) =>
-          val i = key / B
-          val j = key % B
-          val rows = it.map { case (_, m, id, v) =>
-            (m, id, v, math.sqrt(dotd(v, v)))
-          }.toArray
-          val out = Iterator.newBuilder[(Long, Long, Double)]
-          if (i == j) {
-            val rs = rows.sortBy(_._2)
-            for (x <- rs.indices; y <- x + 1 until rs.length) {
-              val cos = round6(dotd(rs(x)._3, rs(y)._3) / (rs(x)._4 * rs(y)._4))
-              if (cos >= 0.45) out += ((rs(x)._2, rs(y)._2, cos))
-            }
-          } else {
-            val as = rows.filter(_._1 == i)
-            val bs = rows.filter(_._1 == j)
-            for (ra <- as; rb <- bs) {
-              val cos = round6(dotd(ra._3, rb._3) / (ra._4 * rb._4))
-              if (cos >= 0.45)
-                out += ((math.min(ra._2, rb._2), math.max(ra._2, rb._2), cos))
-            }
-          }
-          out.result()
-        }
-        .toDF("a_id", "b_id", "cos")
-        .orderBy("a_id", "b_id")
-    }),
+    // G15c: the same block plan under its original extension-tier name (both
+    // declared rows stay green against the same oracle).
+    "g15c_dedup_embed_block" -> dedupBlock,
 
     // G15b: the scale path for embedding dedup — banded sign-LSH (8 bands ×
     // 2 hyperplanes): each vector lands in one bucket per band, candidate

@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -30,7 +31,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the scan parallelizes like any file source (each reader materializes only
   * its slice, nothing is driver-resident); column pruning is pushed into the
   * reader via `SupportsPushDownRequiredColumns`, so `select(grp)` never
-  * computes or ships the other columns.
+  * computes or ships the other columns; range predicates on `id` are pushed
+  * via `SupportsPushDownFilters` and clip the generated slice bounds, so a
+  * filtered-out row is never materialized (the generator's analogue of
+  * parquet row-group skipping).
   */
 class RangeEventsSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -63,22 +67,63 @@ private[sources] class RangeEventsTable(rows: Long, parts: Int)
 }
 
 private[sources] class RangeEventsScanBuilder(rows: Long, parts: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = RangeEventsSource.schema
+  // range predicates on `id` clip the generated slice bounds — the generator
+  // never materializes a filtered-out row, exactly like parquet row-group
+  // skipping. lo/hi form the half-open surviving interval [lo, hi).
+  private var lo: Long = 0L
+  private var hi: Long = rows
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new RangeEventsScan(rows, parts, required)
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case n: java.lang.Number => Some(n.longValue())
+    case _ => None
+  }
+
+  /** Try to fold one filter into [lo, hi); true = fully handled here. */
+  private def clip(f: Filter): Boolean = f match {
+    case GreaterThan("id", v) => asLong(v).exists { n => lo = math.max(lo, n + 1); true }
+    case GreaterThanOrEqual("id", v) => asLong(v).exists { n => lo = math.max(lo, n); true }
+    case LessThan("id", v) => asLong(v).exists { n => hi = math.min(hi, n); true }
+    case LessThanOrEqual("id", v) => asLong(v).exists { n => hi = math.min(hi, n + 1); true }
+    case EqualTo("id", v) => asLong(v).exists { n => lo = math.max(lo, n); hi = math.min(hi, n + 1); true }
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (handled, residual) = filters.partition(clip)
+    pushed = handled
+    residual // Spark still evaluates these post-scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new RangeEventsScan(lo, math.max(lo, hi), parts, required, pushed)
 }
 
-private[sources] class RangeEventsScan(rows: Long, parts: Int, required: StructType)
+private[sources] class RangeEventsScan(
+    lo: Long, hi: Long, parts: Int, required: StructType, pushed: Array[Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] =
+  // surfaces the clipped range in explain() output, like parquet's PushedFilters
+  override def description(): String =
+    s"range_events[$lo, $hi) PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = hi - lo
     (0 until parts).map { i =>
-      RangeSlice(rows * i / parts, rows * (i + 1) / parts): InputPartition
+      RangeSlice(lo + n * i / parts, lo + n * (i + 1) / parts): InputPartition
     }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RangeReaderFactory(required.fieldNames)

@@ -43,12 +43,35 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
-  test("g5c: block nested-loop kNN equals the broadcast-kernel kNN exactly") {
-    val bc = SparkEntry.queries("g5_knn_join")(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+  test("g5c: block nested-loop kNN equals an in-test brute force exactly") {
+    // Independent oracle: brute-force top-5 computed here, driver-side, from
+    // the raw fixture (fine at test SF; the plan under test never collects).
+    def dotd(x: Array[Double], y: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < x.length) { acc += x(i) * y(i); i += 1 }
+      acc
+    }
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val all = Tables(spark, sfDir).embeddings
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        (r.getLong(0), v, math.sqrt(dotd(v, v)))
+      }
+    val brute = all.flatMap { case (aId, a, na) =>
+      all.iterator
+        .filter(_._1 != aId)
+        .map { case (bId, b, nb) => (bId, round6(dotd(a, b) / (na * nb))) }
+        .toArray
+        .sortBy { case (bId, cos) => (-cos, bId) }
+        .take(5)
+        .zipWithIndex
+        .map { case ((bId, cos), i) => (aId, i + 1) -> (bId, cos) }
+    }.toMap
     val blk = SparkEntry.queries("g5c_knn_block")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
-    assert(blk == bc)
+    assert(blk == brute)
   }
 
   test("g15b: banded LSH dedup emits only true pairs and recalls most of brute force") {

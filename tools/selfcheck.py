@@ -114,6 +114,17 @@ def main():
             print(f"FAIL {name}: non-scalar oracle columns {bad_oracle}")
             n_fail += 1
             continue
+        # HUGEINT escapes the dtype-strict veq (duckdb fetchall() yields
+        # plain ints) but the driver's pandas conversion maps it to float64,
+        # so the formatted-value hash diverges from Spark's int64 ('3.0' vs
+        # '3'). Fail here so it can't pass locally and fail in the driver.
+        huge = [f"{r[0]}:{r[1]}" for r in exp_types
+                if "HUGEINT" in r[1].upper()]
+        if huge:
+            print(f"FAIL {name}: oracle columns {huge} are HUGEINT — the "
+                  "driver formats these as float64; CAST them to BIGINT")
+            n_fail += 1
+            continue
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
             n_fail += 1
