@@ -51,12 +51,16 @@ object StreamingQueries extends QueryModule {
     base
   }
 
-  /** perBatch=true replays one chunk per micro-batch (watermark/late-data
-    * semantics need batch boundaries); false ingests everything in one batch
-    * — cheaper for the complete-mode aggregations that don't. */
-  private def stream(s: SparkSession, dir: String, perBatch: Boolean = true): DataFrame = {
+  /** perBatch=true replays `filesPerTrigger` chunks per micro-batch
+    * (watermark/late-data semantics need batch boundaries — i4/i8 keep 1
+    * file per trigger; operators that only need *some* boundary use 2,
+    * halving the per-micro-batch state-store overhead); false ingests
+    * everything in one batch — cheapest for the complete-mode aggregations
+    * that need no boundaries at all. */
+  private def stream(s: SparkSession, dir: String, perBatch: Boolean = true,
+      filesPerTrigger: Int = 1): DataFrame = {
     val r = s.readStream.schema(chunkSchema)
-    (if (perBatch) r.option("maxFilesPerTrigger", "1") else r)
+    (if (perBatch) r.option("maxFilesPerTrigger", filesPerTrigger.toString) else r)
       .parquet(chunkedSource(s, dir))
   }
 
@@ -156,7 +160,7 @@ object StreamingQueries extends QueryModule {
 
     // I3: per-user session windows (30-minute gap), closed by the watermark.
     "i3_stream_session" -> ((s, dir) => {
-      val q = stream(s, dir)
+      val q = stream(s, dir, filesPerTrigger = 2)
         .withWatermark("ts", "1 hour")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n"))
@@ -181,7 +185,7 @@ object StreamingQueries extends QueryModule {
     // I5: streaming dedup — each event duplicated in-stream, then
     // dropDuplicatesWithinWatermark collapses the copies.
     "i5_stream_dedup" -> ((s, dir) => {
-      val q = stream(s, dir)
+      val q = stream(s, dir, filesPerTrigger = 2)
         .withColumn("copy", explode(array(lit(1), lit(2))))
         .drop("copy")
         .withWatermark("ts", "1 hour")
@@ -202,7 +206,7 @@ object StreamingQueries extends QueryModule {
     "i6_stream_stateful" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val q = stream(s, dir).select(col("user_id"), col("ts"))
+      val q = stream(s, dir, filesPerTrigger = 2).select(col("user_id"), col("ts"))
         .withWatermark("ts", "1 hour")
         .as[(Long, java.sql.Timestamp)]
         .groupByKey(_._1)

@@ -68,15 +68,40 @@ object VectorQueries extends QueryModule {
         val (qs, cs) = it.map { case (_, role, id, v) =>
           (role, id, v, math.sqrt(dotd(v, v)))
         }.toArray.partition(_._1 == 0)
+        // candidates as parallel primitive arrays — the inner loop below runs
+        // |qs|×|cs| times per bucket, so no tuples, no boxing
+        val cIds = cs.map(_._2)
+        val cVecs = cs.map(_._3)
+        val cNorms = cs.map(_._4)
         qs.iterator.flatMap { case (_, aId, a, na) =>
-          cs.iterator
-            .filter(_._2 != aId)
-            .map { case (_, bId, b, nb) => (bId, round6(dotd(a, b) / (na * nb))) }
-            .toArray
-            .sortBy { case (bId, cos) => (-cos, bId) }
-            .take(5)
-            .iterator
-            .map { case (bId, cos) => (aId, bId, cos) }
+          // bounded top-5 by (-roundedCos, bId), kept best-first. round6 is a
+          // BigDecimal op, so it runs ONLY for candidates whose raw cosine
+          // could still place after rounding (round6 moves a value < 5e-7).
+          val ids = new Array[Long](5)
+          val cos = new Array[Double](5)
+          var filled = 0
+          var ci = 0
+          while (ci < cIds.length) {
+            val bId = cIds(ci)
+            if (bId != aId) {
+              val raw = dotd(a, cVecs(ci)) / (na * cNorms(ci))
+              if (filled < 5 || raw >= cos(4) - 5e-7) {
+                val r = round6(raw)
+                var pos = filled
+                while (pos > 0 && (r > cos(pos - 1) ||
+                    (r == cos(pos - 1) && bId < ids(pos - 1)))) pos -= 1
+                if (pos < 5) {
+                  var m = math.min(filled, 4)
+                  while (m > pos) { cos(m) = cos(m - 1); ids(m) = ids(m - 1); m -= 1 }
+                  cos(pos) = r
+                  ids(pos) = bId
+                  if (filled < 5) filled += 1
+                }
+              }
+            }
+            ci += 1
+          }
+          (0 until filled).iterator.map(i => (aId, ids(i), cos(i)))
         }
       }
       .groupByKey(_._1)
@@ -120,19 +145,27 @@ object VectorQueries extends QueryModule {
           (m, id, v, math.sqrt(dotd(v, v)))
         }.toArray
         val out = Iterator.newBuilder[(Long, Long, Double)]
+        // round6 (a BigDecimal op) only runs for pairs whose raw cosine can
+        // still clear the threshold after rounding (round6 moves < 5e-7)
         if (i == j) {
           val rs = rows.sortBy(_._2)
           for (x <- rs.indices; y <- x + 1 until rs.length) {
-            val cos = round6(dotd(rs(x)._3, rs(y)._3) / (rs(x)._4 * rs(y)._4))
-            if (cos >= 0.45) out += ((rs(x)._2, rs(y)._2, cos))
+            val raw = dotd(rs(x)._3, rs(y)._3) / (rs(x)._4 * rs(y)._4)
+            if (raw >= 0.45 - 5e-7) {
+              val cos = round6(raw)
+              if (cos >= 0.45) out += ((rs(x)._2, rs(y)._2, cos))
+            }
           }
         } else {
           val as = rows.filter(_._1 == i)
           val bs = rows.filter(_._1 == j)
           for (ra <- as; rb <- bs) {
-            val cos = round6(dotd(ra._3, rb._3) / (ra._4 * rb._4))
-            if (cos >= 0.45)
-              out += ((math.min(ra._2, rb._2), math.max(ra._2, rb._2), cos))
+            val raw = dotd(ra._3, rb._3) / (ra._4 * rb._4)
+            if (raw >= 0.45 - 5e-7) {
+              val cos = round6(raw)
+              if (cos >= 0.45)
+                out += ((math.min(ra._2, rb._2), math.max(ra._2, rb._2), cos))
+            }
           }
         }
         out.result()
@@ -364,7 +397,9 @@ object VectorQueries extends QueryModule {
           for {
             i <- vecs.indices.iterator
             j <- (i + 1 until vecs.length).iterator
-            cos = round6(dotd(vecs(i)._2, vecs(j)._2) / (vecs(i)._3 * vecs(j)._3))
+            raw = dotd(vecs(i)._2, vecs(j)._2) / (vecs(i)._3 * vecs(j)._3)
+            if raw >= 0.45 - 5e-7 // round6 moves < 5e-7; skip sure-misses cheap
+            cos = round6(raw)
             if cos >= 0.45
           } yield (vecs(i)._1, vecs(j)._1, cos)
         }
