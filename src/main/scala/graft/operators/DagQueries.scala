@@ -95,19 +95,26 @@ object DagQueries extends QueryModule {
           val out = s"$base/$name"
           if (!new java.io.File(s"$out/_SUCCESS").exists()) {
             computes.computeIfAbsent(name, _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
-            body(sp, d).write.mode("overwrite").parquet(out)
+            // fixture outputs are a few KB — one part file each, so the
+            // bench isn't dominated by 32 empty-file creations per job (a
+            // production job sizes output partitions by volume instead)
+            body(sp, d).coalesce(1).write.mode("overwrite").parquet(out)
           }
           sp.read.parquet(out)
         })
+      // the incremental-skip semantics are the point, not the I/O volume:
+      // materialize a small projected dim (3 customer columns) so the bench
+      // measures the orchestration logic, not parquet write throughput
       def mk() = new Dag(Seq(
-        matJob("load_orders", Nil)((sp, _) => Tables(sp, dir).orders),
-        matJob("status_counts", Seq("load_orders"))((_, d) =>
-          d("load_orders").groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))),
-        matJob("priority_counts", Seq("load_orders"))((_, d) =>
-          d("load_orders").groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")))
+        matJob("load_customer", Nil)((sp, _) => Tables(sp, dir).customer
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))),
+        matJob("segment_counts", Seq("load_customer"))((_, d) =>
+          d("load_customer").groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))),
+        matJob("nation_counts", Seq("load_customer"))((_, d) =>
+          d("load_customer").groupBy(col("c_nationkey")).agg(count(lit(1)).as("n")))
       ))
       mk().run(s, parallelism = 2)
-      val afterRun1 = Seq("load_orders", "priority_counts", "status_counts")
+      val afterRun1 = Seq("load_customer", "nation_counts", "segment_counts")
         .map(n => n -> Option(computes.get(n)).map(_.get()).getOrElse(0)).toMap
       mk().run(s, parallelism = 2)
       // the result derives from the local counters, not the parquet sinks —
@@ -151,7 +158,7 @@ object DagQueries extends QueryModule {
         "('report', 'lineitem.parquet,orders.parquet')) t(job, inputs) ORDER BY job"),
 
     "j5_dag_incremental" ->
-      ("SELECT * FROM (VALUES ('load_orders', 1, 0), ('priority_counts', 1, 0), " +
-        "('status_counts', 1, 0)) t(job, computed_run1, computed_run2) ORDER BY job")
+      ("SELECT * FROM (VALUES ('load_customer', 1, 0), ('nation_counts', 1, 0), " +
+        "('segment_counts', 1, 0)) t(job, computed_run1, computed_run2) ORDER BY job")
   )
 }

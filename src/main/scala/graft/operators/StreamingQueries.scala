@@ -7,11 +7,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
-/** SURVEY §2 I (Structured Streaming I1–I8). All rows-only (✘ oracle):
-  * streaming output depends on micro-batch boundaries, which no batch SQL
-  * oracle can replay. Deterministic-enough behavior comes from
-  * Trigger.AvailableNow + a chronologically-ordered chunked file source;
-  * exact semantics are asserted in StreamingSpec.
+/** SURVEY §2 I (Structured Streaming I1–I8, +i9 stream-stream join, +i10
+  * rate source). The file-fed queries are rows-only (✘ oracle): their output
+  * depends on micro-batch boundaries, which no batch SQL oracle can replay.
+  * Deterministic-enough behavior comes from Trigger.AvailableNow + a
+  * chronologically-ordered chunked file source; exact semantics are asserted
+  * in StreamingSpec. i10's generator source IS deterministic, so it carries
+  * a full value oracle.
   *
   * Scale notes (100 TB): these are the same plans a production job would run
   * — file-source backpressure via maxFilesPerTrigger, event-time watermarks
@@ -72,7 +74,7 @@ object StreamingQueries extends QueryModule {
     * conf is captured at query START, so setting it around start() scopes it
     * to the streaming query without touching the batch session default.
     */
-  private def withStreamShufflePartitions[T](s: SparkSession, n: Int = 8)(body: => T): T = {
+  private def withStreamShufflePartitions[T](s: SparkSession, n: Int = 4)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, n.toString)
@@ -159,8 +161,12 @@ object StreamingQueries extends QueryModule {
     }),
 
     // I3: per-user session windows (30-minute gap), closed by the watermark.
+    // Single-batch ingest: the emitted session set depends only on the FINAL
+    // watermark (sessions ending before max_ts − 1 h), not on where batch
+    // boundaries fall, so extra micro-batches buy nothing but state-store
+    // round-trips — the no-data batch after the last ingest flushes them.
     "i3_stream_session" -> ((s, dir) => {
-      val q = stream(s, dir, filesPerTrigger = 2)
+      val q = stream(s, dir, perBatch = false)
         .withWatermark("ts", "1 hour")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n"))
@@ -183,9 +189,12 @@ object StreamingQueries extends QueryModule {
     }),
 
     // I5: streaming dedup — each event duplicated in-stream, then
-    // dropDuplicatesWithinWatermark collapses the copies.
+    // dropDuplicatesWithinWatermark collapses the copies. Single-batch
+    // ingest: dedup state is keyed by event_id and consulted row-by-row
+    // WITHIN a batch too, so the duplicate pairs collapse identically
+    // whether they arrive in one micro-batch or across several.
     "i5_stream_dedup" -> ((s, dir) => {
-      val q = stream(s, dir, filesPerTrigger = 2)
+      val q = stream(s, dir, perBatch = false)
         .withColumn("copy", explode(array(lit(1), lit(2))))
         .drop("copy")
         .withWatermark("ts", "1 hour")
@@ -264,9 +273,55 @@ object StreamingQueries extends QueryModule {
       runForeachBatch(q, "i8", dir)
         .groupBy(col("batch_id")).agg(count(lit(1)).as("n"))
         .orderBy("batch_id")
+    }),
+
+    // I10: unbounded generator source, bounded deterministically.
+    // `rate-micro-batch` emits exactly rowsPerBatch rows per micro-batch
+    // (batch k: values [k·2000, (k+1)·2000), all stamped k·1 min), and under
+    // Trigger.AvailableNow one restart = one batch. Running 3 AvailableNow
+    // rounds against ONE checkpoint replays the exactly-once resume path a
+    // production job takes after every restart — each round picks up at the
+    // committed offset, and the complete-mode aggregate rebuilds from the
+    // recovered state store. Output is fully deterministic, so unlike the
+    // file-fed i* queries this one carries a full value oracle.
+    "i10_stream_rate" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_i10_ckpt"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles()
+        if (cs != null) cs.foreach(rmrf)
+        f.delete(); ()
+      }
+      rmrf(new java.io.File(base)) // a stale checkpoint would resume past batch 2
+      val qn = s"graft_i10_${System.nanoTime()}"
+      (0 until 3).foreach { _ =>
+        val sq = withStreamShufflePartitions(s) {
+          s.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", "2000").option("numPartitions", "4")
+            .option("startTimestamp", "0").option("advanceMillisPerBatch", "60000")
+            .load()
+            .groupBy(window(col("timestamp"), "2 minutes"))
+            .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+            .writeStream.format("memory").queryName(qn).outputMode("complete")
+            .option("checkpointLocation", base)
+            .trigger(Trigger.AvailableNow()).start()
+        }
+        sq.awaitTermination()
+      }
+      s.table(qn)
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+          col("n"), col("value_sum"))
+        .orderBy("w_start")
     })
   )
 
-  // Streaming output is micro-batch dependent — no SQL oracles (rows-only).
-  val oracles: Seq[(String, String)] = Seq.empty
+  // File-fed streaming output is micro-batch dependent — no SQL oracles
+  // (rows-only). i10's generator is deterministic, so it alone gets one.
+  val oracles: Seq[(String, String)] = Seq(
+    // batches 0,1 land in [00:00, 00:02) (values 0..3999), batch 2 in
+    // [00:02, 00:04) (values 4000..5999)
+    "i10_stream_rate" ->
+      ("SELECT * FROM (VALUES (TIMESTAMP '1970-01-01 00:00:00', 4000, 7998000), " +
+        "(TIMESTAMP '1970-01-01 00:02:00', 2000, 9999000)) " +
+        "t(w_start, n, value_sum) ORDER BY w_start")
+  )
 }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -114,9 +114,7 @@ private[sources] class GraftTsvTable(path: String, schema0: StructType)
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new GraftTsvScan(path, schema0)
-    }
+    new GraftTsvScanBuilder(path, schema0)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     GraftTsvSink.checkSupported(info.schema())
@@ -204,10 +202,30 @@ private[sources] class GraftTsvWriterFactory(path: String, schema: StructType)
   }
 }
 
-private[sources] class GraftTsvScan(path: String, schema: StructType)
+/** Column pruning on read: Catalyst hands the required sub-schema down via
+  * `SupportsPushDownRequiredColumns`, and the reader then parses ONLY those
+  * cells from each line — a wide TSV table projected to 2 columns skips the
+  * string-unescape / numeric-parse work for every other field. (Filters are
+  * NOT pushed: a row-oriented text format has no statistics or ordering to
+  * skip rows with, so pretending to handle predicates would just hide them
+  * from Spark's codegen'd post-scan filter.)
+  */
+private[sources] class GraftTsvScanBuilder(path: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new GraftTsvScan(path, full, required)
+}
+
+private[sources] class GraftTsvScan(path: String, full: StructType, required: StructType)
     extends Scan with Batch {
-  override def readSchema(): StructType = schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // surfaces the pruned projection in explain(), like parquet's ReadSchema
+  override def description(): String =
+    s"graft_tsv ReadSchema: ${required.toDDL}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     require(Files.exists(Paths.get(path, "_schema.ddl")),
@@ -219,34 +237,41 @@ private[sources] class GraftTsvScan(path: String, schema: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TsvReaderFactory(schema)
+    new TsvReaderFactory(full, required)
 }
 
 private[sources] case class TsvFilePartition(file: String) extends InputPartition
 
-private[sources] class TsvReaderFactory(schema: StructType)
+private[sources] class TsvReaderFactory(full: StructType, required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[TsvFilePartition].file
     val lines = Files.lines(Paths.get(file), StandardCharsets.UTF_8)
     val it = lines.iterator()
-    val types: Array[DataType] = schema.fields.map(_.dataType)
+    // file cells are laid out in the FULL schema's order; parse only the
+    // pruned projection's positions
+    val srcIdx: Array[Int] = required.fields.map(f => full.fieldIndex(f.name))
+    val types: Array[DataType] = required.fields.map(_.dataType)
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _
       override def next(): Boolean =
         if (!it.hasNext) false
         else {
           val cells = it.next().split("\t", -1)
-          val values: Array[Any] = types.zipWithIndex.map { case (dt, i) =>
-            val c = cells(i)
-            if (c == GraftTsvSink.Null) null
-            else dt match {
-              case LongType => c.toLong
-              case IntegerType => c.toInt
-              case DoubleType => c.toDouble
-              case StringType => UTF8String.fromString(GraftTsvSink.unesc(c))
-              case other => throw new IllegalStateException(s"unreachable: $other")
-            }
+          val values = new Array[Any](types.length)
+          var i = 0
+          while (i < types.length) {
+            val c = cells(srcIdx(i))
+            values(i) =
+              if (c == GraftTsvSink.Null) null
+              else types(i) match {
+                case LongType => c.toLong
+                case IntegerType => c.toInt
+                case DoubleType => c.toDouble
+                case StringType => UTF8String.fromString(GraftTsvSink.unesc(c))
+                case other => throw new IllegalStateException(s"unreachable: $other")
+              }
+            i += 1
           }
           row = new GenericInternalRow(values)
           true

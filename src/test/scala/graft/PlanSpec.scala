@@ -153,6 +153,25 @@ class PlanSpec extends AnyFunSuite {
       .load().count() == src.count())
   }
 
+  test("a11b: column pruning pushes into the TSV connector's read path") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv_prune").toString
+    t.customer.select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal"))
+      .write.format("graft.sources.GraftTsvSink")
+      .mode("overwrite").option("path", dir).save()
+    val df = spark.read.format("graft.sources.GraftTsvSink").option("path", dir)
+      .load().select(col("c_mktsegment"))
+    val n = df.distinct().count()
+    assert(n == 5, s"expected 5 market segments, got $n")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    // Scan.description() surfaces the pruned projection
+    assert(scan.contains("c_mktsegment"), scan)
+    assert(!scan.contains("c_name") && !scan.contains("c_acctbal"),
+      s"unpruned columns survive in the TSV scan: $scan")
+  }
+
   test("cbo: table stats drive a cost-based join reorder") {
     // SURVEY §4's open note: at 100 TB you run ANALYZE TABLE once per load
     // and let CostBasedJoinReorder pick the join tree instead of trusting

@@ -102,4 +102,18 @@ class StreamingSpec extends AnyFunSuite {
     val batches = SparkEntry.queries("i8_stream_sink")(spark, sfDir).count()
     assert(batches == 4)
   }
+
+  test("i10: rate source replays deterministically across checkpoint restarts") {
+    // 3 AvailableNow rounds over one checkpoint = batches 0..2, each 2000
+    // rows stamped k·1 min — so the windowed aggregate is exactly computable:
+    // [00:00,00:02) gets batches 0+1 (values 0..3999), [00:02,00:04) batch 2
+    // (values 4000..5999). Any drift here means the resume path re-read or
+    // skipped a batch.
+    val rows = SparkEntry.queries("i10_stream_rate")(spark, sfDir).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime]("w_start").toString,
+        r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      ("1970-01-01T00:00", 4000L, 7998000L),
+      ("1970-01-01T00:02", 2000L, 9999000L)), rows.toSeq.toString)
+  }
 }
