@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object AggQueries extends QueryModule {
 
+  /** Shared-dialect GROUPING SETS statement (runs verbatim in Spark SQL and
+    * DuckDB). Year is CAST to BIGINT on both sides — Spark's year() is INT,
+    * DuckDB's BIGINT, and the driver's compare is dtype-strict. */
+  private[operators] val groupingSetsSql: String =
+    "SELECT COALESCE(o_orderpriority, '(all)') AS priority, " +
+      "CAST(COALESCE(year(o_orderdate), 0) AS BIGINT) AS yr, " +
+      s"count(*) AS n, round(${Tables.dsumSql("o_totalprice")}, 6) AS total " +
+      "FROM orders GROUP BY GROUPING SETS " +
+      "((o_orderpriority, year(o_orderdate)), (o_orderpriority), (year(o_orderdate)), ()) " +
+      "ORDER BY priority, yr"
+
   val queries: Seq[(String, QFn)] = Seq(
     // D1: TPC-H Q1 shape — wide multi-aggregate over lineitem.
     "d1_agg_hash" -> ((s, dir) => {
@@ -142,6 +153,16 @@ object AggQueries extends QueryModule {
         .orderBy("day")
     }),
 
+    // D12: explicit GROUPING SETS — the general form behind rollup (D4) and
+    // cube (D5): four hand-picked grouping combinations in ONE pass over
+    // orders (Catalyst expands to a single Expand + hash aggregate, so the
+    // fact table is scanned once, not four times). Shared-dialect SQL; keys
+    // COALESCE to sentinels so NULL ordering can't diverge between engines.
+    "d12_agg_grouping_sets" -> ((s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("orders")
+      s.sql(AggQueries.groupingSetsSql)
+    }),
+
     // D8: statistical aggregates. Rounding absorbs the last-ulp differences
     // of the two engines' streaming variance implementations.
     "d8_agg_stats" -> ((s, dir) => {
@@ -210,6 +231,8 @@ object AggQueries extends QueryModule {
       ("SELECT l_returnflag, round(stddev_samp(l_extendedprice), 4) AS sd_price, " +
         "round(stddev_pop(l_extendedprice), 4) AS sdp_price, " +
         "round(corr(l_extendedprice, l_discount), 6) AS corr_pd, count(*) AS n " +
-        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "d12_agg_grouping_sets" -> AggQueries.groupingSetsSql
   )
 }

@@ -69,6 +69,25 @@ object SortSetQueries extends QueryModule {
       positive.except(withOrders).orderBy("k")
     }),
 
+    // F13: Z-order layout key — interleave the low 16 bits of two join/filter
+    // columns into one clustering value. Range-partitioning + sorting on zval
+    // is how a writer co-locates rows that are close in BOTH dimensions, so
+    // min/max file stats prune scans filtered on either column (the layout
+    // trick behind Delta/Iceberg OPTIMIZE ZORDER, expressed with plain
+    // codegen'd bit arithmetic — no UDF). The repartitionByRange models the
+    // production write layout; the final orderBy/limit makes output stable.
+    "f13_zorder_layout" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .withColumn("zval", expr(SortSetQueries.zvalSpark("l_partkey", "l_suppkey")))
+        .repartitionByRange(8, col("zval"))
+        .sortWithinPartitions("zval")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("zval"))
+        .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+        .limit(2000)
+    }),
+
     // F12: unpivot — wide per-flag aggregates back to (measure, value) long
     // form via the stack generator.
     "f12_unpivot" -> ((s, dir) => {
@@ -117,6 +136,26 @@ object SortSetQueries extends QueryModule {
         s"${Tables.dsumSql("l_extendedprice")} AS sum_price FROM lineitem GROUP BY l_returnflag) " +
         "SELECT l_returnflag, 'qty' AS measure, sum_qty AS value FROM agg " +
         "UNION ALL SELECT l_returnflag, 'price' AS measure, sum_price AS value FROM agg " +
-        "ORDER BY l_returnflag, measure")
+        "ORDER BY l_returnflag, measure"),
+
+    "f13_zorder_layout" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+        s"${SortSetQueries.zvalDuck("l_partkey", "l_suppkey")} AS zval FROM lineitem " +
+        "ORDER BY zval, l_orderkey, l_linenumber LIMIT 2000")
   )
+
+  /** Bit-interleave expressions for the Z-order key, one per dialect (the
+    * arithmetic is identical; Spark spells shifts as functions, DuckDB as
+    * operators). x contributes odd bit positions, y even — 16 bits each. */
+  private[operators] def zvalSpark(x: String, y: String): String =
+    (0 until 16).map { i =>
+      s"shiftleft(shiftrightunsigned(CAST($x AS BIGINT), $i) & 1, ${2 * i + 1}) + " +
+        s"shiftleft(shiftrightunsigned(CAST($y AS BIGINT), $i) & 1, ${2 * i})"
+    }.mkString("(", " + ", ")")
+
+  private[operators] def zvalDuck(x: String, y: String): String =
+    (0 until 16).map { i =>
+      s"((CAST($x AS BIGINT) >> $i) & 1) * ${1L << (2 * i + 1)} + " +
+        s"((CAST($y AS BIGINT) >> $i) & 1) * ${1L << (2 * i)}"
+    }.mkString("(", " + ", ")")
 }

@@ -55,6 +55,38 @@ object SqlQueries extends QueryModule {
       "WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE') " +
       "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"
 
+  // TPC-H Q1 pricing summary — the canonical wide scan-aggregate: one pass
+  // over lineitem, 4 decimal sums + 3 averages + a count per (flag, status).
+  // At 100 TB this is the map-side-combine showcase: partials collapse to
+  // |groups| rows per task before the single tiny shuffle.
+  private val tpch1 =
+    "SELECT l_returnflag, l_linestatus, " +
+      s"round(${Tables.dsumSql("l_quantity")}, 6) AS sum_qty, " +
+      s"round(${Tables.dsumSql("l_extendedprice")}, 6) AS sum_base_price, " +
+      s"round(${Tables.dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS sum_disc_price, " +
+      s"round(${Tables.dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")}, 6) AS sum_charge, " +
+      s"round(${Tables.davgSql("l_quantity")}, 6) AS avg_qty, " +
+      s"round(${Tables.davgSql("l_extendedprice")}, 6) AS avg_price, " +
+      s"round(${Tables.davgSql("l_discount")}, 6) AS avg_disc, " +
+      "count(*) AS count_order " +
+      "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01' " +
+      "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+
+  // TPC-H Q5 local-supplier volume — the 6-way join with a cycle (customer
+  // and supplier must share a nation), which exercises join reorder over a
+  // non-tree join graph; region/nation broadcast, the fact joins shuffle.
+  private val tpch5 =
+    "SELECT n_name, " +
+      s"round(${Tables.dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS revenue " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON l_orderkey = o_orderkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+      "JOIN nation ON s_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey " +
+      "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+      "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+      "GROUP BY n_name ORDER BY revenue DESC, n_name"
+
   private def registerAll(s: org.apache.spark.sql.SparkSession, dir: String): Tables = {
     val t = Tables(s, dir)
     t.region.createOrReplaceTempView("region")
@@ -92,6 +124,18 @@ object SqlQueries extends QueryModule {
     "s4_sql_tpch2" -> ((s, dir) => {
       registerAll(s, dir)
       s.sql(sqlQ2)
+    }),
+
+    // TPC-H Q1: the scan-aggregate workhorse.
+    "s5_sql_tpch1" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(tpch1)
+    }),
+
+    // TPC-H Q5: cyclic 6-way join + join-reorder stress.
+    "s6_sql_tpch5" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(tpch5)
     })
   )
 
@@ -99,6 +143,8 @@ object SqlQueries extends QueryModule {
     "s1_sql_tpch3" -> tpch3,
     "s2_sql_window_rank" -> sqlWindow,
     "s3_sql_correlated" -> sqlCorrelated,
-    "s4_sql_tpch2" -> sqlQ2
+    "s4_sql_tpch2" -> sqlQ2,
+    "s5_sql_tpch1" -> tpch1,
+    "s6_sql_tpch5" -> tpch5
   )
 }

@@ -153,6 +153,18 @@ object WindowQueries extends QueryModule {
           Tables.ntz(min(col("ts"))).as("s_start"),
           Tables.ntz(max(col("ts"))).as("s_end"))
         .orderBy("user_id", "session_id")
+    }),
+
+    // E9: NTILE decile assignment per market segment — the bucketing window
+    // for stratified sampling / quantile binning. Partitioned by segment so
+    // each sort is per-group (no global single-partition sort at scale).
+    "e9_win_ntile" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t.customer.select(col("c_custkey"), col("c_mktsegment"),
+          ntile(10).over(w).as("decile"))
+        .orderBy("c_custkey")
     })
   )
 
@@ -225,6 +237,11 @@ object WindowQueries extends QueryModule {
         "s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM n) " +
         "SELECT user_id, session_id, count(*) AS n_events, min(ts) AS s_start, max(ts) AS s_end " +
-        "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id")
+        "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+
+    "e9_win_ntile" ->
+      ("SELECT c_custkey, c_mktsegment, " +
+        "ntile(10) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS decile " +
+        "FROM customer ORDER BY c_custkey")
   )
 }
