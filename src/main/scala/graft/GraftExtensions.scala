@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$fn expects $n argument${if (n == 1) "" else "s"}, got ${exprs.length}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Whole-operator extension: heap-based grouped top-k replacing the
+    // sort-based Window plan for the opt-in `rn_native` pattern (see
+    // graft.plans.GraftTopKStrategy — fires only on that alias name).
+    ext.injectPlannerStrategy(_ => graft.plans.GraftTopKStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "cosine_sim"),

@@ -47,6 +47,26 @@ object WindowQueries extends QueryModule {
         .orderBy("o_custkey", "rn")
     }),
 
+    // E1c: the same top-3-per-customer once more, but planned by our custom
+    // Catalyst physical operator (graft.plans.GraftTopKPerKeyExec): the
+    // `rn_native` alias opts the query into GraftTopKStrategy, which replaces
+    // Exchange→Sort→Window→Filter with map-side bounded selection → shuffle
+    // of ≤k survivors per (partition × key) → reduce-side bounded merge —
+    // no partition is ever sorted. Same oracle as E1 (identical contract).
+    "e1c_win_topk_native" -> ((s, dir) => {
+      if (!s.experimental.extraStrategies.contains(graft.plans.GraftTopKStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ graft.plans.GraftTopKStrategy
+      val t = Tables(s, dir)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t.orders.withColumn("rn_native", row_number().over(w))
+        .filter(col("rn_native") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn_native").as("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
     // E2: rank / dense_rank / ntile(4) per priority.
     "e2_win_rank_dense" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -176,6 +196,12 @@ object WindowQueries extends QueryModule {
         "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"),
 
     "e1b_win_topk_agg" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"),
+
+    "e1c_win_topk_native" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
         "SELECT o_custkey, o_orderkey, o_totalprice, " +
         "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +

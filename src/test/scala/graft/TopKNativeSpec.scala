@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft.plans.GraftTopKPerKeyExec — the custom whole-operator Catalyst
+  * extension (strategy + physical plan) behind e1c_win_topk_native.
+  */
+class TopKNativeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("e1c plans through GraftTopKPerKeyExec, not Sort+Window") {
+    val df = SparkEntry.queries("e1c_win_topk_native")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftTopKPerKey"), plan)
+    assert(!plan.contains("WindowExec"), s"window survived:\n$plan")
+  }
+
+  test("e1c output is row-for-row identical to the canonical window plan (e1)") {
+    val native = SparkEntry.queries("e1c_win_topk_native")(spark, sfDir)
+      .collect().map(_.toSeq)
+    val window = SparkEntry.queries("e1_win_rownumber_topk")(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(native.length == window.length)
+    assert(native.sameElements(window) || native.toSeq == window.toSeq)
+  }
+
+  test("the strategy does not fire on an ordinary rn alias") {
+    val e1 = SparkEntry.queries("e1_win_rownumber_topk")(spark, sfDir)
+    assert(!e1.queryExecution.executedPlan.toString.contains("GraftTopKPerKey"))
+  }
+
+  test("k larger than every group returns all rows, correctly ranked") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // register the strategy the same way the declared query does
+    SparkEntry.queries("e1c_win_topk_native")(spark, sfDir)
+    val t = Tables(spark, sfDir)
+    val w = Window.partitionBy("n_regionkey").orderBy(col("n_nationkey").asc)
+    val df = t.nation.withColumn("rn_native", row_number().over(w))
+      .filter(col("rn_native") <= 1000)
+      .select(col("n_nationkey"), col("n_regionkey"), col("rn_native"))
+    assert(df.queryExecution.executedPlan.toString.contains("GraftTopKPerKey"))
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).sorted
+    assert(got.length == 25)
+    // within each region, ranks are exactly 1..count in nationkey order
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val ranked = rows.sortBy(_._1).map(_._3)
+      assert(ranked.toSeq == (1 to rows.length).toSeq)
+    }
+  }
+}
