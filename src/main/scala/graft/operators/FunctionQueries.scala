@@ -118,6 +118,45 @@ object FunctionQueries extends QueryModule {
         least(col("o_totalprice"), lit(200000.0)).as("capped"),
         greatest(col("o_totalprice"), lit(50000.0)).as("floored"))
         .orderBy("o_orderkey")
+    }),
+
+    // F14: ordered string aggregation — Spark 4's ANSI listagg with
+    // WITHIN GROUP, the report-building primitive (grouped concat is a
+    // plain hash agg: one shuffle on the group key, no sort of the table).
+    "f14_fn_listagg" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.nation.groupBy(col("n_regionkey"))
+        .agg(
+          expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("n_regionkey")
+    }),
+
+    // F15: the VARIANT type (Spark 4) — parse_json once into the binary
+    // variant encoding, then typed variant_get extraction: the schema-on-read
+    // path for semi-structured telemetry at 100 TB (parse once, extract many,
+    // no per-field string re-parse). Oracle extracts the same field with
+    // DuckDB's JSON reader.
+    "f15_fn_variant" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .select(expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+          col("event_type"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("event_type")).as("n_types"))
+        .orderBy("k")
+    }),
+
+    // F16: exact median / interpolated percentile — both engines interpolate
+    // the midpoint of an even-sized group, so values are engine-comparable.
+    "f16_fn_median" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem.groupBy(col("l_returnflag"))
+        .agg(median(col("l_quantity")).as("med_qty"),
+          median(col("l_extendedprice")).as("med_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -178,6 +217,20 @@ object FunctionQueries extends QueryModule {
         "COALESCE(nullif(o_orderstatus, 'O'), 'OPEN') AS status_x, " +
         "least(o_totalprice, 200000.0) AS capped, " +
         "greatest(o_totalprice, 50000.0) AS floored " +
-        "FROM orders ORDER BY o_orderkey")
+        "FROM orders ORDER BY o_orderkey"),
+
+    "f14_fn_listagg" ->
+      ("SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations, " +
+        "count(*) AS n FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"),
+
+    "f15_fn_variant" ->
+      ("SELECT k, count(*) AS n, count(DISTINCT event_type) AS n_types FROM (" +
+        "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, event_type " +
+        "FROM events) GROUP BY k ORDER BY k"),
+
+    "f16_fn_median" ->
+      ("SELECT l_returnflag, median(l_quantity) AS med_qty, " +
+        "median(l_extendedprice) AS med_price, count(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
   )
 }

@@ -67,6 +67,43 @@ object ScanFilterQueries extends QueryModule {
       s.read.text(path).orderBy("value")
     }),
 
+    // A3e: XML round-trip — Spark 4's built-in XML source (the spark-xml
+    // package merged upstream): write nation as <nations><nation>…</nation>
+    // rows, read back with rowTag + explicit schema. Oracle reads the
+    // original parquet (round-trip is lossless for these types).
+    "a3e_scan_xml" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val path = tmp("xml_nation", dir)
+      t.nation.coalesce(1).write.mode("overwrite")
+        .option("rowTag", "nation").option("rootTag", "nations")
+        .format("xml").save(path)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("rowTag", "nation").format("xml").load(path)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
+    // A12: production observability — Dataset.observe() attaches streaming-
+    // safe accumulator metrics to a scan (row counts, checksums) that a 100 TB
+    // pipeline reads per-batch WITHOUT a second pass over the data. The query
+    // runs one counted pass over lineitem and returns the observed metrics;
+    // the oracle recomputes them relationally.
+    "a12_observe_metrics" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val obs = org.apache.spark.sql.Observation(s"a12_${System.nanoTime}")
+      val observed = t.lineitem.observe(obs,
+        count(lit(1)).as("n_rows"),
+        Tables.dsum(col("l_quantity")).as("sum_qty"),
+        Tables.dsum(col("l_extendedprice")).as("sum_price"))
+      observed.foreach((_: org.apache.spark.sql.Row) => ()) // one real pass, no collect
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("sum_qty").asInstanceOf[Double],
+        m("sum_price").asInstanceOf[Double]))
+        .toDF("n_rows", "sum_qty", "sum_price")
+    }),
+
     // A4: parquet sink round-trip (write → re-read → aggregate).
     "a4_sink_parquet_roundtrip" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -243,6 +280,13 @@ object ScanFilterQueries extends QueryModule {
 
     "a3d_scan_text" ->
       "SELECT text AS value FROM documents ORDER BY value",
+
+    "a3e_scan_xml" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "a12_observe_metrics" ->
+      (s"SELECT count(*) AS n_rows, ${Tables.dsumSql("l_quantity")} AS sum_qty, " +
+        s"${Tables.dsumSql("l_extendedprice")} AS sum_price FROM lineitem"),
 
     "a4_sink_parquet_roundtrip" ->
       (s"SELECT o_orderstatus, count(*) AS n, ${Tables.dsumSql("o_totalprice")} AS total " +
