@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // sort-based Window plan for the opt-in `rn_native` pattern (see
     // graft.plans.GraftTopKStrategy — fires only on that alias name).
     ext.injectPlannerStrategy(_ => graft.plans.GraftTopKStrategy)
+    // Plans the AsOfJoin logical node built by graft.plans.GraftOps.asofJoin
+    // (sorted-merge as-of join with O(1) merge state).
+    ext.injectPlannerStrategy(_ => graft.plans.GraftAsOfStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "cosine_sim"),

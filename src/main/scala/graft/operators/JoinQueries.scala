@@ -133,6 +133,28 @@ object JoinQueries extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // C15: the SAME as-of semantics as c10, but as a true two-table as-of
+    // JOIN through the full custom-operator chain (graft.plans.AsOfJoin
+    // logical node → GraftAsOfStrategy → GraftAsOfJoinExec): one shuffle per
+    // side on user_id, sort within partitions by (user, ts, event_id), then
+    // a streaming merge holding only the latest click seen — no window over
+    // a unioned table, no per-key buffering. Same oracle as c10.
+    "c15_join_asof_native" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val purchases = t.events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = t.events.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+          col("event_id").as("c_eid"))
+      graft.plans.GraftOps.asofJoin(purchases, clicks,
+          Seq(purchases("user_id")), Seq(clicks("c_user")),
+          Seq(purchases("ts"), purchases("event_id")),
+          Seq(clicks("click_ts"), clicks("c_eid")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("click_ts").as("prev_click_ts"))
+        .orderBy("event_id")
+    }),
+
     // C12: bucketed co-located join — both fact tables written CLUSTERED BY
     // the join key into the same bucket count, so the sort-merge join runs
     // with NO shuffle exchange on either side (asserted in PlanSpec). At
@@ -272,6 +294,14 @@ object JoinQueries extends QueryModule {
         "GROUP BY h ORDER BY h"),
 
     "c10_join_asof" ->
+      ("SELECT event_id, user_id, ts, prev_click_ts FROM (" +
+        "SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, " +
+        "last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts " +
+        "FROM events) WHERE event_type = 'purchase' ORDER BY event_id"),
+
+    "c15_join_asof_native" ->
       ("SELECT event_id, user_id, ts, prev_click_ts FROM (" +
         "SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, " +
         "last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS) " +

@@ -1,0 +1,215 @@
+package graft.plans
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.unsafe.Platform
+
+/** SURVEY §2 C10's scale path as the FULL whole-operator extension chain:
+  * custom logical plan → planner strategy → custom physical operator,
+  * driven from a public DataFrame-level API ([[GraftOps.asofJoin]]).
+  *
+  * Semantics: for every left row, append the single latest right row with an
+  * equal join key whose order tuple is strictly below the left row's order
+  * tuple (lexicographic; right columns null when no such row) — exactly the
+  * `last(...) OVER (... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)` window
+  * formulation c10 uses, but as a two-table join.
+  *
+  * Execution (100 TB design): both sides shuffle ONCE on the equi-key and
+  * sort within partitions by (key, order tuple) — the same exchange a
+  * sort-merge join pays — then a streaming merge walks the two sorted
+  * iterators with O(1) state (the one latest right row seen for the current
+  * key). No per-key buffering, no window over a unioned table, no broadcast:
+  * a user with a billion right-side rows costs nothing beyond their sort.
+  * Spark itself has no as-of join (SPARK-22947 is open); pandas-on-Spark's
+  * merge_asof rewrites to a range join + aggregation, which shuffles both
+  * sides AND re-aggregates — this operator does the minimal work.
+  */
+final case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftOrder: Seq[Expression],
+    rightOrder: Seq[Expression])
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoin]] — the node only ever comes from [[GraftOps.asofJoin]],
+  * so no opt-in marker is needed. */
+object GraftAsOfStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: AsOfJoin =>
+      GraftAsOfJoinExec(j.leftKeys, j.rightKeys, j.leftOrder, j.rightOrder,
+        SQLConf.get.numShufflePartitions, planLater(j.left), planLater(j.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+object GraftAsOfJoinExec {
+
+  /** Shuffle key: partitioned by the equi-key's hash, ordered by (key bytes,
+    * typed order tuple). Key equality ⇔ byte equality because both sides'
+    * keys go through an UnsafeProjection to identical canonical layouts.
+    */
+  final class AsOfKey(val key: UnsafeRow, val ord: UnsafeRow) extends Serializable {
+    override def hashCode(): Int = key.hashCode()
+    override def equals(o: Any): Boolean = o match {
+      case other: AsOfKey => key.equals(other.key) && ord.equals(other.ord)
+      case _              => false
+    }
+  }
+
+  /** Unsigned lexicographic byte compare — an arbitrary but total and
+    * consistent order, used ONLY to cluster equal keys contiguously (the
+    * as-of comparison itself is the typed ordering over the order tuple). */
+  def compareKeyBytes(a: UnsafeRow, b: UnsafeRow): Int = {
+    val an = a.getSizeInBytes; val bn = b.getSizeInBytes
+    val n = math.min(an, bn)
+    var i = 0
+    while (i < n) {
+      val x = Platform.getByte(a.getBaseObject, a.getBaseOffset + i) & 0xff
+      val y = Platform.getByte(b.getBaseObject, b.getBaseOffset + i) & 0xff
+      if (x != y) return x - y
+      i += 1
+    }
+    an - bn
+  }
+
+  /** Serializable shuffle ordering (the typed part is a LazilyGeneratedOrdering,
+    * which code-generates its comparator on first use per JVM). */
+  final class ShuffleOrdering(ordTypes: Seq[SortOrder])
+      extends Ordering[AsOfKey] with Serializable {
+    private val typed = new LazilyGeneratedOrdering(ordTypes)
+    override def compare(a: AsOfKey, b: AsOfKey): Int = {
+      val c = compareKeyBytes(a.key, b.key)
+      if (c != 0) c else typed.compare(a.ord, b.ord)
+    }
+  }
+}
+
+final case class GraftAsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftOrder: Seq[Expression],
+    rightOrder: Seq[Expression],
+    numPartitions: Int,
+    left: SparkPlan,
+    right: SparkPlan)
+  extends BinaryExecNode {
+
+  import GraftAsOfJoinExec._
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): GraftAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  /** SortOrder over the order tuple by position (both sides project to the
+    * same types — enforced in GraftOps). */
+  private def boundOrd: Seq[SortOrder] =
+    leftOrder.zipWithIndex.map { case (e, i) =>
+      SortOrder(BoundReference(i, e.dataType, e.nullable), Ascending)
+    }
+
+  private def keyed(
+      plan: SparkPlan, keys: Seq[Expression], ord: Seq[Expression]): RDD[(AsOfKey, UnsafeRow)] = {
+    val out = plan.output
+    plan.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keys, out)
+      val ordProj = UnsafeProjection.create(ord, out)
+      val rowProj = UnsafeProjection.create(out.map(a => a: Expression), out)
+      iter.map { r =>
+        // copies: the sort-based shuffle writer buffers live objects
+        (new AsOfKey(keyProj(r).copy(), ordProj(r).copy()), rowProj(r).copy())
+      }
+    }
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val ordTypes = boundOrd
+    val rightWidth = right.output.size
+    val resultSchema = output
+    implicit val shuffleOrd: Ordering[AsOfKey] = new ShuffleOrdering(ordTypes)
+    val part = new HashPartitioner(numPartitions)
+
+    val l2 = keyed(left, leftKeys, leftOrder).repartitionAndSortWithinPartitions(part)
+    val r2 = keyed(right, rightKeys, rightOrder).repartitionAndSortWithinPartitions(part)
+
+    l2.zipPartitions(r2) { (lIter, rIter) =>
+      val typed = new LazilyGeneratedOrdering(ordTypes)
+      val nullRight = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(resultSchema.map(a => a: Expression), resultSchema)
+      var rCur: (AsOfKey, UnsafeRow) = if (rIter.hasNext) rIter.next() else null
+      // O(1) merge state: the latest right row already consumed, and its key
+      var lastKey: UnsafeRow = null
+      var lastRow: UnsafeRow = null
+      lIter.map { case (lk, lrow) =>
+        var advance = rCur != null
+        while (advance) {
+          val ck = compareKeyBytes(rCur._1.key, lk.key)
+          if (ck < 0 || (ck == 0 && typed.compare(rCur._1.ord, lk.ord) < 0)) {
+            lastKey = rCur._1.key; lastRow = rCur._2
+            rCur = if (rIter.hasNext) rIter.next() else null
+            advance = rCur != null
+          } else advance = false
+        }
+        val matched = lastKey != null && compareKeyBytes(lastKey, lk.key) == 0
+        proj(joined(lrow, if (matched) lastRow else nullRight))
+      }
+    }
+  }
+}
+
+/** Public DataFrame-level entry points for the graft-native operators. */
+object GraftOps {
+
+  /** As-of join: `left` gains `right`'s columns from the latest right row
+    * with equal `keys` and order tuple strictly below the left row's
+    * (null-extended when none exists). `leftOrder`/`rightOrder` must project
+    * to the same types — typically (timestamp, unique id).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[Column],
+      rightKeys: Seq[Column],
+      leftOrder: Seq[Column],
+      rightOrder: Seq[Column]): DataFrame = {
+    val l = left.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    val r = right.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    val spark = l.sparkSession
+    if (!spark.experimental.extraStrategies.contains(GraftAsOfStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GraftAsOfStrategy
+    val toExpr = org.apache.spark.sql.classic.GraftSqlBridge.expression _
+    val node = AsOfJoin(
+      l.queryExecution.analyzed, r.queryExecution.analyzed,
+      leftKeys.map(toExpr), rightKeys.map(toExpr),
+      leftOrder.map(toExpr), rightOrder.map(toExpr))
+    require(node.leftOrder.map(_.dataType) == node.rightOrder.map(_.dataType),
+      "asofJoin: leftOrder and rightOrder must project to identical types")
+    require(node.leftKeys.map(_.dataType) == node.rightKeys.map(_.dataType),
+      "asofJoin: leftKeys and rightKeys must project to identical types")
+    require(l.queryExecution.analyzed.outputSet.intersect(
+        r.queryExecution.analyzed.outputSet).isEmpty,
+      "asofJoin: left and right must not share attribute ids (re-read or alias one side)")
+    org.apache.spark.sql.classic.GraftSqlBridge.ofRows(spark, node)
+  }
+}

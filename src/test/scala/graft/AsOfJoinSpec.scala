@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft.plans.AsOfJoin — the full custom-operator chain (logical node →
+  * strategy → sorted-merge physical join) behind c15_join_asof_native.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("c15 plans through GraftAsOfJoinExec") {
+    val df = SparkEntry.queries("c15_join_asof_native")(spark, sfDir)
+    assert(df.queryExecution.executedPlan.toString.contains("GraftAsOfJoin"))
+  }
+
+  test("c15 output is row-for-row identical to the window formulation (c10)") {
+    val native = SparkEntry.queries("c15_join_asof_native")(spark, sfDir)
+      .collect().map(_.toSeq)
+    val window = SparkEntry.queries("c10_join_asof")(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(native.length == window.length && native.length > 0)
+    assert(native.toSeq == window.toSeq)
+  }
+
+  test("unmatched left rows null-extend; ties on ts break by the id column") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1000L, 10L, 100L), // user 1: click at t=5 precedes
+      (2000L, 10L, 200L), // user 1: t=200 tie → click id 150 < 2000 precedes lexicographically
+      (3000L, 20L, 100L), // user 2: no clicks at all → nulls
+      (4000L, 30L, 100L)  // user 3: clicks only AFTER t=100 → nulls
+    ).toDF("l_id", "l_user", "l_t")
+    val right = Seq(
+      (90L, 10L, 5L),    // user 1, t=5
+      (150L, 10L, 200L), // user 1, t=200 == left l_id=2000's t
+      (95L, 30L, 500L)   // user 3, t=500 — after every left row
+    ).toDF("r_id", "r_user", "r_t")
+    val out = graft.plans.GraftOps.asofJoin(left, right,
+        Seq(left("l_user")), Seq(right("r_user")),
+        Seq(left("l_t"), left("l_id")), Seq(right("r_t"), right("r_id")))
+      .select(col("l_id"), col("r_id"), col("r_t"))
+      .orderBy("l_id")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1000L, 90L, 5L),    // latest click before t=100
+      (2000L, 150L, 200L), // same t, smaller id → strictly precedes
+      (3000L, -1L, -1L),   // user without right rows
+      (4000L, -1L, -1L)))  // right rows exist but none precede
+  }
+
+  test("mismatched order-tuple types are rejected up front") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 1L)).toDF("a", "t")
+    val r = Seq((1L, "x")).toDF("b", "u")
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.GraftOps.asofJoin(l, r,
+        Seq(l("a")), Seq(r("b")), Seq(l("t")), Seq(r("u")))
+    }
+    assert(e.getMessage.contains("identical types"))
+  }
+}
