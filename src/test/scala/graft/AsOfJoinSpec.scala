@@ -52,6 +52,43 @@ class AsOfJoinSpec extends AnyFunSuite {
       (4000L, -1L, -1L)))  // right rows exist but none precede
   }
 
+  test("randomized: as-of join equals the unioned-window formulation under heavy ties") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // 10 users, ts confined to 0..19 → constant cross-side ties; ids are
+    // globally unique so the lexicographic (ts, id) order is total
+    val lRows = Seq.tabulate(2000)(i =>
+      (i.toLong, rnd.nextInt(10).toLong, rnd.nextInt(20).toLong))
+    val rRows = Seq.tabulate(2000)(i =>
+      (100000L + i, rnd.nextInt(10).toLong, rnd.nextInt(20).toLong))
+    val left = lRows.toDF("lid", "user", "ts")
+    val right = rRows.toDF("rid", "r_user", "r_ts")
+    val got = graft.plans.GraftOps.asofJoin(left, right,
+        Seq(left("user")), Seq(right("r_user")),
+        Seq(left("ts"), left("lid")), Seq(right("r_ts"), right("rid")))
+      .select(col("lid"), col("rid"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sortBy(_._1)
+    // oracle: tag both sides, one window pass over the union
+    val unioned = lRows.map(t => (t._1, t._2, t._3, false))
+      .++(rRows.map(t => (t._1, t._2, t._3, true)))
+      .toDF("id", "user", "ts", "is_right")
+    val w = Window.partitionBy("user").orderBy(col("ts"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = unioned
+      .withColumn("prev_rid",
+        last(when(col("is_right"), col("id")), ignoreNulls = true).over(w))
+      .filter(!col("is_right"))
+      .select(col("id"), col("prev_rid"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sortBy(_._1)
+    assert(got.length == 2000)
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("mismatched order-tuple types are rejected up front") {
     val s = spark
     import s.implicits._

@@ -27,6 +27,18 @@ class ExtensionsSpec extends AnyFunSuite {
         val approx = s2.range(1000)
           .selectExpr("hll_approx(id) AS n").head().getLong(0)
         assert(math.abs(approx - 1000.0) / 1000.0 <= 0.02, s"hll said $approx")
+        // planner strategies arrive through the same injection: the rn_native
+        // pattern plans through GraftTopKPerKeyExec with NO experimental
+        // registration on this fresh session
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val topk = s2.range(100)
+          .withColumn("g", col("id") % 10)
+          .withColumn("rn_native",
+            row_number().over(Window.partitionBy("g").orderBy(col("id").desc)))
+          .filter(col("rn_native") <= 2)
+        assert(topk.queryExecution.executedPlan.toString.contains("GraftTopKPerKey"))
+        assert(topk.count() == 20)
       } finally {
         // s2 shares the context; do not stop() it
       }

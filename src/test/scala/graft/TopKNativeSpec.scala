@@ -29,6 +29,31 @@ class TopKNativeSpec extends AnyFunSuite {
     assert(!e1.queryExecution.executedPlan.toString.contains("GraftTopKPerKey"))
   }
 
+  test("randomized: native top-k equals window top-k under heavy key/value ties") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("e1c_win_topk_native")(spark, sfDir) // registers the strategy
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    // 50 hot keys, only 40 distinct values → constant ties; unique id breaks them
+    val df = Seq.tabulate(20000) { i =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(40).toDouble, i.toLong)
+    }.toDF("k", "v", "id").repartition(7) // uneven pre-partitioning on purpose
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id").asc)
+    val native = df.withColumn("rn_native", row_number().over(w))
+      .filter(col("rn_native") <= 7)
+    assert(native.queryExecution.executedPlan.toString.contains("GraftTopKPerKey"))
+    val expected = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 7)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val got = native
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(got.length == 50 * 7)
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("k larger than every group returns all rows, correctly ranked") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
