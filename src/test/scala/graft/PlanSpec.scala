@@ -227,4 +227,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters: ["), p)
     assert(p.contains("2024-01-05"), p)
   }
+
+  test("f15: variant extraction prunes the events scan to props + event_type") {
+    val p = finalPlan("f15_fn_variant")
+    assert(p.contains("props"), p)
+    // untouched wide columns must not be read
+    assert(!p.contains("value"), "scan reads an unused column")
+    assert(!p.contains("user_id"), "scan reads an unused column")
+  }
+
+  test("e1c: column pruning propagates through the custom top-k operator") {
+    val df = SparkEntry.queries("e1c_win_topk_native")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GraftTopKPerKey"), p)
+    assert(!p.contains("o_orderdate"), "scan reads an unused column")
+    assert(!p.contains("o_comment"), "scan reads an unused column")
+  }
+
+  test("c15: the purchase filter pushes into the scan under the as-of join") {
+    val df = SparkEntry.queries("c15_join_asof_native")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GraftAsOfJoin"), p)
+    assert(p.contains("EqualTo(event_type,purchase)"), p)
+    assert(p.contains("EqualTo(event_type,click)"), p)
+  }
 }
