@@ -180,6 +180,32 @@ final case class GraftAsOfJoinExec(
 /** Public DataFrame-level entry points for the graft-native operators. */
 object GraftOps {
 
+  /** Grouped top-k through [[GraftTopKPerKeyExec]]: the k first rows of each
+    * key group under `order` (which should be a total order — add a unique
+    * tiebreak column), with their 1-based rank appended as `rankName`.
+    * Equivalent to `row_number().over(Window...)` + filter, but executed as
+    * bounded selection — no partition is ever sorted (see
+    * [[GraftTopKStrategy]]).
+    */
+  def topKPerKey(
+      df: DataFrame,
+      keys: Seq[Column],
+      order: Seq[Column],
+      k: Int,
+      rankName: String = "rank"): DataFrame = {
+    val d = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    val spark = d.sparkSession
+    if (!spark.experimental.extraStrategies.contains(GraftTopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GraftTopKStrategy
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    d.withColumn("rn_native", row_number().over(w))
+      .filter(col("rn_native") <= k)
+      .withColumnRenamed("rn_native", rankName)
+  }
+
   /** As-of join: `left` gains `right`'s columns from the latest right row
     * with equal `keys` and order tuple strictly below the left row's
     * (null-extended when none exists). `leftOrder`/`rightOrder` must project

@@ -54,6 +54,20 @@ class TopKNativeSpec extends AnyFunSuite {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("GraftOps.topKPerKey wraps the pattern and plans natively") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sfDir)
+    val df = graft.plans.GraftOps.topKPerKey(
+      t.orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      keys = Seq(col("o_custkey")),
+      order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+      k = 3, rankName = "rn")
+    assert(df.queryExecution.executedPlan.toString.contains("GraftTopKPerKey"))
+    val viaQuery = SparkEntry.queries("e1c_win_topk_native")(spark, sfDir)
+    assert(df.orderBy("o_custkey", "rn").collect().map(_.toSeq).toSeq ==
+      viaQuery.collect().map(_.toSeq).toSeq)
+  }
+
   test("k larger than every group returns all rows, correctly ranked") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
