@@ -59,12 +59,21 @@ object SqlQueries extends QueryModule {
   // over lineitem, 4 decimal sums + 3 averages + a count per (flag, status).
   // At 100 TB this is the map-side-combine showcase: partials collapse to
   // |groups| rows per task before the single tiny shuffle.
+  // The four big sums stay exact decimals floored to BIGINT: at sf0.1 they
+  // reach 4.4e9, where a double's ulp (~1e-6) equals the 6th decimal — the
+  // engines' decimal→double casts then legitimately disagree by one ulp
+  // (observed: 4354963544.0333 vs …033301). Integers < 2^53 are exact in
+  // every representation on both engines. The averages (~5e4) are far from
+  // that regime and keep the rounded-double shape.
+  private def exactSum(x: String, alias: String): String =
+    s"CAST(floor(sum(CAST(($x) AS DECIMAL(27,6)))) AS BIGINT) AS $alias"
+
   private val tpch1 =
     "SELECT l_returnflag, l_linestatus, " +
-      s"round(${Tables.dsumSql("l_quantity")}, 6) AS sum_qty, " +
-      s"round(${Tables.dsumSql("l_extendedprice")}, 6) AS sum_base_price, " +
-      s"round(${Tables.dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS sum_disc_price, " +
-      s"round(${Tables.dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")}, 6) AS sum_charge, " +
+      s"${exactSum("l_quantity", "sum_qty")}, " +
+      s"${exactSum("l_extendedprice", "sum_base_price")}, " +
+      s"${exactSum("l_extendedprice * (1.0 - l_discount)", "sum_disc_price")}, " +
+      s"${exactSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", "sum_charge")}, " +
       s"round(${Tables.davgSql("l_quantity")}, 6) AS avg_qty, " +
       s"round(${Tables.davgSql("l_extendedprice")}, 6) AS avg_price, " +
       s"round(${Tables.davgSql("l_discount")}, 6) AS avg_disc, " +
