@@ -21,7 +21,9 @@ object AggQueries extends QueryModule {
   private[operators] val groupingSetsSql: String =
     "SELECT COALESCE(o_orderpriority, '(all)') AS priority, " +
       "CAST(COALESCE(year(o_orderdate), 0) AS BIGINT) AS yr, " +
-      s"count(*) AS n, round(${Tables.dsumSql("o_totalprice")}, 6) AS total " +
+      // no round(): the decimal sum is exact and its double cast deterministic;
+      // round() on a >2^31 double is what diverges between engines (§7.4 rule 7)
+      s"count(*) AS n, ${Tables.dsumSql("o_totalprice")} AS total " +
       "FROM orders GROUP BY GROUPING SETS " +
       "((o_orderpriority, year(o_orderdate)), (o_orderpriority), (year(o_orderdate)), ()) " +
       "ORDER BY priority, yr"
