@@ -18,6 +18,31 @@ object TextQueries extends QueryModule {
 
   private val stopList = TF.StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** DuckDB half of `jaccardPairs`: the blocked-shingle CTE both the g2 and
+    * g24 oracles build on. */
+  private val duckShingleCte =
+    "s AS (SELECT doc_id, substring(lower(text), 1, 40) AS blk, " +
+      "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh " +
+      "FROM (SELECT doc_id, text, str_split(lower(text), ' ') AS toks FROM documents) " +
+      "WHERE len(toks) >= 3)"
+
+  /** Shared by g2 (pair listing) and g24 (component resolution): 40-char
+    * prefix blocking + exact 3-shingle Jaccard ≥ 0.4 over `documents`. */
+  private def jaccardPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val t = Tables(s, dir)
+    val base = t.documents
+      .withColumn("toks", TF.tokens(lower(col("text"))))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), substring(lower(col("text")), 1, 40).as("blk"),
+        TF.shingles3("toks").as("sh"))
+    val a = base.select(col("doc_id").as("a_id"), col("blk"), col("sh").as("sha"))
+    val b = base.select(col("doc_id").as("b_id"), col("blk").as("blkb"), col("sh").as("shb"))
+    a.join(b, col("blk") === col("blkb") && col("a_id") < col("b_id"))
+      .withColumn("jac", TF.jaccard(col("sha"), col("shb")))
+      .filter(col("jac") >= 0.4)
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     // G1: exact dedup on normalized text with a deterministic survivor
     // (lowest doc_id), via window — not dropDuplicates, whose survivor is
@@ -33,20 +58,23 @@ object TextQueries extends QueryModule {
     }),
 
     // G2: near-dup pairs — 40-char-prefix blocking + exact 3-shingle Jaccard.
-    "g2_dedup_near_jaccard" -> ((s, dir) => {
-      val t = Tables(s, dir)
-      val base = t.documents
-        .withColumn("toks", TF.tokens(lower(col("text"))))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), substring(lower(col("text")), 1, 40).as("blk"),
-          TF.shingles3("toks").as("sh"))
-      val a = base.select(col("doc_id").as("a_id"), col("blk"), col("sh").as("sha"))
-      val b = base.select(col("doc_id").as("b_id"), col("blk").as("blkb"), col("sh").as("shb"))
-      a.join(b, col("blk") === col("blkb") && col("a_id") < col("b_id"))
-        .withColumn("jac", TF.jaccard(col("sha"), col("shb")))
-        .filter(col("jac") >= 0.4)
+    "g2_dedup_near_jaccard" -> ((s, dir) =>
+      jaccardPairs(s, dir)
         .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jaccard"))
-        .orderBy("a_id", "b_id")
+        .orderBy("a_id", "b_id")),
+
+    // G24: dedup GROUP RESOLUTION — the step after pair detection. Near-dup
+    // pairs form a graph; every document must map to one canonical group id
+    // (its component's min doc_id) before survivor selection. Runs hash-min
+    // connected components (graft.plans.ConnectedComponents: one
+    // shuffle-join + min-agg per round, O(diameter) rounds) over the g2 pair
+    // graph. Oracle: DuckDB recursive CTE reaching the same fixpoint.
+    "g24_dedup_components" -> ((s, dir) => {
+      val edges = jaccardPairs(s, dir)
+        .select(col("a_id").as("u"), col("b_id").as("v"))
+      graft.plans.ConnectedComponents.labels(edges)
+        .select(col("id").as("doc_id"), col("comp"))
+        .orderBy("doc_id")
     }),
 
     // G2b: the scale path — MinHash banding instead of prefix blocking, same
@@ -217,16 +245,26 @@ object TextQueries extends QueryModule {
         "FROM documents) WHERE rn = 1 ORDER BY doc_id"),
 
     "g2_dedup_near_jaccard" ->
-      ("WITH s AS (SELECT doc_id, substring(lower(text), 1, 40) AS blk, " +
-        "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1), " +
-        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh " +
-        "FROM (SELECT doc_id, text, str_split(lower(text), ' ') AS toks FROM documents) " +
-        "WHERE len(toks) >= 3) " +
+      (s"WITH $duckShingleCte " +
         "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
         "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)), 6) AS jaccard " +
         "FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
         "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.4 " +
         "ORDER BY a_id, b_id"),
+
+    // g24: same edge set as g2, then min-label fixpoint via recursive CTE
+    // (UNION is set semantics, labels finite → terminates at the closure).
+    "g24_dedup_components" ->
+      (s"WITH RECURSIVE $duckShingleCte, " +
+        "edges AS (SELECT a.doc_id AS u, b.doc_id AS v " +
+        "FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.4), " +
+        "sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges), " +
+        "reach(id, lab) AS (" +
+        "SELECT u, u FROM sym " +
+        "UNION " +
+        "SELECT sym.u, reach.lab FROM sym JOIN reach ON sym.v = reach.id) " +
+        "SELECT id AS doc_id, min(lab) AS comp FROM reach GROUP BY id ORDER BY doc_id"),
 
     // g2b: hash-based (xxhash64) — oracle intentionally omitted.
 
