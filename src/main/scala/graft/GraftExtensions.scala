@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // sort-based Window plan for the opt-in `rn_native` pattern (see
     // graft.plans.GraftTopKStrategy — fires only on that alias name).
     ext.injectPlannerStrategy(_ => graft.plans.GraftTopKStrategy)
+    // Optimizer rule (conf-gated, default off): auto-rewrites the canonical
+    // Filter(row_number ≤ k)-over-Window pattern into the rn_native shape the
+    // strategy above plans — see graft.plans.GraftTopKMarkRule.
+    ext.injectOptimizerRule(_ => graft.plans.GraftTopKMarkRule)
     // Plans the AsOfJoin logical node built by graft.plans.GraftOps.asofJoin
     // (sorted-merge as-of join with O(1) merge state).
     ext.injectPlannerStrategy(_ => graft.plans.GraftAsOfStrategy)

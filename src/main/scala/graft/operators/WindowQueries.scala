@@ -67,6 +67,25 @@ object WindowQueries extends QueryModule {
         .orderBy("o_custkey", "rn")
     }),
 
+    // E1d: the same top-3-per-customer written the CANONICAL way (plain `rn`
+    // alias, no opt-in marker) — rewritten to the native operator by the
+    // injected optimizer rule graft.plans.GraftTopKMarkRule. Runs on a cloned
+    // session (isolated conf + experimental slots) so the autoRewrite flag
+    // never leaks into any other query in the run. Same oracle as E1.
+    "e1d_win_topk_autorewrite" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set(graft.plans.GraftTopKMarkRule.Flag, "true")
+      s2.experimental.extraOptimizations = Seq(graft.plans.GraftTopKMarkRule)
+      s2.experimental.extraStrategies = Seq(graft.plans.GraftTopKStrategy)
+      val t = Tables(s2, dir)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t.orders.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
     // E2: rank / dense_rank / ntile(4) per priority.
     "e2_win_rank_dense" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -202,6 +221,12 @@ object WindowQueries extends QueryModule {
         "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"),
 
     "e1c_win_topk_native" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"),
+
+    "e1d_win_topk_autorewrite" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
         "SELECT o_custkey, o_orderkey, o_totalprice, " +
         "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +

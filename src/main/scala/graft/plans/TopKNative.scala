@@ -7,6 +7,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter => LogicalFilter, LogicalPlan, Window => LogicalWindow, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.internal.SQLConf
 
@@ -46,7 +47,7 @@ import org.apache.spark.sql.internal.SQLConf
 object GraftTopKStrategy extends SparkStrategy {
 
   /** cond forms that mean "row_number ≤ k". */
-  private object RnAtMost {
+  private[plans] object RnAtMost {
     def unapply(e: Expression): Option[(Attribute, Int)] = e match {
       case LessThanOrEqual(a: Attribute, IntegerLiteral(k))    => Some((a, k))
       case LessThan(a: Attribute, IntegerLiteral(k))           => Some((a, k - 1))
@@ -74,6 +75,47 @@ object GraftTopKStrategy extends SparkStrategy {
         SQLConf.get.numShufflePartitions, planLater(input)) :: Nil
     case _ => Nil
   }
+}
+
+/** The third extension surface (alongside injected functions and planner
+  * strategies): an optimizer `Rule[LogicalPlan]` that auto-rewrites the
+  * canonical grouped top-k pattern — `Filter(rn ≤ k)` directly over a
+  * single-expression `Window(row_number() AS rn)` with ANY alias — into the
+  * opt-in shape [[GraftTopKStrategy]] plans natively, by renaming the window
+  * alias to `rn_native` (exprId preserved, so every downstream reference and
+  * the final output schema are untouched).
+  *
+  * Conf-gated, default OFF (`spark.graft.topk.autoRewrite=true` to enable):
+  * under ties in the window ORDER BY, row_number is nondeterministic and the
+  * bounded-selection operator may legitimately pick a different (equally
+  * valid) top-k than the sort-based Window plan, so silently hijacking every
+  * user window query is not acceptable library behavior — the user asserts
+  * total order by flipping the flag. Registered session-wide by
+  * [[graft.GraftExtensions]] via `injectOptimizerRule`; that lands it in the
+  * operator-optimization batch, which runs BEFORE InferWindowGroupLimit, so
+  * the renamed plan is exactly what the strategy expects (it strips any
+  * later-inserted WindowGroupLimit anyway).
+  */
+object GraftTopKMarkRule extends Rule[LogicalPlan] {
+
+  val Flag = "spark.graft.topk.autoRewrite"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(Flag, "false").toBoolean) plan
+    else plan.transformUp {
+      case f @ LogicalFilter(cond,
+          w @ LogicalWindow(Seq(alias @ Alias(
+            we @ WindowExpression(RowNumber(), WindowSpecDefinition(_, _, _)), name)),
+            _, _, _, _)) if name != "rn_native" =>
+        cond match {
+          case GraftTopKStrategy.RnAtMost(attr, k)
+              if k >= 1 && attr.exprId == alias.exprId =>
+            f.copy(child = w.copy(windowExpressions = Seq(
+              Alias(we, "rn_native")(alias.exprId, alias.qualifier,
+                alias.explicitMetadata))))
+          case _ => f
+        }
+    }
 }
 
 object GraftTopKPerKeyExec {

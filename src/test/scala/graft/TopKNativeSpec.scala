@@ -68,6 +68,34 @@ class TopKNativeSpec extends AnyFunSuite {
       viaQuery.collect().map(_.toSeq).toSeq)
   }
 
+  test("e1d: the injected optimizer rule rewrites the canonical rn alias to the native operator") {
+    val df = SparkEntry.queries("e1d_win_topk_autorewrite")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftTopKPerKey"), plan)
+    assert(!plan.contains("WindowExec"), s"window survived:\n$plan")
+    // output schema keeps the user's alias, not the marker name
+    assert(df.columns.toSeq == Seq("o_custkey", "o_orderkey", "o_totalprice", "rn"))
+    val window = SparkEntry.queries("e1_win_rownumber_topk")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(df.collect().map(_.toSeq).toSeq == window)
+  }
+
+  test("the optimizer rule is inert when the autoRewrite flag is off (default)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession() // rule + strategy installed, flag left unset
+    s2.experimental.extraOptimizations = Seq(graft.plans.GraftTopKMarkRule)
+    s2.experimental.extraStrategies = Seq(graft.plans.GraftTopKStrategy)
+    val t = Tables(s2, sfDir)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val df = t.orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("GraftTopKPerKey"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("k larger than every group returns all rows, correctly ranked") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
