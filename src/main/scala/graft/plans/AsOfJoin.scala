@@ -1,6 +1,5 @@
 package graft.plans
 
-import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -61,12 +60,16 @@ object GraftAsOfStrategy extends SparkStrategy {
 
 object GraftAsOfJoinExec {
 
-  /** Shuffle key: partitioned by the equi-key's hash, ordered by (key bytes,
+  /** Shuffle key: routed by a murmur3 partition id precomputed on the map
+    * side (Catalyst's `HashPartitioning.partitionIdExpression` — both sides'
+    * key tuples have identical types, so equal keys get equal pids and the
+    * declared outputPartitioning is physically true), ordered by (key bytes,
     * typed order tuple). Key equality ⇔ byte equality because both sides'
     * keys go through an UnsafeProjection to identical canonical layouts.
     */
-  final class AsOfKey(val key: UnsafeRow, val ord: UnsafeRow) extends Serializable {
-    override def hashCode(): Int = key.hashCode()
+  final class AsOfKey(val pid: Int, val key: UnsafeRow, val ord: UnsafeRow)
+      extends Serializable {
+    override def hashCode(): Int = pid
     override def equals(o: Any): Boolean = o match {
       case other: AsOfKey => key.equals(other.key) && ord.equals(other.ord)
       case _              => false
@@ -116,6 +119,12 @@ final case class GraftAsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  /** Physically true — rows land on the murmur3 partition of the left key
+    * (see `keyed`) — so a downstream aggregation/join clustered on the left
+    * key skips its exchange. */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(leftKeys, numPartitions)
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): GraftAsOfJoinExec =
     copy(left = newLeft, right = newRight)
@@ -130,13 +139,23 @@ final case class GraftAsOfJoinExec(
   private def keyed(
       plan: SparkPlan, keys: Seq[Expression], ord: Seq[Expression]): RDD[(AsOfKey, UnsafeRow)] = {
     val out = plan.output
+    val nParts = numPartitions
+    // bind by position against the projected key row; equal key values on
+    // the two sides have identical types, hence identical murmur3 pids
+    val keyRefs: Seq[Expression] = keys.zipWithIndex.map { case (e, i) =>
+      BoundReference(i, e.dataType, e.nullable)
+    }
     plan.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keys, out)
       val ordProj = UnsafeProjection.create(ord, out)
       val rowProj = UnsafeProjection.create(out.map(a => a: Expression), out)
+      val pidProj = UnsafeProjection.create(Seq(
+        org.apache.spark.sql.catalyst.plans.physical
+          .HashPartitioning(keyRefs, nParts).partitionIdExpression))
       iter.map { r =>
         // copies: the sort-based shuffle writer buffers live objects
-        (new AsOfKey(keyProj(r).copy(), ordProj(r).copy()), rowProj(r).copy())
+        val key = keyProj(r).copy()
+        (new AsOfKey(pidProj(key).getInt(0), key, ordProj(r).copy()), rowProj(r).copy())
       }
     }
   }
@@ -146,7 +165,7 @@ final case class GraftAsOfJoinExec(
     val rightWidth = right.output.size
     val resultSchema = output
     implicit val shuffleOrd: Ordering[AsOfKey] = new ShuffleOrdering(ordTypes)
-    val part = new HashPartitioner(numPartitions)
+    val part = new GraftPidPartitioner(numPartitions)
 
     val l2 = keyed(left, leftKeys, leftOrder).repartitionAndSortWithinPartitions(part)
     val r2 = keyed(right, rightKeys, rightOrder).repartitionAndSortWithinPartitions(part)

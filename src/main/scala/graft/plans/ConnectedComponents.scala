@@ -3,22 +3,34 @@ package graft.plans
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Hash-min connected components over an edge DataFrame — the step a real
-  * dedup pipeline needs AFTER pair detection: near-dup pairs form a graph,
-  * and each document must resolve to one canonical group id (the component's
+/** Connected components over an edge DataFrame — the step a real dedup
+  * pipeline needs AFTER pair detection: near-dup pairs form a graph, and
+  * each document must resolve to one canonical group id (the component's
   * minimum doc id) before survivor selection.
   *
-  * Algorithm: iterative min-label propagation. Every node starts labeled
-  * with itself; each round every node takes the min of its own label and its
-  * neighbors' labels; fixpoint in O(diameter) rounds. Each round is one
-  * shuffle (join on the edge endpoint + a min-aggregate) — the
-  * DataFrame-native formulation of GraphX's connectedComponents, chosen
-  * because it inherits AQE, codegen, and spill handling and needs no RDD
-  * caching of vertex/edge partitions. At 100 TB: near-dup graphs are sparse
-  * forests of small cliques (diameter ≲ 3 in practice), so this converges in
-  * a handful of rounds; labels monotonically decrease, so convergence is
-  * detected exactly by the (sum, count) signature going stationary — no
-  * row-by-row diff join.
+  * Algorithm: min-label propagation WITH pointer doubling. Every node starts
+  * labeled with itself; each round every node takes the min of its own label
+  * and its neighbors' labels (one shuffle: join on the edge endpoint + a
+  * min-aggregate), then SHORTCUTS through the label table itself —
+  * `comp ← comp(comp)` — which squares the propagation distance per round.
+  * Plain hash-min needs O(diameter) rounds (a 100-node path graph = 99
+  * rounds); with the shortcut a path collapses in O(log diameter) rounds, so
+  * the default `maxIter = 50` covers any graph a 100 TB corpus could
+  * produce (2^49 nodes) with orders of magnitude to spare. Labels
+  * monotonically decrease, so convergence is detected exactly by the
+  * (sum, count) signature going stationary — no row-by-row diff join.
+  *
+  * Scale hygiene: the label table is `localCheckpoint`ed every round —
+  * each round references the previous label table THREE times (union,
+  * neighbor join, shortcut self-join), so without truncation the logical
+  * plan grows exponentially with rounds; the checkpoint keeps it
+  * constant-size, and the round is materialized by the convergence check
+  * anyway, so the eager checkpoint adds no extra pass. All per-round work is
+  * DataFrame-native (inherits AQE, codegen, spill handling). If the
+  * iteration cap is ever hit the current labels are returned with a warning:
+  * they are still self-consistent upper approximations (components may be
+  * split, never merged), the right degraded mode for a dedup library —
+  * duplicates can be missed, distinct documents are never conflated.
   */
 object ConnectedComponents {
 
@@ -26,7 +38,7 @@ object ConnectedComponents {
     * @return one row per node appearing in `edges`: (id, comp) where comp is
     *         the smallest node id in the component — deterministic.
     */
-  def labels(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def labels(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val sym = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
       .distinct()
@@ -45,17 +57,34 @@ object ConnectedComponents {
       val neighborLabels = sym
         .join(current.withColumnRenamed("id", "nbr"), col("v") === col("nbr"))
         .select(col("u").as("id"), col("comp"))
-      val next = current.union(neighborLabels)
+      val propagated = current.union(neighborLabels)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
         .cache()
+      // pointer doubling: comp ← comp(comp). comp values are node ids within
+      // the same component, so the lookup stays inside the component; labels
+      // only decrease (comp(x) ≤ x), so coalesce keeps monotonicity when the
+      // label row is already final (comp(comp) = comp hits the same row).
+      val shortcut = propagated
+        .join(propagated.select(col("id").as("cid"), col("comp").as("ccomp")),
+          col("comp") === col("cid"), "left")
+        .select(col("id"), coalesce(col("ccomp"), col("comp")).as("comp"))
+      // eager: truncates lineage AND is the round's single materialization
+      val next = shortcut.localCheckpoint()
       val nextSig = signature(next)
+      propagated.unpersist()
       current.unpersist()
       current = next
       converged = nextSig == sig
       sig = nextSig
       iter += 1
     }
-    require(converged, s"connected components did not converge in $maxIter rounds")
+    if (!converged) {
+      // degraded mode documented above; with doubling this needs a graph
+      // deeper than 2^(maxIter) to trigger
+      System.err.println(
+        s"WARN ConnectedComponents: not converged after $maxIter rounds; " +
+          "returning current (split-only) labels")
+    }
     sym.unpersist()
     current
   }

@@ -2,11 +2,13 @@ package graft.plans
 
 import scala.collection.mutable
 
-import org.apache.spark.HashPartitioner
+import org.apache.spark.Partitioner
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{Filter => LogicalFilter, LogicalPlan, Window => LogicalWindow, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.internal.SQLConf
@@ -20,18 +22,35 @@ import org.apache.spark.sql.internal.SQLConf
   *     .filter($"rn_native" <= k)
   * }}}
   *
-  * WITHOUT ever sorting a partition. Spark's own plan for this shape is
-  * Exchange → Sort(full partition) → Window(row_number) → Filter; since 3.5
-  * the InferWindowGroupLimit rule pre-trims each map partition to k rows per
-  * key (WindowGroupLimitExec) but still needs a full local sort before each
-  * trim pass and a final per-partition sort before the Window. At 100 TB the
-  * sort of a hot key's entire partition is the bottleneck. This operator
-  * instead keeps a bounded selection buffer (≤ 2k rows) per key on the map
-  * side, shuffles only the per-(input-partition × key) survivors, and merges
-  * with the same bounded buffer on the reduce side — O(n) total with
-  * O(keys × k) state, nothing larger than 2k rows is ever sorted, and rows
-  * that cannot beat the current k-th best are dropped without even being
-  * copied.
+  * WITHOUT ever sorting a full partition in executor memory. Spark's own plan
+  * for this shape is Exchange → Sort(full partition) → Window(row_number) →
+  * Filter; since 3.5 the InferWindowGroupLimit rule pre-trims each map
+  * partition to k rows per key (WindowGroupLimitExec) but still needs a full
+  * local sort before each trim pass and a final per-partition sort before the
+  * Window. At 100 TB the sort of a hot key's entire partition is the
+  * bottleneck. This operator instead:
+  *
+  *  1. MAP SIDE: keeps a bounded selection buffer (≤ 2k rows) per key —
+  *     rows that cannot beat the current k-th best are dropped without even
+  *     being copied. State is row-counted across keys; past
+  *     `spark.graft.topk.maxBufferedRows` (default 1M rows per task — the
+  *     adversarial case is near-unique keys, where map-side combining cannot
+  *     win anyway) it stops fencing and streams the remaining input straight
+  *     to the shuffle, so map memory is bounded by the conf, never by key
+  *     cardinality.
+  *  2. SHUFFLE: survivors go through a sort-based shuffle ordered by
+  *     (key bytes, order tuple) — `repartitionAndSortWithinPartitions`, whose
+  *     ExternalSorter spills to disk under memory pressure. Placement is
+  *     computed with Catalyst's own `HashPartitioning.partitionIdExpression`
+  *     (murmur3), NOT `Object.hashCode`, so the declared
+  *     [[outputPartitioning]] below is physically true and downstream
+  *     same-key aggregations/joins legally skip their exchange.
+  *  3. REDUCE SIDE: rows arrive clustered by key and sorted by the order
+  *     tuple, so emitting the top k per key is a streaming walk with O(1)
+  *     state (current key + emitted count) — no per-key hash map, nothing
+  *     buffered, nothing to OOM. An every-row-its-own-key input degrades to
+  *     a plain sort-shuffle of the data (exactly what the stock plan does),
+  *     instead of building an unbounded heap HashMap.
   *
   * The strategy only fires when the row_number alias is literally
   * `rn_native` — an explicit opt-in marker, so the library never hijacks a
@@ -45,6 +64,11 @@ import org.apache.spark.sql.internal.SQLConf
   * under ties row_number itself is nondeterministic).
   */
 object GraftTopKStrategy extends SparkStrategy {
+
+  /** Conf: max rows of map-side bounded-selection state per task before the
+    * operator stops fencing and passes rows through to the (spillable)
+    * sort-based shuffle. */
+  val MaxBufferedRowsKey = "spark.graft.topk.maxBufferedRows"
 
   /** cond forms that mean "row_number ≤ k". */
   private[plans] object RnAtMost {
@@ -72,7 +96,9 @@ object GraftTopKStrategy extends SparkStrategy {
         case c                     => c
       }
       GraftTopKPerKeyExec(k, part, order, alias.toAttribute,
-        SQLConf.get.numShufflePartitions, planLater(input)) :: Nil
+        SQLConf.get.numShufflePartitions,
+        SQLConf.get.getConfString(MaxBufferedRowsKey, "1000000").toLong,
+        planLater(input)) :: Nil
     case _ => Nil
   }
 }
@@ -118,7 +144,44 @@ object GraftTopKMarkRule extends Rule[LogicalPlan] {
     }
 }
 
+/** Routes a shuffle record to the partition id precomputed on the map side
+  * (with Catalyst's murmur3 `partitionIdExpression`, so placement matches
+  * what a declared `HashPartitioning` promises). Shared by the graft native
+  * operators. */
+final class GraftPidPartitioner(n: Int) extends Partitioner {
+  override def numPartitions: Int = n
+  override def getPartition(key: Any): Int = key match {
+    case k: GraftTopKPerKeyExec.TopKShufKey    => k.pid
+    case k: GraftAsOfJoinExec.AsOfKey          => k.pid
+    case other => throw new IllegalArgumentException(s"unexpected shuffle key $other")
+  }
+}
+
 object GraftTopKPerKeyExec {
+
+  /** Shuffle key: routed by precomputed murmur3 pid, ordered by (key bytes,
+    * typed order tuple). Key-byte equality ⇔ key equality because all keys go
+    * through one UnsafeProjection to an identical canonical layout. */
+  final class TopKShufKey(val pid: Int, val key: UnsafeRow, val ord: UnsafeRow)
+      extends Serializable {
+    override def hashCode(): Int = pid
+    override def equals(o: Any): Boolean = o match {
+      case other: TopKShufKey => key.equals(other.key) && ord.equals(other.ord)
+      case _                  => false
+    }
+  }
+
+  /** Clusters equal keys contiguously (arbitrary but total byte order), then
+    * the typed — possibly descending / nulls-first — order tuple within a
+    * key. Serializable; the generated comparator materializes lazily per JVM. */
+  final class TopKShuffleOrdering(ordTypes: Seq[SortOrder])
+      extends Ordering[TopKShufKey] with Serializable {
+    private val typed = new LazilyGeneratedOrdering(ordTypes)
+    override def compare(a: TopKShufKey, b: TopKShufKey): Int = {
+      val c = GraftAsOfJoinExec.compareKeyBytes(a.key, b.key)
+      if (c != 0) c else typed.compare(a.ord, b.ord)
+    }
+  }
 
   /** Per-key bounded selection state: survivors plus the k-th-best fence
     * (valid once the buffer has been trimmed at least once). */
@@ -127,21 +190,35 @@ object GraftTopKPerKeyExec {
     var fence: UnsafeRow = null
   }
 
-  /** One bounded-selection pass over (key, row) pairs: per key, keep an
+  /** Map-side combining pass over (key, row) pairs: per key, keep an
     * ArrayBuffer trimmed back to the best k whenever it reaches 2k
     * (amortized O(log k) per kept row), and skip rows that cannot beat the
     * current k-th best without copying them at all. Same discipline as
     * [[graft.functions.TopKAgg]] but over raw InternalRows, so it works for
     * any row shape / ordering, not one hardcoded (Double, Long) pair.
-    * Returns the surviving ≤ k rows per key, unsorted.
+    *
+    * Total buffered rows across keys are counted; at `maxBufferedRows` the
+    * pass STOPS FENCING — accumulated survivors flush to the shuffle and the
+    * rest of the input streams through uncombined (the shuffle sorter spills
+    * it to disk as needed). Combining is a bandwidth optimization, never a
+    * correctness requirement, so the fallback only trades shuffle volume for
+    * bounded memory — the adversarial case (near-unique keys) is exactly the
+    * one where combining couldn't have removed anything anyway.
+    *
+    * Input pairs may reuse projection buffers; emitted pairs are always
+    * defensive copies (the shuffle writer buffers live objects).
     */
-  private[plans] def boundedSelect(
+  private[plans] def mapSideSelect(
       iter: Iterator[(UnsafeRow, UnsafeRow)],
       ord: Ordering[InternalRow],
-      k: Int): mutable.HashMap[UnsafeRow, mutable.ArrayBuffer[UnsafeRow]] = {
+      k: Int,
+      maxBufferedRows: Long): Iterator[(UnsafeRow, UnsafeRow)] = {
     val state = mutable.HashMap.empty[UnsafeRow, Entry]
     val rowOrd = ord.asInstanceOf[Ordering[UnsafeRow]]
-    while (iter.hasNext) {
+    var buffered = 0L
+    var passThrough: Iterator[(UnsafeRow, UnsafeRow)] = Iterator.empty
+    var combining = true
+    while (combining && iter.hasNext) {
       val (key, row) = iter.next()
       // copy the (projection-reused) key only on first sight, not per lookup
       val e = state.get(key) match {
@@ -150,22 +227,31 @@ object GraftTopKPerKeyExec {
       }
       if (e.fence == null || ord.compare(row, e.fence) < 0) {
         e.buf += row.copy()
+        buffered += 1
         if (e.buf.length >= 2 * k) {
           val kept = e.buf.sorted(rowOrd).take(k)
+          buffered -= (e.buf.length - kept.length)
           e.buf.clear(); e.buf ++= kept
           e.fence = kept.last
         }
       }
+      if (buffered >= maxBufferedRows) {
+        combining = false
+        passThrough = iter.map { case (pk, pr) => (pk.copy(), pr.copy()) }
+      }
     }
-    state.map { case (key, e) =>
-      key -> (if (e.buf.length > k) e.buf.sorted(rowOrd).take(k) else e.buf)
+    val flushed = state.iterator.flatMap { case (key, e) =>
+      val rows = if (e.buf.length > k) e.buf.sorted(rowOrd).take(k) else e.buf
+      rows.iterator.map(r => (key, r))
     }
+    flushed ++ passThrough
   }
 }
 
-/** Physical grouped top-k: map-side bounded selection → hash shuffle of
-  * survivors → reduce-side bounded merge → emit rows with their 1-based
-  * rank appended (the `rn_native` column the logical plan promised).
+/** Physical grouped top-k: map-side bounded selection (row-count capped) →
+  * murmur3-placed sort-based shuffle of survivors → reduce-side O(1)-state
+  * streaming walk emitting each key's first k rows with their 1-based rank
+  * appended (the `rn_native` column the logical plan promised).
   */
 final case class GraftTopKPerKeyExec(
     k: Int,
@@ -173,43 +259,70 @@ final case class GraftTopKPerKeyExec(
     orderSpec: Seq[SortOrder],
     rnAttr: Attribute,
     numPartitions: Int,
+    maxBufferedRows: Long,
     child: SparkPlan)
   extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ rnAttr
 
+  /** Physically true (see pid computation in doExecute): downstream
+    * aggregations/joins clustered on the same keys skip their exchange. */
+  override def outputPartitioning: Partitioning =
+    HashPartitioning(partitionExprs, numPartitions)
+
   override protected def withNewChildInternal(newChild: SparkPlan): GraftTopKPerKeyExec =
     copy(child = newChild)
 
   override protected def doExecute(): RDD[InternalRow] = {
+    import GraftTopKPerKeyExec._
     val childOutput = child.output
     val partExprs = partitionExprs
     val order = orderSpec
     val limit = k
     val resultSchema = output
-
-    val keyed: RDD[(UnsafeRow, UnsafeRow)] = child.execute().mapPartitions { iter =>
-      val keyProj = UnsafeProjection.create(partExprs, childOutput)
-      val rowProj = UnsafeProjection.create(childOutput.map(a => a: Expression), childOutput)
-      val ord = RowOrdering.create(order, childOutput)
-      val state = GraftTopKPerKeyExec.boundedSelect(
-        iter.map { r => (keyProj(r), rowProj(r)) }, ord, limit)
-      state.iterator.flatMap { case (key, rows) => rows.iterator.map(r => (key, r)) }
+    val maxBuffered = maxBufferedRows
+    val nParts = numPartitions
+    // order tuple re-bound by position against its own projected row
+    val ordTypes = order.zipWithIndex.map { case (so, i) =>
+      SortOrder(BoundReference(i, so.child.dataType, so.child.nullable),
+        so.direction, so.nullOrdering, Seq.empty)
+    }
+    // murmur3 pid over the projected key row — value-identical to
+    // HashPartitioning(partitionExprs, n) evaluated on the child row, which
+    // is what makes the declared outputPartitioning honest.
+    val keyRefs: Seq[Expression] = partExprs.zipWithIndex.map { case (e, i) =>
+      BoundReference(i, e.dataType, e.nullable)
     }
 
+    val keyed: RDD[(TopKShufKey, UnsafeRow)] = child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(partExprs, childOutput)
+      val rowProj = UnsafeProjection.create(childOutput.map(a => a: Expression), childOutput)
+      val ordProj = UnsafeProjection.create(order.map(_.child), childOutput)
+      val pidProj = UnsafeProjection.create(
+        Seq(HashPartitioning(keyRefs, nParts).partitionIdExpression))
+      val rowOrd = RowOrdering.create(order, childOutput)
+      mapSideSelect(iter.map { r => (keyProj(r), rowProj(r)) }, rowOrd, limit, maxBuffered)
+        .map { case (key, row) =>
+          (new TopKShufKey(pidProj(key).getInt(0), key, ordProj(row).copy()), row)
+        }
+    }
+
+    implicit val shufOrd: Ordering[TopKShufKey] = new TopKShuffleOrdering(ordTypes)
     keyed
-      .partitionBy(new HashPartitioner(numPartitions))
+      .repartitionAndSortWithinPartitions(new GraftPidPartitioner(nParts))
       .mapPartitions { iter =>
-        val ord = RowOrdering.create(order, childOutput)
-        val merged = GraftTopKPerKeyExec.boundedSelect(iter, ord, limit)
         val joined = new JoinedRow
         val resultProj =
           UnsafeProjection.create(resultSchema.map(a => a: Expression), resultSchema)
-        merged.iterator.flatMap { case (_, rows) =>
-          val sorted = rows.sorted(ord.asInstanceOf[Ordering[UnsafeRow]])
-          sorted.iterator.zipWithIndex.map { case (r, i) =>
-            resultProj(joined(r, InternalRow(i + 1)))
-          }
+        // O(1) merge state: the current key and how many of its rows we kept
+        var curKey: UnsafeRow = null
+        var emitted = 0
+        iter.flatMap { case (sk, row) =>
+          if (curKey == null || !curKey.equals(sk.key)) { curKey = sk.key; emitted = 0 }
+          if (emitted < limit) {
+            emitted += 1
+            Iterator.single(resultProj(joined(row, InternalRow(emitted))))
+          } else Iterator.empty
         }
       }
   }

@@ -251,4 +251,49 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(event_type,purchase)"), p)
     assert(p.contains("EqualTo(event_type,click)"), p)
   }
+
+  test("e1c: declared outputPartitioning lets a downstream same-key agg skip its exchange") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sfDir)
+    val topk = graft.plans.GraftOps.topKPerKey(
+      t.orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      keys = Seq(col("o_custkey")),
+      order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+      k = 3, rankName = "rn")
+    val agg = topk.groupBy("o_custkey")
+      .agg(sum(col("o_totalprice")).as("s"), count(lit(1)).as("c"))
+    val rows = agg.collect()
+    val p = agg.queryExecution.executedPlan.toString
+    assert(p.contains("GraftTopKPerKey"), p)
+    assert(!p.contains("Exchange"), s"downstream agg re-shuffled:\n$p")
+    // and the claimed partitioning is physically true: values match the
+    // canonical window formulation aggregated the ordinary way
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val expected = t.orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).groupBy("o_custkey")
+      .agg(sum(col("o_totalprice")).as("s"), count(lit(1)).as("c"))
+      .collect()
+    val norm = (rs: Array[org.apache.spark.sql.Row]) =>
+      rs.map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(norm(rows) == norm(expected))
+  }
+
+  test("c15: as-of join declares left-key partitioning for downstream reuse") {
+    val df = SparkEntry.queries("c15_join_asof_native")(spark, sfDir)
+    df.count()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def find(p: SparkPlan): Option[SparkPlan] =
+      if (p.nodeName.contains("GraftAsOfJoin")) Some(p)
+      else p match {
+        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+        case _ => p.children.view.flatMap(find(_)).headOption
+      }
+    val exec = find(df.queryExecution.executedPlan)
+    assert(exec.isDefined, df.queryExecution.executedPlan.toString)
+    assert(exec.get.outputPartitioning.toString.contains("hashpartitioning"),
+      exec.get.outputPartitioning.toString)
+  }
 }

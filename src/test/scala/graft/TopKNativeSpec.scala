@@ -96,6 +96,36 @@ class TopKNativeSpec extends AnyFunSuite {
     assert(plan.contains("Window"), plan)
   }
 
+  test("spill fallback: high-cardinality keys under a tiny map buffer stay exact") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    // 64 rows of map-side state per task — every task trips the fallback and
+    // streams the bulk of its input straight to the sort-based shuffle
+    s2.conf.set(graft.plans.GraftTopKStrategy.MaxBufferedRowsKey, "64")
+    s2.experimental.extraStrategies = Seq(graft.plans.GraftTopKStrategy)
+    import s2.implicits._
+    val rnd = new scala.util.Random(7)
+    // ~15k every-row-its-own-key keys (the adversarial case the old
+    // HashMap-merge reduce side would have buffered wholesale) + 16 hot keys
+    val df = Seq.tabulate(20000) { i =>
+      val k = if (i % 4 == 0) 100000L + (i / 4) % 16 else i.toLong
+      (k, rnd.nextInt(1000).toDouble, i.toLong)
+    }.toDF("k", "v", "id").repartition(5)
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id").asc)
+    val native = df.withColumn("rn_native", row_number().over(w))
+      .filter(col("rn_native") <= 3)
+    assert(native.queryExecution.executedPlan.toString.contains("GraftTopKPerKey"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(3), r.getLong(2))
+    val got = native.collect().map(key).sorted.toSeq
+    // plain `rn` alias → canonical Window plan on the same session
+    val expected = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .collect().map(key).sorted.toSeq
+    assert(got.length == 15000 + 16 * 3)
+    assert(got == expected)
+  }
+
   test("k larger than every group returns all rows, correctly ranked") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
