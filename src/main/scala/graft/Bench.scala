@@ -25,6 +25,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // static conf, default 100: with 134 distinct queries per pass the
+      // generated-class cache evicts everything every pass, re-janino-compiling
+      // each SQL query's codegen stages (~0.2-0.4 s each) on every repeat —
+      // the uniform s*-band drift round 8 measured. A long-lived session
+      // serving a large query mix sizes this to its working set.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated name filter for local profiling runs
