@@ -96,6 +96,27 @@ object SqlQueries extends QueryModule {
       "AND o_orderdate < TIMESTAMP '1997-01-01' " +
       "GROUP BY n_name ORDER BY revenue DESC, n_name"
 
+  // Recursive CTE (Spark 4.x WITH RECURSIVE): a 12-row month spine generated
+  // by the recursion itself, LEFT-joined to 1996 orders so empty months
+  // survive with n_orders = 0 — the calendar-spine idiom without a calendar
+  // table. Dialect-shared verbatim with DuckDB.
+  private val sqlRecursive =
+    "WITH RECURSIVE months(m) AS (SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12) " +
+      "SELECT m, count(o_orderkey) AS n_orders, " +
+      "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) AS revenue " +
+      "FROM months LEFT JOIN orders ON month(o_orderdate) = m AND year(o_orderdate) = 1996 " +
+      "GROUP BY m ORDER BY m"
+
+  // LATERAL correlated subquery with ORDER BY + LIMIT — top-2 customers by
+  // balance per nation. Catalyst plans the lateral as a per-row correlated
+  // join it can decorrelate; the deterministic tiebreak (c_custkey) makes
+  // the LIMIT 2 row set engine-independent.
+  private val sqlLateral =
+    "SELECT n_name, c_custkey, c_acctbal FROM nation, " +
+      "LATERAL (SELECT c_custkey, c_acctbal FROM customer WHERE c_nationkey = n_nationkey " +
+      "ORDER BY c_acctbal DESC, c_custkey LIMIT 2) " +
+      "ORDER BY n_name, c_acctbal DESC, c_custkey"
+
   private def registerAll(s: org.apache.spark.sql.SparkSession, dir: String): Tables = {
     val t = Tables(s, dir)
     t.region.createOrReplaceTempView("region")
@@ -145,6 +166,18 @@ object SqlQueries extends QueryModule {
     "s6_sql_tpch5" -> ((s, dir) => {
       registerAll(s, dir)
       s.sql(tpch5)
+    }),
+
+    // Recursive CTE month spine (Spark 4.x WITH RECURSIVE).
+    "s7_sql_recursive_cte" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(sqlRecursive)
+    }),
+
+    // LATERAL correlated subquery with per-row ORDER BY + LIMIT.
+    "s8_sql_lateral" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(sqlLateral)
     })
   )
 
@@ -154,6 +187,8 @@ object SqlQueries extends QueryModule {
     "s3_sql_correlated" -> sqlCorrelated,
     "s4_sql_tpch2" -> sqlQ2,
     "s5_sql_tpch1" -> tpch1,
-    "s6_sql_tpch5" -> tpch5
+    "s6_sql_tpch5" -> tpch5,
+    "s7_sql_recursive_cte" -> sqlRecursive,
+    "s8_sql_lateral" -> sqlLateral
   )
 }

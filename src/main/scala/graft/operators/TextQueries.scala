@@ -77,6 +77,26 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // G25: the dedup pipeline END-TO-END — pair detection (g2's blocked
+    // Jaccard) → group resolution (g24's connected components) → survivor
+    // selection (keep the component's min doc_id; untouched docs keep
+    // themselves) → per-language corpus summary. This is the exact shape a
+    // 100 TB pretraining-corpus dedup runs as one job: every stage is a
+    // bounded shuffle (blocked pairs, label propagation, one broadcast-able
+    // label join back to the corpus), nothing driver-side.
+    "g25_dedup_pipeline" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val edges = jaccardPairs(s, dir)
+        .select(col("a_id").as("u"), col("b_id").as("v"))
+      val labels = graft.plans.ConnectedComponents.labels(edges)
+      val kept = col("comp").isNull || col("comp") === col("doc_id")
+      t.documents.join(labels, col("doc_id") === col("id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(when(kept, 1)).as("n_kept"),
+          count(when(!kept, 1)).as("n_dropped"))
+        .orderBy("lang")
+    }),
+
     // G2b: the scale path — MinHash banding instead of prefix blocking, same
     // exact-Jaccard verification. Hash-based → no SQL oracle (rows-only);
     // pair-set equivalence vs brute force is asserted in MinHashSpec.
@@ -265,6 +285,24 @@ object TextQueries extends QueryModule {
         "UNION " +
         "SELECT sym.u, reach.lab FROM sym JOIN reach ON sym.v = reach.id) " +
         "SELECT id AS doc_id, min(lab) AS comp FROM reach GROUP BY id ORDER BY doc_id"),
+
+    // g25: g24's fixpoint + survivor selection + corpus summary.
+    "g25_dedup_pipeline" ->
+      (s"WITH RECURSIVE $duckShingleCte, " +
+        "edges AS (SELECT a.doc_id AS u, b.doc_id AS v " +
+        "FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.4), " +
+        "sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges), " +
+        "reach(id, lab) AS (" +
+        "SELECT u, u FROM sym " +
+        "UNION " +
+        "SELECT sym.u, reach.lab FROM sym JOIN reach ON sym.v = reach.id), " +
+        "comp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id) " +
+        "SELECT lang, " +
+        "count(CASE WHEN comp.id IS NULL OR comp.comp = d.doc_id THEN 1 END) AS n_kept, " +
+        "count(CASE WHEN comp.id IS NOT NULL AND comp.comp <> d.doc_id THEN 1 END) AS n_dropped " +
+        "FROM documents d LEFT JOIN comp ON d.doc_id = comp.id " +
+        "GROUP BY lang ORDER BY lang"),
 
     // g2b: hash-based (xxhash64) — oracle intentionally omitted.
 
