@@ -52,6 +52,44 @@ class AsOfJoinSpec extends AnyFunSuite {
       (4000L, -1L, -1L)))  // right rows exist but none precede
   }
 
+  test("declared left-key partitioning: downstream same-key agg plans no extra exchange") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val left = Seq.tabulate(500)(i => (i.toLong, (i % 7).toLong, (i % 31).toLong))
+      .toDF("lid", "user", "ts")
+    val right = Seq.tabulate(500)(i => (10000L + i, (i % 7).toLong, (i % 29).toLong))
+      .toDF("rid", "r_user", "r_ts")
+    val joined = graft.plans.GraftOps.asofJoin(left, right,
+      Seq(left("user")), Seq(right("r_user")),
+      Seq(left("ts"), left("lid")), Seq(right("r_ts"), right("rid")))
+    val agg = joined.groupBy("user")
+      .agg(count(lit(1)).as("n"), count(col("rid")).as("n_matched"))
+    agg.collect()
+    val p = agg.queryExecution.executedPlan.toString
+    assert(p.contains("GraftAsOfJoin"), p)
+    assert(!p.contains("Exchange"), s"downstream agg re-shuffled:\n$p")
+    // values match the same aggregation over the window-formulation result
+    val expected = {
+      val l = left.withColumn("side", lit(1))
+      // per (user): count rows and how many have a strictly-preceding right row
+      import org.apache.spark.sql.expressions.Window
+      val r = right.select(col("r_user").as("user"), col("r_ts").as("ts"),
+        col("rid").as("oid"), lit(0).as("side")).withColumn("lid", lit(-1L))
+      val u = l.select(col("user"), col("ts"), col("lid"), lit(-1L).as("oid"), col("side"))
+        .unionByName(r.select(col("user"), col("ts"), col("lid"), col("oid"), col("side")))
+      val w = Window.partitionBy("user").orderBy(col("ts"), col("oid"), col("lid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      u.withColumn("prev", last(when(col("side") === 0, col("oid")), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .groupBy("user")
+        .agg(count(lit(1)).as("n"), count(when(col("prev").isNotNull, 1)).as("n_matched"))
+    }
+    val norm = (rs: Array[org.apache.spark.sql.Row]) =>
+      rs.map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(norm(agg.collect()) == norm(expected.collect()))
+  }
+
   test("randomized: as-of join equals the unioned-window formulation under heavy ties") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
