@@ -252,6 +252,42 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(event_type,click)"), p)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // §4: Spark 4 injects a bloom filter built from the selective (dim) side
+    // into the fact-side scan at runtime — the 100 TB behavior that turns a
+    // full lineitem scan + shuffle into a pre-filtered one. Thresholds are
+    // pinned so the toy fixture qualifies; results must equal the unfiltered
+    // plan exactly (the bloom filter only drops provably-unjoinable rows).
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "-1")
+      spark.conf.set(keys(1), "true")
+      spark.conf.set(keys(2), "0")
+      spark.conf.set(keys(3), "100MB")
+      val t = Tables(spark, sfDir)
+      val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+      val j = t.lineitem.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("bloom"), s"no runtime bloom filter injected:\n$p")
+      val withFilter = j.collect().map(_.toSeq).toSeq
+      spark.conf.set(keys(1), "false")
+      val without = t.lineitem.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .collect().map(_.toSeq).toSeq
+      assert(withFilter == without)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("e1c: declared outputPartitioning lets a downstream same-key agg skip its exchange") {
     import org.apache.spark.sql.functions._
     val t = Tables(spark, sfDir)
