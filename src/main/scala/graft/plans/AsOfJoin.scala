@@ -125,6 +125,16 @@ final case class GraftAsOfJoinExec(
   override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
     org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(leftKeys, numPartitions)
 
+  // numOutputRows always equals the left row count (as-of is left-total);
+  // matchedRows is the observability signal — how many left rows actually
+  // found a preceding right row.
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
+    Map(
+      "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of output rows"),
+      "matchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "left rows with a preceding match"))
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): GraftAsOfJoinExec =
     copy(left = newLeft, right = newRight)
@@ -164,6 +174,8 @@ final case class GraftAsOfJoinExec(
     val ordTypes = boundOrd
     val rightWidth = right.output.size
     val resultSchema = output
+    val numOutputRows = longMetric("numOutputRows")
+    val matchedRows = longMetric("matchedRows")
     implicit val shuffleOrd: Ordering[AsOfKey] = new ShuffleOrdering(ordTypes)
     val part = new GraftPidPartitioner(numPartitions)
 
@@ -190,6 +202,8 @@ final case class GraftAsOfJoinExec(
           } else advance = false
         }
         val matched = lastKey != null && compareKeyBytes(lastKey, lk.key) == 0
+        numOutputRows += 1
+        if (matched) matchedRows += 1
         proj(joined(lrow, if (matched) lastRow else nullRight))
       }
     }

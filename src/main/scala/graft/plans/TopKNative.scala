@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter => LogicalFilter, Log
 import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.internal.SQLConf
 
 /** SURVEY §2 E1 scale path as a whole-operator Catalyst extension: a custom
@@ -212,7 +213,8 @@ object GraftTopKPerKeyExec {
       iter: Iterator[(UnsafeRow, UnsafeRow)],
       ord: Ordering[InternalRow],
       k: Int,
-      maxBufferedRows: Long): Iterator[(UnsafeRow, UnsafeRow)] = {
+      maxBufferedRows: Long,
+      shuffledRows: SQLMetric = null): Iterator[(UnsafeRow, UnsafeRow)] = {
     val state = mutable.HashMap.empty[UnsafeRow, Entry]
     val rowOrd = ord.asInstanceOf[Ordering[UnsafeRow]]
     var buffered = 0L
@@ -244,7 +246,9 @@ object GraftTopKPerKeyExec {
       val rows = if (e.buf.length > k) e.buf.sorted(rowOrd).take(k) else e.buf
       rows.iterator.map(r => (key, r))
     }
-    flushed ++ passThrough
+    val out = flushed ++ passThrough
+    if (shuffledRows == null) out
+    else out.map { p => shuffledRows += 1; p }
   }
 }
 
@@ -252,6 +256,13 @@ object GraftTopKPerKeyExec {
   * murmur3-placed sort-based shuffle of survivors → reduce-side O(1)-state
   * streaming walk emitting each key's first k rows with their 1-based rank
   * appended (the `rn_native` column the logical plan promised).
+  *
+  * Known interaction: a downstream GLOBAL sort's range exchange samples its
+  * child RDD, which executes this operator (and its input) twice — the same
+  * pre-AQE behavior any non-Exchange RDD boundary has; AQE cannot
+  * materialize a stage inside an opaque RDD shuffle. Cache between the two
+  * if the input scan is expensive; the SQLMetrics double-count faithfully
+  * when it happens.
   */
 final case class GraftTopKPerKeyExec(
     k: Int,
@@ -269,6 +280,15 @@ final case class GraftTopKPerKeyExec(
     * aggregations/joins clustered on the same keys skip their exchange. */
   override def outputPartitioning: Partitioning =
     HashPartitioning(partitionExprs, numPartitions)
+
+  // shuffledRows / numOutputRows quantify what bounded selection saved: at
+  // a healthy k×keys ≪ input, shuffledRows ≈ numOutputRows and both are
+  // tiny next to the input; shuffledRows ≫ numOutputRows means the map
+  // threshold tripped and the operator ran in pass-through (sort-shuffle)
+  // mode.
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "shuffledRows" -> SQLMetrics.createMetric(sparkContext, "map-side survivors shuffled"))
 
   override protected def withNewChildInternal(newChild: SparkPlan): GraftTopKPerKeyExec =
     copy(child = newChild)
@@ -294,6 +314,9 @@ final case class GraftTopKPerKeyExec(
       BoundReference(i, e.dataType, e.nullable)
     }
 
+    val numOutputRows = longMetric("numOutputRows")
+    val shuffledRows = longMetric("shuffledRows")
+
     val keyed: RDD[(TopKShufKey, UnsafeRow)] = child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(partExprs, childOutput)
       val rowProj = UnsafeProjection.create(childOutput.map(a => a: Expression), childOutput)
@@ -301,7 +324,8 @@ final case class GraftTopKPerKeyExec(
       val pidProj = UnsafeProjection.create(
         Seq(HashPartitioning(keyRefs, nParts).partitionIdExpression))
       val rowOrd = RowOrdering.create(order, childOutput)
-      mapSideSelect(iter.map { r => (keyProj(r), rowProj(r)) }, rowOrd, limit, maxBuffered)
+      mapSideSelect(iter.map { r => (keyProj(r), rowProj(r)) }, rowOrd, limit, maxBuffered,
+          shuffledRows)
         .map { case (key, row) =>
           (new TopKShufKey(pidProj(key).getInt(0), key, ordProj(row).copy()), row)
         }
@@ -321,6 +345,7 @@ final case class GraftTopKPerKeyExec(
           if (curKey == null || !curKey.equals(sk.key)) { curKey = sk.key; emitted = 0 }
           if (emitted < limit) {
             emitted += 1
+            numOutputRows += 1
             Iterator.single(resultProj(joined(row, InternalRow(emitted))))
           } else Iterator.empty
         }

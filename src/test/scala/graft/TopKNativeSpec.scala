@@ -126,6 +126,37 @@ class TopKNativeSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("SQLMetrics: numOutputRows matches the result; map-side pruning bounds shuffledRows") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions._
+    // no global orderBy: a final range exchange SAMPLES its child, executing
+    // the operator's RDD twice and honestly double-counting the metrics
+    val t = Tables(spark, sfDir)
+    val df = graft.plans.GraftOps.topKPerKey(
+      t.orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      keys = Seq(col("o_custkey")),
+      order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+      k = 3, rankName = "rn")
+    // collect() executes df.queryExecution.executedPlan itself, so the
+    // metrics land on the tree we inspect (count() would plan a new tree)
+    val n = df.collect().length.toLong
+    def find(p: SparkPlan): Option[SparkPlan] =
+      if (p.nodeName.contains("GraftTopKPerKey")) Some(p)
+      else p match {
+        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => find(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => find(r.child)
+        case _ => p.children.view.flatMap(find(_)).headOption
+      }
+    val exec = find(df.queryExecution.executedPlan).get
+    assert(exec.metrics("numOutputRows").value == n)
+    // map-side bounded selection shuffles at most k rows per (partition, key)
+    // — and at least the final answer
+    assert(exec.metrics("shuffledRows").value >= n,
+      exec.metrics("shuffledRows").value.toString)
+  }
+
   test("k larger than every group returns all rows, correctly ranked") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
