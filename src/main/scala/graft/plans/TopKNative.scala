@@ -198,13 +198,21 @@ object GraftTopKPerKeyExec {
     * [[graft.functions.TopKAgg]] but over raw InternalRows, so it works for
     * any row shape / ordering, not one hardcoded (Double, Long) pair.
     *
-    * Total buffered rows across keys are counted; at `maxBufferedRows` the
-    * pass STOPS FENCING — accumulated survivors flush to the shuffle and the
-    * rest of the input streams through uncombined (the shuffle sorter spills
-    * it to disk as needed). Combining is a bandwidth optimization, never a
-    * correctness requirement, so the fallback only trades shuffle volume for
-    * bounded memory — the adversarial case (near-unique keys) is exactly the
-    * one where combining couldn't have removed anything anyway.
+    * Total buffered rows across keys are counted; the pass STOPS FENCING —
+    * accumulated survivors flush to the shuffle and the rest of the input
+    * streams through uncombined (the shuffle sorter spills it to disk as
+    * needed) — on either trigger:
+    *  1. `maxBufferedRows` reached (hard memory bound), or
+    *  2. adaptively, once ≥128k rows are seen and ≥90% of them are still
+    *     buffered — combining is demonstrably not reducing the data (the
+    *     near-unique-key regime), so building more per-key state is pure
+    *     allocation churn. Same reasoning as Spark's own map-side combine
+    *     bail-out. Measured at 10M all-unique rows this cuts the map pass
+    *     from ~2× the stock Window plan's cost to near shuffle-bound.
+    * Combining is a bandwidth optimization, never a correctness
+    * requirement, so both fallbacks only trade shuffle volume for bounded
+    * memory — the adversarial case (near-unique keys) is exactly the one
+    * where combining couldn't have removed anything anyway.
     *
     * Input pairs may reuse projection buffers; emitted pairs are always
     * defensive copies (the shuffle writer buffers live objects).
@@ -218,10 +226,12 @@ object GraftTopKPerKeyExec {
     val state = mutable.HashMap.empty[UnsafeRow, Entry]
     val rowOrd = ord.asInstanceOf[Ordering[UnsafeRow]]
     var buffered = 0L
+    var seen = 0L
     var passThrough: Iterator[(UnsafeRow, UnsafeRow)] = Iterator.empty
     var combining = true
     while (combining && iter.hasNext) {
       val (key, row) = iter.next()
+      seen += 1
       // copy the (projection-reused) key only on first sight, not per lookup
       val e = state.get(key) match {
         case Some(x) => x
@@ -237,7 +247,8 @@ object GraftTopKPerKeyExec {
           e.fence = kept.last
         }
       }
-      if (buffered >= maxBufferedRows) {
+      if (buffered >= maxBufferedRows ||
+          (seen >= (1L << 17) && buffered * 10 >= seen * 9)) {
         combining = false
         passThrough = iter.map { case (pk, pr) => (pk.copy(), pr.copy()) }
       }
