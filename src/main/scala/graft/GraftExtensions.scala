@@ -56,5 +56,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         requireArity("hll_approx(col)", exprs, 1)
         graft.functions.HllSketchAgg(exprs.head)
       }))
+    // mergeable sketch columns: sketch → binary, union(binary) → binary,
+    // estimate(binary) → long — the persistable re-aggregation trio
+    ext.injectFunction((
+      FunctionIdentifier("hll_sketch"),
+      new ExpressionInfo(classOf[graft.functions.HllSketchBinAgg].getName, "hll_sketch"),
+      (exprs: Seq[Expression]) => {
+        requireArity("hll_sketch(col)", exprs, 1)
+        graft.functions.HllSketchBinAgg(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hll_union"),
+      new ExpressionInfo(classOf[graft.functions.HllUnionAgg].getName, "hll_union"),
+      (exprs: Seq[Expression]) => {
+        requireArity("hll_union(sketch)", exprs, 1)
+        graft.functions.HllUnionAgg(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hll_estimate"),
+      new ExpressionInfo(classOf[graft.functions.HllEstimate].getName, "hll_estimate"),
+      (exprs: Seq[Expression]) => {
+        requireArity("hll_estimate(sketch)", exprs, 1)
+        graft.functions.HllEstimate(exprs.head)
+      }))
   }
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -30,53 +30,25 @@ case class HllSketchAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
 
-  private val m = 1 << p
-
   override def prettyName: String = "hll_approx"
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
 
-  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](1 << p)
 
+  // core shared with the mergeable-sketch-column functions (HllSketch.scala)
   override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = XxHash64Function.hash(v, child.dataType, 42L)
-      val idx = (h >>> (64 - p)).toInt
-      // cap rank at 64 - p + 1 by planting a sentinel bit below the hash tail
-      val rank = (java.lang.Long.numberOfLeadingZeros((h << p) | (1L << (p - 1))) + 1).toByte
-      if (rank > buffer(idx)) buffer(idx) = rank
-    }
+    if (v != null) Hll.update(buffer, v, child.dataType, p)
     buffer
   }
 
   override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
-    var i = 0
-    while (i < m) {
-      if (other(i) > buffer(i)) buffer(i) = other(i)
-      i += 1
-    }
+    Hll.merge(buffer, other)
     buffer
   }
 
-  override def eval(buffer: Array[Byte]): Any = {
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
-    var sum = 0.0
-    var zeros = 0
-    var i = 0
-    while (i < m) {
-      sum += java.lang.Math.pow(2.0, -buffer(i).toDouble)
-      if (buffer(i) == 0) zeros += 1
-      i += 1
-    }
-    val raw = alpha * m.toDouble * m.toDouble / sum
-    // small-range (linear counting) correction; 64-bit hashes need no
-    // large-range correction
-    val est =
-      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
-      else raw
-    math.round(est)
-  }
+  override def eval(buffer: Array[Byte]): Any = Hll.estimate(buffer)
 
   override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
   override def deserialize(storage: Array[Byte]): Array[Byte] = storage

@@ -73,6 +73,26 @@ object AggQueries extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // H5: MERGEABLE SKETCH COLUMNS — the 100 TB pre-aggregation pattern the
+    // direct hll_approx can't express: per-(event_type, day) jobs persist
+    // 16 KiB binary sketches of user_id; the rollup unions sketches per
+    // event_type and estimates — distinct users over any partition union
+    // without re-touching raw data. Estimates are IDENTICAL to running
+    // hll_approx over the raw rows (register-max is associative), which
+    // SketchSpec asserts; approximate → rows-only.
+    "h5_sketch_reagg" -> ((s, dir) => {
+      graft.functions.HllSketch.register(s)
+      val t = Tables(s, dir)
+      val daily = t.events
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("event_type"), col("day"))
+        .agg(expr("hll_sketch(user_id)").as("sk"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_daily_sketches"),
+          expr("hll_estimate(hll_union(sk))").as("approx_users"))
+        .orderBy("event_type")
+    }),
+
     // D4: ROLLUP subtotals. Grouping nulls are mapped to a sentinel on both
     // sides so null-ordering dialect differences can't bite.
     "d4_agg_rollup" -> ((s, dir) => {

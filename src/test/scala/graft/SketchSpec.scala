@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mergeable HLL sketch columns (graft.functions.HllSketch): sketch →
+  * union → estimate must behave exactly like one global sketch — the
+  * property that makes persisted sketch partials re-aggregatable at will.
+  */
+class SketchSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  private def t = Tables(spark, sfDir)
+
+  test("union of per-day sketches equals one global sketch, estimate-for-estimate") {
+    graft.functions.HllSketch.register(spark)
+    graft.functions.HllSketchAgg.register(spark)
+    val ev = t.events.withColumn("day", to_date(col("ts")))
+    val viaUnion = ev
+      .groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch(user_id)").as("sk"))
+      .groupBy(col("event_type"))
+      .agg(expr("hll_estimate(hll_union(sk))").as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val direct = ev.groupBy(col("event_type"))
+      .agg(expr("hll_approx(user_id)").as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(viaUnion == direct, s"$viaUnion vs $direct")
+  }
+
+  test("estimates track exact distincts within 2%") {
+    graft.functions.HllSketch.register(spark)
+    val ev = t.events.withColumn("day", to_date(col("ts")))
+    val est = ev.groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch(user_id)").as("sk"))
+      .groupBy(col("event_type"))
+      .agg(expr("hll_estimate(hll_union(sk))").as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = t.events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    exact.foreach { case (k, n) =>
+      val e = est(k)
+      assert(math.abs(e - n).toDouble / n <= 0.02, s"$k: est $e vs exact $n")
+    }
+  }
+
+  test("union is merge-order independent and skips nulls/empties") {
+    graft.functions.HllSketch.register(spark)
+    val ev = t.events.withColumn("day", to_date(col("ts")))
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch(user_id)").as("sk"))
+    val asc = daily.orderBy(col("day").asc).groupBy(col("event_type"))
+      .agg(expr("hll_estimate(hll_union(sk))").as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val desc = daily.orderBy(col("day").desc).repartition(7).groupBy(col("event_type"))
+      .agg(expr("hll_estimate(hll_union(sk))").as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(asc == desc)
+    // null sketches are skipped, not fatal
+    val withNulls = daily.withColumn("sk",
+      when(col("day") === lit(java.sql.Date.valueOf("2024-01-01")), lit(null)).otherwise(col("sk")))
+    val est = withNulls.groupBy(col("event_type"))
+      .agg(expr("hll_estimate(hll_union(sk))").as("est"))
+      .collect()
+    assert(est.length > 0 && est.forall(_.getLong(1) >= 0))
+  }
+
+  test("the extension-built session resolves the sketch trio in plain SQL") {
+    import org.apache.spark.sql.SparkSession
+    spark.sparkContext // ensure the shared context exists
+    // getOrCreate returns the active session (extensions would be ignored) —
+    // same clear/build/restore dance as ExtensionsSpec
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val n = s2.sql(
+        "SELECT hll_estimate(hll_union(sk)) AS est FROM (" +
+          "SELECT hll_sketch(id) AS sk FROM range(1000) GROUP BY id % 4)")
+        .head().getLong(0)
+      assert(math.abs(n - 1000).toDouble / 1000 <= 0.02, n.toString)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
