@@ -79,5 +79,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         requireArity("hll_estimate(sketch)", exprs, 1)
         graft.functions.HllEstimate(exprs.head)
       }))
+    // deterministic mergeable histogram: sketch(x, lo, hi, bins) → binary,
+    // union(binary) → binary, quantile(binary, q) → bin upper edge
+    ext.injectFunction((
+      FunctionIdentifier("hist_sketch"),
+      new ExpressionInfo(classOf[graft.functions.HistSketchAgg].getName, "hist_sketch"),
+      (exprs: Seq[Expression]) => {
+        requireArity("hist_sketch(col, lo, hi, bins)", exprs, 4)
+        graft.functions.HistSketchAgg(exprs.head, exprs(1), exprs(2), exprs(3))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hist_union"),
+      new ExpressionInfo(classOf[graft.functions.HistUnionAgg].getName, "hist_union"),
+      (exprs: Seq[Expression]) => {
+        requireArity("hist_union(sketch)", exprs, 1)
+        graft.functions.HistUnionAgg(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hist_quantile"),
+      new ExpressionInfo(classOf[graft.functions.HistQuantile].getName, "hist_quantile"),
+      (exprs: Seq[Expression]) => {
+        requireArity("hist_quantile(sketch, q)", exprs, 2)
+        graft.functions.HistQuantile(exprs.head, exprs(1))
+      }))
   }
 }

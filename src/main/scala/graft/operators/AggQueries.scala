@@ -93,6 +93,27 @@ object AggQueries extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // D14: mergeable FIXED-BIN HISTOGRAM quantiles — like h5's HLL trio but
+    // DETERMINISTIC, so this custom TypedImperativeAggregate is fully
+    // oracle-backed: DuckDB replays the floor-binning + cumulative counts in
+    // plain SQL and the p50/p95 bin edges hash-match. Per-(event_type, day)
+    // 820-byte blobs union per event_type — the persistable quantile-rollup
+    // a 100 TB pipeline stores instead of raw values.
+    "d14_hist_quantile" -> ((s, dir) => {
+      graft.functions.HistSketch.register(s)
+      val t = Tables(s, dir)
+      val daily = t.events
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("event_type"), col("day"))
+        .agg(expr("hist_sketch(value, 0.0D, 500.0D, 100)").as("sk"))
+      daily.groupBy(col("event_type"))
+        .agg(expr("hist_union(sk)").as("usk"))
+        .select(col("event_type"),
+          expr("round(hist_quantile(usk, 0.5D), 6)").as("p50_edge"),
+          expr("round(hist_quantile(usk, 0.95D), 6)").as("p95_edge"))
+        .orderBy("event_type")
+    }),
+
     // D4: ROLLUP subtotals. Grouping nulls are mapped to a sentinel on both
     // sides so null-ordering dialect differences can't bite.
     "d4_agg_rollup" -> ((s, dir) => {
@@ -208,6 +229,20 @@ object AggQueries extends QueryModule {
         "count(*) AS count_order FROM lineitem " +
         "WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+
+    // d14: the histogram sketch's exact SQL semantics — floor-binning with
+    // edge clamp, cumulative counts, first bin reaching q·total, upper edge.
+    "d14_hist_quantile" ->
+      ("WITH b AS (SELECT event_type, " +
+        "LEAST(GREATEST(CAST(floor(value / 5.0) AS INT), 0), 99) AS bin, count(*) AS n " +
+        "FROM events GROUP BY event_type, bin), " +
+        "c AS (SELECT event_type, bin, " +
+        "sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum, " +
+        "sum(n) OVER (PARTITION BY event_type) AS tot FROM b) " +
+        "SELECT event_type, " +
+        "round(min(CASE WHEN cum >= 0.5 * tot THEN CAST((bin + 1) * 5.0 AS DOUBLE) END), 6) AS p50_edge, " +
+        "round(min(CASE WHEN cum >= 0.95 * tot THEN CAST((bin + 1) * 5.0 AS DOUBLE) END), 6) AS p95_edge " +
+        "FROM c GROUP BY event_type ORDER BY event_type"),
 
     "d2_agg_distinct" ->
       ("SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders " +

@@ -66,6 +66,49 @@ class SketchSpec extends AnyFunSuite {
     assert(est.length > 0 && est.forall(_.getLong(1) >= 0))
   }
 
+  test("histogram: union of per-day partials equals one global sketch, byte-for-byte") {
+    graft.functions.HistSketch.register(spark)
+    val ev = t.events.withColumn("day", to_date(col("ts")))
+    val viaUnion = ev.groupBy(col("event_type"), col("day"))
+      .agg(expr("hist_sketch(value, 0.0D, 500.0D, 100)").as("sk"))
+      .groupBy(col("event_type"))
+      .agg(expr("hist_union(sk)").as("sk"))
+      .collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    val global = ev.groupBy(col("event_type"))
+      .agg(expr("hist_sketch(value, 0.0D, 500.0D, 100)").as("sk"))
+      .collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    assert(viaUnion == global)
+  }
+
+  test("histogram quantile edges bound the exact percentile from above within one bin") {
+    graft.functions.HistSketch.register(spark)
+    val edges = t.events.groupBy(col("event_type"))
+      .agg(expr("hist_sketch(value, 0.0D, 500.0D, 100)").as("sk"))
+      .select(col("event_type"), expr("hist_quantile(sk, 0.5D)").as("p50"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val exact = t.events.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5D)").as("p50"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    exact.foreach { case (k, ex) =>
+      val edge = edges(k)
+      // interpolated exact percentile can dip just below the bin's lower
+      // edge, so allow a two-bin bound
+      assert(edge >= ex && edge - ex <= 10.0, s"$k: edge $edge vs exact $ex")
+    }
+  }
+
+  test("histogram union rejects mismatched headers") {
+    graft.functions.HistSketch.register(spark)
+    val a = t.events.agg(expr("hist_sketch(value, 0.0D, 500.0D, 100)").as("sk"))
+    val b = t.events.agg(expr("hist_sketch(value, 0.0D, 500.0D, 50)").as("sk"))
+    val e = intercept[Exception] {
+      a.union(b).agg(expr("hist_union(sk)")).collect()
+    }
+    def causes(x: Throwable): Seq[String] =
+      if (x == null) Nil else String.valueOf(x.getMessage) +: causes(x.getCause)
+    assert(causes(e).exists(_.contains("hist_union")), e.toString)
+  }
+
   test("the extension-built session resolves the sketch trio in plain SQL") {
     import org.apache.spark.sql.SparkSession
     spark.sparkContext // ensure the shared context exists
