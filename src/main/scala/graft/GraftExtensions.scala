@@ -102,5 +102,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         requireArity("hist_quantile(sketch, q)", exprs, 2)
         graft.functions.HistQuantile(exprs.head, exprs(1))
       }))
+    // mergeable Misra-Gries heavy hitters: sketch(term, k) → binary,
+    // union(binary) → binary, items(binary) → map<term, est_count>
+    ext.injectFunction((
+      FunctionIdentifier("freq_sketch"),
+      new ExpressionInfo(classOf[graft.functions.FreqSketchAgg].getName, "freq_sketch"),
+      (exprs: Seq[Expression]) => {
+        requireArity("freq_sketch(term, k)", exprs, 2)
+        graft.functions.FreqSketchAgg(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("freq_union"),
+      new ExpressionInfo(classOf[graft.functions.FreqUnionAgg].getName, "freq_union"),
+      (exprs: Seq[Expression]) => {
+        requireArity("freq_union(sketch)", exprs, 1)
+        graft.functions.FreqUnionAgg(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("freq_items"),
+      new ExpressionInfo(classOf[graft.functions.FreqItems].getName, "freq_items"),
+      (exprs: Seq[Expression]) => {
+        requireArity("freq_items(sketch)", exprs, 1)
+        graft.functions.FreqItems(exprs.head)
+      }))
   }
 }

@@ -137,6 +137,24 @@ object TextQueries extends QueryModule {
       cand.filter(col("hamming") <= 6).orderBy("a_id", "b_id")
     }),
 
+    // G26: corpus vocabulary heavy hitters via MERGEABLE MISRA-GRIES
+    // sketches — per-source 256-counter summaries union into one corpus
+    // view whose estimates undercount by at most n_tokens/256 (mergeable-
+    // summaries bound, asserted in SketchSpec). At 100 TB this replaces the
+    // full-vocabulary groupBy (billions of distinct terms shuffled) with
+    // k-sized blobs per shard. Survivor sets are merge-order dependent →
+    // rows-only (top-20 row count is stable), bound is spec-verified.
+    "g26_vocab_heavyhitters" -> ((s, dir) => {
+      graft.functions.FreqSketch.register(s)
+      val t = Tables(s, dir)
+      val toks = t.documents
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("term"))
+      toks.groupBy(col("source")).agg(expr("freq_sketch(term, 256)").as("sk"))
+        .agg(expr("freq_union(sk)").as("sk"))
+        .select(explode(expr("freq_items(sk)")).as(Seq("term", "est")))
+        .orderBy(col("est").desc, col("term")).limit(20)
+    }),
+
     // G7: global term frequencies.
     "g7_text_tokenize_wordcount" -> ((s, dir) => {
       val t = Tables(s, dir)

@@ -109,6 +109,40 @@ class SketchSpec extends AnyFunSuite {
     assert(causes(e).exists(_.contains("hist_union")), e.toString)
   }
 
+  test("misra-gries: merged per-source sketches keep every heavy hitter within the n/k bound") {
+    graft.functions.FreqSketch.register(spark)
+    val toks = t.documents
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("term"))
+    val k = 256
+    val est = toks.groupBy(col("source")).agg(expr(s"freq_sketch(term, $k)").as("sk"))
+      .agg(expr("freq_union(sk)").as("sk"))
+      .select(explode(expr("freq_items(sk)")).as(Seq("term", "est")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = toks.groupBy(col("term")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val n = exact.values.sum
+    val bound = n.toDouble / k
+    // every true heavy hitter (> n/k) must survive the merge…
+    val heavy = exact.filter(_._2 > bound)
+    val missing = heavy.keySet -- est.keySet
+    assert(missing.isEmpty, s"heavy hitters lost: ${missing.take(5)} (bound $bound)")
+    // …and every estimate undercounts by at most n/k, never overcounts
+    est.foreach { case (term, e) =>
+      val ex = exact(term)
+      assert(e <= ex && ex - e <= bound, s"$term: est $e exact $ex bound $bound")
+    }
+  }
+
+  test("misra-gries: hand-checked decrement semantics") {
+    val s = new graft.functions.FreqSketch.Summary
+    // k=2 over a a a b b c: c's arrival decrements a,b
+    Seq("a", "a", "a", "b", "b", "c").foreach(graft.functions.FreqSketch.update(s, 2, _))
+    assert(s.toMap == Map("a" -> 2L, "b" -> 1L), s.toMap.toString)
+    val rt = graft.functions.FreqSketch.deserialize(
+      graft.functions.FreqSketch.serialize(s, 2))
+    assert(rt._1.toMap == s.toMap && rt._2 == 2)
+  }
+
   test("the extension-built session resolves the sketch trio in plain SQL") {
     import org.apache.spark.sql.SparkSession
     spark.sparkContext // ensure the shared context exists
