@@ -252,6 +252,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(event_type,click)"), p)
   }
 
+  test("s8: LATERAL + per-row LIMIT decorrelates to a window group-limit, not a nested loop") {
+    val p = finalPlan("s8_sql_lateral")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"lateral planned as a per-row join:\n$p")
+  }
+
+  test("s7: WITH RECURSIVE plans through UnionLoop with the spine broadcast") {
+    val p = finalPlan("s7_sql_recursive_cte")
+    assert(p.contains("UnionLoop"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // §4: Spark 4 injects a bloom filter built from the selective (dim) side
     // into the fact-side scan at runtime — the 100 TB behavior that turns a
