@@ -143,6 +143,71 @@ class SketchSpec extends AnyFunSuite {
     assert(rt._1.toMap == s.toMap && rt._2 == 2)
   }
 
+  test("property: histogram quantile edge always brackets the empirical quantile (200 random datasets)") {
+    import graft.functions.HistSketch
+    val rnd = new scala.util.Random(99)
+    (1 to 200).foreach { trial =>
+      val n = 1 + rnd.nextInt(500)
+      val lo = rnd.nextDouble() * 10 - 5
+      val w = 0.1 + rnd.nextDouble() * 5
+      val bins = 1 + rnd.nextInt(50)
+      val hi = lo + w * bins
+      val values = Array.fill(n)(lo + rnd.nextDouble() * (hi - lo) * 1.2 - (hi - lo) * 0.1)
+      val sk = HistSketch.create(lo, w, bins)
+      values.foreach(HistSketch.add(sk, _))
+      // union of split partials is byte-identical to the one-pass sketch
+      val (p1, p2) = values.splitAt(rnd.nextInt(n + 1))
+      val ska = HistSketch.create(lo, w, bins); p1.foreach(HistSketch.add(ska, _))
+      val skb = HistSketch.create(lo, w, bins); p2.foreach(HistSketch.add(skb, _))
+      HistSketch.union(ska, skb)
+      assert(java.util.Arrays.equals(sk, ska), s"trial $trial: union != one-pass")
+      val q = rnd.nextDouble()
+      val edge = HistSketch.quantileEdge(sk, q).asInstanceOf[Double]
+      // the k-th smallest CLAMPED value (k = ceil(q·n)) lies in the bin whose
+      // upper edge the sketch reports
+      val clamped = values.map(v =>
+        math.min(math.max(math.floor((v - lo) / w), 0), bins - 1).toInt).sorted
+      val k = math.max(1, math.ceil(q * n).toInt)
+      val binOfK = clamped(k - 1)
+      val expected = lo + (binOfK + 1) * w
+      assert(math.abs(edge - expected) < 1e-9,
+        s"trial $trial: edge $edge expected $expected (q=$q n=$n bins=$bins)")
+    }
+  }
+
+  test("property: misra-gries bound holds under random streams and 3-way merges (100 trials)") {
+    import graft.functions.FreqSketch
+    val rnd = new scala.util.Random(7)
+    (1 to 100).foreach { trial =>
+      val k = 2 + rnd.nextInt(30)
+      val n = 50 + rnd.nextInt(2000)
+      // skewed vocabulary: term id ~ floor(u^3 * 100) — few hot, many rare
+      val stream = Array.fill(n) {
+        val u = rnd.nextDouble(); "t" + math.floor(u * u * u * 100).toInt
+      }
+      val exact = stream.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val bound = n.toDouble / k
+      // one-pass summary and a 3-way merged summary must BOTH satisfy the bound
+      val one = new FreqSketch.Summary
+      stream.foreach(FreqSketch.update(one, k, _))
+      val parts = stream.grouped(math.max(1, n / 3)).map { chunk =>
+        val s = new FreqSketch.Summary; chunk.foreach(FreqSketch.update(s, k, _)); s
+      }.toSeq
+      val merged = parts.reduce((a, b) => FreqSketch.merge(a, b, k))
+      Seq("one-pass" -> one, "merged" -> merged).foreach { case (tag, sk) =>
+        exact.foreach { case (term, c) =>
+          if (c > bound)
+            assert(sk.contains(term), s"trial $trial $tag: heavy $term ($c > $bound) lost")
+        }
+        sk.foreach { case (term, est) =>
+          val c = exact(term)
+          assert(est <= c && c - est <= bound + 1e-9,
+            s"trial $trial $tag: $term est $est exact $c bound $bound")
+        }
+      }
+    }
+  }
+
   test("the extension-built session resolves the sketch trio in plain SQL") {
     import org.apache.spark.sql.SparkSession
     spark.sparkContext // ensure the shared context exists
