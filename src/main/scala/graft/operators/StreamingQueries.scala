@@ -305,6 +305,25 @@ object StreamingQueries extends QueryModule {
         .orderBy("p_user")
     }),
 
+    // I11: the sketch library under STREAMING state — our
+    // TypedImperativeAggregate HLL (hll_approx) as a windowed streaming
+    // aggregate: the 16 KiB register blobs serialize into the state store,
+    // merge on update, and flush with the watermark. Single-batch ingest →
+    // the emitted estimates are deterministic and EQUAL the batch
+    // aggregation over the same windows (asserted in StreamingSpec); like
+    // every hll query the gate records rows-only.
+    "i11_stream_hll" -> ((s, dir) => {
+      graft.functions.HllSketchAgg.register(s)
+      val q = stream(s, dir, perBatch = false)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(expr("hll_approx(user_id)").as("approx_users"))
+      runMemory(q, "append", "i11")
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+          col("event_type"), col("approx_users"))
+        .orderBy("w_start", "event_type")
+    }),
+
     // I8: deterministic sink — foreachBatch append to parquet, one batch id
     // per source chunk.
     "i8_stream_sink" -> ((s, dir) => {

@@ -84,6 +84,27 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("i11: streaming HLL estimates equal the batch aggregation window-for-window") {
+    import org.apache.spark.sql.functions._
+    val streamed = SparkEntry.queries("i11_stream_hll")(spark, sfDir)
+      .collect().map(r => (r.get(0).toString -> r.getString(1), r.getLong(2))).toMap
+    assert(streamed.nonEmpty)
+    graft.functions.HllSketchAgg.register(spark)
+    val batch = Tables(spark, sfDir).events
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(expr("hll_approx(user_id)").as("approx_users"))
+      .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+        col("event_type"), col("approx_users"))
+      .collect().map(r => (r.get(0).toString -> r.getString(1), r.getLong(2))).toMap
+    // every emitted (closed) window matches the batch sketch exactly — the
+    // registers survived the state-store round-trip bit-for-bit
+    streamed.foreach { case (k, est) =>
+      assert(batch.get(k).contains(est), s"$k: streamed $est vs batch ${batch.get(k)}")
+    }
+    // and only the final (unclosed-at-watermark) windows are withheld
+    assert(streamed.size < batch.size && streamed.size >= batch.size - 5)
+  }
+
   test("i9: stream-stream join emits bounded click-purchase pairs") {
     val rows = SparkEntry.queries("i9_stream_stream_join")(spark, sfDir).collect()
     assert(rows.nonEmpty)
