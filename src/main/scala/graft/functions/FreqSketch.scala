@@ -132,8 +132,10 @@ case class FreqSketchAgg(
     copy(inputAggBufferOffset = newOffset)
 }
 
-/** `freq_union(sketch)` → merged binary MG summary (k adopted from the
-  * first non-empty sketch; null inputs skipped). */
+/** `freq_union(sketch)` → merged binary MG summary (null inputs skipped).
+  * Sketches built with different k fail fast — silently adopting min(k)
+  * would weaken the advertised n/k error bound with no signal, and
+  * hist_union already fails fast on header mismatch; consistency wins. */
 case class FreqUnionAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
@@ -152,7 +154,12 @@ case class FreqUnionAgg(
       buf: (FreqSketch.Summary, Int), sk: (FreqSketch.Summary, Int)): (FreqSketch.Summary, Int) =
     if (sk._2 == 0) buf
     else if (buf._2 == 0) sk
-    else (FreqSketch.merge(buf._1, sk._1, math.min(buf._2, sk._2)), math.min(buf._2, sk._2))
+    else {
+      require(buf._2 == sk._2,
+        s"freq_union: sketches built with different k (${buf._2} vs ${sk._2}) — " +
+          "rebuild with a common k; merging would silently weaken the n/k error bound")
+      (FreqSketch.merge(buf._1, sk._1, buf._2), buf._2)
+    }
 
   override def update(
       buffer: (FreqSketch.Summary, Int), input: InternalRow): (FreqSketch.Summary, Int) =

@@ -107,6 +107,25 @@ case class HistSketchAgg(
   private lazy val nBins = binsExpr.eval().toString.toInt
   private lazy val width = (hi - lo) / nBins
 
+  /** Fail at analysis, not mid-aggregation: bins=0 would make width
+    * Infinity (negative buffer positions at add time), hi<=lo a negative
+    * width, and non-foldable lo/hi/bins an NPE in eval(null) — all with
+    * opaque runtime errors. Mirrors hist_union's fail-fast header check. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (!Seq(loExpr, hiExpr, binsExpr).forall(_.foldable))
+      TypeCheckFailure("hist_sketch: lo, hi, bins must be foldable literals")
+    else
+      try {
+        if (nBins <= 0) TypeCheckFailure(s"hist_sketch: bins must be > 0 (got $nBins)")
+        else if (!(hi > lo)) TypeCheckFailure(s"hist_sketch: hi must be > lo (got lo=$lo, hi=$hi)")
+        else TypeCheckSuccess
+      } catch {
+        case _: NullPointerException | _: NumberFormatException =>
+          TypeCheckFailure("hist_sketch: lo, hi, bins must be non-null numeric literals")
+      }
+  }
+
   override def prettyName: String = "hist_sketch"
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false

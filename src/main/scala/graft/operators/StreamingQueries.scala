@@ -107,10 +107,20 @@ object StreamingQueries extends QueryModule {
     * this at its fast durable store instead; the semantics (WAL layout,
     * exactly-once replay) are identical.
     */
-  private def ckptRoot: String = {
+  private lazy val ckptRoot: String = {
     val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_ckpt"
-    else s"${System.getProperty("java.io.tmpdir")}/graft_ckpt"
+    val root =
+      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_ckpt"
+      else s"${System.getProperty("java.io.tmpdir")}/graft_ckpt"
+    // Sweep checkpoints a crashed/interrupted earlier run left behind —
+    // tmpfs is RAM, so leaks accumulate against memory, not disk. Only
+    // dirs idle ≥30 min are swept so a concurrently running JVM's live
+    // checkpoints are never touched (this JVM's own dirs are created
+    // after this init and removed in the run helpers' finally blocks).
+    val stale = System.currentTimeMillis() - 30L * 60 * 1000
+    val prior = new java.io.File(root).listFiles()
+    if (prior != null) prior.filter(_.lastModified() < stale).foreach(rmrfDir)
+    root
   }
 
   private def rmrfDir(f: java.io.File): Unit = {
@@ -143,8 +153,8 @@ object StreamingQueries extends QueryModule {
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
       } finally spark.conf.set(key, prevNoData)
-    sq.awaitTermination()
-    rmrfDir(new java.io.File(ckpt))
+    // finally: a failed/interrupted query must not leak its tmpfs checkpoint
+    try sq.awaitTermination() finally rmrfDir(new java.io.File(ckpt))
     spark.table(qn)
   }
 
@@ -172,8 +182,7 @@ object StreamingQueries extends QueryModule {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
     }
-    sq.awaitTermination()
-    rmrfDir(new java.io.File(ckpt))
+    try sq.awaitTermination() finally rmrfDir(new java.io.File(ckpt))
     spark.read.parquet(out)
   }
 

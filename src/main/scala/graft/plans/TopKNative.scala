@@ -203,12 +203,17 @@ object GraftTopKPerKeyExec {
     * streams through uncombined (the shuffle sorter spills it to disk as
     * needed) — on either trigger:
     *  1. `maxBufferedRows` reached (hard memory bound), or
-    *  2. adaptively, once ≥128k rows are seen and ≥90% of them are still
-    *     buffered — combining is demonstrably not reducing the data (the
-    *     near-unique-key regime), so building more per-key state is pure
-    *     allocation churn. Same reasoning as Spark's own map-side combine
-    *     bail-out. Measured at 10M all-unique rows this cuts the map pass
-    *     from ~2× the stock Window plan's cost to near shuffle-bound.
+    *  2. adaptively, once ≥128k rows are seen, ≥90% of them are still
+    *     buffered, AND the mean rows-per-key is under 4 — combining is
+    *     demonstrably not reducing the data (the near-unique-key regime),
+    *     so building more per-key state is pure allocation churn. Same
+    *     reasoning as Spark's own map-side combine bail-out. The
+    *     rows-per-key guard keeps the trigger from misfiring while many
+    *     moderate-cardinality buffers are still warming up (e.g. 10k keys ×
+    *     k=10 holds ~100k rows at seen=128k — ratio ≥0.9 — yet combining
+    *     will cut shuffle volume ~10× once the pass runs long enough).
+    *     Measured at 10M all-unique rows this cuts the map pass from ~2×
+    *     the stock Window plan's cost to near shuffle-bound.
     * Combining is a bandwidth optimization, never a correctness
     * requirement, so both fallbacks only trade shuffle volume for bounded
     * memory — the adversarial case (near-unique keys) is exactly the one
@@ -248,7 +253,8 @@ object GraftTopKPerKeyExec {
         }
       }
       if (buffered >= maxBufferedRows ||
-          (seen >= (1L << 17) && buffered * 10 >= seen * 9)) {
+          (seen >= (1L << 17) && buffered * 10 >= seen * 9 &&
+            state.size.toLong * 4 >= seen)) {
         combining = false
         passThrough = iter.map { case (pk, pr) => (pk.copy(), pr.copy()) }
       }

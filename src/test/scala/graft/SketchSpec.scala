@@ -109,6 +109,47 @@ class SketchSpec extends AnyFunSuite {
     assert(causes(e).exists(_.contains("hist_union")), e.toString)
   }
 
+  test("hist_sketch rejects bad literal args at analysis time, not mid-aggregation") {
+    graft.functions.HistSketch.register(spark)
+    def analysisMessage(sql: String): String = {
+      val e = intercept[Exception](t.events.createOrReplaceTempView("ev_hist_args")
+        match { case _ => spark.sql(sql).collect() })
+      def causes(x: Throwable): Seq[String] =
+        if (x == null) Nil else String.valueOf(x.getMessage) +: causes(x.getCause)
+      causes(e).mkString("\n")
+    }
+    // bins = 0 → width would be Infinity, add() would index out of bounds
+    assert(analysisMessage(
+      "SELECT hist_sketch(value, 0.0D, 500.0D, 0) FROM ev_hist_args")
+      .contains("bins must be > 0"))
+    // hi <= lo → negative width, nonsense binning
+    assert(analysisMessage(
+      "SELECT hist_sketch(value, 500.0D, 0.0D, 10) FROM ev_hist_args")
+      .contains("hi must be > lo"))
+    // non-foldable lo → would NPE in eval(null) with an opaque error
+    assert(analysisMessage(
+      "SELECT hist_sketch(value, value, 500.0D, 10) FROM ev_hist_args")
+      .contains("foldable"))
+    // the valid form still analyzes and runs
+    assert(spark.sql(
+      "SELECT hist_sketch(value, 0.0D, 500.0D, 10) FROM ev_hist_args")
+      .collect().length == 1)
+  }
+
+  test("freq_union fails fast on sketches built with different k") {
+    graft.functions.FreqSketch.register(spark)
+    val a = t.documents.agg(expr("freq_sketch(source, 64)").as("sk"))
+    val b = t.documents.agg(expr("freq_sketch(source, 128)").as("sk"))
+    val e = intercept[Exception] {
+      a.union(b).agg(expr("freq_union(sk)")).collect()
+    }
+    def causes(x: Throwable): Seq[String] =
+      if (x == null) Nil else String.valueOf(x.getMessage) +: causes(x.getCause)
+    assert(causes(e).exists(_.contains("different k")), e.toString)
+    // equal-k merge still works
+    assert(a.union(a).agg(expr("freq_union(sk)")).collect().length == 1)
+  }
+
   test("misra-gries: merged per-source sketches keep every heavy hitter within the n/k bound") {
     graft.functions.FreqSketch.register(spark)
     val toks = t.documents

@@ -157,6 +157,34 @@ class TopKNativeSpec extends AnyFunSuite {
       exec.metrics("shuffledRows").value.toString)
   }
 
+  test("adaptive bail-out holds off while moderate-cardinality buffers warm up") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.functions._
+    // 10k keys × 20 rows, k=10, interleaved arrival (row i → key i%10k), ONE
+    // map task: at seen=128k every buffer holds <2k rows (no trims yet), so
+    // ≥90% of input is buffered — the ratio trigger alone would quit
+    // combining and shuffle all 200k rows. The rows-per-key guard
+    // (state.size*4 < seen) keeps combining; each key trims once at its
+    // 20th row, so exactly keys×k = 100k rows reach the shuffle.
+    val s = spark
+    import s.implicits._
+    SparkEntry.queries("e1c_win_topk_native")(spark, sfDir) // registers the strategy
+    val df = (0 until 200000).map { i =>
+      (i % 10000L, (i / 10000).toDouble, i.toLong)
+    }.toDF("k", "v", "id").coalesce(1)
+    val topk = graft.plans.GraftOps.topKPerKey(
+      df, keys = Seq(col("k")),
+      order = Seq(col("v").desc, col("id").asc), k = 10, rankName = "rn")
+    val n = topk.collect().length.toLong
+    assert(n == 100000L)
+    def find(p: SparkPlan): Option[SparkPlan] =
+      if (p.nodeName.contains("GraftTopKPerKey")) Some(p)
+      else p.children.view.flatMap(find(_)).headOption
+    val exec = find(topk.queryExecution.executedPlan).get
+    val shuffled = exec.metrics("shuffledRows").value
+    assert(shuffled <= 120000L, s"map-side combine bailed out during warm-up: $shuffled")
+  }
+
   test("k larger than every group returns all rows, correctly ranked") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
