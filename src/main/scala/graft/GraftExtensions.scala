@@ -125,5 +125,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         requireArity("freq_items(sketch)", exprs, 1)
         graft.functions.FreqItems(exprs.head)
       }))
+    // mergeable bloom membership filter: sketch(x, m_bits, k_hashes) →
+    // binary, union(binary) → binary, contains(binary, x) → boolean
+    ext.injectFunction((
+      FunctionIdentifier("bloom_sketch"),
+      new ExpressionInfo(classOf[graft.functions.BloomSketchAgg].getName, "bloom_sketch"),
+      (exprs: Seq[Expression]) => {
+        requireArity("bloom_sketch(col, m_bits, k_hashes)", exprs, 3)
+        graft.functions.BloomSketchAgg(exprs.head, exprs(1), exprs(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_union"),
+      new ExpressionInfo(classOf[graft.functions.BloomUnionAgg].getName, "bloom_union"),
+      (exprs: Seq[Expression]) => {
+        requireArity("bloom_union(sketch)", exprs, 1)
+        graft.functions.BloomUnionAgg(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[graft.functions.BloomContains].getName, "bloom_contains"),
+      (exprs: Seq[Expression]) => {
+        requireArity("bloom_contains(sketch, col)", exprs, 2)
+        graft.functions.BloomContains(exprs.head, exprs(1))
+      }))
   }
 }

@@ -45,6 +45,33 @@ object PipelineQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // G27: the same contamination check with a BLOOM PREFILTER — the shape
+    // that wins at 100 TB. One broadcast blob (bloom_sketch over the
+    // benchmark shingles, 2^20 bits / 5 hashes ≈ 0.6% fpp at 50k items)
+    // probes every corpus shingle scan-side via the codegen'd
+    // bloom_contains, so non-members drop BEFORE the join; the exact
+    // broadcast semi-join then removes the false positives, making the
+    // result identical to g17's (no false negatives) — hence the same
+    // oracle. No driver collect: the blob rides a broadcast 1-row join.
+    "g27_contamination_bloom" -> ((s, dir) => {
+      graft.functions.BloomSketch.register(s)
+      val t = Tables(s, dir)
+      val sh = t.documents
+        .withColumn("toks", TF.tokens(lower(col("text"))))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(TF.shingles3("toks")).as("sh"))
+      val bench = sh.filter(col("doc_id") % 10 === 0).select(col("sh")).distinct()
+      val bloom = bench.agg(expr("bloom_sketch(sh, 1048576, 5)").as("bsk"))
+      sh.filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(bloom))
+        .filter(expr("bloom_contains(bsk, sh)"))
+        .drop("bsk")
+        .join(broadcast(bench), "sh")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("sh")).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
     // G18: deterministic stratified sampling — top ceil(20%) of each lang
     // stratum ranked by md5(doc_id), so the sample is stable across engines,
     // partitionings, and reruns (no RNG involved).
@@ -154,6 +181,19 @@ object PipelineQueries extends QueryModule {
 
   val oracles: Seq[(String, String)] = Seq(
     "g17_contamination_ngram" ->
+      ("WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(1, greatest(len(toks) - 2, 0) + 1), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh " +
+        "FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents) " +
+        "WHERE len(toks) >= 3), " +
+        "bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0) " +
+        "SELECT s.doc_id AS doc_id, count(DISTINCT s.sh) AS n_shared " +
+        "FROM sh s JOIN bench b ON s.sh = b.sh WHERE s.doc_id % 10 <> 0 " +
+        "GROUP BY s.doc_id ORDER BY doc_id"),
+
+    // identical result to g17 by construction: the bloom prefilter has no
+    // false negatives and the exact join removes its false positives
+    "g27_contamination_bloom" ->
       ("WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
         "range(1, greatest(len(toks) - 2, 0) + 1), " +
         "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh " +

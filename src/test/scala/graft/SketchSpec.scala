@@ -249,6 +249,78 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom: no false negatives — every inserted member probes true") {
+    graft.functions.BloomSketch.register(spark)
+    val terms = t.documents
+      .select(explode(split(lower(col("text")), " ")).as("term")).distinct()
+    val bloom = terms.agg(expr("bloom_sketch(term, 262144, 5)").as("sk"))
+    val misses = terms.join(broadcast(bloom))
+      .filter(!expr("bloom_contains(sk, term)"))
+      .count()
+    assert(misses == 0L)
+  }
+
+  test("bloom: false-positive rate stays near the analytic bound") {
+    graft.functions.BloomSketch.register(spark)
+    val n = 20000
+    val m = 262144
+    val k = 5
+    val s = spark
+    import s.implicits._
+    val members = (0 until n).map(i => s"member_$i").toDF("x")
+    val bloom = members.agg(expr(s"bloom_sketch(x, $m, $k)").as("sk"))
+    val probes = (0 until 50000).map(i => s"absent_$i").toDF("x")
+    val fp = probes.join(broadcast(bloom))
+      .filter(expr("bloom_contains(sk, x)")).count()
+    // (1 - e^(-k n/m))^k ≈ 0.35% here; allow 2× for hash imperfection
+    val expected = math.pow(1 - math.exp(-k.toDouble * n / m), k)
+    assert(fp.toDouble / 50000 <= 2 * expected + 1e-4,
+      s"fp rate ${fp / 50000.0} vs bound $expected")
+  }
+
+  test("bloom: union of per-source partials is byte-identical to one global sketch") {
+    graft.functions.BloomSketch.register(spark)
+    val terms = t.documents
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("term"))
+    val viaUnion = terms.groupBy(col("source"))
+      .agg(expr("bloom_sketch(term, 65536, 4)").as("sk"))
+      .repartition(5)
+      .agg(expr("bloom_union(sk)").as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val global = terms.agg(expr("bloom_sketch(term, 65536, 4)").as("sk"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(viaUnion, global))
+  }
+
+  test("bloom: mismatched headers fail fast; bad literal args fail at analysis") {
+    graft.functions.BloomSketch.register(spark)
+    val a = t.documents.agg(expr("bloom_sketch(source, 1024, 3)").as("sk"))
+    val b = t.documents.agg(expr("bloom_sketch(source, 2048, 3)").as("sk"))
+    val e = intercept[Exception] {
+      a.union(b).agg(expr("bloom_union(sk)")).collect()
+    }
+    def causes(x: Throwable): Seq[String] =
+      if (x == null) Nil else String.valueOf(x.getMessage) +: causes(x.getCause)
+    assert(causes(e).exists(_.contains("bloom_union")), e.toString)
+    val bad = intercept[Exception] {
+      t.documents.agg(expr("bloom_sketch(source, 0, 3)")).collect()
+    }
+    assert(causes(bad).exists(_.contains("m_bits must be > 0")), bad.toString)
+  }
+
+  test("bloom: the scan-side probe runs inside whole-stage codegen") {
+    graft.functions.BloomSketch.register(spark)
+    val blob = t.documents.agg(expr("bloom_sketch(source, 4096, 3)"))
+      .head().getAs[Array[Byte]](0)
+    val df = t.documents.filter(
+      expr(s"bloom_contains(unhex('${blob.map("%02x".format(_)).mkString}'), source)"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the Filter containing the probe must carry the codegen star — a
+    // CodegenFallback expression would split the stage
+    val filterLine = plan.linesIterator.find(_.contains("bloom_contains")).get
+    assert(filterLine.trim.startsWith("*"), s"probe fell out of codegen:\n$plan")
+  }
+
   test("the extension-built session resolves the sketch trio in plain SQL") {
     import org.apache.spark.sql.SparkSession
     spark.sparkContext // ensure the shared context exists
