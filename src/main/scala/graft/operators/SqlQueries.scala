@@ -117,6 +117,37 @@ object SqlQueries extends QueryModule {
       "ORDER BY c_acctbal DESC, c_custkey LIMIT 2) " +
       "ORDER BY n_name, c_acctbal DESC, c_custkey"
 
+  // TPC-H Q18 large-volume customers — GROUP BY + HAVING inside an IN
+  // subquery. Catalyst plans the IN as a left-semi join against the
+  // re-aggregated lineitem; at scale both aggregations are map-side-combined
+  // on the same key (l_orderkey/o_orderkey), so AQE can reuse the exchange.
+  // sum_qty goes through exact decimal→BIGINT (magnitude rule, §7.4).
+  private val tpch18 =
+    "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, " +
+      s"${exactSum("l_quantity", "sum_qty")} " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON o_orderkey = l_orderkey " +
+      "WHERE o_orderkey IN (" +
+      "SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) " +
+      "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice " +
+      "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+
+  // TPC-H Q9 product-type profit shape over this fixture's schema: profit
+  // per (supplier nation, order year) for widget parts, with supply cost
+  // standing in as 60% of p_retailprice (the fixture has no partsupp).
+  // Exercises a 5-way join with a LIKE filter on the dimension, grouped on
+  // expressions from two different tables — the join-reorder + partial-agg
+  // shape of Q9 without its table.
+  private val tpch9 =
+    "SELECT n_name, year(o_orderdate) AS o_year, " +
+      s"${exactSum("l_extendedprice * (1.0 - l_discount) - 0.6 * p_retailprice * l_quantity", "profit")} " +
+      "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+      "JOIN supplier ON s_suppkey = l_suppkey " +
+      "JOIN orders ON o_orderkey = l_orderkey " +
+      "JOIN nation ON n_nationkey = s_nationkey " +
+      "WHERE p_name LIKE '%widget%' " +
+      "GROUP BY n_name, year(o_orderdate) ORDER BY n_name, o_year DESC"
+
   private def registerAll(s: org.apache.spark.sql.SparkSession, dir: String): Tables = {
     val t = Tables(s, dir)
     t.region.createOrReplaceTempView("region")
@@ -178,6 +209,18 @@ object SqlQueries extends QueryModule {
     "s8_sql_lateral" -> ((s, dir) => {
       registerAll(s, dir)
       s.sql(sqlLateral)
+    }),
+
+    // TPC-H Q18: HAVING-filtered IN subquery → left-semi join.
+    "s9_sql_tpch18" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(tpch18)
+    }),
+
+    // TPC-H Q9 shape: 5-way join, LIKE dim filter, two-table group key.
+    "s10_sql_tpch9" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(tpch9)
     })
   )
 
@@ -189,6 +232,8 @@ object SqlQueries extends QueryModule {
     "s5_sql_tpch1" -> tpch1,
     "s6_sql_tpch5" -> tpch5,
     "s7_sql_recursive_cte" -> sqlRecursive,
-    "s8_sql_lateral" -> sqlLateral
+    "s8_sql_lateral" -> sqlLateral,
+    "s9_sql_tpch18" -> tpch18,
+    "s10_sql_tpch9" -> tpch9
   )
 }

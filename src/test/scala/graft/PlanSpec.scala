@@ -265,6 +265,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("s9: the HAVING-filtered IN subquery plans as a left-semi join on the re-aggregated key") {
+    val p = finalPlan("s9_sql_tpch18")
+    assert(p.contains("LeftSemi"), p)
+    // the subquery aggregate map-side-combines before its exchange
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("s10: the LIKE filter pushes into the part scan and the dim side broadcasts") {
+    val p = finalPlan("s10_sql_tpch9")
+    assert(p.contains("StringContains(p_name,widget)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("p_brand"), "scan reads an unused column")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // §4: Spark 4 injects a bloom filter built from the selective (dim) side
     // into the fact-side scan at runtime — the 100 TB behavior that turns a
