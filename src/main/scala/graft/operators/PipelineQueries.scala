@@ -88,6 +88,28 @@ object PipelineQueries extends QueryModule {
         .orderBy("lang", "pick_rank")
     }),
 
+    // G28: deterministic WEIGHTED sampling (Efraimidis–Spirakis A-ES) — the
+    // training-data-mixing primitive: sample documents with probability
+    // proportional to token count. Each doc draws u from its md5 (13 hex
+    // chars → 52-bit uniform, identical in both engines), and the k
+    // smallest -ln(u)/w win — one scan + a TakeOrdered top-k, no RNG, no
+    // global shuffle; reruns and engines agree exactly. Rank is computed
+    // AFTER the limit, so the window only ever sees k rows.
+    "g28_weighted_sample" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.orderBy("es_key", "doc_id")
+      t.documents
+        .withColumn("n_toks", size(TF.tokens(col("text"))))
+        .withColumn("u",
+          (expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 13), 16, 10) AS DOUBLE)")
+            + lit(0.5)) / lit(4503599627370496.0))
+        .withColumn("es_key", -log(col("u")) / col("n_toks"))
+        .orderBy("es_key", "doc_id").limit(50)
+        .withColumn("pick_rank", row_number().over(w))
+        .select(col("doc_id"), col("lang"), col("n_toks"), col("pick_rank"))
+        .orderBy("pick_rank")
+    }),
+
     // G19: regex redaction — digit runs become <NUM>, 12+-letter words
     // become <LONG>; per-doc match counts alongside a redacted preview.
     "g19_text_redaction" -> ((s, dir) => {
@@ -210,6 +232,15 @@ object PipelineQueries extends QueryModule {
         "row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn, " +
         "count(*) OVER (PARTITION BY lang) AS n_stratum FROM documents) " +
         "WHERE rn <= ceil(n_stratum * 0.2) ORDER BY lang, pick_rank"),
+
+    "g28_weighted_sample" ->
+      ("SELECT doc_id, lang, n_toks, " +
+        "CAST(row_number() OVER (ORDER BY es_key, doc_id) AS INT) AS pick_rank FROM (" +
+        "SELECT doc_id, lang, n_toks, -ln(u) / n_toks AS es_key FROM (" +
+        "SELECT doc_id, lang, len(str_split(text, ' ')) AS n_toks, " +
+        "(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 0.5) " +
+        "/ 4503599627370496.0 AS u FROM documents) " +
+        "ORDER BY es_key, doc_id LIMIT 50) ORDER BY pick_rank"),
 
     "g19_text_redaction" ->
       ("SELECT doc_id, substring(regexp_replace(" +

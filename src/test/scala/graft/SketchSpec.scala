@@ -321,6 +321,24 @@ class SketchSpec extends AnyFunSuite {
     assert(filterLine.trim.startsWith("*"), s"probe fell out of codegen:\n$plan")
   }
 
+  test("GraftOps.bloomSemiJoin equals the plain left-semi join and probes scan-side") {
+    val orders = t.orders
+    val bigSpenders = t.customer.filter(col("c_acctbal") > 9000)
+    val viaBloom = graft.plans.GraftOps.bloomSemiJoin(
+      orders, bigSpenders, "o_custkey", "c_custkey", mBits = 65536, kHashes = 5)
+    val plain = orders.join(
+      bigSpenders.select(col("c_custkey").as("o_custkey")).distinct(),
+      Seq("o_custkey"), "left_semi")
+      .select(orders.columns.map(col).toIndexedSeq: _*)
+    assert(viaBloom.columns.toSeq == orders.columns.toSeq)
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+    assert(viaBloom.collect().map(key).sorted.toSeq ==
+      plain.collect().map(key).sorted.toSeq)
+    val plan = viaBloom.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_contains"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
   test("the extension-built session resolves the sketch trio in plain SQL") {
     import org.apache.spark.sql.SparkSession
     spark.sparkContext // ensure the shared context exists
