@@ -140,7 +140,7 @@ object StreamingQueries extends QueryModule {
     * start() never affects other streaming queries.
     */
   private def runMemory(q: DataFrame, mode: String, name: String,
-      needsFinalFlush: Boolean = true): DataFrame = {
+      needsFinalFlush: Boolean = true, statePartitions: Int = 4): DataFrame = {
     val spark = q.sparkSession
     val qn = s"graft_${name}_${System.nanoTime()}"
     val key = "spark.sql.streaming.noDataMicroBatches.enabled"
@@ -148,7 +148,7 @@ object StreamingQueries extends QueryModule {
     spark.conf.set(key, needsFinalFlush.toString)
     val ckpt = s"$ckptRoot/$qn"
     val sq =
-      try withStreamShufflePartitions(spark) {
+      try withStreamShufflePartitions(spark, statePartitions) {
         q.writeStream.format("memory").queryName(qn).outputMode(mode)
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
@@ -165,8 +165,10 @@ object StreamingQueries extends QueryModule {
     val spark = q.sparkSession
     // deterministic per-(query, fixture) path, cleared up front: reruns
     // overwrite instead of accumulating tmp output (each invocation's
-    // result is consumed eagerly, so clearing at the NEXT run is safe)
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${dir.hashCode & 0x7fffffff}"
+    // result is consumed eagerly, so clearing at the NEXT run is safe).
+    // Lives under the same tmpfs root as the checkpoints: the sink demo's
+    // semantics are the parquet-append pattern, not disk fsync latency.
+    val out = s"$ckptRoot/graft_out_${name}_${dir.hashCode & 0x7fffffff}"
     def rmrf(f: java.io.File): Unit = {
       val cs = f.listFiles()
       if (cs != null) cs.foreach(rmrf)
@@ -218,16 +220,20 @@ object StreamingQueries extends QueryModule {
         .withWatermark("ts", "1 hour")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n"))
-      runMemory(q, "append", "i3")
+      runMemory(q, "append", "i3", statePartitions = 2)
         .select(col("session_window.start").cast("timestamp_ntz").as("s_start"),
           col("user_id"), col("n"))
         .orderBy("s_start", "user_id")
     }),
 
     // I4: watermark late-drop — hourly tumbling counts in append mode; events
-    // arriving behind the 1-hour watermark (chunks 2–4) are dropped.
+    // arriving behind the 1-hour watermark are dropped. Two chunks per
+    // trigger: late-drop only needs SOME batch boundary after the watermark
+    // has advanced (chunks 3–4 arrive behind chunk 1–2's watermark), and
+    // halving the micro-batch count halves the per-batch state-store and
+    // incremental-planning overhead — the i* floor cost.
     "i4_stream_watermark_late" -> ((s, dir) => {
-      val q = stream(s, dir)
+      val q = stream(s, dir, filesPerTrigger = 2)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
@@ -259,7 +265,9 @@ object StreamingQueries extends QueryModule {
     // event-time idle timer evicting users 7 days after their last activity
     // (the fixture's user set stays active throughout, so no timer fires
     // here; expiry semantics are proven on a crafted stream in
-    // StreamingSpec). Update mode through foreachBatch.
+    // StreamingSpec). Update mode into the memory sink — per-batch updates
+    // accumulate in the table exactly as the foreachBatch-append pattern
+    // (i8) would write them, without a parquet round-trip per run.
     "i6_stream_stateful" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
@@ -275,7 +283,13 @@ object StreamingQueries extends QueryModule {
       // 2 state partitions: RocksDB pays a per-instance-per-batch startup
       // cost, and the fixture state (one counter per user) is tiny; a real
       // deployment sizes this to keep each store's working set in memory
-      withRocksDbStateStore(s) { runForeachBatch(q, "i6", dir, statePartitions = 2) }
+      // no final flush: update-mode emission happens on data batches; the
+      // trailing no-data batch exists only to fire event-time timers, and
+      // the fixture's users all stay active (timer expiry is proven on a
+      // crafted stream in StreamingSpec)
+      withRocksDbStateStore(s) {
+        runMemory(q, "update", "i6", needsFinalFlush = false, statePartitions = 2)
+      }
         .groupBy(col("user_id")).agg(max(col("n_so_far")).as("n_total"),
           count(lit(1)).as("n_updates"))
         .orderBy("user_id")
@@ -361,9 +375,9 @@ object StreamingQueries extends QueryModule {
       rmrf(new java.io.File(base)) // a stale checkpoint would resume past batch 2
       val qn = s"graft_i10_${System.nanoTime()}"
       (0 until 3).foreach { _ =>
-        val sq = withStreamShufflePartitions(s) {
+        val sq = withStreamShufflePartitions(s, 2) {
           s.readStream.format("rate-micro-batch")
-            .option("rowsPerBatch", "2000").option("numPartitions", "4")
+            .option("rowsPerBatch", "2000").option("numPartitions", "2")
             .option("startTimestamp", "0").option("advanceMillisPerBatch", "60000")
             .load()
             .groupBy(window(col("timestamp"), "2 minutes"))
