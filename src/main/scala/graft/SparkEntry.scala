@@ -21,7 +21,8 @@ object SparkEntry {
     operators.VectorQueries,
     operators.StreamingQueries,
     operators.DagQueries,
-    operators.SqlQueries
+    operators.SqlQueries,
+    operators.WarehouseQueries
   )
 
   /** Flagship query (5-way star join rollup, C4) on sf0.001; driver

@@ -198,6 +198,60 @@ object PipelineQueries extends QueryModule {
         .groupBy(col("source"), col("seq_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("seq_toks"))
         .orderBy("source", "seq_id")
+    }),
+
+    // G29: link-authority scoring — weighted PageRank (3 rounds, d=0.85)
+    // over the nation trade graph (customer nation → supplier nation,
+    // weighted by lineitem count), the host/link-authority signal web-corpus
+    // curation weights documents by. Iterated DataFrame joins
+    // (plans/PageRank.scala); the oracle replays the same three rounds as
+    // chained CTEs, so the query is fully value-checked.
+    "g29_graph_pagerank" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val edges = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      graft.plans.PageRank.run(edges, iters = 3, damping = 0.85)
+        .select(col("id"), round(col("pr"), 6).as("pr"))
+        .orderBy("id")
+    }),
+
+    // G30: fuzzy near-dup pairs by edit distance — levenshtein over 20-char
+    // prefixes, blocked on the 4-char prefix so the self-join never goes
+    // all-pairs (the blocking idiom of every fuzzy-dedup pipeline; scale
+    // comes from block size, not corpus size). Exact: both engines compute
+    // the same classic Levenshtein.
+    "g30_fuzzy_pairs" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val a = t.documents.select(col("doc_id").as("doc_a"),
+        substring(col("text"), 1, 20).as("pa"), substring(col("text"), 1, 4).as("blk"))
+      val b = t.documents.select(col("doc_id").as("doc_b"),
+        substring(col("text"), 1, 20).as("pb"), substring(col("text"), 1, 4).as("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("dist", levenshtein(col("pa"), col("pb")))
+        .filter(col("dist") <= 4)
+        .select(col("doc_a"), col("doc_b"), col("dist"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // G31: deterministic train/val/test split — the md5 first byte places
+    // every document in a stable ~80/10/10 split (< 0xcc train, < 0xe6 val,
+    // else test) independent of partitioning, input order, engine, or rerun;
+    // adding documents never reassigns existing ones. Reported per
+    // (split, lang) with token mass, the mixing table a training run reads.
+    "g31_split_assign" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 2))
+        .withColumn("split",
+          when(col("h") < "cc", "train").when(col("h") < "e6", "val").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+        .orderBy("split", "lang")
     })
   )
 
@@ -286,6 +340,49 @@ object PipelineQueries extends QueryModule {
         "CAST(COALESCE(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS BIGINT) AS seq_id " +
         "FROM (SELECT source, doc_id, len(str_split(text, ' ')) AS n_toks FROM documents)) " +
-        "GROUP BY source, seq_id ORDER BY source, seq_id")
+        "GROUP BY source, seq_id ORDER BY source, seq_id"),
+
+    // three PageRank rounds replayed as chained CTEs; per-edge transition
+    // probability normalized by the source's out-mass exactly as the
+    // DataFrame loop computes it, rounded only at the end
+    "g29_graph_pagerank" ->
+      ("WITH e AS (SELECT c_nationkey AS src, s_nationkey AS dst, " +
+        "CAST(count(*) AS DOUBLE) AS w FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2), " +
+        "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e), " +
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), " +
+        "tp AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM e), " +
+        "r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM nodes), " +
+        "r1 AS (SELECT nodes.id, 0.15 / (SELECT n FROM nn) + " +
+        "0.85 * coalesce(sum(r0.pr * tp.p), 0) AS pr FROM nodes " +
+        "LEFT JOIN tp ON tp.dst = nodes.id LEFT JOIN r0 ON r0.id = tp.src " +
+        "GROUP BY nodes.id), " +
+        "r2 AS (SELECT nodes.id, 0.15 / (SELECT n FROM nn) + " +
+        "0.85 * coalesce(sum(r1.pr * tp.p), 0) AS pr FROM nodes " +
+        "LEFT JOIN tp ON tp.dst = nodes.id LEFT JOIN r1 ON r1.id = tp.src " +
+        "GROUP BY nodes.id), " +
+        "r3 AS (SELECT nodes.id, 0.15 / (SELECT n FROM nn) + " +
+        "0.85 * coalesce(sum(r2.pr * tp.p), 0) AS pr FROM nodes " +
+        "LEFT JOIN tp ON tp.dst = nodes.id LEFT JOIN r2 ON r2.id = tp.src " +
+        "GROUP BY nodes.id) " +
+        "SELECT id, round(pr, 6) AS pr FROM r3 ORDER BY id"),
+
+    "g30_fuzzy_pairs" ->
+      ("SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "levenshtein(substring(a.text, 1, 20), substring(b.text, 1, 20)) AS dist " +
+        "FROM documents a JOIN documents b " +
+        "ON substring(a.text, 1, 4) = substring(b.text, 1, 4) AND a.doc_id < b.doc_id " +
+        "WHERE levenshtein(substring(a.text, 1, 20), substring(b.text, 1, 20)) <= 4 " +
+        "ORDER BY doc_a, doc_b"),
+
+    "g31_split_assign" ->
+      ("SELECT CASE WHEN h < 'cc' THEN 'train' WHEN h < 'e6' THEN 'val' " +
+        "ELSE 'test' END AS split, lang, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars_total " +
+        "FROM (SELECT lang, n_chars, " +
+        "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h FROM documents) " +
+        "GROUP BY 1, 2 ORDER BY split, lang")
   )
 }

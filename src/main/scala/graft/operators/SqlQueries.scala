@@ -148,6 +148,20 @@ object SqlQueries extends QueryModule {
       "WHERE p_name LIKE '%widget%' " +
       "GROUP BY n_name, year(o_orderdate) ORDER BY n_name, o_year DESC"
 
+  // TPC-H Q22 shape (global-sales-opportunity) over this fixture's schema:
+  // customers with above-average positive balance and NO order since 2000,
+  // grouped by nation. The scalar average goes through exact decimal so the
+  // threshold is bit-identical across engines; NOT EXISTS plans as an
+  // anti join (broadcast or shuffled, AQE's choice at scale).
+  private val tpch22 =
+    "SELECT c_nationkey, count(*) AS numcust, " +
+      s"round(${Tables.dsumSql("c_acctbal")}, 6) AS totacctbal " +
+      "FROM customer WHERE c_acctbal > (" +
+      s"SELECT ${Tables.davgSql("c_acctbal")} FROM customer WHERE c_acctbal > 0.0) " +
+      "AND NOT EXISTS (SELECT 1 FROM orders " +
+      "WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01') " +
+      "GROUP BY c_nationkey ORDER BY c_nationkey"
+
   private def registerAll(s: org.apache.spark.sql.SparkSession, dir: String): Tables = {
     val t = Tables(s, dir)
     t.region.createOrReplaceTempView("region")
@@ -221,6 +235,12 @@ object SqlQueries extends QueryModule {
     "s10_sql_tpch9" -> ((s, dir) => {
       registerAll(s, dir)
       s.sql(tpch9)
+    }),
+
+    // TPC-H Q22 shape: decimal-exact scalar threshold + NOT EXISTS anti join.
+    "s11_sql_tpch22" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(tpch22)
     })
   )
 
@@ -234,6 +254,7 @@ object SqlQueries extends QueryModule {
     "s7_sql_recursive_cte" -> sqlRecursive,
     "s8_sql_lateral" -> sqlLateral,
     "s9_sql_tpch18" -> tpch18,
-    "s10_sql_tpch9" -> tpch9
+    "s10_sql_tpch9" -> tpch9,
+    "s11_sql_tpch22" -> tpch22
   )
 }

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.sources.ZoneMap
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintenance operators (SURVEY §2 M band, round 10): the table
+  * lifecycle a production deployment runs AROUND its queries — dimension
+  * history (SCD2 CDC merge), incremental materialized-view maintenance, and
+  * zone-map data skipping. Each is oracle-backed: the maintenance result
+  * must equal what a from-scratch batch computation produces.
+  *
+  * Scale notes (100 TB):
+  *  - m1: one key-join of the current dimension slice against the update
+  *    batch (broadcast when the batch is small — the CDC norm) + a union;
+  *    no window, no global sort. History rows untouched by the batch never
+  *    move.
+  *  - m2: the whole point — the 100 TB base table is NOT rescanned. Only
+  *    the delta is aggregated, then merged with the persisted partials;
+  *    decimal partial sums make merged == recomputed EXACTLY, which is what
+  *    the oracle asserts.
+  *  - m3: pruning cost is a metadata-table filter (one row per file); the
+  *    benefit is data I/O that never happens. At 256 MB files a 100 TB
+  *    table has ~400k stats rows — driver-safe by five orders of magnitude.
+  */
+object WarehouseQueries extends QueryModule {
+
+  private def tsNtz(s: String) = lit(s).cast("timestamp_ntz")
+
+  val queries: Seq[(String, QFn)] = Seq(
+    // M1: SCD Type-2 merge — 1997+ order activity updates each customer's
+    // balance (new value = that customer's max 1997+ order price, effective
+    // at their latest order date). Changed customers get their opening row
+    // closed and a new current row; everyone else keeps one open row.
+    "m1_scd2_merge" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.customer.select(col("c_custkey"), col("c_acctbal"))
+      val updates = t.orders
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(max(col("o_totalprice")).as("c_acctbal"),
+          Tables.ntz(max(col("o_orderdate"))).as("eff"))
+      Scd2.merge(base, updates, "c_custkey", Seq("c_acctbal"), "eff",
+          openFrom = tsNtz("1992-01-01 00:00:00"),
+          farFuture = tsNtz("9999-12-31 00:00:00"))
+        .orderBy("c_custkey", "valid_from")
+    }),
+
+    // M2: incremental materialized-view maintenance — a monthly revenue MV
+    // built from pre-cutoff partials is brought current by aggregating ONLY
+    // the post-cutoff delta and merging partials (counts add, decimal sums
+    // add, avg re-derives from the merged pair). The oracle recomputes the
+    // view from scratch over the full table: merged == recomputed, exactly.
+    "m2_mv_incremental" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val cutoff = lit("1997-07-01").cast("timestamp")
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+          .agg(count(lit(1)).as("pn"), sum(col("o_totalprice").cast(Tables.dec)).as("psum"))
+      val mv = partials(t.orders.filter(col("o_orderdate") < cutoff))
+      val delta = partials(t.orders.filter(col("o_orderdate") >= cutoff))
+      mv.unionByName(delta)
+        .groupBy(col("yr"), col("mo"))
+        .agg(sum(col("pn")).as("n_orders"), sum(col("psum")).as("tsum"))
+        .select(col("yr"), col("mo"), col("n_orders"),
+          floor(col("tsum")).cast("long").as("revenue"),
+          round((col("tsum").cast("double") / col("n_orders")), 6).as("avg_price"))
+        .orderBy("yr", "mo")
+    }),
+
+    // M3: zone-map data skipping — orders materialized range-clustered on
+    // o_orderdate (8 files, disjoint date envelopes); a 6-month range query
+    // opens only the overlapping files (pruning asserted in WarehouseSpec),
+    // applies the residual predicate, and must produce exactly the
+    // full-scan answer.
+    "m3_zonemap_skip" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val zpath = s"${System.getProperty("java.io.tmpdir")}/graft_zonemap_orders_${dir.hashCode & 0x7fffffff}"
+      ZoneMap.writeClustered(t.orders, zpath, "o_orderdate", nFiles = 8)
+      val lo = lit("1997-01-01 00:00:00").cast("timestamp")
+      val hi = lit("1997-06-30 23:59:59").cast("timestamp")
+      ZoneMap.prunedRead(s, zpath, "o_orderdate", lo, hi)
+        .groupBy(month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          Tables.dsum(col("o_totalprice")).as("rev_d"))
+        .select(col("mo"), col("n_orders"), round(col("rev_d"), 6).as("revenue"))
+        .orderBy("mo")
+    })
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "m1_scd2_merge" ->
+      ("WITH upd AS (SELECT o_custkey AS k, max(o_totalprice) AS new_bal, " +
+        "max(o_orderdate) AS eff FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' GROUP BY o_custkey), " +
+        "j AS (SELECT c_custkey, c_acctbal, new_bal, eff FROM customer " +
+        "LEFT JOIN upd ON c_custkey = k) " +
+        "SELECT c_custkey, c_acctbal, TIMESTAMP '1992-01-01' AS valid_from, " +
+        "TIMESTAMP '9999-12-31' AS valid_to, 1 AS is_current FROM j " +
+        "WHERE eff IS NULL OR new_bal = c_acctbal " +
+        "UNION ALL " +
+        "SELECT c_custkey, c_acctbal, TIMESTAMP '1992-01-01', eff, 0 FROM j " +
+        "WHERE eff IS NOT NULL AND new_bal <> c_acctbal " +
+        "UNION ALL " +
+        "SELECT c_custkey, new_bal, eff, TIMESTAMP '9999-12-31', 1 FROM j " +
+        "WHERE eff IS NOT NULL AND new_bal <> c_acctbal " +
+        "ORDER BY c_custkey, valid_from"),
+
+    "m2_mv_incremental" ->
+      ("SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, " +
+        "count(*) AS n_orders, " +
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) AS revenue, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) / count(*), 6) AS avg_price " +
+        "FROM orders GROUP BY 1, 2 ORDER BY yr, mo"),
+
+    "m3_zonemap_skip" ->
+      (s"SELECT month(o_orderdate) AS mo, count(*) AS n_orders, " +
+        s"round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' " +
+        "AND o_orderdate <= TIMESTAMP '1997-06-30 23:59:59' " +
+        "GROUP BY 1 ORDER BY mo")
+  )
+}

@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank as iterated DataFrame joins — the link-analysis
+  * primitive corpus-curation pipelines use to weight web-crawl documents by
+  * host/link authority. Simplified model (no dangling-mass redistribution:
+  * rank flowing into a node without out-edges leaves the system — fine for
+  * authority SCORING, where only relative order matters and both engines
+  * compute the same fixed point).
+  *
+  * Scale notes (100 TB): each iteration is one join of the edge list against
+  * the current rank vector on src (co-partitioned after the first shuffle —
+  * both sides hash on the same key, so AQE reuses the exchange) plus a
+  * groupBy(dst) sum, i.e. exactly two shuffles of edge-list size per round.
+  * The rank vector (one row per node) broadcasts when small. Per-round
+  * `localCheckpoint` would truncate lineage for deep iteration counts (see
+  * ConnectedComponents.scala); at the 3–20 rounds PageRank needs for scoring,
+  * lineage stays shallow enough without it.
+  */
+object PageRank {
+
+  /** @param edges (src, dst, w) — w > 0; parallel edges should be
+    *              pre-aggregated
+    * @return (id, pr) for every node appearing as src or dst, after `iters`
+    *         rounds of pr' = (1−d)/N + d · Σ_in pr·w/outW from a uniform
+    *         start
+    */
+  def run(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"pagerank: iters must be >= 1 (got $iters)")
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().cache()
+    val n = nodes.count().toDouble
+    // per-edge transition probability: w normalized by the source's out-mass
+    val outW = edges.groupBy("src").agg(sum(col("w")).as("__tw"))
+    val trans = edges.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w") / col("__tw")).as("p"))
+      .cache()
+    var rank = nodes.select(col("id"), lit(1.0 / n).as("pr"))
+    (1 to iters).foreach { _ =>
+      val contrib = trans.join(rank, trans("src") === rank("id"))
+        .groupBy(trans("dst").as("cid"))
+        .agg(sum(col("pr") * col("p")).as("inflow"))
+      rank = nodes.join(contrib, nodes("id") === contrib("cid"), "left")
+        .select(nodes("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+    }
+    rank
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Scd2 merge, ZoneMap skipping, PageRank — the round-10 library operators,
+  * on crafted inputs where the expected answer is computable by hand.
+  */
+class WarehouseSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("scd2: changed keys split into closed + current, others keep one open row") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "bal")
+    // key 1 changes, key 2 updates to the SAME value (no new version),
+    // key 3 has no update at all
+    val updates = Seq(
+      (1L, 11.0, ts("1997-05-01 00:00:00")),
+      (2L, 20.0, ts("1997-06-01 00:00:00"))).toDF("k", "bal", "eff")
+    val out = graft.operators.Scd2.merge(base, updates, "k", Seq("bal"), "eff",
+        openFrom = lit("1992-01-01 00:00:00").cast("timestamp"),
+        farFuture = lit("9999-12-31 00:00:00").cast("timestamp"))
+      .orderBy("k", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getTimestamp(2).toString,
+        r.getTimestamp(3).toString, r.getInt(4)))
+    assert(out.toSeq == Seq(
+      (1L, 10.0, "1992-01-01 00:00:00.0", "1997-05-01 00:00:00.0", 0),
+      (1L, 11.0, "1997-05-01 00:00:00.0", "9999-12-31 00:00:00.0", 1),
+      (2L, 20.0, "1992-01-01 00:00:00.0", "9999-12-31 00:00:00.0", 1),
+      (3L, 30.0, "1992-01-01 00:00:00.0", "9999-12-31 00:00:00.0", 1)))
+  }
+
+  test("scd2: null-safe change detection versions NULL transitions") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, Option(10.0)), (2L, Option.empty[Double])).toDF("k", "bal")
+    val updates = Seq(
+      (1L, Option.empty[Double], ts("1997-05-01 00:00:00")), // 10.0 -> NULL: a change
+      (2L, Option.empty[Double], ts("1997-06-01 00:00:00"))  // NULL -> NULL: not a change
+    ).toDF("k", "bal", "eff")
+    val out = graft.operators.Scd2.merge(base, updates, "k", Seq("bal"), "eff",
+        openFrom = lit("1992-01-01 00:00:00").cast("timestamp"),
+        farFuture = lit("9999-12-31 00:00:00").cast("timestamp"))
+    assert(out.filter(col("k") === 1L).count() == 2)
+    assert(out.filter(col("k") === 2L).count() == 1)
+  }
+
+  test("zone map: range query opens a strict subset of files, same answer as full scan") {
+    val t = Tables(spark, sfDir)
+    val zpath = s"${System.getProperty("java.io.tmpdir")}/graft_zm_spec_${sfDir.hashCode & 0x7fffffff}"
+    graft.sources.ZoneMap.writeClustered(t.orders, zpath, "o_orderdate", nFiles = 8)
+    val lo = lit("1997-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1997-06-30 23:59:59").cast("timestamp")
+    val all = graft.sources.ZoneMap.stats(spark, zpath, "o_orderdate").count()
+    val kept = graft.sources.ZoneMap.prunedFiles(spark, zpath, "o_orderdate", lo, hi)
+    assert(all == 8, s"expected 8 clustered files, found $all")
+    assert(kept.nonEmpty && kept.size < all,
+      s"zone map should prune: kept ${kept.size} of $all")
+    val pruned = graft.sources.ZoneMap.prunedRead(spark, zpath, "o_orderdate", lo, hi)
+      .agg(count(lit(1)), sum(col("o_totalprice").cast(Tables.dec))).collect()(0)
+    val full = t.orders
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") <= hi)
+      .agg(count(lit(1)), sum(col("o_totalprice").cast(Tables.dec))).collect()(0)
+    assert(pruned == full, s"pruned=$pruned full=$full")
+  }
+
+  test("pagerank: hand-computed 3-node fixed shape") {
+    val s = spark
+    import s.implicits._
+    // A -> B (1.0), B -> C (1.0), C -> A (1.0): a cycle; uniform stays fixed
+    val cycle = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0)).toDF("src", "dst", "w")
+    val pr = graft.plans.PageRank.run(cycle, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.values.forall(v => math.abs(v - 1.0 / 3) < 1e-12), pr.toString)
+  }
+
+  test("pagerank: weighted star matches manual iteration and conserves mass") {
+    val s = spark
+    import s.implicits._
+    // 1 -> 2 (w 3), 1 -> 3 (w 1), 2 -> 1 (w 1), 3 -> 1 (w 1): no dangling
+    val edges = Seq((1L, 2L, 3.0), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "w")
+    val iters = 4
+    val d = 0.85
+    // manual reference
+    var r = Map(1L -> 1.0 / 3, 2L -> 1.0 / 3, 3L -> 1.0 / 3)
+    (1 to iters).foreach { _ =>
+      val base = (1 - d) / 3
+      r = Map(
+        1L -> (base + d * (r(2L) * 1.0 + r(3L) * 1.0)),
+        2L -> (base + d * (r(1L) * 0.75)),
+        3L -> (base + d * (r(1L) * 0.25)))
+    }
+    val got = graft.plans.PageRank.run(edges, iters, d).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    r.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-12, s"node $k: ${got(k)} vs $v") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9) // no dangling => mass conserved
+  }
+}
