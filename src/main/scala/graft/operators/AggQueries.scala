@@ -216,6 +216,26 @@ object AggQueries extends QueryModule {
           round(corr(col("l_extendedprice"), col("l_discount")), 6).as("corr_pd"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
+    }),
+
+    // D15: winsorized (outlier-robust) mean — values clamped to each group's
+    // [p05, p95] before averaging, the robust-statistics cousin of D7. Two
+    // passes: a per-group percentile aggregate broadcast back onto the fact
+    // rows, then a decimal-exact clamped mean. Clamp and compare both run
+    // on the UNROUNDED percentiles in both engines.
+    "d15_winsorized_mean" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val bounds = t.orders.groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(o_totalprice, 0.05)").as("p05"),
+          expr("percentile(o_totalprice, 0.95)").as("p95"))
+      t.orders.join(broadcast(bounds), "o_orderpriority")
+        .withColumn("cl", least(greatest(col("o_totalprice"), col("p05")), col("p95")))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(max(col("p05")), 4).as("p05_r"),
+          round(max(col("p95")), 4).as("p95_r"),
+          round(sum(col("cl").cast(Tables.dec)).cast("double") / count(lit(1)), 6).as("wavg"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -290,6 +310,16 @@ object AggQueries extends QueryModule {
         "round(corr(l_extendedprice, l_discount), 6) AS corr_pd, count(*) AS n " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
 
-    "d12_agg_grouping_sets" -> AggQueries.groupingSetsSql
+    "d12_agg_grouping_sets" -> AggQueries.groupingSetsSql,
+
+    "d15_winsorized_mean" ->
+      ("WITH b AS (SELECT o_orderpriority AS pr, " +
+        "quantile_cont(o_totalprice, 0.05) AS p05, " +
+        "quantile_cont(o_totalprice, 0.95) AS p95 FROM orders GROUP BY 1) " +
+        "SELECT o_orderpriority, round(max(p05), 4) AS p05_r, round(max(p95), 4) AS p95_r, " +
+        "round(CAST(sum(CAST(least(greatest(o_totalprice, p05), p95) AS DECIMAL(27,6))) " +
+        "AS DOUBLE) / count(*), 6) AS wavg, count(*) AS n " +
+        "FROM orders JOIN b ON o_orderpriority = pr " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority")
   )
 }

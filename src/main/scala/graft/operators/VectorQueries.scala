@@ -217,6 +217,23 @@ object VectorQueries extends QueryModule {
         .limit(10)
     }),
 
+    // G32: maximum-inner-product search (MIPS) — retrieval scoring where
+    // magnitude matters (unnormalized rerankers, recommender dot products),
+    // so cosine top-k (g4) gives the WRONG answer. Brute force here is the
+    // exact baseline: broadcast query vector, codegen'd fold per row,
+    // TakeOrdered top-k. The 100 TB path is the standard norm-augmentation
+    // reduction — x̃ = [x, sqrt(M² − ‖x‖²)] turns MIPS into cosine-NN, after
+    // which the g15b/g5b sign-LSH bucketing applies unchanged.
+    "g32_mips_topk" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings.select(col("vec_id"), col("label"), vd.as("v"))
+      val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
+      e.filter(col("vec_id") =!= 1).crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"), round(dot("v", "qv"), 6).as("dotp"))
+        .orderBy(col("dotp").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // G5: exact k-NN join (k=5), served by the block nested-loop plan (see
     // `knnBlock`) — no driver collect, no full-set broadcast. The approximate
     // 100 TB path is g5b (LSH bucketing).
@@ -522,6 +539,12 @@ object VectorQueries extends QueryModule {
         "SELECT vec_id, label, " +
         "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cos " +
         "FROM embeddings, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10"),
+
+    "g32_mips_topk" ->
+      ("WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1) " +
+        "SELECT vec_id, label, " +
+        "round(list_dot_product(CAST(embedding AS DOUBLE[]), qv), 6) AS dotp " +
+        "FROM embeddings, q WHERE vec_id <> 1 ORDER BY dotp DESC, vec_id LIMIT 10"),
 
     "g5_knn_join" ->
       ("SELECT a_id, b_id, cos, rn FROM (SELECT a_id, b_id, cos, " +

@@ -204,6 +204,52 @@ object WindowQueries extends QueryModule {
       t.customer.select(col("c_custkey"), col("c_mktsegment"),
           ntile(10).over(w).as("decile"))
         .orderBy("c_custkey")
+    }),
+
+    // E10: conversion funnel — per user, the first click and the first
+    // purchase at-or-after it; reported per first-click day with the mean
+    // click→purchase delay (integer minutes through decimal — exact, so the
+    // SQL replay matches bit-for-bit). Two aggregations + one key join; at
+    // scale the funnel join shuffles on user_id once and AQE reuses the
+    // exchange for the final regroup.
+    "e10_funnel_conversion" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val clicks = t.events.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+      val purchases = t.events.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("pts"))
+      val conv = clicks.join(purchases,
+          col("p_user") === col("user_id") && col("pts") >= col("first_click"), "left")
+        .groupBy(col("user_id"), col("first_click"))
+        .agg(min(col("pts")).as("conv_ts"))
+        .withColumn("delay_min", expr(
+          "(unix_micros(CAST(conv_ts AS TIMESTAMP)) - unix_micros(CAST(first_click AS TIMESTAMP))) DIV 60000000"))
+      conv.groupBy(to_date(col("first_click")).as("day"))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("conv_ts")).as("n_converted"),
+          round(sum(col("delay_min").cast(Tables.dec)).cast("double") /
+            count(col("delay_min")), 6).as("avg_delay_min"))
+        .orderBy("day")
+    }),
+
+    // E11: cohort retention — users grouped by the week of their first
+    // SIGNUP; n_active distinct users with any activity in cohort week + k,
+    // k = 0..3. Week arithmetic stays in exact integer µs (both engines
+    // truncate to the same Monday midnight), so k is exact.
+    "e11_cohort_retention" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val ev = t.events.select(col("user_id"),
+        date_trunc("week", col("ts")).cast("timestamp_ntz").as("week")).distinct()
+      val cohort = t.events.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(date_trunc("week", col("ts")).cast("timestamp_ntz")).as("cohort_week"))
+      ev.join(cohort, "user_id")
+        .withColumn("k", expr(
+          "(unix_micros(CAST(week AS TIMESTAMP)) - unix_micros(CAST(cohort_week AS TIMESTAMP))) DIV 604800000000"))
+        .filter(col("k").between(0, 3))
+        .groupBy(col("cohort_week"), col("k"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_week", "k")
     })
   )
 
@@ -293,6 +339,34 @@ object WindowQueries extends QueryModule {
     "e9_win_ntile" ->
       ("SELECT c_custkey, c_mktsegment, " +
         "ntile(10) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS decile " +
-        "FROM customer ORDER BY c_custkey")
+        "FROM customer ORDER BY c_custkey"),
+
+    "e10_funnel_conversion" ->
+      ("WITH c AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_click " +
+        "FROM events WHERE event_type = 'click' GROUP BY user_id), " +
+        "p AS (SELECT user_id AS p_user, CAST(ts AS TIMESTAMP) AS pts " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "conv AS (SELECT user_id, first_click, min(pts) AS conv_ts, " +
+        "(epoch_us(min(pts)) - epoch_us(first_click)) // 60000000 AS delay_min " +
+        "FROM c LEFT JOIN p ON p_user = user_id AND pts >= first_click " +
+        "GROUP BY user_id, first_click) " +
+        "SELECT CAST(first_click AS DATE) AS day, count(*) AS n_users, " +
+        "count(conv_ts) AS n_converted, " +
+        "round(CAST(sum(CAST(delay_min AS DECIMAL(27,6))) AS DOUBLE) / count(delay_min), 6) " +
+        "AS avg_delay_min FROM conv GROUP BY 1 ORDER BY day"),
+
+    "e11_cohort_retention" ->
+      ("WITH ev AS (SELECT DISTINCT user_id, " +
+        // DuckDB date_trunc('week') yields DATE; keep it TIMESTAMP like Spark
+        "CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS week FROM events), " +
+        "co AS (SELECT user_id, " +
+        "CAST(min(date_trunc('week', CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS cohort_week " +
+        "FROM events WHERE event_type = 'signup' GROUP BY user_id) " +
+        "SELECT cohort_week, " +
+        "(epoch_us(week) - epoch_us(cohort_week)) // 604800000000 AS k, " +
+        "count(DISTINCT ev.user_id) AS n_active " +
+        "FROM ev JOIN co ON ev.user_id = co.user_id " +
+        "WHERE (epoch_us(week) - epoch_us(cohort_week)) // 604800000000 BETWEEN 0 AND 3 " +
+        "GROUP BY 1, 2 ORDER BY cohort_week, k")
   )
 }
