@@ -46,13 +46,16 @@ object PipelineQueries extends QueryModule {
     }),
 
     // G27: the same contamination check with a BLOOM PREFILTER — the shape
-    // that wins at 100 TB. One broadcast blob (bloom_sketch over the
-    // benchmark shingles, 2^20 bits / 5 hashes ≈ 0.6% fpp at 50k items)
-    // probes every corpus shingle scan-side via the codegen'd
-    // bloom_contains, so non-members drop BEFORE the join; the exact
-    // broadcast semi-join then removes the false positives, making the
-    // result identical to g17's (no false negatives) — hence the same
-    // oracle. No driver collect: the blob rides a broadcast 1-row join.
+    // that wins at 100 TB. bloom_sketch over the benchmark shingles
+    // (2^20 bits / 5 hashes ≈ 0.6% fpp at 50k items) materializes ONE
+    // 128 KiB blob on the driver — the same scalar-subquery shape Spark's
+    // own runtime bloom-filter injection uses — and probes every corpus
+    // shingle scan-side as a codegen'd LITERAL filter, so non-members drop
+    // BEFORE the join; the exact broadcast semi-join then removes the false
+    // positives, making the result identical to g17's (no false negatives)
+    // — hence the same oracle. (Riding the blob in as a broadcast join row
+    // instead re-materializes the 128 KiB binary per probe row: measured
+    // 10× slower at sf0.1 — see BloomSketch.containsColumn.)
     "g27_contamination_bloom" -> ((s, dir) => {
       graft.functions.BloomSketch.register(s)
       val t = Tables(s, dir)
@@ -61,11 +64,10 @@ object PipelineQueries extends QueryModule {
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), explode(TF.shingles3("toks")).as("sh"))
       val bench = sh.filter(col("doc_id") % 10 === 0).select(col("sh")).distinct()
-      val bloom = bench.agg(expr("bloom_sketch(sh, 1048576, 5)").as("bsk"))
+      val blob = bench.agg(expr("bloom_sketch(sh, 1048576, 5)").as("bsk"))
+        .head().getAs[Array[Byte]](0)
       sh.filter(col("doc_id") % 10 =!= 0)
-        .join(broadcast(bloom))
-        .filter(expr("bloom_contains(bsk, sh)"))
-        .drop("bsk")
+        .filter(graft.functions.BloomSketch.containsColumn(blob, col("sh")))
         .join(broadcast(bench), "sh")
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("sh")).as("n_shared"))

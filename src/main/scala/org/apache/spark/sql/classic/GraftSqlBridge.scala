@@ -20,4 +20,10 @@ object GraftSqlBridge {
     * resolved Dataset) Catalyst expression. */
   def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     ExpressionUtils.expression(c)
+
+  /** And the inverse — wrap a Catalyst expression as an api Column (for
+    * library operators that synthesize expressions, e.g. a bloom probe
+    * against a driver-collected literal blob). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    ExpressionUtils.column(e)
 }
