@@ -85,6 +85,66 @@ object WarehouseQueries extends QueryModule {
           Tables.dsum(col("o_totalprice")).as("rev_d"))
         .select(col("mo"), col("n_orders"), round(col("rev_d"), 6).as("revenue"))
         .orderBy("mo")
+    }),
+
+    // M4: data-quality audit — the constraint checks an ingest pipeline
+    // gates on, one row per rule. Each rule is a single-pass conditional
+    // count (one scan per table, map-side combined to one row per task);
+    // the FK-orphan rules are anti joins. Rules that SHOULD find nothing
+    // report 0 — the audit asserting cleanliness is itself the product.
+    "m4_data_quality_audit" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val liRules = t.lineitem.agg(
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("nonpositive_quantity"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L))
+          .as("discount_out_of_range"),
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("discount_above_5pct"))
+      val ordRules = t.orders.agg(
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpositive_totalprice"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"))
+      val orphanOrders = t.orders.join(t.customer,
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+      val shipBeforeOrder = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L)).as("n"))
+      val unpivoted = liRules.select(explode(map(
+          lit("nonpositive_quantity"), col("nonpositive_quantity"),
+          lit("discount_out_of_range"), col("discount_out_of_range"),
+          lit("discount_above_5pct"), col("discount_above_5pct"))))
+        .toDF("rule", "n_violations")
+        .unionByName(ordRules.select(explode(map(
+            lit("nonpositive_totalprice"), col("nonpositive_totalprice"),
+            lit("null_custkey"), col("null_custkey"))))
+          .toDF("rule", "n_violations"))
+        .unionByName(orphanOrders.select(lit("orphan_orders").as("rule"),
+          col("n").as("n_violations")))
+        .unionByName(shipBeforeOrder.select(lit("ship_before_order").as("rule"),
+          col("n").as("n_violations")))
+      unpivoted.orderBy("rule")
+    }),
+
+    // M5: snapshot diff — the CDC reconciliation between two versions of a
+    // table (here: yesterday = orders except every 7th key; today = orders
+    // except every 5th key, with every 3rd key's priority rewritten). One full outer join on the
+    // key classifies every row as added / removed / changed / unchanged;
+    // at scale both sides hash-shuffle once on the key and the classifier
+    // is a narrow projection.
+    "m5_snapshot_diff" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val a = t.orders.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey").as("ak"), col("o_orderpriority").as("av"))
+      val b = t.orders.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey").as("bk"),
+          when(col("o_orderkey") % 3 === 0, lit("9-REWRITTEN"))
+            .otherwise(col("o_orderpriority")).as("bv"))
+      a.join(b, col("ak") === col("bk"), "full_outer")
+        .select(when(col("ak").isNull, "added")
+          .when(col("bk").isNull, "removed")
+          .when(col("av") =!= col("bv"), "changed")
+          .otherwise("unchanged").as("kind"))
+        .groupBy(col("kind")).agg(count(lit(1)).as("n"))
+        .orderBy("kind")
     })
   )
 
@@ -118,6 +178,36 @@ object WarehouseQueries extends QueryModule {
         s"round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue FROM orders " +
         "WHERE o_orderdate >= TIMESTAMP '1997-01-01' " +
         "AND o_orderdate <= TIMESTAMP '1997-06-30 23:59:59' " +
-        "GROUP BY 1 ORDER BY mo")
+        "GROUP BY 1 ORDER BY mo"),
+
+    "m4_data_quality_audit" ->
+      ("SELECT rule, n_violations FROM (" +
+        "SELECT 'nonpositive_quantity' AS rule, " +
+        "CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM lineitem " +
+        "UNION ALL SELECT 'discount_out_of_range', " +
+        "CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem " +
+        "UNION ALL SELECT 'discount_above_5pct', " +
+        "CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem " +
+        "UNION ALL SELECT 'nonpositive_totalprice', " +
+        "CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders " +
+        "UNION ALL SELECT 'null_custkey', " +
+        "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders " +
+        "UNION ALL SELECT 'orphan_orders', CAST(count(*) AS BIGINT) FROM orders " +
+        "WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey) " +
+        "UNION ALL SELECT 'ship_before_order', " +
+        "CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS BIGINT) " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey" +
+        ") ORDER BY rule"),
+
+    "m5_snapshot_diff" ->
+      ("WITH a AS (SELECT o_orderkey AS ak, o_orderpriority AS av FROM orders " +
+        "WHERE o_orderkey % 7 <> 0), " +
+        "b AS (SELECT o_orderkey AS bk, CASE WHEN o_orderkey % 3 = 0 " +
+        "THEN '9-REWRITTEN' ELSE o_orderpriority END AS bv FROM orders " +
+        "WHERE o_orderkey % 5 <> 0) " +
+        "SELECT CASE WHEN ak IS NULL THEN 'added' WHEN bk IS NULL THEN 'removed' " +
+        "WHEN av <> bv THEN 'changed' ELSE 'unchanged' END AS kind, " +
+        "count(*) AS n FROM a FULL OUTER JOIN b ON ak = bk " +
+        "GROUP BY 1 ORDER BY kind")
   )
 }
