@@ -11,13 +11,14 @@ import org.apache.spark.sql.functions._
   * keys (no update, or an update carrying identical values) keep their
   * single open row.
   *
-  * Scale notes (100 TB): one join of base against updates on the key —
+  * Scale notes (100 TB): ONE join of base against updates on the key —
   * broadcast when the update batch is small (the common CDC case), shuffle
-  * otherwise — followed by narrow projections and a union; no window, no
-  * global sort, no driver materialization. History for keys not touched by
-  * this batch never moves: a production deployment merges against only the
-  * CURRENT slice of the dimension (exactly what `base` is) and appends the
-  * output partition-wise.
+  * otherwise — then a single narrow explode producing each key's history
+  * rows; no window, no global sort, no driver materialization, and base is
+  * scanned exactly once. History for keys not touched by this batch never
+  * moves: a production deployment merges against only the CURRENT slice of
+  * the dimension (exactly what `base` is) and appends the output
+  * partition-wise.
   */
 object Scd2 {
 
@@ -46,17 +47,22 @@ object Scd2 {
     val changed = col("__eff").isNotNull &&
       tracked.map(c => !(col(s"__new_$c") <=> col(c))).reduce(_ || _)
 
-    val keyAndOld = col(key) +: tracked.map(col)
-    val keep = j.filter(!changed).select(
-      keyAndOld :+ openFrom.as("valid_from") :+ farFuture.as("valid_to") :+
-        lit(1).as("is_current"): _*)
-    val closed = j.filter(changed).select(
-      keyAndOld :+ openFrom.as("valid_from") :+ col("__eff").as("valid_to") :+
-        lit(0).as("is_current"): _*)
-    val opened = j.filter(changed).select(
-      (col(key) +: tracked.map(c => col(s"__new_$c").as(c))) :+
-        col("__eff").as("valid_from") :+ farFuture.as("valid_to") :+
-        lit(1).as("is_current"): _*)
-    keep.unionByName(closed).unionByName(opened)
+    // ONE pass over the join: each row explodes into its history rows
+    // (2 when changed, 1 otherwise). A union of three filtered projections
+    // would read base and recompute the update aggregation three times —
+    // DataFrame plans share no common subexpressions across union branches.
+    def version(vals: Seq[org.apache.spark.sql.Column],
+        from: org.apache.spark.sql.Column, to: org.apache.spark.sql.Column,
+        cur: Int) =
+      struct(vals :+ from.as("valid_from") :+ to.as("valid_to") :+
+        lit(cur).as("is_current"): _*)
+    val oldVals = tracked.map(col)
+    val newVals = tracked.map(c => col(s"__new_$c").as(c))
+    j.select(col(key), explode(when(changed,
+          array(version(oldVals, openFrom, col("__eff"), 0),
+            version(newVals, col("__eff"), farFuture, 1)))
+        .otherwise(array(version(oldVals, openFrom, farFuture, 1)))).as("__v"))
+      .select(col(key) +: (tracked :+ "valid_from" :+ "valid_to" :+ "is_current")
+        .map(c => col(s"__v.$c")): _*)
   }
 }

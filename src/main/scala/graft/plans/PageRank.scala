@@ -29,12 +29,16 @@ object PageRank {
     */
   def run(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"pagerank: iters must be >= 1 (got $iters)")
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct().cache()
+    // materialize the (possibly expensive) edge derivation ONCE — nodes,
+    // out-mass, and transition probabilities all re-read it, and plan-level
+    // reuse does not cross self-join/union branches
+    val e = edges.localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
     val n = nodes.count().toDouble
     // per-edge transition probability: w normalized by the source's out-mass
-    val outW = edges.groupBy("src").agg(sum(col("w")).as("__tw"))
-    val trans = edges.join(outW, "src")
+    val outW = e.groupBy("src").agg(sum(col("w")).as("__tw"))
+    val trans = e.join(outW, "src")
       .select(col("src"), col("dst"), (col("w") / col("__tw")).as("p"))
       .cache()
     var rank = nodes.select(col("id"), lit(1.0 / n).as("pr"))
