@@ -148,5 +148,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         requireArity("bloom_contains(sketch, col)", exprs, 2)
         graft.functions.BloomContains(exprs.head, exprs(1))
       }))
+    // banded edit distance: exact when <= k, k+1 otherwise (fuzzy-dedup kernel)
+    ext.injectFunction((
+      FunctionIdentifier("lev_bounded"),
+      new ExpressionInfo(classOf[graft.functions.LevBounded].getName, "lev_bounded"),
+      (exprs: Seq[Expression]) => {
+        requireArity("lev_bounded(a, b, k)", exprs, 3)
+        graft.functions.LevBounded(exprs.head, exprs(1), exprs(2))
+      }))
   }
 }

@@ -240,6 +240,29 @@ object PipelineQueries extends QueryModule {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // G30b: the same fuzzy pairs through the BANDED native kernel —
+    // `lev_bounded(a, b, 4)` (custom codegen Catalyst Expression,
+    // functions/LevBounded.scala) evaluates only the 9-wide DP diagonal
+    // with early exit, O(k·n) vs O(n²), and equals the unbounded distance
+    // whenever it is within the bound — so the output (and oracle) are
+    // identical to g30's. This is the kernel shape a 100 TB fuzzy dedup
+    // actually runs: thresholds are small, so most candidate pairs exit
+    // after a few band rows.
+    "g30b_fuzzy_pairs_banded" -> ((s, dir) => {
+      graft.functions.LevKernel.register(s)
+      val t = Tables(s, dir)
+      val a = t.documents.select(col("doc_id").as("doc_a"),
+        substring(col("text"), 1, 20).as("pa"), substring(col("text"), 1, 4).as("blk"))
+      val b = t.documents.select(col("doc_id").as("doc_b"),
+        substring(col("text"), 1, 20).as("pb"), substring(col("text"), 1, 4).as("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("dist", expr("lev_bounded(pa, pb, 4)"))
+        .filter(col("dist") <= 4)
+        .select(col("doc_a"), col("doc_b"), col("dist"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // G31: deterministic train/val/test split — the md5 first byte places
     // every document in a stable ~80/10/10 split (< 0xcc train, < 0xe6 val,
     // else test) independent of partitioning, input order, engine, or rerun;
@@ -370,6 +393,15 @@ object PipelineQueries extends QueryModule {
         "LEFT JOIN tp ON tp.dst = nodes.id LEFT JOIN r2 ON r2.id = tp.src " +
         "GROUP BY nodes.id) " +
         "SELECT id, round(pr, 6) AS pr FROM r3 ORDER BY id"),
+
+    // identical to g30 by construction: lev_bounded == levenshtein when <= k
+    "g30b_fuzzy_pairs_banded" ->
+      ("SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "levenshtein(substring(a.text, 1, 20), substring(b.text, 1, 20)) AS dist " +
+        "FROM documents a JOIN documents b " +
+        "ON substring(a.text, 1, 4) = substring(b.text, 1, 4) AND a.doc_id < b.doc_id " +
+        "WHERE levenshtein(substring(a.text, 1, 20), substring(b.text, 1, 20)) <= 4 " +
+        "ORDER BY doc_a, doc_b"),
 
     "g30_fuzzy_pairs" ->
       ("SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +

@@ -356,6 +356,59 @@ object StreamingQueries extends QueryModule {
         .orderBy("batch_id")
     }),
 
+    // I12: streaming UPSERT — the CDC-apply sink pattern: a STATELESS
+    // stream whose running state lives in the SINK TABLE, not the state
+    // store. Each micro-batch aggregates its delta, merges it with the
+    // already-written partials for the days it touches (left-semi against
+    // the delta's keys), and dynamic-partition-OVERWRITES only those
+    // partitions; decimal partials make merge order irrelevant, so the
+    // final table equals the batch aggregate EXACTLY — giving this
+    // streaming query a full value oracle. At 100 TB this is how a
+    // streaming pipeline maintains a day-partitioned rollup: per-batch
+    // work scales with the delta, untouched partitions never move.
+    "i12_stream_upsert" -> ((s, dir) => {
+      val out = s"$ckptRoot/graft_out_i12_${dir.hashCode & 0x7fffffff}"
+      rmrfDir(new java.io.File(out))
+      val ckpt = s"$ckptRoot/graft_i12_${System.nanoTime()}"
+      val q = stream(s, dir, filesPerTrigger = 2)
+        .select(to_date(col("ts")).as("day"), col("value"))
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val prevMode = s.conf.get(modeKey, "static")
+      s.conf.set(modeKey, "dynamic")
+      try {
+        val sq = withStreamShufflePartitions(s) {
+          q.writeStream.outputMode(OutputMode.Append())
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              // pin the partial type: re-summing decimals widens the
+              // precision (27,6 -> 37,6 -> 38,6), and parquet files with
+              // drifting widths cannot be read back as one table
+              def pin(d: DataFrame) = d.select(col("day"), col("n").cast("long").as("n"),
+                col("vsum").cast(Tables.dec).as("vsum"))
+              val delta = pin(df.groupBy(col("day"))
+                .agg(count(lit(1)).as("n"), sum(col("value").cast(Tables.dec)).as("vsum")))
+              val merged =
+                if (new java.io.File(out).exists()) {
+                  val touched = df.sparkSession.read.parquet(out)
+                    .join(delta.select(col("day")), Seq("day"), "left_semi")
+                  pin(delta.unionByName(touched).groupBy(col("day"))
+                    .agg(sum(col("n")).as("n"), sum(col("vsum")).as("vsum")))
+                } else delta
+              // materialize BEFORE the overwrite: the merge reads the same
+              // partitions the write replaces (day-level partials — tiny)
+              merged.localCheckpoint(true)
+                .write.mode("overwrite").partitionBy("day").parquet(out)
+              ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+        }
+        try sq.awaitTermination() finally rmrfDir(new java.io.File(ckpt))
+      } finally s.conf.set(modeKey, prevMode)
+      s.read.parquet(out)
+        .select(col("day"), col("n"), round(col("vsum").cast("double"), 6).as("val_sum"))
+        .orderBy("day")
+    }),
+
     // I10: unbounded generator source, bounded deterministically.
     // `rate-micro-batch` emits exactly rowsPerBatch rows per micro-batch
     // (batch k: values [k·2000, (k+1)·2000), all stamped k·1 min), and under
@@ -403,6 +456,13 @@ object StreamingQueries extends QueryModule {
     "i10_stream_rate" ->
       ("SELECT * FROM (VALUES (TIMESTAMP '1970-01-01 00:00:00', 4000, 7998000), " +
         "(TIMESTAMP '1970-01-01 00:02:00', 2000, 9999000)) " +
-        "t(w_start, n, value_sum) ORDER BY w_start")
+        "t(w_start, n, value_sum) ORDER BY w_start"),
+
+    // i12's sink-table state is decimal-exact regardless of micro-batch
+    // boundaries, so the final upserted table IS the batch aggregate
+    "i12_stream_upsert" ->
+      ("SELECT CAST(ts AS DATE) AS day, count(*) AS n, " +
+        s"round(${graft.Tables.dsumSql("value")}, 6) AS val_sum " +
+        "FROM events GROUP BY 1 ORDER BY day")
   )
 }

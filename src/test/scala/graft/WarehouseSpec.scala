@@ -49,6 +49,14 @@ class WarehouseSpec extends AnyFunSuite {
     assert(out.filter(col("k") === 2L).count() == 1)
   }
 
+  test("scd2: one-pass plan — each input scanned exactly once") {
+    val df = SparkEntry.queries("m1_scd2_merge")(spark, sfDir)
+    df.count()
+    val scans = df.queryExecution.executedPlan.toString.linesIterator
+      .count(_.contains("FileScan parquet"))
+    assert(scans == 2, s"expected 2 scans (customer + orders), plan has $scans")
+  }
+
   test("zone map: range query opens a strict subset of files, same answer as full scan") {
     val t = Tables(spark, sfDir)
     val zpath = s"${System.getProperty("java.io.tmpdir")}/graft_zm_spec_${sfDir.hashCode & 0x7fffffff}"
