@@ -148,6 +148,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         requireArity("bloom_contains(sketch, col)", exprs, 2)
         graft.functions.BloomContains(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("hll_union_pair"),
+      new ExpressionInfo(classOf[graft.functions.HllUnionPair].getName, "hll_union_pair"),
+      (exprs: Seq[Expression]) => {
+        requireArity("hll_union_pair(a, b)", exprs, 2)
+        graft.functions.HllUnionPair(exprs.head, exprs(1))
+      }))
     // banded edit distance: exact when <= k, k+1 otherwise (fuzzy-dedup kernel)
     ext.injectFunction((
       FunctionIdentifier("lev_bounded"),

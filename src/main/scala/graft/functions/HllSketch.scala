@@ -158,9 +158,30 @@ case class HllEstimate(child: Expression)
     copy(child = newChild)
 }
 
+/** `hll_union_pair(a, b)` — SCALAR register-wise union of two sketch blobs
+  * (vs the aggregate `hll_union`, which folds a sketch COLUMN). This is the
+  * set-algebra primitive: est(A)+est(B)−est(A∪B) derives an intersection
+  * estimate from sketches alone (h6). Once per group — CodegenFallback. */
+case class HllUnionPair(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "hll_union_pair"
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val out = a.asInstanceOf[Array[Byte]].clone()
+    Hll.merge(out, b.asInstanceOf[Array[Byte]])
+    out
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HllUnionPair =
+    copy(left = newLeft, right = newRight)
+}
+
 object HllSketch {
-  /** Session-local SQL registration of the sketch-column trio (the library
-    * path is `spark.sql.extensions=graft.GraftExtensions`). */
+  /** Session-local SQL registration of the sketch-column functions (the
+    * library path is `spark.sql.extensions=graft.GraftExtensions`). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hll_sketch", exprs => HllSketchBinAgg(exprs.head), "built-in")
@@ -168,5 +189,7 @@ object HllSketch {
       "hll_union", exprs => HllUnionAgg(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hll_estimate", exprs => HllEstimate(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_union_pair", exprs => HllUnionPair(exprs.head, exprs(1)), "built-in")
   }
 }

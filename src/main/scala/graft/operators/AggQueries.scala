@@ -93,6 +93,32 @@ object AggQueries extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // H6: SET ALGEBRA on sketches — |clickers ∩ purchasers| per day by
+    // inclusion-exclusion over three HLL estimates (est(A)+est(B)−est(A∪B);
+    // union is exact on HLL registers, intersection is derived). One pass
+    // builds both per-day sketches (conditional aggregation), the A∪B blob
+    // is a register-wise union of the two — no second scan, no join. The
+    // derived intersection inherits BOTH estimates' error, so like every
+    // hll query it is rows-only; SketchSpec bounds it against the exact
+    // intersection (≤5% relative on the fixture).
+    "h6_sketch_intersect" -> ((s, dir) => {
+      graft.functions.HllSketch.register(s)
+      val t = Tables(s, dir)
+      t.events
+        .withColumn("day", to_date(col("ts")))
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("day"))
+        .agg(
+          expr("hll_sketch(CASE WHEN event_type = 'click' THEN user_id END)").as("ska"),
+          expr("hll_sketch(CASE WHEN event_type = 'purchase' THEN user_id END)").as("skb"))
+        .select(col("day"),
+          expr("CAST(hll_estimate(ska) AS BIGINT)").as("approx_clickers"),
+          expr("CAST(hll_estimate(skb) AS BIGINT)").as("approx_purchasers"),
+          expr("CAST(greatest(0L, hll_estimate(ska) + hll_estimate(skb) - " +
+            "hll_estimate(hll_union_pair(ska, skb))) AS BIGINT)").as("approx_both"))
+        .orderBy("day")
+    }),
+
     // D14: mergeable FIXED-BIN HISTOGRAM quantiles — like h5's HLL trio but
     // DETERMINISTIC, so this custom TypedImperativeAggregate is fully
     // oracle-backed: DuckDB replays the floor-binning + cumulative counts in

@@ -249,6 +249,31 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("hll set algebra: inclusion-exclusion intersection within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    graft.functions.HllSketch.register(spark)
+    val t = Tables(spark, sfDir)
+    val approx = SparkEntry.queries("h6_sketch_intersect")(spark, sfDir)
+      .select(col("day"), col("approx_both")).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val exact = t.events
+      .withColumn("day", to_date(col("ts")))
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("day"), col("user_id"))
+      .agg(countDistinct(col("event_type")).as("k"))
+      .filter(col("k") === 2)
+      .groupBy(col("day")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // days with activity but an empty exact intersection still appear on
+    // the approx side (estimate ~0); missing exact entries mean 0
+    assert(exact.keySet.subsetOf(approx.keySet))
+    approx.foreach { case (day, a) =>
+      val n = exact.getOrElse(day, 0L)
+      assert(math.abs(a.toDouble - n) <= math.max(5.0, 0.05 * n),
+        s"day $day: approx $a vs exact $n")
+    }
+  }
+
   test("bloom: no false negatives — every inserted member probes true") {
     graft.functions.BloomSketch.register(spark)
     val terms = t.documents
