@@ -27,6 +27,20 @@ object VectorQueries extends QueryModule {
   private def dot(a: String, b: String) =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (s, v) -> s + v)")
 
+  /** Deterministic ±1 JL projection matrix, sign(md5("j_i")) — 16 rows of
+    * 64 signs, rendered once as a nested-array literal (g33). The same md5
+    * rule is re-derived in SQL by the oracle. */
+  private lazy val jlSigns: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): String = {
+      val hex = md.digest(s"${j}_$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) < '8') "1.0D" else "-1.0D"
+    }
+    (0 until 16).map(i => (0 until 64).map(j => sign(j, i))
+      .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+  }
+
   private def dotd(x: Array[Double], y: Array[Double]): Double = {
     var acc = 0.0; var i = 0
     while (i < x.length) { acc += x(i) * y(i); i += 1 }
@@ -215,6 +229,27 @@ object VectorQueries extends QueryModule {
           round(dot("v", "qv") / (sqrt(dot("v", "v")) * sqrt(dot("qv", "qv"))), 6).as("cos"))
         .orderBy(col("cos").desc, col("vec_id").asc)
         .limit(10)
+    }),
+
+    // G33: Johnson–Lindenstrauss sign random projection 64 → 16 dims — the
+    // dimensionality-reduction pass ANN pipelines run before indexing. The
+    // ±1 matrix is DETERMINISTIC (sign of md5("j_i")) and embedded as a
+    // 1024-double literal, so each row is a pure codegen'd fold: no
+    // shuffle, no UDF, no per-row hashing — the projection runs at scan
+    // speed, which is exactly what survives at 100 TB. The oracle
+    // recomputes the same signs from md5 in SQL; both engines left-fold
+    // the same index order, so the doubles agree bit-for-bit before the
+    // final round.
+    "g33_random_projection" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.embeddings
+        .withColumn("v", vd)
+        .select(col("vec_id"),
+          posexplode(expr(
+            s"transform(sequence(0, 15), i -> round(aggregate(sequence(0, 63), 0D, " +
+              s"(a, j) -> a + v[j] * element_at(element_at($jlSigns, i + 1), j + 1)) / 4.0D, 6))"))
+            .as(Seq("i", "xp")))
+        .orderBy("vec_id", "i")
     }),
 
     // G32: maximum-inner-product search (MIPS) — retrieval scoring where
@@ -539,6 +574,14 @@ object VectorQueries extends QueryModule {
         "SELECT vec_id, label, " +
         "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cos " +
         "FROM embeddings, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10"),
+
+    "g33_random_projection" ->
+      ("SELECT vec_id, i.range AS i, " +
+        "round(list_sum(list_transform(range(1, 65), j -> " +
+        "CAST(embedding[j] AS DOUBLE) * " +
+        "CASE WHEN substring(md5(CAST(j - 1 AS VARCHAR) || '_' || CAST(i.range AS VARCHAR)), 1, 1) " +
+        "< '8' THEN 1.0 ELSE -1.0 END)) / 4.0, 6) AS xp " +
+        "FROM embeddings, range(16) AS i ORDER BY vec_id, i"),
 
     "g32_mips_topk" ->
       ("WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1) " +

@@ -117,4 +117,18 @@ class VectorSpec extends AnyFunSuite {
       assert(math.abs(s - centroidTimesN) < 1e-3, s"label $l pos $p: $s vs $centroidTimesN")
     }
   }
+
+  test("g33: sign JL projection preserves norms in expectation (mean ratio ~ 1)") {
+    import org.apache.spark.sql.functions._
+    val proj = SparkEntry.queries("g33_random_projection")(spark, sfDir)
+      .groupBy("vec_id").agg(sum(col("xp") * col("xp")).as("pn"))
+    val orig = Tables(spark, sfDir).embeddings.select(col("vec_id"),
+      expr("aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("vn"))
+    val ratios = proj.join(orig, "vec_id")
+      .select((col("pn") / col("vn")).as("r")).collect().map(_.getDouble(0))
+    val mean = ratios.sum / ratios.length
+    assert(math.abs(mean - 1.0) < 0.1, s"mean norm ratio $mean over ${ratios.length} vectors")
+    // individual distortion at d_out=16 is wide but must stay sane
+    assert(ratios.forall(r => r > 0.05 && r < 5.0), s"extreme distortion: ${ratios.min}..${ratios.max}")
+  }
 }
