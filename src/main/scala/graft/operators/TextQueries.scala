@@ -44,6 +44,36 @@ object TextQueries extends QueryModule {
   }
 
   val queries: Seq[(String, QFn)] = Seq(
+    // G34: bigram language-model fluency scoring — train a bigram model on
+    // the corpus (two group-bys: bigram counts and prefix counts), then
+    // score every document by its MEAN conditional bigram probability
+    // p(w2|w1) = cnt(w1 w2)/cnt(w1 ·). Deliberately log-free: the
+    // probabilities are exact count ratios and the per-doc mean goes
+    // through DECIMAL(38,12), so the score is bit-reproducible and fully
+    // oracle-backed (ln() would differ in ulps across engines' libm).
+    // The scale shape: LM "training" is two shuffles on the bigram/prefix
+    // key; scoring re-joins the corpus to the broadcast-or-shuffled model.
+    "g34_bigram_lm" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val bi = t.documents
+        .withColumn("toks", TF.tokens(lower(col("text"))))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', toks[i-1], toks[i]))"))
+          .as("bg"))
+      val cb = bi.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      val cp = bi.groupBy(expr("split_part(bg, ' ', 1)").as("w1"))
+        .agg(count(lit(1)).as("cp"))
+      bi.join(cb, "bg")
+        .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+        .join(cp, "w1")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum((col("cb").cast("double") / col("cp")).cast(Tables.decHi))
+            .cast("double") / count(lit(1)), 6).as("mean_p"))
+        .orderBy("doc_id")
+    }),
+
     // G1: exact dedup on normalized text with a deterministic survivor
     // (lowest doc_id), via window — not dropDuplicates, whose survivor is
     // partition-order dependent.
@@ -276,6 +306,19 @@ object TextQueries extends QueryModule {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "g34_bigram_lm" ->
+      ("WITH bi AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), " +
+        "i -> t[i] || ' ' || t[i+1])) AS bg " +
+        "FROM (SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents) " +
+        "WHERE len(t) >= 2), " +
+        "cb AS (SELECT bg, count(*) AS cb FROM bi GROUP BY bg), " +
+        "cp AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS cp FROM bi GROUP BY 1) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "round(CAST(sum(CAST(CAST(cb AS DOUBLE) / cp AS DECIMAL(38,12))) AS DOUBLE) " +
+        "/ count(*), 6) AS mean_p " +
+        "FROM bi JOIN cb USING (bg) JOIN cp ON split_part(bg, ' ', 1) = w1 " +
+        "GROUP BY doc_id ORDER BY doc_id"),
+
     "g1_dedup_exact" ->
       ("SELECT doc_id, lang, source, n_chars FROM (" +
         "SELECT doc_id, lang, source, n_chars, " +

@@ -206,6 +206,27 @@ object WindowQueries extends QueryModule {
         .orderBy("c_custkey")
     }),
 
+    // E12: time-weighted average (TWAP) — the irregular-time-series mean
+    // (sensor readings, prices): each observation is weighted by how long
+    // it was current (µs until the next observation, same user). Weights
+    // are exact integer µs and the weighted sum goes through decimal, so
+    // the SQL replay matches exactly. One window shuffle on user_id, then
+    // a hash aggregate — the standard time-series shape at scale.
+    "e12_twap" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t.events
+        .withColumn("nxt", lead(col("ts"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .withColumn("dur", expr(
+          "unix_micros(CAST(nxt AS TIMESTAMP)) - unix_micros(CAST(ts AS TIMESTAMP))"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_obs"),
+          round(sum((col("value") * col("dur")).cast(Tables.dec)).cast("double") /
+            sum(col("dur")), 6).as("twap"))
+        .orderBy("user_id")
+    }),
+
     // E10: conversion funnel — per user, the first click and the first
     // purchase at-or-after it; reported per first-click day with the mean
     // click→purchase delay (integer minutes through decimal — exact, so the
@@ -340,6 +361,16 @@ object WindowQueries extends QueryModule {
       ("SELECT c_custkey, c_mktsegment, " +
         "ntile(10) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS decile " +
         "FROM customer ORDER BY c_custkey"),
+
+    "e12_twap" ->
+      ("WITH o AS (SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us, " +
+        "lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER " +
+        "(PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt " +
+        "FROM events) " +
+        "SELECT user_id, count(*) AS n_obs, " +
+        "round(CAST(sum(CAST(value * (nxt - us) AS DECIMAL(27,6))) AS DOUBLE) / " +
+        "sum(nxt - us), 6) AS twap " +
+        "FROM o WHERE nxt IS NOT NULL GROUP BY user_id ORDER BY user_id"),
 
     "e10_funnel_conversion" ->
       ("WITH c AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_click " +
