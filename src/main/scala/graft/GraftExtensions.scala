@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Plans the AsOfJoin logical node built by graft.plans.GraftOps.asofJoin
     // (sorted-merge as-of join with O(1) merge state).
     ext.injectPlannerStrategy(_ => graft.plans.GraftAsOfStrategy)
+    // Optimizer rule (conf-gated, default off): rewrites
+    // `levenshtein(a, b) <= k` comparisons to the banded O(k·n) kernel —
+    // see graft.plans.GraftLevBoundedRule.
+    ext.injectOptimizerRule(_ => graft.plans.GraftLevBoundedRule)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "cosine_sim"),

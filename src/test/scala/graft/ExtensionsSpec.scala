@@ -48,4 +48,42 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("conf-gated rule rewrites levenshtein thresholds to the banded kernel") {
+    spark.sparkContext // ensure the shared context exists (builder reuses it)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import org.apache.spark.sql.functions._
+      // derived from range, not a LocalRelation — ConvertToLocalRelation
+      // would otherwise evaluate the filter at optimization time and leave
+      // nothing to inspect
+      val df = s2.range(300).select(
+        substring(md5(col("id").cast("string")), 1, 6).as("a"),
+        substring(md5((col("id") * 7).cast("string")), 1, 6).as("b"))
+      def q = df.filter(levenshtein(col("a"), col("b")) <= 3)
+
+      val flag = graft.plans.GraftLevBoundedRule.Flag
+      s2.conf.set(flag, "false")
+      val off = q
+      val offRows = off.count()
+      assert(!off.queryExecution.optimizedPlan.toString.contains("lev_bounded"))
+
+      s2.conf.set(flag, "true")
+      try {
+        val on = q
+        assert(on.queryExecution.optimizedPlan.toString.contains("lev_bounded"),
+          on.queryExecution.optimizedPlan.toString)
+        assert(on.count() == offRows)
+        // a bare projection (no comparison) keeps the exact built-in
+        val bare = df.select(levenshtein(col("a"), col("b")).as("d"))
+        assert(!bare.queryExecution.optimizedPlan.toString.contains("lev_bounded"))
+      } finally s2.conf.unset(flag)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
 }
