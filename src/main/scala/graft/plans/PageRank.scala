@@ -51,6 +51,11 @@ object PageRank {
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("pr"))
     }
-    rank
+    // materialize the result, then release the intermediates — a long-lived
+    // session running many rank jobs must not accumulate cached tables
+    val out = rank.localCheckpoint()
+    trans.unpersist()
+    nodes.unpersist()
+    out
   }
 }
