@@ -1,8 +1,11 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
-/** Scratch profiler / plan auditor (not part of the driver contract). */
+/** Scratch profiler / plan auditor / stress runner (not part of the driver
+  * contract). `PROF_MODE=stress` runs the 10M-row warehouse-band stress;
+  * otherwise dumps executed-plan skeletons for `PROF_QUERIES`. */
 object Prof {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,16 +15,64 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = sys.env.getOrElse("PROF_QUERIES",
-      "m1_scd2_merge,m2_mv_incremental,m5_snapshot_diff,e10_funnel_conversion,e11_cohort_retention,g29_graph_pagerank,g30_fuzzy_pairs,d15_winsorized_mean,g32_mips_topk").split(",")
-    names.foreach { n =>
-      println(s"========== $n ==========")
-      val df = SparkEntry.queries(n.trim)(spark, sfDir)
-      df.count() // let AQE finalize
-      println(df.queryExecution.executedPlan.toString.linesIterator
-        .filter(l => l.contains("Exchange") || l.contains("Join") || l.contains("Scan") ||
-          l.contains("Window") || l.contains("Sort") || l.contains("Aggregate"))
-        .map(_.take(160)).mkString("\n"))
+
+    def time(name: String)(f: => Long): Unit = (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-34s pass$i ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+    }
+
+    if (sys.env.get("PROF_MODE").contains("stress")) {
+      val n = 10L * 1000 * 1000
+      val base = spark.range(n).select(col("id").as("k"),
+        (col("id") % 997).cast("double").as("bal"))
+      // 20% of keys updated, half of those to a NEW value
+      val updates = spark.range(n / 5).select((col("id") * 5).as("k"),
+        when(col("id") % 2 === 0, (col("id") * 5 % 997) + 1.0)
+          .otherwise((col("id") * 5 % 997).cast("double")).as("bal"),
+        lit("1997-05-01 00:00:00").cast("timestamp").as("eff"))
+      time("scd2 10M base / 2M updates") {
+        graft.operators.Scd2.merge(base, updates, "k", Seq("bal"), "eff",
+          lit("1992-01-01 00:00:00").cast("timestamp"),
+          lit("9999-12-31 00:00:00").cast("timestamp")).count()
+      }
+      val a = spark.range(n).filter(col("id") % 7 =!= 0)
+        .select(col("id").as("ak"), (col("id") % 97).as("av"))
+      val b = spark.range(n).filter(col("id") % 5 =!= 0)
+        .select(col("id").as("bk"),
+          when(col("id") % 3 === 0, lit(-1L)).otherwise(col("id") % 97).as("bv"))
+      time("snapshot diff 10M full outer") {
+        a.join(b, col("ak") === col("bk"), "full_outer")
+          .select(when(col("ak").isNull, "added").when(col("bk").isNull, "removed")
+            .when(col("av") =!= col("bv"), "changed").otherwise("unchanged").as("kind"))
+          .groupBy("kind").count().count()
+      }
+      val zdir = s"${System.getProperty("java.io.tmpdir")}/graft_stress_zm"
+      graft.sources.ZoneMap.writeClustered(
+        spark.range(n).select(col("id").as("k"), (col("id") % 1000).as("v")),
+        zdir, "k", nFiles = 32)
+      val kept = graft.sources.ZoneMap.prunedFiles(spark, zdir, "k",
+        lit(1000000L), lit(1500000L))
+      println(s"zone map: kept ${kept.size}/32 files for a 5% key range")
+      time("zone map pruned scan 10M") {
+        graft.sources.ZoneMap.prunedRead(spark, zdir, "k",
+          lit(1000000L), lit(1500000L)).count()
+      }
+      time("full scan + filter 10M") {
+        spark.read.parquet(zdir)
+          .filter(col("k") >= 1000000L && col("k") <= 1500000L).count()
+      }
+    } else {
+      val names = sys.env.getOrElse("PROF_QUERIES", "m1_scd2_merge").split(",")
+      names.foreach { q =>
+        println(s"========== $q ==========")
+        val df = SparkEntry.queries(q.trim)(spark, sfDir)
+        df.count()
+        println(df.queryExecution.executedPlan.toString.linesIterator
+          .filter(l => l.contains("Exchange") || l.contains("Join") || l.contains("Scan") ||
+            l.contains("Window") || l.contains("Sort") || l.contains("Aggregate"))
+          .map(_.take(160)).mkString("\n"))
+      }
     }
     spark.stop()
   }

@@ -39,6 +39,37 @@ object ScanFilterQueries extends QueryModule {
         .orderBy("r_regionkey")
     }),
 
+    // A13: malformed-record handling — the ingest-robustness contract. A
+    // deterministic CSV mixes well-formed rows (40) with type-corrupt (5)
+    // and ragged (5) ones; PERMISSIVE parsing quarantines unparseable
+    // lines into _corrupt_record instead of failing the job (the posture
+    // a 100 TB ingest needs) and null-pads ragged-but-parseable rows.
+    // The query reports the good/corrupt split plus the good-row
+    // checksum; oracle is the known VALUES row (the fixture is
+    // synthesized in-query, deterministically).
+    "a13_scan_corrupt_records" -> ((s, dir) => {
+      val path = tmp("csv_corrupt", dir)
+      val lines = (0 until 50).map { i =>
+        if (i % 10 == 7) s"$i,not_a_number"   // type-corrupt value
+        else if (i % 10 == 3) s"$i"           // ragged: missing column
+        else s"$i,${i * 2}"
+      }
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p.resolve("_ready"))) {
+        java.nio.file.Files.createDirectories(p)
+        java.nio.file.Files.write(p.resolve("data.csv"),
+          lines.mkString("\n").getBytes("UTF-8"))
+        java.nio.file.Files.createFile(p.resolve("_ready"))
+      }
+      s.read
+        .schema("id INT, v INT, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .csv(s"$path/data.csv")
+        .agg(count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          sum(when(col("_corrupt_record").isNull, col("v"))).as("good_v_sum"))
+    }),
+
     // A3b: JSON round-trip over nation.
     "a3b_scan_json" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -275,6 +306,11 @@ object ScanFilterQueries extends QueryModule {
 
     "a3_scan_csv" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    // 40 good rows (sum 2i = 1950), 5 type-corrupt, 5 ragged (null-padded
+    // good rows with v NULL) — fully determined by the synthesized fixture
+    "a13_scan_corrupt_records" ->
+      ("SELECT * FROM (VALUES (45, 5, 1950)) t(n_good, n_corrupt, good_v_sum)"),
 
     "a3b_scan_json" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
