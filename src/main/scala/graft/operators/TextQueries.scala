@@ -62,14 +62,16 @@ object TextQueries extends QueryModule {
           "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', toks[i-1], toks[i]))"))
           .as("bg"))
       val cb = bi.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
-      val cp = bi.groupBy(expr("split_part(bg, ' ', 1)").as("w1"))
-        .agg(count(lit(1)).as("cp"))
-      bi.join(cb, "bg")
         .withColumn("w1", expr("split_part(bg, ' ', 1)"))
-        .join(cp, "w1")
+      // prefix counts roll up from the (much smaller) bigram counts — the
+      // raw bigram stream is aggregated exactly once
+      val cp = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cp"))
+      val model = cb.join(cp, "w1")
+        .select(col("bg"), (col("cb").cast("double") / col("cp")).as("p"))
+      bi.join(model, "bg")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
-          round(sum((col("cb").cast("double") / col("cp")).cast(Tables.decHi))
+          round(sum(col("p").cast(Tables.decHi))
             .cast("double") / count(lit(1)), 6).as("mean_p"))
         .orderBy("doc_id")
     }),
