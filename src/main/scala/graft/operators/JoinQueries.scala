@@ -211,6 +211,45 @@ object JoinQueries extends QueryModule {
         .orderBy("h", "et")
     }),
 
+    // C16: interval OVERLAP join via hour-bucket binning — the scale-safe
+    // formulation of interval × interval (c9 covers point × bucket). User
+    // sessions (e8's gap-break derivation, parity already proven against
+    // DuckDB) are joined to 30-minute "incident windows" around a sampled
+    // set of error events, on overlap. Instead of the O(|A|·|B|) theta
+    // join, each interval explodes to the hour buckets it covers, the join
+    // is an EQUI-join on the bucket, duplicates (intervals sharing several
+    // buckets) collapse with DISTINCT, and the exact overlap predicate
+    // runs as a residual filter — so the oracle is the plain theta join
+    // and the binned plan must reproduce it row-for-row.
+    "c16_join_interval_overlap" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sessions = t.events
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts").cast("timestamp")) -
+              unix_timestamp(col("prev_ts").cast("timestamp"))) > 1800, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(Tables.ntz(min(col("ts"))).as("s_start"), Tables.ntz(max(col("ts"))).as("s_end"))
+      val incidents = t.events
+        .filter(col("event_type") === "error" && col("event_id") % 100 === 0)
+        .select(col("event_id").as("inc_id"), Tables.ntz(col("ts")).as("i_start"),
+          Tables.ntz(col("ts") + expr("INTERVAL 30 MINUTES")).as("i_end"))
+      val sB = sessions.withColumn("b",
+        explode(expr("sequence(date_trunc('hour', s_start), date_trunc('hour', s_end), interval 1 hour)")))
+      val iB = incidents.withColumn("b",
+        explode(expr("sequence(date_trunc('hour', i_start), date_trunc('hour', i_end), interval 1 hour)")))
+      sB.join(iB, "b")
+        .filter(col("s_start") <= col("i_end") && col("s_end") >= col("i_start"))
+        .select(col("inc_id"), col("user_id"), col("session_id")).distinct()
+        .groupBy(col("inc_id"))
+        .agg(count(lit(1)).as("n_sessions"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("inc_id")
+    }),
+
     // C11: small cartesian product.
     "c11_join_cross" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -312,6 +351,25 @@ object JoinQueries extends QueryModule {
     "c11_join_cross" ->
       ("SELECT n_nationkey, r_regionkey, n_name, r_name FROM nation CROSS JOIN region " +
         "ORDER BY n_nationkey, r_regionkey"),
+
+    // oracle is the PLAIN theta overlap join over the same session
+    // derivation (e8's CTE, parity already proven) — the binned equi-join
+    // plan must reproduce it exactly
+    "c16_join_interval_overlap" ->
+      ("WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e), " +
+        "n AS (SELECT *, CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800 " +
+        "THEN 1 ELSE 0 END AS new_s FROM l), " +
+        "s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM n), " +
+        "sess AS (SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end " +
+        "FROM s GROUP BY user_id, session_id), " +
+        "inc AS (SELECT event_id AS inc_id, CAST(ts AS TIMESTAMP) AS i_start, " +
+        "CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS i_end FROM events " +
+        "WHERE event_type = 'error' AND event_id % 100 = 0) " +
+        "SELECT inc_id, count(*) AS n_sessions, count(DISTINCT user_id) AS n_users " +
+        "FROM inc JOIN sess ON s_start <= i_end AND s_end >= i_start " +
+        "GROUP BY inc_id ORDER BY inc_id"),
 
     "c13_gapfill_forward" ->
       (s"WITH hourly AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS eh, event_type, " +
