@@ -211,16 +211,18 @@ object JoinQueries extends QueryModule {
         .orderBy("h", "et")
     }),
 
-    // C16: interval OVERLAP join via hour-bucket binning — the scale-safe
-    // formulation of interval × interval (c9 covers point × bucket). User
-    // sessions (e8's gap-break derivation, parity already proven against
-    // DuckDB) are joined to 30-minute "incident windows" around a sampled
-    // set of error events, on overlap. Instead of the O(|A|·|B|) theta
-    // join, each interval explodes to the hour buckets it covers, the join
-    // is an EQUI-join on the bucket, duplicates (intervals sharing several
-    // buckets) collapse with DISTINCT, and the exact overlap predicate
-    // runs as a residual filter — so the oracle is the plain theta join
-    // and the binned plan must reproduce it row-for-row.
+    // C16: interval OVERLAP join via TWO-LEVEL (day + edge-hour) binning —
+    // the scale-safe formulation of interval × interval (c9 covers point ×
+    // bucket). User sessions (e8's gap-break derivation, parity already
+    // proven against DuckDB) are joined to 30-minute "incident windows"
+    // around a sampled set of error events, on overlap. Instead of the
+    // O(|A|·|B|) theta join, each session emits its MINIMAL cover (full
+    // days collapse to one day bin; only partial-day edges emit hour bins —
+    // bounded fan-out even for days-long sessions, see IntervalCover),
+    // incidents emit hour bins + their days, the join is an EQUI-join on
+    // (kind, bin), duplicates collapse with DISTINCT, and the exact overlap
+    // predicate runs as a residual filter — so the oracle is the plain
+    // theta join and the binned plan must reproduce it row-for-row.
     "c16_join_interval_overlap" -> ((s, dir) => {
       val t = Tables(s, dir)
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -238,11 +240,12 @@ object JoinQueries extends QueryModule {
         .filter(col("event_type") === "error" && col("event_id") % 100 === 0)
         .select(col("event_id").as("inc_id"), Tables.ntz(col("ts")).as("i_start"),
           Tables.ntz(col("ts") + expr("INTERVAL 30 MINUTES")).as("i_end"))
-      val sB = sessions.withColumn("b",
-        explode(expr("sequence(date_trunc('hour', s_start), date_trunc('hour', s_end), interval 1 hour)")))
-      val iB = incidents.withColumn("b",
-        explode(expr("sequence(date_trunc('hour', i_start), date_trunc('hour', i_end), interval 1 hour)")))
-      sB.join(iB, "b")
+      val sB = IntervalCover.withBounds(sessions, "s_start", "s_end")
+        .withColumn("bin", explode(IntervalCover.coverBins))
+        .select(col("user_id"), col("session_id"), col("s_start"), col("s_end"), col("bin"))
+      val iB = incidents
+        .withColumn("bin", explode(IntervalCover.probeBins("i_start", "i_end")))
+      sB.join(iB, "bin")
         .filter(col("s_start") <= col("i_end") && col("s_end") >= col("i_start"))
         .select(col("inc_id"), col("user_id"), col("session_id")).distinct()
         .groupBy(col("inc_id"))

@@ -222,21 +222,18 @@ object PipelineQueries extends QueryModule {
     }),
 
     // G30: fuzzy near-dup pairs by edit distance — levenshtein over 20-char
-    // prefixes, blocked on the 4-char prefix so the self-join never goes
-    // all-pairs (the blocking idiom of every fuzzy-dedup pipeline; scale
-    // comes from block size, not corpus size). Exact: both engines compute
-    // the same classic Levenshtein.
+    // prefixes, through the DE-SKEWED blocking of FuzzyBlocking: composite
+    // (4-char prefix, length band) block key with per-block cap + salting,
+    // so one hot prefix ("the ", "http", boilerplate) can never put a
+    // quadratic block on a single reducer at web scale. The pair set is
+    // identical to plain prefix blocking (length banding only removes pairs
+    // the dist ≤ 4 filter would drop anyway; salting only reshapes the
+    // shuffle), so the oracle replays the plain blocked join.
     "g30_fuzzy_pairs" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val a = t.documents.select(col("doc_id").as("doc_a"),
-        substring(col("text"), 1, 20).as("pa"), substring(col("text"), 1, 4).as("blk"))
-      val b = t.documents.select(col("doc_id").as("doc_b"),
-        substring(col("text"), 1, 20).as("pb"), substring(col("text"), 1, 4).as("blk"))
-      a.join(b, Seq("blk"))
-        .filter(col("doc_a") < col("doc_b"))
-        .withColumn("dist", levenshtein(col("pa"), col("pb")))
-        .filter(col("dist") <= 4)
-        .select(col("doc_a"), col("doc_b"), col("dist"))
+      val docs = t.documents.select(col("doc_id"), substring(col("text"), 1, 20).as("p"))
+      FuzzyBlocking.pairs(docs, "doc_id", "p", k = 4,
+          dist = (a, b) => levenshtein(a, b))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -245,21 +242,17 @@ object PipelineQueries extends QueryModule {
     // functions/LevBounded.scala) evaluates only the 9-wide DP diagonal
     // with early exit, O(k·n) vs O(n²), and equals the unbounded distance
     // whenever it is within the bound — so the output (and oracle) are
-    // identical to g30's. This is the kernel shape a 100 TB fuzzy dedup
-    // actually runs: thresholds are small, so most candidate pairs exit
-    // after a few band rows.
+    // identical to g30's. Same de-skewed FuzzyBlocking join shape; this is
+    // the kernel + blocking a 100 TB fuzzy dedup actually runs.
     "g30b_fuzzy_pairs_banded" -> ((s, dir) => {
       graft.functions.LevKernel.register(s)
       val t = Tables(s, dir)
-      val a = t.documents.select(col("doc_id").as("doc_a"),
-        substring(col("text"), 1, 20).as("pa"), substring(col("text"), 1, 4).as("blk"))
-      val b = t.documents.select(col("doc_id").as("doc_b"),
-        substring(col("text"), 1, 20).as("pb"), substring(col("text"), 1, 4).as("blk"))
-      a.join(b, Seq("blk"))
-        .filter(col("doc_a") < col("doc_b"))
-        .withColumn("dist", expr("lev_bounded(pa, pb, 4)"))
-        .filter(col("dist") <= 4)
-        .select(col("doc_a"), col("doc_b"), col("dist"))
+      val docs = t.documents.select(col("doc_id"), substring(col("text"), 1, 20).as("p"))
+      import org.apache.spark.sql.classic.GraftSqlBridge
+      FuzzyBlocking.pairs(docs, "doc_id", "p", k = 4,
+          dist = (a, b) => GraftSqlBridge.column(graft.functions.LevBounded(
+            GraftSqlBridge.expression(a), GraftSqlBridge.expression(b),
+            org.apache.spark.sql.catalyst.expressions.Literal(4))))
         .orderBy("doc_a", "doc_b")
     }),
 

@@ -25,12 +25,19 @@ object Scd2 {
   /** @param base     current dimension snapshot: one row per `key`, columns
     *                 `key` ++ `tracked` (each row implicitly valid from
     *                 `openFrom`)
-    * @param updates  update batch: one row per `key`, columns `key` ++
+    * @param updates  update batch: one row per `key` (REQUIRED — duplicate
+    *                 update keys would emit overlapping history rows; pass
+    *                 `assertUniqueUpdateKeys = true` to pay one small
+    *                 aggregate pass and fail fast instead), columns `key` ++
     *                 `tracked` (the new values) ++ `effCol` (when they take
     *                 effect); `effCol` must be strictly after `openFrom`
     * @param tracked  attribute columns whose change triggers a new version
+    * @param assertUniqueUpdateKeys verify the one-row-per-key precondition
+    *                 on `updates` before merging (debug / ingest-gate mode)
     * @return `key` ++ `tracked` ++ (valid_from, valid_to, is_current INT) —
-    *         2 rows per changed key, 1 per unchanged key
+    *         2 rows per changed key, 1 per unchanged key, and 1 opening row
+    *         per key NEW to the dimension (standard SCD2 CDC-merge insert
+    *         path: valid from its own effective time, not `openFrom`)
     */
   def merge(
       base: DataFrame,
@@ -39,12 +46,22 @@ object Scd2 {
       tracked: Seq[String],
       effCol: String,
       openFrom: Column,
-      farFuture: Column): DataFrame = {
+      farFuture: Column,
+      assertUniqueUpdateKeys: Boolean = false): DataFrame = {
+    if (assertUniqueUpdateKeys) {
+      val dups = updates.groupBy(col(key)).count()
+        .filter(col("count") > 1).limit(5).collect()
+      require(dups.isEmpty,
+        s"Scd2.merge: duplicate update keys (sample): ${dups.mkString(", ")}")
+    }
     val upd = updates.select(
       (col(key) +: tracked.map(c => col(c).as(s"__new_$c"))) :+ col(effCol).as("__eff"): _*)
-    val j = base.join(upd, Seq(key), "left")
+    // full outer: keys only in updates are INSERTS (no history to close);
+    // the marker distinguishes them from base keys with all-NULL attributes
+    val j = base.withColumn("__in_base", lit(1)).join(upd, Seq(key), "full_outer")
+    val inBase = col("__in_base").isNotNull
     // null-safe: a tracked value changing to/from NULL is still a change
-    val changed = col("__eff").isNotNull &&
+    val changed = inBase && col("__eff").isNotNull &&
       tracked.map(c => !(col(s"__new_$c") <=> col(c))).reduce(_ || _)
 
     // ONE pass over the join: each row explodes into its history rows
@@ -61,6 +78,7 @@ object Scd2 {
     j.select(col(key), explode(when(changed,
           array(version(oldVals, openFrom, col("__eff"), 0),
             version(newVals, col("__eff"), farFuture, 1)))
+        .when(!inBase, array(version(newVals, col("__eff"), farFuture, 1)))
         .otherwise(array(version(oldVals, openFrom, farFuture, 1)))).as("__v"))
       .select(col(key) +: (tracked :+ "valid_from" :+ "valid_to" :+ "is_current")
         .map(c => col(s"__v.$c")): _*)

@@ -378,25 +378,48 @@ object StreamingQueries extends QueryModule {
       try {
         val sq = withStreamShufflePartitions(s) {
           q.writeStream.outputMode(OutputMode.Append())
-            .foreachBatch { (df: DataFrame, _: Long) =>
-              // pin the partial type: re-summing decimals widens the
-              // precision (27,6 -> 37,6 -> 38,6), and parquet files with
-              // drifting widths cannot be read back as one table
-              def pin(d: DataFrame) = d.select(col("day"), col("n").cast("long").as("n"),
-                col("vsum").cast(Tables.dec).as("vsum"))
-              val delta = pin(df.groupBy(col("day"))
-                .agg(count(lit(1)).as("n"), sum(col("value").cast(Tables.dec)).as("vsum")))
-              val merged =
-                if (new java.io.File(out).exists()) {
-                  val touched = df.sparkSession.read.parquet(out)
-                    .join(delta.select(col("day")), Seq("day"), "left_semi")
-                  pin(delta.unionByName(touched).groupBy(col("day"))
-                    .agg(sum(col("n")).as("n"), sum(col("vsum")).as("vsum")))
-                } else delta
-              // materialize BEFORE the overwrite: the merge reads the same
-              // partitions the write replaces (day-level partials — tiny)
-              merged.localCheckpoint(true)
-                .write.mode("overwrite").partitionBy("day").parquet(out)
+            .foreachBatch { (df: DataFrame, batchId: Long) =>
+              // idempotence guard: the read-merge-overwrite below is NOT a
+              // transaction, so a RETRIED micro-batch would double-apply its
+              // delta. The sink records the last applied batchId in a
+              // sidecar (underscore-hidden from table scans, written
+              // atomically AFTER the overwrite, untouched by dynamic
+              // partition overwrite) and skips batches it has already
+              // applied. A crash exactly between the overwrite and the
+              // marker rename can still re-apply one batch — closing that
+              // last window needs a transactional table commit (see
+              // sources/SnapshotTable.scala), which is overkill for this
+              // day-partial rollup demo.
+              val marker = new java.io.File(out, "_applied_batch")
+              val applied =
+                if (marker.exists())
+                  new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim.toLong
+                else -1L
+              if (batchId > applied) {
+                // pin the partial type: re-summing decimals widens the
+                // precision (27,6 -> 37,6 -> 38,6), and parquet files with
+                // drifting widths cannot be read back as one table
+                def pin(d: DataFrame) = d.select(col("day"), col("n").cast("long").as("n"),
+                  col("vsum").cast(Tables.dec).as("vsum"))
+                val delta = pin(df.groupBy(col("day"))
+                  .agg(count(lit(1)).as("n"), sum(col("value").cast(Tables.dec)).as("vsum")))
+                val merged =
+                  if (new java.io.File(out).exists()) {
+                    val touched = df.sparkSession.read.parquet(out)
+                      .join(delta.select(col("day")), Seq("day"), "left_semi")
+                    pin(delta.unionByName(touched).groupBy(col("day"))
+                      .agg(sum(col("n")).as("n"), sum(col("vsum")).as("vsum")))
+                  } else delta
+                // materialize BEFORE the overwrite: the merge reads the same
+                // partitions the write replaces (day-level partials — tiny)
+                merged.localCheckpoint(true)
+                  .write.mode("overwrite").partitionBy("day").parquet(out)
+                val tmp = new java.io.File(out, s"._applied_batch.tmp")
+                java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes("UTF-8"))
+                java.nio.file.Files.move(tmp.toPath, marker.toPath,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              }
               ()
             }
             .option("checkpointLocation", ckpt)

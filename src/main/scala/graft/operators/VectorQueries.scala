@@ -330,8 +330,15 @@ object VectorQueries extends QueryModule {
     // each vector assigned to its NEAREST centroid, query probes the 2
     // closest cells and searches only those. The codebook is tiny (10×64)
     // and driver-held; the scan prunes ~80% of vectors — the ANN plan that
-    // scales. Approximate → rows-only (recall asserted in VectorSpec).
+    // scales. The probe kernel is FULLY DECLARATIVE: centroids ride in as
+    // typed array literals, per-cell similarity is the codegen'd
+    // `cosine_sim` Expression, and nearest-cell assignment is an
+    // `array_max` over (sim, −label) structs — no typed-Dataset lambda, no
+    // DeserializeToObject, so the embeddings scan stays columnar inside
+    // whole-stage codegen with column pruning intact (asserted in
+    // PlanSpec). Approximate → rows-only (recall asserted in VectorSpec).
     "g4b_sim_topk_ivf" -> ((s, dir) => {
+      graft.functions.CosineSim.register(s)
       val spark = s
       import spark.implicits._
       val t = Tables(s, dir)
@@ -340,8 +347,8 @@ object VectorQueries extends QueryModule {
         while (i < x.length) { acc += x(i) * y(i); i += 1 }
         acc
       }
-      def round6(x: Double): Double =
-        java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      // same fused single-pass accumulation order as the CosineSim codegen,
+      // so driver-side probe selection and executor-side assignment agree
       def cos(a: Array[Double], b: Array[Double]): Double =
         dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
       // codebook: mean vector per label (any k-means-style codebook works;
@@ -362,34 +369,30 @@ object VectorQueries extends QueryModule {
             cells.foreach { case (_, pos, v) => c(pos) = v }
             (l, c)
           }
-      val bcCb = s.sparkContext.broadcast(codebook.toArray)
       val query = t.embeddings.filter(col("vec_id") === 0)
         .select(col("embedding")).as[Seq[Float]].head().map(_.toDouble).toArray
       val probed = codebook.map { case (l, c) => (l, cos(query, c)) }
-        .sortBy { case (l, sim) => (-sim, l) }.take(2).map(_._1).toSet
-      val bcProbed = s.sparkContext.broadcast(probed)
-      val bcQ = s.sparkContext.broadcast(query)
-      t.embeddings.select(col("vec_id"), col("label"), col("embedding"))
-        .as[(Long, Int, Seq[Float])]
-        .filter { case (id, _, vf) =>
-          if (id == 0) false
-          else {
-            val v = vf.map(_.toDouble).toArray
-            val cb = bcCb.value
-            var best = 0; var bestSim = Double.NegativeInfinity
-            var i = 0
-            while (i < cb.length) {
-              val sim = cos(v, cb(i)._2)
-              if (sim > bestSim) { bestSim = sim; best = cb(i)._1 }
-              i += 1
-            }
-            bcProbed.value.contains(best)
-          }
+        .sortBy { case (l, sim) => (-sim, l) }.take(2).map(_._1)
+      // one typed literal column per centroid + the query vector — exact
+      // doubles (no string round-trip), all folded into the scan projection
+      val withSims = codebook.zipWithIndex
+        .foldLeft(t.embeddings.select(col("vec_id"), col("label"), vd.as("v"))
+          .withColumn("qv", typedLit(query.toSeq))) {
+          case (df, ((_, c), i)) =>
+            df.withColumn(s"cb_$i", typedLit(c.toSeq))
+              .withColumn(s"sim_$i", expr(s"cosine_sim(v, cb_$i)"))
         }
-        .map { case (id, label, vf) =>
-          (id, label, round6(cos(vf.map(_.toDouble).toArray, bcQ.value)))
-        }
-        .toDF("vec_id", "label", "cos")
+      // argmax via struct ordering: max sim, then max(−label) = min label on
+      // ties — the same winner the sequential strict-> scan would pick
+      val entries = codebook.zipWithIndex.map { case ((l, _), i) =>
+        struct(col(s"sim_$i").as("s"), lit(-l).as("nl"))
+      }
+      withSims
+        .withColumn("best", array_max(array(entries: _*)))
+        .filter(col("vec_id") =!= 0 &&
+          (col("best.nl") * -1).isin(probed.map(Integer.valueOf): _*))
+        .select(col("vec_id"), col("label"),
+          round(expr("cosine_sim(v, qv)"), 6).as("cos"))
         .orderBy(col("cos").desc, col("vec_id").asc)
         .limit(10)
     }),
@@ -492,27 +495,54 @@ object VectorQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
-    // North-star multimodal-binary pipeline: treat content as an opaque
-    // binary column + typed metadata, run a (stubbed-deterministic) decode /
-    // feature-extract via mapPartitions — the Spark-side plumbing (schema,
-    // partitioning, batch shape) is real; a production build swaps
-    // `fakeDecode` for an actual image/audio codec.
+    // North-star multimodal-binary pipeline with a REAL decode: documents
+    // are packed into a tiny deterministic image format ("GRF1": 4-byte
+    // magic, width, height, 2 reserved bytes, then w×h single-byte pixels —
+    // the fixture text is ASCII so chars are bytes), and the decoder
+    // genuinely parses the container: validates the magic, reads the
+    // dimensions from the HEADER (not from the side), and folds the pixel
+    // grid into per-image stats. Encoding is declarative (binary concat at
+    // scan speed); decoding is the documented mapPartitions kernel — the
+    // same plumbing (opaque binary column, per-partition batch decode) a
+    // production job uses with a real codec, now value-checked end-to-end:
+    // the oracle recomputes the pixel stats from the source text.
     "g14_multimodal_binary" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
       val t = Tables(s, dir)
       val bin = t.documents
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"),
-          struct(col("lang").as("lang"), col("source").as("source")).as("meta"))
+        .withColumn("h", expr("CAST(greatest(1, least(8, n_chars DIV 8)) AS INT)"))
+        .select(col("doc_id"), col("lang"),
+          concat(
+            lit("GRF1".getBytes("UTF-8")),
+            encode(expr("chr(8)"), "UTF-8"), // width byte
+            encode(expr("chr(h)"), "UTF-8"), // height byte
+            lit(Array[Byte](0, 0)), // reserved
+            encode(expr("rpad(substring(text, 1, 8 * h), 8 * h, ' ')"), "UTF-8"))
+            .as("content"))
       val decoded = bin.select(col("doc_id"), col("content"))
         .as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, bytes) =>
-          val (len, first) = fakeDecode(bytes)
-          (id, len, first)
+        .mapPartitions(_.map { case (id, b) =>
+          val ok = b.length >= 8 &&
+            b(0) == 'G' && b(1) == 'R' && b(2) == 'F' && b(3) == '1'
+          if (!ok) (id, -1, -1, -1L, -1, -1)
+          else {
+            val w = b(4) & 0xff
+            val hh = b(5) & 0xff
+            val end = math.min(b.length, 8 + w * hh)
+            var i = 8; var sum = 0L; var mn = 255; var mx = 0
+            while (i < end) {
+              val v = b(i) & 0xff
+              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+              i += 1
+            }
+            (id, w, hh, sum, mn, mx)
+          }
         })
-        .toDF("doc_id", "byte_len", "first_byte")
-      bin.join(decoded, "doc_id")
-        .select(col("doc_id"), col("meta.lang").as("lang"), col("byte_len"), col("first_byte"))
+        .toDF("doc_id", "w", "h", "px_sum", "px_min", "px_max")
+      bin.select(col("doc_id"), col("lang")).join(decoded, "doc_id")
+        .select(col("doc_id"), col("lang"), col("w"), col("h"),
+          col("px_sum"), col("px_min"), col("px_max"))
         .orderBy("doc_id")
     }),
 
@@ -535,12 +565,6 @@ object VectorQueries extends QueryModule {
         .orderBy("doc_id", "frame_idx")
     })
   )
-
-  /** Stub decoder for the multimodal pipeline: deterministic features of the
-    * raw bytes (length + first byte). Stands in for image/audio decoding —
-    * the codec libraries aren't in this environment. */
-  private def fakeDecode(bytes: Array[Byte]): (Long, Int) =
-    (bytes.length.toLong, if (bytes.isEmpty) -1 else bytes(0) & 0xff)
 
   /** Deterministic pseudo-random unit hyperplanes (splitmix64 from a fixed
     * seed) — reproducible across runs without Math.random. */
@@ -641,10 +665,21 @@ object VectorQueries extends QueryModule {
         "JOIN embeddings ON doc_id = vec_id " +
         "WHERE lang = 'en' AND label < 5 AND n_chars > 200 ORDER BY doc_id"),
 
+    // replays the GRF1 pixel stats straight from the source text: the
+    // decoder's (w, h) come from the header the encoder wrote, so the
+    // oracle's h must re-derive the same clamp from n_chars
     "g14_multimodal_binary" ->
-      ("SELECT doc_id, lang, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, " +
-        "ascii(substring(text, 1, 1)) AS first_byte " +
-        "FROM documents ORDER BY doc_id"),
+      ("SELECT doc_id, lang, 8 AS w, h, " +
+        "CAST(list_sum(list_transform(range(1, 8 * h + 1), " +
+        "i -> ascii(substring(px, i, 1)))) AS BIGINT) AS px_sum, " +
+        "CAST(list_min(list_transform(range(1, 8 * h + 1), " +
+        "i -> ascii(substring(px, i, 1)))) AS INT) AS px_min, " +
+        "CAST(list_max(list_transform(range(1, 8 * h + 1), " +
+        "i -> ascii(substring(px, i, 1)))) AS INT) AS px_max FROM (" +
+        "SELECT doc_id, lang, h, rpad(substring(text, 1, 8 * h), 8 * h, ' ') AS px " +
+        "FROM (SELECT doc_id, lang, text, " +
+        "CAST(greatest(1, least(8, n_chars // 8)) AS INT) AS h FROM documents)) " +
+        "ORDER BY doc_id"),
 
     "g14b_multimodal_frames" ->
       ("SELECT doc_id, i AS frame_idx, length(frame) AS frame_len, " +

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryModule, Tables}
-import graft.sources.ZoneMap
+import graft.sources.{SnapshotTable, ZoneMap}
 import org.apache.spark.sql.functions._
 
 /** Warehouse-maintenance operators (SURVEY §2 M band, round 10): the table
@@ -124,6 +124,40 @@ object WarehouseQueries extends QueryModule {
       unpivoted.orderBy("rule")
     }),
 
+    // M6: ATOMIC snapshot commit — the transactional-table layer under the
+    // rest of the warehouse band (sources/SnapshotTable.scala): v1 is
+    // committed, a CDC batch MERGEs against the CURRENT snapshot (not the
+    // source table) into v2, and the result reads BOTH versions back
+    // through their manifests — the latest plus a time-travel read of v1.
+    // Readers can never observe a torn state: visibility is one atomic
+    // pointer rename after all files + manifest exist (crash-between-
+    // prepare-and-swap proven in WarehouseSpec). The oracle replays both
+    // versions relationally from the source table.
+    "m6_snapshot_commit" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_snap_${dir.hashCode & 0x7fffffff}"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root)) // fresh table: commits replay deterministically
+      val t = Tables(s, dir)
+      val v1 = t.orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      SnapshotTable.commit(v1, root)
+      val cur = SnapshotTable.read(s, root)
+      val upd = cur.filter(col("o_orderkey") % 14 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+      val v2 = cur.join(upd.select(col("o_orderkey").as("uk")),
+          col("o_orderkey") === col("uk"), "left_anti")
+        .unionByName(upd)
+      SnapshotTable.commit(v2, root)
+      def summarize(df: org.apache.spark.sql.DataFrame, v: Int) =
+        df.agg(count(lit(1)).as("n_rows"), Tables.dsum(col("o_totalprice")).as("rev"))
+          .select(lit(v).as("version"), col("n_rows"), round(col("rev"), 6).as("revenue"))
+      summarize(SnapshotTable.readVersion(s, root, 1), 1)
+        .unionByName(summarize(SnapshotTable.readVersion(s, root, 2), 2))
+        .orderBy("version")
+    }),
+
     // M5: snapshot diff — the CDC reconciliation between two versions of a
     // table (here: yesterday = orders except every 7th key; today = orders
     // except every 5th key, with every 3rd key's priority rewritten). One full outer join on the
@@ -198,6 +232,14 @@ object WarehouseQueries extends QueryModule {
         "CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS BIGINT) " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey" +
         ") ORDER BY rule"),
+
+    "m6_snapshot_commit" ->
+      (s"WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 = 0), " +
+        "v2 AS (SELECT o_orderkey, CASE WHEN o_orderkey % 14 = 0 " +
+        "THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice FROM v1) " +
+        s"SELECT 1 AS version, count(*) AS n_rows, round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue FROM v1 " +
+        s"UNION ALL SELECT 2 AS version, count(*) AS n_rows, round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue FROM v2 " +
+        "ORDER BY version"),
 
     "m5_snapshot_diff" ->
       ("WITH a AS (SELECT o_orderkey AS ak, o_orderpriority AS av FROM orders " +

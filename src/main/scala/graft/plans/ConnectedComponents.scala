@@ -35,10 +35,16 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param edges two integral columns `u`, `v` (one row per undirected edge)
+    * @param eagerCheckpoint true restores the old two-actions-per-round
+    *        shape (eager checkpoint job + separate signature job) — kept as
+    *        an A/B knob; the default lazy checkpoint folds both into the
+    *        signature's single action (ConnectedComponentsSpec measures the
+    *        job-count drop)
     * @return one row per node appearing in `edges`: (id, comp) where comp is
     *         the smallest node id in the component — deterministic.
     */
-  def labels(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def labels(edges: DataFrame, maxIter: Int = 50,
+      eagerCheckpoint: Boolean = false): DataFrame = {
     val sym = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
       .distinct()
@@ -68,8 +74,13 @@ object ConnectedComponents {
         .join(propagated.select(col("id").as("cid"), col("comp").as("ccomp")),
           col("comp") === col("cid"), "left")
         .select(col("id"), coalesce(col("ccomp"), col("comp")).as("comp"))
-      // eager: truncates lineage AND is the round's single materialization
-      val next = shortcut.localCheckpoint()
+      // lazy checkpoint + the signature aggregate = ONE action per round:
+      // the signature's head() is the action that materializes the
+      // checkpoint, so lineage truncation and the convergence check share a
+      // single pass (the eager variant schedules an extra job + an extra
+      // pass over the cached labels every round — at deep diameters that
+      // is pure scheduling overhead)
+      val next = shortcut.localCheckpoint(eager = eagerCheckpoint)
       val nextSig = signature(next)
       propagated.unpersist()
       current.unpersist()

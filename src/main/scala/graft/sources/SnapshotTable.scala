@@ -1,0 +1,104 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal manifest-based transactional table commit — the atomicity layer
+  * the warehouse band (m1 SCD2, m2 incremental MV, a8 upsert) needs to be
+  * production-grade: a plain multi-file `mode("overwrite")` is NOT atomic
+  * across partitions, so a reader racing a writer (or a writer crashing
+  * mid-overwrite) can observe a torn table. This is the commit-protocol core
+  * every table format (Delta, Iceberg, Hudi) builds on, expressed with
+  * nothing but parquet files and one atomic pointer rename:
+  *
+  * {{{
+  * <root>/data/v<N>/part-*.parquet       immutable data files, one dir per
+  *                                       version — never rewritten
+  * <root>/_snapshots/v<N>.manifest      the version's file list (the
+  *                                       snapshot IS this manifest)
+  * <root>/_snapshots/LATEST             pointer to the current version —
+  *                                       swapped ATOMICALLY, the only
+  *                                       mutable file in the table
+  * }}}
+  *
+  * A commit [[prepare]]s (writes data files + manifest — crash here leaves
+  * garbage but readers still resolve the old LATEST, never a torn state)
+  * and then [[swap]]s the pointer (a single atomic rename). Readers resolve
+  * LATEST → manifest → file list, so they always see exactly one complete
+  * snapshot; old manifests stay readable forever — time travel is just
+  * [[readVersion]] on an older N.
+  *
+  * Scale notes (100 TB): the data write is an ordinary distributed parquet
+  * job; only the manifest (one line per file — metadata scale) and the
+  * 8-byte pointer are driver-side. On a POSIX/HDFS filesystem the rename is
+  * atomic as required; an object-store deployment replaces the rename with
+  * the store's conditional put (S3 If-None-Match / GCS generation match) —
+  * the protocol shape is identical. Concurrent committers are last-writer-
+  * wins on LATEST; serializable commits would CAS the version number at the
+  * swap, which the single-writer pipelines here don't need.
+  */
+object SnapshotTable {
+
+  private def snapDir(root: String): Path = Paths.get(root, "_snapshots")
+
+  /** Current committed version, if any commit has completed. */
+  def latestVersion(root: String): Option[Long] = {
+    val p = snapDir(root).resolve("LATEST")
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), UTF_8).trim.toLong)
+    else None
+  }
+
+  /** Phase 1: write `df` as version `latest + 1`'s immutable data files and
+    * its manifest. NOT yet visible to readers — a crash after prepare loses
+    * nothing but disk space. Returns the staged version number. */
+  def prepare(df: DataFrame, root: String): Long = {
+    val v = latestVersion(root).getOrElse(0L) + 1
+    val dataDir = Paths.get(root, "data", s"v$v")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val files = Files.list(dataDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => s"data/v$v/${p.getFileName}").toSeq.sorted
+    Files.createDirectories(snapDir(root))
+    Files.write(snapDir(root).resolve(s"v$v.manifest"),
+      files.mkString("\n").getBytes(UTF_8))
+    v
+  }
+
+  /** Phase 2: atomically publish version `v` — the commit point. */
+  def swap(root: String, v: Long): Unit = {
+    require(Files.exists(snapDir(root).resolve(s"v$v.manifest")),
+      s"snapshot v$v has no manifest — prepare() it first")
+    val tmp = snapDir(root).resolve(s".LATEST.v$v.tmp")
+    Files.write(tmp, v.toString.getBytes(UTF_8))
+    Files.move(tmp, snapDir(root).resolve("LATEST"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Atomic commit: prepare + swap. Returns the committed version. */
+  def commit(df: DataFrame, root: String): Long = {
+    val v = prepare(df, root)
+    swap(root, v)
+    v
+  }
+
+  /** Read a specific committed (or prepared) version — time travel. */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val m = snapDir(root).resolve(s"v$v.manifest")
+    require(Files.exists(m), s"no snapshot v$v at $root")
+    val files = new String(Files.readAllBytes(m), UTF_8)
+      .split("\n").filter(_.nonEmpty).map(f => Paths.get(root, f).toString)
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** Read the current snapshot (what LATEST points to). */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    readVersion(spark, root, v)
+  }
+}

@@ -40,13 +40,20 @@ object ZoneMap {
     */
   def writeClustered(df: DataFrame, path: String, clusterCol: String, nFiles: Int): Unit = {
     val ready = Paths.get(path, "_ready")
-    if (!Files.exists(ready)) {
+    // the marker carries a content fingerprint (row count), so a caller that
+    // regenerates the INPUT under the same target path gets a fresh clustered
+    // copy + zone map instead of silently reading the stale one; an unchanged
+    // input still skips the rewrite (one count() pass vs a full rewrite)
+    val fingerprint = df.count().toString
+    val stale = Files.exists(ready) &&
+      new String(Files.readAllBytes(ready), "UTF-8") != fingerprint
+    if (!Files.exists(ready) || stale) {
       df.repartitionByRange(nFiles, col(clusterCol))
         .sortWithinPartitions(clusterCol)
         .write.mode("overwrite").parquet(path)
       computeStats(df.sparkSession, path, clusterCol)
         .write.mode("overwrite").parquet(s"$path/_zonemap")
-      Files.createFile(ready)
+      Files.write(ready, fingerprint.getBytes("UTF-8"))
       ()
     }
   }
@@ -82,8 +89,11 @@ object ZoneMap {
       spark: SparkSession, path: String, clusterCol: String,
       from: Column, to: Column): DataFrame = {
     val files = prunedFiles(spark, path, clusterCol, from, to)
-    require(files.nonEmpty, s"zone map pruned every file of $path — empty range")
-    spark.read.parquet(files: _*)
+    // a range overlapping no file is a valid query: the contract is
+    // "identical to a full scan with the same filter", so return an EMPTY
+    // frame with the table's schema (footer-only read, no data I/O)
+    if (files.isEmpty) spark.read.parquet(path).where(lit(false))
+    else spark.read.parquet(files: _*)
       .filter(col(clusterCol) >= from && col(clusterCol) <= to)
   }
 }

@@ -42,6 +42,45 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("folded convergence check schedules fewer jobs than the eager shape") {
+    // The convergence signature's head() must BE the action that
+    // materializes the round's lazy localCheckpoint — one ACTION per round
+    // instead of two. Under AQE each action still fans into several
+    // stage-jobs, so the clean measurement is an A/B on the same graph:
+    // the folded (default) shape must schedule strictly fewer jobs than
+    // the eagerCheckpoint=true shape it replaced.
+    val s = spark
+    import s.implicits._
+    def countJobs(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      s.sparkContext.addSparkListener(listener)
+      try {
+        body
+        // listener bus is async — wait for the count to go stationary
+        var prev = -1
+        var waited = 0
+        while (jobs.get() != prev && waited < 5000) {
+          prev = jobs.get(); Thread.sleep(200); waited += 200
+        }
+      } finally s.sparkContext.removeSparkListener(listener)
+      jobs.get()
+    }
+    val edges = (1L until 100L).map(i => (i, i + 1)).toDF("u", "v")
+    val eager = countJobs {
+      graft.plans.ConnectedComponents.labels(edges, eagerCheckpoint = true)
+    }
+    val folded = countJobs {
+      graft.plans.ConnectedComponents.labels(edges)
+    }
+    // ~8 doubled rounds on a 100-node path → at least a handful fewer jobs
+    assert(folded < eager, s"folded=$folded eager=$eager")
+  }
+
   test("two disjoint cliques resolve to their own minima") {
     val s = spark
     import s.implicits._

@@ -48,6 +48,80 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("pure-SQL quickstart: the whole sketch/kernel surface works through spark.sql only") {
+    // The README walkthrough, executable: a PySpark/SQL user configures
+    // spark.sql.extensions=graft.GraftExtensions, points temp views at
+    // their parquet, and uses every graft function WITHOUT touching Scala —
+    // no register() calls, no Dataset API, no imports.
+    spark.sparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      s2.sql(s"CREATE OR REPLACE TEMP VIEW documents USING parquet OPTIONS (path '$sfDir/documents.parquet')")
+      s2.sql(s"CREATE OR REPLACE TEMP VIEW embeddings USING parquet OPTIONS (path '$sfDir/embeddings.parquet')")
+
+      // 1. persistable per-group HLL sketches, re-aggregated with set algebra
+      val hll = s2.sql(
+        """WITH per_lang AS (
+          |  SELECT lang, hll_sketch(doc_id) AS sk, count(DISTINCT doc_id) AS exact
+          |  FROM documents GROUP BY lang)
+          |SELECT hll_estimate(hll_union(sk)) AS est, sum(exact) AS exact
+          |FROM per_lang""".stripMargin).head()
+      val (est, exact) = (hll.getLong(0), hll.getLong(1))
+      assert(math.abs(est - exact.toDouble) / exact <= 0.02, s"hll $est vs exact $exact")
+
+      // 2. mergeable histogram -> quantile
+      val q50 = s2.sql(
+        """SELECT hist_quantile(hist_union(sk), 0.5) AS med FROM (
+          |  SELECT lang, hist_sketch(n_chars, 0.0D, 4096.0D, 256) AS sk
+          |  FROM documents GROUP BY lang)""".stripMargin).head().getDouble(0)
+      assert(q50 > 0 && q50 < 4096, s"median $q50 out of range")
+
+      // 3. heavy hitters over tokens
+      val hh = s2.sql(
+        """SELECT freq_items(freq_union(sk)) AS items FROM (
+          |  SELECT source, freq_sketch(lang, 8) AS sk
+          |  FROM documents GROUP BY source)""".stripMargin)
+        .head().getMap[String, Long](0)
+      assert(hh.nonEmpty, "no heavy hitters")
+
+      // 4. bloom membership: every member answers true (no false negatives)
+      val misses = s2.sql(
+        """WITH blob AS (SELECT bloom_sketch(lang, 65536, 5) AS b FROM documents)
+          |SELECT count(*) AS missed FROM documents, blob
+          |WHERE NOT bloom_contains(b, lang)""".stripMargin).head().getLong(0)
+      assert(misses == 0, s"$misses bloom false negatives")
+
+      // 5. banded edit distance agrees with the built-in within the bound
+      val levBad = s2.sql(
+        """SELECT count(*) AS bad FROM (
+          |  SELECT levenshtein(substring(a.text, 1, 12), substring(b.text, 1, 12)) AS d,
+          |         lev_bounded(substring(a.text, 1, 12), substring(b.text, 1, 12), 3) AS db
+          |  FROM documents a JOIN documents b
+          |    ON a.doc_id < 40 AND b.doc_id < 40 AND a.doc_id < b.doc_id)
+          |WHERE (d <= 3 AND db <> d) OR (d > 3 AND db <> 4)""".stripMargin)
+        .head().getLong(0)
+      assert(levBad == 0, s"$levBad lev_bounded disagreements")
+
+      // 6. codegen cosine over real embedding columns
+      val cos = s2.sql(
+        """SELECT cosine_sim(transform(a.embedding, x -> CAST(x AS DOUBLE)),
+          |                  transform(b.embedding, x -> CAST(x AS DOUBLE))) AS c
+          |FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id = 0""".stripMargin)
+        .head().getDouble(0)
+      assert(math.abs(cos - 1.0) < 1e-9, s"self-cosine $cos")
+
+      s2.sql("DROP VIEW IF EXISTS documents")
+      s2.sql("DROP VIEW IF EXISTS embeddings")
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("conf-gated rule rewrites levenshtein thresholds to the banded kernel") {
     spark.sparkContext // ensure the shared context exists (builder reuses it)
     SparkSession.clearActiveSession()

@@ -12,6 +12,56 @@ import graft.functions.{TextFunctions => TF}
 class PipelineSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("FuzzyBlocking: 30%-shared-prefix corpus — exact pair set, bounded buckets") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.FuzzyBlocking
+    // adversarial shape: 30% of docs share the 4-char block prefix "the "
+    // (web boilerplate mass); the rest spread over 23 prefixes
+    val texts = (0 until 400).map { i =>
+      val t =
+        if (i % 10 < 3) s"the quick fox ${i % 7}${"x" * (i % 3)}"
+        else f"pfx${i % 23}%02d body $i"
+      (i.toLong, t.take(20))
+    }
+    val docs = texts.toDF("doc_id", "p")
+    val cap = 30
+    val got = FuzzyBlocking.pairs(docs, "doc_id", "p", k = 4,
+        dist = (a, b) => levenshtein(a, b), cap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // reference: brute-force all-pairs with plain prefix blocking semantics
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (ia, ta) <- texts
+      (ib, tb) <- texts
+      if ia < ib && ta.take(4) == tb.take(4)
+      d = lev(ta, tb) if d <= 4
+    } yield (ia, ib, d)).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // the corpus really is adversarial: the hot (pfx, band) block exceeds cap...
+    val base = docs
+      .withColumn("pfx", substring(col("p"), 1, 4))
+      .withColumn("band", floor(length(col("p")) / 5))
+    val counts = base.groupBy("pfx", "band").agg(count(lit(1)).as("cnt"))
+      .withColumn("nsalt", greatest(lit(1L), ceil(col("cnt") / lit(cap))).cast("int"))
+    assert(counts.agg(max("cnt")).head().getLong(0) > cap)
+    // ...and salting bounds every build-side (pfx, band, salt) bucket to ~cap
+    val maxBucket = base.join(counts, Seq("pfx", "band"))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), col("nsalt").cast("long")))
+      .groupBy("pfx", "band", "salt").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxBucket <= 2L * cap, s"bucket of $maxBucket rows exceeds 2x cap")
+  }
+
   test("g17: no benchmark doc appears on the training side") {
     val r = SparkEntry.queries("g17_contamination_ngram")(spark, sfDir)
     assert(r.filter(col("doc_id") % 10 === 0).count() == 0)

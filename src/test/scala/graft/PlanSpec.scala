@@ -343,6 +343,19 @@ class PlanSpec extends AnyFunSuite {
     assert(norm(rows) == norm(expected))
   }
 
+  test("g4b: IVF probe kernel stays columnar — no object deserialization") {
+    // the probe must be Catalyst expressions end-to-end (cosine_sim +
+    // array_max over struct literals), not a typed-Dataset lambda: a
+    // DeserializeToObject/MapElements node would break whole-stage codegen
+    // and column pruning on the embeddings scan
+    val df = SparkEntry.queries("g4b_sim_topk_ivf")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("DeserializeToObject") && !p.contains("MapElements") &&
+      !p.contains("SerializeFromObject"), s"object boundary in the probe plan:\n$p")
+    assert(p.contains("cosine_sim"), p)
+  }
+
   test("c15: as-of join declares left-key partitioning for downstream reuse") {
     val df = SparkEntry.queries("c15_join_asof_native")(spark, sfDir)
     df.count()

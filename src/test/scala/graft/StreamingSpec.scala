@@ -59,16 +59,37 @@ class StreamingSpec extends AnyFunSuite {
       val sq = q.writeStream.format("memory").queryName(name)
         .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
       try {
+        // state-store observability: numRowsTotal from the progress events
+        // makes eviction QUANTITATIVE (the store physically shrank), not
+        // just behavioral (the tombstone row below)
+        def stateRows(): Long = {
+          val ps = sq.recentProgress
+            .filter(p => p.stateOperators != null && p.stateOperators.nonEmpty)
+          ps.last.stateOperators.map(_.numRowsTotal).sum
+        }
+        def stateMem(): Long = {
+          val ps = sq.recentProgress
+            .filter(p => p.stateOperators != null && p.stateOperators.nonEmpty)
+          ps.last.stateOperators.map(_.memoryUsedBytes).sum
+        }
         // batch 1: both users active
         in.addData((1L, ts(0)), (2L, ts(0)))
         sq.processAllAvailable()
+        val rowsAfterB1 = stateRows()
+        assert(rowsAfterB1 >= 2, s"expected >=2 state rows (2 users), got $rowsAfterB1")
+        assert(stateMem() > 0, "state store reports no memory in use")
         // batch 2: only user 2 — watermark moves to min 30, past user 1's
         // min-10 timer → user 1 evicted (tombstone), state cleared
         in.addData((2L, ts(30)))
         sq.processAllAvailable()
+        val rowsAfterEvict = stateRows()
+        assert(rowsAfterEvict < rowsAfterB1,
+          s"eviction did not shrink the store: $rowsAfterB1 -> $rowsAfterEvict")
         // batch 3: user 1 returns — counter must restart from scratch
         in.addData((1L, ts(31)))
         sq.processAllAvailable()
+        assert(stateRows() > rowsAfterEvict,
+          "returning user did not re-create state")
         val rows = spark.table(name).collect()
           .map(r => (r.getLong(0), r.getLong(1)))
         assert(rows.contains((1L, -1L)), s"no eviction tombstone for user 1: ${rows.toSeq}")

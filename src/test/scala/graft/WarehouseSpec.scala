@@ -34,6 +34,53 @@ class WarehouseSpec extends AnyFunSuite {
       (3L, 30.0, "1992-01-01 00:00:00.0", "9999-12-31 00:00:00.0", 1)))
   }
 
+  test("scd2: keys new to the dimension insert an opening row at their own eff time") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, 10.0)).toDF("k", "bal")
+    val updates = Seq(
+      (1L, 11.0, ts("1997-05-01 00:00:00")), // change
+      (7L, 70.0, ts("1997-06-01 00:00:00"))  // brand-new key → insert
+    ).toDF("k", "bal", "eff")
+    val out = graft.operators.Scd2.merge(base, updates, "k", Seq("bal"), "eff",
+        openFrom = lit("1992-01-01 00:00:00").cast("timestamp"),
+        farFuture = lit("9999-12-31 00:00:00").cast("timestamp"))
+      .orderBy("k", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getTimestamp(2).toString,
+        r.getTimestamp(3).toString, r.getInt(4)))
+    assert(out.toSeq == Seq(
+      (1L, 10.0, "1992-01-01 00:00:00.0", "1997-05-01 00:00:00.0", 0),
+      (1L, 11.0, "1997-05-01 00:00:00.0", "9999-12-31 00:00:00.0", 1),
+      (7L, 70.0, "1997-06-01 00:00:00.0", "9999-12-31 00:00:00.0", 1)))
+  }
+
+  test("scd2: duplicate update keys fail fast under assertUniqueUpdateKeys") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, 10.0)).toDF("k", "bal")
+    val updates = Seq(
+      (1L, 11.0, ts("1997-05-01 00:00:00")),
+      (1L, 12.0, ts("1997-06-01 00:00:00"))).toDF("k", "bal", "eff")
+    intercept[IllegalArgumentException] {
+      graft.operators.Scd2.merge(base, updates, "k", Seq("bal"), "eff",
+        openFrom = lit("1992-01-01 00:00:00").cast("timestamp"),
+        farFuture = lit("9999-12-31 00:00:00").cast("timestamp"),
+        assertUniqueUpdateKeys = true)
+    }
+  }
+
+  test("zone map: range overlapping no file yields an empty frame with the table schema") {
+    val t = Tables(spark, sfDir)
+    val zpath = s"${System.getProperty("java.io.tmpdir")}/graft_zm_spec_${sfDir.hashCode & 0x7fffffff}"
+    graft.sources.ZoneMap.writeClustered(t.orders, zpath, "o_orderdate", nFiles = 8)
+    val lo = lit("2050-01-01 00:00:00").cast("timestamp")
+    val hi = lit("2050-12-31 00:00:00").cast("timestamp")
+    val empty = graft.sources.ZoneMap.prunedRead(spark, zpath, "o_orderdate", lo, hi)
+    assert(empty.count() == 0)
+    assert(empty.schema == t.orders.schema)
+  }
+
   test("scd2: null-safe change detection versions NULL transitions") {
     val s = spark
     import s.implicits._
@@ -76,6 +123,38 @@ class WarehouseSpec extends AnyFunSuite {
     assert(pruned == full, s"pruned=$pruned full=$full")
   }
 
+  test("snapshot table: atomic commits, time travel, and no torn reads on crash") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_spec").toString
+    val v1 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    assert(SnapshotTable.commit(v1, root) == 1L)
+    assert(SnapshotTable.read(s, root).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sorted.toSeq == Seq((1L, 10.0), (2L, 20.0)))
+    val v2 = Seq((1L, 11.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    assert(SnapshotTable.commit(v2, root) == 2L)
+    // time travel: v1 still fully readable after v2 is current
+    assert(SnapshotTable.readVersion(s, root, 1).count() == 2)
+    assert(SnapshotTable.read(s, root).count() == 3)
+    // CRASH between prepare and swap: data files + manifest for v3 exist on
+    // disk, but readers must still resolve the complete v2 — never a torn
+    // or partially-visible state
+    val v3 = Seq((9L, 90.0)).toDF("k", "v")
+    val staged = SnapshotTable.prepare(v3, root)
+    assert(staged == 3L)
+    assert(SnapshotTable.latestVersion(root).contains(2L), "crashed prepare leaked visibility")
+    val seen = SnapshotTable.read(s, root).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(seen == Seq((1L, 11.0), (2L, 20.0), (3L, 30.0)), s"torn read: $seen")
+    // recovery: completing the swap publishes v3 atomically
+    SnapshotTable.swap(root, staged)
+    assert(SnapshotTable.read(s, root).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((9L, 90.0)))
+    // swapping to a version that was never prepared must refuse
+    intercept[IllegalArgumentException] { SnapshotTable.swap(root, 99L) }
+  }
+
   test("pagerank: hand-computed 3-node fixed shape") {
     val s = spark
     import s.implicits._
@@ -84,6 +163,36 @@ class WarehouseSpec extends AnyFunSuite {
     val pr = graft.plans.PageRank.run(cycle, iters = 5).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(pr.values.forall(v => math.abs(v - 1.0 / 3) < 1e-12), pr.toString)
+  }
+
+  test("pagerank: dangling-mass redistribution conserves mass on a graph with sinks") {
+    val s = spark
+    import s.implicits._
+    // 1 -> 2, 1 -> 3, 2 -> 3; node 3 is a SINK. Without redistribution its
+    // inflow leaks out of the system; with it, ranks match the exact
+    // fixpoint of the corrected update and sum to 1.
+    val edges = Seq((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0)).toDF("src", "dst", "w")
+    val iters = 30
+    val d = 0.85
+    // manual reference with uniform dangling spread
+    var r = Map(1L -> 1.0 / 3, 2L -> 1.0 / 3, 3L -> 1.0 / 3)
+    (1 to iters).foreach { _ =>
+      val dm = r(3L)
+      val base = (1 - d) / 3 + d * dm / 3
+      r = Map(
+        1L -> base,
+        2L -> (base + d * r(1L) * 0.5),
+        3L -> (base + d * (r(1L) * 0.5 + r(2L))))
+    }
+    val got = graft.plans.PageRank.run(edges, iters, d, redistributeDangling = true)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    r.foreach { case (k, v) =>
+      assert(math.abs(got(k) - v) < 1e-9, s"node $k: ${got(k)} vs $v") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass not conserved: ${got.values.sum}")
+    // and the default (scoring) mode on the same graph leaks as documented
+    val leaky = graft.plans.PageRank.run(edges, iters, d)
+      .collect().map(x => x.getDouble(1)).sum
+    assert(leaky < 0.999, s"default mode should drop dangling mass, sum=$leaky")
   }
 
   test("pagerank: weighted star matches manual iteration and conserves mass") {

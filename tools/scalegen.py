@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Deterministic scale-up fixture generator (tools-side, like selfcheck.py).
+
+Replicates a fixture directory R x with remapped keys: replica r shifts every
+key column by r * stride(table), where stride = max(key) + 1 of the source.
+Foreign keys shift by the SAME stride as the table they reference, so each
+replica is a self-contained shard of the original graph - exactly how a
+sharded production corpus grows. region/nation are fixed dimensions and are
+copied as-is. Timestamps are left untouched (10x density in the same window =
+load growth, which is what a scale test should stress). No RNG anywhere:
+byte-deterministic output.
+
+pyarrow (not Spark) so the events table's timestamp[ns] physical type
+survives the round-trip - Spark 4 cannot write ns timestamps, and the DuckDB
+oracle and the A2 nanos path both depend on the annotation.
+
+Usage: scalegen.py <srcDir> <dstDir> <R>
+"""
+import sys
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# key columns per table -> which stride domain they belong to
+KEYMAP = {
+    "customer":   {"c_custkey": "cust"},
+    "supplier":   {"s_suppkey": "supp"},
+    "part":       {"p_partkey": "part"},
+    "orders":     {"o_orderkey": "ord", "o_custkey": "cust"},
+    "lineitem":   {"l_orderkey": "ord", "l_partkey": "part", "l_suppkey": "supp"},
+    "events":     {"event_id": "evt", "user_id": "cust"},
+    "documents":  {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
+}
+
+STRIDE_SRC = {  # domain -> (table, column) that defines its stride
+    "cust": ("customer", "c_custkey"), "supp": ("supplier", "s_suppkey"),
+    "part": ("part", "p_partkey"),     "ord": ("orders", "o_orderkey"),
+    "evt": ("events", "event_id"),     "doc": ("documents", "doc_id"),
+    "vec": ("embeddings", "vec_id"),
+}
+
+
+def main(src: str, dst: str, rep: int) -> None:
+    import os
+    os.makedirs(dst, exist_ok=True)
+    strides = {}
+    for dom, (tbl, colname) in STRIDE_SRC.items():
+        col = pq.read_table(f"{src}/{tbl}.parquet", columns=[colname])[colname]
+        strides[dom] = pc.max(col).as_py() + 1
+    print("strides:", strides)
+    for tbl in TABLES:
+        t = pq.read_table(f"{src}/{tbl}.parquet")
+        # strip pandas metadata; irrelevant and bloats the copies
+        t = t.replace_schema_metadata(None)
+        if tbl not in KEYMAP:  # fixed dimension: copy once
+            pq.write_table(t, f"{dst}/{tbl}.parquet")
+            print(f"{tbl}: copied {t.num_rows} rows (fixed dim)")
+            continue
+        reps = []
+        for r in range(rep):
+            if r == 0:
+                reps.append(t)
+                continue
+            cols = []
+            for name in t.schema.names:
+                col = t[name]
+                dom = KEYMAP[tbl].get(name)
+                if dom is not None:
+                    col = pc.add(col, pa.scalar(r * strides[dom], type=col.type))
+                cols.append(col)
+            reps.append(pa.table(cols, schema=t.schema))
+        out = pa.concat_tables(reps)
+        pq.write_table(out, f"{dst}/{tbl}.parquet",
+                       row_group_size=1 << 20)
+        print(f"{tbl}: {t.num_rows} -> {out.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]))
