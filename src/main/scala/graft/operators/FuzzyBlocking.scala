@@ -18,16 +18,24 @@ import org.apache.spark.sql.functions._
   *     band width (k+1) > k guarantees the partner's band is within ±1, and
   *     the RIGHT side sits in exactly one bucket, so every qualifying pair
   *     is generated exactly once — no dedup pass.
-  *  2. **Per-block cap + salting.** Block row counts are aggregated first
-  *     (metadata-sized: one row per block); any block over `cap` rows gets
-  *     ceil(cnt/cap) salts — the right side hashes into a salt, the left
-  *     side replicates across them (same idiom as the c14 salted join), so
-  *     no reducer ever holds more than ~cap build rows no matter how hot
-  *     the prefix.
+  *  2. **Per-block cap + 2-D tiling.** Block row counts are aggregated
+  *     first (metadata-sized: one row per block); a block over `cap` rows
+  *     splits into nsalt = ceil(cnt/cap) slices ON BOTH SIDES — the left
+  *     row takes tile = hash(id) and replicates across the salt axis, the
+  *     right row takes salt = hash(id) and replicates across the tile
+  *     axis, so pair (a, b) meets in EXACTLY one (tile(a), salt(b)) bucket
+  *     and every task compares at most ~cap × cap keys. One-sided salting
+  *     (the c14 idiom) is not enough here: it bounds the build side but a
+  *     task still sweeps the WHOLE hot block on the probe side, so
+  *     per-task work keeps growing linearly with prefix mass; the 2-D
+  *     split is how a quadratic-in-block kernel actually levels across a
+  *     cluster (measured at sf1: the hottest blocks hold ~2k keys = ~2M
+  *     candidate pairs each, and one-task-per-block left a 32-core box at
+  *     load 1).
   *
-  * Result: identical to the un-salted, un-banded blocked join (the oracle
-  * replays plain prefix blocking), with per-bucket work bounded by
-  * cap² instead of (hottest prefix mass)².
+  * Result: identical to the un-tiled, un-banded blocked join (the oracle
+  * replays plain prefix blocking), with per-task work bounded by cap²
+  * instead of (hottest prefix mass)².
   */
 object FuzzyBlocking {
 
@@ -35,11 +43,11 @@ object FuzzyBlocking {
     *
     * @param dist edit-distance column builder, e.g.
     *             `(a, b) => levenshtein(a, b)` or the banded `lev_bounded`
-    * @param cap  max rows a single (prefix, band, salt) bucket may hold on
-    *             the build side before salting splits it further
+    * @param cap  max keys a single tile holds per side — per-task candidate
+    *             pairs are bounded by cap² (~1M lev kernels at the default)
     */
   def pairs(docs: DataFrame, idCol: String, keyCol: String, k: Int,
-      dist: (Column, Column) => Column, cap: Int = 20000): DataFrame = {
+      dist: (Column, Column) => Column, cap: Int = 1000): DataFrame = {
     val base = docs.select(col(idCol).as("id"), col(keyCol).as("p"))
       .withColumn("pfx", substring(col("p"), 1, 4))
       .withColumn("band", floor(length(col("p")) / (k + 1)))
@@ -48,18 +56,35 @@ object FuzzyBlocking {
       .agg(count(lit(1)).as("cnt"))
       .withColumn("nsalt", greatest(lit(1L), ceil(col("cnt") / lit(cap))).cast("int"))
       .select("pfx", "band", "nsalt")
-    // right side: its own band, ONE salt by id hash (xxhash64 is total)
+    // right side: its own band; fixed salt = hash(id), replicated across
+    // the tile axis (xxhash64 is total, so the assignment is too)
     val rhs = base.join(counts, Seq("pfx", "band"))
+      .withColumn("salt", pmod(xxhash64(col("id")), col("nsalt").cast("long")).cast("int"))
+      .withColumn("tile", explode(expr("sequence(0, nsalt - 1)")))
       .select(col("id").as("doc_b"), col("p").as("pb"), col("pfx"), col("band"),
-        pmod(xxhash64(col("id")), col("nsalt").cast("long")).cast("int").as("salt"))
-    // left side: replicate to bands ±1 (inner join drops bands with no rows),
-    // then across every salt of the target band
+        col("tile"), col("salt"))
+    // left side: replicate to bands ±1 (inner join drops bands with no
+    // rows); fixed tile = hash(id) IN THE TARGET BAND's split, replicated
+    // across that band's salt axis
     val lhs = base
       .withColumn("band", explode(array(col("band") - 1, col("band"), col("band") + 1)))
       .join(counts, Seq("pfx", "band"))
+      .withColumn("tile", pmod(xxhash64(col("id")), col("nsalt").cast("long")).cast("int"))
       .withColumn("salt", explode(expr("sequence(0, nsalt - 1)")))
-      .select(col("id").as("doc_a"), col("p").as("pa"), col("pfx"), col("band"), col("salt"))
-    lhs.join(rhs, Seq("pfx", "band", "salt"))
+      .select(col("id").as("doc_a"), col("p").as("pa"), col("pfx"), col("band"),
+        col("tile"), col("salt"))
+    // PIN the join's partition count: its shuffle INPUT is tiny (docs +
+    // replicas) but its OUTPUT is the quadratic pair enumeration, which
+    // AQE's input-size-based coalescing cannot see — left alone it merges
+    // the post-shuffle partitions into ~1 and the whole kernel runs on one
+    // core (measured at sf1: 41M candidate pairs, load ~1 on 32 cores). An
+    // explicit numPartitions is exempt from AQE coalescing, and the tile
+    // axis guarantees no single key exceeds ~cap² pairs, so the fixed-count
+    // hash spread is even.
+    val keys = Seq("pfx", "band", "tile", "salt")
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    lhs.repartition(n, keys.map(col): _*)
+      .join(rhs.repartition(n, keys.map(col): _*), keys)
       .filter(col("doc_a") < col("doc_b"))
       // cheap length prefilter: skips the DP kernel for sure-misses
       .filter(abs(length(col("pa")) - length(col("pb"))) <= k)

@@ -36,8 +36,16 @@ object TextQueries extends QueryModule {
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), substring(lower(col("text")), 1, 40).as("blk"),
         TF.shingles3("toks").as("sh"))
+    // pinned partition count on the block key: the join's shuffle input is
+    // small but its output is the quadratic per-block pair enumeration,
+    // which AQE's input-size-based coalescing cannot see — without the pin
+    // it merges a duplicate-heavy corpus's pair kernel onto ~1 core (the
+    // g30 family documents the same effect; FuzzyBlocking.scala)
+    val n = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val a = base.select(col("doc_id").as("a_id"), col("blk"), col("sh").as("sha"))
+      .repartition(n, col("blk"))
     val b = base.select(col("doc_id").as("b_id"), col("blk").as("blkb"), col("sh").as("shb"))
+      .repartition(n, col("blkb"))
     a.join(b, col("blk") === col("blkb") && col("a_id") < col("b_id"))
       .withColumn("jac", TF.jaccard(col("sha"), col("shb")))
       .filter(col("jac") >= 0.4)
@@ -158,9 +166,14 @@ object TextQueries extends QueryModule {
         posexplode(array((0 until 4).map(i =>
           shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xffffL))): _*))
           .as(Seq("chunk", "cval")))
-      val cand = chunks
+      // pinned partition count: candidate enumeration is quadratic per
+      // (chunk, cval) bucket — invisible to AQE coalescing (see
+      // FuzzyBlocking.scala for the measured one-core failure mode)
+      val n = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+      val cand = chunks.repartition(n, col("chunk"), col("cval"))
         .join(chunks.select(col("id").as("id_b"), col("fp").as("fp_b"),
-            col("chunk").as("chunk_b"), col("cval").as("cval_b")),
+            col("chunk").as("chunk_b"), col("cval").as("cval_b"))
+            .repartition(n, col("chunk_b"), col("cval_b")),
           col("chunk") === col("chunk_b") && col("cval") === col("cval_b") &&
             col("id") < col("id_b"))
         .select(col("id").as("a_id"), col("id_b").as("b_id"),

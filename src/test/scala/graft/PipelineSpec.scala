@@ -54,12 +54,13 @@ class PipelineSpec extends AnyFunSuite {
     val counts = base.groupBy("pfx", "band").agg(count(lit(1)).as("cnt"))
       .withColumn("nsalt", greatest(lit(1L), ceil(col("cnt") / lit(cap))).cast("int"))
     assert(counts.agg(max("cnt")).head().getLong(0) > cap)
-    // ...and salting bounds every build-side (pfx, band, salt) bucket to ~cap
-    val maxBucket = base.join(counts, Seq("pfx", "band"))
-      .withColumn("salt", pmod(xxhash64(col("doc_id")), col("nsalt").cast("long")))
-      .groupBy("pfx", "band", "salt").count()
+    // ...and the 2-D split bounds BOTH sides of every join task to ~cap keys
+    // (each task sees one hash slice per side, not the whole hot block)
+    val maxSlice = base.join(counts, Seq("pfx", "band"))
+      .withColumn("slice", pmod(xxhash64(col("doc_id")), col("nsalt").cast("long")))
+      .groupBy("pfx", "band", "slice").count()
       .agg(max("count")).head().getLong(0)
-    assert(maxBucket <= 2L * cap, s"bucket of $maxBucket rows exceeds 2x cap")
+    assert(maxSlice <= 2L * cap, s"slice of $maxSlice rows exceeds 2x cap")
   }
 
   test("g17: no benchmark doc appears on the training side") {
