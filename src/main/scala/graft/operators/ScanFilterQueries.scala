@@ -70,6 +70,44 @@ object ScanFilterQueries extends QueryModule {
           sum(when(col("_corrupt_record").isNull, col("v"))).as("good_v_sum"))
     }),
 
+    // A14: CATALOG persistence — the metastore surface path-based reads
+    // skip: the slice is saved as a MANAGED table (`saveAsTable` into a
+    // tmp-located database), `ANALYZE TABLE ... FOR ALL COLUMNS` computes
+    // CBO statistics, and the read goes back through `spark.table` name
+    // resolution. The query self-asserts that the analyzed row count is
+    // actually in the catalog (the stats that drive CostBasedJoinReorder —
+    // exercised end-to-end in PlanSpec's cbo test), so a silently-dropped
+    // ANALYZE fails loudly rather than passing as a plain scan.
+    "a14_catalog_table" -> ((s, dir) => {
+      val db = s"graft_cat_${dir.hashCode & 0x7fffffff}"
+      val loc = tmp("catalog_db", dir)
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+      s.sql(s"DROP TABLE IF EXISTS $db.orders_managed")
+      // the in-memory catalog forgets tables across JVMs but their FILES
+      // survive — clear the managed location or a fresh session's
+      // saveAsTable dies with LOCATION_ALREADY_EXISTS
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(s"$loc/orders_managed"))
+      val t = Tables(s, dir)
+      t.orders.filter(col("o_orderkey") % 11 === 0)
+        .write.mode("overwrite").saveAsTable(s"$db.orders_managed")
+      s.sql(s"ANALYZE TABLE $db.orders_managed COMPUTE STATISTICS FOR ALL COLUMNS")
+      // self-assert the statistics really landed in the CATALOG (read via
+      // DESCRIBE so the check is independent of the session's CBO conf)
+      val statLine = s.sql(s"DESC EXTENDED $db.orders_managed")
+        .filter(col("col_name") === "Statistics")
+        .collect().map(_.getString(1)).headOption.getOrElse("")
+      require(statLine.contains("rows"),
+        s"ANALYZE left no row-count statistic in the catalog (got '$statLine')")
+      s.table(s"$db.orders_managed")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice")).as("total_d"))
+        .select(col("o_orderpriority"), col("n"), round(col("total_d"), 6).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     // A3b: JSON round-trip over nation.
     "a3b_scan_json" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -311,6 +349,11 @@ object ScanFilterQueries extends QueryModule {
     // good rows with v NULL) — fully determined by the synthesized fixture
     "a13_scan_corrupt_records" ->
       ("SELECT * FROM (VALUES (45, 5, 1950)) t(n_good, n_corrupt, good_v_sum)"),
+
+    "a14_catalog_table" ->
+      (s"SELECT o_orderpriority, count(*) AS n, " +
+        s"round(${Tables.dsumSql("o_totalprice")}, 6) AS total FROM orders " +
+        "WHERE o_orderkey % 11 = 0 GROUP BY 1 ORDER BY o_orderpriority"),
 
     "a3b_scan_json" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

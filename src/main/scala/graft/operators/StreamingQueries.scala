@@ -432,6 +432,53 @@ object StreamingQueries extends QueryModule {
         .orderBy("day")
     }),
 
+    // I13: streaming upsert with TRUE exactly-once apply — i12's CDC-apply
+    // pattern upgraded from "sidecar marker after the overwrite" (which
+    // leaves a crash window where data is durable but the marker is not) to
+    // TRANSACTIONAL snapshot commits: each micro-batch merges its delta
+    // with the current snapshot and commits a new version whose metadata
+    // carries the applied batch id, so data + marker become visible through
+    // ONE atomic pointer rename. A retried batch compares its id against
+    // the CURRENT version's metadata and no-ops — replay-safe across every
+    // crash point. Decimal partials keep the final table equal to the batch
+    // aggregate exactly, so the query is fully oracle-backed like i12.
+    "i13_stream_snapshot" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val root = s"$ckptRoot/graft_snap_i13_${dir.hashCode & 0x7fffffff}"
+      rmrfDir(new java.io.File(root))
+      val ckpt = s"$ckptRoot/graft_i13_${System.nanoTime()}"
+      val q = stream(s, dir, filesPerTrigger = 2)
+        .select(to_date(col("ts")).as("day"), col("value"))
+      val sq = withStreamShufflePartitions(s) {
+        q.writeStream.outputMode(OutputMode.Append())
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            val applied = SnapshotTable.latestMeta(root).map(_.toLong).getOrElse(-1L)
+            if (batchId > applied) {
+              def pin(d: DataFrame) = d.select(col("day"),
+                col("n").cast("long").as("n"), col("vsum").cast(Tables.dec).as("vsum"))
+              val delta = pin(df.groupBy(col("day"))
+                .agg(count(lit(1)).as("n"), sum(col("value").cast(Tables.dec)).as("vsum")))
+              val merged =
+                if (SnapshotTable.latestVersion(root).isDefined)
+                  pin(delta.unionByName(SnapshotTable.read(df.sparkSession, root))
+                    .groupBy(col("day"))
+                    .agg(sum(col("n")).as("n"), sum(col("vsum")).as("vsum")))
+                else delta
+              // no pre-materialization needed: the new version writes to a
+              // FRESH immutable dir, never over the files it is reading
+              SnapshotTable.commit(merged, root, meta = batchId.toString)
+              ()
+            }
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+      }
+      try sq.awaitTermination() finally rmrfDir(new java.io.File(ckpt))
+      SnapshotTable.read(s, root)
+        .select(col("day"), col("n"), round(col("vsum").cast("double"), 6).as("val_sum"))
+        .orderBy("day")
+    }),
+
     // I10: unbounded generator source, bounded deterministically.
     // `rate-micro-batch` emits exactly rowsPerBatch rows per micro-batch
     // (batch k: values [k·2000, (k+1)·2000), all stamped k·1 min), and under
@@ -484,6 +531,13 @@ object StreamingQueries extends QueryModule {
     // i12's sink-table state is decimal-exact regardless of micro-batch
     // boundaries, so the final upserted table IS the batch aggregate
     "i12_stream_upsert" ->
+      ("SELECT CAST(ts AS DATE) AS day, count(*) AS n, " +
+        s"round(${graft.Tables.dsumSql("value")}, 6) AS val_sum " +
+        "FROM events GROUP BY 1 ORDER BY day"),
+
+    // i13 applies the same deltas through transactional snapshot commits,
+    // so the final snapshot equals the same batch aggregate
+    "i13_stream_snapshot" ->
       ("SELECT CAST(ts AS DATE) AS day, count(*) AS n, " +
         s"round(${graft.Tables.dsumSql("value")}, 6) AS val_sum " +
         "FROM events GROUP BY 1 ORDER BY day")

@@ -53,9 +53,15 @@ object SnapshotTable {
   }
 
   /** Phase 1: write `df` as version `latest + 1`'s immutable data files and
-    * its manifest. NOT yet visible to readers — a crash after prepare loses
-    * nothing but disk space. Returns the staged version number. */
-  def prepare(df: DataFrame, root: String): Long = {
+    * its manifest (plus optional commit METADATA — e.g. the streaming batch
+    * id this version applied: because the metadata becomes visible through
+    * the same atomic pointer swap as the data, an exactly-once sink gets
+    * data + applied-marker durability as ONE event, closing the
+    * crash-between-write-and-marker window a sidecar file leaves open).
+    * NOT yet visible to readers — a crash after prepare loses nothing but
+    * disk space, and a retried prepare re-stages the same version number
+    * cleanly. Returns the staged version number. */
+  def prepare(df: DataFrame, root: String, meta: String = null): Long = {
     val v = latestVersion(root).getOrElse(0L) + 1
     val dataDir = Paths.get(root, "data", s"v$v")
     df.write.mode("overwrite").parquet(dataDir.toString)
@@ -63,10 +69,22 @@ object SnapshotTable {
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => s"data/v$v/${p.getFileName}").toSeq.sorted
     Files.createDirectories(snapDir(root))
+    if (meta != null)
+      Files.write(snapDir(root).resolve(s"v$v.meta"), meta.getBytes(UTF_8))
     Files.write(snapDir(root).resolve(s"v$v.manifest"),
       files.mkString("\n").getBytes(UTF_8))
     v
   }
+
+  /** Commit metadata of version `v`, if any was attached. */
+  def versionMeta(root: String, v: Long): Option[String] = {
+    val p = snapDir(root).resolve(s"v$v.meta")
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), UTF_8)) else None
+  }
+
+  /** Commit metadata of the CURRENT version (what LATEST points to). */
+  def latestMeta(root: String): Option[String] =
+    latestVersion(root).flatMap(versionMeta(root, _))
 
   /** Phase 2: atomically publish version `v` — the commit point. */
   def swap(root: String, v: Long): Unit = {
@@ -80,8 +98,8 @@ object SnapshotTable {
   }
 
   /** Atomic commit: prepare + swap. Returns the committed version. */
-  def commit(df: DataFrame, root: String): Long = {
-    val v = prepare(df, root)
+  def commit(df: DataFrame, root: String, meta: String = null): Long = {
+    val v = prepare(df, root, meta)
     swap(root, v)
     v
   }

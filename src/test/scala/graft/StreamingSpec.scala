@@ -105,6 +105,26 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("i13: snapshot-committed stream equals the batch aggregate; batch ids ride the versions") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("i13_stream_snapshot")(spark, sfDir)
+      .agg(sum("n")).head().getLong(0)
+    assert(out == totalEvents, s"snapshot table covers $out of $totalEvents events")
+    // the sink table's version history IS the applied-batch ledger:
+    // 4 chunks at 2 files/trigger -> 2 versions, metas "0" and "1"
+    import graft.sources.SnapshotTable
+    val root = s"${if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_ckpt"
+      else System.getProperty("java.io.tmpdir") + "/graft_ckpt"}/graft_snap_i13_${sfDir.hashCode & 0x7fffffff}"
+    val latest = SnapshotTable.latestVersion(root)
+    assert(latest.contains(2L), s"expected 2 committed versions, got $latest")
+    assert(SnapshotTable.versionMeta(root, 1).contains("0"))
+    assert(SnapshotTable.versionMeta(root, 2).contains("1"))
+    // time travel into the mid-stream state: version 1 holds only batch 0
+    val v1 = SnapshotTable.readVersion(spark, root, 1)
+      .agg(sum("n")).head().getLong(0)
+    assert(v1 > 0 && v1 < totalEvents, s"v1 should be a strict prefix, got $v1")
+  }
+
   test("i11: streaming HLL estimates equal the batch aggregation window-for-window") {
     import org.apache.spark.sql.functions._
     val streamed = SparkEntry.queries("i11_stream_hll")(spark, sfDir)

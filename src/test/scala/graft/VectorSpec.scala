@@ -99,6 +99,29 @@ class VectorSpec extends AnyFunSuite {
     assert("""\*\(\d+\) Project \[[^\n]*cosine_sim""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("cosine_sim: many calls fused into ONE codegen stage still compile") {
+    // regression: doGenCode used fixed local names (i, dot, …), so two
+    // cosine_sim calls landing in the same whole-stage-codegen function
+    // (exactly what g4b's 10-column probe projection does) made janino
+    // reject the stage and Spark silently fall back to the interpreted
+    // path. fallback=false turns that silent downgrade into a hard error.
+    val s = spark
+    import s.implicits._
+    graft.functions.CosineSim.register(s)
+    val prev = s.conf.get("spark.sql.codegen.fallback", "true")
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq((Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0)))
+        .toDF("a", "b")
+        .selectExpr("cosine_sim(a, b) AS c1", "cosine_sim(b, a) AS c2",
+          "cosine_sim(a, a) AS c3")
+        .filter("cosine_sim(a, b) > -2")
+      val row = df.head()
+      assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 1e-15)
+      assert(math.abs(row.getDouble(2) - 1.0) < 1e-12)
+    } finally s.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("g6: one centroid component per (label, pos), full 64-dim coverage") {
     val c = SparkEntry.queries("g6_centroid_per_label")(spark, sfDir).collect()
     val labels = c.map(_.getInt(0)).distinct

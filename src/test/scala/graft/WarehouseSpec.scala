@@ -155,6 +155,30 @@ class WarehouseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { SnapshotTable.swap(root, 99L) }
   }
 
+  test("snapshot table: commit metadata becomes visible atomically with the data") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_meta").toString
+    // the exactly-once pattern: each commit records the batch id it applied
+    SnapshotTable.commit(Seq((1L, 1.0)).toDF("k", "v"), root, meta = "0")
+    assert(SnapshotTable.latestMeta(root).contains("0"))
+    // a PREPARED-but-not-swapped version must NOT surface its metadata —
+    // a retry after this crash point still sees batch 0 as last applied,
+    // re-stages the same version number, and applies exactly once
+    val staged = SnapshotTable.prepare(Seq((2L, 2.0)).toDF("k", "v"), root, meta = "1")
+    assert(SnapshotTable.latestMeta(root).contains("0"), "meta leaked before the swap")
+    val restaged = SnapshotTable.prepare(Seq((2L, 2.0)).toDF("k", "v"), root, meta = "1")
+    assert(restaged == staged, "retried prepare must re-stage the same version")
+    SnapshotTable.swap(root, restaged)
+    assert(SnapshotTable.latestMeta(root).contains("1"))
+    assert(SnapshotTable.read(s, root).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // versions without metadata stay metadata-free
+    SnapshotTable.commit(Seq((3L, 3.0)).toDF("k", "v"), root)
+    assert(SnapshotTable.latestMeta(root).isEmpty)
+    assert(SnapshotTable.versionMeta(root, 2).contains("1")) // history preserved
+  }
+
   test("pagerank: hand-computed 3-node fixed shape") {
     val s = spark
     import s.implicits._
