@@ -134,6 +134,85 @@ object DagQueries extends QueryModule {
         (n, afterRun1(n), total - afterRun1(n))
       }.toDF("job", "computed_run1", "computed_run2").orderBy("job")
     })
+,
+
+    // J6: VERSION-AWARE incremental recompute — j5's freshness check
+    // (output exists?) upgraded to real change propagation: every node's
+    // output is a SnapshotTable version whose commit METADATA records the
+    // signature of the input versions it consumed. A rerun recomputes a node
+    // only when an upstream table committed a NEW version; one source commit
+    // then ripples through exactly the affected chain. This is the
+    // scheduler + table-format marriage (Airflow-over-Delta shape) the
+    // north star's "job scheduling component" needs at 100 TB: skip
+    // decisions are metadata reads (version pointers), never data scans,
+    // and every intermediate is snapshot-isolated so a reader mid-rerun
+    // always sees a complete version.
+    "j6_dag_snapshot_incremental" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_snapdag_" +
+        s"${dir.hashCode & 0x7fffffff}_${System.nanoTime()}"
+      val srcRoot = s"$base/src_customer"
+      val computes = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+      // a node recomputes iff its input-version signature differs from the
+      // one its CURRENT output version recorded at commit time
+      def snapJob(name: String, deps: Seq[String], inputRoots: Map[String, String] => Seq[String])(
+          body: (org.apache.spark.sql.SparkSession, Map[String, org.apache.spark.sql.DataFrame]) => org.apache.spark.sql.DataFrame): Job =
+        Job(name, deps, 0, (sp, d) => {
+          val roots = Map("__self" -> s"$base/$name") ++
+            deps.map(n => n -> s"$base/$n").toMap
+          val ins = inputRoots(roots)
+          val sig = ins.map(r => s"$r@${SnapshotTable.latestVersion(r).getOrElse(0L)}")
+            .mkString(";")
+          val out = roots("__self")
+          if (!SnapshotTable.latestMeta(out).contains(sig)) {
+            computes.computeIfAbsent(name, _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
+            SnapshotTable.commit(body(sp, d).coalesce(1), out, meta = sig)
+            ()
+          }
+          SnapshotTable.read(sp, out)
+        })
+      def mk() = new Dag(Seq(
+        snapJob("load_src", Nil, _ => Seq(srcRoot))((sp, _) =>
+          SnapshotTable.read(sp, srcRoot)),
+        snapJob("seg_counts", Seq("load_src"), r => Seq(r("load_src")))((_, d) =>
+          d("load_src").groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))),
+        snapJob("nat_counts", Seq("load_src"), r => Seq(r("load_src")))((_, d) =>
+          d("load_src").groupBy(col("c_nationkey")).agg(count(lit(1)).as("n")))
+      ))
+      def counts(): Map[String, Int] =
+        Seq("load_src", "nat_counts", "seg_counts")
+          .map(n => n -> Option(computes.get(n)).map(_.get()).getOrElse(0)).toMap
+      // source v1 -> run (all compute) -> run (all SKIP: versions unchanged)
+      val cust = Tables(s, dir).customer
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+      SnapshotTable.commit(cust.filter(col("c_custkey") % 2 === 0).coalesce(1), srcRoot)
+      mk().run(s, parallelism = 2)
+      val r1 = counts()
+      mk().run(s, parallelism = 2)
+      val r2 = counts()
+      // source commits v2 (the odd half lands) -> the change RIPPLES: all
+      // three recompute off the new version, nothing runs twice
+      SnapshotTable.commit(cust.coalesce(1), srcRoot)
+      mk().run(s, parallelism = 2)
+      val r3 = counts()
+      val spark = s
+      import spark.implicits._
+      val ledger = r1.keys.toSeq.sorted.map { n =>
+        (n, r1(n), r2(n) - r1(n), r3(n) - r2(n))
+      }.toDF("job", "computed_run1", "computed_run2", "computed_run3")
+      // the final seg_counts table must equal the full recompute over v2 —
+      // assert here (content), return the ledger (the scheduling semantics)
+      val got = SnapshotTable.read(s, s"$base/seg_counts")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = cust.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(got == want, s"incremental result diverged: $got vs $want")
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(base))
+      ledger.orderBy("job")
+    })
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -161,6 +240,14 @@ object DagQueries extends QueryModule {
 
     "j5_dag_incremental" ->
       ("SELECT * FROM (VALUES ('load_customer', 1, 0), ('nation_counts', 1, 0), " +
-        "('segment_counts', 1, 0)) t(job, computed_run1, computed_run2) ORDER BY job")
+        "('segment_counts', 1, 0)) t(job, computed_run1, computed_run2) ORDER BY job"),
+
+    // run1 computes everything, run2 skips everything (no version moved),
+    // run3 recomputes everything exactly once (the source committed v2 and
+    // the change rippled) — the ledger IS the scheduling semantics
+    "j6_dag_snapshot_incremental" ->
+      ("SELECT * FROM (VALUES ('load_src', 1, 0, 1), ('nat_counts', 1, 0, 1), " +
+        "('seg_counts', 1, 0, 1)) " +
+        "t(job, computed_run1, computed_run2, computed_run3) ORDER BY job")
   )
 }

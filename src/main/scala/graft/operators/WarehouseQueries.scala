@@ -158,6 +158,42 @@ object WarehouseQueries extends QueryModule {
         .orderBy("version")
     }),
 
+    // M7: MERGE INTO with the commit protocol — the general CDC merge m1/m2
+    // specialize. A change feed (op = upsert | delete) applies to a
+    // snapshot-committed target in ONE full-outer key join (MergeInto), and
+    // the result commits as version 2; old versions then EXPIRE (vacuum),
+    // exercising the full table lifecycle: commit -> merge -> commit ->
+    // expire, with readers never able to observe a torn state. Feed
+    // derivation: every %4 orderkey is a change row — %24 keys are DELETES,
+    // the rest upsert a doubled price (matched %12 keys update, unmatched
+    // insert). Output is a per-bucket summary of the final table.
+    "m7_merge_into" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m7_${dir.hashCode & 0x7fffffff}"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root))
+      val t = Tables(s, dir)
+      val target = t.orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      SnapshotTable.commit(target, root)
+      val changes = t.orders.filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"),
+          when(col("o_orderkey") % 24 === 0, lit("delete"))
+            .otherwise(lit("upsert")).as("op"))
+      val merged = MergeInto.applyChanges(
+        SnapshotTable.read(s, root), changes, "o_orderkey")
+      SnapshotTable.commit(merged, root)
+      val expired = SnapshotTable.expire(root, keepLast = 1)
+      require(expired == Seq(1L), s"expected to expire v1, got $expired")
+      SnapshotTable.read(s, root)
+        .groupBy((col("o_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice")).as("rev"))
+        .select(col("bucket"), col("n"), round(col("rev"), 6).as("revenue"))
+        .orderBy("bucket")
+    }),
+
     // M5: snapshot diff — the CDC reconciliation between two versions of a
     // table (here: yesterday = orders except every 7th key; today = orders
     // except every 5th key, with every 3rd key's priority rewritten). One full outer join on the
@@ -240,6 +276,22 @@ object WarehouseQueries extends QueryModule {
         s"SELECT 1 AS version, count(*) AS n_rows, round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue FROM v1 " +
         s"UNION ALL SELECT 2 AS version, count(*) AS n_rows, round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue FROM v2 " +
         "ORDER BY version"),
+
+    // replay of the merge: matched rows take the change value unless the
+    // change is a delete; source-only upserts insert; target-only rows keep
+    "m7_merge_into" ->
+      ("WITH tgt AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders " +
+        "WHERE o_orderkey % 3 = 0), " +
+        "ch AS (SELECT o_orderkey AS k, o_totalprice * 2 AS price, " +
+        "CASE WHEN o_orderkey % 24 = 0 THEN 'delete' ELSE 'upsert' END AS op " +
+        "FROM orders WHERE o_orderkey % 4 = 0), " +
+        "merged AS (SELECT COALESCE(t.k, c.k) AS k, " +
+        "CASE WHEN c.k IS NOT NULL THEN c.price ELSE t.price END AS price " +
+        "FROM tgt t FULL OUTER JOIN ch c ON t.k = c.k " +
+        "WHERE c.op IS NULL OR c.op <> 'delete') " +
+        s"SELECT k % 10 AS bucket, count(*) AS n, " +
+        s"round(${Tables.dsumSql("price")}, 6) AS revenue " +
+        "FROM merged GROUP BY 1 ORDER BY bucket"),
 
     "m5_snapshot_diff" ->
       ("WITH a AS (SELECT o_orderkey AS ak, o_orderpriority AS av FROM orders " +

@@ -104,6 +104,43 @@ object SnapshotTable {
     v
   }
 
+  /** Expire old versions — the vacuum that keeps a frequently-committed
+    * table (e.g. the i13 streaming sink: one version per micro-batch) from
+    * accumulating data forever. Keeps the newest `keepLast` versions fully
+    * readable and deletes the data dirs + manifests + metadata of everything
+    * older. Deletion order is crash-safe for readers pinned to a RETAINED
+    * version: the manifest is removed LAST, after its data files, so a
+    * concurrent reader of an expiring version fails cleanly at manifest
+    * resolution (or at file open with a clear missing-file error) rather
+    * than silently reading a partial snapshot — and LATEST itself is never
+    * eligible. Returns the expired version numbers.
+    *
+    * Scale note: this walks only `_snapshots/` (one entry per version) and
+    * unlinks whole `data/v<N>` dirs — metadata-scale driver work, no data
+    * read. An object-store deployment would issue the same deletes from the
+    * manifest file lists. */
+  def expire(root: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"expire: keepLast must be >= 1 (got $keepLast)")
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val cutoff = latest - keepLast + 1
+    val versions = Files.list(snapDir(root)).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
+        s.stripPrefix("v").stripSuffix(".manifest").toLong }
+      .filter(_ < cutoff).toSeq.sorted
+    versions.foreach { v =>
+      val dataDir = Paths.get(root, "data", s"v$v")
+      if (Files.exists(dataDir)) {
+        Files.list(dataDir).iterator().asScala.foreach(Files.deleteIfExists)
+        Files.deleteIfExists(dataDir)
+      }
+      Files.deleteIfExists(snapDir(root).resolve(s"v$v.meta"))
+      Files.deleteIfExists(snapDir(root).resolve(s"v$v.manifest"))
+    }
+    versions
+  }
+
   /** Read a specific committed (or prepared) version — time travel. */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     val m = snapDir(root).resolve(s"v$v.manifest")

@@ -155,6 +155,72 @@ class WarehouseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { SnapshotTable.swap(root, 99L) }
   }
 
+  test("merge into: upsert/delete change feed applies in one pass, hand-checked") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.MergeInto
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "B", "upsert"),   // matched update
+      (3L, "x", "delete"),   // matched delete
+      (4L, "d", "upsert"),   // unmatched insert
+      (9L, "x", "delete")    // unmatched delete: idempotent no-op
+    ).toDF("k", "v", "op")
+    val out = MergeInto.applyChanges(target, changes, "k")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a"), (2L, "B"), (4L, "d")))
+    // ambiguous feeds are rejected loudly in debug mode
+    val dup = Seq((2L, "B", "upsert"), (2L, "C", "upsert")).toDF("k", "v", "op")
+    intercept[IllegalArgumentException] {
+      MergeInto.applyChanges(target, dup, "k", assertUniqueChangeKeys = true)
+    }
+  }
+
+  test("merge into: latestPerKey collapses a multi-op feed; delete wins a seq tie") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.MergeInto
+    val feed = Seq(
+      (1L, "a1", "upsert", 1L), (1L, "a2", "upsert", 2L), // last upsert wins
+      (2L, "b1", "upsert", 5L), (2L, "bx", "delete", 5L), // tie: delete wins
+      (3L, "c1", "delete", 1L), (3L, "c2", "upsert", 2L)  // resurrection
+    ).toDF("k", "v", "op", "seq")
+    val last = MergeInto.latestPerKey(feed, "k", "seq")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(last.toSeq == Seq((1L, "a2", "upsert"), (2L, "bx", "delete"),
+      (3L, "c2", "upsert")))
+    // end-to-end: collapsed feed applies cleanly
+    val target = Seq((2L, "old"), (5L, "keep")).toDF("k", "v")
+    val out = MergeInto.applyChanges(target,
+        MergeInto.latestPerKey(feed, "k", "seq").drop("seq"), "k")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a2"), (3L, "c2"), (5L, "keep")))
+  }
+
+  test("snapshot table: expire vacuums old versions, current stays readable") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_exp").toString
+    SnapshotTable.commit(Seq((1L, "v1")).toDF("k", "v"), root)
+    SnapshotTable.commit(Seq((2L, "v2")).toDF("k", "v"), root, meta = "m2")
+    SnapshotTable.commit(Seq((3L, "v3")).toDF("k", "v"), root)
+    assert(SnapshotTable.expire(root, keepLast = 1) == Seq(1L, 2L))
+    // current version untouched, fully readable
+    assert(SnapshotTable.read(s, root).collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(SnapshotTable.latestVersion(root).contains(3L))
+    // expired versions fail CLEANLY at manifest resolution (no torn reads)
+    intercept[IllegalArgumentException] { SnapshotTable.readVersion(s, root, 1) }
+    assert(SnapshotTable.versionMeta(root, 2).isEmpty, "expired meta must go too")
+    // their data dirs are actually gone — the disk is reclaimed
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "data", "v1")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "data", "v2")))
+    // keepLast=1 is the floor: the table can never expire its own LATEST
+    intercept[IllegalArgumentException] { SnapshotTable.expire(root, keepLast = 0) }
+    // idempotent: nothing left to expire
+    assert(SnapshotTable.expire(root, keepLast = 1).isEmpty)
+  }
+
   test("snapshot table: commit metadata becomes visible atomically with the data") {
     val s = spark
     import s.implicits._
