@@ -17,18 +17,26 @@ import org.apache.spark.sql.functions._
   * commits as a new immutable version, which is the full MERGE-INTO-with-
   * commit-protocol story (declared query m7).
   *
-  * Shape at 100 TB: ONE full-outer shuffle join on the key — no window, no
-  * global sort, and the (typically small) change feed side broadcasts when
-  * it fits, making the merge a map-side pass over the big table. The target
-  * is scanned exactly once; untouched rows are never rewritten logically
-  * (a format with file-level manifests would also skip rewriting their
-  * files — here the new version's write is the usual distributed parquet
-  * job).
+  * Two physical shapes, chosen by `broadcastFeed`:
+  *
+  *  - default (co-sized sides): ONE full-outer shuffle join on the key —
+  *    no window, no global sort; each side shuffles exactly once. Full
+  *    outer join cannot build a broadcast side in Spark, so this is the
+  *    right plan only when the feed is a meaningful fraction of the target.
+  *  - `broadcastFeed = true` (the 100 TB norm: huge target, small CDC
+  *    batch): the target is NEVER shuffled. Pass 1 left-outer joins the
+  *    target against the broadcast feed (map-side update/delete/keep);
+  *    pass 2 derives the inserts as feed-minus-matched-keys, where the
+  *    matched keys come from a broadcast semi-join — a second map-side
+  *    scan. Two columnar reads of the target replace a full shuffle
+  *    write+read of it, the same trade Delta-style MERGE makes (a format
+  *    with file manifests additionally prunes pass 1 to touched files).
+  *    PlanSpec asserts the no-shuffle-of-target property.
   *
   * Requires one change row per key (ambiguous multi-op feeds must be
-  * pre-collapsed to final state — e.g. keep the latest per key with a
-  * window or max-struct aggregation); enable `assertUniqueChangeKeys` to
-  * pay one extra pass for the check in debug runs.
+  * pre-collapsed to final state — [[latestPerKey]]); enable
+  * `assertUniqueChangeKeys` to pay one extra pass for the check in debug
+  * runs.
   */
 object MergeInto {
 
@@ -37,6 +45,7 @@ object MergeInto {
       changes: DataFrame,
       key: String,
       opCol: String = "op",
+      broadcastFeed: Boolean = false,
       assertUniqueChangeKeys: Boolean = false): DataFrame = {
     val valueCols = target.columns.filterNot(_ == key).toSeq
     val changeVals = changes.columns.filterNot(c => c == key || c == opCol).toSet
@@ -51,14 +60,36 @@ object MergeInto {
     val ch = changes.select(
       (col(key).as("__ck") +: col(opCol).as("__op") +:
         valueCols.map(c => col(c).as(s"__c_$c"))): _*)
-    val j = target.join(ch, col(key) === col("__ck"), "full_outer")
     val matched = col("__ck").isNotNull
-    // one filter drops BOTH delete cases: matched-delete removes the target
-    // row, unmatched-delete is the no-op source-only row
-    j.filter(col("__op").isNull || col("__op") =!= "delete")
-      .select(coalesce(col(key), col("__ck")).as(key) +:
-        valueCols.map(c =>
-          when(matched, col(s"__c_$c")).otherwise(col(c)).as(c)): _*)
+
+    if (!broadcastFeed) {
+      val j = target.join(ch, col(key) === col("__ck"), "full_outer")
+      // one filter drops BOTH delete cases: matched-delete removes the
+      // target row, unmatched-delete is the no-op source-only row
+      j.filter(col("__op").isNull || col("__op") =!= "delete")
+        .select(coalesce(col(key), col("__ck")).as(key) +:
+          valueCols.map(c =>
+            when(matched, col(s"__c_$c")).otherwise(col(c)).as(c)): _*)
+    } else {
+      // pass 1: map-side update/delete/keep — target rows only, so a plain
+      // left outer against the broadcast feed
+      val kept = target.join(broadcast(ch), col(key) === col("__ck"), "left_outer")
+        .filter(col("__op").isNull || col("__op") =!= "delete")
+        .select(col(key) +:
+          valueCols.map(c =>
+            when(matched, col(s"__c_$c")).otherwise(col(c)).as(c)): _*)
+      // pass 2: inserts = upsert feed keys the target doesn't have. The
+      // matched-key set is at most feed-sized, but its size ESTIMATE
+      // derives from the target scan — broadcast() pins the anti join
+      // map-side too.
+      val matchedKeys = target.select(col(key).as("__mk"))
+        .join(broadcast(ch.select(col("__ck"))), col("__mk") === col("__ck"), "left_semi")
+      val inserts = ch.filter(col("__op") === "upsert")
+        .join(broadcast(matchedKeys), col("__ck") === col("__mk"), "left_anti")
+        .select(col("__ck").as(key) +:
+          valueCols.map(c => col(s"__c_$c").as(c)): _*)
+      kept.unionByName(inserts)
+    }
   }
 
   /** Collapse a multi-op change feed to one final-state row per key: the row

@@ -104,6 +104,63 @@ object SnapshotTable {
     v
   }
 
+  /** OPTIMISTIC-CONCURRENCY commit for multi-writer tables: succeeds only
+    * if the table is still at `baseVersion` (the snapshot this writer read
+    * and derived its update from); a concurrent committer makes the loser
+    * fail with `ConcurrentModificationException` BEFORE any data is
+    * written, so it can re-read the new snapshot, reapply its change, and
+    * retry — the rebase loop serializable table formats run.
+    *
+    * The CAS is version-number reservation: every CAS committer must create
+    * `v<base+1>.reserved` with CREATE_NEW semantics, which exactly one
+    * writer can win (the filesystem's atomic exclusive-create; an object
+    * store uses If-None-Match puts the same way). Because all committers
+    * reserve base+1 and version base+2 cannot be reserved until base+1
+    * committed, LATEST can only ever move forward by one — no lost updates,
+    * no pointer regression. A writer that crashes between reserve and swap
+    * leaves a stale reservation that blocks the version slot; recovery
+    * deletes `v<N>.reserved` files without a matching manifest (age-gated
+    * in production — here [[releaseStaleReservation]]).
+    *
+    * A table's writers pick ONE discipline: plain [[commit]] (single-writer
+    * pipelines, streaming sinks) or CAS commits (concurrent writers) —
+    * plain commit does not check reservations, which is what makes it the
+    * cheaper single-writer path. */
+  def commitIfUnchanged(df: DataFrame, root: String, baseVersion: Long,
+      meta: String = null): Long = {
+    val v = baseVersion + 1
+    Files.createDirectories(snapDir(root))
+    try Files.createFile(snapDir(root).resolve(s"v$v.reserved"))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot v$v already reserved or committed at $root — " +
+            "re-read the current snapshot and rebase")
+    }
+    require(latestVersion(root).getOrElse(0L) == baseVersion,
+      s"base $baseVersion is not the current version — rebase")
+    val staged = prepare(df, root, meta)
+    // prepare derives latest+1 == v because the reservation serialized us
+    require(staged == v, s"staged v$staged but reserved v$v")
+    swap(root, v)
+    v
+  }
+
+  /** Recovery for a CAS writer that crashed between reserve and swap:
+    * drop reservation markers whose version has no manifest. Returns the
+    * released version numbers. */
+  def releaseStaleReservation(root: String): Seq[Long] = {
+    if (!Files.exists(snapDir(root))) return Nil
+    val stale = Files.list(snapDir(root)).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".reserved") =>
+        s.stripPrefix("v").stripSuffix(".reserved").toLong }
+      .filter(v => !Files.exists(snapDir(root).resolve(s"v$v.manifest")))
+      .toSeq.sorted
+    stale.foreach(v => Files.deleteIfExists(snapDir(root).resolve(s"v$v.reserved")))
+    stale
+  }
+
   /** Expire old versions — the vacuum that keeps a frequently-committed
     * table (e.g. the i13 streaming sink: one version per micro-batch) from
     * accumulating data forever. Keeps the newest `keepLast` versions fully
@@ -136,6 +193,7 @@ object SnapshotTable {
         Files.deleteIfExists(dataDir)
       }
       Files.deleteIfExists(snapDir(root).resolve(s"v$v.meta"))
+      Files.deleteIfExists(snapDir(root).resolve(s"v$v.reserved"))
       Files.deleteIfExists(snapDir(root).resolve(s"v$v.manifest"))
     }
     versions

@@ -372,4 +372,30 @@ class PlanSpec extends AnyFunSuite {
     assert(exec.get.outputPartitioning.toString.contains("hashpartitioning"),
       exec.get.outputPartitioning.toString)
   }
+
+  test("merge into: broadcast-feed path never shuffles the target") {
+    val s = spark
+    import s.implicits._
+    // the 100 TB shape: huge target, small CDC batch — every join must be
+    // map-side (feed broadcast), with ZERO shuffle of the target; the
+    // default co-sized path is one full-outer shuffle join instead (full
+    // outer cannot broadcast), asserted second
+    val target = Tables(s, sfDir).orders
+      .select(org.apache.spark.sql.functions.col("o_orderkey").as("k"),
+        org.apache.spark.sql.functions.col("o_totalprice").as("v"))
+    val feed = Seq((4L, 1.0, "upsert"), (8L, 2.0, "delete"), (-1L, 3.0, "upsert"))
+      .toDF("k", "v", "op")
+    val bc = graft.operators.MergeInto.applyChanges(target, feed, "k",
+      broadcastFeed = true)
+    bc.count()
+    val p = bc.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"broadcast-feed merge must not shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // both shapes produce the identical merged table
+    val fo = graft.operators.MergeInto.applyChanges(target, feed, "k")
+    assert(bc.orderBy("k").collect().toSeq == fo.orderBy("k").collect().toSeq)
+    val foPlan = fo.queryExecution.executedPlan.toString
+    assert(foPlan.contains("SortMergeJoin") || foPlan.contains("ShuffledHashJoin"), foPlan)
+  }
 }

@@ -221,6 +221,45 @@ class WarehouseSpec extends AnyFunSuite {
     assert(SnapshotTable.expire(root, keepLast = 1).isEmpty)
   }
 
+  test("snapshot table: CAS commit — concurrent writers serialize, loser rebases") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_cas").toString
+    SnapshotTable.commit(Seq((1L, 100.0)).toDF("k", "v"), root)
+    // two writers read v1 and race their commits: exactly one wins the
+    // version-slot reservation, the loser fails BEFORE writing any data
+    val base = SnapshotTable.latestVersion(root).get
+    val winner = SnapshotTable.commitIfUnchanged(
+      Seq((1L, 100.0), (2L, 200.0)).toDF("k", "v"), root, base)
+    assert(winner == 2L)
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.commitIfUnchanged(
+        Seq((1L, 100.0), (3L, 300.0)).toDF("k", "v"), root, base)
+    }
+    // no lost update: the loser REBASES — re-reads the winner's snapshot,
+    // reapplies its change, retries against the new base — and both
+    // writers' rows land
+    val rebased = SnapshotTable.read(s, root)
+      .unionByName(Seq((3L, 300.0)).toDF("k", "v"))
+    assert(SnapshotTable.commitIfUnchanged(rebased, root, winner) == 3L)
+    assert(SnapshotTable.read(s, root).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // crash recovery: a reservation with no manifest (writer died between
+    // reserve and swap) blocks the slot until released, then commits flow
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(root, "_snapshots", "v4.reserved"))
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.commitIfUnchanged(Seq((9L, 9.0)).toDF("k", "v"), root, 3L)
+    }
+    assert(SnapshotTable.releaseStaleReservation(root) == Seq(4L))
+    assert(SnapshotTable.commitIfUnchanged(
+      Seq((9L, 9.0)).toDF("k", "v"), root, 3L) == 4L)
+    // committed versions keep their reservation: the slot can never be won
+    // again, and recovery never touches it
+    assert(SnapshotTable.releaseStaleReservation(root).isEmpty)
+  }
+
   test("snapshot table: commit metadata becomes visible atomically with the data") {
     val s = spark
     import s.implicits._
