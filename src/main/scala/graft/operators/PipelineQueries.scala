@@ -270,6 +270,29 @@ object PipelineQueries extends QueryModule {
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
         .orderBy("split", "lang")
+    }),
+
+    // G35: distributed BPE merge learning — the tokenizer-training prep an
+    // LLM corpus pipeline runs before anything else. Classic trainer shape:
+    // ONE corpus-wide shuffle builds the word-frequency vocab, then every
+    // merge round operates on the (orders-of-magnitude smaller) vocab
+    // table: pair-count weighted by word frequency, global argmax (exactly
+    // ONE row to the driver per round — the g27 bloom-literal idiom), fold
+    // the merge back as a literal string replace. At 100 TB the corpus is
+    // touched once; rounds cost one vocab-table aggregation each.
+    //
+    // Symbol encoding: every symbol owns BOTH its delimiters — 'low' is
+    // '|l||o||w|' — so the merge replace('|a||b|','|ab|') can never match
+    // across symbol boundaries and consecutive occurrences share no
+    // characters (left-to-right non-overlapping replace is then exact, and
+    // Spark's replace() and DuckDB's replace() agree by construction).
+    // Ties break lexicographically: fully deterministic across
+    // partitionings, engines and reruns.
+    "g35_bpe_merges" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      BpeMerges.learnDF(s, t.documents
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w")),
+        rounds = 3)
     })
   )
 
@@ -410,6 +433,34 @@ object PipelineQueries extends QueryModule {
         "CAST(sum(n_chars) AS BIGINT) AS n_chars_total " +
         "FROM (SELECT lang, n_chars, " +
         "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h FROM documents) " +
-        "GROUP BY 1, 2 ORDER BY split, lang")
+        "GROUP BY 1, 2 ORDER BY split, lang"),
+
+    // replays the 3 merge rounds as chained CTEs: pair-count the vocab,
+    // argmax with the same (count desc, pair asc) total order, literal
+    // replace with the same both-delimiters encoding
+    "g35_bpe_merges" -> {
+      def pairs(v: String, p: String) =
+        s"$p AS (SELECT tk[i] AS a, tk[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM " +
+          s"(SELECT freq, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM " +
+          s"(SELECT freq, string_split(trim(seq, '|'), '||') AS tk FROM $v) " +
+          s"WHERE len(tk) >= 2) GROUP BY 1, 2)"
+      def best(p: String, b: String) =
+        s"$b AS (SELECT a, b, cnt FROM $p ORDER BY cnt DESC, a, b LIMIT 1)"
+      def apply(v: String, b: String, v2: String) =
+        s"$v2 AS (SELECT freq, replace(seq, '|' || $b.a || '||' || $b.b || '|', " +
+          s"'|' || $b.a || $b.b || '|') AS seq FROM $v, $b)"
+      "WITH words AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w " +
+        "FROM documents), " +
+        "v0 AS (SELECT count(*) AS freq, array_to_string(" +
+        "list_transform(regexp_extract_all(w, '.'), c -> '|' || c || '|'), '') AS seq " +
+        "FROM words GROUP BY w), " +
+        s"${pairs("v0", "p1")}, ${best("p1", "b1")}, ${apply("v0", "b1", "v1")}, " +
+        s"${pairs("v1", "p2")}, ${best("p2", "b2")}, ${apply("v1", "b2", "v2")}, " +
+        s"${pairs("v2", "p3")}, ${best("p3", "b3")} " +
+        "SELECT * FROM (" +
+        "SELECT 1 AS round, a || ' ' || b AS pair, a || b AS new_token, cnt AS pair_count FROM b1 " +
+        "UNION ALL SELECT 2, a || ' ' || b, a || b, cnt FROM b2 " +
+        "UNION ALL SELECT 3, a || ' ' || b, a || b, cnt FROM b3) ORDER BY round"
+    }
   )
 }

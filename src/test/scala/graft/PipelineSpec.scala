@@ -146,4 +146,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.filter(col("v") === "v1" && col("n_regionkey").isNotNull).count() == 0)
     assert(r.filter(col("v") === "v2" && col("n_regionkey").isNull).count() == 0)
   }
+
+  test("g35: BPE merges match the hand-computed classic corpus") {
+    val s = spark
+    import s.implicits._
+    // Sennrich-style toy corpus: low*5, lower*2, newest*6, widest*3.
+    // Hand-computed pair totals: (e,s)=9 ties (s,t)=9 -> (e,s) wins lex;
+    // then (es,t)=9; then (l,o)=7 ties (o,w)=7 -> (l,o) wins lex.
+    val words = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).toDF("w")
+    val merges = graft.operators.BpeMerges.learn(words, rounds = 3)
+    assert(merges == Seq(
+      (1, "e s", "es", 9L),
+      (2, "es t", "est", 9L),
+      (3, "l o", "lo", 7L)))
+    // multi-char merged symbols keep exact boundaries: learning further
+    // rounds on a tiny fully-mergeable vocab terminates early, not wrongly
+    val tiny = Seq("ab", "ab").toDF("w")
+    val m2 = graft.operators.BpeMerges.learn(tiny, rounds = 5)
+    assert(m2 == Seq((1, "a b", "ab", 2L)), m2.toString)
+  }
 }
