@@ -22,15 +22,20 @@ object DagQueries extends QueryModule {
       deps("load_lineitem")
         .join(deps("load_orders"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderstatus"))
-        .agg(Tables.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))),
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(Tables.dec)).as("rev_d"))),
     Job("cust_rank", Seq("load_orders"), 0, (s, deps) =>
       deps("load_orders").groupBy(col("o_orderstatus"))
         .agg(countDistinct(col("o_custkey")).as("n_cust"))),
     Job("report", Seq("rev_by_status", "cust_rank"), 0, (s, deps) =>
       deps("rev_by_status").join(deps("cust_rank"), "o_orderstatus")
-        // no round(): revenue exceeds 2^31 at sf0.1, where round-on-double
-        // diverges between engines; the dsum cast itself is deterministic
-        .select(col("o_orderstatus"), col("revenue"), col("n_cust"))
+        // revenue stays in EXACT decimal until the final floor-to-integer-
+        // dollars: at sf1 the sum passes 1e11, where even the final
+        // decimal->double CAST differs by 1 ulp between engines (the scaled
+        // value exceeds 2^53), so no double may appear anywhere — integer
+        // output is scale-proof
+        .select(col("o_orderstatus"),
+          floor(col("rev_d")).cast("long").as("revenue"), col("n_cust"))
         .orderBy("o_orderstatus"))
   ))
 
@@ -221,7 +226,8 @@ object DagQueries extends QueryModule {
         "(2, 'cust_rank'), (3, 'rev_by_status'), (4, 'report')) t(pos, job) ORDER BY pos"),
 
     "j2_dag_run" ->
-      (s"SELECT o_orderstatus, ${Tables.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue, " +
+      ("SELECT o_orderstatus, CAST(floor(sum(CAST(l_extendedprice * (1.0 - l_discount) " +
+        "AS DECIMAL(27,6)))) AS BIGINT) AS revenue, " +
         "n_cust FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN (SELECT o_orderstatus AS st, count(DISTINCT o_custkey) AS n_cust FROM orders GROUP BY 1) c " +
         "ON o_orderstatus = c.st " +
