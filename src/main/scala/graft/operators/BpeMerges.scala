@@ -62,4 +62,23 @@ object BpeMerges {
     learn(words, rounds).toDF("round", "pair", "new_token", "pair_count")
       .orderBy("round")
   }
+
+  /** ENCODE with learned merges: add a `n_tok` column — the number of BPE
+    * symbols `w` tokenizes to after applying `merges` in learned order.
+    * The application is the same delimiter-encoded literal-replace chain
+    * the trainer used, evaluated per row inside codegen (merge list is a
+    * handful of driver literals — no join, no shuffle; an encode of a
+    * 100 TB corpus is a narrow map over the scan). Counting symbols =
+    * counting '||' boundaries + 1, so no array materializes. */
+  def encodeTokenCount(words: DataFrame,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val seq0 =
+      "array_join(transform(regexp_extract_all(w, '.', 0), c -> concat('|', c, '|')), '')"
+    val seqK = merges.foldLeft(seq0) { case (acc, (_, pair, merged, _)) =>
+      val Array(a, b) = pair.split(" ", 2)
+      s"replace($acc, '|$a||$b|', '|$merged|')"
+    }
+    words.withColumn("n_tok",
+      expr(s"size(split(trim(BOTH '|' FROM $seqK), '\\\\|\\\\|'))"))
+  }
 }

@@ -293,6 +293,26 @@ object PipelineQueries extends QueryModule {
       BpeMerges.learnDF(s, t.documents
         .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w")),
         rounds = 3)
+    }),
+
+    // G36: BPE ENCODE — the apply side of g35. The learned merges are a
+    // handful of driver literals folded into ONE codegen replace chain, so
+    // encoding is a narrow per-row map over the scan: no join, no shuffle
+    // until the per-doc rollup. Reports per-document compression
+    // (chars -> BPE symbols after 3 merges), the sequence-length signal a
+    // token-budgeted pipeline feeds into packing (g23) and sampling.
+    "g36_bpe_encode" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val words = t.documents
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      val merges = BpeMerges.learn(words.select("w"), rounds = 3)
+      BpeMerges.encodeTokenCount(words, merges)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w"))).cast("long").as("n_chars"),
+          sum(col("n_tok")).cast("long").as("n_bpe_tok"))
+        .orderBy("doc_id")
     })
   )
 
@@ -461,6 +481,39 @@ object PipelineQueries extends QueryModule {
         "SELECT 1 AS round, a || ' ' || b AS pair, a || b AS new_token, cnt AS pair_count FROM b1 " +
         "UNION ALL SELECT 2, a || ' ' || b, a || b, cnt FROM b2 " +
         "UNION ALL SELECT 3, a || ' ' || b, a || b, cnt FROM b3) ORDER BY round"
+    },
+
+    // the same 3 learned merges (replayed b1/b2/b3) applied as the identical
+    // replace chain, then rolled up per document
+    "g36_bpe_encode" -> {
+      def pairs(v: String, p: String) =
+        s"$p AS (SELECT tk[i] AS a, tk[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM " +
+          s"(SELECT freq, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM " +
+          s"(SELECT freq, string_split(trim(seq, '|'), '||') AS tk FROM $v) " +
+          s"WHERE len(tk) >= 2) GROUP BY 1, 2)"
+      def best(p: String, b: String) =
+        s"$b AS (SELECT a, b, cnt FROM $p ORDER BY cnt DESC, a, b LIMIT 1)"
+      def apply(v: String, b: String, v2: String) =
+        s"$v2 AS (SELECT freq, replace(seq, '|' || $b.a || '||' || $b.b || '|', " +
+          s"'|' || $b.a || $b.b || '|') AS seq FROM $v, $b)"
+      val seq0 = "array_to_string(list_transform(regexp_extract_all(w, '.'), " +
+        "c -> '|' || c || '|'), '')"
+      val enc = s"replace(replace(replace($seq0, " +
+        "'|' || b1.a || '||' || b1.b || '|', '|' || b1.a || b1.b || '|'), " +
+        "'|' || b2.a || '||' || b2.b || '|', '|' || b2.a || b2.b || '|'), " +
+        "'|' || b3.a || '||' || b3.b || '|', '|' || b3.a || b3.b || '|')"
+      "WITH dwords AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w " +
+        "FROM documents), " +
+        "v0 AS (SELECT count(*) AS freq, array_to_string(" +
+        "list_transform(regexp_extract_all(w, '.'), c -> '|' || c || '|'), '') AS seq " +
+        "FROM dwords GROUP BY w), " +
+        s"${pairs("v0", "p1")}, ${best("p1", "b1")}, ${apply("v0", "b1", "v1")}, " +
+        s"${pairs("v1", "p2")}, ${best("p2", "b2")}, ${apply("v1", "b2", "v2")}, " +
+        s"${pairs("v2", "p3")}, ${best("p3", "b3")} " +
+        "SELECT doc_id, count(*) AS n_words, " +
+        "CAST(sum(len(w)) AS BIGINT) AS n_chars, " +
+        s"CAST(sum(len(string_split(trim($enc, '|'), '||'))) AS BIGINT) AS n_bpe_tok " +
+        "FROM dwords, b1, b2, b3 GROUP BY doc_id ORDER BY doc_id"
     }
   )
 }

@@ -165,5 +165,12 @@ class PipelineSpec extends AnyFunSuite {
     val tiny = Seq("ab", "ab").toDF("w")
     val m2 = graft.operators.BpeMerges.learn(tiny, rounds = 5)
     assert(m2 == Seq((1, "a b", "ab", 2L)), m2.toString)
+    // encode applies the same merges: after (e,s)(es,t)(l,o):
+    // newest -> n,e,w,est = 4; low -> lo,w = 2; lower -> lo,w,e,r = 4;
+    // widest -> w,i,d,est = 4
+    val enc = graft.operators.BpeMerges
+      .encodeTokenCount(Seq("newest", "low", "lower", "widest").toDF("w"), merges)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(enc == Map("newest" -> 4, "low" -> 2, "lower" -> 4, "widest" -> 4), enc.toString)
   }
 }
