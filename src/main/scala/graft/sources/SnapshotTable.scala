@@ -104,6 +104,32 @@ object SnapshotTable {
     v
   }
 
+  /** APPEND commit: the cheap-write path — only `df`'s NEW files are
+    * written; the next version's manifest references the previous
+    * manifest's files plus the new ones, so committing a delta to a 100 TB
+    * table costs O(delta) I/O and one pointer swap, never a table rewrite.
+    * Readers of the new version see old + new files as one snapshot.
+    * [[expire]] is reference-counted, so vacuuming versions whose files a
+    * retained manifest still lists never deletes those files. */
+  def append(df: DataFrame, root: String, meta: String = null): Long = {
+    val prev = latestVersion(root).map(v =>
+      new String(Files.readAllBytes(snapDir(root).resolve(s"v$v.manifest")), UTF_8)
+        .split("\n").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val v = latestVersion(root).getOrElse(0L) + 1
+    val dataDir = Paths.get(root, "data", s"v$v")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val added = Files.list(dataDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => s"data/v$v/${p.getFileName}").toSeq.sorted
+    Files.createDirectories(snapDir(root))
+    if (meta != null)
+      Files.write(snapDir(root).resolve(s"v$v.meta"), meta.getBytes(UTF_8))
+    Files.write(snapDir(root).resolve(s"v$v.manifest"),
+      (prev ++ added).mkString("\n").getBytes(UTF_8))
+    swap(root, v)
+    v
+  }
+
   /** OPTIMISTIC-CONCURRENCY commit for multi-writer tables: succeeds only
     * if the table is still at `baseVersion` (the snapshot this writer read
     * and derived its update from); a concurrent committer makes the loser
@@ -181,22 +207,46 @@ object SnapshotTable {
     val latest = latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     val cutoff = latest - keepLast + 1
-    val versions = Files.list(snapDir(root)).iterator().asScala
+    def manifests() = Files.list(snapDir(root)).iterator().asScala
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
         s.stripPrefix("v").stripSuffix(".manifest").toLong }
-      .filter(_ < cutoff).toSeq.sorted
-    versions.foreach { v =>
-      val dataDir = Paths.get(root, "data", s"v$v")
-      if (Files.exists(dataDir)) {
-        Files.list(dataDir).iterator().asScala.foreach(Files.deleteIfExists)
-        Files.deleteIfExists(dataDir)
-      }
+      .toSeq.sorted
+    val (expiring, retained) = manifests().partition(_ < cutoff)
+    // REFERENCE-COUNTED vacuum: append-committed versions share data files
+    // with their ancestors, so a file is deletable only when NO retained
+    // manifest lists it — delete manifests first (the version stops being
+    // readable), then sweep unreferenced files
+    def fileList(v: Long): Seq[String] =
+      new String(Files.readAllBytes(snapDir(root).resolve(s"v$v.manifest")), UTF_8)
+        .split("\n").filter(_.nonEmpty).toSeq
+    val stillReferenced = retained.flatMap(fileList).toSet
+    val candidates = expiring.flatMap(fileList).toSet -- stillReferenced
+    expiring.foreach { v =>
       Files.deleteIfExists(snapDir(root).resolve(s"v$v.meta"))
       Files.deleteIfExists(snapDir(root).resolve(s"v$v.reserved"))
       Files.deleteIfExists(snapDir(root).resolve(s"v$v.manifest"))
     }
-    versions
+    candidates.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
+    // a version dir goes entirely (incl. _SUCCESS/.crc sidecars) once no
+    // retained manifest references any file in it. Walk ALL data/v* dirs
+    // below the cutoff — not just this call's `expiring` — because a dir
+    // whose own manifest was vacuumed earlier can outlive it while a later
+    // append still listed its files, and becomes sweepable only now.
+    // Dirs at/above the cutoff (incl. in-flight CAS-reserved writers, which
+    // are always > latest) are never touched.
+    val dataRoot = Paths.get(root, "data")
+    if (Files.exists(dataRoot)) {
+      Files.list(dataRoot).iterator().asScala
+        .filter(d => d.getFileName.toString.matches("v\\d+") &&
+          d.getFileName.toString.stripPrefix("v").toLong < cutoff &&
+          !stillReferenced.exists(_.startsWith(s"data/${d.getFileName}/")))
+        .foreach { d =>
+          Files.list(d).iterator().asScala.foreach(Files.deleteIfExists)
+          Files.deleteIfExists(d)
+        }
+    }
+    expiring
   }
 
   /** Read a specific committed (or prepared) version — time travel. */

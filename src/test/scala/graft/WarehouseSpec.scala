@@ -221,6 +221,34 @@ class WarehouseSpec extends AnyFunSuite {
     assert(SnapshotTable.expire(root, keepLast = 1).isEmpty)
   }
 
+  test("snapshot table: append commits share files; expire is reference-counted") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.SnapshotTable
+    import java.nio.file.{Files => JF, Paths => JP}
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_app").toString
+    SnapshotTable.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    // append writes ONLY the delta: v2 = v1's files + the new ones
+    SnapshotTable.append(Seq((2L, "b")).toDF("k", "v"), root)
+    assert(SnapshotTable.read(s, root).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // vacuum v1: its manifest goes, but its FILES survive — v2 still
+    // references them (the append-sharing case a naive per-version dir
+    // delete would corrupt)
+    assert(SnapshotTable.expire(root, keepLast = 1) == Seq(1L))
+    intercept[IllegalArgumentException] { SnapshotTable.readVersion(s, root, 1) }
+    assert(JF.exists(JP.get(root, "data", "v1")), "v1 files still referenced by v2")
+    assert(SnapshotTable.read(s, root).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // a full-rewrite commit drops the last reference; the next vacuum
+    // reclaims both old version dirs
+    SnapshotTable.commit(Seq((9L, "z")).toDF("k", "v"), root)
+    assert(SnapshotTable.expire(root, keepLast = 1) == Seq(2L))
+    assert(!JF.exists(JP.get(root, "data", "v1")), "v1 unreferenced -> reclaimed")
+    assert(!JF.exists(JP.get(root, "data", "v2")), "v2 unreferenced -> reclaimed")
+    assert(SnapshotTable.read(s, root).collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
   test("snapshot table: CAS commit — concurrent writers serialize, loser rebases") {
     val s = spark
     import s.implicits._
