@@ -84,6 +84,71 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // G37: cross-source LM quality filter (the CCNet shape): train an
+    // ADD-ONE-SMOOTHED bigram model on the even-doc_id half of the corpus,
+    // score the odd half — including bigrams the model never saw, the case
+    // g34's in-corpus scorer structurally cannot hit. p(w2|w1) =
+    // (cb+1)/(cp+V) is a ratio of integers through one exact double
+    // division (deliberately log-free: ln() differs in ulps across
+    // engines' libm; these probabilities are bit-reproducible), and the
+    // per-doc mean goes through DECIMAL(38,12) so partial-agg merge order
+    // can never change it. Scale shape: model "training" is two
+    // map-side-combined groupBys; scoring is a left join of the held-out
+    // bigram stream against the (small, broadcastable) model; the vocab
+    // size V is one scalar crossed in via broadcast.
+    "g37_lm_quality" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val toks = t.documents
+        .withColumn("toks", TF.tokens(lower(col("text"))))
+        .filter(size(col("toks")) >= 2)
+      val bigrams = expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', toks[i-1], toks[i]))")
+      val train = toks.filter(col("doc_id") % 2 === 0)
+      val vocab = train.select(explode(col("toks")).as("w"))
+        .agg(countDistinct(col("w")).as("V"))
+      val cb = train.select(explode(bigrams).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      val cp = cb.withColumn("w1", expr("split_part(bg, ' ', 1)"))
+        .groupBy(col("w1")).agg(sum(col("cb")).as("cp"))
+      toks.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), explode(bigrams).as("bg"))
+        .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+        .join(cb, Seq("bg"), "left")
+        .join(cp, Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .withColumn("p",
+          (coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("cp"), lit(0L)) + col("V")).cast("double"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("cb").isNull, 1L).otherwise(0L)).as("n_unseen"),
+          round(sum(col("p").cast(Tables.decHi)).cast("double") / count(lit(1)), 6)
+            .as("mean_p"))
+        .orderBy("doc_id")
+    }),
+
+    // G38: inverted index + conjunctive keyword query — the retrieval
+    // primitive: postings (term, doc_id, tf) from ONE map-side-combined
+    // groupBy of the exploded token stream; an AND query is a join of two
+    // posting lists on doc_id, ranked by tf product with a total
+    // (score, doc_id) order so the top-k is deterministic. At scale the
+    // postings table persists once (bucketed by term) and each query
+    // fetches two posting lists — never rescanning the corpus; here build
+    // + query run in one plan and Catalyst pushes the two term filters
+    // below the aggregate into the scan.
+    "g38_inverted_index" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val postings = t.documents
+        .select(col("doc_id"), explode(TF.tokens(lower(col("text")))).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      def list(term: String, as: String) =
+        postings.filter(col("term") === term).select(col("doc_id"), col("tf").as(as))
+      list("vector", "tf_a").join(list("merge", "tf_b"), "doc_id")
+        .select(col("doc_id"), col("tf_a"), col("tf_b"),
+          (col("tf_a") * col("tf_b")).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+    }),
+
     // G1: exact dedup on normalized text with a deterministic survivor
     // (lowest doc_id), via window — not dropDuplicates, whose survivor is
     // partition-order dependent.
@@ -333,6 +398,31 @@ object TextQueries extends QueryModule {
         "/ count(*), 6) AS mean_p " +
         "FROM bi JOIN cb USING (bg) JOIN cp ON split_part(bg, ' ', 1) = w1 " +
         "GROUP BY doc_id ORDER BY doc_id"),
+
+    "g37_lm_quality" ->
+      ("WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents " +
+        "WHERE len(str_split(lower(text), ' ')) >= 2), " +
+        "tr AS (SELECT * FROM d WHERE doc_id % 2 = 0), " +
+        "v AS (SELECT count(DISTINCT w) AS V FROM (SELECT unnest(t) AS w FROM tr)), " +
+        "trb AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg FROM tr), " +
+        "cb AS (SELECT bg, count(*) AS cb FROM trb GROUP BY bg), " +
+        "cp AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cb) AS cp FROM cb GROUP BY 1), " +
+        "sc AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg " +
+        "FROM d WHERE doc_id % 2 = 1) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "CAST(sum(CASE WHEN cb.cb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen, " +
+        "round(CAST(sum(CAST(CAST(COALESCE(cb.cb, 0) + 1 AS DOUBLE) " +
+        "/ (COALESCE(cp.cp, 0) + (SELECT V FROM v)) AS DECIMAL(38,12))) AS DOUBLE) " +
+        "/ count(*), 6) AS mean_p " +
+        "FROM sc LEFT JOIN cb USING (bg) LEFT JOIN cp ON split_part(bg, ' ', 1) = cp.w1 " +
+        "GROUP BY doc_id ORDER BY doc_id"),
+
+    "g38_inverted_index" ->
+      ("WITH p AS (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS term FROM documents), " +
+        "pc AS (SELECT term, doc_id, count(*) AS tf FROM p GROUP BY 1, 2) " +
+        "SELECT a.doc_id, a.tf AS tf_a, b.tf AS tf_b, a.tf * b.tf AS score " +
+        "FROM pc a JOIN pc b ON a.doc_id = b.doc_id AND a.term = 'vector' AND b.term = 'merge' " +
+        "ORDER BY score DESC, a.doc_id LIMIT 20"),
 
     "g1_dedup_exact" ->
       ("SELECT doc_id, lang, source, n_chars FROM (" +

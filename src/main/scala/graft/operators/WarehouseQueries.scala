@@ -158,6 +158,34 @@ object WarehouseQueries extends QueryModule {
         .orderBy("version")
     }),
 
+    // M8: APPEND-mode ingestion on the snapshot table — the O(delta) write
+    // path a 100 TB table lives on: each batch writes ONLY its own files
+    // and the new manifest chains the previous one's, so three daily loads
+    // cost three delta writes + three pointer swaps, never a rewrite.
+    // Every version stays time-travel readable through its manifest
+    // (v1 ⊂ v2 ⊂ v3 by construction), and [[SnapshotTable.expire]]'s
+    // reference-counted vacuum is what makes appends safe to clean up
+    // (proved in WarehouseSpec). The oracle replays the three cumulative
+    // slices relationally.
+    "m8_snapshot_append" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m8a_${dir.hashCode & 0x7fffffff}"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root))
+      val t = Tables(s, dir)
+      def slice(r: Int) = t.orders.filter(col("o_orderkey") % 5 === r)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      SnapshotTable.commit(slice(0), root)
+      SnapshotTable.append(slice(1), root)
+      SnapshotTable.append(slice(2), root)
+      def summarize(df: org.apache.spark.sql.DataFrame, v: Int) =
+        df.agg(count(lit(1)).as("n_rows"), Tables.dsum(col("o_totalprice")).as("rev"))
+          .select(lit(v).as("version"), col("n_rows"), round(col("rev"), 6).as("revenue"))
+      (1 to 3).map(v => summarize(SnapshotTable.readVersion(s, root, v), v))
+        .reduce(_ unionByName _).orderBy("version")
+    }),
+
     // M7: MERGE INTO with the commit protocol — the general CDC merge m1/m2
     // specialize. A change feed (op = upsert | delete) applies to a
     // snapshot-committed target in ONE full-outer key join (MergeInto), and
@@ -268,6 +296,13 @@ object WarehouseQueries extends QueryModule {
         "CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS BIGINT) " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey" +
         ") ORDER BY rule"),
+
+    // three cumulative slices: version k sees residues 0..k-1
+    "m8_snapshot_append" ->
+      (s"SELECT v AS version, count(*) AS n_rows, " +
+        s"round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue " +
+        "FROM orders, range(1, 4) t(v) WHERE o_orderkey % 5 < v " +
+        "GROUP BY v ORDER BY version"),
 
     "m6_snapshot_commit" ->
       (s"WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 = 0), " +
