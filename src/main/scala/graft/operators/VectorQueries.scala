@@ -474,6 +474,41 @@ object VectorQueries extends QueryModule {
         .orderBy("label", "pos")
     }),
 
+    // G39: top principal component of the embedding corpus by MATRIX-FREE
+    // power iteration (plans/PowerIteration) — the dimensionality-reduction
+    // primitive a training pipeline runs before whitening / visualization /
+    // coreset selection. Never materializes the d×d covariance or collects
+    // a data row: each of the 30 fixed iterations is one distributed pass
+    // (per-row fold dot product → per-component decimal sum), the driver
+    // holds only 64 doubles between passes — the exact shape at 100 TB.
+    // Output: per-label projection stats onto the sign-canonicalized PC1
+    // plus the captured variance λ. Rows-only (30 iterations of 64-dim
+    // linear algebra are not SQL-replayable); the eigen-invariants — unit
+    // norm, λ ≥ every coordinate-axis variance, small residual ‖Av − λv‖,
+    // centered projections with ~0 global mean — are proved in VectorSpec.
+    "g39_pca_power" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.embeddings.select(col("vec_id"), col("label"), vd.as("x"))
+      val (centered, _) = graft.plans.PowerIteration.center(base, "x")
+      val xc = centered.cache()
+      val (v, lambda) = graft.plans.PowerIteration.topComponent(xc, "x", 64, 30)
+      val vlit = array(v.toIndexedSeq.map(lit): _*)
+      val proj = aggregate(zip_with(col("x"), vlit, (a, b) => a * b),
+        lit(0.0), (acc, e) => acc + e)
+      val out = xc.withColumn("t", proj)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("t").cast(Tables.decHi)).cast("double") / count(lit(1)), 6)
+            .as("mean_proj"),
+          round(sum((col("t") * col("t")).cast(Tables.decHi)).cast("double")
+            / count(lit(1)), 6).as("var_proj"))
+        .withColumn("lambda", round(lit(lambda), 6))
+        .orderBy("label")
+        .localCheckpoint() // materialize, then drop the per-row cache
+      xc.unpersist()
+      out
+    }),
+
     // H2: the same vector sum as a typed Aggregator UDAF (one buffer per
     // group crosses the shuffle instead of 64 rows).
     "h2_udaf_vecsum" -> ((s, dir) => {

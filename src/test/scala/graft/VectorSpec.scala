@@ -154,4 +154,49 @@ class VectorSpec extends AnyFunSuite {
     // individual distortion at d_out=16 is wide but must stay sane
     assert(ratios.forall(r => r > 0.05 && r < 5.0), s"extreme distortion: ${ratios.min}..${ratios.max}")
   }
+
+  test("g39: power-iteration PC1 satisfies the eigen-invariants") {
+    import org.apache.spark.sql.functions._
+    val base = Tables(spark, sfDir).embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("x"))
+    val (centered, _) = graft.plans.PowerIteration.center(base, "x")
+    val xc = centered.cache()
+    val (v, lambda) = graft.plans.PowerIteration.topComponent(xc, "x", 64, 30)
+    // unit norm, canonical sign
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-12)
+    assert(v(v.indices.maxBy(i => math.abs(v(i)))) > 0)
+    // PC1 captures at least the variance of EVERY coordinate axis
+    val axisVar = xc.select(posexplode(col("x")).as(Seq("pos", "e")))
+      .groupBy("pos").agg((sum(col("e") * col("e")) / count(lit(1))).as("av"))
+      .collect().map(_.getDouble(1))
+    assert(lambda >= axisVar.max - 1e-9, s"lambda $lambda < max axis var ${axisVar.max}")
+    // eigen-residual: ||A v - lambda v|| / lambda modest after 30 iterations
+    // (the fixture spectrum is near-flat, so convergence is slow by design)
+    // — and strictly SHRINKING with more iterations
+    val n = xc.count().toDouble
+    def residOf(vec: Array[Double], lam: Double): Double = {
+      val vlit = array(vec.toIndexedSeq.map(lit): _*)
+      val t = aggregate(zip_with(col("x"), vlit, (a, b) => a * b), lit(0.0), (acc, e) => acc + e)
+      val av = xc.withColumn("__t", t)
+        .select(posexplode(transform(col("x"), x => x * col("__t"))).as(Seq("pos", "wv")))
+        .groupBy("pos").agg((sum(col("wv")) / lit(n)).as("w"))
+        .orderBy("pos").collect().map(_.getDouble(1))
+      math.sqrt(av.zip(vec).map { case (a, b) => val d = a - lam * b; d * d }.sum)
+    }
+    val resid = residOf(v, lambda)
+    assert(resid / lambda < 0.05, s"residual $resid vs lambda $lambda")
+    val (v60, lambda60) = graft.plans.PowerIteration.topComponent(xc, "x", 64, 60)
+    assert(residOf(v60, lambda60) < resid, "residual must shrink with more iterations")
+    // projections of CENTERED data sum to ~0
+    val vfin = array(v.toIndexedSeq.map(lit): _*)
+    val tfin = aggregate(zip_with(col("x"), vfin, (a, b) => a * b), lit(0.0), (acc, e) => acc + e)
+    val meanProj = xc.select((sum(tfin) / lit(n)).as("m")).collect()(0).getDouble(0)
+    assert(math.abs(meanProj) < 1e-9, s"mean projection $meanProj")
+    // and the declared query runs: one row per label carrying that lambda
+    val q = SparkEntry.queries("g39_pca_power")(spark, sfDir).collect()
+    assert(q.length == Tables(spark, sfDir).embeddings.select("label").distinct().count())
+    q.foreach(r => assert(math.abs(r.getDouble(4) - lambda) < 1e-5))
+    xc.unpersist()
+    ()
+  }
 }
