@@ -149,6 +149,42 @@ object TextQueries extends QueryModule {
         .orderBy(col("score").desc, col("doc_id")).limit(20)
     }),
 
+    // G41: token-budget DOMAIN MIXING — the curation step that decides how
+    // much of each source feeds a training run: waterfill a global budget
+    // (40% of corpus tokens) across sources so small sources keep all
+    // their tokens and large ones are capped at a common level. Entirely
+    // INTEGER arithmetic (floor division, no floats), so the allocation is
+    // hash-exact across engines. The waterline: sort sources by token
+    // count, K = max index whose full funding stays within budget
+    // (P_K + (m-K)·T_K ≤ B); sources ≤ K take everything, the rest split
+    // the remainder evenly at cap = (B - P_K) div (m - K) — one window
+    // pass + one tiny broadcast, no iteration. Scale shape: per-source
+    // totals are a map-side-combined groupBy; the waterline math runs on
+    // m rows (metadata scale).
+    "g41_domain_mix" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val tok = t.documents
+        .select(col("source"), size(TF.tokens(lower(col("text")))).cast("long").as("ntok"))
+        .groupBy(col("source")).agg(sum(col("ntok")).as("tok"))
+      val w = Window.orderBy(col("tok"), col("source"))
+      val totals = tok.agg(count(lit(1)).as("m"), sum(col("tok")).as("total"))
+        .withColumn("budget", expr("total * 2 div 5"))
+      val r = tok.select(col("source"), col("tok"),
+          row_number().over(w).cast("long").as("i"),
+          sum(col("tok")).over(w).as("p"))
+        .crossJoin(broadcast(totals))
+      val params = r
+        .filter(col("p") + (col("m") - col("i")) * col("tok") <= col("budget"))
+        .agg(max(struct(col("i"), col("p"))).as("kp"))
+        .select(coalesce(col("kp.i"), lit(0L)).as("kk"),
+          coalesce(col("kp.p"), lit(0L)).as("pk"))
+      r.crossJoin(broadcast(params))
+        .select(col("source"), col("tok"),
+          when(col("i") <= col("kk"), col("tok"))
+            .otherwise(expr("(budget - pk) div (m - kk)")).as("alloc"))
+        .orderBy("source")
+    }),
+
     // G1: exact dedup on normalized text with a deterministic survivor
     // (lowest doc_id), via window — not dropDuplicates, whose survivor is
     // partition-order dependent.
@@ -423,6 +459,18 @@ object TextQueries extends QueryModule {
         "SELECT a.doc_id, a.tf AS tf_a, b.tf AS tf_b, a.tf * b.tf AS score " +
         "FROM pc a JOIN pc b ON a.doc_id = b.doc_id AND a.term = 'vector' AND b.term = 'merge' " +
         "ORDER BY score DESC, a.doc_id LIMIT 20"),
+
+    "g41_domain_mix" ->
+      ("WITH t AS (SELECT source, CAST(sum(len(str_split(lower(text), ' '))) AS BIGINT) AS tok " +
+        "FROM documents GROUP BY source), " +
+        "r AS (SELECT source, tok, row_number() OVER (ORDER BY tok, source) AS i, " +
+        "CAST(sum(tok) OVER (ORDER BY tok, source) AS BIGINT) AS p FROM t), " +
+        "g AS (SELECT count(*) AS m, CAST(sum(tok) * 2 // 5 AS BIGINT) AS budget FROM t), " +
+        "k AS (SELECT COALESCE(max(i), 0) AS kk FROM r, g WHERE p + (m - i) * tok <= budget), " +
+        "pk AS (SELECT COALESCE((SELECT p FROM r, k WHERE i = kk), 0) AS pk) " +
+        "SELECT source, tok, CASE WHEN i <= kk THEN tok " +
+        "ELSE (budget - pk) // (m - kk) END AS alloc " +
+        "FROM r, g, k, pk ORDER BY source"),
 
     "g1_dedup_exact" ->
       ("SELECT doc_id, lang, source, n_chars FROM (" +

@@ -509,6 +509,30 @@ object VectorQueries extends QueryModule {
       out
     }),
 
+    // G40: distributed Lloyd's k-means (plans/KMeans) — the clustering
+    // primitive behind IVF coarse quantizers and data-mixture domain
+    // discovery, fully deterministic (smallest-id seeding, lowest-id tie
+    // break, decimal centroid means) so the same clusters come back at any
+    // executor count. Each iteration is one distributed pass; the driver
+    // holds k×d doubles. Rows-only (10 Lloyd iterations are not
+    // SQL-replayable); Lloyd monotonicity + argmin-assignment invariants
+    // are proved in VectorSpec.
+    "g40_kmeans" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.embeddings.select(col("vec_id"), vd.as("x")).cache()
+      val (cents, _) = graft.plans.KMeans.fit(base, "vec_id", "x", 64, 8, 10)
+      val (cid, dist) = graft.plans.KMeans.assignCols("x", cents)
+      val out = base.select(col("vec_id"), cid.as("cluster"), dist.as("d2"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("d2").cast(Tables.decHi)).cast("double"), 6).as("inertia"),
+          min(col("vec_id")).as("exemplar"))
+        .orderBy("cluster")
+        .localCheckpoint()
+      base.unpersist()
+      out
+    }),
+
     // H2: the same vector sum as a typed Aggregator UDAF (one buffer per
     // group crosses the shuffle instead of 64 rows).
     "h2_udaf_vecsum" -> ((s, dir) => {

@@ -155,6 +155,32 @@ class VectorSpec extends AnyFunSuite {
     assert(ratios.forall(r => r > 0.05 && r < 5.0), s"extreme distortion: ${ratios.min}..${ratios.max}")
   }
 
+  test("g40: Lloyd's k-means — monotone inertia, argmin assignment, full coverage") {
+    import org.apache.spark.sql.functions._
+    val base = Tables(spark, sfDir).embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("x")).cache()
+    val (cents, inertias) = graft.plans.KMeans.fit(base, "vec_id", "x", 64, 8, 10)
+    assert(cents.length == 8 && cents.forall(_.length == 64))
+    // Lloyd monotonicity: inertia never increases across iterations
+    inertias.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"inertia rose: $a -> $b") }
+    // the declared query: every vector in exactly one cluster
+    val q = SparkEntry.queries("g40_kmeans")(spark, sfDir).collect()
+    assert(q.map(_.getLong(1)).sum == base.count())
+    assert(q.length <= 8)
+    // assignment is the true argmin over the final centroids
+    def d2(x: Array[Double], c: Array[Double]): Double =
+      x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    val (cid, _) = graft.plans.KMeans.assignCols("x", cents)
+    base.select(col("vec_id"), col("x"), cid.as("cid")).collect().foreach { r =>
+      val x = r.getSeq[Double](1).toArray
+      val best = cents.indices.minBy(i => d2(x, cents(i)))
+      assert(d2(x, cents(r.getInt(2))) <= d2(x, cents(best)) + 1e-12)
+    }
+    base.unpersist()
+    ()
+  }
+
   test("g39: power-iteration PC1 satisfies the eigen-invariants") {
     import org.apache.spark.sql.functions._
     val base = Tables(spark, sfDir).embeddings.select(col("vec_id"),
