@@ -218,6 +218,30 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // G45: QUALITY-priority survivor selection — g24's components resolved
+    // not by min-id but by the curation rule a real pipeline uses: keep each
+    // duplicate cluster's highest-quality member (h1's score, doc_id
+    // tie-break). One window over the label join — the labels are the only
+    // extra shuffle on top of scoring, and scoring is a narrow per-row map.
+    "g45_dedup_survivor" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val edges = jaccardPairs(s, dir)
+        .select(col("a_id").as("u"), col("b_id").as("v"))
+      val labels = graft.plans.ConnectedComponents.labels(edges)
+      val scored = t.documents.select(col("doc_id"),
+        round(TF.qualityScore(col("text")), 6).as("score"))
+      val w = Window.partitionBy(col("comp"))
+        .orderBy(col("score").desc, col("doc_id"))
+      labels.join(scored, col("id") === col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("comp"))))
+        .filter(col("rn") === 1)
+        .select(col("comp"), col("doc_id").as("survivor"), col("n_members"),
+          col("score").as("survivor_score"))
+        .orderBy("comp")
+    }),
+
     // G25: the dedup pipeline END-TO-END — pair detection (g2's blocked
     // Jaccard) → group resolution (g24's connected components) → survivor
     // selection (keep the component's min doc_id; untouched docs keep
@@ -499,6 +523,29 @@ object TextQueries extends QueryModule {
         "UNION " +
         "SELECT sym.u, reach.lab FROM sym JOIN reach ON sym.v = reach.id) " +
         "SELECT id AS doc_id, min(lab) AS comp FROM reach GROUP BY id ORDER BY doc_id"),
+
+    // g45: g24's fixpoint + quality-priority survivor per component.
+    "g45_dedup_survivor" ->
+      (s"WITH RECURSIVE $duckShingleCte, " +
+        "edges AS (SELECT a.doc_id AS u, b.doc_id AS v " +
+        "FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.4), " +
+        "sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges), " +
+        "reach(id, lab) AS (" +
+        "SELECT u, u FROM sym " +
+        "UNION " +
+        "SELECT sym.u, reach.lab FROM sym JOIN reach ON sym.v = reach.id), " +
+        "cmp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id), " +
+        "scored AS (SELECT doc_id, round(ln(1 + len(str_split(text, ' '))) * " +
+        "(1.0 - CAST(len(list_filter(str_split(lower(text), ' '), " +
+        s"x -> list_contains($stopList, x))) AS DOUBLE) / len(str_split(text, ' '))), 6) AS score " +
+        "FROM documents), " +
+        "ranked AS (SELECT c.comp, c.id, sc.score, " +
+        "row_number() OVER (PARTITION BY c.comp ORDER BY sc.score DESC, c.id) AS rn, " +
+        "count(*) OVER (PARTITION BY c.comp) AS nm " +
+        "FROM cmp c JOIN scored sc ON sc.doc_id = c.id) " +
+        "SELECT comp, id AS survivor, CAST(nm AS BIGINT) AS n_members, " +
+        "score AS survivor_score FROM ranked WHERE rn = 1 ORDER BY comp"),
 
     // g25: g24's fixpoint + survivor selection + corpus summary.
     "g25_dedup_pipeline" ->

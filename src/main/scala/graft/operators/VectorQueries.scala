@@ -138,7 +138,12 @@ object VectorQueries extends QueryModule {
     * (within-block pairs for i==j) — every unordered pair lands in EXACTLY
     * one bucket, so no dedup pass is needed. B(B+1)/2 buckets, one shuffle
     * of B copies, per-task memory 2n/B vectors. */
-  private def dedupBlock: QFn = (s, dir) => {
+  private def dedupBlock: QFn = blockPairs(0.45)
+
+  /** All unordered pairs with round6(cosine) >= `th`, via the block
+    * upper-triangle plan above — parameterized so the similarity-graph
+    * builders (g44) reuse it at a lower threshold. */
+  private def blockPairs(th: Double): QFn = (s, dir) => {
     val spark = s
     import spark.implicits._
     val t = Tables(s, dir)
@@ -165,9 +170,9 @@ object VectorQueries extends QueryModule {
           val rs = rows.sortBy(_._2)
           for (x <- rs.indices; y <- x + 1 until rs.length) {
             val raw = dotd(rs(x)._3, rs(y)._3) / (rs(x)._4 * rs(y)._4)
-            if (raw >= 0.45 - 5e-7) {
+            if (raw >= th - 5e-7) {
               val cos = round6(raw)
-              if (cos >= 0.45) out += ((rs(x)._2, rs(y)._2, cos))
+              if (cos >= th) out += ((rs(x)._2, rs(y)._2, cos))
             }
           }
         } else {
@@ -175,9 +180,9 @@ object VectorQueries extends QueryModule {
           val bs = rows.filter(_._1 == j)
           for (ra <- as; rb <- bs) {
             val raw = dotd(ra._3, rb._3) / (ra._4 * rb._4)
-            if (raw >= 0.45 - 5e-7) {
+            if (raw >= th - 5e-7) {
               val cos = round6(raw)
-              if (cos >= 0.45)
+              if (cos >= th)
                 out += ((math.min(ra._2, rb._2), math.max(ra._2, rb._2), cos))
             }
           }
@@ -533,6 +538,84 @@ object VectorQueries extends QueryModule {
       out
     }),
 
+    // G42: SEMANTIC dedup blocking via the learned coarse quantizer — the
+    // step up from hash blocking (g15b's sign-LSH) a curation pipeline takes
+    // when near-dups cluster by topic: k-means (g40's deterministic Lloyd)
+    // learns 8 cells, every vector is multi-probe-assigned to its 2 nearest
+    // cells (IVF-style, recovers pairs straddling one boundary), candidate
+    // pairs are enumerated only inside cells, and each candidate is verified
+    // with the exact cosine. Scale shape: norms are precomputed per row
+    // before the join, the only shuffle is on the cell id, and cell
+    // population is balanced by the quantizer itself (Lloyd equalizes mass)
+    // — the failure mode hash-LSH hits on clustered data. Approximate →
+    // rows-only; emitted ⊆ exact and recall vs g15's brute force are
+    // asserted in VectorSpec.
+    "g42_kmeans_dedup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.embeddings.select(col("vec_id"), vd.as("x")).cache()
+      val (cents, _) = graft.plans.KMeans.fit(base, "vec_id", "x", 64, 8, 5)
+      val bucketed = base
+        .select(col("vec_id"), col("x"), sqrt(dot("x", "x")).as("nrm"),
+          explode(graft.plans.KMeans.probeCols("x", cents, 2)).as("cell"))
+      val a = bucketed.select(col("cell"), col("vec_id").as("a_id"),
+        col("x").as("xa"), col("nrm").as("na"))
+      val b = bucketed.select(col("cell").as("cellb"), col("vec_id").as("b_id"),
+        col("x").as("xb"), col("nrm").as("nb"))
+      val out = a.join(b, col("cell") === col("cellb") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(dot("xa", "xb") / (col("na") * col("nb")), 6).as("cos"))
+        .filter(col("cos") >= 0.45)
+        .distinct() // a pair sharing both probed cells is emitted once
+        .orderBy("a_id", "b_id")
+        .localCheckpoint()
+      base.unpersist()
+      out
+    }),
+
+    // G44: triangle counting + global clustering coefficient on the
+    // similarity graph (edges = round6(cosine) >= 0.3 pairs from the exact
+    // block plan). The scale-canonical degree-ordered orientation: each edge
+    // points from lower (degree, id) rank to higher, so every triangle is
+    // counted exactly once as a wedge at its LOWEST-rank apex closed by one
+    // oriented edge — wedge fan-out is bounded by out-degree ≤ O(sqrt(|E|))
+    // on any graph, which is what keeps the wedge join from exploding on
+    // hubs at 100 TB (plain u<v<w wedges at the smallest-ID apex have no
+    // such bound). Oracle: DuckDB all-pairs CTE + canonical triple join.
+    "g44_graph_triangles" -> ((s, dir) => {
+      val e = blockPairs(0.3)(s, dir)
+        .select(col("a_id").as("u"), col("b_id").as("v"))
+        .localCheckpoint() // reused 3x (degrees, orientation, closing join)
+      val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val ed = e
+        .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      val uFirst = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val oriented = ed.select(
+          when(uFirst, col("u")).otherwise(col("v")).as("lo"),
+          when(uFirst, col("v")).otherwise(col("u")).as("hi"),
+          when(uFirst, col("dv")).otherwise(col("du")).as("dhi"))
+        .localCheckpoint() // reused 2x (wedge self-join + closing edge)
+      val o2 = oriented.select(col("lo").as("lo2"), col("hi").as("y"),
+        col("dhi").as("dy"))
+      val wedges = oriented.join(o2, col("lo") === col("lo2") &&
+          (col("dhi") < col("dy") ||
+            (col("dhi") === col("dy") && col("hi") < col("y"))))
+        .select(col("hi").as("x"), col("y"))
+      val closing = oriented.select(col("lo").as("x"), col("hi").as("y"))
+      val tri = wedges.join(closing, Seq("x", "y"), "left_semi").alias("t")
+        .agg(count(lit(1)).as("n_triangles"))
+      val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+      val edges = e.agg(count(lit(1)).as("n_edges"))
+      nodes.crossJoin(edges).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+            .as("global_cc"))
+    }),
+
     // H2: the same vector sum as a typed Aggregator UDAF (one buffer per
     // group crosses the shuffle instead of 64 rows).
     "h2_udaf_vecsum" -> ((s, dir) => {
@@ -706,6 +789,21 @@ object VectorQueries extends QueryModule {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
         "WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.45 " +
         "ORDER BY a_id, b_id"),
+
+    "g44_graph_triangles" ->
+      ("WITH e AS (SELECT a.vec_id AS u, b.vec_id AS v " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.3), " +
+        "deg AS (SELECT id, count(*) AS d FROM " +
+        "(SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY id), " +
+        "tri AS (SELECT count(*) AS t FROM e e1 " +
+        "JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v " +
+        "JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) " +
+        "SELECT (SELECT count(*) FROM deg) AS n_nodes, " +
+        "(SELECT count(*) FROM e) AS n_edges, " +
+        "(SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges, " +
+        "(SELECT t FROM tri) AS n_triangles, " +
+        "round(3.0 * (SELECT t FROM tri) / (SELECT sum(d * (d - 1) // 2) FROM deg), 6) AS global_cc"),
 
     "g6_centroid_per_label" ->
       ("SELECT label, pos, round(CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(v), 6) AS c " +

@@ -36,6 +36,15 @@ object KMeans {
     (array_position(dists, best).cast("int") - 1, best)
   }
 
+  /** The `p` nearest centroid ids (multi-probe assignment, ties toward the
+    * lowest id): sort (dist, id) structs lexicographically, take the first
+    * p — all inside one codegen'd projection. */
+  def probeCols(xCol: String, cents: Array[Array[Double]], p: Int): Column = {
+    val pairs = array(cents.indices.map(i =>
+      struct(sqDist(xCol, cents(i)).as("d"), lit(i).as("i"))): _*)
+    transform(slice(array_sort(pairs), 1, p), s => s.getField("i"))
+  }
+
   /** @param df     input with an id column and an array<double> column
     * @param idCol  deterministic-init ordering key (smallest k ids seed)
     * @param xCol   vector column

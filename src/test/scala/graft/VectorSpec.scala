@@ -181,6 +181,33 @@ class VectorSpec extends AnyFunSuite {
     ()
   }
 
+  test("g42: kmeans-blocked dedup emits only true pairs and recalls most of brute force") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("g42_kmeans_dedup")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force truth at the same threshold
+    val vecs = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val truth = (for {
+      i <- vecs.indices.iterator; j <- (i + 1) until vecs.length
+      c = cos(vecs(i)._2, vecs(j)._2)
+      if BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.45
+    } yield {
+      val (x, y) = (vecs(i)._1, vecs(j)._1)
+      (math.min(x, y), math.max(x, y))
+    }).toSet
+    assert(got.subsetOf(truth), s"false positives: ${got -- truth}")
+    assert(truth.nonEmpty && got.size.toDouble / truth.size >= 0.6,
+      s"recall ${got.size}/${truth.size} below floor")
+    ()
+  }
+
   test("g39: power-iteration PC1 satisfies the eigen-invariants") {
     import org.apache.spark.sql.functions._
     val base = Tables(spark, sfDir).embeddings.select(col("vec_id"),
