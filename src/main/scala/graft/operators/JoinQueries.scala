@@ -211,6 +211,48 @@ object JoinQueries extends QueryModule {
         .orderBy("h", "et")
     }),
 
+    // C13b: gap fill by LINEAR INTERPOLATION — same spine as c13, but a
+    // missing hour takes the value interpolated between the surrounding
+    // observations (clamping to the nearest one at series edges): four
+    // IGNORE-NULLS windows carry (value, hour-index) of the previous and
+    // next observation past the gaps; the fraction is a ratio of integer
+    // hour indexes, so both engines interpolate from bit-identical inputs.
+    "c13b_gapfill_interp" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val hours = s.sql(
+        """SELECT explode(sequence(timestamp_ntz'2024-01-01 00:00:00',
+          |                        timestamp_ntz'2024-01-03 23:00:00',
+          |                        interval 1 hour)) AS h""".stripMargin)
+      val types = t.events.select(col("event_type").as("et")).distinct()
+      val hourly = t.events
+        .withColumn("eh", date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+        .groupBy(col("eh"), col("event_type"))
+        .agg(Tables.dsum(col("value")).as("v"))
+      val wPrev = Window.partitionBy("et").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("et").orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsV = when(col("v").isNotNull, col("v"))
+      val obsH = when(col("v").isNotNull, col("hi"))
+      hours.crossJoin(broadcast(types))
+        .join(hourly, col("h") === col("eh") && col("et") === col("event_type"),
+          "left_outer")
+        .withColumn("hi",
+          expr("timestampdiff(HOUR, timestamp_ntz'2024-01-01 00:00:00', h)"))
+        .withColumn("pv", last(obsV, ignoreNulls = true).over(wPrev))
+        .withColumn("ph", last(obsH, ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(obsV, ignoreNulls = true).over(wNext))
+        .withColumn("nh", first(obsH, ignoreNulls = true).over(wNext))
+        .select(col("h"), col("et"), round(col("v"), 6).as("v_raw"),
+          round(when(col("v").isNotNull, col("v"))
+            .when(col("ph").isNull, col("nv"))
+            .when(col("nh").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((col("hi") - col("ph")) / (col("nh") - col("ph")))), 6)
+            .as("v_interp"))
+        .orderBy("h", "et")
+    }),
+
     // C16: interval OVERLAP join via TWO-LEVEL (day + edge-hour) binning —
     // the scale-safe formulation of interval × interval (c9 covers point ×
     // bucket). User sessions (e8's gap-break derivation, parity already
@@ -385,6 +427,28 @@ object JoinQueries extends QueryModule {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled " +
         "FROM spine LEFT OUTER JOIN hourly ON h = eh AND et = event_type " +
         "ORDER BY h, et"),
+
+    "c13b_gapfill_interp" ->
+      (s"WITH hourly AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS eh, event_type, " +
+        s"${Tables.dsumSql("value")} AS v FROM events GROUP BY 1, 2), " +
+        "spine AS (SELECT h, et FROM generate_series(TIMESTAMP '2024-01-01', " +
+        "TIMESTAMP '2024-01-03 23:00:00', INTERVAL 1 HOUR) t(h) " +
+        "CROSS JOIN (SELECT DISTINCT event_type AS et FROM events)), " +
+        "j AS (SELECT h, et, v, date_diff('hour', TIMESTAMP '2024-01-01', h) AS hi " +
+        "FROM spine LEFT JOIN hourly ON h = eh AND et = event_type), " +
+        "w AS (SELECT h, et, v, hi, " +
+        "last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER wp AS pv, " +
+        "last_value(CASE WHEN v IS NOT NULL THEN hi END IGNORE NULLS) OVER wp AS ph, " +
+        "first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER wn AS nv, " +
+        "first_value(CASE WHEN v IS NOT NULL THEN hi END IGNORE NULLS) OVER wn AS nh " +
+        "FROM j WINDOW " +
+        "wp AS (PARTITION BY et ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wn AS (PARTITION BY et ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT h, et, round(v, 6) AS v_raw, " +
+        "round(CASE WHEN v IS NOT NULL THEN v " +
+        "WHEN ph IS NULL THEN nv WHEN nh IS NULL THEN pv " +
+        "ELSE pv + (nv - pv) * ((hi - ph) / (nh - ph)) END, 6) AS v_interp " +
+        "FROM w ORDER BY h, et"),
 
     "c12_join_bucketed" ->
       (s"SELECT o_orderpriority, count(*) AS n_items, " +

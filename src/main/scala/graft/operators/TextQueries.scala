@@ -185,6 +185,32 @@ object TextQueries extends QueryModule {
         .orderBy("source")
     }),
 
+    // G46: data-mixture diagnostics — per-source KL divergence of the
+    // source's unigram distribution from the corpus-wide distribution, the
+    // number a curation run watches to spot a source drifting from the mix
+    // (high KL = niche vocabulary, near-zero = redundant with the pool).
+    // Two map-side-combined groupBys (term counts per source, then global
+    // by re-aggregating the per-source counts — the corpus is never
+    // re-tokenized), one join on term, and a per-source decimal sum of
+    // p_s·ln(p_s/p_g) addends so partial-agg merge order can never move
+    // the 6dp result. The global total crosses in as one broadcast scalar.
+    "g46_source_divergence" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val sc = t.documents
+        .select(col("source"), explode(TF.tokens(lower(col("text")))).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      val st = sc.groupBy(col("source")).agg(sum(col("c")).as("ts"))
+      val g = sc.groupBy(col("term")).agg(sum(col("c")).as("cg"))
+      val gt = g.agg(sum(col("cg")).as("tg"))
+      val addend = (col("c") / col("ts")) *
+        log((col("c") / col("ts")) / (col("cg") / col("tg")))
+      sc.join(st, "source").join(g, "term").crossJoin(broadcast(gt))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_terms"),
+          round(sum(addend.cast(Tables.decHi)).cast("double"), 6).as("kl"))
+        .orderBy("source")
+    }),
+
     // G1: exact dedup on normalized text with a deterministic survivor
     // (lowest doc_id), via window — not dropDuplicates, whose survivor is
     // partition-order dependent.
@@ -495,6 +521,17 @@ object TextQueries extends QueryModule {
         "SELECT source, tok, CASE WHEN i <= kk THEN tok " +
         "ELSE (budget - pk) // (m - kk) END AS alloc " +
         "FROM r, g, k, pk ORDER BY source"),
+
+    "g46_source_divergence" ->
+      ("WITH tok AS (SELECT source, unnest(str_split(lower(text), ' ')) AS term FROM documents), " +
+        "sc AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2), " +
+        "st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ts FROM sc GROUP BY 1), " +
+        "g AS (SELECT term, CAST(sum(c) AS BIGINT) AS cg FROM sc GROUP BY 1), " +
+        "gt AS (SELECT CAST(sum(cg) AS BIGINT) AS tg FROM g) " +
+        "SELECT source, count(*) AS n_terms, " +
+        "round(CAST(sum(CAST((c / ts) * ln((c / ts) / (cg / tg)) AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl " +
+        "FROM sc JOIN st USING (source) JOIN g USING (term) CROSS JOIN gt " +
+        "GROUP BY source ORDER BY source"),
 
     "g1_dedup_exact" ->
       ("SELECT doc_id, lang, source, n_chars FROM (" +
