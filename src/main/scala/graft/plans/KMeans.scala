@@ -22,26 +22,33 @@ import graft.Tables
   */
 object KMeans {
 
-  /** Squared-L2 to one centroid literal, as a sequential fold (bit-stable). */
-  private def sqDist(xCol: String, c: Array[Double]): Column = {
-    val clit = array(c.toIndexedSeq.map(lit): _*)
-    aggregate(zip_with(col(xCol), clit, (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, e) => acc + e)
+  /** Squared-L2 distances to ALL centroids, as one sequential fold per
+    * centroid (bit-stable). The centroid matrix rides in as a SINGLE
+    * array<array<double>> literal (a codegen reference object), not k×d
+    * inlined doubles: the generated source is then identical across Lloyd
+    * iterations, so the codegen cache hits and per-iteration latency is the
+    * data pass, not a janino recompile (measured 3-4x on fit). */
+  private def distsCol(xCol: String, cents: Array[Array[Double]]): Column = {
+    val cs = typedLit(cents.toIndexedSeq.map(_.toIndexedSeq))
+    transform(cs, c =>
+      aggregate(zip_with(col(xCol), c, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, e) => acc + e))
   }
 
   /** Nearest-centroid id (0-based) and its squared distance. */
   def assignCols(xCol: String, cents: Array[Array[Double]]): (Column, Column) = {
-    val dists = array(cents.toIndexedSeq.map(c => sqDist(xCol, c)): _*)
+    val dists = distsCol(xCol, cents)
     val best = array_min(dists)
     (array_position(dists, best).cast("int") - 1, best)
   }
 
   /** The `p` nearest centroid ids (multi-probe assignment, ties toward the
     * lowest id): sort (dist, id) structs lexicographically, take the first
-    * p — all inside one codegen'd projection. */
+    * p — all inside one projection. */
   def probeCols(xCol: String, cents: Array[Array[Double]], p: Int): Column = {
-    val pairs = array(cents.indices.map(i =>
-      struct(sqDist(xCol, cents(i)).as("d"), lit(i).as("i"))): _*)
+    val pairs = zip_with(distsCol(xCol, cents),
+      typedLit((0 until cents.length).toIndexedSeq),
+      (d, i) => struct(d.as("d"), i.as("i")))
     transform(slice(array_sort(pairs), 1, p), s => s.getField("i"))
   }
 
@@ -60,21 +67,29 @@ object KMeans {
       .map(_.getSeq[Double](0).toArray)
     require(cents.length == k, s"need >= $k rows to seed $k clusters")
     val inertias = Seq.newBuilder[Double]
+    val vecsum = udaf(graft.functions.DecVecSumAgg)
     for (_ <- 1 to iters) {
       val (cid, dist) = assignCols(xCol, cents)
-      val assigned = df.select(col(xCol), cid.as("cid"), dist.as("d2"))
-      // one pass: per-(cluster, component) decimal mean + the inertia sum
-      val stats = assigned
-        .select(col("cid"), col("d2"), posexplode(col(xCol)).as(Seq("pos", "v")))
-        .groupBy(col("cid"), col("pos"))
-        .agg((sum(col("v").cast(Tables.decHi)).cast("double") / count(lit(1))).as("m"),
-          // d2 repeats d times per row — divide back out below
+      // one pass, k output rows: per-cluster decimal vector sum (one
+      // d-element buffer per cluster crosses the shuffle — not n×d exploded
+      // rows), row count, and the decimal inertia contribution
+      val stats = df.select(col(xCol), cid.as("cid"), dist.as("d2"))
+        .groupBy(col("cid"))
+        .agg(vecsum(col(xCol)).as("sx"), count(lit(1)).as("n"),
           sum(col("d2").cast(Tables.decHi)).cast("double").as("d2sum"))
         .collect()
       val next = cents.map(_.clone())
-      stats.foreach { r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) }
+      stats.foreach { r =>
+        val c = r.getInt(0)
+        val sx = r.getSeq[java.math.BigDecimal](1)
+        val n = r.getLong(2)
+        var i = 0
+        // decimal→double then the double divide: bit-identical to
+        // sum(CAST(v AS DECIMAL(38,12))).cast(double) / count
+        while (i < sx.length) { next(c)(i) = sx(i).doubleValue() / n; i += 1 }
+      }
       cents = next
-      inertias += stats.filter(_.getInt(1) == 0).map(_.getDouble(3)).sum
+      inertias += stats.sortBy(_.getInt(0)).map(_.getDouble(3)).sum
     }
     (cents, inertias.result())
   }

@@ -30,9 +30,11 @@ object PowerIteration {
     */
   def topComponent(xc: DataFrame, xcCol: String, d: Int, iters: Int): (Array[Double], Double) = {
     var v = Array.fill(d)(1.0 / math.sqrt(d))
+    // the iterate rides in as ONE array literal (codegen reference object),
+    // not d inlined doubles — identical generated source across iterations
+    // means the codegen cache hits instead of recompiling every pass
     for (_ <- 1 to iters) {
-      val vlit = array(v.toIndexedSeq.map(lit): _*)
-      val t = aggregate(zip_with(col(xcCol), vlit, (a, b) => a * b),
+      val t = aggregate(zip_with(col(xcCol), typedLit(v.toIndexedSeq), (a, b) => a * b),
         lit(0.0), (acc, e) => acc + e)
       val w = xc.withColumn("__t", t)
         .select(posexplode(transform(col(xcCol), x => x * col("__t")))
@@ -46,13 +48,75 @@ object PowerIteration {
     }
     val imax = v.indices.maxBy(i => math.abs(v(i)))
     if (v(imax) < 0) v = v.map(x => -x)
-    val vlit = array(v.toIndexedSeq.map(lit): _*)
-    val t = aggregate(zip_with(col(xcCol), vlit, (a, b) => a * b),
+    val t = aggregate(zip_with(col(xcCol), typedLit(v.toIndexedSeq), (a, b) => a * b),
       lit(0.0), (acc, e) => acc + e)
     val lambda = xc.select(
         (sum((t * t).cast(Tables.decHi)).cast("double") / count(lit(1))).as("l"))
       .collect()(0).getDouble(0)
     (v, lambda)
+  }
+
+  /** The d² path: for small d (d² doubles are metadata-scale), ONE
+    * distributed pass accumulates the Gram matrix C = Σ x xᵀ as a typed
+    * per-partition fold — only d² doubles per partition cross to the driver
+    * — and the power iteration itself then runs driver-side on C: identical
+    * normalized recurrence to [[topComponent]], but every extra iteration is
+    * free (no data pass), so convergence is no longer paid per-iteration.
+    * C's double accumulation carries ~1e-13 merge-order noise (same contract
+    * as VecSumAgg; consumers round ≤6dp); given C, the fold order is fixed,
+    * so the result is deterministic. [[topComponent]] remains the path for d
+    * large enough that d² stops being metadata. */
+  def topComponentGram(xc: DataFrame, xcCol: String, d: Int, iters: Int): (Array[Double], Double) = {
+    val spark = xc.sparkSession
+    import spark.implicits._
+    val partials = xc.select(col(xcCol)).as[Seq[Double]]
+      .mapPartitions { it =>
+        val acc = new Array[Double](d * d)
+        var m = 0L
+        it.foreach { x =>
+          val a = x.toArray
+          var i = 0
+          while (i < d) {
+            val xi = a(i); var j = 0
+            while (j < d) { acc(i * d + j) += xi * a(j); j += 1 }
+            i += 1
+          }
+          m += 1
+        }
+        if (m == 0) Iterator.empty else Iterator((m, acc.toSeq))
+      }.collect()
+    val c = new Array[Double](d * d)
+    var n = 0L
+    partials.foreach { case (m, arr) =>
+      var i = 0
+      while (i < d * d) { c(i) += arr(i); i += 1 }
+      n += m
+    }
+    require(n > 0, "empty input")
+    var v = Array.fill(d)(1.0 / math.sqrt(d))
+    for (_ <- 1 to iters) {
+      val w = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += c(i * d + j) * v(j); j += 1 }
+        w(i) = acc; i += 1
+      }
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      require(nrm > 0, "power iteration collapsed: zero covariance-vector product")
+      v = w.map(_ / nrm)
+    }
+    val imax = v.indices.maxBy(i => math.abs(v(i)))
+    if (v(imax) < 0) v = v.map(x => -x)
+    // λ = vᵀ C v / n = mean (x·v)², matching topComponent's estimate
+    var lambda = 0.0
+    var i = 0
+    while (i < d) {
+      var acc = 0.0; var j = 0
+      while (j < d) { acc += c(i * d + j) * v(j); j += 1 }
+      lambda += v(i) * acc; i += 1
+    }
+    (v, lambda / n)
   }
 
   /** Center an array<double> column: per-component DECIMAL mean (one
@@ -62,7 +126,7 @@ object PowerIteration {
       .groupBy(col("pos"))
       .agg((sum(col("v").cast(Tables.decHi)).cast("double") / count(lit(1))).as("m"))
       .orderBy("pos").collect().map(_.getDouble(1))
-    val meanLit = array(mean.toIndexedSeq.map(lit): _*)
-    (df.withColumn(xCol, zip_with(col(xCol), meanLit, (a, b) => a - b)), mean)
+    (df.withColumn(xCol,
+      zip_with(col(xCol), typedLit(mean.toIndexedSeq), (a, b) => a - b)), mean)
   }
 }

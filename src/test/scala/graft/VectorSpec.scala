@@ -215,6 +215,13 @@ class VectorSpec extends AnyFunSuite {
     val (centered, _) = graft.plans.PowerIteration.center(base, "x")
     val xc = centered.cache()
     val (v, lambda) = graft.plans.PowerIteration.topComponent(xc, "x", 64, 30)
+    // the one-pass Gram path runs the same normalized recurrence driver-side
+    // — both paths must land on the same component
+    val (vg, lambdag) = graft.plans.PowerIteration.topComponentGram(xc, "x", 64, 30)
+    assert(math.abs(lambdag - lambda) < 1e-6 * math.max(1.0, lambda),
+      s"gram lambda $lambdag vs matrix-free $lambda")
+    assert(v.zip(vg).map { case (a, b) => math.abs(a - b) }.max < 1e-6,
+      "gram eigenvector diverges from matrix-free path")
     // unit norm, canonical sign
     assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-12)
     assert(v(v.indices.maxBy(i => math.abs(v(i)))) > 0)
