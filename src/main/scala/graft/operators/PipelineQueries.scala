@@ -313,6 +313,84 @@ object PipelineQueries extends QueryModule {
           sum(length(col("w"))).cast("long").as("n_chars"),
           sum(col("n_tok")).cast("long").as("n_bpe_tok"))
         .orderBy("doc_id")
+    }),
+
+    // G47: exact repeated-SPAN detection — the substring-dedup signal
+    // (find maximal runs of word 5-grams that occur more than once anywhere
+    // in the corpus, the memorization-risk metric substring dedup removes).
+    // Shape: one posexplode into (doc, pos, 5-gram) → ONE gram-keyed window
+    // count tags every occurrence with its corpus-wide frequency (the
+    // count-then-join-back formulation costs a second gram shuffle for the
+    // same answer) → per-doc gaps-and-islands (pos - row_number) merges
+    // consecutive repeated starts into maximal spans. At 100 TB the gram
+    // column is a 64-bit hash instead of the string (collision odds
+    // ~n²/2⁶⁴; the string form here keeps the oracle exact) and the islands
+    // window partitions by doc — bounded by document length, never
+    // corpus-wide.
+    "g47_repeated_spans" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val k = 5
+      val grams = t.documents
+        .withColumn("toks", TF.tokens(lower(col("text"))))
+        .filter(size(col("toks")) >= k)
+        .select(col("doc_id"),
+          posexplode(expr(s"transform(sequence(1, size(toks) - ${k - 1}), " +
+            s"i -> concat_ws(' ', slice(toks, i, $k)))")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+      val hits = grams
+        .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("gram")))
+        .filter(col("n_occ") >= 2).select("doc_id", "pos")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val spans = hits
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg((max(col("pos")) - min(col("pos")) + lit(k)).cast("long").as("span_toks"))
+      spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_toks")).as("covered_toks"),
+          max(col("span_toks")).as("max_span"))
+        .orderBy("doc_id")
+    }),
+
+    // G48: quality-classifier TRAINING — 3 rounds of full-batch gradient
+    // descent on a linear model (is this doc from the curated source?),
+    // the fastText-style quality-filter step of a corpus pipeline, run as
+    // pure DataFrame aggregation. Determinism is the whole design: features
+    // (token count, stopword count) and the label are integers, weights
+    // live in integer MICROS, and each round's gradient is an exact BIGINT
+    // sum — so there is no floating-point accumulation anywhere and the
+    // model replays bit-for-bit on any partitioning and any engine (the
+    // oracle chains the same three rounds as CTEs). Per round exactly ONE
+    // aggregate row reaches the driver (the model state — same contract as
+    // g40's k-means centroids); the corpus is never collected. The integer
+    // step uses sign(g)·(|g| div (n·10⁴)) so both engines' division
+    // semantics agree by construction.
+    "g48_quality_gd" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val feat = t.documents
+        .withColumn("toks", TF.tokens(lower(col("text"))))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("x1"),
+          expr("size(filter(toks, t -> t IN ('the','and','of','a','in')))")
+            .cast("long").as("x2"),
+          when(col("source") === "src0", 1L).otherwise(0L).as("y"))
+      val w = Array(0L, 0L, 0L)
+      val lrDen = 10000L
+      for (_ <- 1 to 3) {
+        val err = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") -
+          lit(1000000L) * col("y")
+        val r = feat.agg(sum(err).as("g0"), sum(err * col("x1")).as("g1"),
+          sum(err * col("x2")).as("g2"), count(lit(1)).as("n")).head()
+        val n = r.getLong(3)
+        for (j <- 0 until 3) {
+          val g = r.getLong(j)
+          w(j) = w(j) - java.lang.Long.signum(g) * (math.abs(g) / (n * lrDen))
+        }
+      }
+      val score = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
+      feat.select(col("doc_id"), score.as("score_micro"), col("y").as("label"),
+          when(score >= 500000L, 1).otherwise(0).as("pred"))
+        .orderBy("doc_id")
     })
   )
 
@@ -514,6 +592,53 @@ object PipelineQueries extends QueryModule {
         "CAST(sum(len(w)) AS BIGINT) AS n_chars, " +
         s"CAST(sum(len(string_split(trim($enc, '|'), '||'))) AS BIGINT) AS n_bpe_tok " +
         "FROM dwords, b1, b2, b3 GROUP BY doc_id ORDER BY doc_id"
+    },
+
+    "g47_repeated_spans" ->
+      ("WITH t AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents), " +
+        "p AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS pos " +
+        "FROM t WHERE len(toks) >= 5), " +
+        "g AS (SELECT doc_id, pos, toks[pos] || ' ' || toks[pos+1] || ' ' || " +
+        "toks[pos+2] || ' ' || toks[pos+3] || ' ' || toks[pos+4] AS gram FROM p), " +
+        "rep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2), " +
+        "hits AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (gram)), " +
+        "isl AS (SELECT doc_id, pos, pos - row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY pos) AS grp FROM hits), " +
+        "sp AS (SELECT doc_id, grp, max(pos) - min(pos) + 5 AS span_toks " +
+        "FROM isl GROUP BY doc_id, grp) " +
+        "SELECT doc_id, count(*) AS n_spans, " +
+        "CAST(sum(span_toks) AS BIGINT) AS covered_toks, " +
+        "CAST(max(span_toks) AS BIGINT) AS max_span " +
+        "FROM sp GROUP BY doc_id ORDER BY doc_id"),
+
+    // replays the three fixed-point GD rounds as chained CTEs — every
+    // quantity is an exact integer, so the replay is bit-for-bit
+    "g48_quality_gd" -> {
+      def grad(wPrev: String, g: String) =
+        s"$g AS (SELECT CAST(sum(err) AS BIGINT) AS g0, " +
+          "CAST(sum(err * x1) AS BIGINT) AS g1, " +
+          "CAST(sum(err * x2) AS BIGINT) AS g2 FROM " +
+          "(SELECT w.w0 + w.w1 * f.x1 + w.w2 * f.x2 - 1000000 * f.y AS err, " +
+          s"f.x1, f.x2 FROM f, $wPrev w))"
+      def step(wPrev: String, g: String, wNext: String) = {
+        def s1(j: Int) =
+          s"w.w$j - (CASE WHEN g.g$j < 0 THEN -1 ELSE 1 END) * " +
+            s"(abs(g.g$j) // (c.n * 10000)) AS w$j"
+        s"$wNext AS (SELECT ${s1(0)}, ${s1(1)}, ${s1(2)} FROM $wPrev w, $g g, c)"
+      }
+      "WITH f AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS x1, " +
+        "CAST(len(list_filter(toks, t -> t IN ('the','and','of','a','in'))) AS BIGINT) AS x2, " +
+        "CASE WHEN source = 'src0' THEN CAST(1 AS BIGINT) ELSE 0 END AS y " +
+        "FROM (SELECT doc_id, source, str_split(lower(text), ' ') AS toks FROM documents)), " +
+        "c AS (SELECT count(*) AS n FROM f), " +
+        "w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, " +
+        "CAST(0 AS BIGINT) AS w2), " +
+        s"${grad("w0", "ga")}, ${step("w0", "ga", "wa")}, " +
+        s"${grad("wa", "gb")}, ${step("wa", "gb", "wb")}, " +
+        s"${grad("wb", "gc")}, ${step("wb", "gc", "wc")} " +
+        "SELECT f.doc_id, w.w0 + w.w1 * f.x1 + w.w2 * f.x2 AS score_micro, " +
+        "f.y AS label, CASE WHEN w.w0 + w.w1 * f.x1 + w.w2 * f.x2 >= 500000 " +
+        "THEN 1 ELSE 0 END AS pred FROM f, wc w ORDER BY doc_id"
     }
   )
 }

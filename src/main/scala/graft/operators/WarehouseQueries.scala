@@ -186,6 +186,37 @@ object WarehouseQueries extends QueryModule {
         .reduce(_ unionByName _).orderBy("version")
     }),
 
+    // M9: snapshot COMPACTION — the maintenance op that keeps an
+    // append-heavy table healthy: four append batches leave the table
+    // fragmented across 32 small files (the classic small-file problem a
+    // streaming/CDC ingest creates); compaction reads the current version,
+    // rewrites the SAME rows into 2 large files, and commits that as the
+    // next version — a pure metadata flip for readers, fully time-travel
+    // preserving, with the superseded small files reclaimed later by the
+    // reference-counted `expire` vacuum (file-count drop + post-vacuum
+    // integrity proven in WarehouseSpec). Output summarizes the pre- and
+    // post-compaction versions; identical numbers ARE the contract
+    // (compaction must be content-invariant).
+    "m9_snapshot_compact" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m9_${dir.hashCode & 0x7fffffff}"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root))
+      val t = Tables(s, dir)
+      def slice(r: Int) = t.orders.filter(col("o_orderkey") % 8 === r)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      SnapshotTable.commit(slice(0).repartition(8), root)
+      (1 to 3).foreach(r => SnapshotTable.append(slice(r).repartition(8), root))
+      SnapshotTable.commit(SnapshotTable.read(s, root).repartition(2), root,
+        meta = "compact")
+      def summarize(v: Long, tag: String) =
+        SnapshotTable.readVersion(s, root, v)
+          .agg(count(lit(1)).as("n_rows"), Tables.dsum(col("o_totalprice")).as("rev"))
+          .select(lit(tag).as("phase"), col("n_rows"), round(col("rev"), 6).as("revenue"))
+      summarize(4, "pre").unionByName(summarize(5, "post")).orderBy("phase")
+    }),
+
     // M7: MERGE INTO with the commit protocol — the general CDC merge m1/m2
     // specialize. A change feed (op = upsert | delete) applies to a
     // snapshot-committed target in ONE full-outer key join (MergeInto), and
@@ -303,6 +334,14 @@ object WarehouseQueries extends QueryModule {
         s"round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue " +
         "FROM orders, range(1, 4) t(v) WHERE o_orderkey % 5 < v " +
         "GROUP BY v ORDER BY version"),
+
+    // pre- and post-compaction versions hold the same rows by construction;
+    // the oracle states that invariance as the same aggregate twice
+    "m9_snapshot_compact" ->
+      (s"WITH v AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 8 IN (0,1,2,3)) " +
+        s"SELECT 'pre' AS phase, count(*) AS n_rows, round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue FROM v " +
+        s"UNION ALL SELECT 'post' AS phase, count(*) AS n_rows, round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue FROM v " +
+        "ORDER BY phase"),
 
     "m6_snapshot_commit" ->
       (s"WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 = 0), " +

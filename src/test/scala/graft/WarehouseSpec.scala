@@ -249,6 +249,38 @@ class WarehouseSpec extends AnyFunSuite {
     assert(SnapshotTable.read(s, root).collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("snapshot table: compaction rewrites fragments into few files, time-travel intact") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.SnapshotTable
+    import java.nio.file.{Files => JF, Paths => JP}
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_cmp").toString
+    // fragmented table: 3 append batches, 4 files each
+    SnapshotTable.commit((1L to 10L).toDF("k").repartition(4), root)
+    SnapshotTable.append((11L to 20L).toDF("k").repartition(4), root)
+    SnapshotTable.append((21L to 30L).toDF("k").repartition(4), root)
+    val fragFiles = SnapshotTable.readVersion(s, root, 3).inputFiles.length
+    assert(fragFiles == 12, s"expected 12 fragment files, got $fragFiles")
+    // compact = rewrite the same rows into 2 files, commit as v4
+    SnapshotTable.commit(SnapshotTable.read(s, root).repartition(2), root,
+      meta = "compact")
+    val compFiles = SnapshotTable.readVersion(s, root, 4).inputFiles.length
+    assert(compFiles == 2, s"expected 2 compacted files, got $compFiles")
+    assert(SnapshotTable.latestMeta(root).contains("compact"))
+    // content-invariant, and the PRE-compaction version stays time-travelable
+    assert(SnapshotTable.read(s, root).orderBy("k").collect().map(_.getLong(0))
+      .toSeq == (1L to 30L))
+    assert(SnapshotTable.readVersion(s, root, 3).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == (1L to 30L))
+    // vacuum to the compacted version only: every fragment dir is
+    // unreferenced now and reclaimed; the table still reads in full
+    assert(SnapshotTable.expire(root, keepLast = 1) == Seq(1L, 2L, 3L))
+    (1 to 3).foreach { v =>
+      assert(!JF.exists(JP.get(root, "data", s"v$v")), s"v$v fragments reclaimed")
+    }
+    assert(SnapshotTable.read(s, root).count() == 30L)
+  }
+
   test("snapshot table: CAS commit — concurrent writers serialize, loser rebases") {
     val s = spark
     import s.implicits._
