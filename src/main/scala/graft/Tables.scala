@@ -26,25 +26,30 @@ final class Tables(val spark: SparkSession, val sfDir: String) {
   def documents: DataFrame  = read("documents")
   def embeddings: DataFrame = read("embeddings")
 
-  /** events.ts is parquet timestamp[ns] (SURVEY §1.2): Spark 4 refuses it by
-    * default. Read nanos as long, then integral-divide to µs — `div`, not
-    * double `/`, because ~1.7e18 ns does not fit double's 53-bit mantissa.
-    * Fixture ts values are whole µs, so the conversion is lossless and the
-    * DuckDB side (`CAST(ts AS TIMESTAMP)`) lands on identical µs instants.
+  /** events.ts: dtype-adaptive to the fixture's physical timestamp layout.
+    * Older fixture generations wrote parquet timestamp[ns], which Spark 4
+    * refuses by default — with nanosAsLong it arrives as LongType, and we
+    * integral-divide to µs (`div`, not double `/`: ~1.7e18 ns does not fit
+    * double's 53-bit mantissa; values are whole µs so this is lossless).
+    * Current fixtures write timestamp[us], which arrives as a timestamp
+    * already — just pin it to NTZ. Either path lands on the same µs
+    * instants the DuckDB oracle sees.
     */
-  def events: DataFrame =
-    read("events").withColumn("ts",
-      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  def events: DataFrame = {
+    val df = read("events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
+  }
 
-  /** Raw schema of `events` as Spark sees it with nanosAsLong (ts: long).
-    * Needed by streaming reads, which require an explicit schema. */
-  def eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Raw schema of `events` as Spark reads the current fixture file (needed
+    * by streaming reads, which require an explicit schema). Derived from the
+    * actual footer instead of hardcoded, so fixture-generation drift (ns as
+    * long vs native µs timestamp) cannot desynchronize it from `events`. */
+  def eventsRawSchema: StructType = read("events").schema
 }
 
 object Tables {
