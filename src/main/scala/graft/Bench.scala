@@ -72,8 +72,11 @@ object Bench {
       kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     // Full machine-readable report: per-query min + every pass's raw samples.
     val passesJson = samples.map(m => qjson(names.map(n => n -> m(n)))).mkString("[", ",", "]")
+    // partial=true marks the total as NOT comparable to clean-run totals:
+    // it sums only the queries that ran (failed ones are excluded, not 0 s).
+    val partial = failedNames.nonEmpty
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"repeats":$repeats,"queries":${qjson(results)},"passes":$passesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","partial":$partial,"n_queries":${results.size},"n_failed":${failedNames.size},"repeats":$repeats,"queries":${qjson(results)},"passes":$passesJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
         (fullLine + "\n").getBytes("UTF-8"))
@@ -81,7 +84,7 @@ object Bench {
     println(fullLine)
     val compact = headline.flatMap(k => byName.get(k).map(v => "\"" + k + "\":" + r3(v)))
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failedNames.size},"repeats":$repeats,"queries":$compact,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","partial":$partial,"n_queries":${results.size},"n_failed":${failedNames.size},"repeats":$repeats,"queries":$compact,"sf":"$sfDir"}"""
     // stop BEFORE the final line so shutdown logs can't push it out of the
     // driver's 2000-char tail buffer; a shutdown race must not eat the line
     try spark.stop() catch { case _: Throwable => () }

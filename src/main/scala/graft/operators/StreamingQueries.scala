@@ -28,11 +28,19 @@ object StreamingQueries extends QueryModule {
 
   /** Materialize events as 4 parquet files keyed by event_id quartile —
     * each spans the full time range, so every batch after the first carries
-    * events behind the watermark (genuine late data). Idempotent per sfDir. */
+    * events behind the watermark (genuine late data). Idempotent per sfDir;
+    * the `_ready` marker records a fingerprint of the source fixture
+    * (size + mtime), so a driver-side fixture regeneration invalidates the
+    * cache instead of silently replaying stale chunks. */
   private def chunkedSource(s: SparkSession, dir: String): String = {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src_${dir.hashCode & 0x7fffffff}"
     val ready = Paths.get(base, "_ready")
-    if (!Files.exists(ready)) {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val fingerprint = s"${src.length()}:${src.lastModified()}"
+    val fresh = Files.exists(ready) &&
+      new String(Files.readAllBytes(ready), "UTF-8").trim == fingerprint
+    if (!fresh) {
+      rmrfDir(new java.io.File(base))
       val ev = Tables(s, dir).events.withColumn("ts", col("ts").cast("timestamp"))
       val ids = ev.agg(max(col("event_id"))).head().getLong(0)
       Files.createDirectories(Paths.get(base))
@@ -48,7 +56,7 @@ object StreamingQueries extends QueryModule {
         // modification order == chronological order for the file source
         Thread.sleep(5)
       }
-      Files.createFile(ready)
+      Files.write(ready, fingerprint.getBytes("UTF-8"))
     }
     base
   }

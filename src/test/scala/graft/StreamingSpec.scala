@@ -165,6 +165,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches == 4)
   }
 
+  // The two crafted-stream tests below prove the i4/i5 MECHANICS (watermark
+  // late-drop; within-watermark dedup) on MemoryStream inputs, independent of
+  // the events fixture — so a driver-side fixture regeneration can break the
+  // i* queries without also blinding the semantics coverage.
+
+  test("watermark mechanics: rows behind the advanced watermark are dropped (fixture-free)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val in = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    def ts(min: Long) = new java.sql.Timestamp((1000 + min) * 60000L)
+    val q = in.toDS().toDF("id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes")).agg(count(lit(1)).as("n"))
+    val name = s"wm_drop_${System.nanoTime()}"
+    val sq = q.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData((1L, ts(0)), (2L, ts(5)))   // window [0,10)
+      sq.processAllAvailable()
+      in.addData((3L, ts(40)))               // watermark -> min 30: [0,10) closes
+      sq.processAllAvailable()
+      in.addData((4L, ts(2)))                // behind watermark — must be dropped
+      sq.processAllAvailable()
+      in.addData((5L, ts(60)))               // close [40,50) too
+      sq.processAllAvailable()
+      val emitted = spark.table(name).collect()
+        .map(r => (r.getStruct(0).getTimestamp(0).getTime / 60000L - 1000, r.getLong(1)))
+        .toMap
+      // the late row 4 did NOT bump the closed [0,10) window's count
+      assert(emitted.get(0L).contains(2L), s"closed window recount: $emitted")
+      assert(emitted.get(40L).contains(1L), emitted.toString)
+    } finally sq.stop()
+  }
+
+  test("dedup mechanics: dropDuplicatesWithinWatermark collapses cross-batch copies (fixture-free)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val in = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    def ts(min: Long) = new java.sql.Timestamp((1000 + min) * 60000L)
+    val q = in.toDS().toDF("id", "ts")
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("id")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+    val name = s"dedup_wm_${System.nanoTime()}"
+    val sq = q.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData((1L, ts(0)), (2L, ts(1)), (1L, ts(2))) // in-batch dup of id 1
+      sq.processAllAvailable()
+      in.addData((2L, ts(3)), (3L, ts(4)))              // cross-batch dup of id 2
+      sq.processAllAvailable()
+      in.addData((9L, ts(600)))                          // advance watermark, flush
+      sq.processAllAvailable()
+      val n = spark.table(name).collect()
+        .map(r => (r.getStruct(0).getTimestamp(0).getTime / 60000L, r.getLong(1)))
+        .toMap
+      // ids 1,2,3 survive exactly once, all in the hour window containing
+      // min 1000 (hour-aligned -> starts at min 960)
+      assert(n.get(960L).contains(3L), s"dedup within watermark failed: $n")
+    } finally sq.stop()
+  }
+
   test("i10: rate source replays deterministically across checkpoint restarts") {
     // 3 AvailableNow rounds over one checkpoint = batches 0..2, each 2000
     // rows stamped k·1 min — so the windowed aggregate is exactly computable:
