@@ -162,6 +162,93 @@ object SqlQueries extends QueryModule {
       "WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01') " +
       "GROUP BY c_nationkey ORDER BY c_nationkey"
 
+  // TPC-H Q6 forecasting-revenue-change — the canonical pushdown scan: three
+  // range predicates and a 2-column projection must reach the parquet reader
+  // (PushedFilters + pruned ReadSchema); the aggregate is a single exact
+  // decimal sum. At 100 TB this query IS the scan efficiency test: no join,
+  // no shuffle beyond one partial-agg merge row per task.
+  private val tpch6 =
+    "SELECT " +
+      s"round(${Tables.dsumSql("l_extendedprice * l_discount")}, 6) AS revenue " +
+      "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+      "AND l_shipdate < TIMESTAMP '1997-01-01' " +
+      "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0"
+
+  // TPC-H Q7 volume-shipping — nation-pair trade flow with a symmetric
+  // disjunctive join filter (France→Germany OR Germany→France in spec terms):
+  // two aliases of the same dimension joined to opposite sides of the fact
+  // chain. Catalyst broadcasts both nation aliases; the OR predicate cannot
+  // be pushed into either join alone and lands as a post-join filter —
+  // exactly the shape a join-reorder must not break. Revenue is decimal →
+  // floored BIGINT (magnitude rule: sums cross 2^53/1e6 at big SFs).
+  private val tpch7 =
+    "SELECT supp_nation, cust_nation, l_year, " +
+      s"${exactSum("volume", "revenue")} FROM (" +
+      "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+      "year(l_shipdate) AS l_year, l_extendedprice * (1.0 - l_discount) AS volume " +
+      "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey " +
+      "JOIN orders ON o_orderkey = l_orderkey " +
+      "JOIN customer ON c_custkey = o_custkey " +
+      "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+      "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+      "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') " +
+      "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) " +
+      "AND l_shipdate >= TIMESTAMP '1996-01-01' " +
+      "AND l_shipdate < TIMESTAMP '1998-01-01') shipping " +
+      "GROUP BY supp_nation, cust_nation, l_year " +
+      "ORDER BY supp_nation, cust_nation, l_year"
+
+  // TPC-H Q8 national-market-share — 7-way join where the share is a
+  // conditional-over-total ratio per order year. Both the numerator and the
+  // denominator are EXACT decimal sums cast to double only at the end, so
+  // the single float division (and its round) is bit-identical across
+  // engines — the only way a ratio of big sums survives an oracle hash
+  // compare. Customer region filters through region; the share nation tags
+  // the supplier side.
+  private val tpch8 =
+    "SELECT o_year, round(CAST(sum(CASE WHEN nation = 'NATION_3' " +
+      "THEN CAST(volume AS DECIMAL(27,6)) ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE) " +
+      "/ CAST(sum(CAST(volume AS DECIMAL(27,6))) AS DOUBLE), 6) AS mkt_share " +
+      "FROM (SELECT year(o_orderdate) AS o_year, " +
+      "l_extendedprice * (1.0 - l_discount) AS volume, n2.n_name AS nation " +
+      "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+      "JOIN supplier ON s_suppkey = l_suppkey " +
+      "JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation n1 ON c_nationkey = n1.n_nationkey " +
+      "JOIN region ON n1.n_regionkey = r_regionkey " +
+      "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+      "WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY') all_nations " +
+      "GROUP BY o_year ORDER BY o_year"
+
+  // TPC-H Q10 returned-item reporting — one quarter of 'R' lineitems rolled
+  // up per customer, top 20 by lost revenue. The group key spans customer +
+  // nation attributes (post-join grouping on a wide key); the LIMIT gets a
+  // deterministic tiebreak on c_custkey.
+  private val tpch10 =
+    "SELECT c_custkey, c_name, " +
+      s"round(${Tables.dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS revenue, " +
+      "c_acctbal, n_name " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON l_orderkey = o_orderkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "WHERE o_orderdate >= TIMESTAMP '1996-01-01' " +
+      "AND o_orderdate < TIMESTAMP '1996-04-01' AND l_returnflag = 'R' " +
+      "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
+      "ORDER BY revenue DESC, c_custkey LIMIT 20"
+
+  // TPC-H Q14 promotion-effect — percent-of-total over one month: the same
+  // exact-decimal numerator/denominator discipline as Q8, on a broadcast
+  // part join. The month filter must reach the lineitem scan.
+  private val tpch14 =
+    "SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' " +
+      "THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6)) " +
+      "ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE) " +
+      "/ CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE), 6) " +
+      "AS promo_revenue " +
+      "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+      "WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'"
+
   private def registerAll(s: org.apache.spark.sql.SparkSession, dir: String): Tables = {
     val t = Tables(s, dir)
     t.region.createOrReplaceTempView("region")
@@ -241,6 +328,36 @@ object SqlQueries extends QueryModule {
     "s11_sql_tpch22" -> ((s, dir) => {
       registerAll(s, dir)
       s.sql(tpch22)
+    }),
+
+    // TPC-H Q6: the pure pushdown-scan aggregate.
+    "s12_sql_tpch6" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(tpch6)
+    }),
+
+    // TPC-H Q7: nation-pair flow, disjunctive cross-dimension filter.
+    "s13_sql_tpch7" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(tpch7)
+    }),
+
+    // TPC-H Q8: market share — exact-decimal ratio over a 7-way join.
+    "s14_sql_tpch8" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(tpch8)
+    }),
+
+    // TPC-H Q10: returned-item top-20 by lost revenue.
+    "s15_sql_tpch10" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(tpch10)
+    }),
+
+    // TPC-H Q14: promotion revenue share over one month.
+    "s16_sql_tpch14" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(tpch14)
     })
   )
 
@@ -255,6 +372,11 @@ object SqlQueries extends QueryModule {
     "s8_sql_lateral" -> sqlLateral,
     "s9_sql_tpch18" -> tpch18,
     "s10_sql_tpch9" -> tpch9,
-    "s11_sql_tpch22" -> tpch22
+    "s11_sql_tpch22" -> tpch22,
+    "s12_sql_tpch6" -> tpch6,
+    "s13_sql_tpch7" -> tpch7,
+    "s14_sql_tpch8" -> tpch8,
+    "s15_sql_tpch10" -> tpch10,
+    "s16_sql_tpch14" -> tpch14
   )
 }

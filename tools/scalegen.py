@@ -10,9 +10,12 @@ copied as-is. Timestamps are left untouched (10x density in the same window =
 load growth, which is what a scale test should stress). No RNG anywhere:
 byte-deterministic output.
 
-pyarrow (not Spark) so the events table's timestamp[ns] physical type
-survives the round-trip - Spark 4 cannot write ns timestamps, and the DuckDB
-oracle and the A2 nanos path both depend on the annotation.
+pyarrow (not Spark) so every physical parquet type survives the round-trip
+byte-identically - the loader (Tables.scala) branches on the events table's
+physical timestamp layout (ns-as-long vs native us), and the oracle compare
+depends on the scaled fixtures carrying exactly the source generation's
+types. Works unchanged for both fixture generations: the schema is copied,
+and arithmetic touches only int64 key columns.
 
 Usage: scalegen.py <srcDir> <dstDir> <R>
 """
