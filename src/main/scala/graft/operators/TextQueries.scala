@@ -288,6 +288,42 @@ object TextQueries extends QueryModule {
         .orderBy("lang")
     }),
 
+    // G49: INCREMENTAL ingestion dedup — dedupe a new DELTA batch against an
+    // EXISTING corpus without ever re-pairing the corpus with itself. This is
+    // the shape a 100 TB pipeline actually runs per ingest: corpus×corpus is
+    // quadratic and already done; delta×corpus on the blocking key is linear
+    // in the delta (a real deployment persists the (blk, shingles) index as a
+    // bucketed table — e.g. a SnapshotTable version per ingest — so the big
+    // side is pre-partitioned and only the delta shuffles). Delta here is the
+    // deterministic doc_id % 5 == 0 slice; same prefix blocking + exact
+    // 3-shingle Jaccard ≥ 0.4 as g2, so the oracle replays it exactly.
+    "g49_incremental_dedup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.documents
+        .withColumn("toks", TF.tokens(lower(col("text"))))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), substring(lower(col("text")), 1, 40).as("blk"),
+          TF.shingles3("toks").as("sh"))
+      val n = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+      // pinned partition counts: same AQE-coalescing exemption as every
+      // pair-enumeration kernel (see jaccardPairs)
+      val delta = base.filter(col("doc_id") % 5 === 0).repartition(n, col("blk"))
+      val existing = base.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("e_id"), col("blk").as("e_blk"), col("sh").as("e_sh"))
+        .repartition(n, col("e_blk"))
+      val matches = delta.join(existing, col("blk") === col("e_blk"))
+        .withColumn("jac", TF.jaccard(col("sh"), col("e_sh")))
+        .filter(col("jac") >= 0.4)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_matches"), min(col("e_id")).as("first_match"),
+          round(max(col("jac")), 6).as("best_jac"))
+      delta.select(col("doc_id")).join(matches, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("first_match"), col("best_jac"))
+        .orderBy("doc_id")
+    }),
+
     // G2b: the scale path — MinHash banding instead of prefix blocking, same
     // exact-Jaccard verification. Hash-based → no SQL oracle (rows-only);
     // pair-set equivalence vs brute force is asserted in MinHashSpec.
@@ -546,6 +582,19 @@ object TextQueries extends QueryModule {
         "FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
         "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.4 " +
         "ORDER BY a_id, b_id"),
+
+    // g49: delta×existing only — the corpus is never self-paired.
+    "g49_incremental_dedup" ->
+      (s"WITH $duckShingleCte, " +
+        "d AS (SELECT * FROM s WHERE doc_id % 5 = 0), " +
+        "e AS (SELECT * FROM s WHERE doc_id % 5 <> 0), " +
+        "m AS (SELECT d.doc_id, count(*) AS n_matches, min(e.doc_id) AS first_match, " +
+        "round(max(CAST(len(list_intersect(d.sh, e.sh)) AS DOUBLE) / len(list_distinct(d.sh || e.sh))), 6) AS best_jac " +
+        "FROM d JOIN e ON d.blk = e.blk " +
+        "WHERE CAST(len(list_intersect(d.sh, e.sh)) AS DOUBLE) / len(list_distinct(d.sh || e.sh)) >= 0.4 " +
+        "GROUP BY d.doc_id) " +
+        "SELECT d.doc_id, COALESCE(m.n_matches, 0) AS n_matches, m.first_match, m.best_jac " +
+        "FROM d LEFT JOIN m USING (doc_id) ORDER BY doc_id"),
 
     // g24: same edge set as g2, then min-label fixpoint via recursive CTE
     // (UNION is set semantics, labels finite → terminates at the closure).
