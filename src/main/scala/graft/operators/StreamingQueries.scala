@@ -61,6 +61,46 @@ object StreamingQueries extends QueryModule {
     base
   }
 
+  /** Streaming-source schema for the chunked documents source (i14). */
+  private val docChunkSchema =
+    "doc_id LONG, ts TIMESTAMP, text STRING"
+
+  /** Materialize documents as 4 parquet files keyed by doc_id quartile with a
+    * synthetic event time (epoch + doc_id minutes) — id order IS arrival
+    * order, so the watermark advances monotonically and the band-dedup state
+    * resolves duplicates to the earliest chunk. Same fingerprint-guarded
+    * cache discipline as the events source. */
+  private def chunkedDocSource(s: SparkSession, dir: String): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_docstream_src_${dir.hashCode & 0x7fffffff}"
+    val ready = Paths.get(base, "_ready")
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val fingerprint = s"${src.length()}:${src.lastModified()}"
+    val fresh = Files.exists(ready) &&
+      new String(Files.readAllBytes(ready), "UTF-8").trim == fingerprint
+    if (!fresh) {
+      rmrfDir(new java.io.File(base))
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"),
+          timestamp_seconds(col("doc_id") * 60).cast("timestamp").as("ts"),
+          col("text"))
+      val ids = docs.agg(max(col("doc_id"))).head().getLong(0)
+      Files.createDirectories(Paths.get(base))
+      (0 until 4).foreach { i =>
+        val lo = ids * i / 4
+        val hi = if (i == 3) ids + 1 else ids * (i + 1) / 4
+        val tmpDir = s"$base/stage_$i"
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(tmpDir)
+        val part = Files.list(Paths.get(tmpDir)).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.move(part, Paths.get(base, f"chunk_$i%02d.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        Thread.sleep(5)
+      }
+      Files.write(ready, fingerprint.getBytes("UTF-8"))
+    }
+    base
+  }
+
   /** perBatch=true replays `filesPerTrigger` chunks per micro-batch
     * (watermark/late-data semantics need batch boundaries — i4/i8 keep 1
     * file per trigger; operators that only need *some* boundary use 2,
@@ -485,6 +525,43 @@ object StreamingQueries extends QueryModule {
       SnapshotTable.read(s, root)
         .select(col("day"), col("n"), round(col("vsum").cast("double"), 6).as("val_sum"))
         .orderBy("day")
+    }),
+
+    // I14: streaming NEAR-DUP filter — the ingestion-time dedup gate a
+    // training-data pipeline runs in front of its corpus: each arriving
+    // document's 64-bit SimHash splits into 4×16-bit bands, and
+    // dropDuplicatesWithinWatermark on (band, value) keeps only first
+    // sightings. A document passes the filter iff ≥3 of its 4 bands are
+    // new: a near-identical copy (hamming ≤ 3 → ≥3 shared bands by
+    // pigeonhole) is caught, while an unrelated single-band collision
+    // (p ≈ 2⁻¹⁶ per pair) cannot reject a novel document. State is one
+    // 16-bit-keyed row per seen band value, watermark-bounded — at 100 TB
+    // this is the bounded-state alternative to joining every arrival
+    // against the full corpus index. Band-state winners within one
+    // micro-batch are shuffle-order dependent → rows-only; the crafted
+    // deterministic scenario is asserted in StreamingSpec.
+    "i14_stream_neardup_filter" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val st = s.readStream.schema(docChunkSchema)
+        .option("maxFilesPerTrigger", "1").parquet(chunkedDocSource(s, dir))
+      val fps = st.select(col("doc_id"), col("ts"), lower(col("text")).as("txt"))
+        .as[(Long, java.sql.Timestamp, String)]
+        .map { case (id, ts, txt) => (id, ts, graft.functions.TextFunctions.simhash64(txt)) }
+        .toDF("doc_id", "ts", "fp")
+      val bands = fps.select(col("doc_id"), col("ts"),
+          posexplode(array((0 until 4).map(i =>
+            shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+            .as(Seq("band", "bval")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("band", "bval")
+      // dedup emits surviving band rows eagerly; the pass/reject rollup is a
+      // batch aggregate over the sink table
+      runMemory(bands, "append", "i14", needsFinalFlush = false)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_new_bands"))
+        .filter(col("n_new_bands") >= 3)
+        .select(col("doc_id"), col("n_new_bands"))
+        .orderBy("doc_id")
     }),
 
     // I10: unbounded generator source, bounded deterministically.

@@ -231,6 +231,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally sq.stop()
   }
 
+  test("i14 mechanics: simhash band filter rejects near-identical, passes novel (fixture-free)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    def ts(min: Long) = new java.sql.Timestamp((1000 + min) * 60000L)
+    val fps = in.toDS().toDF("doc_id", "ts", "text")
+      .select(col("doc_id"), col("ts"), lower(col("text")).as("txt"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .map { case (id, t, txt) => (id, t, graft.functions.TextFunctions.simhash64(txt)) }
+      .toDF("doc_id", "ts", "fp")
+    val bands = fps.select(col("doc_id"), col("ts"),
+        posexplode(array((0 until 4).map(i =>
+          shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("band", "bval")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("band", "bval")
+    val name = s"i14_mech_${System.nanoTime()}"
+    val sq = bands.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      val doc = "the quick brown fox jumps over the lazy dog and keeps on running far away"
+      in.addData((1L, ts(0), doc))
+      sq.processAllAvailable()
+      // near-identical copy (one word tweaked) + a genuinely novel doc
+      in.addData((2L, ts(1), doc.replace("lazy", "hazy")),
+        (3L, ts(2), "completely different content about distributed query engines and shuffles"))
+      sq.processAllAvailable()
+      val newBands = spark.table(name).groupBy("doc_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(newBands(1L) == 4L, s"first doc must claim all 4 bands: $newBands")
+      assert(newBands.getOrElse(2L, 0L) < 3L,
+        s"near-dup copy must share >=2 bands with the original: $newBands")
+      assert(newBands(3L) >= 3L, s"novel doc must pass: $newBands")
+    } finally sq.stop()
+  }
+
   test("i10: rate source replays deterministically across checkpoint restarts") {
     // 3 AvailableNow rounds over one checkpoint = batches 0..2, each 2000
     // rows stamped k·1 min — so the windowed aggregate is exactly computable:
