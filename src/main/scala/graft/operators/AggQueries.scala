@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** SURVEY §2 D (aggregations D1–D8).
   *
@@ -262,6 +263,25 @@ object AggQueries extends QueryModule {
           round(sum(col("cl").cast(Tables.dec)).cast("double") / count(lit(1)), 6).as("wavg"),
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
+    }),
+
+    // D16: exact mode with a DETERMINISTIC tiebreak (highest count, then
+    // smallest value) — unlike the built-in `mode()`, whose tie winner is
+    // evaluation-order-dependent in both engines and therefore unusable in a
+    // reproducible pipeline. Count-then-rank: one hash aggregation plus a
+    // window over the tiny per-group distinct set; the fact table shuffles
+    // once on (group, value) and the rank input is |groups|×|values| rows.
+    "d16_agg_mode" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val counts = t.orders.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+          col("cnt").as("n"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -346,6 +366,14 @@ object AggQueries extends QueryModule {
         "round(CAST(sum(CAST(least(greatest(o_totalprice, p05), p95) AS DECIMAL(27,6))) " +
         "AS DOUBLE) / count(*), 6) AS wavg, count(*) AS n " +
         "FROM orders JOIN b ON o_orderpriority = pr " +
-        "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    "d16_agg_mode" ->
+      ("WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt " +
+        "FROM orders GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus " +
+        "ORDER BY cnt DESC, o_orderpriority ASC) AS rn FROM c) " +
+        "SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS n " +
+        "FROM r WHERE rn = 1 ORDER BY o_orderstatus")
   )
 }

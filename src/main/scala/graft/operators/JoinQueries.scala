@@ -321,6 +321,56 @@ object JoinQueries extends QueryModule {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("val_sum"))
         .orderBy("c_mktsegment")
+    }),
+
+    // C17: runtime Bloom-filter join pruning — Catalyst's InjectRuntimeFilter
+    // builds a Bloom filter over the SELECTIVE side's join keys and pushes a
+    // might_contain probe into the large side's scan, so at 100 TB the fact
+    // table drops non-matching rows BEFORE the shuffle (a semi-join reduction
+    // the optimizer derives, not hand-written). Local fixtures are far below
+    // the default 10 GB application-side threshold, so the query runs in a
+    // cloned session (`newSession` — isolated conf, shared context) with the
+    // threshold floored and broadcast disabled; on a real cluster the default
+    // thresholds trigger by themselves. PlanSpec asserts the injected
+    // might_contain/bloom aggregate is actually in the executed plan.
+    "c17_join_bloom_runtime" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t = Tables(s2, dir)
+      val sel = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      t.lineitem.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n_items"), Tables.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("yr")
+    }),
+
+    // C18: as-of join with tolerance — each purchase matched to the same
+    // user's most recent STRICTLY-PRIOR click, but only when the gap is
+    // within 1 hour (pandas merge_asof(tolerance=...) / kdb wj semantics).
+    // Single window pass over the union of both event kinds — one shuffle on
+    // user_id, no self-join — so it scales exactly like C10: ts-ascending
+    // max-carry-forward is frame-monotonic, and AQE splits any hot user.
+    "c18_join_asof_tolerance" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val ev = t.events
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tolUs = 3600000000L // 1 hour in µs
+      ev.withColumn("last_click",
+          max(when(col("event_type") === "click", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("gap_us", expr(
+          "unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(last_click AS TIMESTAMP))"))
+        .select(col("event_id"), col("user_id"),
+          when(col("gap_us") <= tolUs, Tables.ntz(col("last_click"))).as("matched_click"),
+          when(col("gap_us") <= tolUs, col("gap_us")).as("gap_us"))
+        .orderBy("event_id")
     })
   )
 
@@ -460,6 +510,25 @@ object JoinQueries extends QueryModule {
     "c14_join_salted_skew" ->
       (s"SELECT c_mktsegment, count(*) AS n, ${Tables.dsumSql("value")} AS val_sum " +
         "FROM events JOIN customer ON user_id = c_custkey " +
-        "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+
+    // c17: the runtime Bloom filter only prunes — the plain join is the oracle.
+    "c17_join_bloom_runtime" ->
+      (s"SELECT year(o_orderdate) AS yr, count(*) AS n_items, " +
+        s"${Tables.dsumSql("l_extendedprice")} AS sum_price " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderpriority = '1-URGENT' GROUP BY 1 ORDER BY yr"),
+
+    "c18_join_asof_tolerance" ->
+      ("WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type " +
+        "FROM events WHERE event_type IN ('click', 'purchase')), " +
+        "w AS (SELECT *, max(CASE WHEN event_type = 'click' THEN ts END) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click FROM ev) " +
+        "SELECT event_id, user_id, " +
+        "CASE WHEN epoch_us(ts) - epoch_us(last_click) <= 3600000000 THEN last_click END AS matched_click, " +
+        "CASE WHEN epoch_us(ts) - epoch_us(last_click) <= 3600000000 " +
+        "THEN epoch_us(ts) - epoch_us(last_click) END AS gap_us " +
+        "FROM w WHERE event_type = 'purchase' ORDER BY event_id")
   )
 }

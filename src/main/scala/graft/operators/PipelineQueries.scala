@@ -221,6 +221,35 @@ object PipelineQueries extends QueryModule {
         .orderBy("id")
     }),
 
+    // G50: single-source shortest path (hop count) over the SPARSIFIED
+    // nation trade graph — g29's edge derivation restricted to FORWARD
+    // edges (supplier nation key above the customer's) and each source's 2
+    // heaviest such partners (deterministic count-desc/dst ranking), then
+    // distributed Bellman-Ford relaxation from nation 0
+    // (plans/ShortestPath.scala) — a 5-level DAG at every SF.
+    // Graph-distance-to-seed is the curation signal link-graph corpus
+    // filters use ("within k hops of a trusted seed set"). The per-src
+    // row_number partitions by src (no global single-partition window);
+    // the relaxation rounds are the data-scale part — one shuffle each.
+    // Oracle: recursive-CTE BFS over the identical edge set.
+    "g50_graph_shortest_path" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val trade = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("s_nationkey") > col("c_nationkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+      val topE = trade
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("cnt").desc, col("dst"))))
+        .filter(col("rn") <= 2)
+        .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      graft.plans.ShortestPath.hops(topE, source = 0L)
+        .orderBy("id")
+    }),
+
     // G30: fuzzy near-dup pairs by edit distance — levenshtein over 20-char
     // prefixes, through the DE-SKEWED blocking of FuzzyBlocking: composite
     // (4-char prefix, length band) block key with per-block cap + salting,
@@ -507,6 +536,25 @@ object PipelineQueries extends QueryModule {
         "LEFT JOIN tp ON tp.dst = nodes.id LEFT JOIN r2 ON r2.id = tp.src " +
         "GROUP BY nodes.id) " +
         "SELECT id, round(pr, 6) AS pr FROM r3 ORDER BY id"),
+
+    // recursive-CTE BFS over the same top-60 edge set; UNION (not UNION ALL)
+    // dedups (id, dist) states so the recursion terminates on the cyclic
+    // graph, and min(dist) per id is the shortest distance
+    "g50_graph_shortest_path" ->
+      ("WITH RECURSIVE e0 AS (SELECT c_nationkey AS src, s_nationkey AS dst, " +
+        "count(*) AS cnt FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE s_nationkey > c_nationkey GROUP BY 1, 2), " +
+        "te AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY src ORDER BY cnt DESC, dst) AS rn FROM e0) " +
+        "WHERE rn <= 2), " +
+        "walk AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist " +
+        "UNION " +
+        "SELECT te.dst, walk.dist + 1 FROM walk JOIN te ON te.src = walk.id " +
+        "WHERE walk.dist < 30) " +
+        "SELECT id, min(dist) AS dist FROM walk GROUP BY id ORDER BY id"),
 
     // identical to g30 by construction: lev_bounded == levenshtein when <= k
     "g30b_fuzzy_pairs_banded" ->

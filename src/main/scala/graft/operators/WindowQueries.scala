@@ -271,6 +271,56 @@ object WindowQueries extends QueryModule {
         .groupBy(col("cohort_week"), col("k"))
         .agg(countDistinct(col("user_id")).as("n_active"))
         .orderBy("cohort_week", "k")
+    }),
+
+    // E13: rolling z-score anomaly detection — per user, each value scored
+    // against the trailing 20-observation window's mean/stddev; |z| > 2.5
+    // flags the anomaly. Mean and variance are derived from exact
+    // DECIMAL-accumulated sum and sum-of-squares (value rounded to 6dp once,
+    // its square exact at scale 12), converted to double only for the final
+    // closed-form arithmetic — so Spark's running window accumulation and
+    // DuckDB's segment tree produce bit-identical doubles, and sqrt/divide
+    // are IEEE-exact on both. One shuffle on user_id, sort within partition;
+    // the canonical window plan at any scale.
+    "e13_rolling_zscore" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-19, 0)
+      val v6 = col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+      t.events
+        .withColumn("sv", sum(v6).over(w).cast("double"))
+        .withColumn("sq", sum(v6 * v6).over(w).cast("double"))
+        .withColumn("n", count(lit(1)).over(w).cast("double"))
+        .filter(col("n") >= 10)
+        .withColumn("vr",
+          (col("sq") - col("sv") * col("sv") / col("n")) / (col("n") - lit(1.0)))
+        .filter(col("vr") > 0)
+        .withColumn("z",
+          (col("value") - col("sv") / col("n")) / sqrt(col("vr")))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("event_id"), col("user_id"), round(col("z"), 6).as("zscore"))
+        .orderBy("event_id")
+    }),
+
+    // E15: exponential moving average — the classic streaming recurrence
+    // ewma ← α·x + (1−α)·ewma folded left-to-right over the trailing
+    // 20-observation frame (zero-seeded, bias-uncorrected). The fold is a
+    // strict sequential double reduction in BOTH engines (Spark `aggregate`,
+    // DuckDB `list_reduce` over a zero-prepended list), so the float result
+    // is bit-identical — no pow(), whose last-ulp behavior differs across
+    // libms. collect_list over a rows-frame preserves frame order. Same
+    // single-shuffle window plan as E13.
+    "e15_ewma" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-19, 0)
+      t.events
+        .withColumn("vals", collect_list(col("value")).over(w))
+        .filter(size(col("vals")) >= 5)
+        .withColumn("ewma", expr(
+          "round(aggregate(vals, 0D, (acc, x) -> 0.3D * x + 0.7D * acc), 6)"))
+        .select(col("event_id"), col("user_id"), col("ewma"))
+        .orderBy("event_id")
     })
   )
 
@@ -398,6 +448,26 @@ object WindowQueries extends QueryModule {
         "count(DISTINCT ev.user_id) AS n_active " +
         "FROM ev JOIN co ON ev.user_id = co.user_id " +
         "WHERE (epoch_us(week) - epoch_us(cohort_week)) // 604800000000 BETWEEN 0 AND 3 " +
-        "GROUP BY 1, 2 ORDER BY cohort_week, k")
+        "GROUP BY 1, 2 ORDER BY cohort_week, k"),
+
+    "e13_rolling_zscore" ->
+      ("WITH w AS (SELECT event_id, user_id, value, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) OVER fr AS DOUBLE) AS sv, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER fr AS DOUBLE) AS sq, " +
+        "CAST(count(*) OVER fr AS DOUBLE) AS n " +
+        "FROM events WINDOW fr AS (PARTITION BY user_id " +
+        "ORDER BY CAST(ts AS TIMESTAMP), event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)), " +
+        "v AS (SELECT *, (sq - sv * sv / n) / (n - 1.0) AS vr FROM w WHERE n >= 10) " +
+        "SELECT event_id, user_id, round((value - sv / n) / sqrt(vr), 6) AS zscore " +
+        "FROM v WHERE vr > 0 AND abs((value - sv / n) / sqrt(vr)) > 2.5 ORDER BY event_id"),
+
+    // zero-prepended list_reduce = Spark's zero-initialized aggregate fold
+    "e15_ewma" ->
+      ("WITH w AS (SELECT event_id, user_id, list(value) OVER " +
+        "(PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id " +
+        "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals FROM events) " +
+        "SELECT event_id, user_id, " +
+        "round(list_reduce(list_prepend(0.0, vals), (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma " +
+        "FROM w WHERE len(vals) >= 5 ORDER BY event_id")
   )
 }

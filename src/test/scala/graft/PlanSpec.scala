@@ -315,6 +315,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("c17: declared bloom-runtime query carries the injected filter in its plan") {
+    // the standalone test above proves the mechanism; this pins the DECLARED
+    // query's plan so a regression in its cloned-session conf setup (or a
+    // Spark upgrade changing the injection conditions) fails here, not as a
+    // silent unpruned scan
+    val p = finalPlan("c17_join_bloom_runtime")
+    assert(p.toLowerCase.contains("bloom"), s"no runtime bloom filter in c17 plan:\n$p")
+  }
+
   test("e1c: declared outputPartitioning lets a downstream same-key agg skip its exchange") {
     import org.apache.spark.sql.functions._
     val t = Tables(spark, sfDir)
