@@ -304,22 +304,25 @@ object WindowQueries extends QueryModule {
 
     // E15: exponential moving average — the classic streaming recurrence
     // ewma ← α·x + (1−α)·ewma folded left-to-right over the trailing
-    // 20-observation frame (zero-seeded, bias-uncorrected). The fold is a
-    // strict sequential double reduction in BOTH engines (Spark `aggregate`,
-    // DuckDB `list_reduce` over a zero-prepended list), so the float result
-    // is bit-identical — no pow(), whose last-ulp behavior differs across
-    // libms. collect_list over a rows-frame preserves frame order. Same
+    // 20-observation frame (zero-seeded, bias-uncorrected; α = 0.3). The
+    // fold runs in FIXED-POINT integer micros — (3x + 7acc) div 10 — the
+    // g48 convention: a double fold is NOT cross-engine bit-stable (DuckDB's
+    // compiled lambda may contract a·b+c to fma, Java never does — observed
+    // as a 1-ulp flip at sf1), while 64-bit integer mul/add/div are exact
+    // everywhere. floor(value·1e6) is the one float op, identical on both
+    // sides. collect_list over a rows-frame preserves frame order; same
     // single-shuffle window plan as E13.
     "e15_ewma" -> ((s, dir) => {
       val t = Tables(s, dir)
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(-19, 0)
       t.events
-        .withColumn("vals", collect_list(col("value")).over(w))
+        .withColumn("v_micro", floor(col("value") * lit(1000000d)).cast("long"))
+        .withColumn("vals", collect_list(col("v_micro")).over(w))
         .filter(size(col("vals")) >= 5)
-        .withColumn("ewma", expr(
-          "round(aggregate(vals, 0D, (acc, x) -> 0.3D * x + 0.7D * acc), 6)"))
-        .select(col("event_id"), col("user_id"), col("ewma"))
+        .withColumn("ewma_micro", expr(
+          "aggregate(vals, 0L, (acc, x) -> (3L * x + 7L * acc) DIV 10L)"))
+        .select(col("event_id"), col("user_id"), col("ewma_micro"))
         .orderBy("event_id")
     })
   )
@@ -461,13 +464,16 @@ object WindowQueries extends QueryModule {
         "SELECT event_id, user_id, round((value - sv / n) / sqrt(vr), 6) AS zscore " +
         "FROM v WHERE vr > 0 AND abs((value - sv / n) / sqrt(vr)) > 2.5 ORDER BY event_id"),
 
-    // zero-prepended list_reduce = Spark's zero-initialized aggregate fold
+    // zero-prepended list_reduce = Spark's zero-initialized aggregate fold;
+    // integer-micros fixed point, so the fold is exact on both engines
     "e15_ewma" ->
-      ("WITH w AS (SELECT event_id, user_id, list(value) OVER " +
+      ("WITH w AS (SELECT event_id, user_id, " +
+        "list(CAST(floor(value * 1000000.0) AS BIGINT)) OVER " +
         "(PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id " +
         "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals FROM events) " +
         "SELECT event_id, user_id, " +
-        "round(list_reduce(list_prepend(0.0, vals), (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), vals), " +
+        "(acc, x) -> (3 * x + 7 * acc) // 10) AS ewma_micro " +
         "FROM w WHERE len(vals) >= 5 ORDER BY event_id")
   )
 }
