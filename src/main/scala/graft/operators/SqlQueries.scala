@@ -249,6 +249,151 @@ object SqlQueries extends QueryModule {
       "FROM lineitem JOIN part ON l_partkey = p_partkey " +
       "WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'"
 
+  // TPC-H Q4 order-priority check — EXISTS semi-join against the fact table
+  // with a correlated non-equi predicate (fixture adaptation: the spec's
+  // commit<receipt "late" test becomes shipdate>orderdate; same plan shape —
+  // a left-semi join Catalyst derives from EXISTS, count per priority).
+  private val tpch4 =
+    "SELECT o_orderpriority, count(*) AS order_count FROM orders " +
+      "WHERE o_orderdate >= TIMESTAMP '1996-07-01' " +
+      "AND o_orderdate < TIMESTAMP '1996-10-01' " +
+      "AND EXISTS (SELECT 1 FROM lineitem " +
+      "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) " +
+      "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+
+  // TPC-H Q11 important-stock — GROUP BY ... HAVING against a global scalar
+  // subquery (fixture adaptation: lineitem value per part stands in for
+  // partsupp cost×qty; one nation's suppliers). Both the per-part and the
+  // global sums are exact decimals cast to double once, so the threshold
+  // comparison is bit-identical across engines.
+  private val tpch11 =
+    s"SELECT l_partkey, ${exactSum("l_extendedprice", "value")} " +
+      "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey " +
+      "JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_1' " +
+      "GROUP BY l_partkey " +
+      s"HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) > " +
+      // scale-invariant threshold: 2x the average per-part share (the spec
+      // scales Q11's fraction by 1/SF for the same reason — a fixed share
+      // selects nothing once the part population grows)
+      "(SELECT 2.0 * CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) " +
+      "/ count(DISTINCT l_partkey) " +
+      "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey " +
+      "JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_1') " +
+      "ORDER BY value DESC, l_partkey"
+
+  // TPC-H Q12 shipping-mode priority split — join + conditional counting
+  // (fixture adaptation: returnflag stands in for shipmode, late = shipped
+  // after the order date). count(CASE...) keeps both engines in BIGINT.
+  private val tpch12 =
+    "SELECT l_returnflag, " +
+      "count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count, " +
+      "count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+      "WHERE l_shipdate > o_orderdate " +
+      "AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
+      "GROUP BY l_returnflag ORDER BY l_returnflag"
+
+  // TPC-H Q13 customer order-count distribution — LEFT OUTER with an extra
+  // join-side filter, then a second aggregation over the first's result
+  // (the distribution-of-counts double group-by).
+  private val tpch13 =
+    "SELECT c_count, count(*) AS custdist FROM (" +
+      "SELECT c_custkey, count(o_orderkey) AS c_count FROM customer " +
+      "LEFT OUTER JOIN orders ON c_custkey = o_custkey " +
+      "AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) c_orders " +
+      "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+
+  // TPC-H Q15 top supplier — a CTE reused twice: once joined, once under
+  // max(); the revenue ties back via an exact-decimal-derived double so the
+  // equality against max is engine-stable.
+  private val tpch15 =
+    "WITH revenue AS (SELECT l_suppkey AS supplier_no, " +
+      "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS total_revenue " +
+      "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+      "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) " +
+      "SELECT s_suppkey, s_name, round(total_revenue, 6) AS total_revenue " +
+      "FROM supplier JOIN revenue ON s_suppkey = supplier_no " +
+      "WHERE total_revenue = (SELECT max(total_revenue) FROM revenue) " +
+      "ORDER BY s_suppkey"
+
+  // TPC-H Q16 supplier count by part attributes — NOT IN anti-subquery +
+  // count(DISTINCT) over a multi-attribute group (fixture adaptation:
+  // lineitem carries the part-supplier relation; the spec's complaint
+  // filter becomes negative account balance).
+  private val tpch16 =
+    "SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt " +
+      "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+      "WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO' " +
+      "AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45) " +
+      "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+      "GROUP BY p_brand, p_type, p_size " +
+      "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+
+  // TPC-H Q17 small-quantity-order revenue — correlated scalar AVG subquery
+  // per part (Catalyst decorrelates into a shared per-part aggregate); the
+  // 0.2×avg threshold goes through exact decimal sum / count so the float
+  // comparison is identical on both engines.
+  private val tpch17 =
+    "SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0, 6) AS avg_yearly " +
+      "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+      "WHERE p_brand = 'Brand#1' AND p_type = 'SMALL' " +
+      "AND l_quantity < (SELECT 0.2 * CAST(sum(CAST(l2.l_quantity AS DECIMAL(27,6))) AS DOUBLE) / count(*) " +
+      "FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"
+
+  // TPC-H Q19 discounted-revenue — the OR-of-ANDs disjunctive predicate
+  // spanning both join sides: the per-branch part filters can push to the
+  // part scan, the quantity bands to lineitem, but the cross-table residual
+  // must stay on the join — the classic pushdown-boundary test.
+  private val tpch19 =
+    s"SELECT round(${Tables.dsumSql("l_extendedprice * (1.0 - l_discount)")}, 6) AS revenue " +
+      "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+      "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 " +
+      "AND l_quantity >= 1 AND l_quantity <= 11) " +
+      "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 " +
+      "AND l_quantity >= 10 AND l_quantity <= 20) " +
+      "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 " +
+      "AND l_quantity >= 20 AND l_quantity <= 30)"
+
+  // TPC-H Q20 potential promotion suppliers — an IN-subquery whose inner
+  // query compares a filtered aggregate to a share of an unfiltered one
+  // (fixture adaptation: "1996 PROMO shipments exceed 12% of all-time PROMO shipments" stands in for
+  // availqty > half of shipped). Two CTEs joined
+  // on supplier keep the threshold exact-decimal-derived.
+  private val tpch20 =
+    "WITH promo96 AS (SELECT l_suppkey, " +
+      "CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS q96 " +
+      "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+      "WHERE p_type = 'PROMO' AND l_shipdate >= TIMESTAMP '1996-01-01' " +
+      "AND l_shipdate < TIMESTAMP '1997-01-01' GROUP BY l_suppkey), " +
+      "promoall AS (SELECT l_suppkey AS sk, " +
+      "CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS qall " +
+      "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+      "WHERE p_type = 'PROMO' GROUP BY l_suppkey) " +
+      "SELECT s_suppkey, s_name FROM supplier " +
+      "JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_2' " +
+      "AND s_suppkey IN (SELECT l_suppkey FROM promo96 " +
+      "JOIN promoall ON sk = l_suppkey WHERE q96 > 0.12 * qall) " +
+      "ORDER BY s_suppkey"
+
+  // TPC-H Q21 waiting suppliers — the EXISTS + NOT EXISTS double
+  // correlation on the same fact table (fixture adaptation: "late" =
+  // shipped after the order date): the only supplier who shipped late on a
+  // finished multi-supplier order. Catalyst turns the pair into a
+  // left-semi + left-anti join stack over lineitem.
+  private val tpch21 =
+    "SELECT s_name, count(*) AS numwait FROM supplier " +
+      "JOIN lineitem l1 ON s_suppkey = l1.l_suppkey " +
+      "JOIN orders ON o_orderkey = l1.l_orderkey " +
+      "JOIN nation ON s_nationkey = n_nationkey " +
+      "WHERE o_orderstatus = 'F' AND n_name = 'NATION_1' " +
+      "AND l1.l_shipdate > o_orderdate " +
+      "AND EXISTS (SELECT 1 FROM lineitem l2 " +
+      "WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) " +
+      "AND NOT EXISTS (SELECT 1 FROM lineitem l3 " +
+      "WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey " +
+      "AND l3.l_shipdate > o_orderdate) " +
+      "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"
+
   private def registerAll(s: org.apache.spark.sql.SparkSession, dir: String): Tables = {
     val t = Tables(s, dir)
     t.region.createOrReplaceTempView("region")
@@ -358,6 +503,66 @@ object SqlQueries extends QueryModule {
     "s16_sql_tpch14" -> ((s, dir) => {
       registerAll(s, dir)
       s.sql(tpch14)
+    }),
+
+    // TPC-H Q4: EXISTS semi-join with non-equi correlation.
+    "s17_sql_tpch4" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(tpch4)
+    }),
+
+    // TPC-H Q11: HAVING vs a global scalar subquery.
+    "s18_sql_tpch11" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(tpch11)
+    }),
+
+    // TPC-H Q12: conditional counting over a late-shipment join.
+    "s19_sql_tpch12" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(tpch12)
+    }),
+
+    // TPC-H Q13: order-count distribution (double group-by over outer join).
+    "s20_sql_tpch13" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(tpch13)
+    }),
+
+    // TPC-H Q15: CTE reused as join input and under max().
+    "s21_sql_tpch15" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(tpch15)
+    }),
+
+    // TPC-H Q16: NOT IN anti-subquery + count distinct.
+    "s22_sql_tpch16" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(tpch16)
+    }),
+
+    // TPC-H Q17: correlated scalar AVG threshold.
+    "s23_sql_tpch17" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(tpch17)
+    }),
+
+    // TPC-H Q19: disjunctive OR-of-ANDs join predicate.
+    "s24_sql_tpch19" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(tpch19)
+    }),
+
+    // TPC-H Q20: nested IN with a share-of-aggregate threshold.
+    "s25_sql_tpch20" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(tpch20)
+    }),
+
+    // TPC-H Q21: EXISTS + NOT EXISTS double correlation.
+    "s26_sql_tpch21" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(tpch21)
     })
   )
 
@@ -377,6 +582,16 @@ object SqlQueries extends QueryModule {
     "s13_sql_tpch7" -> tpch7,
     "s14_sql_tpch8" -> tpch8,
     "s15_sql_tpch10" -> tpch10,
-    "s16_sql_tpch14" -> tpch14
+    "s16_sql_tpch14" -> tpch14,
+    "s17_sql_tpch4" -> tpch4,
+    "s18_sql_tpch11" -> tpch11,
+    "s19_sql_tpch12" -> tpch12,
+    "s20_sql_tpch13" -> tpch13,
+    "s21_sql_tpch15" -> tpch15,
+    "s22_sql_tpch16" -> tpch16,
+    "s23_sql_tpch17" -> tpch17,
+    "s24_sql_tpch19" -> tpch19,
+    "s25_sql_tpch20" -> tpch20,
+    "s26_sql_tpch21" -> tpch21
   )
 }
