@@ -504,6 +504,53 @@ object TextQueries extends QueryModule {
       t.documents.filter(col("doc_id") < 10)
         .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("pos", "term")))
         .orderBy("doc_id", "pos")
+    }),
+
+    // G51: low-resource UPSAMPLING materializer — g41 decides token
+    // allocations; this op actually replicates rows to rebalance a
+    // multilingual mixture: each language's integer repeat factor =
+    // min(4, dominant-language-mass div own-mass) (all-integer, so exact),
+    // then every document explodes into `factor` copies with a copy index —
+    // the (doc, epoch-repeat) stream a trainer consumes (the fixture's en
+    // corpus is ~3x its smallest peers, so factors span 1-3). Scale shape:
+    // the factor table is |langs| rows broadcast onto the corpus;
+    // explode(sequence) is a narrow codegen generator, no shuffle until the
+    // output sort. The cap keeps any rare language from blowing up the
+    // output (the 100 TB guard).
+    "g51_domain_upsample" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val mass = t.documents.groupBy(col("lang"))
+        .agg(sum(col("n_chars")).as("mass"))
+      val factors = mass.crossJoin(
+          broadcast(mass.agg(max(col("mass")).as("maxmass"))))
+        .select(col("lang").as("f_lang"),
+          least(lit(4L), greatest(lit(1L), expr("maxmass div mass"))).as("factor"))
+      t.documents.join(broadcast(factors), col("lang") === col("f_lang"))
+        .select(col("doc_id"), col("lang"), col("factor"),
+          explode(sequence(lit(1L), col("factor"))).as("copy"))
+        .orderBy("doc_id", "copy")
+    }),
+
+    // G52: token-budget corpus selection — assemble a training subset by
+    // taking documents in quality order (here: longest-first with doc_id
+    // tiebreak) until a global token budget (60% of corpus tokens,
+    // floor-divided) is exhausted — the greedy knapsack every "train on the
+    // best N tokens" run performs. All-integer cumsum, so the cut line is
+    // exact on both engines. Scale shape: ONE global window ordered by the
+    // quality key — at 100 TB this becomes a range-partitioned sort (Spark
+    // already plans it as such); the budget scalar crosses as a broadcast.
+    "g52_token_budget_select" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val toks = t.documents
+        .select(col("doc_id"), col("source"), expr("n_chars div 4").as("tok"))
+      val budget = toks.agg(expr("sum(tok) * 3 div 5").as("budget"))
+      val w = Window.orderBy(col("tok").desc, col("doc_id"))
+      toks.withColumn("cum", sum(col("tok")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(budget))
+        .filter(col("cum") <= col("budget"))
+        .select(col("doc_id"), col("source"), col("tok"), col("cum"))
+        .orderBy("doc_id")
     })
   )
 
@@ -725,6 +772,23 @@ object TextQueries extends QueryModule {
         "SELECT doc_id, unnest(list_transform(range(len(toks)), " +
         "i -> {'pos': i, 'term': toks[i+1]})) AS u " +
         "FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents WHERE doc_id < 10)) t " +
-        "ORDER BY doc_id, pos")
+        "ORDER BY doc_id, pos"),
+
+    "g51_domain_upsample" ->
+      ("WITH mass AS (SELECT lang, sum(n_chars) AS mass FROM documents GROUP BY lang), " +
+        "f AS (SELECT lang AS f_lang, " +
+        "least(4, greatest(1, (SELECT max(mass) FROM mass) // mass)) AS factor FROM mass) " +
+        "SELECT doc_id, lang, CAST(factor AS BIGINT) AS factor, " +
+        "unnest(range(1, CAST(factor AS BIGINT) + 1)) AS copy " +
+        "FROM documents JOIN f ON lang = f_lang " +
+        "ORDER BY doc_id, copy"),
+
+    "g52_token_budget_select" ->
+      ("WITH toks AS (SELECT doc_id, source, n_chars // 4 AS tok FROM documents), " +
+        "b AS (SELECT CAST(sum(tok) * 3 // 5 AS BIGINT) AS budget FROM toks), " +
+        "c AS (SELECT doc_id, source, tok, " +
+        "CAST(sum(tok) OVER (ORDER BY tok DESC, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM toks) " +
+        "SELECT doc_id, source, tok, cum FROM c, b WHERE cum <= budget ORDER BY doc_id")
   )
 }

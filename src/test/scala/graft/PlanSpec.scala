@@ -315,6 +315,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("s17/s26: EXISTS correlations decorrelate to semi/anti joins, not subquery re-execution") {
+    // Q4's EXISTS must become one left-semi join against lineitem; Q21's
+    // EXISTS + NOT EXISTS pair must become a semi + anti stack. If Catalyst
+    // ever fell back to per-row subquery evaluation these would be
+    // quadratic at scale — the plan shape IS the scale guarantee.
+    val p4 = finalPlan("s17_sql_tpch4")
+    assert(p4.contains("LeftSemi") || p4.contains("ExistenceJoin"), p4)
+    val p21 = finalPlan("s26_sql_tpch21")
+    assert(p21.contains("LeftSemi") || p21.contains("ExistenceJoin"), p21)
+    assert(p21.contains("LeftAnti"), p21)
+  }
+
   test("c17: declared bloom-runtime query carries the injected filter in its plan") {
     // the standalone test above proves the mechanism; this pins the DECLARED
     // query's plan so a regression in its cloned-session conf setup (or a
