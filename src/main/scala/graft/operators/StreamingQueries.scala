@@ -564,6 +564,36 @@ object StreamingQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // I15: ListState on the Spark 4.x arbitrary-state API — per-user "most
+    // recent k observations" kept across micro-batches (the streaming
+    // feature-store state shape; see RecentValuesProcessor). State is k rows
+    // per user by construction, so total state = k × active users no matter
+    // how long the stream runs. The per-user seq number tags emissions so
+    // the final state is max(seq) per user — no reliance on sink row order.
+    // StreamingSpec proves the kept set equals the batch top-k-by-recency.
+    "i15_stream_recent_list" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val q = stream(s, dir, filesPerTrigger = 2)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") * lit(1000000d)).cast("long").as("v_micro"))
+        .as[(Long, java.sql.Timestamp, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.RecentValuesProcessor(5),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+        .toDF("user_id", "seq", "n_kept", "val_sum_micro")
+      withRocksDbStateStore(s) {
+        runMemory(q, "update", "i15", needsFinalFlush = false, statePartitions = 2)
+      }
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("seq"), col("n_kept"), col("val_sum_micro"))).as("last"))
+        .select(col("user_id"), col("last.n_kept").as("n_kept"),
+          col("last.val_sum_micro").as("val_sum_micro"))
+        .orderBy("user_id")
+    }),
+
     // I10: unbounded generator source, bounded deterministically.
     // `rate-micro-batch` emits exactly rowsPerBatch rows per micro-batch
     // (batch k: values [k·2000, (k+1)·2000), all stamped k·1 min), and under
@@ -606,6 +636,16 @@ object StreamingQueries extends QueryModule {
   // File-fed streaming output is micro-batch dependent — no SQL oracles
   // (rows-only). i10's generator is deterministic, so it alone gets one.
   val oracles: Seq[(String, String)] = Seq(
+    // i15's final ListState per user is chunking-independent: the most
+    // recent 5 observations by (ts, event_id) over the whole fixture —
+    // batch-replayable, so this streaming query carries a full value oracle
+    "i15_stream_recent_list" ->
+      ("WITH r AS (SELECT user_id, CAST(floor(value * 1000000.0) AS BIGINT) AS v, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn FROM events) " +
+        "SELECT user_id, count(*) AS n_kept, CAST(sum(v) AS BIGINT) AS val_sum_micro " +
+        "FROM r WHERE rn <= 5 GROUP BY user_id ORDER BY user_id"),
+
     // batches 0,1 land in [00:00, 00:02) (values 0..3999), batch 2 in
     // [00:02, 00:04) (values 4000..5999)
     "i10_stream_rate" ->

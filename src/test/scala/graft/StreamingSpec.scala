@@ -8,6 +8,23 @@ class StreamingSpec extends AnyFunSuite {
 
   private lazy val totalEvents = Tables(spark, sfDir).events.count()
 
+  test("i15: ListState across micro-batches equals the batch top-5-by-recency") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val streamed = SparkEntry.queries("i15_stream_recent_list")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val batch = Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * lit(1000000d)).cast("long").as("v"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("v")).as("vs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("i1: complete-mode tumbling counts cover every event") {
     val n = SparkEntry.queries("i1_stream_tumbling")(spark, sfDir)
       .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
