@@ -594,6 +594,32 @@ object StreamingQueries extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // I16: MapState on the Spark 4.x arbitrary-state API — per-user
+    // counters keyed by event type (see TypeCountsProcessor; completes the
+    // Value/List/Map state-primitive trio). The final map per user is
+    // chunking-independent (= the batch groupBy count), so like i15 this
+    // streaming query carries a full value oracle.
+    "i16_stream_map_counts" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val q = stream(s, dir, filesPerTrigger = 2)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[(Long, java.sql.Timestamp, String)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.TypeCountsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+        .toDF("user_id", "seq", "event_type", "n")
+      withRocksDbStateStore(s) {
+        runMemory(q, "update", "i16", needsFinalFlush = false, statePartitions = 2)
+      }
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(struct(col("seq"), col("n"))).as("last"))
+        .select(col("user_id"), col("event_type"), col("last.n").as("n"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // I10: unbounded generator source, bounded deterministically.
     // `rate-micro-batch` emits exactly rowsPerBatch rows per micro-batch
     // (batch k: values [k·2000, (k+1)·2000), all stamped k·1 min), and under
@@ -645,6 +671,12 @@ object StreamingQueries extends QueryModule {
         "ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn FROM events) " +
         "SELECT user_id, count(*) AS n_kept, CAST(sum(v) AS BIGINT) AS val_sum_micro " +
         "FROM r WHERE rn <= 5 GROUP BY user_id ORDER BY user_id"),
+
+    // i16's final MapState per user is chunking-independent: the plain
+    // batch count per (user, event_type)
+    "i16_stream_map_counts" ->
+      ("SELECT user_id, event_type, count(*) AS n FROM events " +
+        "GROUP BY user_id, event_type ORDER BY user_id, event_type"),
 
     // batches 0,1 land in [00:00, 00:02) (values 0..3999), batch 2 in
     // [00:02, 00:04) (values 4000..5999)
