@@ -506,6 +506,55 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id", "pos")
     }),
 
+    // G53: EXACT set-similarity join via PREFIX FILTERING (AllPairs /
+    // PPJoin family) — the lossless subquadratic path for Jaccard joins,
+    // complementing the approximate MinHash/SimHash scale paths: order each
+    // doc's shingles by GLOBAL rarity; any pair with jac ≥ t must share its
+    // globally-rarest common shingle within both docs' first
+    // |s| − ceil(t·|s|) + 1 elements (pigeonhole on the ≥ ceil(t·|s|)
+    // overlap), so joining only on prefix shingles loses nothing. The
+    // threshold arithmetic is ALL-INTEGER (ceil(2len/5) = (2len+4) div 5) —
+    // a float ceil(0.4·len) can round the prefix one short and silently
+    // drop pairs. Unlike g2's candidates this needs no blocking assumption:
+    // the oracle is the FULL all-pairs join. Skew-safe by construction —
+    // frequent shingles sort to the ends of docs and never enter a prefix,
+    // so the token join only ever fans out on rare keys; partitions pinned
+    // like the rest of the pair family.
+    "g53_setsim_prefix" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val sets = t.documents
+        .withColumn("toks", TF.tokens(lower(col("text"))))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), TF.shingles3("toks").as("sh"))
+      val exploded = sets
+        .select(col("doc_id"), size(col("sh")).as("len"), explode(col("sh")).as("tok"))
+      val freq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("tok"))
+      val prefix = exploded.join(freq, "tok")
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= col("len") - expr("(2 * len + 4) div 5") + 1)
+        .select(col("doc_id"), col("len"), col("tok"))
+      val n = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+      // AllPairs length filter, also integer-exact: jac ≥ 2/5 forces
+      // 5·|b| ≥ 2·|a| and 5·|a| ≥ 2·|b|, pruning cross-length candidates
+      // before the (expensive) set fetch + intersect
+      val cand = prefix.select(col("doc_id").as("a_id"), col("len").as("alen"), col("tok"))
+        .repartition(n, col("tok"))
+        .join(prefix.select(col("doc_id").as("b_id"), col("len").as("blen"),
+            col("tok").as("tokb"))
+          .repartition(n, col("tokb")),
+          col("tok") === col("tokb") && col("a_id") < col("b_id") &&
+            col("blen") * 5 >= col("alen") * 2 && col("alen") * 5 >= col("blen") * 2)
+        .select(col("a_id"), col("b_id")).distinct()
+      cand
+        .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+        .withColumn("jac", TF.jaccard(col("sha"), col("shb")))
+        .filter(col("jac") >= 0.4)
+        .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // G51: low-resource UPSAMPLING materializer — g41 decides token
     // allocations; this op actually replicates rows to rebalance a
     // multilingual mixture: each language's integer repeat factor =
@@ -773,6 +822,16 @@ object TextQueries extends QueryModule {
         "i -> {'pos': i, 'term': toks[i+1]})) AS u " +
         "FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents WHERE doc_id < 10)) t " +
         "ORDER BY doc_id, pos"),
+
+    // prefix filtering is LOSSLESS, so the oracle is the full all-pairs
+    // join (quadratic oracle-side only — the engine's plan is the point)
+    "g53_setsim_prefix" ->
+      (s"WITH $duckShingleCte " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)), 6) AS jaccard " +
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.4 " +
+        "ORDER BY a_id, b_id"),
 
     "g51_domain_upsample" ->
       ("WITH mass AS (SELECT lang, sum(n_chars) AS mass FROM documents GROUP BY lang), " +
