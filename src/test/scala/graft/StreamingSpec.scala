@@ -25,6 +25,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("i16: MapState across micro-batches equals the batch per-type counts") {
+    import org.apache.spark.sql.functions._
+    val streamed = SparkEntry.queries("i16_stream_map_counts")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Tables(spark, sfDir).events
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("i1: complete-mode tumbling counts cover every event") {
     val n = SparkEntry.queries("i1_stream_tumbling")(spark, sfDir)
       .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
