@@ -533,23 +533,38 @@ object TextQueries extends QueryModule {
       val prefix = exploded.join(freq, "tok")
         .withColumn("r", row_number().over(w))
         .filter(col("r") <= col("len") - expr("(2 * len + 4) div 5") + 1)
-        .select(col("doc_id"), col("len"), col("tok"))
+        .select(col("doc_id"), col("len"), col("r"), col("tok"))
       val n = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
-      // AllPairs length filter, also integer-exact: jac ≥ 2/5 forces
-      // 5·|b| ≥ 2·|a| and 5·|a| ≥ 2·|b|, pruning cross-length candidates
-      // before the (expensive) set fetch + intersect
-      val cand = prefix.select(col("doc_id").as("a_id"), col("len").as("alen"), col("tok"))
+      // Two more LOSSLESS prunes before any set is fetched, both
+      // integer-exact: the AllPairs length filter (jac ≥ 2/5 forces
+      // 5·|b| ≥ 2·|a| and vice versa) and the PPJoin POSITIONAL filter —
+      // jac ≥ t needs overlap o ≥ ceil(t/(1+t)·(la+lb)) = ceil(2(la+lb)/7),
+      // and for the globally-first shared token at prefix positions
+      // (ra, rb) every shared token sits at-or-after it in both orders, so
+      // o ≤ min(la−ra, lb−rb)+1; a qualifying pair always passes on that
+      // first shared token, while chance pairs sharing one late rare token
+      // are dropped without ever touching their shingle arrays.
+      val cand = prefix.select(col("doc_id").as("a_id"), col("len").as("alen"),
+          col("r").as("ra"), col("tok"))
         .repartition(n, col("tok"))
         .join(prefix.select(col("doc_id").as("b_id"), col("len").as("blen"),
-            col("tok").as("tokb"))
+            col("r").as("rb"), col("tok").as("tokb"))
           .repartition(n, col("tokb")),
           col("tok") === col("tokb") && col("a_id") < col("b_id") &&
-            col("blen") * 5 >= col("alen") * 2 && col("alen") * 5 >= col("blen") * 2)
+            col("blen") * 5 >= col("alen") * 2 && col("alen") * 5 >= col("blen") * 2 &&
+            least(col("alen") - col("ra"), col("blen") - col("rb")) + 1 >=
+              expr("(2 * (alen + blen) + 6) div 7"))
         .select(col("a_id"), col("b_id")).distinct()
+      // union-free verification: the shingle sets are distinct, so
+      // |a ∪ b| = |a| + |b| − |a ∩ b| — one array_intersect per pair
+      // instead of intersect + union (same integers, same double, same
+      // oracle value)
       cand
         .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
         .join(sets.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
-        .withColumn("jac", TF.jaccard(col("sha"), col("shb")))
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+        .withColumn("jac",
+          col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")))
         .filter(col("jac") >= 0.4)
         .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jaccard"))
         .orderBy("a_id", "b_id")

@@ -43,16 +43,21 @@ class SetSimSpec extends AnyFunSuite {
     val prefix = exploded.join(freq, "tok")
       .withColumn("r", row_number().over(w))
       .filter(col("r") <= col("len") - expr("(2 * len + 4) div 5") + 1)
-      .select(col("doc_id"), col("len"), col("tok"))
-    val cand = prefix.select(col("doc_id").as("a_id"), col("len").as("alen"), col("tok"))
+      .select(col("doc_id"), col("len"), col("r"), col("tok"))
+    val cand = prefix.select(col("doc_id").as("a_id"), col("len").as("alen"),
+        col("r").as("ra"), col("tok"))
       .join(prefix.select(col("doc_id").as("b_id"), col("len").as("blen"),
-          col("tok").as("tokb")),
+          col("r").as("rb"), col("tok").as("tokb")),
         col("tok") === col("tokb") && col("a_id") < col("b_id") &&
-          col("blen") * 5 >= col("alen") * 2 && col("alen") * 5 >= col("blen") * 2)
+          col("blen") * 5 >= col("alen") * 2 && col("alen") * 5 >= col("blen") * 2 &&
+          least(col("alen") - col("ra"), col("blen") - col("rb")) + 1 >=
+            expr("(2 * (alen + blen) + 6) div 7"))
       .select(col("a_id"), col("b_id")).distinct()
     cand.join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
-      .withColumn("jac", TF.jaccard(col("sha"), col("shb")))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("jac",
+        col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")))
       .filter(col("jac") >= 0.4)
       .select(col("a_id"), col("b_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
