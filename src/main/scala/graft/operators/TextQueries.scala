@@ -600,17 +600,39 @@ object TextQueries extends QueryModule {
     // tiebreak) until a global token budget (60% of corpus tokens,
     // floor-divided) is exhausted — the greedy knapsack every "train on the
     // best N tokens" run performs. All-integer cumsum, so the cut line is
-    // exact on both engines. Scale shape: ONE global window ordered by the
-    // quality key — at 100 TB this becomes a range-partitioned sort (Spark
-    // already plans it as such); the budget scalar crosses as a broadcast.
+    // exact on both engines. Scale shape: a GLOBAL running sum — which a
+    // naive unpartitioned window collapses onto ONE task (Spark's WindowExec
+    // warns and single-partitions it) — done instead as the two-pass
+    // pattern that parallelizes it: range-repartition on the quality key
+    // (global order across partitions), per-partition partial sums, a
+    // prefix-sum of the ≤ |partitions| partials on metadata scale, then a
+    // per-partition window + broadcast offset. Per-row cum values are
+    // independent of where the range boundaries land, so the result is
+    // partitioning-invariant and replay-exact.
     "g52_token_budget_select" -> ((s, dir) => {
       val t = Tables(s, dir)
       val toks = t.documents
         .select(col("doc_id"), col("source"), expr("n_chars div 4").as("tok"))
       val budget = toks.agg(expr("sum(tok) * 3 div 5").as("budget"))
-      val w = Window.orderBy(col("tok").desc, col("doc_id"))
-      toks.withColumn("cum", sum(col("tok")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val n = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+      // localCheckpoint pins ONE physical range partitioning: the offsets
+      // branch and the join branch would otherwise recompute the exchange
+      // independently, and RangePartitioner's sampled boundaries need not
+      // land identically twice — pids would then disagree with offsets
+      // (observed at sf1 as a wrong row count). Checkpointing the projected
+      // 3-column frame is one bounded materialization.
+      val ranked = toks.repartitionByRange(n, col("tok").desc, col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
+      val offsets = ranked.groupBy(col("pid")).agg(sum(col("tok")).as("psum"))
+        .withColumn("offset", coalesce(
+          sum(col("psum")).over(Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("offset"))
+      val w = Window.partitionBy(col("pid")).orderBy(col("tok").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ranked.join(broadcast(offsets), "pid")
+        .withColumn("cum", sum(col("tok")).over(w) + col("offset"))
         .crossJoin(broadcast(budget))
         .filter(col("cum") <= col("budget"))
         .select(col("doc_id"), col("source"), col("tok"), col("cum"))
