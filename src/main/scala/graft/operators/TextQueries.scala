@@ -637,6 +637,39 @@ object TextQueries extends QueryModule {
         .filter(col("cum") <= col("budget"))
         .select(col("doc_id"), col("source"), col("tok"), col("cum"))
         .orderBy("doc_id")
+    }),
+
+    // G54: PARAGRAPH-level exact dedup (the CCNet shape): dedup at a
+    // granularity FINER than the document — boilerplate paragraphs repeat
+    // across pages that are not document-level duplicates, so doc-level
+    // dedup (g1) misses them entirely. The fixture corpus has no paragraph
+    // breaks, so "paragraphs" are the deterministic stand-in every pipeline
+    // uses when structure is absent: non-overlapping 10-token segments.
+    // Each segment keeps only its FIRST corpus occurrence (by (doc_id,
+    // seg_idx) — the same survivor rule as g1), and documents are
+    // reassembled from their surviving segments in order. Scale shape: the
+    // only shuffle is the window on the segment key (at 100 TB the key
+    // would be xxhash64(seg), 8 bytes crossing the exchange instead of the
+    // text; the string key here keeps the oracle byte-exact); reassembly is
+    // a groupBy on doc_id whose collect_list is bounded by document length.
+    "g54_paragraph_dedup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val segs = t.documents
+        .withColumn("toks", TF.tokens(lower(col("text"))))
+        .filter(size(col("toks")) >= 1)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(toks) / 10.0) as int) - 1), " +
+            "i -> concat_ws(' ', slice(toks, i * 10 + 1, 10)))"))
+          .as(Seq("seg_idx", "seg")))
+      val w = Window.partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_idx"))
+      segs.withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segs"),
+          count(when(col("rn") === 1, lit(1))).as("n_kept"),
+          concat_ws(" ", transform(array_sort(collect_list(
+            when(col("rn") === 1, struct(col("seg_idx"), col("seg"))))),
+            _.getField("seg"))).as("kept_text"))
+        .orderBy("doc_id")
     })
   )
 
@@ -885,6 +918,19 @@ object TextQueries extends QueryModule {
         "c AS (SELECT doc_id, source, tok, " +
         "CAST(sum(tok) OVER (ORDER BY tok DESC, doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM toks) " +
-        "SELECT doc_id, source, tok, cum FROM c, b WHERE cum <= budget ORDER BY doc_id")
+        "SELECT doc_id, source, tok, cum FROM c, b WHERE cum <= budget ORDER BY doc_id"),
+
+    "g54_paragraph_dedup" ->
+      ("WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents " +
+        "WHERE len(str_split(lower(text), ' ')) >= 1), " +
+        "e AS (SELECT doc_id, CAST(i AS INT) AS seg_idx, " +
+        "array_to_string(toks[i*10+1 : i*10+10], ' ') AS seg " +
+        "FROM d, UNNEST(range(0, CAST(ceil(len(toks)/10.0) AS INT))) AS t(i)), " +
+        "r AS (SELECT doc_id, seg_idx, seg, " +
+        "row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM e) " +
+        "SELECT doc_id, count(*) AS n_segs, " +
+        "count(*) FILTER (WHERE rn = 1) AS n_kept, " +
+        "coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '') AS kept_text " +
+        "FROM r GROUP BY doc_id ORDER BY doc_id")
   )
 }

@@ -718,8 +718,97 @@ object VectorQueries extends QueryModule {
           ascii(col("frame")).as("first_byte"),
           md5(col("frame").cast("binary")).as("frame_hash"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // G55: PRODUCT-QUANTIZATION ANN (the IVF-PQ memory half, Jégou et al.):
+    // the scale path where even the vectors themselves no longer fit — 64
+    // floats (256 B) compress to 4 sub-codes (4 B as ints here, 2 B packed),
+    // a 64x reduction, and search never touches a raw corpus vector.
+    //  - TRAIN: an independent k-means codebook (k=16, 3 Lloyd rounds via
+    //    plans.KMeans — deterministic seeding/ties) per 16-dim subspace;
+    //    only 4 × (16×16 doubles) ever reach the driver.
+    //  - ENCODE: one narrow codegen projection assigns each subvector its
+    //    nearest centroid id; the corpus becomes (vec_id, label, 4 codes).
+    //  - SEARCH (ADC): the query builds a 4×16 lookup table of exact
+    //    subspace distances driver-side; each row's approximate distance is
+    //    then FOUR array lookups + 3 adds — no per-row vector math at all.
+    //    adist(v) == ||q − decode(codes(v))||² exactly (asserted in
+    //    VectorSpec).
+    //  - RE-RANK: ADC keeps a 50-candidate shortlist; only those 50 rows'
+    //    raw vectors are touched for an exact distance, and the final top-10
+    //    is exact-ordered — the standard two-stage ANN serving shape (the
+    //    compressed index prunes 90%+ of the corpus; the raw-vector fetch is
+    //    id-addressed and shortlist-sized, never a scan).
+    // Rows-only by design (the shortlist is approximate); shortlist recall +
+    // ADC-identity invariants live in VectorSpec.
+    "g55_pq_adc_topk" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val base = withPqSubs(
+        t.embeddings.select(col("vec_id"), col("label"), vd.as("x")))
+        .repartition(nPart).cache()
+      val (codebooks, query) = pqTrain(base, t)
+      // encode: nearest sub-centroid per subspace, all in one projection
+      val codes = pqSubCols.zip(codebooks).map { case (sub, cb) =>
+        graft.plans.KMeans.assignCols(sub, cb)._1
+      }
+      // ADC lookup table: exact subspace distances query↔centroid, driver-side
+      val lut = codebooks.zipWithIndex.map { case (cb, j) =>
+        val q = query.slice(j * 16, (j + 1) * 16)
+        cb.map { c =>
+          var acc = 0.0; var i = 0
+          while (i < 16) { val d = q(i) - c(i); acc += d * d; i += 1 }
+          acc
+        }.toIndexedSeq
+      }.toIndexedSeq
+      val lutCol = typedLit(lut)
+      val adist = codes.zipWithIndex.map { case (code, j) =>
+        element_at(element_at(lutCol, j + 1), code + 1)
+      }.reduce(_ + _)
+      val qv = typedLit(query.toIndexedSeq)
+      val exactDist = expr(
+        "aggregate(zip_with(x, qv, (a, b) -> (a - b) * (a - b)), 0D, (s, v) -> s + v)")
+      val out = base.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"), col("x"), round(adist, 6).as("adist"))
+        .orderBy(col("adist").asc, col("vec_id").asc)
+        .limit(50)
+        .withColumn("qv", qv)
+        .withColumn("dist", round(exactDist, 6))
+        .select(col("vec_id"), col("label"), col("adist"), col("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+        .localCheckpoint()
+      base.unpersist()
+      out
     })
   )
+
+  /** PQ geometry: 64 dims → 4 contiguous 16-dim subspaces (column names). */
+  private def pqSubCols: Seq[String] = (0 until 4).map(j => s"sub$j")
+
+  /** Add the 4 subvector columns (one slice each, pure projection). */
+  private[graft] def withPqSubs(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    pqSubCols.zipWithIndex.foldLeft(df) { case (d, (name, j)) =>
+      d.withColumn(name, expr(s"slice(x, ${j * 16 + 1}, 16)"))
+    }
+
+  /** Train one 16-centroid codebook per subspace on `base` (already carrying
+    * sub0..sub3); returns the codebooks and the query vector (vec_id 0, the
+    * held-out probe every g4-family query uses). Each fit is the standard
+    * distributed Lloyd loop — 12 passes total, k×d driver state. */
+  private[graft] def pqTrain(base: org.apache.spark.sql.DataFrame, t: Tables)
+      : (Seq[Array[Array[Double]]], Array[Double]) = {
+    val codebooks = pqSubCols.map { name =>
+      graft.plans.KMeans.fit(
+        base.select(col("vec_id"), col(name)), "vec_id", name, 16, 16, 3)._1
+    }
+    val spark = t.spark
+    import spark.implicits._
+    val query = t.embeddings.filter(col("vec_id") === 0)
+      .select(vd).as[Seq[Double]].head().toArray
+    (codebooks, query)
+  }
 
   /** Deterministic pseudo-random unit hyperplanes (splitmix64 from a fixed
     * seed) — reproducible across runs without Math.random. */

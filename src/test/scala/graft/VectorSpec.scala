@@ -259,4 +259,53 @@ class VectorSpec extends AnyFunSuite {
     xc.unpersist()
     ()
   }
+
+  test("g55: PQ-ADC distances equal query-to-decoded distances exactly; recall is sane") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sfDir)
+    // re-derive the SAME codebooks the query trains (KMeans.fit is
+    // deterministic), then check the declared output against a driver-side
+    // re-encode: adist(v) must be EXACTLY ||q - decode(codes(v))||^2 (after
+    // the query's HALF_UP 6dp round) — the defining ADC identity.
+    val base = operators.VectorQueries.withPqSubs(
+      t.embeddings.select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("x")))
+    val (cbs, q) = operators.VectorQueries.pqTrain(base, t)
+    assert(cbs.length == 4 && cbs.forall(cb => cb.length == 16 && cb.forall(_.length == 16)))
+    val vecs = t.embeddings.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def sq(a: Array[Double], b: Array[Double], off: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < b.length) { val d = a(off + i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    def adistOf(v: Array[Double]): Double =
+      (0 until 4).map { j =>
+        // nearest sub-centroid, ties toward the lowest id (KMeans.assignCols)
+        val ds = cbs(j).map(c => sq(v, c, j * 16))
+        val code = ds.indexOf(ds.min)
+        sq(q, cbs(j)(code), j * 16)
+      }.sum
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val out = SparkEntry.queries("g55_pq_adc_topk")(spark, sfDir).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getDouble(2) == round6(adistOf(vecs(id))), s"ADC identity broken for $id")
+      // the re-rank distance is the true distance, exactly
+      assert(r.getDouble(3) == round6(sq(vecs(id), q, 0)), s"re-rank dist broken for $id")
+    }
+    // final output exact-ordered by true distance, self excluded
+    assert(!out.exists(_.getLong(0) == 0L))
+    val ds = out.map(_.getDouble(3)).toSeq
+    assert(ds == ds.sorted)
+    // recall vs the exact L2 top-10 (query = vec 0, self excluded): the
+    // 50-candidate ADC shortlist + exact re-rank must recover most of it
+    val exact = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (sq(v, q, 0), id) }.sorted.take(10).map(_._2).toSet
+    val got = out.map(_.getLong(0)).toSet
+    val recall = (exact & got).size.toDouble / 10
+    assert(recall >= 0.4, s"PQ shortlist recall@10 $recall too low")
+  }
 }
