@@ -376,6 +376,36 @@ object StreamingQueries extends QueryModule {
         .orderBy("p_user")
     }),
 
+    // I17: stream-stream LEFT OUTER join — i9's shape plus the null-padded
+    // rows: a purchase with NO click in its preceding hour must still emit
+    // (exactly once, click columns null). Outer emission is watermark-gated
+    // — the engine can only declare "no match will ever come" once the
+    // click watermark passes the purchase's join window, so the trailing
+    // no-data batch (needsFinalFlush) is what flushes the final unmatched
+    // purchases. Both sides watermarked → join state stays bounded, same
+    // as i9. Rows-only; the null-padding semantics are proven fixture-free
+    // in StreamingSpec.
+    "i17_stream_outer_join" -> ((s, dir) => {
+      val clicks = stream(s, dir, perBatch = false)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = stream(s, dir, perBatch = false)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val q = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+      runMemory(q, "append", "i17")
+        .groupBy(col("p_user"))
+        .agg(count(col("c_id")).as("n_matched"),
+          count(when(col("c_id").isNull, 1)).as("n_unmatched"))
+        .orderBy("p_user")
+    }),
+
     // I11: the sketch library under STREAMING state — our
     // TypedImperativeAggregate HLL (hll_approx) as a windowed streaming
     // aggregate: the 16 KiB register blobs serialize into the state store,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryModule, Tables}
-import graft.sources.{SnapshotTable, ZoneMap}
+import graft.sources.{BloomIndex, SnapshotTable, ZoneMap}
 import org.apache.spark.sql.functions._
 
 /** Warehouse-maintenance operators (SURVEY §2 M band, round 10): the table
@@ -274,6 +274,25 @@ object WarehouseQueries extends QueryModule {
           .otherwise("unchanged").as("kind"))
         .groupBy(col("kind")).agg(count(lit(1)).as("n"))
         .orderBy("kind")
+    }),
+
+    // M10: file-level BLOOM-INDEX point-lookup skipping — the data-skipping
+    // case zone maps cannot serve: orders laid out by o_orderkey (so
+    // o_custkey is scattered and every file's min/max envelope on it spans
+    // the domain), with an ~8 KiB Bloom blob per file on o_custkey. A
+    // 3-customer point lookup probes the index (metadata scan, codegen
+    // bloom_contains), opens ONLY the files that fire — no false negatives,
+    // so never a wrong skip — and the exact residual filter removes false
+    // positives. Must equal the full-scan answer; the actual file-count
+    // drop is asserted in WarehouseSpec.
+    "m10_bloom_index_lookup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val bpath = s"${System.getProperty("java.io.tmpdir")}/graft_bloomidx_orders_${dir.hashCode & 0x7fffffff}"
+      BloomIndex.writeIndexed(t.orders, bpath, "o_custkey", "o_orderkey", nFiles = 16)
+      BloomIndex.prunedRead(s, bpath, "o_custkey", Seq("1", "7", "25"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice").cast("double"), 6).as("totalprice"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -376,6 +395,11 @@ object WarehouseQueries extends QueryModule {
         "SELECT CASE WHEN ak IS NULL THEN 'added' WHEN bk IS NULL THEN 'removed' " +
         "WHEN av <> bv THEN 'changed' ELSE 'unchanged' END AS kind, " +
         "count(*) AS n FROM a FULL OUTER JOIN b ON ak = bk " +
-        "GROUP BY 1 ORDER BY kind")
+        "GROUP BY 1 ORDER BY kind"),
+
+    // the skipping path must be invisible: same answer as the plain filter
+    "m10_bloom_index_lookup" ->
+      ("SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS totalprice " +
+        "FROM orders WHERE o_custkey IN (1, 7, 25) ORDER BY o_orderkey")
   )
 }

@@ -258,6 +258,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally sq.stop()
   }
 
+  test("i17 mechanics: left-outer join null-pads unmatched rows after the watermark (fixture-free)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val left = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)  // purchases
+    val right = MemoryStream[(Long, Long, java.sql.Timestamp)](spark) // clicks
+    def ts(min: Long) = new java.sql.Timestamp((1000 + min) * 60000L)
+    val l = left.toDS().toDF("p_id", "p_user", "p_ts").withWatermark("p_ts", "10 minutes")
+    val r = right.toDS().toDF("c_id", "c_user", "c_ts").withWatermark("c_ts", "10 minutes")
+    val q = l.join(r,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+    val name = s"outer_join_${System.nanoTime()}"
+    val sq = q.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // user 1: purchase at min 20 with a click at min 15 (in-window match);
+      // user 2: purchase at min 20, click at min 5 (OUTSIDE the 10-min
+      // window); user 3: purchase at min 20, no click at all
+      right.addData((100L, 1L, ts(15)), (101L, 2L, ts(5)))
+      left.addData((1L, 1L, ts(20)), (2L, 2L, ts(20)), (3L, 3L, ts(20)))
+      sq.processAllAvailable()
+      // matched row emits eagerly; outer rows must NOT have emitted yet —
+      // the engine cannot rule out a future click before the watermark moves
+      val eager = spark.table(name).collect()
+      assert(eager.length == 1 && eager.head.getLong(0) == 1L,
+        s"expected only the matched purchase eagerly, got ${eager.toSeq}")
+      // advance both watermarks far past min 30 → outer rows flush
+      right.addData((199L, 9L, ts(200)))
+      left.addData((99L, 9L, ts(200)))
+      sq.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), Option(r.get(3)).map(_.toString)))
+        .toMap
+      assert(rows(1L).isDefined, "matched purchase lost its click")
+      assert(rows.contains(2L) && rows(2L).isEmpty,
+        s"out-of-window purchase must null-pad: $rows")
+      assert(rows.contains(3L) && rows(3L).isEmpty,
+        s"clickless purchase must null-pad: $rows")
+    } finally sq.stop()
+  }
+
   test("i14 mechanics: simhash band filter rejects near-identical, passes novel (fixture-free)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._

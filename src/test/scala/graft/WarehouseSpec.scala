@@ -406,4 +406,33 @@ class WarehouseSpec extends AnyFunSuite {
     r.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-12, s"node $k: ${got(k)} vs $v") }
     assert(math.abs(got.values.sum - 1.0) < 1e-9) // no dangling => mass conserved
   }
+
+  test("bloom index: point lookup opens a strict subset of files with no false negatives") {
+    import graft.sources.BloomIndex
+    val t = Tables(spark, sfDir)
+    val bpath = s"${System.getProperty("java.io.tmpdir")}/graft_bloomidx_spec_${sfDir.hashCode & 0x7fffffff}"
+    BloomIndex.writeIndexed(t.orders, bpath, "o_custkey", "o_orderkey", nFiles = 16)
+    val allFiles = new java.io.File(bpath).listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(allFiles == 16, s"expected 16 data files, got $allFiles")
+    val keys = Seq("1", "7", "25")
+    val pruned = BloomIndex.prunedFiles(spark, bpath, "o_custkey", keys)
+    // the key is scattered (layout is on o_orderkey), yet the bloom index
+    // must still drop files — the case a min/max zone map cannot prune
+    assert(pruned.nonEmpty && pruned.size < allFiles,
+      s"no pruning: ${pruned.size} of $allFiles files")
+    // NO FALSE NEGATIVES: every file truly containing one of the keys fires
+    val truth = spark.read.parquet(bpath)
+      .filter(col("o_custkey").isin(1L, 7L, 25L))
+      .select(col("_metadata.file_path")).distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(truth.subsetOf(pruned.toSet),
+      s"missed files: ${truth -- pruned.toSet}")
+    // and the pruned read equals the full-scan filter exactly
+    val got = BloomIndex.prunedRead(spark, bpath, "o_custkey", keys)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    val want = t.orders.filter(col("o_custkey").isin(1L, 7L, 25L))
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
 }
