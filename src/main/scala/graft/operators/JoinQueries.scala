@@ -371,6 +371,28 @@ object JoinQueries extends QueryModule {
           when(col("gap_us") <= tolUs, Tables.ntz(col("last_click"))).as("matched_click"),
           when(col("gap_us") <= tolUs, col("gap_us")).as("gap_us"))
         .orderBy("event_id")
+    }),
+
+    // C19: NULL-SAFE equality join (<=>, SQL's IS NOT DISTINCT FROM) — the
+    // join a plain `=` silently breaks: NULL keys never match themselves,
+    // so rows with an absent dimension value vanish from an equi-join.
+    // Spark plans EqualNullSafe as a first-class hash-join key (null is
+    // just another bucket), not a degraded theta join — asserted here by
+    // joining two aggregates whose key is NULLed for one segment and
+    // requiring the NULL group to carry through. Both sides pre-aggregate
+    // before the join (k-row inputs, broadcast) — the at-scale shape for a
+    // reconciliation join on a nullable key.
+    "c19_join_nullsafe" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val seg = expr("nullif(c_mktsegment, 'BUILDING')")
+      val l = t.customer.groupBy(seg.as("seg"))
+        .agg(count(lit(1)).as("n_cust"))
+      val r = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(seg.as("seg2"))
+        .agg(floor(sum(col("o_totalprice").cast(Tables.dec))).cast("long").as("revenue"))
+      l.join(broadcast(r), col("seg") <=> col("seg2"), "left")
+        .select(col("seg"), col("n_cust"), col("revenue"))
+        .orderBy(col("seg").asc_nulls_first)
     })
   )
 
@@ -529,6 +551,16 @@ object JoinQueries extends QueryModule {
         "CASE WHEN epoch_us(ts) - epoch_us(last_click) <= 3600000000 THEN last_click END AS matched_click, " +
         "CASE WHEN epoch_us(ts) - epoch_us(last_click) <= 3600000000 " +
         "THEN epoch_us(ts) - epoch_us(last_click) END AS gap_us " +
-        "FROM w WHERE event_type = 'purchase' ORDER BY event_id")
+        "FROM w WHERE event_type = 'purchase' ORDER BY event_id"),
+
+    "c19_join_nullsafe" ->
+      ("WITH l AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg, count(*) AS n_cust " +
+        "FROM customer GROUP BY 1), " +
+        "r AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg2, " +
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1) " +
+        "SELECT l.seg, l.n_cust, r.revenue FROM l " +
+        "LEFT JOIN r ON l.seg IS NOT DISTINCT FROM r.seg2 " +
+        "ORDER BY seg NULLS FIRST")
   )
 }

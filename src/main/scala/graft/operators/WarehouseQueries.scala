@@ -276,6 +276,32 @@ object WarehouseQueries extends QueryModule {
         .orderBy("kind")
     }),
 
+    // M11: incremental maintenance of a JOIN view — m2's discipline lifted
+    // to a join: the materialized view is orders ⋈ customer rolled up to
+    // (segment, year). Bringing it current joins ONLY the post-cutoff
+    // ORDER DELTA against the dimension (broadcast at CDC batch size) and
+    // merges decimal partials — the 100 TB fact history is never rescanned
+    // and never re-joined (the delta-join identity ΔV = ΔO ⋈ C holds
+    // because only the fact side changed; a dim change would need the m1
+    // SCD2 path instead). Merged == full recompute EXACTLY, which is what
+    // the oracle asserts.
+    "m11_mv_join_incremental" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val cutoff = lit("1997-07-01").cast("timestamp")
+      def partials(o: org.apache.spark.sql.DataFrame) =
+        o.join(t.customer, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"), year(col("o_orderdate")).as("yr"))
+          .agg(count(lit(1)).as("pn"), sum(col("o_totalprice").cast(Tables.dec)).as("psum"))
+      val mv = partials(t.orders.filter(col("o_orderdate") < cutoff))
+      val delta = partials(t.orders.filter(col("o_orderdate") >= cutoff))
+      mv.unionByName(delta)
+        .groupBy(col("c_mktsegment"), col("yr"))
+        .agg(sum(col("pn")).as("n_orders"), sum(col("psum")).as("tsum"))
+        .select(col("c_mktsegment"), col("yr"), col("n_orders"),
+          floor(col("tsum")).cast("long").as("revenue"))
+        .orderBy("c_mktsegment", "yr")
+    }),
+
     // M10: file-level BLOOM-INDEX point-lookup skipping — the data-skipping
     // case zone maps cannot serve: orders laid out by o_orderkey (so
     // o_custkey is scattered and every file's min/max envelope on it spans
@@ -396,6 +422,13 @@ object WarehouseQueries extends QueryModule {
         "WHEN av <> bv THEN 'changed' ELSE 'unchanged' END AS kind, " +
         "count(*) AS n FROM a FULL OUTER JOIN b ON ak = bk " +
         "GROUP BY 1 ORDER BY kind"),
+
+    // the incremental merge must equal the from-scratch join view
+    "m11_mv_join_incremental" ->
+      ("SELECT c_mktsegment, year(o_orderdate) AS yr, count(*) AS n_orders, " +
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY 1, 2 ORDER BY c_mktsegment, yr"),
 
     // the skipping path must be invisible: same answer as the plain filter
     "m10_bloom_index_lookup" ->

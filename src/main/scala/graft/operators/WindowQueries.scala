@@ -302,6 +302,32 @@ object WindowQueries extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // E16: MAD-based robust outlier detection — the median-family dual of
+    // e13's z-score: median and median-absolute-deviation are unmoved by
+    // the outliers they hunt (a mean/stddev gate shifts toward any heavy
+    // tail and under-flags). Two exact-median aggregation passes, each
+    // producing one k-row table (k = |event_type|) broadcast back onto the
+    // stream — no window, no sort of the full data. Exact medians here keep
+    // the query oracle-replayable (f16 proved cross-engine median parity);
+    // a 100 TB run swaps them for the mergeable histogram-sketch quantiles
+    // (d14) without changing the join shape. All post-median arithmetic is
+    // plain IEEE double (subtract/abs/divide — no reassociation anywhere).
+    "e16_mad_outliers" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val med = t.events.groupBy(col("event_type"))
+        .agg(median(col("value")).as("med"))
+      val dev = t.events.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(median(col("dev")).as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("mad") > 0 && col("dev") > col("mad") * 3)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"),
+          round(col("dev") / col("mad"), 6).as("mad_ratio"))
+        .orderBy("event_id")
+    }),
+
     // E15: exponential moving average — the classic streaming recurrence
     // ewma ← α·x + (1−α)·ewma folded left-to-right over the trailing
     // 20-observation frame (zero-seeded, bias-uncorrected; α = 0.3). The
@@ -474,6 +500,16 @@ object WindowQueries extends QueryModule {
         "SELECT event_id, user_id, " +
         "list_reduce(list_prepend(CAST(0 AS BIGINT), vals), " +
         "(acc, x) -> (3 * x + 7 * acc) // 10) AS ewma_micro " +
-        "FROM w WHERE len(vals) >= 5 ORDER BY event_id")
+        "FROM w WHERE len(vals) >= 5 ORDER BY event_id"),
+
+    "e16_mad_outliers" ->
+      ("WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1), " +
+        "d AS (SELECT e.event_id, e.event_type, e.value, abs(e.value - m.med) AS dev " +
+        "FROM events e JOIN med m USING (event_type)), " +
+        "mad AS (SELECT event_type, median(dev) AS mad FROM d GROUP BY 1) " +
+        "SELECT d.event_id, d.event_type, round(d.value, 6) AS value, " +
+        "round(d.dev / m.mad, 6) AS mad_ratio " +
+        "FROM d JOIN mad m USING (event_type) " +
+        "WHERE m.mad > 0 AND d.dev > m.mad * 3 ORDER BY event_id")
   )
 }
