@@ -17,6 +17,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object JoinQueries extends QueryModule {
 
+  // Keyed by sfDir so concurrent Verify/Bench runs at different scale
+  // factors can't race on the same materialized layouts (same convention
+  // as ScanFilterQueries.tmp).
+  private def tmp(name: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${dir.hashCode & 0x7fffffff}"
+
   val queries: Seq[(String, QFn)] = Seq(
     // C1: dim-to-fact equi-join; dim side broadcast (no shuffle of orders).
     "c1_join_broadcast" -> ((s, dir) => {
@@ -393,6 +399,42 @@ object JoinQueries extends QueryModule {
       l.join(broadcast(r), col("seg") <=> col("seg2"), "left")
         .select(col("seg"), col("n_cust"), col("revenue"))
         .orderBy(col("seg").asc_nulls_first)
+    }),
+
+    // C20: DYNAMIC PARTITION PRUNING — the 100 TB scan lever static pruning
+    // (a6) can't reach: the partition predicate is not in the query text, it
+    // arrives at RUNTIME from a filter on the dimension side. Setup (once per
+    // sfDir, like a6): orders laid out partitioned by order year, plus a tiny
+    // year dim carrying an `era` attribute. The query filters the DIM
+    // (era = 'recent'); Catalyst's PartitionPruning rule turns the join into
+    // a dynamicpruning#N subquery on the fact scan's partition column —
+    // reusing the dim's broadcast exchange, so the pruning values cost
+    // nothing extra — and only the 3 matching year partitions are ever
+    // opened. At 100 TB with daily partitions this is the difference between
+    // scanning 7 years and scanning what the dim says matters. PlanSpec
+    // asserts `dynamicpruning` is in the fact scan's PartitionFilters.
+    // Oracle: the equivalent static year predicate (the dim joins on its
+    // distinct key, so the inner join duplicates nothing).
+    "c20_join_dpp" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val factPath = tmp("orders_byyear", dir)
+      val dimPath = tmp("year_dim", dir)
+      if (!new java.io.File(s"$factPath/_SUCCESS").exists()) {
+        t.orders.withColumn("o_year", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("o_year").parquet(factPath)
+      }
+      if (!new java.io.File(s"$dimPath/_SUCCESS").exists()) {
+        t.orders.select(year(col("o_orderdate")).as("d_year")).distinct()
+          .withColumn("era",
+            when(col("d_year") >= 1999, lit("recent")).otherwise(lit("archive")))
+          .coalesce(1).write.mode("overwrite").parquet(dimPath)
+      }
+      val fact = s.read.parquet(factPath)
+      val dim = s.read.parquet(dimPath).filter(col("era") === "recent")
+      fact.join(dim, col("o_year") === col("d_year"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), Tables.dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -561,6 +603,12 @@ object JoinQueries extends QueryModule {
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1) " +
         "SELECT l.seg, l.n_cust, r.revenue FROM l " +
         "LEFT JOIN r ON l.seg IS NOT DISTINCT FROM r.seg2 " +
-        "ORDER BY seg NULLS FIRST")
+        "ORDER BY seg NULLS FIRST"),
+
+    "c20_join_dpp" ->
+      ("SELECT o_orderpriority, count(*) AS n_orders, " +
+        s"${Tables.dsumSql("o_totalprice")} AS total " +
+        "FROM orders WHERE year(CAST(o_orderdate AS TIMESTAMP)) >= 1999 " +
+        "GROUP BY 1 ORDER BY o_orderpriority")
   )
 }

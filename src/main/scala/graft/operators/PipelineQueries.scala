@@ -420,6 +420,106 @@ object PipelineQueries extends QueryModule {
       feat.select(col("doc_id"), score.as("score_micro"), col("y").as("label"),
           when(score >= 500000L, 1).otherwise(0).as("pred"))
         .orderBy("doc_id")
+    }),
+
+    // G56: SUBSTRING DEDUP — the REMOVE step g47 only detects (ExactSubstr-
+    // style: Lee et al. 2022 drop every duplicated span from all but its
+    // first occurrence, rather than dropping whole documents). An occurrence
+    // (doc, pos) of a word 5-gram is a duplicate iff it is not the gram's
+    // corpus-first occurrence under (doc_id, pos) order; every token covered
+    // by a duplicate occurrence is removed and the document reassembled from
+    // the survivors in order. Shape: gram table → ONE gram-keyed window
+    // (row_number over (doc_id, pos)) marks non-first occurrences → covered
+    // token positions explode (≤ k per duplicate) → the full token table
+    // LEFT-joins the covered set on (doc, pos) and each doc reassembles with
+    // a bounded per-doc sort (array_sort over its own tokens, never a global
+    // one). At 100 TB: the gram key crosses the exchange as xxhash64, and
+    // hot grams (boilerplate) skew the row_number sort — the first
+    // occurrence is then taken as a min-struct aggregate + join-back, which
+    // needs no per-gram sort; the window form here keeps the oracle 1:1.
+    "g56_substring_dedup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val k = 5
+      val toks = t.documents.withColumn("toks", TF.tokens(lower(col("text"))))
+      val grams = toks.filter(size(col("toks")) >= k)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(1, size(toks) - ${k - 1}), " +
+            s"i -> concat_ws(' ', slice(toks, i, $k)))")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+      val wg = Window.partitionBy("gram").orderBy("doc_id", "pos")
+      val dups = grams.withColumn("rn", row_number().over(wg)).filter(col("rn") >= 2)
+      val cov = dups
+        .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("tp"))
+        .distinct()
+      val tokPos = toks
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+          posexplode(col("toks")))
+        .select(col("doc_id"), col("n_toks"), (col("pos") + 1).as("tp"), col("col").as("tok"))
+      tokPos.join(cov.withColumn("c", lit(1)), Seq("doc_id", "tp"), "left")
+        .groupBy(col("doc_id"))
+        .agg(max(col("n_toks")).as("n_toks"),
+          sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_kept"),
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(" +
+              "CASE WHEN c IS NULL THEN struct(tp, tok) END)), x -> x.tok)"))
+            .as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    // G59: SEEDED CORPUS SHUFFLE + SHARDING — the "globally shuffle the
+    // training data, then write fixed shards" step every pretraining run
+    // needs. A global sort-by-random would be a full-corpus range exchange;
+    // instead each doc gets a deterministic pseudo-random key (Knuth
+    // multiplicative hash of doc_id + seed — chosen over xxhash64 so the
+    // oracle can replay it; both are uniform enough for load balance),
+    // shard = key mod 8 (ONE hash shuffle, no global ordering), and the
+    // within-shard position is a window bounded by shard size. At 100 TB
+    // you raise the shard count until a shard is one output file — the
+    // window never exceeds a file's rows and shards write in parallel.
+    // Changing the seed reshuffles everything; same seed replays exactly
+    // (the reproducibility contract for a training run).
+    "g59_corpus_shuffle_shard" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val seed = 42L
+      val nShards = 8
+      val keyed = t.documents
+        .select(col("doc_id"),
+          pmod(col("doc_id") * lit(2654435761L) + lit(seed), lit(4294967296L)).as("h"))
+        .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+      keyed.withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    }),
+
+    // G57: per-document N-GRAM NOVELTY — the curation-ordering metric: what
+    // fraction of a doc's distinct word 5-grams appear here for the FIRST
+    // time in corpus order (min doc_id)? Low-novelty docs are boilerplate /
+    // templated content worth downsampling even when no single pair crosses
+    // a dedup threshold (g2/g54 are pairwise; this is corpus-cumulative).
+    // Shape: distinct (doc, gram) pairs → ONE gram-keyed window tags each
+    // pair with the corpus-wide first doc (same single-shuffle formulation
+    // as g47; the aggregate-then-join-back spelling pays a second gram
+    // shuffle for the same answer) → per-doc counts. The novelty ratio is
+    // one division of two exact BIGINTs, so it replays bit-for-bit on any
+    // engine. At 100 TB the gram crosses the exchange as xxhash64 (8 bytes,
+    // collision odds ~n²/2⁶⁴); the string form here keeps the oracle exact.
+    "g57_ngram_novelty" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val k = 5
+      val pairs = t.documents
+        .withColumn("toks", TF.tokens(lower(col("text"))))
+        .filter(size(col("toks")) >= k)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          s"transform(sequence(1, size(toks) - ${k - 1}), " +
+            s"i -> concat_ws(' ', slice(toks, i, $k)))"))).as("gram"))
+      val firstDoc = min(col("doc_id")).over(Window.partitionBy("gram"))
+      pairs.withColumn("first_doc", firstDoc)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty", col("n_novel").cast("double") / col("n_grams"))
+        .orderBy("doc_id")
     })
   )
 
@@ -687,6 +787,45 @@ object PipelineQueries extends QueryModule {
         "SELECT f.doc_id, w.w0 + w.w1 * f.x1 + w.w2 * f.x2 AS score_micro, " +
         "f.y AS label, CASE WHEN w.w0 + w.w1 * f.x1 + w.w2 * f.x2 >= 500000 " +
         "THEN 1 ELSE 0 END AS pred FROM f, wc w ORDER BY doc_id"
-    }
+    },
+
+    "g56_substring_dedup" ->
+      ("WITH t AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents), " +
+        "p AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS pos " +
+        "FROM t WHERE len(toks) >= 5), " +
+        "g AS (SELECT doc_id, pos, toks[pos] || ' ' || toks[pos+1] || ' ' || " +
+        "toks[pos+2] || ' ' || toks[pos+3] || ' ' || toks[pos+4] AS gram FROM p), " +
+        "d AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, row_number() OVER " +
+        "(PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g) WHERE rn >= 2), " +
+        "cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS tp FROM d), " +
+        "tok0 AS (SELECT doc_id, toks, len(toks) AS n_toks, " +
+        "unnest(range(1, len(toks) + 1)) AS tp FROM t), " +
+        "tok AS (SELECT doc_id, n_toks, tp, toks[tp] AS tok FROM tok0), " +
+        "m AS (SELECT tok.doc_id, tok.n_toks, tok.tp, tok.tok, cov.tp AS ctp " +
+        "FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.tp = cov.tp) " +
+        "SELECT doc_id, CAST(max(n_toks) AS BIGINT) AS n_toks, " +
+        "CAST(sum(CASE WHEN ctp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "coalesce(string_agg(CASE WHEN ctp IS NULL THEN tok END, ' ' ORDER BY tp), '') " +
+        "AS clean_text FROM m GROUP BY doc_id ORDER BY doc_id"),
+
+    "g59_corpus_shuffle_shard" ->
+      ("WITH k AS (SELECT doc_id, (doc_id * 2654435761 + 42) % 4294967296 AS h " +
+        "FROM documents), " +
+        "s AS (SELECT doc_id, h, h % 8 AS shard FROM k) " +
+        "SELECT doc_id, shard, row_number() OVER " +
+        "(PARTITION BY shard ORDER BY h, doc_id) AS pos " +
+        "FROM s ORDER BY shard, pos"),
+
+    "g57_ngram_novelty" ->
+      ("WITH t AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents), " +
+        "p AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS pos " +
+        "FROM t WHERE len(toks) >= 5), " +
+        "g AS (SELECT DISTINCT doc_id, toks[pos] || ' ' || toks[pos+1] || ' ' || " +
+        "toks[pos+2] || ' ' || toks[pos+3] || ' ' || toks[pos+4] AS gram FROM p), " +
+        "f AS (SELECT doc_id, gram, min(doc_id) OVER (PARTITION BY gram) AS first_doc FROM g) " +
+        "SELECT doc_id, count(*) AS n_grams, " +
+        "CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+        "CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty " +
+        "FROM f GROUP BY doc_id ORDER BY doc_id")
   )
 }

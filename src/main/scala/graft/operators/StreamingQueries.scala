@@ -101,6 +101,41 @@ object StreamingQueries extends QueryModule {
     base
   }
 
+  /** Materialize events as 4 parquet files chunked by EVENT-TIME quartile —
+    * arrival order == time order, so the watermark advances monotonically
+    * and no row is ever late. Required by the timer sessionizer (i18): a
+    * late row would be watermark-dropped and break its batch-oracle parity.
+    * The ntile runs once at setup over the fixture (a single-partition sort
+    * — setup cost, not operator cost; a production job's ingest is already
+    * time-ordered). Same fingerprint-guarded cache discipline as the
+    * id-chunked source. */
+  private def chunkedTsSource(s: SparkSession, dir: String): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_tstream_src_${dir.hashCode & 0x7fffffff}"
+    val ready = Paths.get(base, "_ready")
+    val src = new java.io.File(s"$dir/events.parquet")
+    val fingerprint = s"${src.length()}:${src.lastModified()}"
+    val fresh = Files.exists(ready) &&
+      new String(Files.readAllBytes(ready), "UTF-8").trim == fingerprint
+    if (!fresh) {
+      rmrfDir(new java.io.File(base))
+      val ev = Tables(s, dir).events.withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("q", ntile(4).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))) - 1)
+      Files.createDirectories(Paths.get(base))
+      (0 until 4).foreach { i =>
+        val tmpDir = s"$base/stage_$i"
+        ev.filter(col("q") === i).drop("q")
+          .coalesce(1).write.mode("overwrite").parquet(tmpDir)
+        val part = Files.list(Paths.get(tmpDir)).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.move(part, Paths.get(base, f"chunk_$i%02d.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        Thread.sleep(5)
+      }
+      Files.write(ready, fingerprint.getBytes("UTF-8"))
+    }
+    base
+  }
+
   /** perBatch=true replays `filesPerTrigger` chunks per micro-batch
     * (watermark/late-data semantics need batch boundaries — i4/i8 keep 1
     * file per trigger; operators that only need *some* boundary use 2,
@@ -686,6 +721,43 @@ object StreamingQueries extends QueryModule {
         .select(col("window.start").cast("timestamp_ntz").as("w_start"),
           col("n"), col("value_sum"))
         .orderBy("w_start")
+    }),
+
+    // I18: EVENT-TIME TIMERS — per-user gap sessionization where sessions
+    // close when the WATERMARK passes last_event + 30 min, fired by a
+    // registered timer rather than by a later event (SessionTimerProcessor;
+    // completes the arbitrary-state API after the Value/List/Map trio).
+    // Arrival order must be non-decreasing in event time for the batch
+    // oracle to hold, so this query reads the ts-ordered chunk source with
+    // a 0-second watermark delay. The emitted set — every session whose
+    // end + gap ≤ the final watermark — is chunking-independent, so the
+    // query carries a full value oracle (the batch sessionization filtered
+    // by the same end-of-stream condition). Timestamps stay in exact µs
+    // end-to-end; only the timer itself is ms-grained (ceil, never early).
+    "i18_stream_timer_sessions" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val gapUs = 30L * 60 * 1000000
+      val src = spark.readStream.schema(chunkSchema)
+        .option("maxFilesPerTrigger", "1").parquet(chunkedTsSource(s, dir))
+      val q = src
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.SessionTimerProcessor(gapUs),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+        .toDF("user_id", "s_start_us", "s_end_us", "n_events")
+      withRocksDbStateStore(s) {
+        runMemory(q, "append", "i18", statePartitions = 2)
+      }
+        .select(col("user_id"),
+          timestamp_micros(col("s_start_us")).cast("timestamp_ntz").as("s_start"),
+          timestamp_micros(col("s_end_us")).cast("timestamp_ntz").as("s_end"),
+          col("n_events"))
+        .orderBy("user_id", "s_start")
     })
   )
 
@@ -727,6 +799,24 @@ object StreamingQueries extends QueryModule {
     "i13_stream_snapshot" ->
       ("SELECT CAST(ts AS DATE) AS day, count(*) AS n, " +
         s"round(${graft.Tables.dsumSql("value")}, 6) AS val_sum " +
-        "FROM events GROUP BY 1 ORDER BY day")
+        "FROM events GROUP BY 1 ORDER BY day"),
+
+    // i18's emitted set is chunking-independent: every maximal 30-min-gap
+    // session whose end + gap ≤ the stream's final watermark (= max ts at
+    // 0-second delay) — the batch sessionization with the tail sessions,
+    // still open at end-of-stream, excluded.
+    "i18_stream_timer_sessions" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events), " +
+        "mx AS (SELECT max(ts) AS m FROM e), " +
+        "l AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w IS NULL OR " +
+        "epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS brk " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "g AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM l), " +
+        "sess AS (SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end, " +
+        "count(*) AS n_events FROM g GROUP BY user_id, sid) " +
+        "SELECT user_id, s_start, s_end, n_events FROM sess, mx " +
+        "WHERE epoch_us(s_end) + 1800000000 <= epoch_us(m) " +
+        "ORDER BY user_id, s_start")
   )
 }

@@ -670,6 +670,50 @@ object TextQueries extends QueryModule {
             when(col("rn") === 1, struct(col("seg_idx"), col("seg"))))),
             _.getField("seg"))).as("kept_text"))
         .orderBy("doc_id")
+    }),
+
+    // G58: BM25 RANKED RETRIEVAL over the corpus — the full scoring model
+    // g38's raw tf-product index lacks (rarity weighting + document-length
+    // normalization). Every quantity is DETERMINISTIC across engines with
+    // no fixed-point tricks needed: idf and tf-component are each ONE IEEE
+    // division of exactly-representable integers (all operands < 2^53 —
+    // holds through sf1; beyond that the score becomes advisory and ranking
+    // would use the decimal path), their product one multiply, and the
+    // 3-term sum is written in FIXED term order as a pivoted expression —
+    // no SUM aggregation whose merge order could reassociate floats.
+    // Rational idf (N-df+½)/(df+½) (scaled ×2 to stay integral) replaces
+    // ln-idf: ln is monotone, so ranking is unchanged and the oracle can
+    // replay bit-for-bit. k1 = 1, b = ½ ⇒ tf-component
+    // 4·T·tf / (2·T·tf + T + dl·N) after clearing denominators (T = corpus
+    // tokens, dl = doc length). Shape at 100 TB: one token explode keyed by
+    // doc, per-term df/N/T as a 3-row broadcast, score join keyed by doc —
+    // no shuffle wider than the postings list of the query terms.
+    "g58_bm25_topk" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val terms = Seq("spark", "merge", "vector")
+      val toks = t.documents
+        .select(col("doc_id"), explode(TF.tokens(lower(col("text")))).as("term"))
+      val corpus = toks.agg(count(lit(1)).as("tt"), countDistinct(col("doc_id")).as("nn")).head()
+      val (tt, nn) = (corpus.getLong(0), corpus.getLong(1))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val tf = toks.filter(col("term").isin(terms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df), "term").join(dl, "doc_id")
+        .withColumn("idf",
+          (lit(2) * nn - lit(2) * col("df") + lit(1)).cast("double") /
+            (lit(2) * col("df") + lit(1)).cast("double"))
+        .withColumn("tfc",
+          (lit(4) * tt * col("tf")).cast("double") /
+            (lit(2) * tt * col("tf") + lit(tt) + col("dl") * nn).cast("double"))
+        .withColumn("s", col("idf") * col("tfc"))
+      val byTerm = scored.groupBy("doc_id")
+        .pivot("term", terms).agg(first(col("s")))
+      // fixed-order sum: never reassociated, identical in the oracle
+      val score = terms.map(c => coalesce(col(s"`$c`"), lit(0d))).reduce(_ + _)
+      byTerm.withColumn("score", score)
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
     })
   )
 
@@ -931,6 +975,26 @@ object TextQueries extends QueryModule {
         "SELECT doc_id, count(*) AS n_segs, " +
         "count(*) FILTER (WHERE rn = 1) AS n_kept, " +
         "coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '') AS kept_text " +
-        "FROM r GROUP BY doc_id ORDER BY doc_id")
+        "FROM r GROUP BY doc_id ORDER BY doc_id"),
+
+    // same fixed-order float spelling as the engine: each factor is one IEEE
+    // division of <2^53 integers, the 3-term sum is (s1 + s2) + s3
+    "g58_bm25_topk" ->
+      ("WITH p AS (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS term FROM documents), " +
+        "c AS (SELECT count(*) AS tt, count(DISTINCT doc_id) AS nn FROM p), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM p GROUP BY 1), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM p " +
+        "WHERE term IN ('spark','merge','vector') GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "sc AS (SELECT tf.doc_id, tf.term, " +
+        "(CAST(2*c.nn - 2*df.df + 1 AS DOUBLE) / CAST(2*df.df + 1 AS DOUBLE)) * " +
+        "(CAST(4*c.tt*tf.tf AS DOUBLE) / CAST(2*c.tt*tf.tf + c.tt + dl.dl*c.nn AS DOUBLE)) AS s " +
+        "FROM tf JOIN df USING (term) JOIN dl USING (doc_id), c), " +
+        "pv AS (SELECT doc_id, " +
+        "max(CASE WHEN term = 'spark' THEN s END) AS s1, " +
+        "max(CASE WHEN term = 'merge' THEN s END) AS s2, " +
+        "max(CASE WHEN term = 'vector' THEN s END) AS s3 FROM sc GROUP BY doc_id) " +
+        "SELECT doc_id, (coalesce(s1, 0) + coalesce(s2, 0)) + coalesce(s3, 0) AS score " +
+        "FROM pv ORDER BY score DESC, doc_id LIMIT 10")
   )
 }

@@ -319,6 +319,93 @@ object WarehouseQueries extends QueryModule {
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice").cast("double"), 6).as("totalprice"))
         .orderBy("o_orderkey")
+    }),
+
+    // M12: WRITE-AUDIT-PUBLISH — the two-phase ingestion gate a production
+    // lake runs on Iceberg/Delta branches: a batch is STAGED as a full
+    // snapshot version ([[SnapshotTable.prepare]] — data + manifest on
+    // disk, invisible to readers), AUDITED by querying the staged version
+    // through the ordinary read path, and only a passing audit gets the
+    // atomic pointer swap ([[SnapshotTable.swap]]). A failing batch costs
+    // nothing to reject — the pointer never moved, readers never saw it,
+    // and the next prepare() re-stages the same version number over it.
+    // Here: a corrupted batch (negative prices injected) is staged and
+    // rejected by the audit; the clean batch then stages, passes, and
+    // publishes as v2. The audit itself is a scan-shaped aggregate (zero
+    // violations), not a collect — at 100 TB it costs one pass over the
+    // STAGED DELTA files only if the table is append-committed (m8).
+    "m12_write_audit_publish" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_wap_${dir.hashCode & 0x7fffffff}"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root)) // fresh table: the WAP replay is deterministic
+      val t = Tables(s, dir)
+      val base = t.orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      SnapshotTable.commit(base, root)
+      val batchKeys = col("o_orderkey") % 3 === 1
+      val badBatch = t.orders.filter(batchKeys)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 30 === 1, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      val goodBatch = t.orders.filter(batchKeys)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      def audit(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.filter(col("o_totalprice") <= 0 || col("o_orderkey").isNull).count() == 0
+      def stageAndAudit(batch: org.apache.spark.sql.DataFrame): (Long, Boolean) = {
+        val v = SnapshotTable.prepare(base.unionByName(batch), root)
+        val ok = audit(SnapshotTable.readVersion(s, root, v))
+        if (ok) SnapshotTable.swap(root, v)
+        (v, ok)
+      }
+      val (vBad, badOk) = stageAndAudit(badBatch)
+      val (vGood, goodOk) = stageAndAudit(goodBatch)
+      def summarize(df: org.apache.spark.sql.DataFrame, step: String,
+          passed: Boolean, publishedV: Long) =
+        df.agg(count(lit(1)).as("n_rows"), Tables.dsum(col("o_totalprice")).as("rev"))
+          .select(lit(step).as("step"), lit(if (passed) 1 else 0).as("audit_passed"),
+            lit(publishedV).as("published_version"), col("n_rows"),
+            round(col("rev"), 6).as("revenue"))
+      val publishedNow = SnapshotTable.latestVersion(root).getOrElse(0L)
+      // the bad staging was audited through the snapshot read path inside
+      // stageAndAudit; its data dir is since re-staged over (same version
+      // number), so its summary row uses the logical frame
+      summarize(base, "baseline", passed = true, 1L)
+        .unionByName(summarize(base.unionByName(badBatch), "bad_staged", badOk,
+          if (badOk) vBad else 1L))
+        .unionByName(summarize(SnapshotTable.read(s, root), "good_published",
+          goodOk, publishedNow))
+        .orderBy("step")
+    }),
+
+    // M13: PARTITION-SCOPED BACKFILL — late-arriving facts (orders whose
+    // key ≡ 0 mod 11 arrive after the MV was built) invalidate only the
+    // (year, month) partitions they touch. The repair job derives the
+    // affected-partition set from the DELTA (tiny → broadcast), recomputes
+    // JUST those partitions from the full fact — at 100 TB that scan is
+    // partition-pruned to the affected months, not a table rescan — and
+    // splices them over the stale MV rows with an anti-join. The spliced
+    // view must equal the full recompute EXACTLY, which is what the oracle
+    // asserts (`recomputed` marks which partitions took the repair path,
+    // pinning that the split actually happened).
+    "m13_partition_backfill" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val fact = t.orders.select(
+        year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"),
+        col("o_orderkey"), col("o_totalprice"))
+      val late = col("o_orderkey") % 11 === 0
+      def rollup(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("yr"), col("mo"))
+          .agg(count(lit(1)).as("n_orders"),
+            floor(sum(col("o_totalprice").cast(Tables.dec))).cast("long").as("revenue"))
+      val mv = rollup(fact.filter(!late)) // built before the backfill landed
+      val affected = fact.filter(late).select("yr", "mo").distinct()
+      val repaired = rollup(fact.join(broadcast(affected), Seq("yr", "mo")))
+        .withColumn("recomputed", lit(1))
+      val kept = mv.join(broadcast(affected), Seq("yr", "mo"), "left_anti")
+        .withColumn("recomputed", lit(0))
+      kept.unionByName(repaired).orderBy("yr", "mo")
     })
   )
 
@@ -433,6 +520,33 @@ object WarehouseQueries extends QueryModule {
     // the skipping path must be invisible: same answer as the plain filter
     "m10_bloom_index_lookup" ->
       ("SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS totalprice " +
-        "FROM orders WHERE o_custkey IN (1, 7, 25) ORDER BY o_orderkey")
+        "FROM orders WHERE o_custkey IN (1, 7, 25) ORDER BY o_orderkey"),
+
+    // the WAP outcome is fully determined by the data: the corrupted batch
+    // must fail its audit (pointer stays at v1), the clean one publishes v2
+    "m12_write_audit_publish" -> {
+      def row(step: String, passed: Int, v: Int, from: String) =
+        s"SELECT '$step' AS step, CAST($passed AS INT) AS audit_passed, " +
+          s"CAST($v AS BIGINT) AS published_version, count(*) AS n_rows, " +
+          s"round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue FROM $from"
+      "WITH base AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0), " +
+        "bad AS (SELECT o_orderkey, CASE WHEN o_orderkey % 30 = 1 THEN -o_totalprice " +
+        "ELSE o_totalprice END AS o_totalprice FROM orders WHERE o_orderkey % 3 = 1), " +
+        "good AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 1), " +
+        "badstage AS (SELECT * FROM base UNION ALL SELECT * FROM bad), " +
+        "pub AS (SELECT * FROM base UNION ALL SELECT * FROM good) " +
+        row("baseline", 1, 1, "base") + " UNION ALL " +
+        row("bad_staged", 0, 1, "badstage") + " UNION ALL " +
+        row("good_published", 1, 2, "pub") + " ORDER BY step"
+    },
+
+    // the spliced MV must equal the full recompute; a partition took the
+    // repair path iff it contains a late row
+    "m13_partition_backfill" ->
+      ("SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, " +
+        "count(*) AS n_orders, " +
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) AS revenue, " +
+        "max(CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END) AS recomputed " +
+        "FROM orders GROUP BY 1, 2 ORDER BY yr, mo")
   )
 }

@@ -147,6 +147,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.filter(col("v") === "v2" && col("n_regionkey").isNull).count() == 0)
   }
 
+  test("g56: fully-kept docs reconstruct exactly; some doc loses covered tokens") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("g56_substring_dedup")(spark, sfDir).cache()
+    try {
+      assert(r.filter(col("n_kept") > col("n_toks") || col("n_kept") < 0).count() == 0)
+      // the corpus has boilerplate, so substring dedup must remove something
+      assert(r.filter(col("n_kept") < col("n_toks")).count() > 0, "nothing deduped")
+      // a doc that kept every token reconstructs its (lowercased) text
+      // byte-for-byte — join-on-space inverts split-on-space exactly
+      val full = r.filter(col("n_kept") === col("n_toks"))
+      assert(full.count() > 0, "no doc fully kept")
+      val mismatched = full.join(Tables(spark, sfDir).documents, "doc_id")
+        .filter(col("clean_text") =!= lower(col("text")))
+      assert(mismatched.count() == 0)
+    } finally { r.unpersist(); () }
+  }
+
+  test("g57: first document is all-novel; novelty is n_novel/n_grams in [0,1]") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("g57_ngram_novelty")(spark, sfDir).cache()
+    try {
+      val first = r.orderBy("doc_id").limit(1).head()
+      assert(first.getLong(1) == first.getLong(2), "corpus-first doc must be 100% novel")
+      assert(r.filter(col("novelty") < 0 || col("novelty") > 1).count() == 0)
+      assert(r.filter(abs(col("novelty") * col("n_grams") - col("n_novel")) > 1e-9).count() == 0)
+    } finally { r.unpersist(); () }
+  }
+
   test("g35: BPE merges match the hand-computed classic corpus") {
     val s = spark
     import s.implicits._

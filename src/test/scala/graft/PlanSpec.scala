@@ -32,6 +32,12 @@ class PlanSpec extends AnyFunSuite {
     assert(finalPlan("c2_join_shuffle_hash").contains("ShuffledHashJoin"))
   }
 
+  test("c20: dim filter prunes fact partitions at runtime (DPP subquery in scan)") {
+    val p = finalPlan("c20_join_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$p")
+  }
+
   test("c3: MERGE hint yields a sort-merge join") {
     assert(finalPlan("c3_join_sort_merge").contains("SortMergeJoin"))
   }

@@ -35,6 +35,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("i18: timer sessions equal batch sessions closed by the final watermark") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val streamed = SparkEntry.queries("i18_stream_timer_sessions")(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("s_start").cast("timestamp")).as("a"),
+        unix_micros(col("s_end").cast("timestamp")).as("b"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val gapUs = 30L * 60 * 1000000
+    val ev = Tables(spark, sfDir).events
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"))
+    val mx = ev.agg(max(col("us"))).head().getLong(0)
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val sessions = ev
+      .withColumn("brk",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("a"), max(col("us")).as("b"), count(lit(1)).as("n"))
+    val closed = sessions.filter(col("b") + gapUs <= mx)
+      .select("user_id", "a", "b", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === closed)
+    // timer-only evidence: a user's chronologically-LAST session has no later
+    // event of that user to close it — if emitted, only handleExpiredTimer
+    // could have done so. There must be at least one such session.
+    val lastStart = sessions.groupBy("user_id").agg(max(col("a")).as("a_last"))
+    val timerOnly = sessions.join(lastStart, Seq("user_id"))
+      .filter(col("a") === col("a_last") && col("b") + gapUs <= mx)
+    assert(timerOnly.count() > 0, "no session in the fixture can prove timer firing")
+  }
+
   test("i1: complete-mode tumbling counts cover every event") {
     val n = SparkEntry.queries("i1_stream_tumbling")(spark, sfDir)
       .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
