@@ -466,6 +466,36 @@ object PipelineQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // G60: CONTAINMENT contamination scoring — the per-PAIR refinement of
+    // g17's shared-count flag: containment C(b, d) = |sh(b) ∩ sh(d)| / |sh(b)|
+    // is the asymmetric measure that catches a benchmark item EMBEDDED in a
+    // much larger training doc, where symmetric Jaccard (g2) stays near 0
+    // because the union is huge. The ≥30% gate compares 10·inter ≥ 3·|b| in
+    // exact integers; the reported score is one IEEE division of those two
+    // ints. Shape: distinct shingles once, benchmark side broadcast, the
+    // pair aggregation keyed by (benchmark, doc) — at 100 TB hot shingles
+    // (stopword runs) are the skew risk and get the g53 treatment (rarity
+    // prefix) or a df cap; the fixture's vocabulary doesn't need it.
+    "g60_containment_contamination" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val sh = t.documents
+        .withColumn("toks", TF.tokens(lower(col("text"))))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(TF.shingles3("toks")).as("sh"))
+      val bench = sh.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("b_id"), col("sh"))
+      val bSize = bench.groupBy("b_id").agg(count(lit(1)).as("b_size"))
+      val corpus = sh.filter(col("doc_id") % 10 =!= 0)
+      corpus.join(broadcast(bench), "sh")
+        .groupBy(col("b_id"), col("doc_id"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(bSize), "b_id")
+        .filter(col("inter") * 10 >= col("b_size") * 3)
+        .select(col("b_id"), col("doc_id"), col("inter"), col("b_size"),
+          (col("inter").cast("double") / col("b_size").cast("double")).as("containment"))
+        .orderBy("b_id", "doc_id")
+    }),
+
     // G59: SEEDED CORPUS SHUFFLE + SHARDING — the "globally shuffle the
     // training data, then write fixed shards" step every pretraining run
     // needs. A global sort-by-random would be a full-corpus range exchange;
@@ -807,6 +837,22 @@ object PipelineQueries extends QueryModule {
         "CAST(sum(CASE WHEN ctp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
         "coalesce(string_agg(CASE WHEN ctp IS NULL THEN tok END, ' ' ORDER BY tp), '') " +
         "AS clean_text FROM m GROUP BY doc_id ORDER BY doc_id"),
+
+    "g60_containment_contamination" ->
+      ("WITH t AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+        "range(1, greatest(len(toks) - 2, 0) + 1), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh " +
+        "FROM t WHERE len(toks) >= 3), " +
+        "b AS (SELECT doc_id AS b_id, sh FROM sh WHERE doc_id % 10 = 0), " +
+        "bs AS (SELECT b_id, count(*) AS b_size FROM b GROUP BY 1), " +
+        "c AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 <> 0), " +
+        "i AS (SELECT b_id, doc_id, count(*) AS inter FROM c JOIN b USING (sh) " +
+        "GROUP BY 1, 2) " +
+        "SELECT b_id, doc_id, inter, b_size, " +
+        "CAST(inter AS DOUBLE) / CAST(b_size AS DOUBLE) AS containment " +
+        "FROM i JOIN bs USING (b_id) WHERE inter * 10 >= b_size * 3 " +
+        "ORDER BY b_id, doc_id"),
 
     "g59_corpus_shuffle_shard" ->
       ("WITH k AS (SELECT doc_id, (doc_id * 2654435761 + 42) % 4294967296 AS h " +

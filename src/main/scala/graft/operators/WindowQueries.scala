@@ -350,6 +350,28 @@ object WindowQueries extends QueryModule {
           "aggregate(vals, 0L, (acc, x) -> (3L * x + 7L * acc) DIV 10L)"))
         .select(col("event_id"), col("user_id"), col("ewma_micro"))
         .orderBy("event_id")
+    }),
+
+    // E17: HOUR-OF-WEEK SEASONAL BASELINE — the profile that turns raw
+    // activity into "is this hour unusual": per event type, the 168-slot
+    // weekly fingerprint (count + exact-decimal mean value) with the peak
+    // slot flagged. The peak rank compares UNROUNDED averages (each a
+    // single IEEE division of a decimal-exact sum — deterministic on both
+    // engines), how breaks ties. One shuffle on (type, hour-of-week) —
+    // 5×168 groups regardless of data volume, the classic crunch-to-tiny
+    // aggregation; the window runs on the 840-row aggregate, not the facts.
+    "e17_seasonal_hourofweek" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      // Sunday-based 0..6 to match DuckDB's dayofweek
+      val how = (dayofweek(col("ts")) - 1) * 24 + hour(col("ts"))
+      val agg = t.events
+        .groupBy(col("event_type"), how.as("how"))
+        .agg(count(lit(1)).as("n"), Tables.davg(col("value")).as("avg_raw"))
+      val w = Window.partitionBy("event_type").orderBy(col("avg_raw").desc, col("how").asc)
+      agg.withColumn("is_peak", when(row_number().over(w) === 1, 1).otherwise(0))
+        .select(col("event_type"), col("how"), col("n"),
+          round(col("avg_raw"), 6).as("avg_val"), col("is_peak"))
+        .orderBy("event_type", "how")
     })
   )
 
@@ -510,6 +532,19 @@ object WindowQueries extends QueryModule {
         "SELECT d.event_id, d.event_type, round(d.value, 6) AS value, " +
         "round(d.dev / m.mad, 6) AS mad_ratio " +
         "FROM d JOIN mad m USING (event_type) " +
-        "WHERE m.mad > 0 AND d.dev > m.mad * 3 ORDER BY event_id")
+        "WHERE m.mad > 0 AND d.dev > m.mad * 3 ORDER BY event_id"),
+
+    // peak rank on the UNROUNDED average, ties broken by how — same
+    // spelling as the engine
+    "e17_seasonal_hourofweek" ->
+      ("WITH a AS (SELECT event_type, " +
+        "dayofweek(CAST(ts AS TIMESTAMP)) * 24 + hour(CAST(ts AS TIMESTAMP)) AS how, " +
+        s"count(*) AS n, ${graft.Tables.davgSql("value")} AS avg_raw " +
+        "FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY avg_raw DESC, how) AS rn FROM a) " +
+        "SELECT event_type, how, n, round(avg_raw, 6) AS avg_val, " +
+        "CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_peak " +
+        "FROM r ORDER BY event_type, how")
   )
 }
