@@ -282,6 +282,32 @@ object AggQueries extends QueryModule {
         .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
           col("cnt").as("n"))
         .orderBy("o_orderstatus")
+    }),
+
+    // D17: EXACT WEIGHTED MEDIAN — the revenue-weighted center of the
+    // quantity distribution per return flag: the smallest v whose cumulative
+    // weight reaches half the group's total ("half the money sits at or
+    // below this quantity"). Entirely INTEGER: weights are exact price
+    // cents, the half-total test is 2·cum ≥ tot (no division, no float
+    // anywhere), so the answer replays bit-for-bit. Shape: pre-aggregate to
+    // (flag, v) — ~50 distinct quantities per flag regardless of data
+    // volume — then ONE tiny window over the aggregate; the facts are never
+    // window-scanned. That crush-then-window split is what survives 100 TB;
+    // a direct percentile_approx(weighted) would be approximate, and a
+    // row-level cumsum window would sort the fact table.
+    "d17_weighted_median" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val byV = t.lineitem
+        .select(col("l_returnflag").as("flag"), col("l_quantity").cast("long").as("v"),
+          floor(col("l_extendedprice") * 100).cast("long").as("w"))
+        .groupBy(col("flag"), col("v")).agg(sum(col("w")).as("w"))
+      val cumW = Window.partitionBy("flag").orderBy("v")
+      val totW = Window.partitionBy("flag")
+      byV.withColumn("cum", sum(col("w")).over(cumW))
+        .withColumn("tot", sum(col("w")).over(totW))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy(col("flag")).agg(min(col("v")).as("weighted_median"))
+        .orderBy("flag")
     })
   )
 
@@ -374,6 +400,16 @@ object AggQueries extends QueryModule {
         "r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus " +
         "ORDER BY cnt DESC, o_orderpriority ASC) AS rn FROM c) " +
         "SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS n " +
-        "FROM r WHERE rn = 1 ORDER BY o_orderstatus")
+        "FROM r WHERE rn = 1 ORDER BY o_orderstatus"),
+
+    // 2*cum >= tot in exact integers — no division, replays bit-for-bit
+    "d17_weighted_median" ->
+      ("WITH b AS (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS v, " +
+        "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "c AS (SELECT flag, v, sum(w) OVER (PARTITION BY flag ORDER BY v " +
+        "ROWS UNBOUNDED PRECEDING) AS cum, sum(w) OVER (PARTITION BY flag) AS tot FROM b) " +
+        "SELECT flag, min(v) AS weighted_median FROM c WHERE cum * 2 >= tot " +
+        "GROUP BY flag ORDER BY flag")
   )
 }

@@ -250,6 +250,33 @@ object PipelineQueries extends QueryModule {
         .orderBy("id")
     }),
 
+    // G61: K-CORE decomposition (k = 3) over the nation trade graph — the
+    // density dual of g24's components: "who is in a densely cross-linked
+    // cluster", the signal that separates a boilerplate/mirror FAMILY from
+    // an isolated duplicate pair on a dedup graph, and here the tightly
+    // coupled trading bloc. Edge set is deterministic at every SF: the 50
+    // heaviest undirected trade pairs (count desc, then u, v). Iterative
+    // peeling in plans/KCore.scala — degree aggregate + two semi-joins per
+    // round, edge set only shrinks, fixpoint = the unique k-core (removal-
+    // order independent). No SQL oracle exists for an iterative fixpoint
+    // (DuckDB's recursive CTE can't re-aggregate the frontier), so this is
+    // rows-only; KCoreSpec proves the result equals an independent
+    // in-memory reference peeling on both a crafted graph and this edge set.
+    "g61_graph_kcore" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val trade = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(least(col("c_nationkey"), col("s_nationkey")).as("u"),
+          greatest(col("c_nationkey"), col("s_nationkey")).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val top = trade.orderBy(col("cnt").desc, col("u"), col("v")).limit(50)
+        .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+      graft.plans.KCore.core(top, k = 3).orderBy("id")
+    }),
+
     // G30: fuzzy near-dup pairs by edit distance — levenshtein over 20-char
     // prefixes, through the DE-SKEWED blocking of FuzzyBlocking: composite
     // (4-char prefix, length band) block key with per-block cap + salting,

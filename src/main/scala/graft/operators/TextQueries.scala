@@ -672,6 +672,27 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // G62: CROSS-SOURCE NEAR-DUP MATRIX — the corpus-governance view on top
+    // of g2's pair detection: which SOURCES duplicate which (mirror sites,
+    // scrape overlap, an aggregator re-hosting another feed). Pairs come
+    // from the same blocked exact-Jaccard join as g2/g24; each pair maps to
+    // its unordered source pair (least/greatest canonicalization) and the
+    // matrix is one tiny aggregation. The source lookup is a projection of
+    // `documents` joined on doc id — at 100 TB both lookups ride the same
+    // hash partitioning as the pair columns, no extra wide shuffle.
+    "g62_dedup_source_matrix" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val src = t.documents.select(col("doc_id"), col("source"))
+      jaccardPairs(s, dir)
+        .select(col("a_id"), col("b_id"))
+        .join(src.select(col("doc_id").as("a_id"), col("source").as("src_a")), "a_id")
+        .join(src.select(col("doc_id").as("b_id"), col("source").as("src_b")), "b_id")
+        .select(least(col("src_a"), col("src_b")).as("src_lo"),
+          greatest(col("src_a"), col("src_b")).as("src_hi"))
+        .groupBy(col("src_lo"), col("src_hi")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src_lo", "src_hi")
+    }),
+
     // G58: BM25 RANKED RETRIEVAL over the corpus — the full scoring model
     // g38's raw tf-product index lacks (rarity weighting + document-length
     // normalization). Every quantity is DETERMINISTIC across engines with
@@ -976,6 +997,19 @@ object TextQueries extends QueryModule {
         "count(*) FILTER (WHERE rn = 1) AS n_kept, " +
         "coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '') AS kept_text " +
         "FROM r GROUP BY doc_id ORDER BY doc_id"),
+
+    "g62_dedup_source_matrix" ->
+      (s"WITH $duckShingleCte, " +
+        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id " +
+        "FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "len(list_distinct(a.sh || b.sh)) >= 0.4), " +
+        "m AS (SELECT least(da.source, db.source) AS src_lo, " +
+        "greatest(da.source, db.source) AS src_hi FROM p " +
+        "JOIN documents da ON p.a_id = da.doc_id " +
+        "JOIN documents db ON p.b_id = db.doc_id) " +
+        "SELECT src_lo, src_hi, count(*) AS n_pairs FROM m " +
+        "GROUP BY 1, 2 ORDER BY src_lo, src_hi"),
 
     // same fixed-order float spelling as the engine: each factor is one IEEE
     // division of <2^53 integers, the 3-term sum is (s1 + s2) + s3
