@@ -217,6 +217,94 @@ object DagQueries extends QueryModule {
       }
       rmrf(new java.io.File(base))
       ledger.orderBy("job")
+    }),
+
+    // J7: BACKFILL PLANNING — the scheduler computation every orchestrator
+    // runs before touching data: given a task DAG, a date range, and the
+    // ledger of already-successful (task, date) runs, emit the MINIMAL run
+    // list. A (task, date) must run iff its own run is missing OR any
+    // upstream task re-runs for that date (an upstream re-run invalidates
+    // the downstream output — the backfill cascade). The dirty set is the
+    // downward closure of the missing set, computed with one edge join per
+    // DAG level (depth-bounded, here 2 — the loop is over metadata rows,
+    // never facts; at 100 TB this plans millions of partition-runs with the
+    // same joins). `wave` is the task's topological depth — the order the
+    // scheduler dispatches each date's runs. The success ledger is a pure
+    // date rule here so the DuckDB oracle replays it exactly (a real
+    // deployment feeds the same frame from its run-state store).
+    "j7_dag_backfill_plan" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val tasks = Seq(("load", 0), ("clean", 1), ("stats", 1), ("report", 2))
+        .toDF("task", "wave")
+      val edges = Seq(("load", "clean"), ("load", "stats"),
+        ("clean", "report"), ("stats", "report")).toDF("parent", "child")
+      val dates = spark.sql(
+        "SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-14')) AS run_date")
+      val all = tasks.crossJoin(dates)
+      val dom = dayofmonth(col("run_date"))
+      val done = (col("task") === "load" && dom <= 10) ||
+        (col("task") === "clean" && dom <= 7) ||
+        (col("task") === "stats" && dom <= 10 && dom =!= 4) ||
+        (col("task") === "report" && dom <= 3)
+      var dirty = all.filter(!done).select(col("task"), col("run_date"))
+      for (_ <- 1 to 2) { // DAG depth: 2 edge levels
+        val kids = dirty.join(edges, col("task") === col("parent"))
+          .select(col("child").as("task"), col("run_date"))
+        dirty = dirty.unionByName(kids).distinct()
+      }
+      dirty.join(tasks, "task")
+        .select(col("run_date"), col("task"), col("wave"))
+        .orderBy("run_date", "wave", "task")
+    }),
+
+    // J8: CRITICAL-PATH analysis (CPM) over the demo DAG with declared task
+    // durations — the "why is the pipeline slow" query every orchestrator
+    // answers: earliest start = longest finish among parents (forward
+    // level-synchronous max — one edge join per DAG level, monotone so
+    // union+max converges in depth iterations), latest start = min over
+    // children minus own duration (the mirrored backward pass from the
+    // makespan), slack = LST − EST, critical ⇔ slack 0. All integer
+    // minutes — exact. The only driver value is the scalar makespan. At
+    // 100 TB of run history the same passes run over the metadata ledger;
+    // depth iterations, metadata-row joins, no fact scans.
+    "j8_dag_critical_path" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val tasks = Seq(("load_lineitem", 7L), ("load_orders", 4L),
+        ("rev_by_status", 6L), ("cust_rank", 8L), ("report", 5L)).toDF("task", "dur")
+      val edges = Seq(("load_lineitem", "rev_by_status"), ("load_orders", "rev_by_status"),
+        ("load_orders", "cust_rank"), ("rev_by_status", "report"),
+        ("cust_rank", "report")).toDF("p", "c")
+      val depth = 2
+      // forward: EST as a monotone max fixpoint, level-synchronous
+      var est = tasks.join(edges.select(col("c").as("task")).distinct(), Seq("task"), "left_anti")
+        .select(col("task"), lit(0L).as("est"))
+      for (_ <- 1 to depth) {
+        val fin = est.join(tasks, "task")
+          .select(col("task"), (col("est") + col("dur")).as("fin"))
+        val next = fin.join(edges, col("task") === col("p"))
+          .groupBy(col("c").as("task")).agg(max(col("fin")).as("est"))
+        est = est.unionByName(next).groupBy("task").agg(max(col("est")).as("est"))
+      }
+      val fin = est.join(tasks, "task")
+        .select(col("task"), col("est"), (col("est") + col("dur")).as("fin"))
+      val makespan = fin.agg(max(col("fin"))).head().getLong(0)
+      // backward: LST from the sinks, min over children minus own duration
+      var lst = tasks.join(edges.select(col("p").as("task")).distinct(), Seq("task"), "left_anti")
+        .select(col("task"), (lit(makespan) - col("dur")).as("lst"))
+      for (_ <- 1 to depth) {
+        val parentMin = lst.join(edges, col("task") === col("c"))
+          .groupBy(col("p").as("task")).agg(min(col("lst")).as("mcl"))
+        val parentLst = parentMin.join(tasks, "task")
+          .select(col("task"), (col("mcl") - col("dur")).as("lst"))
+        lst = lst.unionByName(parentLst).groupBy("task").agg(min(col("lst")).as("lst"))
+      }
+      fin.join(lst, "task")
+        .select(col("task"), col("est"), col("fin"),
+          (col("lst") - col("est")).as("slack"),
+          when(col("lst") === col("est"), 1).otherwise(0).as("is_critical"))
+        .orderBy("task")
     })
   )
 
@@ -254,6 +342,37 @@ object DagQueries extends QueryModule {
     "j6_dag_snapshot_incremental" ->
       ("SELECT * FROM (VALUES ('load_src', 1, 0, 1), ('nat_counts', 1, 0, 1), " +
         "('seg_counts', 1, 0, 1)) " +
-        "t(job, computed_run1, computed_run2, computed_run3) ORDER BY job")
+        "t(job, computed_run1, computed_run2, computed_run3) ORDER BY job"),
+
+    // dirty = downward closure of the missing (task, date) set — the
+    // recursive CTE reaches the same fixpoint as the engine's per-level join
+    "j7_dag_backfill_plan" ->
+      ("WITH RECURSIVE t(task, wave) AS (SELECT * FROM (VALUES ('load', 0), " +
+        "('clean', 1), ('stats', 1), ('report', 2))), " +
+        "e(parent, child) AS (SELECT * FROM (VALUES ('load', 'clean'), " +
+        "('load', 'stats'), ('clean', 'report'), ('stats', 'report'))), " +
+        "d AS (SELECT CAST(unnest(generate_series(DATE '2024-01-01', " +
+        "DATE '2024-01-14', INTERVAL 1 DAY)) AS DATE) AS run_date), " +
+        "missing AS (SELECT task, run_date FROM t, d WHERE NOT (" +
+        "(task = 'load' AND day(run_date) <= 10) OR " +
+        "(task = 'clean' AND day(run_date) <= 7) OR " +
+        "(task = 'stats' AND day(run_date) <= 10 AND day(run_date) <> 4) OR " +
+        "(task = 'report' AND day(run_date) <= 3))), " +
+        "dirty AS (SELECT task, run_date FROM missing " +
+        "UNION SELECT e.child, dirty.run_date FROM dirty JOIN e ON dirty.task = e.parent) " +
+        "SELECT run_date, task, wave FROM dirty JOIN t USING (task) " +
+        "ORDER BY run_date, wave, task"),
+
+    // CPM by hand on the declared DAG (durations 7/4/6/8/5): critical path
+    // load_lineitem → rev_by_status → report = 18; the load_orders/cust_rank
+    // branch carries 1 minute of slack
+    "j8_dag_critical_path" ->
+      ("SELECT * FROM (VALUES " +
+        "('cust_rank', CAST(4 AS BIGINT), CAST(12 AS BIGINT), CAST(1 AS BIGINT), 0), " +
+        "('load_lineitem', CAST(0 AS BIGINT), CAST(7 AS BIGINT), CAST(0 AS BIGINT), 1), " +
+        "('load_orders', CAST(0 AS BIGINT), CAST(4 AS BIGINT), CAST(1 AS BIGINT), 0), " +
+        "('rev_by_status', CAST(7 AS BIGINT), CAST(13 AS BIGINT), CAST(0 AS BIGINT), 1), " +
+        "('report', CAST(13 AS BIGINT), CAST(18 AS BIGINT), CAST(0 AS BIGINT), 1)) " +
+        "t(task, est, fin, slack, is_critical) ORDER BY task")
   )
 }
