@@ -120,6 +120,49 @@ object AggQueries extends QueryModule {
         .orderBy("day")
     }),
 
+    // H7: EXACT mergeable distinct sketch — the deterministic sibling of
+    // h5's HLL rollup: daily per-type BITMAP blobs (functions/BitmapSketch:
+    // one bit per id, bitwise-OR merge — associative/commutative, so
+    // partial aggregation and AQE re-planning cannot change it) union to
+    // month level WITHOUT re-touching raw data, and unlike HLL the count is
+    // exact — so this sketch query carries a FULL value oracle
+    // (count(DISTINCT) replays it). The 100 TB trade: exact bitmaps cost a
+    // bit per id in a bounded dense id space (dimension keys); unbounded or
+    // hashed spaces stay on HLL.
+    "h7_sketch_bitmap_exact" -> ((s, dir) => {
+      graft.functions.BitmapSketch.register(s)
+      val t = Tables(s, dir)
+      val daily = t.events
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("event_type"), col("day"))
+        .agg(expr("bitmap_sketch(user_id)").as("bm"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_daily_sketches"),
+          expr("bitmap_count(bitmap_union(bm))").as("exact_users"))
+        .orderBy("event_type")
+    }),
+
+    // H8: exact SET ALGEBRA on bitmap sketches — |clickers ∩ purchasers|
+    // per day as a bitwise AND of the two blobs, the operation h6 can only
+    // approximate by inclusion-exclusion (and which therefore had no
+    // oracle; this one hash-matches the exact SQL intersection).
+    "h8_sketch_bitmap_intersect" -> ((s, dir) => {
+      graft.functions.BitmapSketch.register(s)
+      val t = Tables(s, dir)
+      t.events
+        .withColumn("day", to_date(col("ts")))
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("day"))
+        .agg(
+          expr("bitmap_sketch(CASE WHEN event_type = 'click' THEN user_id END)").as("c"),
+          expr("bitmap_sketch(CASE WHEN event_type = 'purchase' THEN user_id END)").as("p"))
+        .select(col("day"),
+          expr("bitmap_count(c)").as("clickers"),
+          expr("bitmap_count(p)").as("purchasers"),
+          expr("bitmap_count(bitmap_and_pair(c, p))").as("both_exact"))
+        .orderBy("day")
+    }),
+
     // D14: mergeable FIXED-BIN HISTOGRAM quantiles — like h5's HLL trio but
     // DETERMINISTIC, so this custom TypedImperativeAggregate is fully
     // oracle-backed: DuckDB replays the floor-binning + cumulative counts in
@@ -401,6 +444,27 @@ object AggQueries extends QueryModule {
         "ORDER BY cnt DESC, o_orderpriority ASC) AS rn FROM c) " +
         "SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS n " +
         "FROM r WHERE rn = 1 ORDER BY o_orderstatus"),
+
+    // the bitmap union/count is exact, so unlike the HLL band these two
+    // sketch queries replay as plain distinct counts
+    "h7_sketch_bitmap_exact" ->
+      ("SELECT event_type, count(DISTINCT CAST(ts AS DATE)) AS n_daily_sketches, " +
+        "count(DISTINCT user_id) AS exact_users FROM events " +
+        "GROUP BY event_type ORDER BY event_type"),
+
+    "h8_sketch_bitmap_intersect" ->
+      ("WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type, user_id FROM events " +
+        "WHERE event_type IN ('click', 'purchase')), " +
+        "m AS (SELECT day, " +
+        "count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS clickers, " +
+        "count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS purchasers " +
+        "FROM e GROUP BY day), " +
+        "b AS (SELECT day, count(*) AS both_exact FROM " +
+        "(SELECT day, user_id FROM e GROUP BY day, user_id " +
+        "HAVING count(DISTINCT event_type) = 2) GROUP BY day) " +
+        "SELECT m.day, m.clickers, m.purchasers, " +
+        "CAST(coalesce(b.both_exact, 0) AS BIGINT) AS both_exact " +
+        "FROM m LEFT JOIN b USING (day) ORDER BY day"),
 
     // 2*cum >= tot in exact integers — no division, replays bit-for-bit
     "d17_weighted_median" ->

@@ -385,4 +385,27 @@ class SketchSpec extends AnyFunSuite {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  test("bitmap sketch: growth, length-tolerant union, exact AND") {
+    val s = spark
+    import s.implicits._
+    graft.functions.BitmapSketch.register(s)
+    // group a's blob spans bit 1,000,000 (growth path); b's stays tiny —
+    // the union must OR across the length mismatch and count exactly
+    val df = Seq((1L, "a"), (9L, "a"), (1000000L, "a"), (9L, "b"), (2L, "b"))
+      .toDF("id", "g")
+    df.createOrReplaceTempView("bm_in")
+    val total = s.sql(
+      "SELECT bitmap_count(bitmap_union(bm)) AS n FROM " +
+        "(SELECT g, bitmap_sketch(id) AS bm FROM bm_in GROUP BY g)")
+      .head().getLong(0)
+    assert(total == 4, s"expected 4 distinct ids, got $total") // {1, 2, 9, 1000000}
+    // AND of the two per-group blobs (different lengths) = exactly {9}
+    val both = s.sql(
+      "SELECT bitmap_count(bitmap_and_pair(a.bm, b.bm)) AS n FROM " +
+        "(SELECT bitmap_sketch(id) AS bm FROM bm_in WHERE g = 'a') a, " +
+        "(SELECT bitmap_sketch(id) AS bm FROM bm_in WHERE g = 'b') b")
+      .head().getLong(0)
+    assert(both == 1, s"expected |{9}| = 1, got $both")
+  }
 }
