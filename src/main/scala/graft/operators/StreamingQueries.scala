@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 /** SURVEY §2 I (Structured Streaming I1–I8, +i9 stream-stream join, +i10
-  * rate source). The file-fed queries are rows-only (✘ oracle): their output
-  * depends on micro-batch boundaries, which no batch SQL oracle can replay.
-  * Deterministic-enough behavior comes from Trigger.AvailableNow + a
-  * chronologically-ordered chunked file source; exact semantics are asserted
-  * in StreamingSpec. i10's generator source IS deterministic, so it carries
-  * a full value oracle.
+  * rate source). File-fed queries whose output depends on micro-batch
+  * boundaries (i4 late-drop, i6/i8 per-batch emissions, i11–i14) are
+  * rows-only (✘ oracle) with semantics asserted in StreamingSpec. Queries
+  * whose FINAL output is chunking-independent carry full value oracles:
+  * single-batch complete-mode aggregations (i1/i2), single-batch joins
+  * (i7/i9), watermark-determined append sets (i3/i5/i18), state fixpoints
+  * (i15/i16), and the deterministic generator source (i10).
   *
   * Scale notes (100 TB): these are the same plans a production job would run
   * — file-source backpressure via maxFilesPerTrigger, event-time watermarks
@@ -800,6 +801,70 @@ object StreamingQueries extends QueryModule {
       ("SELECT CAST(ts AS DATE) AS day, count(*) AS n, " +
         s"round(${graft.Tables.dsumSql("value")}, 6) AS val_sum " +
         "FROM events GROUP BY 1 ORDER BY day"),
+
+    // i1/i2 ingest in ONE batch and report in complete mode, so the final
+    // table IS the batch windowed aggregate — Spark's windows are epoch-
+    // aligned, replayed here by integer µs floor
+    "i1_stream_tumbling" ->
+      ("SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 300000000) " +
+        "* 300000000) AS w_start, event_type, count(*) AS n " +
+        "FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"),
+
+    // every instant lies in exactly two 10-min/5-min-slide windows
+    "i2_stream_sliding" ->
+      ("WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS eu, value FROM events), " +
+        "x AS (SELECT u.ws AS ws, value FROM e, " +
+        "UNNEST([(eu // 300000000) * 300000000, " +
+        "(eu // 300000000) * 300000000 - 300000000]) AS u(ws) " +
+        "WHERE eu >= u.ws AND eu < u.ws + 600000000) " +
+        s"SELECT make_timestamp(ws) AS w_start, count(*) AS n, " +
+        s"round(${graft.Tables.dsumSql("value")}, 6) AS val_sum " +
+        "FROM x GROUP BY 1 ORDER BY w_start"),
+
+    // i3 also ingests in one batch; the appended session set is every
+    // 30-min-gap session (break at diff >= gap, session_window semantics)
+    // whose end + gap clears the final watermark (max ts - 1 h delay)
+    "i3_stream_session" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events), " +
+        "mx AS (SELECT max(ts) AS m FROM e), " +
+        "l AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w IS NULL OR " +
+        "epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS brk " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "g AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM l), " +
+        "sess AS (SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end, " +
+        "count(*) AS n FROM g GROUP BY 1, 2) " +
+        "SELECT s_start, user_id, n FROM sess, mx " +
+        "WHERE epoch_us(s_end) + 1800000000 <= epoch_us(m) - 3600000000 " +
+        "ORDER BY s_start, user_id"),
+
+    // i5's injected duplicates collapse back to the unique event set; day
+    // windows are emitted once the final watermark passes their end
+    "i5_stream_dedup" ->
+      ("WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "mx AS (SELECT max(ts) AS m FROM e), " +
+        "d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, " +
+        "count(*) AS n FROM e GROUP BY 1) " +
+        "SELECT w_start, n FROM d, mx " +
+        "WHERE epoch_us(w_start) + 86400000000 <= epoch_us(m) - 3600000000 " +
+        "ORDER BY w_start"),
+
+    // single-batch stream-static inner join appends every matched row once
+    "i7_stream_static_join" ->
+      ("SELECT c_mktsegment, event_type, count(*) AS n " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
+        "GROUP BY 1, 2 ORDER BY c_mktsegment, event_type"),
+
+    // single-batch inner stream-stream join emits every qualifying pair —
+    // the batch interval join replays it
+    "i9_stream_stream_join" ->
+      ("WITH c AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS c_ts FROM events " +
+        "WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS p_ts FROM events " +
+        "WHERE event_type = 'purchase') " +
+        "SELECT p.u AS p_user, count(*) AS n_pairs FROM p JOIN c ON p.u = c.u " +
+        "AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts " +
+        "GROUP BY 1 ORDER BY p_user"),
 
     // i18's emitted set is chunking-independent: every maximal 30-min-gap
     // session whose end + gap ≤ the stream's final watermark (= max ts at
