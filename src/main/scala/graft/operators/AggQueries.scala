@@ -351,6 +351,22 @@ object AggQueries extends QueryModule {
         .filter(col("cum") * 2 >= col("tot"))
         .groupBy(col("flag")).agg(min(col("v")).as("weighted_median"))
         .orderBy("flag")
+    }),
+
+    // D18: FILTERED AGGREGATES — SQL's `agg FILTER (WHERE …)` as
+    // conditional aggregation: several differently-predicated measures in
+    // ONE scan and one shuffle instead of N self-joined subqueries (the
+    // shape difference that matters at 100 TB). count skips the CASE's
+    // nulls; the conditional sum zero-fills, which is identical for sum.
+    "d18_agg_filtered" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val urgent = col("o_orderpriority") === "1-URGENT"
+      t.orders.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_all"),
+          count(when(urgent, 1)).as("n_urgent"),
+          Tables.dsum(when(urgent, col("o_totalprice")).otherwise(lit(0d))).as("urgent_rev"),
+          count(when(col("o_totalprice") > 100000, 1)).as("n_big"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -474,6 +490,13 @@ object AggQueries extends QueryModule {
         "c AS (SELECT flag, v, sum(w) OVER (PARTITION BY flag ORDER BY v " +
         "ROWS UNBOUNDED PRECEDING) AS cum, sum(w) OVER (PARTITION BY flag) AS tot FROM b) " +
         "SELECT flag, min(v) AS weighted_median FROM c WHERE cum * 2 >= tot " +
-        "GROUP BY flag ORDER BY flag")
+        "GROUP BY flag ORDER BY flag"),
+
+    "d18_agg_filtered" ->
+      ("SELECT o_orderstatus, count(*) AS n_all, " +
+        "count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent, " +
+        s"${Tables.dsumSql("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END")} AS urgent_rev, " +
+        "count(*) FILTER (WHERE o_totalprice > 100000) AS n_big " +
+        "FROM orders GROUP BY 1 ORDER BY o_orderstatus")
   )
 }

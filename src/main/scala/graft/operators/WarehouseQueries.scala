@@ -406,6 +406,46 @@ object WarehouseQueries extends QueryModule {
       val kept = mv.join(broadcast(affected), Seq("yr", "mo"), "left_anti")
         .withColumn("recomputed", lit(0))
       kept.unionByName(repaired).orderBy("yr", "mo")
+    }),
+
+    // M14: TIME TRAVEL "AS OF" a LOGICAL timestamp — version-number reads
+    // (m6) answer "what did v2 say"; users ask "what did the table say as
+    // of Jan 2". Each commit carries its logical effective date in the
+    // manifest metadata (committed through the same atomic pointer swap as
+    // the data — see SnapshotTable.prepare); AS OF resolves to the highest
+    // version whose date ≤ the probe by reading ONLY version metadata
+    // (O(versions) tiny files, no data scan), then reads that version
+    // through the ordinary manifest path. Wall-clock commit times would be
+    // nondeterministic; logical dates are how real lakehouse tests pin
+    // time travel too.
+    "m14_time_travel_asof" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_asof_${dir.hashCode & 0x7fffffff}"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root))
+      val t = Tables(s, dir)
+      def slice(mod: Int) = t.orders.filter(col("o_orderkey") % mod === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      SnapshotTable.commit(slice(4), root, meta = "2024-01-01")
+      SnapshotTable.commit(slice(2), root, meta = "2024-01-02")
+      SnapshotTable.commit(slice(1), root, meta = "2024-01-03")
+      def resolve(asOf: String): Long = {
+        val latest = SnapshotTable.latestVersion(root).getOrElse(0L)
+        (1L to latest).filter(v =>
+          SnapshotTable.versionMeta(root, v).exists(_ <= asOf)).max
+      }
+      def probe(asOf: String) = {
+        val v = resolve(asOf)
+        SnapshotTable.readVersion(s, root, v)
+          .agg(count(lit(1)).as("n_rows"),
+            floor(sum(col("o_totalprice").cast(Tables.dec))).cast("long").as("revenue"))
+          .select(lit(asOf).as("as_of"), lit(v).as("version"),
+            col("n_rows"), col("revenue"))
+      }
+      probe("2024-01-01").unionByName(probe("2024-01-02"))
+        .unionByName(probe("2024-01-05"))
+        .orderBy("as_of")
     })
   )
 
@@ -538,6 +578,17 @@ object WarehouseQueries extends QueryModule {
         row("baseline", 1, 1, "base") + " UNION ALL " +
         row("bad_staged", 0, 1, "badstage") + " UNION ALL " +
         row("good_published", 1, 2, "pub") + " ORDER BY step"
+    },
+
+    // AS OF Jan 1 → v1 (%4), Jan 2 → v2 (%2), Jan 5 → v3 (all)
+    "m14_time_travel_asof" -> {
+      def row(asOf: String, v: Int, mod: Int) =
+        s"SELECT '$asOf' AS as_of, CAST($v AS BIGINT) AS version, " +
+          "count(*) AS n_rows, " +
+          "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) AS revenue " +
+          s"FROM orders WHERE o_orderkey % $mod = 0"
+      row("2024-01-01", 1, 4) + " UNION ALL " + row("2024-01-02", 2, 2) +
+        " UNION ALL " + row("2024-01-05", 3, 1) + " ORDER BY as_of"
     },
 
     // the spliced MV must equal the full recompute; a partition took the

@@ -372,6 +372,32 @@ object WindowQueries extends QueryModule {
         .select(col("event_type"), col("how"), col("n"),
           round(col("avg_raw"), 6).as("avg_val"), col("is_peak"))
         .orderBy("event_type", "how")
+    }),
+
+    // E18: PARETO CONTRIBUTION — revenue share and cumulative share per
+    // market segment ranked largest-first, the "which 20% carries 80%"
+    // report. The facts crush to one exact-decimal sum per segment FIRST;
+    // every window below runs on that 5-row aggregate (single-partition by
+    // design — it is already metadata-scale), and each share is ONE double
+    // division of exact decimals, so the replay is bit-stable. The same
+    // split (decimal partials at data scale, window on the crushed
+    // aggregate) is the 100 TB shape.
+    "e18_pareto_contribution" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val seg = t.orders.join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("o_totalprice").cast(Tables.dec)).as("rev"))
+      val ord = Window.orderBy(col("rev").desc, col("c_mktsegment"))
+      val all = Window.partitionBy(lit(0))
+      seg.withColumn("rank", row_number().over(ord))
+        .withColumn("cum", sum(col("rev")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("tot", sum(col("rev")).over(all))
+        .select(col("c_mktsegment"),
+          floor(col("rev")).cast("long").as("revenue"),
+          round(col("rev").cast("double") / col("tot").cast("double"), 6).as("share"),
+          round(col("cum").cast("double") / col("tot").cast("double"), 6).as("cum_share"),
+          col("rank"))
+        .orderBy("rank")
     })
   )
 
@@ -545,6 +571,18 @@ object WindowQueries extends QueryModule {
         "ORDER BY avg_raw DESC, how) AS rn FROM a) " +
         "SELECT event_type, how, n, round(avg_raw, 6) AS avg_val, " +
         "CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_peak " +
-        "FROM r ORDER BY event_type, how")
+        "FROM r ORDER BY event_type, how"),
+
+    // exact decimal sums; each share is one double division
+    "e18_pareto_contribution" ->
+      ("WITH s AS (SELECT c_mktsegment, sum(CAST(o_totalprice AS DECIMAL(27,6))) AS rev " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1), " +
+        "r AS (SELECT *, row_number() OVER (ORDER BY rev DESC, c_mktsegment) AS rank, " +
+        "sum(rev) OVER (ORDER BY rev DESC, c_mktsegment ROWS UNBOUNDED PRECEDING) AS cum, " +
+        "sum(rev) OVER () AS tot FROM s) " +
+        "SELECT c_mktsegment, CAST(floor(rev) AS BIGINT) AS revenue, " +
+        "round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share, " +
+        "round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share, " +
+        "CAST(rank AS INT) AS rank FROM r ORDER BY rank")
   )
 }
