@@ -324,6 +324,49 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // G64: INCREMENTAL COMPONENT MAINTENANCE — g49 answers "is this new doc
+    // a duplicate"; a dedup service must also keep the GROUP IDS current as
+    // deltas land, without re-resolving the whole historical graph. The old
+    // labels compress every known component into STAR edges (id → comp), so
+    // the warm-start resolution runs ConnectedComponents over
+    // |delta-touching pairs| + |labeled nodes| star edges — the historical
+    // PAIR set is never rebuilt, and convergence is O(log diameter) of the
+    // delta, not the corpus. The result must equal the cold full-graph
+    // resolution exactly (star edges preserve membership, new edges merge
+    // by min-label as usual) — the oracle is g24's recursive CTE over the
+    // FULL pair graph.
+    "g64_incremental_components" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.documents
+        .withColumn("toks", TF.tokens(lower(col("text"))))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), substring(lower(col("text")), 1, 40).as("blk"),
+          TF.shingles3("toks").as("sh"))
+      val n = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+      val isDelta = col("doc_id") % 5 === 0
+      def side(df: org.apache.spark.sql.DataFrame, p: String) = df
+        .select(col("doc_id").as(s"${p}_id"), col("blk").as(s"${p}_blk"),
+          col("sh").as(s"${p}_sh"))
+        .repartition(n, col(s"${p}_blk"))
+      def pairs(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+        side(l, "a").join(side(r, "b"),
+            col("a_blk") === col("b_blk") && col("a_id") < col("b_id"))
+          .filter(TF.jaccard(col("a_sh"), col("b_sh")) >= 0.4)
+          .select(col("a_id").as("u"), col("b_id").as("v"))
+      // yesterday's state: labels over the existing-only pair graph
+      val exist = base.filter(!isDelta)
+      val oldLabels = graft.plans.ConnectedComponents.labels(pairs(exist, exist))
+      // today: pairs touching the delta (delta×existing + delta×delta)
+      val deltaEdges = pairs(base.filter(isDelta), base)
+        .unionByName(pairs(base, base.filter(isDelta)))
+        .distinct()
+      val starEdges = oldLabels.filter(col("id") =!= col("comp"))
+        .select(col("id").as("u"), col("comp").as("v"))
+      graft.plans.ConnectedComponents.labels(starEdges.unionByName(deltaEdges))
+        .select(col("id").as("doc_id"), col("comp"))
+        .orderBy("doc_id")
+    }),
+
     // G2b: the scale path — MinHash banding instead of prefix blocking, same
     // exact-Jaccard verification. Hash-based → no SQL oracle (rows-only);
     // pair-set equivalence vs brute force is asserted in MinHashSpec.
@@ -830,6 +873,20 @@ object TextQueries extends QueryModule {
     // g24: same edge set as g2, then min-label fixpoint via recursive CTE
     // (UNION is set semantics, labels finite → terminates at the closure).
     "g24_dedup_components" ->
+      (s"WITH RECURSIVE $duckShingleCte, " +
+        "edges AS (SELECT a.doc_id AS u, b.doc_id AS v " +
+        "FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.4), " +
+        "sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges), " +
+        "reach(id, lab) AS (" +
+        "SELECT u, u FROM sym " +
+        "UNION " +
+        "SELECT sym.u, reach.lab FROM sym JOIN reach ON sym.v = reach.id) " +
+        "SELECT id AS doc_id, min(lab) AS comp FROM reach GROUP BY id ORDER BY doc_id"),
+
+    // the warm-start labels must equal the cold full-graph resolution —
+    // g24's oracle verbatim
+    "g64_incremental_components" ->
       (s"WITH RECURSIVE $duckShingleCte, " +
         "edges AS (SELECT a.doc_id AS u, b.doc_id AS v " +
         "FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id " +

@@ -661,6 +661,31 @@ object VectorQueries extends QueryModule {
     // same plumbing (opaque binary column, per-partition batch decode) a
     // production job uses with a real codec, now value-checked end-to-end:
     // the oracle recomputes the pixel stats from the source text.
+    // G63: multimodal BATCH SHAPING — aspect-ratio bucketing + fixed-size
+    // batch packing, the image twin of g23's sequence packing: inference
+    // batches must hold same-shaped tensors, so images group by decoded
+    // (w, h) and each bucket packs into 32-image batches in stable doc
+    // order. Shapes come from the same GRF1 header rule g14 decodes; the
+    // per-bucket rank is a window bounded by bucket size (at 100 TB the
+    // g52-style two-pass offset prefix-sum replaces the per-bucket window —
+    // same output, no one-reducer-per-bucket). Every quantity is integer.
+    "g63_multimodal_bucket_pack" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val imgs = t.documents
+        .withColumn("h", expr("CAST(greatest(1, least(8, n_chars DIV 8)) AS INT)"))
+        .select(col("doc_id"), col("h"))
+      val w = Window.partitionBy("h").orderBy("doc_id")
+      imgs.withColumn("rn", row_number().over(w))
+        .withColumn("batch_idx", expr("CAST((rn - 1) DIV 32 AS INT)"))
+        .groupBy(col("h"), col("batch_idx"))
+        .agg(count(lit(1)).as("n_images"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .withColumn("batch_bytes", col("n_images") * (col("h") * 8 + 8))
+        .select(col("h"), col("batch_idx"), col("n_images"), col("batch_bytes"),
+          col("first_doc"), col("last_doc"))
+        .orderBy("h", "batch_idx")
+    }),
+
     "g14_multimodal_binary" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
@@ -927,6 +952,17 @@ object VectorQueries extends QueryModule {
     // replays the GRF1 pixel stats straight from the source text: the
     // decoder's (w, h) come from the header the encoder wrote, so the
     // oracle's h must re-derive the same clamp from n_chars
+    "g63_multimodal_bucket_pack" ->
+      ("WITH i AS (SELECT doc_id, CAST(greatest(1, least(8, n_chars // 8)) AS INT) AS h " +
+        "FROM documents), " +
+        "r AS (SELECT doc_id, h, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn " +
+        "FROM i), " +
+        "b AS (SELECT h, CAST((rn - 1) // 32 AS INT) AS batch_idx, count(*) AS n_images, " +
+        "min(doc_id) AS first_doc, max(doc_id) AS last_doc FROM r GROUP BY 1, 2) " +
+        "SELECT h, batch_idx, n_images, " +
+        "CAST(n_images * (h * 8 + 8) AS BIGINT) AS batch_bytes, first_doc, last_doc " +
+        "FROM b ORDER BY h, batch_idx"),
+
     "g14_multimodal_binary" ->
       ("SELECT doc_id, lang, 8 AS w, h, " +
         "CAST(list_sum(list_transform(range(1, 8 * h + 1), " +
