@@ -724,6 +724,24 @@ object StreamingQueries extends QueryModule {
         .orderBy("w_start")
     }),
 
+    // I19: CUSTOM IMPERATIVE AGGREGATE UNDER STREAMING STATE — the h7
+    // bitmap sketch running inside a complete-mode streaming aggregation
+    // across MULTIPLE micro-batches: the opaque byte-blob buffer must
+    // round-trip the state store between batches (TypedImperativeAggregate
+    // serialize/deserialize) and merge bitwise — which is exactly what a
+    // production streaming exact-distinct needs. The final table after all
+    // chunks is chunking-independent (OR is associative/commutative), so
+    // unlike most of the i-band this carries a full value oracle.
+    "i19_stream_bitmap_distinct" -> ((s, dir) => {
+      graft.functions.BitmapSketch.register(s)
+      val q = stream(s, dir, filesPerTrigger = 2) // 2 micro-batches
+        .groupBy(col("event_type"))
+        .agg(expr("bitmap_count(bitmap_sketch(user_id))").as("exact_users"),
+          count(lit(1)).as("n_events"))
+      runMemory(q, "complete", "i19", needsFinalFlush = false)
+        .orderBy("event_type")
+    }),
+
     // I18: EVENT-TIME TIMERS — per-user gap sessionization where sessions
     // close when the WATERMARK passes last_event + 30 min, fired by a
     // registered timer rather than by a later event (SessionTimerProcessor;
@@ -865,6 +883,12 @@ object StreamingQueries extends QueryModule {
         "SELECT p.u AS p_user, count(*) AS n_pairs FROM p JOIN c ON p.u = c.u " +
         "AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts " +
         "GROUP BY 1 ORDER BY p_user"),
+
+    // the bitmap OR is associative/commutative, so the final complete-mode
+    // table equals the batch exact-distinct regardless of chunking
+    "i19_stream_bitmap_distinct" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
+        "count(*) AS n_events FROM events GROUP BY 1 ORDER BY event_type"),
 
     // i18's emitted set is chunking-independent: every maximal 30-min-gap
     // session whose end + gap ≤ the stream's final watermark (= max ts at
