@@ -28,6 +28,24 @@ object TextFunctions {
     math.log(1.0 + n) * (1.0 - stop.toDouble / n)
   }
 
+  /** The SAME score as `qualityScore`, but as a pure built-in composition
+    * (split → higher-order filter → log), fully inside whole-stage codegen —
+    * no per-row ser/de. H1 keeps the UDF form (it IS §2's udf_scalar
+    * demonstrator); every other consumer should use this one. Bit-identical
+    * to the UDF: both funnel through java.lang.Math.log and one IEEE
+    * multiply/divide on the same integers.
+    */
+  def qualityScoreCol(text: Column): Column = {
+    val toks = split(lower(text), " ")
+    val n = size(toks).cast("double")
+    // stopword MULTISET count via chained array_remove (each removes every
+    // occurrence of one stopword) — stays codegen, unlike a higher-order
+    // filter() lambda (HigherOrderFunction is CodegenFallback)
+    val removed = StopWords.foldLeft(toks)((c, w) => array_remove(c, lit(w)))
+    val nStop = (size(toks) - size(removed)).cast("double")
+    log(lit(1.0) + n) * (lit(1.0) - nStop / n)
+  }
+
   /** Whitespace token array (the tokenizer every text op shares). */
   def tokens(text: Column): Column = split(text, " ")
 

@@ -157,6 +157,22 @@ object FunctionQueries extends QueryModule {
           median(col("l_extendedprice")).as("med_price"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
+    }),
+
+    // F17: bitwise function surface — and/or/xor/popcount/shifts, the ops
+    // id-partitioners, bloom hashes, and bitmap codecs lean on. All exact
+    // integer arithmetic, identical on any engine.
+    "f17_fn_bitwise" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.events.filter(col("event_id") < 200)
+        .select(col("event_id"), col("user_id"),
+          col("event_id").bitwiseAND(col("user_id")).as("band"),
+          col("event_id").bitwiseOR(col("user_id")).as("bor"),
+          col("event_id").bitwiseXOR(col("user_id")).as("bxor"),
+          bit_count(col("event_id")).as("bits"),
+          shiftleft(col("event_id"), 3).as("shl"),
+          shiftrightunsigned(col("event_id"), 2).as("shr"))
+        .orderBy("event_id")
     })
   )
 
@@ -231,6 +247,13 @@ object FunctionQueries extends QueryModule {
     "f16_fn_median" ->
       ("SELECT l_returnflag, median(l_quantity) AS med_qty, " +
         "median(l_extendedprice) AS med_price, count(*) AS n " +
-        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "f17_fn_bitwise" ->
+      ("SELECT event_id, user_id, event_id & user_id AS band, " +
+        "event_id | user_id AS bor, xor(event_id, user_id) AS bxor, " +
+        "CAST(bit_count(event_id) AS INT) AS bits, " +
+        "event_id << 3 AS shl, event_id >> 2 AS shr " +
+        "FROM events WHERE event_id < 200 ORDER BY event_id")
   )
 }

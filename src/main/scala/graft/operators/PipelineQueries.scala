@@ -577,6 +577,41 @@ object PipelineQueries extends QueryModule {
           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
         .withColumn("novelty", col("n_novel").cast("double") / col("n_grams"))
         .orderBy("doc_id")
+    }),
+
+    // G66: SPAN-CORRUPTION OBJECTIVE PREP (T5-style denoising) — turn each
+    // document into (corrupted input, target) training pairs: tokens group
+    // into 3-token spans, a deterministic integer rule (Knuth-hash of
+    // (span_id, doc_id) mod 20 < 3 ≈ 15%) selects mask spans, each masked
+    // span is replaced by an incrementing <extra_id_k> sentinel in the
+    // input and emitted after its sentinel in the target — the exact
+    // objective-construction pass a denoising pretraining run executes over
+    // the corpus. Everything is integer arithmetic + ordered string
+    // aggregation, so the pairs are bit-reproducible and fully
+    // oracle-backed. Scale shape: one narrow explode, one (doc, span)
+    // aggregation, one per-doc window + ordered listagg — two shuffles on
+    // doc_id, nothing quadratic, no state beyond the rows.
+    "g66_span_corruption" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val tk = t.documents
+        .select(col("doc_id"), posexplode(TF.tokens(lower(col("text")))).as(Seq("pos", "tok")))
+      val sp = tk.withColumn("span_id", expr("pos div 3"))
+        .groupBy(col("doc_id"), col("span_id"))
+        .agg(expr("listagg(tok, ' ') WITHIN GROUP (ORDER BY pos)").as("span_text"))
+        .withColumn("masked",
+          (col("span_id") * lit(2654435761L) + col("doc_id")) % 20 < 3)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("span_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val nb = sp.withColumn("sent_id",
+        sum(when(col("masked"), 1L).otherwise(0L)).over(w) - 1)
+      nb.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+          expr("listagg(CASE WHEN masked THEN concat('<extra_id_', CAST(sent_id AS STRING), '>') " +
+            "ELSE span_text END, ' ') WITHIN GROUP (ORDER BY span_id)").as("corrupted"),
+          coalesce(expr("listagg(CASE WHEN masked THEN concat('<extra_id_', CAST(sent_id AS STRING), '> ', span_text) " +
+            "END, ' ') WITHIN GROUP (ORDER BY span_id)"), lit("")).as("target"))
+        .orderBy("doc_id")
     })
   )
 
@@ -899,6 +934,23 @@ object PipelineQueries extends QueryModule {
         "SELECT doc_id, count(*) AS n_grams, " +
         "CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
         "CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty " +
-        "FROM f GROUP BY doc_id ORDER BY doc_id")
+        "FROM f GROUP BY doc_id ORDER BY doc_id"),
+
+    "g66_span_corruption" ->
+      ("WITH tk AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i+1] AS tok " +
+        "FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents) d, " +
+        "UNNEST(range(len(toks))) AS u(i)), " +
+        "sp AS (SELECT doc_id, pos // 3 AS span_id, " +
+        "string_agg(tok, ' ' ORDER BY pos) AS span_text FROM tk GROUP BY 1, 2), " +
+        "mk AS (SELECT *, ((span_id * 2654435761 + doc_id) % 20) < 3 AS masked FROM sp), " +
+        "nb AS (SELECT *, CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) OVER " +
+        "(PARTITION BY doc_id ORDER BY span_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS sent_id FROM mk) " +
+        "SELECT doc_id, count(*) AS n_spans, " +
+        "CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked, " +
+        "string_agg(CASE WHEN masked THEN '<extra_id_' || CAST(sent_id AS VARCHAR) || '>' " +
+        "ELSE span_text END, ' ' ORDER BY span_id) AS corrupted, " +
+        "coalesce(string_agg(CASE WHEN masked THEN '<extra_id_' || CAST(sent_id AS VARCHAR) || '> ' || span_text END, " +
+        "' ' ORDER BY span_id), '') AS target " +
+        "FROM nb GROUP BY doc_id ORDER BY doc_id")
   )
 }

@@ -593,6 +593,62 @@ object StreamingQueries extends QueryModule {
         .orderBy("day")
     }),
 
+    // I20: streaming CDC APPLY WITH DELETES — i12/i13 maintain ADDITIVE
+    // partials; a real change feed also carries row deletes. Each event is
+    // a CDC op on its user_id key: event_type 'error' ⇒ DELETE, anything
+    // else ⇒ UPSERT(value). Conflict resolution is LAST-WRITER-WINS on
+    // (event-time, event_id), and deletes persist as TOMBSTONES in the
+    // state table, so a late-arriving older upsert for a deleted key can
+    // never resurrect it — which makes the final state independent of how
+    // ops are chunked into micro-batches (the LWW merge is associative and
+    // commutative over batches; the chunked source deliberately arrives in
+    // event_id order, not time order, and the result must not care).
+    // Applied through i13's transactional snapshot commits (applied batchId
+    // in the version metadata ⇒ replay-safe at every crash point). Fully
+    // oracle-backed: final listing == "latest op per key, tombstones
+    // hidden". At 100 TB the per-batch merge touches |delta-keys| state
+    // rows via the snapshot's key layout — the LWW window runs on
+    // delta ∪ matched-state, never a full-state rescan.
+    "i20_stream_cdc_apply" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val root = s"$ckptRoot/graft_snap_i20_${dir.hashCode & 0x7fffffff}"
+      rmrfDir(new java.io.File(root))
+      val ckpt = s"$ckptRoot/graft_i20_${System.nanoTime()}"
+      val q = stream(s, dir, filesPerTrigger = 2)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          col("value"))
+      val sq = withStreamShufflePartitions(s) {
+        q.writeStream.outputMode(OutputMode.Append())
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            val applied = SnapshotTable.latestMeta(root).map(_.toLong).getOrElse(-1L)
+            if (batchId > applied) {
+              def lww(d: DataFrame) = {
+                val w = org.apache.spark.sql.expressions.Window
+                  .partitionBy(col("user_id"))
+                  .orderBy(col("ts").desc, col("event_id").desc)
+                d.withColumn("rn", row_number().over(w))
+                  .filter(col("rn") === 1).drop("rn")
+              }
+              val delta = lww(df)
+              val merged =
+                if (SnapshotTable.latestVersion(root).isDefined)
+                  lww(delta.unionByName(SnapshotTable.read(df.sparkSession, root)))
+                else delta
+              SnapshotTable.commit(merged, root, meta = batchId.toString)
+              ()
+            }
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+      }
+      try sq.awaitTermination() finally rmrfDir(new java.io.File(ckpt))
+      SnapshotTable.read(s, root)
+        .filter(col("event_type") =!= "error")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("ts").cast("timestamp_ntz").as("ts"), round(col("value"), 6).as("value"))
+        .orderBy("user_id")
+    }),
+
     // I14: streaming NEAR-DUP filter — the ingestion-time dedup gate a
     // training-data pipeline runs in front of its corpus: each arriving
     // document's 64-bit SimHash splits into 4×16-bit bands, and
@@ -819,6 +875,16 @@ object StreamingQueries extends QueryModule {
       ("SELECT CAST(ts AS DATE) AS day, count(*) AS n, " +
         s"round(${graft.Tables.dsumSql("value")}, 6) AS val_sum " +
         "FROM events GROUP BY 1 ORDER BY day"),
+
+    // LWW with tombstones is chunking-independent: the final CDC state is
+    // exactly "latest op per key, deletes hidden"
+    "i20_stream_cdc_apply" ->
+      ("WITH l AS (SELECT user_id, event_id, event_type, value, " +
+        "CAST(ts AS TIMESTAMP) AS ts, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn FROM events) " +
+        "SELECT user_id, event_id AS last_event_id, ts, round(value, 6) AS value " +
+        "FROM l WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"),
 
     // i1/i2 ingest in ONE batch and report in complete mode, so the final
     // table IS the batch windowed aggregate — Spark's windows are epoch-

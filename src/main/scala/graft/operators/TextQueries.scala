@@ -31,11 +31,14 @@ object TextQueries extends QueryModule {
     * prefix blocking + exact 3-shingle Jaccard ≥ 0.4 over `documents`. */
   private def jaccardPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val t = Tables(s, dir)
+    // both self-join sides consume base — pin it so tokenize→shingle runs
+    // once per query instead of twice (one bounded row per doc)
     val base = t.documents
       .withColumn("toks", TF.tokens(lower(col("text"))))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), substring(lower(col("text")), 1, 40).as("blk"),
         TF.shingles3("toks").as("sh"))
+      .localCheckpoint()
     // pinned partition count on the block key: the join's shuffle input is
     // small but its output is the quadratic per-block pair enumeration,
     // which AQE's input-size-based coalescing cannot see — without the pin
@@ -255,7 +258,7 @@ object TextQueries extends QueryModule {
         .select(col("a_id").as("u"), col("b_id").as("v"))
       val labels = graft.plans.ConnectedComponents.labels(edges)
       val scored = t.documents.select(col("doc_id"),
-        round(TF.qualityScore(col("text")), 6).as("score"))
+        round(TF.qualityScoreCol(col("text")), 6).as("score"))
       val w = Window.partitionBy(col("comp"))
         .orderBy(col("score").desc, col("doc_id"))
       labels.join(scored, col("id") === col("doc_id"))
@@ -337,11 +340,15 @@ object TextQueries extends QueryModule {
     // FULL pair graph.
     "g64_incremental_components" -> ((s, dir) => {
       val t = Tables(s, dir)
+      // base feeds six join sides across the three pair kernels below —
+      // pin it so the tokenize→shingle chain runs once (same rationale as
+      // g53; a deployment keeps this as the persisted shingle index).
       val base = t.documents
         .withColumn("toks", TF.tokens(lower(col("text"))))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), substring(lower(col("text")), 1, 40).as("blk"),
           TF.shingles3("toks").as("sh"))
+        .localCheckpoint()
       val n = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
       val isDelta = col("doc_id") % 5 === 0
       def side(df: org.apache.spark.sql.DataFrame, p: String) = df
@@ -515,7 +522,7 @@ object TextQueries extends QueryModule {
         .withColumn("norm", lower(trim(col("text"))))
         .withColumn("toks", TF.tokens(lower(col("text"))))
         .withColumn("blk", substring(lower(col("text")), 1, 40))
-        .withColumn("score", round(TF.qualityScore(col("text")), 6))
+        .withColumn("score", round(TF.qualityScoreCol(col("text")), 6))
       val quality = scored.filter(col("score") >= 3.5)
       val w = Window.partitionBy(col("norm")).orderBy(col("doc_id"))
       val exact = quality.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -530,6 +537,38 @@ object TextQueries extends QueryModule {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), Tables.davg(col("n_chars")).as("avg_chars"))
         .orderBy("lang")
+    }),
+
+    // G65: FILTER-FUNNEL ATTRIBUTION — the per-stage drop report every
+    // curation pipeline publishes (how many docs died at which gate).
+    // Each document is attributed to its FIRST failing stage (length →
+    // quality → repetition), so stage counts sum to the corpus and the
+    // funnel is a partition, not overlapping tallies. One narrow pass
+    // (all three signals are per-row codegen arithmetic — no UDF, no
+    // shuffle until the 4-group rollup); shares are single IEEE divisions
+    // of exact counts.
+    "g65_filter_funnel" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val staged = t.documents
+        .withColumn("toks", TF.tokens(lower(col("text"))))
+        .withColumn("score", round(TF.qualityScoreCol(col("text")), 6))
+        .withColumn("tris", expr(
+          "transform(sequence(1, greatest(size(toks) - 2, 0)), i -> " +
+            "concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
+        .withColumn("rep_ratio", when(size(col("tris")) > 0,
+          round(lit(1.0) - size(array_distinct(col("tris"))).cast("double") /
+            size(col("tris")), 6)).otherwise(lit(0.0)))
+        .withColumn("stage",
+          when(col("n_chars") < 150, "1_too_short")
+            .when(col("score") < 3.5, "2_low_quality")
+            .when(col("rep_ratio") >= 0.02, "3_high_repetition")
+            .otherwise("4_passed"))
+      val w = Window.partitionBy(lit(0))
+      staged.groupBy(col("stage")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("share", round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(w).cast("double"), 6))
+        .select(col("stage"), col("n_docs"), col("share"))
+        .orderBy("stage")
     }),
 
     // H1: scalar UDF (quality score), SQL-replayable arithmetic.
@@ -565,18 +604,30 @@ object TextQueries extends QueryModule {
     // like the rest of the pair family.
     "g53_setsim_prefix" -> ((s, dir) => {
       val t = Tables(s, dir)
+      // The shingle-set table feeds FIVE consumers (the freq count, both
+      // prefix self-join sides, both verify-join sides); without a pin the
+      // tokenize→shingle chain re-executes for each one. localCheckpoint
+      // materializes it once (one bounded row per doc). At 100 TB a
+      // deployment persists this index as a bucketed table instead
+      // (g49-style) — the pin is the single-job equivalent.
       val sets = t.documents
         .withColumn("toks", TF.tokens(lower(col("text"))))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), TF.shingles3("toks").as("sh"))
+        .localCheckpoint()
       val exploded = sets
         .select(col("doc_id"), size(col("sh")).as("len"), explode(col("sh")).as("tok"))
       val freq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("f"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("tok"))
+      // prefix is consumed by BOTH sides of the candidate self-join; pinning
+      // it runs the rarity join + per-doc window once, and its size is
+      // strictly below the exploded token table (only ~(1-t)·|sh| prefix
+      // positions per doc survive the filter).
       val prefix = exploded.join(freq, "tok")
         .withColumn("r", row_number().over(w))
         .filter(col("r") <= col("len") - expr("(2 * len + 4) div 5") + 1)
         .select(col("doc_id"), col("len"), col("r"), col("tok"))
+        .localCheckpoint()
       val n = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
       // Two more LOSSLESS prunes before any set is fetched, both
       // integer-exact: the AllPairs length filter (jac ≥ 2/5 forces
@@ -1000,6 +1051,25 @@ object TextQueries extends QueryModule {
         s"${Tables.davgSql("n_chars")} AS avg_chars " +
         "FROM d WHERE doc_id NOT IN (SELECT b_id FROM dup) " +
         "GROUP BY lang ORDER BY lang"),
+
+    "g65_filter_funnel" ->
+      (s"WITH d AS (SELECT doc_id, n_chars, text, str_split(lower(text), ' ') AS toks FROM documents), " +
+        "sc AS (SELECT doc_id, n_chars, toks, " +
+        "round(ln(1 + len(str_split(text, ' '))) * " +
+        "(1.0 - CAST(len(list_filter(str_split(lower(text), ' '), " +
+        s"x -> list_contains($stopList, x))) AS DOUBLE) / len(str_split(text, ' '))), 6) AS score, " +
+        "list_transform(range(1, greatest(len(toks) - 2, 0) + 1), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tris FROM d), " +
+        "r AS (SELECT doc_id, n_chars, score, " +
+        "CASE WHEN len(tris) > 0 THEN round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris), 6) " +
+        "ELSE 0.0 END AS rep_ratio FROM sc), " +
+        "st AS (SELECT CASE WHEN n_chars < 150 THEN '1_too_short' " +
+        "WHEN score < 3.5 THEN '2_low_quality' " +
+        "WHEN rep_ratio >= 0.02 THEN '3_high_repetition' " +
+        "ELSE '4_passed' END AS stage FROM r) " +
+        "SELECT stage, count(*) AS n_docs, " +
+        "round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents), 6) AS share " +
+        "FROM st GROUP BY stage ORDER BY stage"),
 
     "h1_udf_quality" ->
       (s"SELECT doc_id, len(str_split(text, ' ')) AS n_toks, " +

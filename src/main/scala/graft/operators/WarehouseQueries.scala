@@ -446,6 +446,41 @@ object WarehouseQueries extends QueryModule {
       probe("2024-01-01").unionByName(probe("2024-01-02"))
         .unionByName(probe("2024-01-05"))
         .orderBy("as_of")
+    }),
+
+    // M15: AGGREGATE-MV MAINTENANCE UNDER RETRACTIONS — m2 merges
+    // append-only deltas; a real CDC feed also DELETES. Every delta row
+    // carries a multiplicity (+1 insert, −1 delete); maintenance aggregates
+    // ONLY the delta into signed partials (Σmult, Σ mult·price — the price
+    // is exact in double under ±1 multiply, then decimal-summed) and merges
+    // them with the old MV's partials; a group whose merged count reaches 0
+    // drops out. The historical facts are never rescanned — the delta
+    // aggregation is the only data-scale work, the merge runs on |groups|
+    // rows. Oracle: recompute the MV from scratch on the patched table;
+    // merged == recomputed exactly (integer counts, decimal sums).
+    // Delta here: inserts = the o_orderkey%10==0 slice (held out of the
+    // base), deletes = the base's %7==0 slice.
+    "m15_mv_retract" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val existing = t.orders.filter(col("o_orderkey") % 10 =!= 0)
+      val mv = existing.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("o_totalprice").cast(Tables.dec)).as("psum"))
+      val inserts = t.orders.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderpriority"), col("o_totalprice"), lit(1L).as("mult"))
+      val deletes = existing.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderpriority"), col("o_totalprice"), lit(-1L).as("mult"))
+      val deltaPart = inserts.unionByName(deletes)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("mult")).as("pn"),
+          sum((col("o_totalprice") * col("mult")).cast(Tables.dec)).as("psum"))
+      mv.unionByName(deltaPart)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("pn")).as("n_orders"), sum(col("psum")).as("tsum"))
+        .filter(col("n_orders") > 0)
+        .select(col("o_orderpriority"), col("n_orders"),
+          floor(col("tsum")).cast("long").as("revenue"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -598,6 +633,14 @@ object WarehouseQueries extends QueryModule {
         "count(*) AS n_orders, " +
         "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) AS revenue, " +
         "max(CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END) AS recomputed " +
-        "FROM orders GROUP BY 1, 2 ORDER BY yr, mo")
+        "FROM orders GROUP BY 1, 2 ORDER BY yr, mo"),
+
+    // final table = (base minus %7-deletes) plus the %10-insert slice;
+    // the engine reaches it incrementally, the oracle recomputes it
+    "m15_mv_retract" ->
+      ("SELECT o_orderpriority, count(*) AS n_orders, " +
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) AS revenue " +
+        "FROM orders WHERE (o_orderkey % 10 != 0 AND o_orderkey % 7 != 0) " +
+        "OR o_orderkey % 10 = 0 GROUP BY 1 ORDER BY o_orderpriority")
   )
 }

@@ -398,6 +398,75 @@ object WindowQueries extends QueryModule {
           round(col("cum").cast("double") / col("tot").cast("double"), 6).as("cum_share"),
           col("rank"))
         .orderBy("rank")
+    }),
+
+    // E19: LAST-TOUCH ATTRIBUTION — every purchase credits the same user's
+    // most recent click at-or-before it, within a 7-day lookback. One
+    // last(ignoreNulls) carry-forward window over the interleaved
+    // click/purchase stream — the single-shuffle as-of-join rewrite that
+    // replaces a per-purchase range join (quadratic per heavy user) with a
+    // sort + running carry; exactly the plan that survives a billion-event
+    // user. Delay arithmetic is integer µs (click_ts ≤ ts by window order,
+    // so the DIV never sees a negative).
+    "e19_attribution_last_touch" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val isClick = col("event_type") === "click"
+      t.events
+        .withColumn("click_id",
+          last(when(isClick, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("click_ts",
+          last(when(isClick, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" && col("click_id").isNotNull)
+        .withColumn("delay_us", expr(
+          "unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(click_ts AS TIMESTAMP))"))
+        .filter(col("delay_us") <= lit(7L * 86400L * 1000000L))
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          expr("delay_us DIV 60000000").as("delay_min"))
+        .orderBy("event_id")
+    }),
+
+    // E20: EVENT-TYPE MARKOV TRANSITION MATRIX — per-user consecutive event
+    // pairs via one lag window (single shuffle on user_id), crushed to the
+    // 5×5 transition-count matrix; each probability is ONE double division
+    // of two exact counts (identical IEEE result on both engines). The
+    // window runs at data scale, everything after runs on ≤25 rows.
+    "e20_markov_transitions" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = t.events
+        .withColumn("prev_et", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_et").isNotNull)
+        .groupBy(col("prev_et"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy(col("prev_et")).agg(sum(col("n")).as("n_from"))
+      pairs.join(broadcast(tot), "prev_et")
+        .select(col("prev_et"), col("event_type").as("next_et"), col("n"),
+          round(col("n").cast("double") / col("n_from").cast("double"), 6).as("p"))
+        .orderBy("prev_et", "next_et")
+    }),
+
+    // E21: ROLLING ACTIVE USERS (DAU/WAU) — exact 7-day rolling distinct
+    // users per day. Windowed COUNT(DISTINCT) doesn't exist in either
+    // engine; the scalable exact rewrite is the CONTRIBUTION EXPLODE: each
+    // (user, active-day) pair — already crushed to one row per user-day —
+    // fans out to the ≤7 target days it keeps the user "active" for, then
+    // one distinct-count per target day. The fanout is 7× a pre-aggregated
+    // table (not 7× the raw events), the canonical exact-sliding-distinct
+    // shape at any scale; beyond exact, i11's sliding HLL is the sketch
+    // path. Target days are restricted to days that actually occur.
+    "e21_rolling_active_users" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val ud = t.events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val days = ud.select(col("day")).distinct()
+      ud.select(col("user_id"), col("day"), explode(sequence(lit(0), lit(6))).as("k"))
+        .select(col("user_id"), expr("date_add(day, k)").as("day"), col("k"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("wau"),
+          countDistinct(when(col("k") === 0, col("user_id"))).as("dau"))
+        .orderBy("day")
     })
   )
 
@@ -583,6 +652,37 @@ object WindowQueries extends QueryModule {
         "SELECT c_mktsegment, CAST(floor(rev) AS BIGINT) AS revenue, " +
         "round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share, " +
         "round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share, " +
-        "CAST(rank AS INT) AS rank FROM r ORDER BY rank")
+        "CAST(rank AS INT) AS rank FROM r ORDER BY rank"),
+
+    "e19_attribution_last_touch" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "a AS (SELECT *, " +
+        "last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER w AS click_id, " +
+        "last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) OVER w AS click_ts " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_id, user_id, click_id, " +
+        "(epoch_us(ts) - epoch_us(click_ts)) // 60000000 AS delay_min " +
+        "FROM a WHERE event_type = 'purchase' AND click_id IS NOT NULL " +
+        "AND epoch_us(ts) - epoch_us(click_ts) <= 604800000000 ORDER BY event_id"),
+
+    "e20_markov_transitions" ->
+      ("WITH p AS (SELECT user_id, event_type, lag(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_et FROM events), " +
+        "c AS (SELECT prev_et, event_type AS next_et, count(*) AS n " +
+        "FROM p WHERE prev_et IS NOT NULL GROUP BY 1, 2), " +
+        "t AS (SELECT prev_et, sum(n) AS n_from FROM c GROUP BY 1) " +
+        "SELECT c.prev_et, c.next_et, c.n, " +
+        "round(CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE), 6) AS p " +
+        "FROM c JOIN t USING (prev_et) ORDER BY prev_et, next_et"),
+
+    "e21_rolling_active_users" ->
+      ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "x AS (SELECT user_id, day + CAST(k AS INT) AS day, k " +
+        "FROM ud, UNNEST(range(0, 7)) AS t(k)) " +
+        "SELECT day, count(DISTINCT user_id) AS wau, " +
+        "count(DISTINCT CASE WHEN k = 0 THEN user_id END) AS dau " +
+        "FROM x WHERE day IN (SELECT DISTINCT CAST(ts AS DATE) FROM events) " +
+        "GROUP BY day ORDER BY day")
   )
 }

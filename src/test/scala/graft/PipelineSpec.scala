@@ -201,4 +201,36 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(enc == Map("newest" -> 4, "low" -> 2, "lower" -> 4, "widest" -> 4), enc.toString)
   }
+
+  test("g66: span corruption is lossless — splicing targets back rebuilds the doc") {
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("g66_span_corruption")(s, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    val docs = graft.Tables(s, dir).documents
+      .select(col("doc_id"), lower(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == docs.keySet)
+    val sentinel = "<extra_id_(\\d+)>".r
+    var masked = 0L
+    out.foreach { case (id, (nSpans, nMasked, corrupted, target)) =>
+      // parse target into sentinel-id -> span text
+      val hits = sentinel.findAllMatchIn(target).toVector
+      val spans = hits.zipWithIndex.map { case (m, i) =>
+        val end = if (i + 1 < hits.size) hits(i + 1).start else target.length
+        m.group(1).toInt -> target.substring(m.end, end).stripPrefix(" ").stripSuffix(" ")
+      }.toMap
+      assert(spans.size == nMasked, s"doc $id: ${spans.size} target spans vs $nMasked")
+      assert(spans.keySet == (0 until nMasked.toInt).toSet, s"doc $id sentinel ids not dense")
+      // splice: every sentinel in the corrupted input is replaced by its span
+      val rebuilt = sentinel.replaceAllIn(corrupted,
+        m => scala.util.matching.Regex.quoteReplacement(spans(m.group(1).toInt)))
+      assert(rebuilt == docs(id), s"doc $id reconstruction mismatch")
+      assert(nSpans >= nMasked)
+      masked += nMasked
+    }
+    // the 15%-ish mask rate actually fires somewhere in the corpus
+    assert(masked > 0, "no spans were masked anywhere")
+  }
 }
