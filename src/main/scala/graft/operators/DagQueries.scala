@@ -305,6 +305,52 @@ object DagQueries extends QueryModule {
           (col("lst") - col("est")).as("slack"),
           when(col("lst") === col("est"), 1).otherwise(0).as("is_critical"))
         .orderBy("task")
+    }),
+
+    // J9: BOUNDED-WORKER SCHEDULE SIMULATION — j8's critical path assumes
+    // infinite workers; a real orchestrator runs the DAG on a fixed pool.
+    // Deterministic greedy list scheduling (the classic Graham policy):
+    // when a worker frees, it takes the alphabetically-first READY task
+    // (all deps finished); a task starts at max(worker-free, deps-done).
+    // The simulation is pure metadata (|tasks| rows, like j1/j7's planning
+    // queries — the orchestrator's control plane never touches data scale);
+    // the oracle is the hand-computed schedule. With 2 workers the j8 DAG
+    // finishes at t=18 — equal to its critical path, showing the pool
+    // doesn't stretch THIS dag (slack absorbs the contention).
+    "j9_dag_schedule_simulate" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val durs = Map("load_lineitem" -> 7L, "load_orders" -> 4L,
+        "rev_by_status" -> 6L, "cust_rank" -> 8L, "report" -> 5L)
+      val deps = Map(
+        "load_lineitem" -> Seq.empty[String], "load_orders" -> Seq.empty[String],
+        "rev_by_status" -> Seq("load_lineitem", "load_orders"),
+        "cust_rank" -> Seq("load_orders"),
+        "report" -> Seq("rev_by_status", "cust_rank"))
+      val nWorkers = 2
+      val free = Array.fill(nWorkers)(0L)
+      val finish = scala.collection.mutable.Map.empty[String, Long]
+      val sched = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Long)]
+      val pending = scala.collection.mutable.SortedSet(durs.keys.toSeq: _*)
+      while (pending.nonEmpty) {
+        // next event: the earliest (ready-time, worker-free) pairing over
+        // ready tasks, alphabetical among equals — fully deterministic
+        val ready = pending.toSeq
+          .filter(t => deps(t).forall(finish.contains))
+          .map { t =>
+            val rt = (deps(t).map(finish) :+ 0L).max
+            val w = free.zipWithIndex.minBy { case (f, i) => (math.max(f, rt), i) }
+            (math.max(w._1, rt), t, w._2)
+          }
+        val (start, task, w) = ready.minBy { case (st, t, _) => (st, t) }
+        val end = start + durs(task)
+        free(w) = end
+        finish(task) = end
+        sched += ((task, w, start, end))
+        pending.remove(task)
+        ()
+      }
+      sched.toSeq.toDF("task", "worker", "t_start", "t_finish").orderBy("task")
     })
   )
 
@@ -373,6 +419,18 @@ object DagQueries extends QueryModule {
         "('load_orders', CAST(0 AS BIGINT), CAST(4 AS BIGINT), CAST(1 AS BIGINT), 0), " +
         "('rev_by_status', CAST(7 AS BIGINT), CAST(13 AS BIGINT), CAST(0 AS BIGINT), 1), " +
         "('report', CAST(13 AS BIGINT), CAST(18 AS BIGINT), CAST(0 AS BIGINT), 1)) " +
-        "t(task, est, fin, slack, is_critical) ORDER BY task")
+        "t(task, est, fin, slack, is_critical) ORDER BY task"),
+
+    // hand-simulated: w0 takes load_lineitem(0-7), rev_by_status(7-13), then
+    // report (both workers can start it at 13 — the tie goes to the lower
+    // worker id); w1 takes load_orders(0-4) and cust_rank(4-12)
+    "j9_dag_schedule_simulate" ->
+      ("SELECT * FROM (VALUES " +
+        "('cust_rank', 1, CAST(4 AS BIGINT), CAST(12 AS BIGINT)), " +
+        "('load_lineitem', 0, CAST(0 AS BIGINT), CAST(7 AS BIGINT)), " +
+        "('load_orders', 1, CAST(0 AS BIGINT), CAST(4 AS BIGINT)), " +
+        "('rev_by_status', 0, CAST(7 AS BIGINT), CAST(13 AS BIGINT)), " +
+        "('report', 0, CAST(13 AS BIGINT), CAST(18 AS BIGINT))) " +
+        "t(task, worker, t_start, t_finish) ORDER BY task")
   )
 }

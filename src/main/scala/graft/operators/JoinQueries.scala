@@ -301,6 +301,47 @@ object JoinQueries extends QueryModule {
         .orderBy("inc_id")
     }),
 
+    // C21: NEAREST-direction as-of join — c10 matches backward only; the
+    // full as-of family (kdb aj / pandas merge_asof) also offers 'nearest':
+    // each purchase takes whichever click is closest in time, before OR
+    // after (|Δt| min, tie → backward). Same single-shuffle rewrite as c10
+    // — one sorted window pass carries the last-before and first-after
+    // click simultaneously (two frames over one sort), then a pure
+    // projection picks the winner; no range join, no second shuffle. Exact
+    // integer-µs deltas.
+    "c21_join_asof_nearest" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = ord.rowsBetween(1, Window.unboundedFollowing)
+      val isClick = col("event_type") === "click"
+      t.events
+        .withColumn("prev_click_ts",
+          last(when(isClick, col("ts")), ignoreNulls = true).over(wPrev))
+        .withColumn("next_click_ts",
+          first(when(isClick, col("ts")), ignoreNulls = true).over(wNext))
+        .filter(col("event_type") === "purchase")
+        .withColumn("d_prev", expr(
+          "unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(prev_click_ts AS TIMESTAMP))"))
+        .withColumn("d_next", expr(
+          "unix_micros(CAST(next_click_ts AS TIMESTAMP)) - unix_micros(CAST(ts AS TIMESTAMP))"))
+        .withColumn("nearest_click_ts",
+          when(col("prev_click_ts").isNull, col("next_click_ts"))
+            .when(col("next_click_ts").isNull, col("prev_click_ts"))
+            .when(col("d_prev") <= col("d_next"), col("prev_click_ts"))
+            .otherwise(col("next_click_ts")))
+        .withColumn("direction",
+          when(col("prev_click_ts").isNull && col("next_click_ts").isNull,
+            lit(null).cast("string"))
+            .when(col("next_click_ts").isNull, lit("backward"))
+            .when(col("prev_click_ts").isNull, lit("forward"))
+            .when(col("d_prev") <= col("d_next"), lit("backward"))
+            .otherwise(lit("forward")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("nearest_click_ts"), col("direction"))
+        .orderBy("event_id")
+    }),
+
     // C11: small cartesian product.
     "c11_join_cross" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -506,6 +547,28 @@ object JoinQueries extends QueryModule {
         "OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts " +
         "FROM events) WHERE event_type = 'purchase' ORDER BY event_id"),
+
+    "c21_join_asof_nearest" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "a AS (SELECT *, " +
+        "last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts, " +
+        "first_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click_ts " +
+        "FROM e), " +
+        "d AS (SELECT *, epoch_us(ts) - epoch_us(prev_click_ts) AS d_prev, " +
+        "epoch_us(next_click_ts) - epoch_us(ts) AS d_next FROM a WHERE event_type = 'purchase') " +
+        "SELECT event_id, user_id, ts, " +
+        "CASE WHEN prev_click_ts IS NULL THEN next_click_ts " +
+        "WHEN next_click_ts IS NULL THEN prev_click_ts " +
+        "WHEN d_prev <= d_next THEN prev_click_ts ELSE next_click_ts END AS nearest_click_ts, " +
+        "CASE WHEN prev_click_ts IS NULL AND next_click_ts IS NULL THEN NULL " +
+        "WHEN next_click_ts IS NULL THEN 'backward' " +
+        "WHEN prev_click_ts IS NULL THEN 'forward' " +
+        "WHEN d_prev <= d_next THEN 'backward' ELSE 'forward' END AS direction " +
+        "FROM d ORDER BY event_id"),
 
     "c11_join_cross" ->
       ("SELECT n_nationkey, r_regionkey, n_name, r_name FROM nation CROSS JOIN region " +

@@ -579,6 +579,23 @@ object PipelineQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // G67: CORPUS DATASHEET — the per-source "dataset card" row a corpus
+    // release publishes: document count, language spread, token volume,
+    // exact median length, short-doc share. One map-side-combined groupBy
+    // over the corpus (the exact median is the one sort-based aggregate;
+    // the d14 histogram sketch is its 100 TB stand-in, same join shape).
+    "g67_corpus_datasheet" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(expr("n_chars div 4")).as("total_toks"),
+          median(col("n_chars")).as("med_chars"),
+          round(sum(when(col("n_chars") < 150, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("short_share"))
+        .orderBy("source")
+    }),
+
     // G66: SPAN-CORRUPTION OBJECTIVE PREP (T5-style denoising) — turn each
     // document into (corrupted input, target) training pairs: tokens group
     // into 3-token spans, a deterministic integer rule (Knuth-hash of
@@ -935,6 +952,13 @@ object PipelineQueries extends QueryModule {
         "CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
         "CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty " +
         "FROM f GROUP BY doc_id ORDER BY doc_id"),
+
+    "g67_corpus_datasheet" ->
+      ("SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs, " +
+        "CAST(sum(n_chars // 4) AS BIGINT) AS total_toks, " +
+        "median(n_chars) AS med_chars, " +
+        "round(CAST(sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS short_share " +
+        "FROM documents GROUP BY 1 ORDER BY source"),
 
     "g66_span_corruption" ->
       ("WITH tk AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i+1] AS tok " +

@@ -331,6 +331,42 @@ object VectorQueries extends QueryModule {
         .orderBy("a_id", "rn")
     }),
 
+    // G68: HARD-NEGATIVE MINING — build contrastive training triplets: for
+    // each anchor in a mining batch (the vec_id%10 slice), the hardest
+    // positive (most-similar same-label vector) and hardest negative
+    // (most-similar OTHER-label vector), plus the margin between them — the
+    // pair-selection pass every embedding-model training loop runs against
+    // its candidate pool. Plan shape for scale: the SMALL side is the
+    // anchor batch, broadcast onto a single streamed scan of the pool
+    // (BroadcastNestedLoopJoin — the pool is never collected or
+    // re-shuffled); the argmax runs as one window on (anchor, same-label)
+    // over the scored stream. At 100 TB the pool scan drops to an IVF/PQ
+    // shortlist first (g4b/g55), same downstream argmax.
+    "g68_hard_negative_mining" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings.select(col("vec_id"), col("label"), vd.as("v"))
+      val anchors = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+          col("v").as("av"))
+      val scored = e
+        .select(col("vec_id").as("b_id"), col("label").as("b_label"), col("v").as("bv"))
+        .join(broadcast(anchors), col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (col("a_label") === col("b_label")).as("same"),
+          round(dot("av", "bv") /
+            (sqrt(dot("av", "av")) * sqrt(dot("bv", "bv"))), 6).as("cos"))
+      val w = Window.partitionBy(col("a_id"), col("same"))
+        .orderBy(col("cos").desc, col("b_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("a_id"))
+        .agg(max(when(col("same"), col("b_id"))).as("pos_id"),
+          max(when(col("same"), col("cos"))).as("pos_cos"),
+          max(when(!col("same"), col("b_id"))).as("neg_id"),
+          max(when(!col("same"), col("cos"))).as("neg_cos"))
+        .withColumn("margin", round(col("pos_cos") - col("neg_cos"), 6))
+        .orderBy("a_id")
+    }),
+
     // G4b: IVF top-k — a data-derived coarse codebook (per-label centroids),
     // each vector assigned to its NEAREST centroid, query probes the 2
     // closest cells and searches only those. The codebook is tiny (10×64)
@@ -889,6 +925,21 @@ object VectorQueries extends QueryModule {
         "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)) " +
         "WHERE rn <= 5 ORDER BY a_id, rn"),
+
+    "g68_hard_negative_mining" ->
+      ("WITH a AS (SELECT vec_id AS a_id, label AS a_label, " +
+        "CAST(embedding AS DOUBLE[]) AS av FROM embeddings WHERE vec_id % 10 = 0), " +
+        "p AS (SELECT a_id, b.vec_id AS b_id, a_label = b.label AS same, " +
+        "round(list_cosine_similarity(av, CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
+        "FROM a JOIN embeddings b ON a_id <> b.vec_id), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY a_id, same " +
+        "ORDER BY cos DESC, b_id) AS rn FROM p) " +
+        "SELECT a_id, max(CASE WHEN same THEN b_id END) AS pos_id, " +
+        "max(CASE WHEN same THEN cos END) AS pos_cos, " +
+        "max(CASE WHEN NOT same THEN b_id END) AS neg_id, " +
+        "max(CASE WHEN NOT same THEN cos END) AS neg_cos, " +
+        "round(max(CASE WHEN same THEN cos END) - max(CASE WHEN NOT same THEN cos END), 6) AS margin " +
+        "FROM r WHERE rn = 1 GROUP BY a_id ORDER BY a_id"),
 
     // g5b: approximate (LSH) — oracle intentionally omitted.
     // g4b: approximate (IVF) — oracle intentionally omitted.

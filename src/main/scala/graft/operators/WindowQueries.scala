@@ -447,6 +447,68 @@ object WindowQueries extends QueryModule {
         .orderBy("prev_et", "next_et")
     }),
 
+    // E23: TIME-TO-CONVERSION CURVE — the cumulative-conversion CDF growth
+    // teams track: for each day offset k, how many signup-cohort users made
+    // their first post-signup purchase within k days, and the cohort share.
+    // The heavy work is two crush-to-tiny aggregations (first signup, first
+    // qualifying purchase per user); the curve itself is a 14-row histogram
+    // + cumulative window on metadata scale. Day arithmetic is exact
+    // integer µs; each rate is one IEEE division of exact counts. Users who
+    // never convert stay in the denominator (a conversion curve, not a
+    // survivorship bias).
+    "e23_conversion_curve" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val cohort = t.events.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      val purch = t.events.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("pts"))
+      val delays = cohort.join(purch,
+          col("p_user") === col("user_id") && col("pts") >= col("t0"), "left")
+        .groupBy(col("user_id"))
+        .agg(min(expr(
+          "(unix_micros(CAST(pts AS TIMESTAMP)) - unix_micros(CAST(t0 AS TIMESTAMP))) DIV 86400000000"))
+          .as("delay_d"))
+      val tot = delays.agg(count(lit(1)).as("n_cohort"))
+      val hist = delays.filter(col("delay_d").isNotNull)
+        .groupBy(col("delay_d")).agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, 0)
+      s.range(0, 14).select(col("id").as("k"))
+        .join(hist, col("k") === col("delay_d"), "left")
+        .withColumn("n_at_k", coalesce(col("n"), lit(0L)))
+        .withColumn("n_by_k", sum(col("n_at_k")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("n_at_k"), col("n_by_k"),
+          round(col("n_by_k").cast("double") / col("n_cohort").cast("double"), 6)
+            .as("conv_rate"))
+        .orderBy("k")
+    }),
+
+    // E22: PERIOD-OVER-PERIOD deltas — daily revenue with day-over-day and
+    // 7-periods-back (week-over-week) absolute + percent change, the
+    // standard KPI report. The facts crush to one exact-decimal sum per day
+    // FIRST (map-side combined at data scale); the unpartitioned lag window
+    // then runs on the ~2.5k-row daily aggregate — metadata scale by
+    // construction, same e18 discipline. Absolute deltas stay decimal-exact;
+    // each pct is one IEEE division of exact decimals.
+    "e22_period_over_period" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val daily = t.lineitem
+        .groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg(sum(col("l_extendedprice").cast(Tables.dec)).as("rev"))
+      val w = Window.orderBy(col("day"))
+      daily
+        .withColumn("prev1", lag(col("rev"), 1).over(w))
+        .withColumn("prev7", lag(col("rev"), 7).over(w))
+        .select(col("day"),
+          floor(col("rev")).cast("long").as("revenue"),
+          floor(col("rev") - col("prev1")).cast("long").as("dod_abs"),
+          round((col("rev") - col("prev1")).cast("double") /
+            col("prev1").cast("double"), 6).as("dod_pct"),
+          round((col("rev") - col("prev7")).cast("double") /
+            col("prev7").cast("double"), 6).as("wow_pct"))
+        .orderBy("day")
+    }),
+
     // E21: ROLLING ACTIVE USERS (DAU/WAU) — exact 7-day rolling distinct
     // users per day. Windowed COUNT(DISTINCT) doesn't exist in either
     // engine; the scalable exact rewrite is the CONTRIBUTION EXPLODE: each
@@ -675,6 +737,32 @@ object WindowQueries extends QueryModule {
         "SELECT c.prev_et, c.next_et, c.n, " +
         "round(CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE), 6) AS p " +
         "FROM c JOIN t USING (prev_et) ORDER BY prev_et, next_et"),
+
+    "e23_conversion_curve" ->
+      ("WITH c AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t0 " +
+        "FROM events WHERE event_type = 'signup' GROUP BY 1), " +
+        "d AS (SELECT c.user_id, " +
+        "min((epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(t0)) // 86400000000) AS delay_d " +
+        "FROM c LEFT JOIN events e ON e.user_id = c.user_id " +
+        "AND e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= t0 GROUP BY 1), " +
+        "tot AS (SELECT count(*) AS n_cohort FROM d), " +
+        "h AS (SELECT delay_d, count(*) AS n FROM d WHERE delay_d IS NOT NULL GROUP BY 1), " +
+        "ks AS (SELECT CAST(x AS BIGINT) AS k FROM range(0, 14) t(x)) " +
+        "SELECT k, CAST(coalesce(n, 0) AS BIGINT) AS n_at_k, " +
+        "CAST(sum(coalesce(n, 0)) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_by_k, " +
+        "round(CAST(sum(coalesce(n, 0)) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS DOUBLE) / n_cohort, 6) AS conv_rate " +
+        "FROM ks LEFT JOIN h ON ks.k = h.delay_d, tot ORDER BY k"),
+
+    "e22_period_over_period" ->
+      ("WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS rev FROM lineitem GROUP BY 1), " +
+        "l AS (SELECT *, lag(rev, 1) OVER (ORDER BY day) AS prev1, " +
+        "lag(rev, 7) OVER (ORDER BY day) AS prev7 FROM d) " +
+        "SELECT day, CAST(floor(rev) AS BIGINT) AS revenue, " +
+        "CAST(floor(rev - prev1) AS BIGINT) AS dod_abs, " +
+        "round(CAST(rev - prev1 AS DOUBLE) / CAST(prev1 AS DOUBLE), 6) AS dod_pct, " +
+        "round(CAST(rev - prev7 AS DOUBLE) / CAST(prev7 AS DOUBLE), 6) AS wow_pct " +
+        "FROM l ORDER BY day"),
 
     "e21_rolling_active_users" ->
       ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
