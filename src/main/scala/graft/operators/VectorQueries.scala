@@ -341,8 +341,13 @@ object VectorQueries extends QueryModule {
     // (BroadcastNestedLoopJoin — the pool is never collected or
     // re-shuffled); the argmax runs as one window on (anchor, same-label)
     // over the scored stream. At 100 TB the pool scan drops to an IVF/PQ
-    // shortlist first (g4b/g55), same downstream argmax.
+    // shortlist first (g4b/g55), same downstream argmax. The per-pair score
+    // is the fused codegen `cosine_sim` Expression (one array pass inside
+    // whole-stage codegen), not three interpreted HOF folds — same
+    // ascending-index accumulation order, so the doubles (and the oracle
+    // hash) are bit-identical to the aggregate(zip_with(...)) form.
     "g68_hard_negative_mining" -> ((s, dir) => {
+      graft.functions.CosineSim.register(s)
       val t = Tables(s, dir)
       val e = t.embeddings.select(col("vec_id"), col("label"), vd.as("v"))
       val anchors = e.filter(col("vec_id") % 10 === 0)
@@ -353,8 +358,7 @@ object VectorQueries extends QueryModule {
         .join(broadcast(anchors), col("a_id") =!= col("b_id"))
         .select(col("a_id"), col("b_id"),
           (col("a_label") === col("b_label")).as("same"),
-          round(dot("av", "bv") /
-            (sqrt(dot("av", "av")) * sqrt(dot("bv", "bv"))), 6).as("cos"))
+          round(expr("cosine_sim(av, bv)"), 6).as("cos"))
       val w = Window.partitionBy(col("a_id"), col("same"))
         .orderBy(col("cos").desc, col("b_id"))
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
