@@ -351,6 +351,110 @@ object DagQueries extends QueryModule {
         ()
       }
       sched.toSeq.toDF("task", "worker", "t_start", "t_finish").orderBy("task")
+    }),
+
+    // J10: EXTERNAL-DEPENDENCY SENSOR — the control-plane op every
+    // production scheduler ships (Airflow's FileSensor/ExternalTaskSensor):
+    // a DAG node that is not a computation but a WAIT-FOR-INPUT, polling an
+    // external location until the partition lands or a poke budget expires.
+    // Two sensors here: one whose upstream delivery arrives between poke 3
+    // and poke 4 (delivery is a real parquet write by a simulated external
+    // producer, synchronized to the poke counter so the ledger is
+    // deterministic), one whose input never arrives and times out after its
+    // 5-poke budget — its consumer is SKIPPED, not failed, exactly the
+    // downstream semantics j3 established for hard failures. The sensor
+    // itself is pure metadata (one file-existence probe per poke); the
+    // satisfied sensor's output is the delivered partition, so the consumer
+    // reads real data. At 100 TB the poll is a partition-listing against
+    // the warehouse catalog — cost independent of data volume.
+    "j10_dag_sensor_wait" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sensor_" +
+        s"${dir.hashCode & 0x7fffffff}_${System.nanoTime()}"
+      new java.io.File(base).mkdirs()
+      val pokes = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+      // the "external system": delivers the partition when the sensor has
+      // poked 3 times — a rendezvous on the poke count, not a sleep race,
+      // so every run records exactly 4 pokes
+      def sensor(name: String, path: String, budget: Int,
+          onPoke: Int => Unit = _ => ()): Job =
+        Job(name, Nil, 0, (sp, _) => {
+          var n = 0
+          while ({
+            n += 1
+            pokes.put(name, n)
+            val hit = new java.io.File(s"$path/_SUCCESS").exists()
+            if (!hit) {
+              if (n >= budget) sys.error(s"sensor timeout after $n pokes")
+              onPoke(n)
+            }
+            !hit
+          }) ()
+          sp.read.parquet(path)
+        })
+      val delivered = s"$base/upstream_region"
+      val dag = new Dag(Seq(
+        sensor("wait_region", delivered, budget = 10, onPoke = n =>
+          if (n == 3) { // external producer lands the partition
+            Tables(s, dir).region.coalesce(1)
+              .write.mode("overwrite").parquet(delivered)
+          }),
+        Job("consume_region", Seq("wait_region"), 0, (_, d) =>
+          d("wait_region").groupBy().agg(count(lit(1)).as("n"))),
+        sensor("wait_ghost", s"$base/never_lands", budget = 5),
+        Job("consume_ghost", Seq("wait_ghost"), 0, (sp, _) =>
+          Tables(sp, dir).region)
+      ))
+      val (_, runs) = dag.run(s, parallelism = 2)
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(base))
+      val spark = s
+      import spark.implicits._
+      runs.map { r =>
+        val status = if (r.error.exists(_.contains("sensor timeout"))) "timeout"
+          else r.status
+        (r.name, status, Option(pokes.get(r.name)).fold(0)(_.intValue))
+      }.toDF("job", "status", "pokes").orderBy("job")
+    }),
+
+    // J11: SLA-MISS AUDIT — the other control-plane op every scheduler
+    // ships: given the planned per-task finish times (j9's 2-worker
+    // schedule) and the RECORDED finish times from the run-state ledger,
+    // flag every (run_date, task) that beat its per-task SLA or blew it,
+    // with lateness minutes. The ledger here is a deterministic
+    // date-arithmetic rule (finish = planned + day-dependent delay) so the
+    // DuckDB oracle replays it exactly — a deployment feeds the same frame
+    // from its task-instance store. The audit is one join + date arithmetic
+    // over metadata rows (runs × tasks, never facts); at 100 TB of history
+    // it is a partition-pruned scan of the run ledger.
+    "j11_dag_sla_audit" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      // planned finish from j9's simulated schedule; SLA = planned + margin
+      // (tight 2-minute margin on the critical path, loose elsewhere)
+      val plan = Seq(
+        ("load_lineitem", 7L, 9L), ("load_orders", 4L, 8L),
+        ("rev_by_status", 13L, 15L), ("cust_rank", 12L, 16L),
+        ("report", 18L, 20L)).toDF("task", "planned_finish", "sla_min")
+      val dates = spark.sql(
+        "SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-14')) AS run_date")
+      val dom = dayofmonth(col("run_date"))
+      // recorded ledger: Mondays (Jan 1/8 → dom%7==1) add a 4-minute ingest
+      // backlog to the loads that CASCADES (+4 to everything downstream);
+      // every 5th day the report itself runs 3 minutes long
+      val ledger = plan.crossJoin(dates)
+        .withColumn("actual_finish",
+          col("planned_finish") +
+            when(dom % 7 === 1, 4L).otherwise(0L) +
+            when(col("task") === "report" && dom % 5 === 0, 3L).otherwise(0L))
+      ledger
+        .withColumn("late_by",
+          greatest(col("actual_finish") - col("sla_min"), lit(0L)))
+        .withColumn("sla_miss", (col("late_by") > 0).cast("int"))
+        .select(col("run_date"), col("task"), col("sla_min"),
+          col("actual_finish"), col("late_by"), col("sla_miss"))
+        .orderBy("run_date", "task")
     })
   )
 
@@ -431,6 +535,32 @@ object DagQueries extends QueryModule {
         "('load_orders', 1, CAST(0 AS BIGINT), CAST(4 AS BIGINT)), " +
         "('rev_by_status', 0, CAST(7 AS BIGINT), CAST(13 AS BIGINT)), " +
         "('report', 0, CAST(13 AS BIGINT), CAST(18 AS BIGINT))) " +
-        "t(task, worker, t_start, t_finish) ORDER BY task")
+        "t(task, worker, t_start, t_finish) ORDER BY task"),
+
+    // the delivery rendezvous fires after poke 3, so the satisfied sensor
+    // always records exactly 4 pokes; the ghost sensor exhausts its 5-poke
+    // budget and its consumer is skipped (not failed)
+    "j10_dag_sensor_wait" ->
+      ("SELECT * FROM (VALUES ('consume_ghost', 'skipped', 0), " +
+        "('consume_region', 'ok', 0), ('wait_ghost', 'timeout', 5), " +
+        "('wait_region', 'ok', 4)) t(job, status, pokes) ORDER BY job"),
+
+    // replay the deterministic ledger rule (Monday +4 cascade, every-5th-day
+    // report overrun +3) against the same SLA table
+    "j11_dag_sla_audit" ->
+      ("WITH p(task, pf, sla) AS (SELECT * FROM (VALUES " +
+        "('load_lineitem', 7, 9), ('load_orders', 4, 8), " +
+        "('rev_by_status', 13, 15), ('cust_rank', 12, 16), " +
+        "('report', 18, 20))), " +
+        "d AS (SELECT CAST(unnest(generate_series(DATE '2024-01-01', " +
+        "DATE '2024-01-14', INTERVAL 1 DAY)) AS DATE) AS run_date), " +
+        "l AS (SELECT run_date, task, CAST(sla AS BIGINT) AS sla_min, " +
+        "CAST(pf + CASE WHEN day(run_date) % 7 = 1 THEN 4 ELSE 0 END + " +
+        "CASE WHEN task = 'report' AND day(run_date) % 5 = 0 THEN 3 ELSE 0 END " +
+        "AS BIGINT) AS actual_finish FROM p, d) " +
+        "SELECT run_date, task, sla_min, actual_finish, " +
+        "greatest(actual_finish - sla_min, 0) AS late_by, " +
+        "CAST(actual_finish > sla_min AS INT) AS sla_miss " +
+        "FROM l ORDER BY run_date, task")
   )
 }
