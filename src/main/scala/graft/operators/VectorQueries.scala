@@ -371,6 +371,66 @@ object VectorQueries extends QueryModule {
         .orderBy("a_id")
     }),
 
+    // G69: GRADED ANN RECALL@K — the approximate-retrieval family's quality
+    // as a full-oracle CORRECTNESS row, not only a unit-test promise: for a
+    // deterministic probe set (vec_id % 50), the overlap between the IVF
+    // 2-probe top-10 (g4b's index shape) and the exact top-10 (g4's
+    // brute-force shape), per probe, as integers. Both sides rank on the
+    // 6dp-rounded cosine with vec_id tiebreak (g4's engine-stable cut) and
+    // the codebook is the 6dp-rounded per-label decimal mean (bit-identical
+    // cross-engine — exactly the table g6's oracle already proves), so the
+    // whole computation — index build, probe selection, both top-k's, the
+    // intersection — replays in SQL. Plan shape: codebook is a k×d driver
+    // literal (never the corpus), probes broadcast onto ONE streamed scan
+    // of the pool scored by the fused codegen cosine, per-probe top-k as a
+    // window — the same shapes g4/g4b run at 100 TB.
+    "g69_ann_recall" -> ((s, dir) => {
+      graft.functions.CosineSim.register(s)
+      val spark = s
+      import spark.implicits._
+      val t = Tables(s, dir)
+      val e = t.embeddings.select(col("vec_id"), col("label"), vd.as("v"))
+      // distributed codebook build (two-phase partial agg on flat
+      // (label,pos) keys); only k×64 rounded doubles reach the driver
+      val codebook: Seq[(Int, Seq[Double])] = e
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(sum(col("x").cast(Tables.decHi)).cast("double") /
+          count(col("x")), 6).as("c"))
+        .as[(Int, Int, Double)].collect()
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (l, cells) => (l, cells.sortBy(_._2).map(_._3).toSeq) }
+      val cents = codebook.toDF("clabel", "cv")
+      val probes = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      // probe → its 2 nearest cells, ranked on the rounded centroid cosine
+      val probed = probes.crossJoin(broadcast(cents))
+        .select(col("q_id").as("pq_id"), col("clabel"),
+          round(expr("cosine_sim(qv, cv)"), 6).as("sim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("pq_id").orderBy(col("sim").desc, col("clabel"))))
+        .filter(col("rn") <= 2).select(col("pq_id"), col("clabel"))
+      val scored = e
+        .select(col("vec_id").as("b_id"), col("label").as("b_label"), col("v").as("bv"))
+        .join(broadcast(probes), col("q_id") =!= col("b_id"))
+        .select(col("q_id"), col("b_id"), col("b_label"),
+          round(expr("cosine_sim(qv, bv)"), 6).as("cos"))
+      val wk = Window.partitionBy("q_id").orderBy(col("cos").desc, col("b_id"))
+      val exact = scored.withColumn("rn", row_number().over(wk))
+        .filter(col("rn") <= 10).select("q_id", "b_id")
+      val approx = scored.join(broadcast(probed),
+          col("q_id") === col("pq_id") && col("b_label") === col("clabel"))
+        .withColumn("rn", row_number().over(wk))
+        .filter(col("rn") <= 10).select("q_id", "b_id")
+      val hits = exact.join(approx, Seq("q_id", "b_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      probes.select(col("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits_at_10"))
+        .withColumn("recall_pct", (col("hits_at_10") * 10).cast("int"))
+        .orderBy("q_id")
+    }),
+
     // G4b: IVF top-k — a data-derived coarse codebook (per-label centroids),
     // each vector assigned to its NEAREST centroid, query probes the 2
     // closest cells and searches only those. The codebook is tiny (10×64)
@@ -944,6 +1004,37 @@ object VectorQueries extends QueryModule {
         "max(CASE WHEN NOT same THEN cos END) AS neg_cos, " +
         "round(max(CASE WHEN same THEN cos END) - max(CASE WHEN NOT same THEN cos END), 6) AS margin " +
         "FROM r WHERE rn = 1 GROUP BY a_id ORDER BY a_id"),
+
+    // full SQL replay of the IVF index: codebook = g6's proven decimal-mean
+    // rounded to 6dp, probe = 2 nearest cells on the rounded centroid
+    // cosine, both top-10 cuts on (rounded cos DESC, vec_id) — integer
+    // overlap per probe
+    "g69_ann_recall" ->
+      ("WITH cb AS (SELECT label AS clabel, list(c ORDER BY pos) AS cv FROM (" +
+        "SELECT label, pos, round(CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(v), 6) AS c " +
+        "FROM (SELECT label, pos, CAST(embedding AS DOUBLE[])[pos + 1] AS v " +
+        "FROM embeddings, range(64) t(pos)) GROUP BY label, pos) GROUP BY label), " +
+        "q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv " +
+        "FROM embeddings WHERE vec_id % 50 = 0), " +
+        "probed AS (SELECT q_id, clabel FROM (SELECT q_id, clabel, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY " +
+        "round(list_cosine_similarity(qv, cv), 6) DESC, clabel) AS rn " +
+        "FROM q, cb) WHERE rn <= 2), " +
+        "scored AS (SELECT q_id, b.vec_id AS b_id, b.label AS b_label, " +
+        "round(list_cosine_similarity(qv, CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
+        "FROM q JOIN embeddings b ON b.vec_id <> q.q_id), " +
+        "ex AS (SELECT q_id, b_id FROM (SELECT q_id, b_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, b_id) AS rn " +
+        "FROM scored) WHERE rn <= 10), " +
+        "ap AS (SELECT q_id, b_id FROM (SELECT s.q_id, s.b_id, " +
+        "row_number() OVER (PARTITION BY s.q_id ORDER BY s.cos DESC, s.b_id) AS rn " +
+        "FROM scored s JOIN probed p ON s.q_id = p.q_id AND s.b_label = p.clabel) " +
+        "WHERE rn <= 10), " +
+        "h AS (SELECT e.q_id, count(*) AS hits FROM ex e JOIN ap a " +
+        "ON e.q_id = a.q_id AND e.b_id = a.b_id GROUP BY e.q_id) " +
+        "SELECT q.q_id, COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits_at_10, " +
+        "CAST(COALESCE(h.hits, 0) * 10 AS INT) AS recall_pct " +
+        "FROM q LEFT JOIN h ON q.q_id = h.q_id ORDER BY q.q_id"),
 
     // g5b: approximate (LSH) — oracle intentionally omitted.
     // g4b: approximate (IVF) — oracle intentionally omitted.

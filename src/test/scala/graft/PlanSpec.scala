@@ -425,4 +425,15 @@ class PlanSpec extends AnyFunSuite {
     val foPlan = fo.queryExecution.executedPlan.toString
     assert(foPlan.contains("SortMergeJoin") || foPlan.contains("ShuffledHashJoin"), foPlan)
   }
+
+  test("g49: delta dedup serves the existing side from the persisted snapshot index") {
+    val df = SparkEntry.queries("g49_incremental_dedup")(spark, sfDir)
+    df.count()
+    // the big side must come from the committed SnapshotTable version's data
+    // files, not a re-tokenize of documents.parquet
+    val idx = df.inputFiles.filter(f => f.contains("graft_shidx_docs_") && f.contains("/data/v"))
+    assert(idx.nonEmpty, s"no snapshot-index scan in inputs: ${df.inputFiles.mkString(", ")}")
+    // the delta side still scans the corpus
+    assert(df.inputFiles.exists(_.contains("documents.parquet")), "delta side missing")
+  }
 }
