@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CATALOG.md must always reflect the declared query surface: regenerate
+  * with `sbt "runMain graft.tools.Catalog"` whenever a query is added,
+  * moved, or its header comment changes.
+  */
+class CatalogSpec extends AnyFunSuite {
+
+  test("CATALOG.md is current (regenerate with runMain graft.tools.Catalog)") {
+    val path = java.nio.file.Paths.get("CATALOG.md")
+    assert(java.nio.file.Files.exists(path), "CATALOG.md missing")
+    val cur = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    assert(cur == graft.tools.Catalog.render("."),
+      "CATALOG.md is stale — run `sbt \"runMain graft.tools.Catalog\"`")
+  }
+
+  test("every declared query has an oracle or is a documented rows-only op") {
+    // rows-only queries must be the known approximate/streaming set — a new
+    // query landing without an oracle by ACCIDENT fails here
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val allowed = Set(
+      "d11_agg_approx_percentile", "d3_agg_approx_distinct",
+      "g15b_dedup_embed_lsh", "g26_vocab_heavyhitters",
+      "g2b_dedup_minhash_lsh", "g2c_dedup_simhash", "g39_pca_power",
+      "g40_kmeans", "g42_kmeans_dedup", "g4b_sim_topk_ivf", "g55_pq_adc_topk",
+      "g5b_knn_lsh", "g61_graph_kcore", "h3_udaf_hll", "h5_sketch_reagg",
+      "h6_sketch_intersect", "i11_stream_hll", "i14_stream_neardup_filter",
+      "i17_stream_outer_join", "i4_stream_watermark_late",
+      "i6_stream_stateful", "i8_stream_sink")
+    val unexpected = rowsOnly -- allowed
+    assert(unexpected.isEmpty,
+      s"queries without oracles not on the documented rows-only list: ${unexpected.mkString(", ")}")
+  }
+}

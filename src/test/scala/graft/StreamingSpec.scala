@@ -386,4 +386,167 @@ class StreamingSpec extends AnyFunSuite {
       ("1970-01-01T00:00", 4000L, 7998000L),
       ("1970-01-01T00:02", 2000L, 9999000L)), rows.toSeq.toString)
   }
+
+  test("restart recovery: timer + counter state survive a NEW query instance on the same checkpoint") {
+    // The i-band proves within-run semantics; this proves PROCESS-LEVEL
+    // recovery: stop the stateful query mid-stream, start a brand-new query
+    // instance on the same checkpoint, and both the per-user counters and
+    // the registered event-time timers must resume exactly where they were —
+    // the post-restart emissions equal those of an uninterrupted run fed the
+    // identical batch sequence.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp((1000 + min) * 60000L)
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_restart_tws_${System.nanoTime()}"
+    try {
+      def pipeline(in: MemoryStream[(Long, java.sql.Timestamp)]) =
+        in.toDS().toDF("user_id", "ts")
+          .withWatermark("ts", "0 seconds")
+          .as[(Long, java.sql.Timestamp)]
+          .groupByKey(_._1)
+          .transformWithState(
+            new graft.streaming.UserCounterProcessor(10L * 60 * 1000),
+            TimeMode.EventTime(),
+            OutputMode.Update())
+          .toDF("user_id", "n")
+      // foreachBatch sink: unlike the memory sink it supports checkpoint
+      // recovery, which is the whole point of this test
+      def start(in: MemoryStream[(Long, java.sql.Timestamp)], ckpt: String,
+          buf: java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]) =
+        pipeline(in).writeStream.outputMode("update")
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.collect().foreach(r => buf.add((r.getLong(0), r.getLong(1))))
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.ProcessingTime(0)).start()
+      import scala.jdk.CollectionConverters._
+
+      // ---- run A: interrupted. batch 1, STOP, new instance, batch 2 ----
+      val inA = MemoryStream[(Long, java.sql.Timestamp)](spark)
+      val ckptA = s"$base/ckptA"
+      val buf1 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
+      val sq1 = start(inA, ckptA, buf1)
+      try {
+        inA.addData((1L, ts(0)), (2L, ts(0)))
+        sq1.processAllAvailable()
+      } finally sq1.stop() // simulated crash/redeploy point
+      // NEW query instance (new plan object, new sink buffer) on ckptA
+      val buf2 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
+      val sq2 = start(inA, ckptA, buf2)
+      val afterRestart =
+        try {
+          // watermark moves to min 40 → user 1's min-10 idle timer fires
+          // (tombstone -1) and user 2 keeps counting — BOTH require the
+          // pre-restart state and timer registrations to have survived
+          inA.addData((2L, ts(40)))
+          sq2.processAllAvailable()
+          buf2.asScala.toSeq
+        } finally sq2.stop()
+      assert(afterRestart.contains((2L, 2L)),
+        s"user 2's counter did not resume from checkpointed state: $afterRestart")
+      assert(afterRestart.contains((1L, -1L)),
+        s"user 1's pre-restart timer did not fire after restart: $afterRestart")
+
+      // ---- run B: uninterrupted, identical batch sequence ----
+      val inB = MemoryStream[(Long, java.sql.Timestamp)](spark)
+      val bufB = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
+      val sqB = start(inB, s"$base/ckptB", bufB)
+      val uninterrupted =
+        try {
+          inB.addData((1L, ts(0)), (2L, ts(0)))
+          sqB.processAllAvailable()
+          inB.addData((2L, ts(40)))
+          sqB.processAllAvailable()
+          bufB.asScala.toSeq
+        } finally sqB.stop()
+      // total output across the restart == the uninterrupted run's output
+      val runA = (buf1.asScala.toSeq ++ afterRestart).sorted
+      assert(runA == uninterrupted.sorted,
+        s"restarted emissions $runA != uninterrupted ${uninterrupted.sorted}")
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(base))
+    }
+  }
+
+  test("restart recovery: snapshot sink resumes exactly-once in a NEW query instance") {
+    // i13's transactional sink across a process-level restart: instance 1
+    // applies batch 0 and stops; instance 2 on the SAME checkpoint applies
+    // only the newly-arrived file as batch 1 (the applied-batch ledger in
+    // the version metadata continues unbroken); instance 3 with nothing new
+    // commits nothing. Final table == the batch aggregate over all input.
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_restart_snap_${System.nanoTime()}"
+    val srcDir = s"$base/src"; val root = s"$base/snap"; val ckpt = s"$base/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    try {
+      def addChunk(id: Int, rows: Seq[(Long, Long)]): Unit = {
+        val stage = s"$base/stage_$id"
+        rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.move(part,
+          java.nio.file.Paths.get(srcDir, f"chunk_$id%02d.parquet"))
+        ()
+      }
+      def runInstance(): Unit = {
+        val q = spark.readStream.schema("k LONG, v LONG").parquet(srcDir)
+        val sq = q.writeStream.outputMode("append")
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            val applied = SnapshotTable.latestMeta(root).map(_.toLong).getOrElse(-1L)
+            if (batchId > applied) {
+              val delta = df.groupBy("k").agg(sum("v").as("v"))
+              val merged =
+                if (SnapshotTable.latestVersion(root).isDefined)
+                  delta.unionByName(SnapshotTable.read(df.sparkSession, root))
+                    .groupBy("k").agg(sum("v").as("v"))
+                else delta
+              SnapshotTable.commit(merged, root, meta = batchId.toString)
+              ()
+            }
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        sq.awaitTermination()
+      }
+      addChunk(0, Seq((1L, 10L), (2L, 20L)))
+      runInstance() // instance 1: batch 0 → version 1
+      assert(SnapshotTable.latestVersion(root).contains(1L))
+      assert(SnapshotTable.versionMeta(root, 1).contains("0"))
+      addChunk(1, Seq((1L, 5L), (3L, 7L)))
+      runInstance() // NEW instance, same checkpoint: only the new file, batch 1
+      assert(SnapshotTable.latestVersion(root).contains(2L),
+        "restart replayed or skipped instead of resuming at the next batch")
+      assert(SnapshotTable.versionMeta(root, 2).contains("1"),
+        "applied-batch ledger broke across the restart")
+      runInstance() // instance 3: no new input → must commit NOTHING
+      assert(SnapshotTable.latestVersion(root).contains(2L),
+        "an idle restart re-committed state")
+      val got = SnapshotTable.read(spark, root).orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((1L, 15L), (2L, 20L), (3L, 7L)),
+        s"post-restart table diverged from the batch aggregate: $got")
+    } finally {
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(base))
+    }
+  }
 }
