@@ -332,7 +332,11 @@ object VectorQueries extends QueryModule {
     }),
 
     // G68: HARD-NEGATIVE MINING — build contrastive training triplets: for
-    // each anchor in a mining batch (the vec_id%10 slice), the hardest
+    // each anchor in a mining batch (a FIXED batch of 100 anchors — the
+    // training loop mines a bounded batch per step, so the batch size must
+    // NOT scale with the pool: the original vec_id%10 rule made anchors a
+    // constant FRACTION of the pool and the scored stream quadratic, which
+    // the sf10 gate caught as a 4-billion-row window sort), the hardest
     // positive (most-similar same-label vector) and hardest negative
     // (most-similar OTHER-label vector), plus the margin between them — the
     // pair-selection pass every embedding-model training loop runs against
@@ -350,7 +354,7 @@ object VectorQueries extends QueryModule {
       graft.functions.CosineSim.register(s)
       val t = Tables(s, dir)
       val e = t.embeddings.select(col("vec_id"), col("label"), vd.as("v"))
-      val anchors = e.filter(col("vec_id") % 10 === 0)
+      val anchors = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("a_id"), col("label").as("a_label"),
           col("v").as("av"))
       val scored = e
@@ -373,7 +377,9 @@ object VectorQueries extends QueryModule {
 
     // G69: GRADED ANN RECALL@K — the approximate-retrieval family's quality
     // as a full-oracle CORRECTNESS row, not only a unit-test promise: for a
-    // deterministic probe set (vec_id % 50), the overlap between the IVF
+    // FIXED probe set (the 50 lowest vec_ids — a query workload is a bounded
+    // batch, so like g68's anchor batch it must not scale with the pool;
+    // a %-of-pool rule makes the scoring quadratic), the overlap between the IVF
     // 2-probe top-10 (g4b's index shape) and the exact top-10 (g4's
     // brute-force shape), per probe, as integers. Both sides rank on the
     // 6dp-rounded cosine with vec_id tiebreak (g4's engine-stable cut) and
@@ -401,7 +407,7 @@ object VectorQueries extends QueryModule {
         .groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (l, cells) => (l, cells.sortBy(_._2).map(_._3).toSeq) }
       val cents = codebook.toDF("clabel", "cv")
-      val probes = e.filter(col("vec_id") % 50 === 0)
+      val probes = e.filter(col("vec_id") < 50)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       // probe → its 2 nearest cells, ranked on the rounded centroid cosine
       val probed = probes.crossJoin(broadcast(cents))
@@ -992,7 +998,7 @@ object VectorQueries extends QueryModule {
 
     "g68_hard_negative_mining" ->
       ("WITH a AS (SELECT vec_id AS a_id, label AS a_label, " +
-        "CAST(embedding AS DOUBLE[]) AS av FROM embeddings WHERE vec_id % 10 = 0), " +
+        "CAST(embedding AS DOUBLE[]) AS av FROM embeddings WHERE vec_id < 100), " +
         "p AS (SELECT a_id, b.vec_id AS b_id, a_label = b.label AS same, " +
         "round(list_cosine_similarity(av, CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
         "FROM a JOIN embeddings b ON a_id <> b.vec_id), " +
@@ -1015,7 +1021,7 @@ object VectorQueries extends QueryModule {
         "FROM (SELECT label, pos, CAST(embedding AS DOUBLE[])[pos + 1] AS v " +
         "FROM embeddings, range(64) t(pos)) GROUP BY label, pos) GROUP BY label), " +
         "q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv " +
-        "FROM embeddings WHERE vec_id % 50 = 0), " +
+        "FROM embeddings WHERE vec_id < 50), " +
         "probed AS (SELECT q_id, clabel FROM (SELECT q_id, clabel, " +
         "row_number() OVER (PARTITION BY q_id ORDER BY " +
         "round(list_cosine_similarity(qv, cv), 6) DESC, clabel) AS rn " +

@@ -47,7 +47,7 @@ STRIDE_SRC = {  # domain -> (table, column) that defines its stride
 }
 
 
-def main(src: str, dst: str, rep: int) -> None:
+def main(src: str, dst: str, rep: int, salt_docs: bool = False) -> None:
     import os
     os.makedirs(dst, exist_ok=True)
     strides = {}
@@ -74,6 +74,20 @@ def main(src: str, dst: str, rep: int) -> None:
                 dom = KEYMAP[tbl].get(name)
                 if dom is not None:
                     col = pc.add(col, pa.scalar(r * strides[dom], type=col.type))
+                # --salt-docs: replica r's documents get "shard<r> " PREPENDED
+                # to the text, so each replica is a DISTINCT shard of the
+                # corpus. Plain replication copies text verbatim, which makes
+                # every doc have rep-1 exact clones — duplicate DENSITY grows
+                # with SF (measured: prefix-40 intra-block candidate pairs
+                # 256 -> 27.3M from sf0.1 -> sf10, a 10^5x blowup for 100x
+                # data) — unphysical for a corpus that grows by ingesting new
+                # shards. Salting keeps per-shard near-dup structure intact
+                # and blocking keys distinct per shard -> candidate growth is
+                # linear in rep, which is what a scale gate should measure.
+                if salt_docs and tbl == "documents" and name == "text":
+                    col = pc.binary_join_element_wise(
+                        pa.scalar(f"shard{r} "), col.combine_chunks(),
+                        pa.scalar(""))
                 cols.append(col)
             reps.append(pa.table(cols, schema=t.schema))
         out = pa.concat_tables(reps)
@@ -83,4 +97,5 @@ def main(src: str, dst: str, rep: int) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]))
+    args = [a for a in sys.argv[1:] if a != "--salt-docs"]
+    main(args[0], args[1], int(args[2]), salt_docs="--salt-docs" in sys.argv)
