@@ -317,10 +317,17 @@ object TextQueries extends QueryModule {
       // (each file holds whole blk buckets, the layout a bucketed-table
       // deployment pins in its catalog); fingerprint in the commit META so a
       // regenerated fixture under the same path recommits instead of
-      // silently serving the stale index (the r12 lesson)
+      // silently serving the stale index (the r12 lesson). The fingerprint
+      // must be CONTENT-sensitive, not a row count: the sf10 gate caught a
+      // regenerated same-cardinality corpus (salted text, identical count)
+      // being served from the stale index — count + crc32-sum over the text
+      // closes that hole for one cheap scan (a deployment keys the index
+      // version on its ingest ledger instead of hashing the corpus).
       val idxRoot = s"${System.getProperty("java.io.tmpdir")}/graft_shidx_docs_" +
         s"${dir.hashCode & 0x7fffffff}"
-      val fingerprint = t.documents.count().toString
+      val fpRow = t.documents
+        .agg(count(lit(1)), sum(crc32(col("text").cast("binary")))).head()
+      val fingerprint = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
       if (!SnapshotTable.latestMeta(idxRoot).contains(fingerprint)) {
         SnapshotTable.commit(
           base.filter(col("doc_id") % 5 =!= 0)

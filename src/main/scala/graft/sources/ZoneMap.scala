@@ -40,11 +40,16 @@ object ZoneMap {
     */
   def writeClustered(df: DataFrame, path: String, clusterCol: String, nFiles: Int): Unit = {
     val ready = Paths.get(path, "_ready")
-    // the marker carries a content fingerprint (row count), so a caller that
-    // regenerates the INPUT under the same target path gets a fresh clustered
-    // copy + zone map instead of silently reading the stale one; an unchanged
-    // input still skips the rewrite (one count() pass vs a full rewrite)
-    val fingerprint = df.count().toString
+    // the marker carries a content fingerprint, so a caller that regenerates
+    // the INPUT under the same target path gets a fresh clustered copy +
+    // zone map instead of silently reading the stale one; an unchanged input
+    // still skips the rewrite (one agg pass vs a full rewrite). Count alone
+    // is NOT content-sensitive — a regenerated same-cardinality input (the
+    // failure the sf10 gate caught on g49's shingle index) must also flip
+    // the marker, so the cluster column's crc32 sum rides along.
+    val fpRow = df.agg(count(lit(1)),
+      sum(crc32(col(clusterCol).cast("string").cast("binary")))).head()
+    val fingerprint = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
     val stale = Files.exists(ready) &&
       new String(Files.readAllBytes(ready), "UTF-8") != fingerprint
     if (!Files.exists(ready) || stale) {

@@ -74,25 +74,39 @@ def main(src: str, dst: str, rep: int, salt_docs: bool = False) -> None:
                 dom = KEYMAP[tbl].get(name)
                 if dom is not None:
                     col = pc.add(col, pa.scalar(r * strides[dom], type=col.type))
-                # --salt-docs: replica r's documents get "shard<r> " PREPENDED
-                # to the text, so each replica is a DISTINCT shard of the
-                # corpus. Plain replication copies text verbatim, which makes
-                # every doc have rep-1 exact clones — duplicate DENSITY grows
-                # with SF (measured: prefix-40 intra-block candidate pairs
-                # 256 -> 27.3M from sf0.1 -> sf10, a 10^5x blowup for 100x
-                # data) — unphysical for a corpus that grows by ingesting new
-                # shards. Salting keeps per-shard near-dup structure intact
-                # and blocking keys distinct per shard -> candidate growth is
-                # linear in rep, which is what a scale gate should measure.
+                # --salt-docs: replica r's documents get every token RENAMED
+                # with a per-shard suffix (tok -> tok_r), so each replica is a
+                # DISTINCT shard of the corpus. Plain replication copies text
+                # verbatim, which gives every doc rep-1 exact clones —
+                # duplicate DENSITY grows with SF (measured: prefix-40
+                # intra-block candidate pairs 256 -> 27.3M from sf0.1 -> sf10,
+                # a 10^5x blowup for 100x data) — unphysical for a corpus that
+                # grows by ingesting new shards. A PREPENDED tag is not
+                # enough: it de-clones the prefix-40 blocking key but leaves
+                # cross-shard docs sharing ~97% of their shingles, so a
+                # LOSSLESS set-similarity join (g53) still faces quadratic
+                # candidates and must output every cross-shard clone pair.
+                # The bijective token rename preserves all within-shard
+                # set-similarity values EXACTLY (it is a bijection on the
+                # token alphabet) and drives cross-shard n-gram overlap to
+                # zero -> candidate growth is linear in rep, which is what a
+                # scale gate should measure.
                 if salt_docs and tbl == "documents" and name == "text":
-                    col = pc.binary_join_element_wise(
-                        pa.scalar(f"shard{r} "), col.combine_chunks(),
-                        pa.scalar(""))
+                    suffix = f"_{r}"
+                    col = pa.chunked_array([pa.array(
+                        [None if s is None else
+                         " ".join(tok + suffix for tok in s.split(" "))
+                         for s in col.to_pylist()], type=pa.string())])
                 cols.append(col)
             reps.append(pa.table(cols, schema=t.schema))
         out = pa.concat_tables(reps)
+        # row groups sized so every table yields >= ~64 scan splits: a
+        # production table of this size is many files/row-groups, and a
+        # single-row-group parquet serializes the whole scan onto one core
+        # (measured: g68's 200k-row pool in ONE row group ran its broadcast
+        # scoring single-threaded)
         pq.write_table(out, f"{dst}/{tbl}.parquet",
-                       row_group_size=1 << 20)
+                       row_group_size=max(4096, out.num_rows // 64))
         print(f"{tbl}: {t.num_rows} -> {out.num_rows} rows")
 
 
