@@ -96,4 +96,14 @@ class SetSimSpec extends AnyFunSuite {
   test("empty-intersection corpus returns nothing") {
     check(Seq(1L -> "a b c d", 2L -> "e f g h", 3L -> "i j k l"))
   }
+
+  test("g53b (dictionary-encoded) output equals g53 row-for-row on the fixture") {
+    // the dictionary is a bijection on the shingle alphabet, so every
+    // intersection size, union size, and rounded Jaccard must be identical
+    val a = SparkEntry.queries("g53_setsim_prefix")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val b = SparkEntry.queries("g53b_setsim_dict")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(a == b, s"g53b diverged from g53: ${a.diff(b).take(5)} vs ${b.diff(a).take(5)}")
+  }
 }
