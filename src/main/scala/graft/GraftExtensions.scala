@@ -159,6 +159,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         requireArity("hll_union_pair(a, b)", exprs, 2)
         graft.functions.HllUnionPair(exprs.head, exprs(1))
       }))
+    // exact mergeable bitmap distinct sketch: sketch(id) → binary,
+    // union(binary) → binary, count → long, and(a,b) → binary (true set
+    // intersection), contains(bm, v) → boolean (codegen'd: the
+    // deletion-vector read-path probe, m16)
+    ext.injectFunction((
+      FunctionIdentifier("bitmap_sketch"),
+      new ExpressionInfo(classOf[graft.functions.BitmapSketchAgg].getName, "bitmap_sketch"),
+      (exprs: Seq[Expression]) => {
+        requireArity("bitmap_sketch(col)", exprs, 1)
+        graft.functions.BitmapSketchAgg(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bitmap_union"),
+      new ExpressionInfo(classOf[graft.functions.BitmapUnionAgg].getName, "bitmap_union"),
+      (exprs: Seq[Expression]) => {
+        requireArity("bitmap_union(bm)", exprs, 1)
+        graft.functions.BitmapUnionAgg(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bitmap_count"),
+      new ExpressionInfo(classOf[graft.functions.BitmapCount].getName, "bitmap_count"),
+      (exprs: Seq[Expression]) => {
+        requireArity("bitmap_count(bm)", exprs, 1)
+        graft.functions.BitmapCount(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bitmap_and_pair"),
+      new ExpressionInfo(classOf[graft.functions.BitmapAndPair].getName, "bitmap_and_pair"),
+      (exprs: Seq[Expression]) => {
+        requireArity("bitmap_and_pair(a, b)", exprs, 2)
+        graft.functions.BitmapAndPair(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bitmap_contains"),
+      new ExpressionInfo(classOf[graft.functions.BitmapContains].getName, "bitmap_contains"),
+      (exprs: Seq[Expression]) => {
+        requireArity("bitmap_contains(bm, v)", exprs, 2)
+        graft.functions.BitmapContains(exprs.head, exprs(1))
+      }))
     // banded edit distance: exact when <= k, k+1 otherwise (fuzzy-dedup kernel)
     ext.injectFunction((
       FunctionIdentifier("lev_bounded"),

@@ -170,7 +170,44 @@ case class BitmapAndPair(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `bitmap_contains(bm, v)` → is bit `v` set. Codegen'd (doGenCode → static
+  * [[BitmapSketch.contains]] call) because — unlike the once-per-group
+  * sketch readers above — this sits on the merge-on-read DELETE path (m16):
+  * every surviving data row evaluates one probe against its file's deletion
+  * vector, so it must stay inside whole-stage codegen like `bloom_contains`
+  * does on the scan-prefilter path. */
+case class BitmapContains(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def prettyName: String = "bitmap_contains"
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override protected def nullSafeEval(bm: Any, v: Any): Any =
+    BitmapSketch.contains(bm.asInstanceOf[Array[Byte]], v.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (bm, v) =>
+      s"${ev.value} = graft.functions.BitmapSketch.contains($bm, $v);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitmapContains =
+    copy(left = newLeft, right = newRight)
+}
+
 object BitmapSketch {
+
+  /** Public static probe for codegen ([[BitmapContains]]): bit `v` of the
+    * little-endian bitset blob; positions past the blob are unset (blobs are
+    * only as long as the highest bit written, trailing zeros implicit). */
+  def contains(bm: Array[Byte], v: Long): Boolean = {
+    if (v < 0) return false
+    val byteIdx = v >> 3
+    byteIdx < bm.length && (bm(byteIdx.toInt) & (1 << (v & 7)).toByte) != 0
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bitmap_sketch", exprs => BitmapSketchAgg(exprs.head), "built-in")
@@ -180,5 +217,7 @@ object BitmapSketch {
       "bitmap_count", exprs => BitmapCount(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bitmap_and_pair", exprs => BitmapAndPair(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bitmap_contains", exprs => BitmapContains(exprs.head, exprs(1)), "built-in")
   }
 }

@@ -455,6 +455,47 @@ object DagQueries extends QueryModule {
         .select(col("run_date"), col("task"), col("sla_min"),
           col("actual_finish"), col("late_by"), col("sla_miss"))
         .orderBy("run_date", "task")
+    }),
+
+    // J12: WEIGHTED FAIR-SHARE pools — the multi-tenancy half of the
+    // scheduler j9's single-queue simulation leaves open (Spark's FAIR
+    // scheduler pools / YARN fair scheduler): two pools compete for 3
+    // slots, `etl` at weight 2 and `adhoc` at weight 1. Each time a slot
+    // frees, the scheduler grants it to the pool with the LOWEST
+    // running-share (running tasks ÷ weight) among pools with pending
+    // work — tie goes to the heavier pool, FIFO inside a pool — so the
+    // steady state pins 2 slots to etl and 1 to adhoc without ever
+    // starving either (an adhoc task is granted the moment etl's share
+    // reaches 2/2 = 1 > 0). Fully deterministic event order: slots fill
+    // by (free-time, slot-index); all state is task-count-sized driver
+    // metadata (the scheduler never touches data — identical cost at
+    // 100 TB). Oracle: the hand-traced grant sequence as VALUES.
+    "j12_dag_pool_fairshare" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val weight = Map("etl" -> 2L, "adhoc" -> 1L)
+      val tasks = Seq( // (task, pool, duration) — submit order within pool
+        ("e1", "etl", 5L), ("e2", "etl", 5L), ("e3", "etl", 5L), ("e4", "etl", 5L),
+        ("a1", "adhoc", 4L), ("a2", "adhoc", 4L), ("a3", "adhoc", 4L), ("a4", "adhoc", 4L))
+      val pending = scala.collection.mutable.Map(
+        "etl" -> scala.collection.mutable.Queue(tasks.filter(_._2 == "etl"): _*),
+        "adhoc" -> scala.collection.mutable.Queue(tasks.filter(_._2 == "adhoc"): _*))
+      val slots = Array.fill(3)(0L)
+      val sched = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int, Long, Long)]
+      while (pending.valuesIterator.exists(_.nonEmpty)) {
+        val (t, si) = slots.zipWithIndex.map { case (f, i) => (f, i) }
+          .minBy { case (f, i) => (f, i) }
+        // share accounting at instant t: a task ending exactly at t has
+        // released its slot
+        def share(p: String): Double =
+          sched.count(x => x._2 == p && x._4 <= t && t < x._5).toDouble / weight(p)
+        val pool = pending.keys.toSeq.filter(pending(_).nonEmpty)
+          .minBy(p => (share(p), -weight(p), p))
+        val (task, _, dur) = pending(pool).dequeue()
+        sched += ((task, pool, si, t, t + dur))
+        slots(si) = t + dur
+      }
+      sched.toSeq.toDF("task", "pool", "slot", "t_start", "t_finish").orderBy("task")
     })
   )
 
@@ -561,6 +602,22 @@ object DagQueries extends QueryModule {
         "SELECT run_date, task, sla_min, actual_finish, " +
         "greatest(actual_finish - sla_min, 0) AS late_by, " +
         "CAST(actual_finish > sla_min AS INT) AS sla_miss " +
-        "FROM l ORDER BY run_date, task")
+        "FROM l ORDER BY run_date, task"),
+
+    // hand-traced weighted-fair grant sequence: etl (weight 2) holds two
+    // slots in steady state, adhoc (weight 1) one; grants at t=0: e1
+    // (tie → heavier pool), a1 (etl at 1/2), e2 (adhoc at 1/1); then each
+    // freed slot goes to whichever pool is under its share
+    "j12_dag_pool_fairshare" ->
+      ("SELECT * FROM (VALUES " +
+        "('a1', 'adhoc', 1, CAST(0 AS BIGINT), CAST(4 AS BIGINT)), " +
+        "('a2', 'adhoc', 1, CAST(4 AS BIGINT), CAST(8 AS BIGINT)), " +
+        "('a3', 'adhoc', 1, CAST(8 AS BIGINT), CAST(12 AS BIGINT)), " +
+        "('a4', 'adhoc', 0, CAST(10 AS BIGINT), CAST(14 AS BIGINT)), " +
+        "('e1', 'etl', 0, CAST(0 AS BIGINT), CAST(5 AS BIGINT)), " +
+        "('e2', 'etl', 2, CAST(0 AS BIGINT), CAST(5 AS BIGINT)), " +
+        "('e3', 'etl', 0, CAST(5 AS BIGINT), CAST(10 AS BIGINT)), " +
+        "('e4', 'etl', 2, CAST(5 AS BIGINT), CAST(10 AS BIGINT))) " +
+        "t(task, pool, slot, t_start, t_finish) ORDER BY task")
   )
 }

@@ -371,6 +371,33 @@ object PipelineQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // G70: tokenizer FERTILITY by language — the tokenizer-equity metric a
+    // multilingual pipeline reports before committing to a vocabulary: how
+    // many BPE tokens the learned merges spend per word (fertility) and how
+    // many characters each token carries (compression), per language. A
+    // vocab trained on the majority language fragments the others; this is
+    // the table that shows it. Same plan shape as g36 (merges learned once
+    // — driver literals — then ONE codegen replace chain per row, no join),
+    // rolled up by lang instead of doc. The two ratios are each ONE IEEE
+    // division of exact <2^53 integer sums (the g58 discipline), so
+    // round(·, 6) is bit-stable against the oracle.
+    "g70_tokenizer_fertility" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val words = t.documents
+        .select(col("lang"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      val merges = BpeMerges.learn(words.select("w"), rounds = 3)
+      BpeMerges.encodeTokenCount(words, merges)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w"))).cast("long").as("n_chars"),
+          sum(col("n_tok")).cast("long").as("n_bpe_tok"))
+        .select(col("lang"), col("n_words"), col("n_chars"), col("n_bpe_tok"),
+          round(col("n_bpe_tok").cast("double") / col("n_words"), 6).as("fertility"),
+          round(col("n_chars").cast("double") / col("n_bpe_tok"), 6).as("chars_per_tok"))
+        .orderBy("lang")
+    }),
+
     // G47: exact repeated-SPAN detection — the substring-dedup signal
     // (find maximal runs of word 5-grams that occur more than once anywhere
     // in the corpus, the memorization-risk metric substring dedup removes).
@@ -849,6 +876,43 @@ object PipelineQueries extends QueryModule {
         "CAST(sum(len(w)) AS BIGINT) AS n_chars, " +
         s"CAST(sum(len(string_split(trim($enc, '|'), '||'))) AS BIGINT) AS n_bpe_tok " +
         "FROM dwords, b1, b2, b3 GROUP BY doc_id ORDER BY doc_id"
+    },
+
+    // g36's replayed merges, rolled up by language; each ratio is one IEEE
+    // division of exact integer sums, so round(·, 6) matches bit-for-bit
+    "g70_tokenizer_fertility" -> {
+      def pairs(v: String, p: String) =
+        s"$p AS (SELECT tk[i] AS a, tk[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM " +
+          s"(SELECT freq, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM " +
+          s"(SELECT freq, string_split(trim(seq, '|'), '||') AS tk FROM $v) " +
+          s"WHERE len(tk) >= 2) GROUP BY 1, 2)"
+      def best(p: String, b: String) =
+        s"$b AS (SELECT a, b, cnt FROM $p ORDER BY cnt DESC, a, b LIMIT 1)"
+      def apply(v: String, b: String, v2: String) =
+        s"$v2 AS (SELECT freq, replace(seq, '|' || $b.a || '||' || $b.b || '|', " +
+          s"'|' || $b.a || $b.b || '|') AS seq FROM $v, $b)"
+      val seq0 = "array_to_string(list_transform(regexp_extract_all(w, '.'), " +
+        "c -> '|' || c || '|'), '')"
+      val enc = s"replace(replace(replace($seq0, " +
+        "'|' || b1.a || '||' || b1.b || '|', '|' || b1.a || b1.b || '|'), " +
+        "'|' || b2.a || '||' || b2.b || '|', '|' || b2.a || b2.b || '|'), " +
+        "'|' || b3.a || '||' || b3.b || '|', '|' || b3.a || b3.b || '|')"
+      "WITH dwords AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w " +
+        "FROM documents), " +
+        "v0 AS (SELECT count(*) AS freq, array_to_string(" +
+        "list_transform(regexp_extract_all(w, '.'), c -> '|' || c || '|'), '') AS seq " +
+        "FROM dwords GROUP BY w), " +
+        s"${pairs("v0", "p1")}, ${best("p1", "b1")}, ${apply("v0", "b1", "v1")}, " +
+        s"${pairs("v1", "p2")}, ${best("p2", "b2")}, ${apply("v1", "b2", "v2")}, " +
+        s"${pairs("v2", "p3")}, ${best("p3", "b3")}, " +
+        "agg AS (SELECT lang, count(*) AS n_words, " +
+        "CAST(sum(len(w)) AS BIGINT) AS n_chars, " +
+        s"CAST(sum(len(string_split(trim($enc, '|'), '||'))) AS BIGINT) AS n_bpe_tok " +
+        "FROM dwords, b1, b2, b3 GROUP BY lang) " +
+        "SELECT lang, n_words, n_chars, n_bpe_tok, " +
+        "round(CAST(n_bpe_tok AS DOUBLE) / n_words, 6) AS fertility, " +
+        "round(CAST(n_chars AS DOUBLE) / n_bpe_tok, 6) AS chars_per_tok " +
+        "FROM agg ORDER BY lang"
     },
 
     "g47_repeated_spans" ->

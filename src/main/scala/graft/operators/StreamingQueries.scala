@@ -833,6 +833,76 @@ object StreamingQueries extends QueryModule {
           timestamp_micros(col("s_end_us")).cast("timestamp_ntz").as("s_end"),
           col("n_events"))
         .orderBy("user_id", "s_start")
+    }),
+
+    // I22: INITIAL STATE — bootstrap the i18 timer-session job from a
+    // WAREHOUSE-computed state snapshot instead of replaying history: the
+    // migration every long-lived pipeline eventually performs (history
+    // lives in the lakehouse; the stream must start mid-session without
+    // reprocessing it). The pre-cutoff half of events is sessionized in
+    // BATCH; every session closed within the prefix is emitted directly,
+    // and each user's TRAILING (possibly still-open) session becomes the
+    // per-key initial state of transformWithState(…, initialState) — the
+    // processor arms its timer from the seeded state, so a user silent in
+    // the stream still closes by watermark, and a suffix event either
+    // extends the seeded session or proves the gap. Only post-cutoff
+    // chunks flow through the stream. The batch+stream union equals i18's
+    // FULL-data sessionization — the same full value oracle, which is the
+    // strongest possible proof the handoff is seamless (no session lost,
+    // split, or double-emitted at the cutoff). At 100 TB the prefix
+    // sessionization is the ordinary batch window job and state bootstrap
+    // is one shuffle of |active users| rows — history is never replayed.
+    "i22_stream_initial_state" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val gapUs = 30L * 60 * 1000000
+      val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val pre = Tables(s, dir).events
+        .filter(col("ts").cast("timestamp") < cutoff)
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("event_id"))
+      val sess = pre
+        .withColumn("brk", when(lag(col("ts_us"), 1).over(w).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("brk")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts_us")).as("s_start_us"), max(col("ts_us")).as("s_end_us"),
+          count(lit(1)).as("n_events"))
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("sid").desc)))
+      val closedInPrefix = sess.filter(col("rn") > 1)
+        .select(col("user_id"), col("s_start_us"), col("s_end_us"), col("n_events"))
+      val bootstrap = sess.filter(col("rn") === 1)
+        .select(col("user_id"), col("s_start_us"), col("s_end_us"), col("n_events"))
+        .as[(Long, Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3, r._4))
+      val src = spark.readStream.schema(chunkSchema)
+        .option("maxFilesPerTrigger", "1").parquet(chunkedTsSource(s, dir))
+      val q = src
+        .filter(col("ts") >= cutoff) // suffix only — history is not replayed
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.SessionTimerProcessor(gapUs),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append(),
+          bootstrap)
+        .toDF("user_id", "s_start_us", "s_end_us", "n_events")
+      val streamed = withRocksDbStateStore(s) {
+        runMemory(q, "append", "i22", statePartitions = 2)
+      }
+      closedInPrefix.unionByName(streamed)
+        .select(col("user_id"),
+          timestamp_micros(col("s_start_us")).cast("timestamp_ntz").as("s_start"),
+          timestamp_micros(col("s_end_us")).cast("timestamp_ntz").as("s_end"),
+          col("n_events"))
+        .orderBy("user_id", "s_start")
     })
   )
 
@@ -961,6 +1031,23 @@ object StreamingQueries extends QueryModule {
     // 0-second delay) — the batch sessionization with the tail sessions,
     // still open at end-of-stream, excluded.
     "i18_stream_timer_sessions" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events), " +
+        "mx AS (SELECT max(ts) AS m FROM e), " +
+        "l AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w IS NULL OR " +
+        "epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS brk " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "g AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM l), " +
+        "sess AS (SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end, " +
+        "count(*) AS n_events FROM g GROUP BY user_id, sid) " +
+        "SELECT user_id, s_start, s_end, n_events FROM sess, mx " +
+        "WHERE epoch_us(s_end) + 1800000000 <= epoch_us(m) " +
+        "ORDER BY user_id, s_start"),
+
+    // the batch-bootstrap + suffix-stream union must equal the FULL-data
+    // sessionization — i18's oracle verbatim: no session lost, split, or
+    // double-emitted across the cutoff handoff
+    "i22_stream_initial_state" ->
       ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events), " +
         "mx AS (SELECT max(ts) AS m FROM e), " +
         "l AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w IS NULL OR " +

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryModule, Tables}
-import graft.sources.{BloomIndex, SnapshotTable, ZoneMap}
+import graft.sources.{BloomIndex, DeletionVectors, SnapshotTable, ZoneMap}
 import org.apache.spark.sql.functions._
 
 /** Warehouse-maintenance operators (SURVEY §2 M band, round 10): the table
@@ -481,6 +481,59 @@ object WarehouseQueries extends QueryModule {
         .select(col("o_orderpriority"), col("n_orders"),
           floor(col("tsum")).cast("long").as("revenue"))
         .orderBy("o_orderpriority")
+    }),
+
+    // M16: row-level DELETE via positional DELETION VECTORS (merge-on-read
+    // — the Delta-DV / Iceberg-positional-delete shape, sources/
+    // DeletionVectors.scala): the table commits ONCE, time-clustered on
+    // o_orderdate (the warehouse norm). Two delete batches follow, neither
+    // rewriting a data file: (1) a time-RETENTION delete (everything before
+    // 1996) whose positions CONCENTRATE in the leading time-range files,
+    // and (2) a GDPR-style key delete (o_custkey % 97) SCATTERED thinly
+    // across every file. Each batch is one scan → per-file position bitmap
+    // (BitmapSketchAgg over _metadata.row_index); batch 2 merges into
+    // batch 1 by bitwise OR (order-independent), and the DV table itself is
+    // version-committed through SnapshotTable. Reads anti-apply the DVs
+    // with the codegen'd bitmap_contains probe under a broadcast of the
+    // file-count-row DV table — no shuffle, no file rewrite. Finally the
+    // PURGE maintenance pass rewrites ONLY files ≥50% deleted (the
+    // retention band — exactly why retention-correlated layout matters)
+    // and the scattered GDPR deletes stay merge-on-read. Oracle: the live
+    // rows are plainly the predicate complement, whatever mix of DV and
+    // rewrite serves them. WarehouseSpec asserts the mechanics: v1 data
+    // files byte-identical across both delete commits, purge rewrote a
+    // strict subset of files, DV'd read == plain filter row-for-row.
+    "m16_deletion_vectors" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m16_${dir.hashCode & 0x7fffffff}"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root))
+      rmrf(new java.io.File(s"${root}_dv"))
+      val t = Tables(s, dir)
+      val target = t.orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+      SnapshotTable.commit(target.repartitionByRange(8, col("o_orderdate")), root)
+      val data = SnapshotTable.read(s, root)
+      // NOT root/_dv: Spark's file index hides any path with an
+      // underscore-prefixed segment, even when listed explicitly
+      val dvRoot = s"${root}_dv"
+      val dv1 = DeletionVectors.build(data,
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      SnapshotTable.commit(dv1, dvRoot)
+      val dv2 = DeletionVectors.build(data, col("o_custkey") % 97 === 0)
+      SnapshotTable.commit(
+        DeletionVectors.merge(SnapshotTable.read(s, dvRoot), dv2), dvRoot)
+      val dvs = SnapshotTable.read(s, dvRoot)
+      val allFiles = DeletionVectors.stats(data, dvs)
+        .select(col("file")).collect().map(_.getString(0)).toSeq.sorted
+      val hot = DeletionVectors.purgeCandidates(data, dvs, threshold = 0.5)
+      val live = DeletionVectors.purge(s, allFiles, hot, dvs, s"$root/rewritten")
+      live.groupBy((col("o_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice")).as("rev"))
+        .select(col("bucket"), col("n"), round(col("rev"), 6).as("revenue"))
+        .orderBy("bucket")
     })
   )
 
@@ -641,6 +694,15 @@ object WarehouseQueries extends QueryModule {
       ("SELECT o_orderpriority, count(*) AS n_orders, " +
         "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) AS revenue " +
         "FROM orders WHERE (o_orderkey % 10 != 0 AND o_orderkey % 7 != 0) " +
-        "OR o_orderkey % 10 = 0 GROUP BY 1 ORDER BY o_orderpriority")
+        "OR o_orderkey % 10 = 0 GROUP BY 1 ORDER BY o_orderpriority"),
+
+    // whatever mix of deletion vectors and purge-rewrites serves the reads,
+    // the live rows are exactly the delete predicates' complement
+    "m16_deletion_vectors" ->
+      ("SELECT o_orderkey % 10 AS bucket, count(*) AS n, " +
+        s"round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue " +
+        "FROM orders WHERE o_orderkey % 3 = 0 " +
+        "AND NOT (o_orderdate < TIMESTAMP '1996-01-01' OR o_custkey % 97 = 0) " +
+        "GROUP BY 1 ORDER BY bucket")
   )
 }

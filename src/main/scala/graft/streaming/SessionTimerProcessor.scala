@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** SURVEY §2 I6 family, EVENT-TIME TIMER variant — the fourth and last
   * arbitrary-state primitive after Value (i6), List (i15) and Map (i16)
@@ -42,7 +42,8 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   * session end µs, n_events).
   */
 class SessionTimerProcessor(gapUs: Long)
-    extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long, Long)] {
+    extends StatefulProcessorWithInitialState[
+      Long, (Long, Long, Long), (Long, Long, Long, Long), (Long, Long, Long)] {
 
   // open session: (startUs, lastUs, nEvents)
   @transient private var sess: ValueState[(Long, Long, Long)] = _
@@ -63,6 +64,22 @@ class SessionTimerProcessor(gapUs: Long)
       getHandle.registerTimer(expiryMs)
       armed.update(expiryMs)
     }
+  }
+
+  /** Bootstrap-from-batch (i22): seed the key's open session from a
+    * warehouse-computed state row — the migration shape that starts a
+    * streaming job from a snapshot WITHOUT replaying history. The seeded
+    * session behaves exactly like one built from streamed rows: its timer
+    * is armed at `last + gap`, so a user who never appears in the stream
+    * still closes by watermark, and a suffix event either extends it or
+    * proves the gap and closes it. State row: (startUs, lastUs, nEvents).
+    */
+  override def handleInitialState(
+      user: Long,
+      initial: (Long, Long, Long),
+      timerValues: TimerValues): Unit = {
+    sess.update(initial)
+    rearm(initial._2)
   }
 
   override def handleInputRows(

@@ -549,4 +549,63 @@ class StreamingSpec extends AnyFunSuite {
       rmrf(new java.io.File(base))
     }
   }
+
+  test("i22 mechanics: seeded sessions merge, close-on-event, and close-by-timer (fixture-free)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import spark.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val gapUs = 10L * 60 * 1000000 // 10 min
+      def ts(min: Long) = new java.sql.Timestamp((1000 + min) * 60000L)
+      def us(min: Long) = (1000 + min) * 60000000L
+      // warehouse-computed open sessions: (user, start, last, n)
+      val bootstrap = Seq(
+        (1L, us(0), us(5), 2L),  // will be EXTENDED by a min-8 stream event
+        (2L, us(0), us(4), 2L),  // will be CLOSED by a min-40 stream event
+        (3L, us(0), us(2), 1L))  // silent user: only the TIMER can close it
+        .toDS().groupByKey(_._1).mapValues(r => (r._2, r._3, r._4))
+      val in = MemoryStream[(Long, java.sql.Timestamp, Long)](spark)
+      val q = in.toDS().toDF("user_id", "ts", "event_id")
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.SessionTimerProcessor(gapUs),
+          TimeMode.EventTime(), OutputMode.Append(), bootstrap)
+        .toDF("user_id", "s_start_us", "s_end_us", "n_events")
+      val name = s"i22_boot_${System.nanoTime()}"
+      val sq = q.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        // batch 1 (watermark still 0): u1@8 extends its seed (gap holds),
+        // u2@40 proves the gap against its seed → close-on-event
+        in.addData((1L, ts(8), 100L), (2L, ts(40), 101L))
+        sq.processAllAvailable()
+        // batch 2 advances the watermark to 40: u3's seeded timer (min 12)
+        // and u1's re-armed timer (min 18) fire
+        in.addData((9L, ts(61), 102L))
+        sq.processAllAvailable()
+        // batch 3 advances the watermark to 61: u2's reopened session
+        // (timer min 50) fires; u9/u8 stay open and must NOT be emitted
+        in.addData((8L, ts(62), 103L))
+        sq.processAllAvailable()
+        val got = spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        val want = Set(
+          (1L, us(0), us(8), 3L),  // seed (n=2) + one streamed event, seamless
+          (2L, us(0), us(4), 2L),  // the seed emitted verbatim by the gap proof
+          (2L, us(40), us(40), 1L),
+          (3L, us(0), us(2), 1L))  // emitted with NO stream input for the key
+        assert(got == want, s"bootstrap emissions diverged: $got")
+      } finally sq.stop()
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }

@@ -435,4 +435,66 @@ class WarehouseSpec extends AnyFunSuite {
       .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
     assert(got == want && got.nonEmpty)
   }
+
+  test("deletion vectors: deletes never rewrite data files; reads equal the plain filter") {
+    import graft.sources.{DeletionVectors, SnapshotTable}
+    val t = Tables(spark, sfDir)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_dv_spec_${sfDir.hashCode & 0x7fffffff}"
+    val dvRoot = s"${root}_dv"
+    def rmrf(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+    }
+    rmrf(new java.io.File(root)); rmrf(new java.io.File(dvRoot))
+    val target = t.orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    SnapshotTable.commit(target.repartitionByRange(8, col("o_orderdate")), root)
+    def fileState(): Map[String, (Long, Long)] = {
+      val dir = new java.io.File(s"$root/data/v1")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length, f.lastModified)).toMap
+    }
+    val before = fileState()
+    val data = SnapshotTable.read(spark, root)
+    val retention = col("o_orderdate") < lit("1996-01-01").cast("timestamp")
+    val gdpr = col("o_custkey") % 97 === 0
+    SnapshotTable.commit(DeletionVectors.build(data, retention), dvRoot)
+    SnapshotTable.commit(DeletionVectors.merge(
+      SnapshotTable.read(spark, dvRoot), DeletionVectors.build(data, gdpr)), dvRoot)
+    assert(fileState() == before, "a delete commit touched an immutable data file")
+    val dvs = SnapshotTable.read(spark, dvRoot)
+    // merged popcount counts a doubly-deleted row ONCE: total n_deleted ==
+    // the predicate union's cardinality
+    val totDeleted = dvs.agg(sum(col("n_deleted"))).collect()(0).getLong(0)
+    val wantDeleted = data.filter(retention || gdpr).count()
+    assert(totDeleted == wantDeleted, s"dv counts $totDeleted, predicate union $wantDeleted")
+    def keys(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    val want = keys(data.filter(!(retention || gdpr)))
+    assert(keys(DeletionVectors.applyTo(data, dvs)) == want,
+      "merge-on-read != plain filter")
+    // purge: hot files are a strict non-empty subset (retention concentrates
+    // in the leading time-range file), cold files stay untouched on disk,
+    // and the post-purge view is still row-identical
+    val allFiles = DeletionVectors.stats(data, dvs)
+      .select(col("file")).collect().map(_.getString(0)).toSeq.sorted
+    val hot = DeletionVectors.purgeCandidates(data, dvs, threshold = 0.5)
+    assert(hot.nonEmpty && hot.size < allFiles.size,
+      s"expected a strict hot subset, got ${hot.size} of ${allFiles.size}")
+    val live = DeletionVectors.purge(spark, allFiles, hot, dvs, s"$root/rewritten")
+    assert(keys(live) == want, "post-purge view != plain filter")
+    assert(fileState() == before, "purge touched a v1 data file in place")
+  }
+
+  test("bitmap_contains: bit probes, trailing-zero blobs, and out-of-range positions") {
+    graft.functions.BitmapSketch.register(spark)
+    val rows = spark.sql(
+      "SELECT bitmap_contains(bm, 0L) a, bitmap_contains(bm, 9L) b, " +
+        "bitmap_contains(bm, 1L) c, bitmap_contains(bm, 10000L) d " +
+        "FROM (SELECT bitmap_sketch(v) bm FROM VALUES (0L), (9L) t(v))").collect()(0)
+    assert(rows.getBoolean(0) && rows.getBoolean(1), "set bits must probe true")
+    assert(!rows.getBoolean(2), "unset bit inside the blob must probe false")
+    assert(!rows.getBoolean(3), "position past the blob is implicitly unset")
+    val empty = spark.sql("SELECT bitmap_contains(X'', 5L)").collect()(0)
+    assert(!empty.getBoolean(0), "empty blob contains nothing")
+  }
 }
