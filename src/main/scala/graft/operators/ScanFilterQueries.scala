@@ -312,6 +312,55 @@ object ScanFilterQueries extends QueryModule {
         .orderBy("o_orderpriority")
     }),
 
+    // A15: RAW-FILE multimodal ingest via the binaryFile source — the drop-
+    // zone half the multimodal band (g10/g14/g63) reads from parquet today:
+    // objects land as ONE FILE EACH (camera uploads, scraped images), and
+    // `binaryFile` turns the directory into (path, length, content) rows
+    // with no decode step. Here 64 GRF1 containers (g14's format) are
+    // staged executor-side (foreachPartition — the write is distributed,
+    // names derived from data, so any partitioning produces the same tree),
+    // scanned back with a pathGlobFilter, and header-parsed declaratively
+    // (byte slices on the BINARY column — no UDF). modificationTime is
+    // dropped: wall-clock, not data. At 100 TB the source parallelizes
+    // per-file with small files packed into splits by maxPartitionBytes;
+    // the glob and the id-from-path parse are the catalog's job, shown
+    // here in-plan. Oracle: every header field is derivable from the
+    // documents row that generated the file.
+    "a15_scan_binaryfile" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val path = tmp("graft_bin_a15", dir)
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(path)) // no stale drop-zone files across reruns
+      new java.io.File(path).mkdirs()
+      val bin = t.documents.filter(col("doc_id") < 64)
+        .withColumn("h", expr("CAST(greatest(1, least(8, n_chars DIV 8)) AS INT)"))
+        .select(col("doc_id"),
+          concat(
+            lit("GRF1".getBytes("UTF-8")),
+            encode(expr("chr(8)"), "UTF-8"),
+            encode(expr("chr(h)"), "UTF-8"),
+            lit(Array[Byte](0, 0)),
+            encode(expr("rpad(substring(text, 1, 8 * h), 8 * h, ' ')"), "UTF-8"))
+            .as("content"))
+      bin.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(path, s"doc_${r.getLong(0)}.grf"),
+            r.getAs[Array[Byte]]("content"))
+        }
+      }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.grf").load(path)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.grf$", 1).cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          expr("ascii(decode(substring(content, 5, 1), 'UTF-8'))").as("w"),
+          expr("ascii(decode(substring(content, 6, 1), 'UTF-8'))").as("h"),
+          expr("decode(substring(content, 1, 4), 'UTF-8')").as("magic"))
+        .orderBy("doc_id")
+    }),
+
     // B1: projection incl. computed column; per-row double math is
     // IEEE-identical across engines. lineitem has no unique key → ORDER BY ALL.
     "b1_project" -> ((s, dir) =>
@@ -412,6 +461,14 @@ object ScanFilterQueries extends QueryModule {
     "a11_sink_custom_roundtrip" ->
       (s"SELECT o_orderpriority, count(*) AS n, ${Tables.dsumSql("o_totalprice")} AS total " +
         "FROM orders GROUP BY 1 ORDER BY o_orderpriority"),
+
+    // each staged file's size and header are derivable from the documents
+    // row that generated it: 8-byte header + 8*h payload, w fixed at 8
+    "a15_scan_binaryfile" ->
+      ("SELECT doc_id, CAST(8 + 8 * h AS BIGINT) AS n_bytes, 8 AS w, h, " +
+        "'GRF1' AS magic FROM (SELECT doc_id, " +
+        "CAST(greatest(1, least(8, n_chars // 8)) AS INT) AS h " +
+        "FROM documents WHERE doc_id < 64) ORDER BY doc_id"),
 
     "b1_project" ->
       ("SELECT l_orderkey, l_linenumber, " +

@@ -258,6 +258,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(event_type,click)"), p)
   }
 
+  test("m16: the DV read path is one broadcast probe — no shuffle, probe inside codegen") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{DeletionVectors, SnapshotTable}
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_dv_plan_${sfDir.hashCode & 0x7fffffff}"
+    val dvRoot = s"${root}_dv"
+    def rmrf(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+    }
+    rmrf(new java.io.File(root)); rmrf(new java.io.File(dvRoot))
+    val t = Tables(spark, sfDir)
+    SnapshotTable.commit(
+      t.orders.select("o_orderkey", "o_custkey").repartition(4, col("o_orderkey")), root)
+    val data = SnapshotTable.read(spark, root)
+    // deployed shape: the DV table is committed and read back — the read
+    // path must not pay the build's aggregation again
+    SnapshotTable.commit(DeletionVectors.build(data, col("o_orderkey") % 5 === 0), dvRoot)
+    val read = DeletionVectors.applyTo(data, SnapshotTable.read(spark, dvRoot))
+    read.collect() // executes THIS queryExecution → AQE finalizes, codegen marks appear
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"DV table not broadcast:\n$p")
+    assert(p.contains("bitmap_contains"), s"probe missing from the plan:\n$p")
+    // the scan side must reach the probe without a data shuffle — only the
+    // DV build (the aggregation input) may exchange
+    val scanSide = p.substring(p.indexOf("BroadcastHashJoin"))
+    assert(!scanSide.contains("Exchange hashpartitioning") &&
+      !scanSide.contains("Exchange rangepartitioning"),
+      s"DV read path shuffles the data side:\n$p")
+    // codegen stages print as "*(n)" in the executed tree — the probe's
+    // Filter must carry the star (BitmapContains.doGenCode in effect)
+    assert("""\*\(\d+\) Filter""".r.findFirstIn(p).isDefined,
+      s"probe fell out of codegen:\n$p")
+  }
+
   test("s8: LATERAL + per-row LIMIT decorrelates to a window group-limit, not a nested loop") {
     val p = finalPlan("s8_sql_lateral")
     assert(p.contains("WindowGroupLimit"), p)
