@@ -529,7 +529,17 @@ object WarehouseQueries extends QueryModule {
       val allFiles = DeletionVectors.stats(data, dvs)
         .select(col("file")).collect().map(_.getString(0)).toSeq.sorted
       val hot = DeletionVectors.purgeCandidates(data, dvs, threshold = 0.5)
-      val live = DeletionVectors.purge(s, allFiles, hot, dvs, s"$root/rewritten")
+      // purge = ONE metadata-only commit: cold files carry over into v2's
+      // manifest verbatim (zero bytes moved), hot files are replaced by
+      // their DV-applied rewrites; v1 stays time-travelable. The DV table
+      // keeps serving the cold files' scattered deletes — rewritten files
+      // miss the DV join and pass through clean.
+      val rel = (p: String) => new java.net.URI(p).getPath.stripPrefix(s"$root/")
+      val cold = allFiles.filterNot(hot.toSet).map(rel)
+      val rewritten = DeletionVectors
+        .rewriteFiles(s, hot, dvs, s"$root/data/v2").map(n => s"data/v2/$n")
+      SnapshotTable.commitFiles(root, cold ++ rewritten)
+      val live = DeletionVectors.applyTo(SnapshotTable.read(s, root), dvs)
       live.groupBy((col("o_orderkey") % 10).as("bucket"))
         .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice")).as("rev"))
         .select(col("bucket"), col("n"), round(col("rev"), 6).as("revenue"))

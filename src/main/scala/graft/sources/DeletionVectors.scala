@@ -100,20 +100,21 @@ object DeletionVectors {
     stats(table, dvs).filter(col("frac") >= threshold)
       .select(col("file")).collect().map(_.getString(0)).toSeq.sorted
 
-  /** Purge: rewrite `hotFiles` with their DVs applied into `rewriteDir`
-    * (plain parquet — in the SnapshotTable composition the caller commits
-    * the next manifest as untouched-files + rewritten-files), and return
-    * the merge-on-read view of the remaining cold files UNIONed with the
-    * rewritten data: semantically identical to `applyTo(table, dvs)`,
-    * which is what WarehouseSpec asserts. */
-  def purge(spark: SparkSession, allFiles: Seq[String], hotFiles: Seq[String],
-      dvs: DataFrame, rewriteDir: String): DataFrame = {
-    require(hotFiles.toSet.subsetOf(allFiles.toSet), "purge of unknown file")
-    val coldFiles = allFiles.filterNot(hotFiles.toSet)
+  /** PURGE rewrite: apply the DVs to `hotFiles` only and write the
+    * survivors as new immutable files under `destDir` (typically
+    * `<root>/data/v<next>`). Returns the new files' NAMES for the caller's
+    * metadata-only [[SnapshotTable.commitFiles]] — the cold files carry
+    * over into the next manifest verbatim, so a purge commit moves zero
+    * cold bytes and the DV table keeps serving the cold files' deletes
+    * (rewritten files simply miss the DV join and pass through clean). */
+  def rewriteFiles(spark: SparkSession, hotFiles: Seq[String],
+      dvs: DataFrame, destDir: String): Seq[String] = {
+    require(hotFiles.nonEmpty, "rewriteFiles: nothing to purge")
     applyTo(spark.read.parquet(hotFiles: _*), dvs)
-      .write.mode("overwrite").parquet(rewriteDir)
-    val rewritten = spark.read.parquet(rewriteDir)
-    if (coldFiles.isEmpty) rewritten
-    else applyTo(spark.read.parquet(coldFiles: _*), dvs).unionByName(rewritten)
+      .write.mode("overwrite").parquet(destDir)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(destDir))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSeq.sorted
   }
 }

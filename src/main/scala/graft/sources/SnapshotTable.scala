@@ -104,6 +104,27 @@ object SnapshotTable {
     v
   }
 
+  /** METADATA-ONLY commit — the REWRITE shape (compaction, deletion-vector
+    * purge): the next version's manifest is exactly `files` (root-relative),
+    * typically untouched files CARRIED OVER from the previous version plus
+    * freshly written replacements. No carried-over byte moves; readers flip
+    * atomically; the previous version stays time-travelable until
+    * [[expire]]d (which is reference-counted, so shared files survive the
+    * old version's vacuum). Every listed file must already exist — a
+    * manifest naming a missing file would commit a torn table. */
+  def commitFiles(root: String, files: Seq[String]): Long = {
+    require(files.nonEmpty, "commitFiles: refusing to commit an empty manifest")
+    files.foreach { f =>
+      require(Files.exists(Paths.get(root, f)), s"commitFiles: missing data file $f")
+    }
+    val v = latestVersion(root).getOrElse(0L) + 1
+    Files.createDirectories(snapDir(root))
+    Files.write(snapDir(root).resolve(s"v$v.manifest"),
+      files.sorted.mkString("\n").getBytes(UTF_8))
+    swap(root, v)
+    v
+  }
+
   /** APPEND commit: the cheap-write path — only `df`'s NEW files are
     * written; the next version's manifest references the previous
     * manifest's files plus the new ones, so committing a delta to a 100 TB

@@ -473,16 +473,30 @@ class WarehouseSpec extends AnyFunSuite {
     assert(keys(DeletionVectors.applyTo(data, dvs)) == want,
       "merge-on-read != plain filter")
     // purge: hot files are a strict non-empty subset (retention concentrates
-    // in the leading time-range file), cold files stay untouched on disk,
-    // and the post-purge view is still row-identical
+    // in the leading time-range file); the purge commit is METADATA-ONLY for
+    // cold files (carried into v2's manifest verbatim, untouched on disk),
+    // v1 stays time-travelable, and the post-purge view is row-identical
     val allFiles = DeletionVectors.stats(data, dvs)
       .select(col("file")).collect().map(_.getString(0)).toSeq.sorted
     val hot = DeletionVectors.purgeCandidates(data, dvs, threshold = 0.5)
     assert(hot.nonEmpty && hot.size < allFiles.size,
       s"expected a strict hot subset, got ${hot.size} of ${allFiles.size}")
-    val live = DeletionVectors.purge(spark, allFiles, hot, dvs, s"$root/rewritten")
-    assert(keys(live) == want, "post-purge view != plain filter")
+    val rel = (p: String) => new java.net.URI(p).getPath.stripPrefix(s"$root/")
+    val cold = allFiles.filterNot(hot.toSet).map(rel)
+    val rewritten = DeletionVectors
+      .rewriteFiles(spark, hot, dvs, s"$root/data/v2").map(n => s"data/v2/$n")
+    val v2 = SnapshotTable.commitFiles(root, cold ++ rewritten)
+    assert(v2 == 2L)
+    assert(keys(DeletionVectors.applyTo(SnapshotTable.read(spark, root), dvs)) == want,
+      "post-purge view != plain filter")
     assert(fileState() == before, "purge touched a v1 data file in place")
+    // the pre-purge version still serves the pre-delete rows exactly
+    assert(keys(SnapshotTable.readVersion(spark, root, 1L)) == keys(data),
+      "v1 no longer time-travelable after the purge commit")
+    // and a doubly-applied DV read over v2 remains idempotent: rewritten
+    // files miss the DV join, cold files re-apply the same bitmap
+    val again = DeletionVectors.applyTo(SnapshotTable.read(spark, root), dvs)
+    assert(keys(again) == want)
   }
 
   test("bitmap_contains: bit probes, trailing-zero blobs, and out-of-range positions") {
