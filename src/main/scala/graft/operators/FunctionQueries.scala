@@ -173,6 +173,29 @@ object FunctionQueries extends QueryModule {
           shiftleft(col("event_id"), 3).as("shl"),
           shiftrightunsigned(col("event_id"), 2).as("shr"))
         .orderBy("event_id")
+    }),
+
+    // F18: COLLATION-aware semantics (Spark 4 collation engine) — grouping
+    // and equality under UTF8_LCASE treat case variants as one key, inside
+    // the hash aggregate itself (no lower() normalization column, so the
+    // original spelling survives for display). The fixture langs are
+    // lowercase, so a deterministic mixed-case perturbation (upper-case
+    // every even doc's lang) makes the test real: grouped under the
+    // collation, the perturbed column still yields one row per language.
+    // The emitted key lower-cases the group representative — any
+    // representative of a case-insensitive class lower-cases to the same
+    // string, so the output is deterministic and the oracle is the plain
+    // lowercase group-by.
+    "f18_fn_collation" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .select(when(col("doc_id") % 2 === 0, upper(col("lang")))
+          .otherwise(col("lang")).as("l"))
+        .select(expr("collate(l, 'UTF8_LCASE')").as("lc"))
+        .groupBy(col("lc"))
+        .agg(count(lit(1)).as("n"))
+        .select(lower(col("lc")).as("lang"), col("n"))
+        .orderBy("lang")
     })
   )
 
@@ -254,6 +277,11 @@ object FunctionQueries extends QueryModule {
         "event_id | user_id AS bor, xor(event_id, user_id) AS bxor, " +
         "CAST(bit_count(event_id) AS INT) AS bits, " +
         "event_id << 3 AS shl, event_id >> 2 AS shr " +
-        "FROM events WHERE event_id < 200 ORDER BY event_id")
+        "FROM events WHERE event_id < 200 ORDER BY event_id"),
+
+    // case-insensitive grouping over the perturbed column == the plain
+    // lowercase group-by
+    "f18_fn_collation" ->
+      "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang"
   )
 }

@@ -437,6 +437,49 @@ object VectorQueries extends QueryModule {
         .orderBy("q_id")
     }),
 
+    // G71: ANN served from the PERSISTED IVF index (sources/IvfIndex.scala)
+    // — the deployment shape g4b/g69 only simulate in-query: the index
+    // (centroids + postings PARTITIONED BY cell) is built once behind a
+    // content fingerprint, and the query path touches NOTHING but the
+    // persisted artifact — k×64 centroid rows to the driver for probe
+    // selection, then a scan of ONLY the 2 probed cells' directories
+    // (partition pruning = IVF's "read 2 of k inverted lists", pinned in
+    // PlanSpec) with the codegen cosine re-rank. The dedup twin is g49's
+    // persisted shingle index; together they close the "a deployment
+    // persists this" comments into measured behavior. Full oracle: cells
+    // are the deterministic label codebook, so DuckDB replays
+    // centroid build, probe selection, and the top-10 cut exactly.
+    "g71_ann_index_serve" -> ((s, dir) => {
+      graft.functions.CosineSim.register(s)
+      val spark = s
+      import spark.implicits._
+      val t = Tables(s, dir)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_${dir.hashCode & 0x7fffffff}"
+      graft.sources.IvfIndex.write(t.embeddings, idx)
+      def dotd(x: Array[Double], y: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i) * y(i); i += 1 }
+        acc
+      }
+      def cos(a: Array[Double], b: Array[Double]): Double =
+        dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
+      val query = t.embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding")).as[Seq[Float]].head().map(_.toDouble).toArray
+      val probes = graft.sources.IvfIndex.centroids(s, idx)
+        .map { case (cell, c) =>
+          (cell, BigDecimal(cos(query, c)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        }
+        .sortBy { case (cell, sim) => (-sim, cell) }.take(2).map(_._1)
+      graft.sources.IvfIndex.postings(s, idx)
+        .filter(col("cell").isin(probes.map(Integer.valueOf): _*) &&
+          col("vec_id") =!= 0)
+        .withColumn("qv", typedLit(query.toSeq))
+        .select(col("vec_id"), col("label"),
+          round(expr("cosine_sim(transform(embedding, x -> CAST(x AS DOUBLE)), qv)"), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // G4b: IVF top-k — a data-derived coarse codebook (per-label centroids),
     // each vector assigned to its NEAREST centroid, query probes the 2
     // closest cells and searches only those. The codebook is tiny (10×64)
@@ -1041,6 +1084,24 @@ object VectorQueries extends QueryModule {
         "SELECT q.q_id, COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits_at_10, " +
         "CAST(COALESCE(h.hits, 0) * 10 AS INT) AS recall_pct " +
         "FROM q LEFT JOIN h ON q.q_id = h.q_id ORDER BY q.q_id"),
+
+    // the persisted-index serve replays exactly: centroid build (rounded
+    // decimal means), probe selection (top-2 cells on rounded cosine), and
+    // the top-10 cut over the probed cells only
+    "g71_ann_index_serve" ->
+      ("WITH cb AS (SELECT label AS cell, list(c ORDER BY pos) AS cv FROM (" +
+        "SELECT label, pos, round(CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(v), 6) AS c " +
+        "FROM (SELECT label, pos, CAST(embedding AS DOUBLE[])[pos + 1] AS v " +
+        "FROM embeddings, range(64) t(pos)) GROUP BY label, pos) GROUP BY label), " +
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0), " +
+        "probed AS (SELECT cell FROM (SELECT cell, row_number() OVER (ORDER BY " +
+        "round(list_cosine_similarity(qv, cv), 6) DESC, cell) AS rn FROM q, cb) " +
+        "WHERE rn <= 2) " +
+        "SELECT b.vec_id, b.label, " +
+        "round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), qv), 6) AS cos " +
+        "FROM embeddings b, q WHERE b.vec_id <> 0 " +
+        "AND b.label IN (SELECT cell FROM probed) " +
+        "ORDER BY cos DESC, b.vec_id LIMIT 10"),
 
     // g5b: approximate (LSH) — oracle intentionally omitted.
     // g4b: approximate (IVF) — oracle intentionally omitted.

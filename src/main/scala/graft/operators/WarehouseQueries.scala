@@ -544,6 +544,44 @@ object WarehouseQueries extends QueryModule {
         .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice")).as("rev"))
         .select(col("bucket"), col("n"), round(col("rev"), 6).as("revenue"))
         .orderBy("bucket")
+    }),
+
+    // M17: merge-on-read UPDATE — the second half of the deletion-vector
+    // story (m16 is DELETE): an UPDATE that touches 0.1% of rows scattered
+    // across a 100 TB table costs one DV write (mask the old row versions)
+    // plus one APPEND of the updated rows as new files — never a data-file
+    // rewrite. This is precisely how Delta/Iceberg execute merge-on-read
+    // UPDATE/MERGE: position-delete the old copies, append the new ones,
+    // let the reader reconcile. Here: 1996 orders get their price doubled.
+    // One scan builds the DV (positions of the old 1996 rows), one append
+    // commits the doubled rows (v2's manifest = v1's files + the delta
+    // files — O(delta) I/O via SnapshotTable.append), and the read is the
+    // uniform m16 path: appended files miss the DV join and pass through,
+    // masked files drop. Oracle: CASE WHEN on the predicate. The update is
+    // price*2 — integer-exact in double, the m7 discipline.
+    "m17_dv_update" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m17_${dir.hashCode & 0x7fffffff}"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root))
+      rmrf(new java.io.File(s"${root}_dv"))
+      val t = Tables(s, dir)
+      val target = t.orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      SnapshotTable.commit(target.repartitionByRange(8, col("o_orderdate")), root)
+      val pred = year(col("o_orderdate")) === 1996
+      val v1 = SnapshotTable.read(s, root)
+      val dvRoot = s"${root}_dv"
+      SnapshotTable.commit(DeletionVectors.build(v1, pred), dvRoot)
+      SnapshotTable.append(
+        v1.filter(pred).withColumn("o_totalprice", col("o_totalprice") * 2), root)
+      val live = DeletionVectors.applyTo(
+        SnapshotTable.read(s, root), SnapshotTable.read(s, dvRoot))
+      live.groupBy((col("o_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice")).as("rev"))
+        .select(col("bucket"), col("n"), round(col("rev"), 6).as("revenue"))
+        .orderBy("bucket")
     })
   )
 
@@ -713,6 +751,14 @@ object WarehouseQueries extends QueryModule {
         s"round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue " +
         "FROM orders WHERE o_orderkey % 3 = 0 " +
         "AND NOT (o_orderdate < TIMESTAMP '1996-01-01' OR o_custkey % 97 = 0) " +
+        "GROUP BY 1 ORDER BY bucket"),
+
+    // DV-mask + append must read back as a plain conditional UPDATE
+    "m17_dv_update" ->
+      ("SELECT o_orderkey % 10 AS bucket, count(*) AS n, " +
+        s"round(${Tables.dsumSql(
+          "CASE WHEN year(o_orderdate) = 1996 THEN o_totalprice * 2 ELSE o_totalprice END")}, 6) AS revenue " +
+        "FROM orders WHERE o_orderkey % 3 = 0 " +
         "GROUP BY 1 ORDER BY bucket")
   )
 }

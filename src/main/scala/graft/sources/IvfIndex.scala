@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** PERSISTED IVF index for an embeddings table — the serving-side shape the
+  * in-query codebooks of g4b/g69 only simulate: a real vector-search
+  * deployment builds its index ONCE, persists it, and serves every query
+  * from the persisted artifact (FAISS writes IVF lists to its own file
+  * format; a lakehouse expresses the identical structure as two tables).
+  *
+  * Layout under `path`:
+  *  - `centroids/` — FLAT (cell, pos, c) rows: cell id × 64 rounded mean
+  *    components (k×64 rows — metadata scale; the flat layout needs no
+  *    array column and reassembles on the driver at read time);
+  *  - `postings/`  — the vectors PARTITIONED BY cell (`cell=<id>/part-*`),
+  *    so a probe's scan lists ONLY its probed cells' directories: partition
+  *    pruning is the IVF "read 2 of k inverted lists" step, executed by the
+  *    ordinary parquet source (PlanSpec pins the PartitionFilters).
+  *
+  * Cells here are the fixture's label field (the same deterministic
+  * codebook g69 grades recall against; a production build swaps in
+  * plans.KMeans labels — the layout and serve path are unchanged, which is
+  * the point). Rebuilds are gated by the content-fingerprint `_ready`
+  * discipline (BloomIndex/ZoneMap, hardened by the r14 sf10 gate): a
+  * regenerated corpus under the same path recommits instead of silently
+  * serving the stale index.
+  *
+  * Scale notes (100 TB): the index build is one distributed two-phase
+  * aggregate (centroids) plus one partitioned re-write of the vectors
+  * (postings) — both ordinary jobs; the per-query serve cost is k×64
+  * driver doubles + a scan of probes/k of the corpus.
+  */
+object IvfIndex {
+
+  /** Build + persist (idempotent per content fingerprint). */
+  def write(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    val ready = Paths.get(path, "_ready")
+    val fpRow = emb.agg(count(lit(1)),
+      sum(crc32(concat_ws(",", col("vec_id"),
+        concat_ws(",", transform(col("embedding"), x => x.cast("string"))))
+        .cast("binary")))).head()
+    val fingerprint = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    val stale = Files.exists(ready) &&
+      new String(Files.readAllBytes(ready), "UTF-8") != fingerprint
+    if (!Files.exists(ready) || stale) {
+      val vd = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+      emb.select(col("label").as("cell"), posexplode(vd).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(sum(col("x").cast(Tables.decHi)).cast("double") /
+          count(col("x")), 6).as("c"))
+        .write.mode("overwrite").parquet(s"$path/centroids")
+      emb.select(col("label").as("cell"), col("vec_id"), col("label"), col("embedding"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
+      Files.write(ready, fingerprint.getBytes("UTF-8"))
+      ()
+    }
+  }
+
+  /** Driver-side codebook from the persisted centroids: (cell, 64 rounded
+    * components in pos order). k×64 rows — metadata scale. */
+  def centroids(spark: SparkSession, path: String): Seq[(Int, Array[Double])] =
+    spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (cell, rows) =>
+        val c = new Array[Double](rows.map(_._2).max + 1)
+        rows.foreach { case (_, pos, v) => c(pos) = v }
+        (cell, c)
+      }
+
+  /** The postings table; filter on `cell` before use — the filter becomes a
+    * partition-pruning predicate (only probed directories are listed). */
+  def postings(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/postings")
+}

@@ -291,6 +291,16 @@ class PlanSpec extends AnyFunSuite {
       s"probe fell out of codegen:\n$p")
   }
 
+  test("g71: the probed-cells filter prunes postings partitions at the scan") {
+    val df = SparkEntry.queries("g71_ann_index_serve")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // IVF's "read 2 of k inverted lists" must execute as parquet partition
+    // pruning on the persisted postings table, not a post-scan filter
+    assert("""PartitionFilters: \[[^\]]*cell""".r.findFirstIn(p).isDefined,
+      s"cell probe did not become a partition filter:\n$p")
+  }
+
   test("s8: LATERAL + per-row LIMIT decorrelates to a window group-limit, not a nested loop") {
     val p = finalPlan("s8_sql_lateral")
     assert(p.contains("WindowGroupLimit"), p)
