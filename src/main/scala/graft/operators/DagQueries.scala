@@ -496,6 +496,50 @@ object DagQueries extends QueryModule {
         slots(si) = t + dur
       }
       sched.toSeq.toDF("task", "pool", "slot", "t_start", "t_finish").orderBy("task")
+    }),
+
+    // J13: DATASET-TRIGGERED runs — data-aware scheduling (Airflow Datasets,
+    // Dagster auto-materialize): consumers declare the DATASETS they read,
+    // not a cron, and a run fires the moment EVERY input has at least one
+    // publish the consumer hasn't consumed yet; firing consumes all pending
+    // publishes (the newest per input becomes the run's trigger record).
+    // This is the push half the j10 sensor polls for. The publish ledger is
+    // a fixed event sequence; the fold is pure driver metadata — one state
+    // map per (consumer, dataset), identical cost whether a "publish" is a
+    // 1-row or 1 TB partition. At 100 TB of history the ledger itself is a
+    // partition-pruned event table; the trigger state is O(consumers ×
+    // inputs). Oracle: the hand-traced firing ledger as VALUES.
+    "j13_dag_dataset_trigger" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      // publish ledger: (t, dataset) — two producers interleave with a dim
+      val publishes = Seq(
+        (1L, "raw_orders"), (2L, "raw_lineitem"), (3L, "raw_orders"),
+        (4L, "dim_customer"), (5L, "raw_lineitem"), (6L, "dim_customer"),
+        (7L, "raw_orders"), (8L, "raw_orders"), (9L, "dim_customer"),
+        (10L, "raw_lineitem"))
+      val consumers = Seq(
+        "revenue" -> Seq("raw_lineitem", "raw_orders"),
+        "ranking" -> Seq("dim_customer", "raw_orders"))
+      // pending(consumer)(dataset) = newest unconsumed publish time
+      val pending = scala.collection.mutable.Map(
+        consumers.map { case (c, _) =>
+          c -> scala.collection.mutable.Map.empty[String, Long]
+        }: _*)
+      val fired = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+      publishes.foreach { case (t, ds) =>
+        consumers.foreach { case (c, inputs) =>
+          if (inputs.contains(ds)) {
+            pending(c)(ds) = t
+            if (inputs.forall(pending(c).contains)) {
+              fired += ((t, c,
+                inputs.sorted.map(i => s"$i@${pending(c)(i)}").mkString(",")))
+              pending(c).clear()
+            }
+          }
+        }
+      }
+      fired.toSeq.toDF("fired_at", "dag", "trigger").orderBy("fired_at", "dag")
     })
   )
 
@@ -618,6 +662,19 @@ object DagQueries extends QueryModule {
         "('e2', 'etl', 2, CAST(0 AS BIGINT), CAST(5 AS BIGINT)), " +
         "('e3', 'etl', 0, CAST(5 AS BIGINT), CAST(10 AS BIGINT)), " +
         "('e4', 'etl', 2, CAST(5 AS BIGINT), CAST(10 AS BIGINT))) " +
-        "t(task, pool, slot, t_start, t_finish) ORDER BY task")
+        "t(task, pool, slot, t_start, t_finish) ORDER BY task"),
+
+    // hand-traced dataset-trigger ledger: revenue fires whenever both raws
+    // have an unconsumed publish, ranking whenever dim+orders do; firing
+    // consumes the pending set (newest publish per input is the trigger)
+    "j13_dag_dataset_trigger" ->
+      ("SELECT * FROM (VALUES " +
+        "(CAST(2 AS BIGINT), 'revenue', 'raw_lineitem@2,raw_orders@1'), " +
+        "(CAST(4 AS BIGINT), 'ranking', 'dim_customer@4,raw_orders@3'), " +
+        "(CAST(5 AS BIGINT), 'revenue', 'raw_lineitem@5,raw_orders@3'), " +
+        "(CAST(7 AS BIGINT), 'ranking', 'dim_customer@6,raw_orders@7'), " +
+        "(CAST(9 AS BIGINT), 'ranking', 'dim_customer@9,raw_orders@8'), " +
+        "(CAST(10 AS BIGINT), 'revenue', 'raw_lineitem@10,raw_orders@8')) " +
+        "t(fired_at, dag, trigger) ORDER BY fired_at, dag")
   )
 }

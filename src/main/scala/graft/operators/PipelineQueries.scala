@@ -258,9 +258,12 @@ object PipelineQueries extends QueryModule {
     // heaviest undirected trade pairs (count desc, then u, v). Iterative
     // peeling in plans/KCore.scala — degree aggregate + two semi-joins per
     // round, edge set only shrinks, fixpoint = the unique k-core (removal-
-    // order independent). No SQL oracle exists for an iterative fixpoint
-    // (DuckDB's recursive CTE can't re-aggregate the frontier), so this is
-    // rows-only; KCoreSpec proves the result equals an independent
+    // order independent). Fully oracle-backed despite being iterative: the
+    // node set is ≤ 25 nations, so 26 UNROLLED peel rounds provably reach
+    // the fixpoint (every non-stationary round removes ≥ 1 node), and
+    // peeling past the fixpoint is a no-op — the oracle is a generated
+    // 26-CTE chain, the same unrolling discipline as the SGD oracle.
+    // KCoreSpec additionally proves the result equals an independent
     // in-memory reference peeling on both a crafted graph and this edge set.
     "g61_graph_kcore" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -660,6 +663,35 @@ object PipelineQueries extends QueryModule {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    // iterative k-core peeling, UNROLLED: each round keeps edges whose both
+    // endpoints have symmetrized degree >= 3 in the previous round. The
+    // graph has <= 25 nodes (nations), every non-stationary round removes
+    // at least one node, and rounds past the fixpoint are no-ops — so 26
+    // rounds provably compute the exact fixpoint the engine iterates to.
+    "g61_graph_kcore" -> {
+      // AS MATERIALIZED is load-bearing: each round references its
+      // predecessor three times, and inlined CTEs would re-execute the
+      // whole chain per reference (3^26 scans)
+      val rounds = (1 to 26).map(i =>
+        s"k$i AS MATERIALIZED (SELECT u FROM e${i - 1} GROUP BY u " +
+          "HAVING count(*) >= 3), " +
+          s"e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1} " +
+          s"WHERE u IN (SELECT u FROM k$i) AND v IN (SELECT u FROM k$i))")
+        .mkString(", ")
+      "WITH trade AS (SELECT least(c_nationkey, s_nationkey) AS lu, " +
+        "greatest(c_nationkey, s_nationkey) AS lv, count(*) AS cnt " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE c_nationkey <> s_nationkey GROUP BY 1, 2), " +
+        "top AS (SELECT CAST(lu AS BIGINT) AS u, CAST(lv AS BIGINT) AS v " +
+        "FROM trade ORDER BY cnt DESC, lu, lv LIMIT 50), " +
+        "e0 AS MATERIALIZED (SELECT u, v FROM top " +
+        "UNION SELECT v AS u, u AS v FROM top), " +
+        rounds + " " +
+        "SELECT u AS id, count(*) AS core_deg FROM e26 GROUP BY u ORDER BY id"
+    },
+
     "g17_contamination_ngram" ->
       ("WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
         "range(1, greatest(len(toks) - 2, 0) + 1), " +

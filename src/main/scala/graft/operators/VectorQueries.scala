@@ -636,9 +636,13 @@ object VectorQueries extends QueryModule {
     // (per-row fold dot product → per-component decimal sum), the driver
     // holds only 64 doubles between passes — the exact shape at 100 TB.
     // Output: per-label projection stats onto the sign-canonicalized PC1
-    // plus the captured variance λ. Rows-only (30 iterations of 64-dim
-    // linear algebra are not SQL-replayable); the eigen-invariants — unit
-    // norm, λ ≥ every coordinate-axis variance, small residual ‖Av − λv‖,
+    // plus the captured variance λ. Fully oracle-backed despite 30
+    // iterations of 64-dim linear algebra: the Gram is decimal-exact, the
+    // driver recurrence is all ordered left folds, and IEEE double ops are
+    // bit-deterministic — so DuckDB replays the identical 30 iterations
+    // with list_reduce (a generated 60-CTE chain, the unrolling discipline
+    // of the SGD and k-core oracles). The eigen-invariants — unit norm,
+    // λ ≥ every coordinate-axis variance, small residual ‖Av − λv‖,
     // centered projections with ~0 global mean — are proved in VectorSpec.
     "g39_pca_power" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -646,8 +650,11 @@ object VectorQueries extends QueryModule {
       val (centered, _) = graft.plans.PowerIteration.center(base, "x")
       val xc = centered.cache()
       // Gram path: d=64 → the 64×64 covariance is metadata, so the whole
-      // iteration runs driver-side after ONE data pass (vs 30 passes)
-      val (v, lambda) = graft.plans.PowerIteration.topComponentGram(xc, "x", 64, 30)
+      // iteration runs driver-side after ONE data pass (vs 30 passes).
+      // The DECIMAL-EXACT Gram + ordered-fold driver loop make every output
+      // a bit-replayable function of the input — the DuckDB oracle unrolls
+      // the same 30 iterations with list_reduce left folds.
+      val (v, lambda) = graft.plans.PowerIteration.topComponentGramExact(xc, "x", 64, 30)
       val proj = aggregate(zip_with(col("x"), typedLit(v.toIndexedSeq), (a, b) => a * b),
         lit(0.0), (acc, e) => acc + e)
       val out = xc.withColumn("t", proj)
@@ -669,9 +676,10 @@ object VectorQueries extends QueryModule {
     // discovery, fully deterministic (smallest-id seeding, lowest-id tie
     // break, decimal centroid means) so the same clusters come back at any
     // executor count. Each iteration is one distributed pass; the driver
-    // holds k×d doubles. Rows-only (10 Lloyd iterations are not
-    // SQL-replayable); Lloyd monotonicity + argmin-assignment invariants
-    // are proved in VectorSpec.
+    // holds k×d doubles. Fully oracle-backed: decimal means + ordered-fold
+    // distances make all 10 Lloyd iterations bit-replayable, so the DuckDB
+    // oracle unrolls them (the g39/SGD/k-core discipline). Lloyd
+    // monotonicity + argmin-assignment invariants are proved in VectorSpec.
     "g40_kmeans" -> ((s, dir) => {
       val t = Tables(s, dir)
       val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -998,6 +1006,39 @@ object VectorQueries extends QueryModule {
     Seq.fill(n)(Array.fill(dim)(next().toDouble / Long.MaxValue))
   }
 
+  /** Shared pieces of the unrolled-Lloyd DuckDB oracles (g40/g42): the
+    * engine's KMeans.fit is bit-replayable (smallest-id seeding, ordered
+    * left-fold sq-L2, lowest-id argmin tie-break, decimal means), so the
+    * oracle unrolls `iters` iterations as generated MATERIALIZED CTEs. */
+  private def kmeansSqd(cent: String): String =
+    "list_reduce(list_transform(range(1, 65), " +
+      s"t -> (x[t] - ($cent)[t]) * (x[t] - ($cent)[t])), (a, b) -> a + b)"
+
+  private def kmeansAssign(prev: String, nm: String): String =
+    s"d$nm AS MATERIALIZED (SELECT vec_id, x, ci.ci AS cid, " +
+      s"${kmeansSqd("cs[ci.ci + 1]")} AS d2 FROM emb, $prev, range(0, 8) ci(ci)), " +
+      s"a$nm AS MATERIALIZED (SELECT vec_id, x, cid, d2 FROM (" +
+      s"SELECT vec_id, x, cid, d2, row_number() OVER (PARTITION BY vec_id " +
+      s"ORDER BY d2, cid) AS rn FROM d$nm) WHERE rn = 1)"
+
+  private def kmeansCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      kmeansAssign(s"c${k - 1}", s"$k") + ", " +
+        s"u$k AS (SELECT cid, list(m ORDER BY p) AS cv FROM (" +
+        s"SELECT cid, p.p AS p, CAST(sum(CAST(x[p.p] AS DECIMAL(38,12))) " +
+        s"AS DOUBLE) / count(*) AS m FROM a$k, range(1, 65) p(p) " +
+        "GROUP BY 1, 2) GROUP BY cid), " +
+        s"c$k AS MATERIALIZED (SELECT list(coalesce(u.cv, prev.cs[cx.ci + 1]) " +
+        s"ORDER BY cx.ci) AS cs FROM c${k - 1} prev CROSS JOIN range(0, 8) cx(ci) " +
+        s"LEFT JOIN u$k u ON u.cid = cx.ci)"
+    }.mkString(", ")
+    "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x " +
+      "FROM embeddings), " +
+      "c0 AS MATERIALIZED (SELECT list(x ORDER BY vec_id) AS cs FROM (" +
+      "SELECT vec_id, x FROM emb ORDER BY vec_id LIMIT 8)), " +
+      rounds
+  }
+
   val oracles: Seq[(String, String)] = Seq(
     "g3_sim_cosine_pairs" ->
       ("SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label, " +
@@ -1150,6 +1191,82 @@ object VectorQueries extends QueryModule {
         "FROM (SELECT label, pos, CAST(embedding AS DOUBLE[])[pos + 1] AS v " +
         "FROM embeddings, range(64) t(pos)) " +
         "GROUP BY label, pos ORDER BY label, pos"),
+
+    // bit-exact replay of the 30-iteration power method: decimal-exact
+    // centering and Gram, then every reduction as a list_reduce LEFT FOLD —
+    // the same evaluation order as the engine's driver loops, so doubles
+    // match bit-for-bit (IEEE ops are deterministic; only ORDER can differ,
+    // and here it never does). AS MATERIALIZED stops DuckDB re-inlining the
+    // 60-CTE chain.
+    "g39_pca_power" -> {
+      def fold(l: String) = s"list_reduce($l, (a, b) -> a + b)"
+      def dot(a: String, b: String) =
+        fold(s"list_transform(range(1, 65), t -> ($a)[t] * ($b)[t])")
+      val iters = (1 to 30).map { k =>
+        val pv = s"v${k - 1}"
+        s"w$k AS MATERIALIZED (SELECT i, ${dot("crow", "v")} AS w FROM c, $pv), " +
+          s"v$k AS MATERIALIZED (SELECT list_transform(wl, x -> x / " +
+          s"sqrt(${fold("list_transform(wl, y -> y * y)")})) AS v " +
+          s"FROM (SELECT list(w ORDER BY i) AS wl FROM w$k))"
+      }.mkString(", ")
+      "WITH mean AS MATERIALIZED (SELECT list(m ORDER BY pos) AS mv FROM (" +
+        "SELECT pos, CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(v) AS m " +
+        "FROM (SELECT pos, CAST(embedding AS DOUBLE[])[pos + 1] AS v " +
+        "FROM embeddings, range(64) t(pos)) GROUP BY pos)), " +
+        "xc AS MATERIALIZED (SELECT label, list_transform(range(1, 65), " +
+        "t -> CAST(embedding AS DOUBLE[])[t] - mv[t]) AS x FROM embeddings, mean), " +
+        "cr AS MATERIALIZED (SELECT ii.i AS i, jj.j AS j, " +
+        "CAST(sum(CAST(x[ii.i] * x[jj.j] AS DECIMAL(38,12))) AS DOUBLE) AS cij " +
+        "FROM xc, range(1, 65) ii(i), range(1, 65) jj(j) GROUP BY 1, 2), " +
+        "c AS MATERIALIZED (SELECT i, list(cij ORDER BY j) AS crow FROM cr GROUP BY i), " +
+        "v0 AS (SELECT list_transform(range(1, 65), t -> CAST(0.125 AS DOUBLE)) AS v), " +
+        iters + ", " +
+        "im AS (SELECT t AS imax FROM v30, range(1, 65) tt(t) " +
+        "ORDER BY abs(v[t]) DESC, t LIMIT 1), " +
+        "vf AS MATERIALIZED (SELECT CASE WHEN v[imax] < 0 " +
+        "THEN list_transform(v, x -> -x) ELSE v END AS v FROM v30, im), " +
+        "cm AS MATERIALIZED (SELECT list(crow ORDER BY i) AS m FROM c), " +
+        "lam AS (SELECT " +
+        fold(s"list_transform(range(1, 65), i -> v[i] * " +
+          fold("list_transform(range(1, 65), j -> m[i][j] * v[j])") + ")") +
+        " / (SELECT count(*) FROM xc) AS lambda FROM vf, cm) " +
+        "SELECT p.label, count(*) AS n, " +
+        "round(CAST(sum(CAST(p.t AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mean_proj, " +
+        "round(CAST(sum(CAST(p.t * p.t AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS var_proj, " +
+        "(SELECT round(lambda, 6) FROM lam) AS lambda " +
+        s"FROM (SELECT label, ${dot("x", "v")} AS t FROM xc, vf) p " +
+        "GROUP BY p.label ORDER BY p.label"
+    },
+
+    // bit-exact replay of 10 deterministic Lloyd iterations: smallest-id
+    // seeding, per-(row, centroid) sq-L2 as the same ordered left fold the
+    // engine's zip_with kernel runs, argmin via (d2, cid) row_number (ties
+    // to the LOWEST centroid id — the engine's array_position(min)
+    // semantics), decimal-exact centroid means, empty cells carried over.
+    "g40_kmeans" ->
+      (s"WITH ${kmeansCtes(10)}, " +
+        kmeansAssign("c10", "f") + " " +
+        "SELECT CAST(cid AS INT) AS cluster, count(*) AS n, " +
+        "round(CAST(sum(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE), 6) AS inertia, " +
+        "min(vec_id) AS exemplar FROM af GROUP BY cid ORDER BY cluster"),
+
+    // same unrolled-Lloyd prefix at 5 iterations, then the engine's
+    // multi-probe: each row's 2 nearest cells = (d2, cid) rank <= 2 — the
+    // array_sort((d, i)) lexicographic order of KMeans.probeCols — pairs
+    // inside a shared cell verified with the exact cosine, DISTINCT because
+    // a pair sharing both probed cells is emitted once
+    "g42_kmeans_dedup" ->
+      (s"WITH ${kmeansCtes(5)}, " +
+        "df AS MATERIALIZED (SELECT vec_id, x, ci.ci AS cid, " +
+        s"${kmeansSqd("cs[ci.ci + 1]")} AS d2 FROM emb, c5, range(0, 8) ci(ci)), " +
+        "pr AS MATERIALIZED (SELECT vec_id, x, cid FROM (" +
+        "SELECT vec_id, x, cid, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY d2, cid) AS rn FROM df) WHERE rn <= 2) " +
+        "SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "round(list_cosine_similarity(a.x, b.x), 6) AS cos " +
+        "FROM pr a JOIN pr b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
+        "WHERE round(list_cosine_similarity(a.x, b.x), 6) >= 0.45 " +
+        "ORDER BY a_id, b_id"),
 
     "h2_udaf_vecsum" ->
       ("SELECT label, pos, round(sum(v), 6) AS sx " +

@@ -582,6 +582,42 @@ object WarehouseQueries extends QueryModule {
         .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice")).as("rev"))
         .select(col("bucket"), col("n"), round(col("rev"), 6).as("revenue"))
         .orderBy("bucket")
+    }),
+
+    // M18: ADD-COLUMN SCHEMA EVOLUTION — the other table mutation a 100 TB
+    // table cannot afford as a rewrite: v1 commits three columns, the
+    // pipeline later starts producing a fourth (o_orderpriority), and the
+    // append commits files WITH the new column while v1's files are never
+    // touched. The evolved read (SnapshotTable.readEvolved — parquet
+    // footer-union, one footer read per file) serves both generations as
+    // one table, null-filling the pre-evolution rows, which is exactly the
+    // Delta/Iceberg add-column contract. The query proves the null-fill is
+    // observable: pre-evolution rows land in a '<pre-evolution>' bucket,
+    // evolved rows group by their real priority. Oracle: CASE WHEN on the
+    // generation predicate over the raw table.
+    "m18_schema_evolution" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m18_${dir.hashCode & 0x7fffffff}"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root))
+      val t = Tables(s, dir)
+      SnapshotTable.commit(
+        t.orders.filter(col("o_orderkey") % 4 === 1)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+        root)
+      SnapshotTable.append(
+        t.orders.filter(col("o_orderkey") % 4 === 2)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderpriority")),
+        root)
+      SnapshotTable.readEvolved(s, root)
+        .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>")).as("prio"),
+          col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice")).as("rev"))
+        .select(col("prio"), col("o_orderstatus"), col("n"),
+          round(col("rev"), 6).as("revenue"))
+        .orderBy("prio", "o_orderstatus")
     })
   )
 
@@ -759,6 +795,15 @@ object WarehouseQueries extends QueryModule {
         s"round(${Tables.dsumSql(
           "CASE WHEN year(o_orderdate) = 1996 THEN o_totalprice * 2 ELSE o_totalprice END")}, 6) AS revenue " +
         "FROM orders WHERE o_orderkey % 3 = 0 " +
-        "GROUP BY 1 ORDER BY bucket")
+        "GROUP BY 1 ORDER BY bucket"),
+
+    // evolved read = both generations as one table, pre-evolution rows
+    // null-filled into the sentinel bucket
+    "m18_schema_evolution" ->
+      ("SELECT CASE WHEN o_orderkey % 4 = 2 THEN o_orderpriority " +
+        "ELSE '<pre-evolution>' END AS prio, o_orderstatus, count(*) AS n, " +
+        s"round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue " +
+        "FROM orders WHERE o_orderkey % 4 IN (1, 2) " +
+        "GROUP BY 1, 2 ORDER BY prio, o_orderstatus")
   )
 }

@@ -56,6 +56,78 @@ object PowerIteration {
     (v, lambda)
   }
 
+  /** Driver-side power iteration on an explicit flat d×d Gram matrix:
+    * the shared recurrence of the Gram paths. All reductions are LEFT
+    * FOLDS (j then i ascending), which is what makes the whole loop
+    * bit-replayable by any engine with ordered fold semantics (DuckDB's
+    * `list_reduce` — the g39 oracle); 0.0+e == e, so a fold seeded with
+    * the first element is identical. Returns (unit sign-canonicalized
+    * eigenvector, vᵀCv — the UN-normalized eigenvalue numerator). */
+  private def powerLoop(c: Array[Double], d: Int, iters: Int): (Array[Double], Double) = {
+    var v = Array.fill(d)(1.0 / math.sqrt(d))
+    for (_ <- 1 to iters) {
+      val w = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += c(i * d + j) * v(j); j += 1 }
+        w(i) = acc; i += 1
+      }
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      require(nrm > 0, "power iteration collapsed: zero covariance-vector product")
+      v = w.map(_ / nrm)
+    }
+    val imax = v.indices.maxBy(i => math.abs(v(i)))
+    if (v(imax) < 0) v = v.map(x => -x)
+    var vcv = 0.0
+    var i = 0
+    while (i < d) {
+      var acc = 0.0; var j = 0
+      while (j < d) { acc += c(i * d + j) * v(j); j += 1 }
+      vcv += v(i) * acc; i += 1
+    }
+    (v, vcv)
+  }
+
+  /** DECIMAL-EXACT Gram matrix: C(i)(j) = Σ_rows x_i·x_j with each product
+    * rounded to DECIMAL(38,12) and summed exactly — merge-order independent
+    * like the rest of the dsum discipline, AND replayable by any engine
+    * with exact decimal sums (the property [[topComponentGram]]'s raw
+    * double fold trades away; its ~1e-13 partition-order noise is harmless
+    * numerically but unfalsifiable by an external oracle). One distributed
+    * pass; d decimal vector buffers (DecVecSumAgg) cross the shuffle — the
+    * intermediate is n×d rows, never n×d². Returns (C, row count). */
+  def gramExact(xc: DataFrame, xcCol: String, d: Int): (Array[Double], Long) = {
+    val vecsum = udaf(graft.functions.DecVecSumAgg)
+    val rows = xc
+      .select(posexplode(col(xcCol)).as(Seq("i", "xi")), col(xcCol).as("xx"))
+      .select(col("i"), transform(col("xx"), xj => col("xi") * xj).as("px"))
+      .groupBy(col("i"))
+      .agg(vecsum(col("px")).as("srow"), count(lit(1)).as("n"))
+      .collect()
+    require(rows.nonEmpty, "empty input")
+    val c = new Array[Double](d * d)
+    var n = 0L
+    rows.foreach { r =>
+      val i = r.getInt(0)
+      val s = r.getSeq[java.math.BigDecimal](1)
+      var j = 0
+      while (j < d) { c(i * d + j) = s(j).doubleValue(); j += 1 }
+      n = r.getLong(2)
+    }
+    (c, n)
+  }
+
+  /** [[topComponentGram]] on the decimal-exact Gram — every number in the
+    * result is a deterministic function of the input through exact decimal
+    * sums and ordered double folds, so a DuckDB oracle replays it bit-for-
+    * bit (g39). */
+  def topComponentGramExact(xc: DataFrame, xcCol: String, d: Int, iters: Int): (Array[Double], Double) = {
+    val (c, n) = gramExact(xc, xcCol, d)
+    val (v, vcv) = powerLoop(c, d, iters)
+    (v, vcv / n)
+  }
+
   /** The d² path: for small d (d² doubles are metadata-scale), ONE
     * distributed pass accumulates the Gram matrix C = Σ x xᵀ as a typed
     * per-partition fold — only d² doubles per partition cross to the driver
@@ -93,30 +165,9 @@ object PowerIteration {
       n += m
     }
     require(n > 0, "empty input")
-    var v = Array.fill(d)(1.0 / math.sqrt(d))
-    for (_ <- 1 to iters) {
-      val w = new Array[Double](d)
-      var i = 0
-      while (i < d) {
-        var acc = 0.0; var j = 0
-        while (j < d) { acc += c(i * d + j) * v(j); j += 1 }
-        w(i) = acc; i += 1
-      }
-      val nrm = math.sqrt(w.map(x => x * x).sum)
-      require(nrm > 0, "power iteration collapsed: zero covariance-vector product")
-      v = w.map(_ / nrm)
-    }
-    val imax = v.indices.maxBy(i => math.abs(v(i)))
-    if (v(imax) < 0) v = v.map(x => -x)
     // λ = vᵀ C v / n = mean (x·v)², matching topComponent's estimate
-    var lambda = 0.0
-    var i = 0
-    while (i < d) {
-      var acc = 0.0; var j = 0
-      while (j < d) { acc += c(i * d + j) * v(j); j += 1 }
-      lambda += v(i) * acc; i += 1
-    }
-    (v, lambda / n)
+    val (v, vcv) = powerLoop(c, d, iters)
+    (v, vcv / n)
   }
 
   /** Center an array<double> column: per-component DECIMAL mean (one

@@ -279,6 +279,25 @@ object SnapshotTable {
     spark.read.parquet(files.toIndexedSeq: _*)
   }
 
+  /** Read the current snapshot with SCHEMA MERGING — the ADD-COLUMN
+    * evolution read path: files committed before the column existed simply
+    * lack it in their footer, and the reader null-fills them against the
+    * union schema (exactly how Delta/Iceberg serve add-column evolution —
+    * old data files are NEVER rewritten; the schema lives with the reader).
+    * Spark's parquet `mergeSchema` does the footer union in a distributed
+    * job, so at 100 TB the cost is one footer read per file — metadata
+    * scale — not a data pass; steady-state deployments cache the merged
+    * schema in the manifest instead (here the manifest stays a file list
+    * and the union is recomputed, which the fixture sizes price at ~ms). */
+  def readEvolved(spark: SparkSession, root: String): DataFrame = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val m = snapDir(root).resolve(s"v$v.manifest")
+    val files = new String(Files.readAllBytes(m), UTF_8)
+      .split("\n").filter(_.nonEmpty).map(f => Paths.get(root, f).toString)
+    spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
+  }
+
   /** Read the current snapshot (what LATEST points to). */
   def read(spark: SparkSession, root: String): DataFrame = {
     val v = latestVersion(root).getOrElse(
