@@ -63,6 +63,13 @@ object Tables {
     new Tables(spark, sfDir)
   }
 
+  /** Collision-free tmp-path key for a fixture dir: the full sanitized path
+    * (not its hashCode — two dirs hashing alike must not share mutable index
+    * state; the check-then-commit fingerprint/rmrf sites have no locking). */
+  def pathKey(dir: String): String =
+    // identifier-safe (doubles as a SQL table-name suffix): [A-Za-z0-9_] only
+    dir.replaceAll("[^A-Za-z0-9_]", "_").stripPrefix("_")
+
   /** DECIMAL(27,6) — enough integer digits for any sf0.1 money sum. */
   val dec: DecimalType = DecimalType(27, 6)
   /** High-scale decimal for unit-magnitude vector components (G6). */

@@ -94,7 +94,7 @@ object DagQueries extends QueryModule {
     // production orchestrator needs.
     "j5_dag_incremental" -> ((s, dir) => {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_incr_" +
-        s"${dir.hashCode & 0x7fffffff}_${System.nanoTime()}"
+        s"${Tables.pathKey(dir)}_${System.nanoTime()}"
       val computes = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
       def matJob(name: String, deps: Seq[String])(
           body: (org.apache.spark.sql.SparkSession, Map[String, org.apache.spark.sql.DataFrame]) => org.apache.spark.sql.DataFrame): Job =
@@ -155,7 +155,7 @@ object DagQueries extends QueryModule {
     "j6_dag_snapshot_incremental" -> ((s, dir) => {
       import graft.sources.SnapshotTable
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_snapdag_" +
-        s"${dir.hashCode & 0x7fffffff}_${System.nanoTime()}"
+        s"${Tables.pathKey(dir)}_${System.nanoTime()}"
       val srcRoot = s"$base/src_customer"
       val computes = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
       // a node recomputes iff its input-version signature differs from the
@@ -369,7 +369,7 @@ object DagQueries extends QueryModule {
     // the warehouse catalog — cost independent of data volume.
     "j10_dag_sensor_wait" -> ((s, dir) => {
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_sensor_" +
-        s"${dir.hashCode & 0x7fffffff}_${System.nanoTime()}"
+        s"${Tables.pathKey(dir)}_${System.nanoTime()}"
       new java.io.File(base).mkdirs()
       val pokes = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
       // the "external system": delivers the partition when the sensor has
@@ -540,6 +540,55 @@ object DagQueries extends QueryModule {
         }
       }
       fired.toSeq.toDF("fired_at", "dag", "trigger").orderBy("fired_at", "dag")
+    }),
+
+    // J14: SCHEDULE MATERIALIZATION — calendar/cron → concrete (task,
+    // run_date) expansion with a CATCHUP window, the production-scheduler
+    // primitive that turns "daily since <start>" into the run ledger j7's
+    // backfill closure and j2's executor consume (Airflow's catchup/
+    // LatestOnly, Dagster partitions). Semantics: a task's due dates are
+    // its calendar matches in (last_run, now]; catchup=true materializes
+    // every missed date, catchup=false materializes ONLY the latest due
+    // date and records the rest as skipped — the two recovery policies
+    // after scheduler downtime. Pure driver metadata (tasks × window days;
+    // the ledger stays O(thousands) while the data each run touches grows
+    // to 100 TB — expansion cost is independent of data scale). Oracle:
+    // DuckDB re-derives the same ledger from generate_series + the same
+    // calendar predicates.
+    "j14_schedule_materialize" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      import java.time.LocalDate
+      val now = LocalDate.parse("2024-01-14")
+      // (task, calendar, start, last_run watermark, catchup policy)
+      val scheds = Seq(
+        ("load", "daily", "2024-01-01", Some("2024-01-10"), true),
+        ("clean", "weekly:MONDAY", "2024-01-01", None, true),
+        ("stats", "daily", "2024-01-05", Some("2024-01-05"), false),
+        ("report", "monthly:1", "2024-01-01", None, true))
+      def matches(kind: String, d: LocalDate): Boolean = kind match {
+        case "daily" => true
+        case w if w.startsWith("weekly:") =>
+          d.getDayOfWeek.name == w.stripPrefix("weekly:")
+        case m if m.startsWith("monthly:") =>
+          d.getDayOfMonth == m.stripPrefix("monthly:").toInt
+        case other => sys.error(s"unknown calendar: $other")
+      }
+      val ledger = scheds.flatMap { case (task, kind, start0, lastRun0, catchup) =>
+        val start = LocalDate.parse(start0)
+        val lastRun = lastRun0.map(LocalDate.parse)
+        val due = Iterator.iterate(start)(_.plusDays(1))
+          .takeWhile(!_.isAfter(now))
+          .filter(d => matches(kind, d))
+          .filter(d => lastRun.forall(d.isAfter))
+          .toSeq
+        val latest = due.sortBy(_.toEpochDay).lastOption
+        due.map { d =>
+          (java.sql.Date.valueOf(d), task,
+            if (catchup || latest.contains(d)) "run" else "skipped")
+        }
+      }
+      ledger.toDF("run_date", "task", "action").orderBy("run_date", "task")
     })
   )
 
@@ -675,6 +724,22 @@ object DagQueries extends QueryModule {
         "(CAST(7 AS BIGINT), 'ranking', 'dim_customer@6,raw_orders@7'), " +
         "(CAST(9 AS BIGINT), 'ranking', 'dim_customer@9,raw_orders@8'), " +
         "(CAST(10 AS BIGINT), 'revenue', 'raw_lineitem@10,raw_orders@8')) " +
-        "t(fired_at, dag, trigger) ORDER BY fired_at, dag")
+        "t(fired_at, dag, trigger) ORDER BY fired_at, dag"),
+
+    // the same calendar expansion re-derived relationally: due dates from
+    // generate_series + calendar predicates + the last_run watermark; the
+    // catchup=false task materializes only its latest due date (stats →
+    // 2024-01-14), everything earlier is recorded skipped
+    "j14_schedule_materialize" ->
+      ("WITH d AS (SELECT CAST(unnest(generate_series(DATE '2024-01-01', " +
+        "DATE '2024-01-14', INTERVAL 1 DAY)) AS DATE) AS run_date), " +
+        "due AS (" +
+        "SELECT 'load' AS task, run_date FROM d WHERE run_date > DATE '2024-01-10' " +
+        "UNION ALL SELECT 'clean', run_date FROM d WHERE dayofweek(run_date) = 1 " +
+        "UNION ALL SELECT 'stats', run_date FROM d WHERE run_date > DATE '2024-01-05' " +
+        "UNION ALL SELECT 'report', run_date FROM d WHERE day(run_date) = 1) " +
+        "SELECT run_date, task, CASE WHEN task = 'stats' " +
+        "AND run_date < DATE '2024-01-14' THEN 'skipped' ELSE 'run' END AS action " +
+        "FROM due ORDER BY run_date, task")
   )
 }

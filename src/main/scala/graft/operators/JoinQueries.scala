@@ -21,7 +21,7 @@ object JoinQueries extends QueryModule {
   // factors can't race on the same materialized layouts (same convention
   // as ScanFilterQueries.tmp).
   private def tmp(name: String, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${dir.hashCode & 0x7fffffff}"
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${Tables.pathKey(dir)}"
 
   val queries: Seq[(String, QFn)] = Seq(
     // C1: dim-to-fact equi-join; dim side broadcast (no shuffle of orders).
@@ -168,9 +168,9 @@ object JoinQueries extends QueryModule {
     // and a pure local merge per bucket.
     "c12_join_bucketed" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_${dir.hashCode & 0x7fffffff}"
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_${Tables.pathKey(dir)}"
       def materialize(name: String, df: org.apache.spark.sql.DataFrame, key: String): String = {
-        val tbl = s"graft_b_${name}_${dir.hashCode & 0x7fffffff}"
+        val tbl = s"graft_b_${name}_${Tables.pathKey(dir)}"
         if (!s.catalog.tableExists(tbl)) {
           df.write.mode("overwrite")
             .bucketBy(8, key).sortBy(key)

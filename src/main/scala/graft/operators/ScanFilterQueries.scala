@@ -13,7 +13,7 @@ object ScanFilterQueries extends QueryModule {
   // Keyed by the sf dir so concurrent Verify/Bench runs at different scale
   // factors can't race on the same round-trip directories (ADVICE r1).
   private def tmp(name: String, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${dir.hashCode & 0x7fffffff}"
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${Tables.pathKey(dir)}"
 
   val queries: Seq[(String, QFn)] = Seq(
     // A1: plain parquet scan.
@@ -79,7 +79,7 @@ object ScanFilterQueries extends QueryModule {
     // exercised end-to-end in PlanSpec's cbo test), so a silently-dropped
     // ANALYZE fails loudly rather than passing as a plain scan.
     "a14_catalog_table" -> ((s, dir) => {
-      val db = s"graft_cat_${dir.hashCode & 0x7fffffff}"
+      val db = s"graft_cat_${Tables.pathKey(dir)}"
       val loc = tmp("catalog_db", dir)
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
       s.sql(s"DROP TABLE IF EXISTS $db.orders_managed")

@@ -34,7 +34,7 @@ object StreamingQueries extends QueryModule {
     * (size + mtime), so a driver-side fixture regeneration invalidates the
     * cache instead of silently replaying stale chunks. */
   private def chunkedSource(s: SparkSession, dir: String): String = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src_${dir.hashCode & 0x7fffffff}"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src_${Tables.pathKey(dir)}"
     val ready = Paths.get(base, "_ready")
     val src = new java.io.File(s"$dir/events.parquet")
     val fingerprint = s"${src.length()}:${src.lastModified()}"
@@ -72,7 +72,7 @@ object StreamingQueries extends QueryModule {
     * resolves duplicates to the earliest chunk. Same fingerprint-guarded
     * cache discipline as the events source. */
   private def chunkedDocSource(s: SparkSession, dir: String): String = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_docstream_src_${dir.hashCode & 0x7fffffff}"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_docstream_src_${Tables.pathKey(dir)}"
     val ready = Paths.get(base, "_ready")
     val src = new java.io.File(s"$dir/documents.parquet")
     val fingerprint = s"${src.length()}:${src.lastModified()}"
@@ -111,7 +111,7 @@ object StreamingQueries extends QueryModule {
     * time-ordered). Same fingerprint-guarded cache discipline as the
     * id-chunked source. */
   private def chunkedTsSource(s: SparkSession, dir: String): String = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_tstream_src_${dir.hashCode & 0x7fffffff}"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_tstream_src_${Tables.pathKey(dir)}"
     val ready = Paths.get(base, "_ready")
     val src = new java.io.File(s"$dir/events.parquet")
     val fingerprint = s"${src.length()}:${src.lastModified()}"
@@ -252,7 +252,7 @@ object StreamingQueries extends QueryModule {
     // result is consumed eagerly, so clearing at the NEXT run is safe).
     // Lives under the same tmpfs root as the checkpoints: the sink demo's
     // semantics are the parquet-append pattern, not disk fsync latency.
-    val out = s"$ckptRoot/graft_out_${name}_${dir.hashCode & 0x7fffffff}"
+    val out = s"$ckptRoot/graft_out_${name}_${Tables.pathKey(dir)}"
     def rmrf(f: java.io.File): Unit = {
       val cs = f.listFiles()
       if (cs != null) cs.foreach(rmrf)
@@ -481,7 +481,7 @@ object StreamingQueries extends QueryModule {
     // streaming pipeline maintains a day-partitioned rollup: per-batch
     // work scales with the delta, untouched partitions never move.
     "i12_stream_upsert" -> ((s, dir) => {
-      val out = s"$ckptRoot/graft_out_i12_${dir.hashCode & 0x7fffffff}"
+      val out = s"$ckptRoot/graft_out_i12_${Tables.pathKey(dir)}"
       rmrfDir(new java.io.File(out))
       val ckpt = s"$ckptRoot/graft_i12_${System.nanoTime()}"
       val q = stream(s, dir, filesPerTrigger = 2)
@@ -558,7 +558,7 @@ object StreamingQueries extends QueryModule {
     // aggregate exactly, so the query is fully oracle-backed like i12.
     "i13_stream_snapshot" -> ((s, dir) => {
       import graft.sources.SnapshotTable
-      val root = s"$ckptRoot/graft_snap_i13_${dir.hashCode & 0x7fffffff}"
+      val root = s"$ckptRoot/graft_snap_i13_${Tables.pathKey(dir)}"
       rmrfDir(new java.io.File(root))
       val ckpt = s"$ckptRoot/graft_i13_${System.nanoTime()}"
       val q = stream(s, dir, filesPerTrigger = 2)
@@ -611,7 +611,7 @@ object StreamingQueries extends QueryModule {
     // delta ∪ matched-state, never a full-state rescan.
     "i20_stream_cdc_apply" -> ((s, dir) => {
       import graft.sources.SnapshotTable
-      val root = s"$ckptRoot/graft_snap_i20_${dir.hashCode & 0x7fffffff}"
+      val root = s"$ckptRoot/graft_snap_i20_${Tables.pathKey(dir)}"
       rmrfDir(new java.io.File(root))
       val ckpt = s"$ckptRoot/graft_i20_${System.nanoTime()}"
       val q = stream(s, dir, filesPerTrigger = 2)

@@ -383,31 +383,28 @@ object VectorQueries extends QueryModule {
     // 2-probe top-10 (g4b's index shape) and the exact top-10 (g4's
     // brute-force shape), per probe, as integers. Both sides rank on the
     // 6dp-rounded cosine with vec_id tiebreak (g4's engine-stable cut) and
-    // the codebook is the 6dp-rounded per-label decimal mean (bit-identical
-    // cross-engine — exactly the table g6's oracle already proves), so the
-    // whole computation — index build, probe selection, both top-k's, the
-    // intersection — replays in SQL. Plan shape: codebook is a k×d driver
-    // literal (never the corpus), probes broadcast onto ONE streamed scan
-    // of the pool scored by the fused codegen cosine, per-probe top-k as a
-    // window — the same shapes g4/g4b run at 100 TB.
+    // the codebook is the PERSISTED LEARNED one (IvfIndex's deterministic
+    // Lloyd training — bit-replayable, the g40 discipline), so the whole
+    // computation — training, assignment, probe selection, both top-k's,
+    // the intersection — replays in SQL. Plan shape: codebook is a k×d
+    // driver literal (never the corpus), probes broadcast onto ONE streamed
+    // scan of the pool scored by the fused codegen cosine, per-probe top-k
+    // as a window — the same shapes g4/g4b run at 100 TB.
     "g69_ann_recall" -> ((s, dir) => {
       graft.functions.CosineSim.register(s)
       val spark = s
       import spark.implicits._
       val t = Tables(s, dir)
-      val e = t.embeddings.select(col("vec_id"), col("label"), vd.as("v"))
-      // distributed codebook build (two-phase partial agg on flat
-      // (label,pos) keys); only k×64 rounded doubles reach the driver
-      val codebook: Seq[(Int, Seq[Double])] = e
-        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("label"), col("pos"))
-        .agg(round(sum(col("x").cast(Tables.decHi)).cast("double") /
-          count(col("x")), 6).as("c"))
-        .as[(Int, Int, Double)].collect()
-        .groupBy(_._1).toSeq.sortBy(_._1)
-        .map { case (l, cells) => (l, cells.sortBy(_._2).map(_._3).toSeq) }
-      val cents = codebook.toDF("clabel", "cv")
-      val probes = e.filter(col("vec_id") < 50)
+      // grade THE index a query would actually hit: the persisted learned
+      // IVF (sources/IvfIndex — KMeans cells, fingerprint-cached build,
+      // shared with g71's serve path)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_${Tables.pathKey(dir)}"
+      graft.sources.IvfIndex.write(t.embeddings, idx)
+      val cents = graft.sources.IvfIndex.centroids(s, idx)
+        .map { case (cell, c) => (cell, c.toSeq) }.toDF("clabel", "cv")
+      val post = graft.sources.IvfIndex.postings(s, idx)
+        .select(col("vec_id"), col("cell"), vd.as("v"))
+      val probes = post.filter(col("vec_id") < 50)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       // probe → its 2 nearest cells, ranked on the rounded centroid cosine
       val probed = probes.crossJoin(broadcast(cents))
@@ -416,16 +413,16 @@ object VectorQueries extends QueryModule {
         .withColumn("rn", row_number().over(
           Window.partitionBy("pq_id").orderBy(col("sim").desc, col("clabel"))))
         .filter(col("rn") <= 2).select(col("pq_id"), col("clabel"))
-      val scored = e
-        .select(col("vec_id").as("b_id"), col("label").as("b_label"), col("v").as("bv"))
+      val scored = post
+        .select(col("vec_id").as("b_id"), col("cell").as("b_cell"), col("v").as("bv"))
         .join(broadcast(probes), col("q_id") =!= col("b_id"))
-        .select(col("q_id"), col("b_id"), col("b_label"),
+        .select(col("q_id"), col("b_id"), col("b_cell"),
           round(expr("cosine_sim(qv, bv)"), 6).as("cos"))
       val wk = Window.partitionBy("q_id").orderBy(col("cos").desc, col("b_id"))
       val exact = scored.withColumn("rn", row_number().over(wk))
         .filter(col("rn") <= 10).select("q_id", "b_id")
       val approx = scored.join(broadcast(probed),
-          col("q_id") === col("pq_id") && col("b_label") === col("clabel"))
+          col("q_id") === col("pq_id") && col("b_cell") === col("clabel"))
         .withColumn("rn", row_number().over(wk))
         .filter(col("rn") <= 10).select("q_id", "b_id")
       val hits = exact.join(approx, Seq("q_id", "b_id"))
@@ -447,14 +444,16 @@ object VectorQueries extends QueryModule {
     // PlanSpec) with the codegen cosine re-rank. The dedup twin is g49's
     // persisted shingle index; together they close the "a deployment
     // persists this" comments into measured behavior. Full oracle: cells
-    // are the deterministic label codebook, so DuckDB replays
-    // centroid build, probe selection, and the top-10 cut exactly.
+    // are LEARNED by the deterministic Lloyd trainer (plans.KMeans — the
+    // g40 bit-replay discipline), so DuckDB unrolls the same 5 training
+    // iterations, reassigns every vector, and replays probe selection and
+    // the top-10 cut exactly.
     "g71_ann_index_serve" -> ((s, dir) => {
       graft.functions.CosineSim.register(s)
       val spark = s
       import spark.implicits._
       val t = Tables(s, dir)
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_${dir.hashCode & 0x7fffffff}"
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_${Tables.pathKey(dir)}"
       graft.sources.IvfIndex.write(t.embeddings, idx)
       def dotd(x: Array[Double], y: Array[Double]): Double = {
         var acc = 0.0; var i = 0
@@ -1099,26 +1098,30 @@ object VectorQueries extends QueryModule {
     // rounded to 6dp, probe = 2 nearest cells on the rounded centroid
     // cosine, both top-10 cuts on (rounded cos DESC, vec_id) — integer
     // overlap per probe
+    // re-graded against the PERSISTED LEARNED index: the oracle unrolls the
+    // same 5 deterministic Lloyd iterations (kmeansCtes — the g40 bit-replay
+    // discipline), reassigns every vector to its learned cell, rounds the
+    // Lloyd-final centroids to the persisted 6dp codebook, then replays
+    // probe selection and both top-10 cuts
     "g69_ann_recall" ->
-      ("WITH cb AS (SELECT label AS clabel, list(c ORDER BY pos) AS cv FROM (" +
-        "SELECT label, pos, round(CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(v), 6) AS c " +
-        "FROM (SELECT label, pos, CAST(embedding AS DOUBLE[])[pos + 1] AS v " +
-        "FROM embeddings, range(64) t(pos)) GROUP BY label, pos) GROUP BY label), " +
-        "q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv " +
-        "FROM embeddings WHERE vec_id < 50), " +
+      (s"WITH ${kmeansCtes(5)}, ${kmeansAssign("c5", "f")}, " +
+        "cb AS (SELECT cx.ci AS clabel, " +
+        "list_transform(cs[cx.ci + 1], v -> round(v, 6)) AS cv " +
+        "FROM c5, range(0, 8) cx(ci)), " +
+        "q AS (SELECT vec_id AS q_id, x AS qv FROM emb WHERE vec_id < 50), " +
         "probed AS (SELECT q_id, clabel FROM (SELECT q_id, clabel, " +
         "row_number() OVER (PARTITION BY q_id ORDER BY " +
         "round(list_cosine_similarity(qv, cv), 6) DESC, clabel) AS rn " +
         "FROM q, cb) WHERE rn <= 2), " +
-        "scored AS (SELECT q_id, b.vec_id AS b_id, b.label AS b_label, " +
-        "round(list_cosine_similarity(qv, CAST(b.embedding AS DOUBLE[])), 6) AS cos " +
-        "FROM q JOIN embeddings b ON b.vec_id <> q.q_id), " +
+        "scored AS (SELECT q_id, b.vec_id AS b_id, b.cid AS b_cell, " +
+        "round(list_cosine_similarity(qv, b.x), 6) AS cos " +
+        "FROM q JOIN af b ON b.vec_id <> q.q_id), " +
         "ex AS (SELECT q_id, b_id FROM (SELECT q_id, b_id, " +
         "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, b_id) AS rn " +
         "FROM scored) WHERE rn <= 10), " +
         "ap AS (SELECT q_id, b_id FROM (SELECT s.q_id, s.b_id, " +
         "row_number() OVER (PARTITION BY s.q_id ORDER BY s.cos DESC, s.b_id) AS rn " +
-        "FROM scored s JOIN probed p ON s.q_id = p.q_id AND s.b_label = p.clabel) " +
+        "FROM scored s JOIN probed p ON s.q_id = p.q_id AND s.b_cell = p.clabel) " +
         "WHERE rn <= 10), " +
         "h AS (SELECT e.q_id, count(*) AS hits FROM ex e JOIN ap a " +
         "ON e.q_id = a.q_id AND e.b_id = a.b_id GROUP BY e.q_id) " +
@@ -1126,22 +1129,23 @@ object VectorQueries extends QueryModule {
         "CAST(COALESCE(h.hits, 0) * 10 AS INT) AS recall_pct " +
         "FROM q LEFT JOIN h ON q.q_id = h.q_id ORDER BY q.q_id"),
 
-    // the persisted-index serve replays exactly: centroid build (rounded
-    // decimal means), probe selection (top-2 cells on rounded cosine), and
-    // the top-10 cut over the probed cells only
+    // the persisted-index serve replays exactly: Lloyd training (5 unrolled
+    // iterations), learned-cell assignment, the 6dp-rounded persisted
+    // codebook, probe selection (top-2 cells on rounded cosine), and the
+    // top-10 cut over the probed cells only
     "g71_ann_index_serve" ->
-      ("WITH cb AS (SELECT label AS cell, list(c ORDER BY pos) AS cv FROM (" +
-        "SELECT label, pos, round(CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(v), 6) AS c " +
-        "FROM (SELECT label, pos, CAST(embedding AS DOUBLE[])[pos + 1] AS v " +
-        "FROM embeddings, range(64) t(pos)) GROUP BY label, pos) GROUP BY label), " +
-        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0), " +
+      (s"WITH ${kmeansCtes(5)}, ${kmeansAssign("c5", "f")}, " +
+        "cb AS (SELECT cx.ci AS cell, " +
+        "list_transform(cs[cx.ci + 1], v -> round(v, 6)) AS cv " +
+        "FROM c5, range(0, 8) cx(ci)), " +
+        "q AS (SELECT x AS qv FROM emb WHERE vec_id = 0), " +
         "probed AS (SELECT cell FROM (SELECT cell, row_number() OVER (ORDER BY " +
         "round(list_cosine_similarity(qv, cv), 6) DESC, cell) AS rn FROM q, cb) " +
         "WHERE rn <= 2) " +
         "SELECT b.vec_id, b.label, " +
-        "round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), qv), 6) AS cos " +
-        "FROM embeddings b, q WHERE b.vec_id <> 0 " +
-        "AND b.label IN (SELECT cell FROM probed) " +
+        "round(list_cosine_similarity(a.x, qv), 6) AS cos " +
+        "FROM embeddings b, af a, q WHERE a.vec_id = b.vec_id " +
+        "AND b.vec_id <> 0 AND a.cid IN (SELECT cell FROM probed) " +
         "ORDER BY cos DESC, b.vec_id LIMIT 10"),
 
     // g5b: approximate (LSH) — oracle intentionally omitted.

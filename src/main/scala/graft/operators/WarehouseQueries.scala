@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryModule, Tables}
-import graft.sources.{BloomIndex, DeletionVectors, SnapshotTable, ZoneMap}
+import graft.sources.{BloomIndex, DeletionVectors, EvoField, SnapshotTable, ZoneMap}
 import org.apache.spark.sql.functions._
 
 /** Warehouse-maintenance operators (SURVEY §2 M band, round 10): the table
@@ -75,7 +75,7 @@ object WarehouseQueries extends QueryModule {
     // full-scan answer.
     "m3_zonemap_skip" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val zpath = s"${System.getProperty("java.io.tmpdir")}/graft_zonemap_orders_${dir.hashCode & 0x7fffffff}"
+      val zpath = s"${System.getProperty("java.io.tmpdir")}/graft_zonemap_orders_${Tables.pathKey(dir)}"
       ZoneMap.writeClustered(t.orders, zpath, "o_orderdate", nFiles = 8)
       val lo = lit("1997-01-01 00:00:00").cast("timestamp")
       val hi = lit("1997-06-30 23:59:59").cast("timestamp")
@@ -134,7 +134,7 @@ object WarehouseQueries extends QueryModule {
     // prepare-and-swap proven in WarehouseSpec). The oracle replays both
     // versions relationally from the source table.
     "m6_snapshot_commit" -> ((s, dir) => {
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_snap_${dir.hashCode & 0x7fffffff}"
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_snap_${Tables.pathKey(dir)}"
       def rmrf(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
       }
@@ -168,7 +168,7 @@ object WarehouseQueries extends QueryModule {
     // (proved in WarehouseSpec). The oracle replays the three cumulative
     // slices relationally.
     "m8_snapshot_append" -> ((s, dir) => {
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m8a_${dir.hashCode & 0x7fffffff}"
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m8a_${Tables.pathKey(dir)}"
       def rmrf(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
       }
@@ -198,7 +198,7 @@ object WarehouseQueries extends QueryModule {
     // post-compaction versions; identical numbers ARE the contract
     // (compaction must be content-invariant).
     "m9_snapshot_compact" -> ((s, dir) => {
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m9_${dir.hashCode & 0x7fffffff}"
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m9_${Tables.pathKey(dir)}"
       def rmrf(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
       }
@@ -227,7 +227,7 @@ object WarehouseQueries extends QueryModule {
     // the rest upsert a doubled price (matched %12 keys update, unmatched
     // insert). Output is a per-bucket summary of the final table.
     "m7_merge_into" -> ((s, dir) => {
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m7_${dir.hashCode & 0x7fffffff}"
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m7_${Tables.pathKey(dir)}"
       def rmrf(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
       }
@@ -313,7 +313,7 @@ object WarehouseQueries extends QueryModule {
     // drop is asserted in WarehouseSpec.
     "m10_bloom_index_lookup" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val bpath = s"${System.getProperty("java.io.tmpdir")}/graft_bloomidx_orders_${dir.hashCode & 0x7fffffff}"
+      val bpath = s"${System.getProperty("java.io.tmpdir")}/graft_bloomidx_orders_${Tables.pathKey(dir)}"
       BloomIndex.writeIndexed(t.orders, bpath, "o_custkey", "o_orderkey", nFiles = 16)
       BloomIndex.prunedRead(s, bpath, "o_custkey", Seq("1", "7", "25"))
         .select(col("o_orderkey"), col("o_custkey"),
@@ -335,7 +335,7 @@ object WarehouseQueries extends QueryModule {
     // violations), not a collect — at 100 TB it costs one pass over the
     // STAGED DELTA files only if the table is append-committed (m8).
     "m12_write_audit_publish" -> ((s, dir) => {
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_wap_${dir.hashCode & 0x7fffffff}"
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_wap_${Tables.pathKey(dir)}"
       def rmrf(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
       }
@@ -419,7 +419,7 @@ object WarehouseQueries extends QueryModule {
     // nondeterministic; logical dates are how real lakehouse tests pin
     // time travel too.
     "m14_time_travel_asof" -> ((s, dir) => {
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_asof_${dir.hashCode & 0x7fffffff}"
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_asof_${Tables.pathKey(dir)}"
       def rmrf(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
       }
@@ -504,7 +504,7 @@ object WarehouseQueries extends QueryModule {
     // files byte-identical across both delete commits, purge rewrote a
     // strict subset of files, DV'd read == plain filter row-for-row.
     "m16_deletion_vectors" -> ((s, dir) => {
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m16_${dir.hashCode & 0x7fffffff}"
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m16_${Tables.pathKey(dir)}"
       def rmrf(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
       }
@@ -560,7 +560,7 @@ object WarehouseQueries extends QueryModule {
     // masked files drop. Oracle: CASE WHEN on the predicate. The update is
     // price*2 — integer-exact in double, the m7 discipline.
     "m17_dv_update" -> ((s, dir) => {
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m17_${dir.hashCode & 0x7fffffff}"
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m17_${Tables.pathKey(dir)}"
       def rmrf(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
       }
@@ -596,7 +596,7 @@ object WarehouseQueries extends QueryModule {
     // evolved rows group by their real priority. Oracle: CASE WHEN on the
     // generation predicate over the raw table.
     "m18_schema_evolution" -> ((s, dir) => {
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m18_${dir.hashCode & 0x7fffffff}"
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m18_${Tables.pathKey(dir)}"
       def rmrf(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
       }
@@ -618,6 +618,57 @@ object WarehouseQueries extends QueryModule {
         .select(col("prio"), col("o_orderstatus"), col("n"),
           round(col("rev"), 6).as("revenue"))
         .orderBy("prio", "o_orderstatus")
+    }),
+
+    // M19: RENAME / WIDEN / DROP schema evolution via manifest-recorded
+    // COLUMN IDENTITY (Iceberg-style field ids, sources/SnapshotTable
+    // commitEvo/appendEvo/readEvo) — the evolution verbs m18's footer-union
+    // cannot express, because a renamed column looks like drop+add without
+    // an id. Four generations share one table: v1 writes (status STRING,
+    // price INT, note STRING); v2 RENAMES status→order_status; v3 WIDENS
+    // price INT→BIGINT; v4 DROPS note. No generation's files are ever
+    // rewritten (WarehouseSpec pins v1's files byte-identical and their
+    // footers still carrying the OLD physical name and int32 type) — the
+    // evolved read maps every generation to the current schema by field id.
+    // Oracle: the logical content is generation-independent, so DuckDB
+    // recomputes it straight from the raw table.
+    "m19_schema_evo_rename_widen" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m19_${Tables.pathKey(dir)}"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root))
+      val t = Tables(s, dir)
+      def gen(n: Int) = t.orders.filter(col("o_orderkey") % 4 === n)
+      val key = EvoField(1, "o_orderkey", "bigint")
+      val note = EvoField(4, "note", "string")
+      SnapshotTable.commitEvo(
+        gen(1).select(col("o_orderkey"), col("o_orderstatus").as("status"),
+          floor(col("o_totalprice")).cast("int").as("price"),
+          lit("legacy").as("note")),
+        root, Seq(key, EvoField(2, "status", "string"),
+          EvoField(3, "price", "int"), note))
+      SnapshotTable.appendEvo(
+        gen(2).select(col("o_orderkey"), col("o_orderstatus").as("order_status"),
+          floor(col("o_totalprice")).cast("int").as("price"),
+          lit("legacy").as("note")),
+        root, Seq(key, EvoField(2, "order_status", "string"),
+          EvoField(3, "price", "int"), note))
+      SnapshotTable.appendEvo(
+        gen(3).select(col("o_orderkey"), col("o_orderstatus").as("order_status"),
+          floor(col("o_totalprice")).cast("bigint").as("price"),
+          lit("legacy").as("note")),
+        root, Seq(key, EvoField(2, "order_status", "string"),
+          EvoField(3, "price", "bigint"), note))
+      SnapshotTable.appendEvo(
+        gen(0).select(col("o_orderkey"), col("o_orderstatus").as("order_status"),
+          floor(col("o_totalprice")).cast("bigint").as("price")),
+        root, Seq(key, EvoField(2, "order_status", "string"),
+          EvoField(3, "price", "bigint")))
+      SnapshotTable.readEvo(s, root)
+        .groupBy((col("o_orderkey") % 4).as("gen"), col("order_status"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).as("price_sum"))
+        .orderBy("gen", "order_status")
     })
   )
 
@@ -804,6 +855,14 @@ object WarehouseQueries extends QueryModule {
         "ELSE '<pre-evolution>' END AS prio, o_orderstatus, count(*) AS n, " +
         s"round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue " +
         "FROM orders WHERE o_orderkey % 4 IN (1, 2) " +
-        "GROUP BY 1, 2 ORDER BY prio, o_orderstatus")
+        "GROUP BY 1, 2 ORDER BY prio, o_orderstatus"),
+
+    // the field-id evolution read reassembles generation-independent logical
+    // content, so the oracle recomputes it from the raw table
+    "m19_schema_evo_rename_widen" ->
+      ("SELECT o_orderkey % 4 AS gen, o_orderstatus AS order_status, " +
+        "count(*) AS n, " +
+        "CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS price_sum " +
+        "FROM orders GROUP BY 1, 2 ORDER BY gen, order_status")
   )
 }

@@ -94,28 +94,50 @@ object PowerIteration {
     * like the rest of the dsum discipline, AND replayable by any engine
     * with exact decimal sums (the property [[topComponentGram]]'s raw
     * double fold trades away; its ~1e-13 partition-order noise is harmless
-    * numerically but unfalsifiable by an external oracle). One distributed
-    * pass; d decimal vector buffers (DecVecSumAgg) cross the shuffle — the
-    * intermediate is n×d rows, never n×d². Returns (C, row count). */
+    * numerically but unfalsifiable by an external oracle).
+    *
+    * Shape: ONE distributed pass, zero shuffle — a partition-local typed
+    * fold accumulates the d² decimal Gram per partition ([[topComponentGram]]'s
+    * one-pass layout with DecVecSumAgg's addend digits: each double product
+    * is `BigDecimal.valueOf(p).setScale(12, HALF_UP)`, exactly Spark's
+    * double→DECIMAL(38,12) cast), and only d² decimals per partition reach
+    * the driver, where decimal addition merges them in any order to the
+    * same digits. Returns (C, row count). */
   def gramExact(xc: DataFrame, xcCol: String, d: Int): (Array[Double], Long) = {
-    val vecsum = udaf(graft.functions.DecVecSumAgg)
-    val rows = xc
-      .select(posexplode(col(xcCol)).as(Seq("i", "xi")), col(xcCol).as("xx"))
-      .select(col("i"), transform(col("xx"), xj => col("xi") * xj).as("px"))
-      .groupBy(col("i"))
-      .agg(vecsum(col("px")).as("srow"), count(lit(1)).as("n"))
-      .collect()
-    require(rows.nonEmpty, "empty input")
-    val c = new Array[Double](d * d)
+    val spark = xc.sparkSession
+    import spark.implicits._
+    import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+    val partials = xc.select(col(xcCol)).as[Seq[Double]]
+      .mapPartitions { it =>
+        val acc: Array[JBigDecimal] = Array.fill(d * d)(JBigDecimal.ZERO)
+        var m = 0L
+        it.foreach { x =>
+          val a = x.toArray
+          var i = 0
+          while (i < d) {
+            val xi = a(i); var j = 0
+            while (j < d) {
+              acc(i * d + j) = acc(i * d + j).add(
+                JBigDecimal.valueOf(xi * a(j)).setScale(12, RoundingMode.HALF_UP))
+              j += 1
+            }
+            i += 1
+          }
+          m += 1
+        }
+        // plain-string decimals survive the encoder without precision loss
+        if (m == 0) Iterator.empty
+        else Iterator((m, acc.map(_.toPlainString).toSeq))
+      }.collect()
+    require(partials.nonEmpty, "empty input")
+    val cd: Array[JBigDecimal] = Array.fill(d * d)(JBigDecimal.ZERO)
     var n = 0L
-    rows.foreach { r =>
-      val i = r.getInt(0)
-      val s = r.getSeq[java.math.BigDecimal](1)
-      var j = 0
-      while (j < d) { c(i * d + j) = s(j).doubleValue(); j += 1 }
-      n = r.getLong(2)
+    partials.foreach { case (m, arr) =>
+      var i = 0
+      while (i < d * d) { cd(i) = cd(i).add(new JBigDecimal(arr(i))); i += 1 }
+      n += m
     }
-    (c, n)
+    (cd.map(_.doubleValue()), n)
   }
 
   /** [[topComponentGram]] on the decimal-exact Gram — every number in the

@@ -75,10 +75,13 @@ object DeletionVectors {
   def applyTo(table: DataFrame, dvs: DataFrame): DataFrame = {
     BitmapSketch.register(table.sparkSession)
     val dataCols = table.columns.toSeq.map(col)
+    // the DV side joins under reserved __dv_* names so a data table that
+    // itself has `file`/`dv` columns can never make the condition ambiguous
     withPos(table)
-      .join(broadcast(dvs.select(col("file"), col("dv"))),
-        col("__dv_file") === col("file"), "left")
-      .filter(coalesce(!expr("bitmap_contains(dv, __dv_pos)"), lit(true)))
+      .join(broadcast(dvs.select(col("file").as("__dv_key"),
+          col("dv").as("__dv_bm"))),
+        col("__dv_file") === col("__dv_key"), "left")
+      .filter(coalesce(!expr("bitmap_contains(__dv_bm, __dv_pos)"), lit(true)))
       .select(dataCols: _*)
   }
 
@@ -109,7 +112,9 @@ object DeletionVectors {
     * (rewritten files simply miss the DV join and pass through clean). */
   def rewriteFiles(spark: SparkSession, hotFiles: Seq[String],
       dvs: DataFrame, destDir: String): Seq[String] = {
-    require(hotFiles.nonEmpty, "rewriteFiles: nothing to purge")
+    // a purge with nothing over threshold is a no-op, not an error — the
+    // caller commits the carried-over manifest unchanged
+    if (hotFiles.isEmpty) return Seq.empty
     applyTo(spark.read.parquet(hotFiles: _*), dvs)
       .write.mode("overwrite").parquet(destDir)
     import scala.jdk.CollectionConverters._

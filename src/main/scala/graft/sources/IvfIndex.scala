@@ -22,18 +22,20 @@ import graft.Tables
   *    pruning is the IVF "read 2 of k inverted lists" step, executed by the
   *    ordinary parquet source (PlanSpec pins the PartitionFilters).
   *
-  * Cells here are the fixture's label field (the same deterministic
-  * codebook g69 grades recall against; a production build swaps in
-  * plans.KMeans labels — the layout and serve path are unchanged, which is
-  * the point). Rebuilds are gated by the content-fingerprint `_ready`
-  * discipline (BloomIndex/ZoneMap, hardened by the r14 sf10 gate): a
-  * regenerated corpus under the same path recommits instead of silently
-  * serving the stale index.
+  * Cells are LEARNED: the build runs plans.KMeans (deterministic Lloyd —
+  * smallest-id seeding, lowest-id argmin ties, decimal centroid means, so
+  * the trained codebook is bit-identical at any executor count AND
+  * SQL-replayable, the g40 discipline) and assigns every vector to its
+  * nearest learned centroid. The persisted centroids are the Lloyd-final
+  * vectors rounded to 6dp — what probe selection reads. Rebuilds are gated
+  * by the content-fingerprint `_ready` discipline (BloomIndex/ZoneMap,
+  * hardened by the r14 sf10 gate): a regenerated corpus under the same
+  * path recommits instead of silently serving the stale index.
   *
-  * Scale notes (100 TB): the index build is one distributed two-phase
-  * aggregate (centroids) plus one partitioned re-write of the vectors
-  * (postings) — both ordinary jobs; the per-query serve cost is k×64
-  * driver doubles + a scan of probes/k of the corpus.
+  * Scale notes (100 TB): the index build is `iters` single-scan Lloyd
+  * passes (k×d driver doubles between passes) plus one partitioned
+  * re-write of the vectors (postings) — all ordinary jobs; the per-query
+  * serve cost is k×64 driver doubles + a scan of probes/k of the corpus.
   */
 object IvfIndex {
 
@@ -41,26 +43,48 @@ object IvfIndex {
   def write(emb: DataFrame, path: String): Unit = {
     val spark = emb.sparkSession
     val ready = Paths.get(path, "_ready")
+    // label rides in the fingerprint because the index CONTENT (cells,
+    // centroids, postings partitioning) derives from it — any column the
+    // index depends on must flip the `_ready` marker on change
     val fpRow = emb.agg(count(lit(1)),
-      sum(crc32(concat_ws(",", col("vec_id"),
+      coalesce(sum(crc32(concat_ws(",", col("vec_id"), col("label"),
         concat_ws(",", transform(col("embedding"), x => x.cast("string"))))
-        .cast("binary")))).head()
+        .cast("binary"))), lit(0L))).head()
     val fingerprint = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
     val stale = Files.exists(ready) &&
       new String(Files.readAllBytes(ready), "UTF-8") != fingerprint
     if (!Files.exists(ready) || stale) {
       val vd = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-      emb.select(col("label").as("cell"), posexplode(vd).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(round(sum(col("x").cast(Tables.decHi)).cast("double") /
-          count(col("x")), 6).as("c"))
-        .write.mode("overwrite").parquet(s"$path/centroids")
-      emb.select(col("label").as("cell"), col("vec_id"), col("label"), col("embedding"))
+      val base = emb.select(col("vec_id"), col("label"), col("embedding"),
+        vd.as("__x"))
+      // train the coarse quantizer: k cells, `iters` deterministic Lloyd
+      // passes (each ONE distributed scan; the driver holds k×d doubles)
+      val (cents, _) =
+        graft.plans.KMeans.fit(base, "vec_id", "__x", dim, cellsK, lloydIters)
+      import spark.implicits._
+      cents.toSeq.zipWithIndex
+        .flatMap { case (c, cell) => c.toSeq.zipWithIndex.map { case (v, pos) =>
+          (cell, pos, java.math.BigDecimal.valueOf(v)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+        } }
+        .toDF("cell", "pos", "c")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      // postings: every vector under its LEARNED cell — the partitioned
+      // re-write whose directories are the inverted lists
+      val (cid, _) = graft.plans.KMeans.assignCols("__x", cents)
+      base.select(cid.as("cell"), col("vec_id"), col("label"), col("embedding"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
       Files.write(ready, fingerprint.getBytes("UTF-8"))
       ()
     }
   }
+
+  /** Codebook hyper-parameters — shared with the DuckDB oracles, which
+    * unroll exactly [[lloydIters]] Lloyd iterations over [[cellsK]] cells
+    * (operators/VectorQueries kmeansCtes). */
+  val cellsK = 8
+  val lloydIters = 5
+  val dim = 64
 
   /** Driver-side codebook from the persisted centroids: (cell, 64 rounded
     * components in pos order). k×64 rows — metadata scale. */

@@ -41,6 +41,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * wins on LATEST; serializable commits would CAS the version number at the
   * swap, which the single-writer pipelines here don't need.
   */
+/** Manifest-recorded COLUMN IDENTITY (Iceberg-style field ids) — what makes
+  * rename / type-widen / drop evolution readable across file generations
+  * without rewriting a byte: a column IS its id; names and types are
+  * per-version metadata resolved at read time. */
+case class EvoField(id: Int, name: String, typ: String)
+
 object SnapshotTable {
 
   private def snapDir(root: String): Path = Paths.get(root, "_snapshots")
@@ -303,5 +309,105 @@ object SnapshotTable {
     val v = latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     readVersion(spark, root, v)
+  }
+
+  // ---- field-id schema evolution (rename / widen / drop / add) ----------
+
+  private def writeSchemaSidecar(root: String, v: Long,
+      fields: Seq[EvoField]): Unit = {
+    Files.write(snapDir(root).resolve(s"v$v.schema"),
+      fields.map(f => s"${f.id},${f.name},${f.typ}").mkString("\n")
+        .getBytes(UTF_8))
+    ()
+  }
+
+  /** The evolution schema in effect at version `v`: the newest schema
+    * sidecar committed at or before `v` (versions without a sidecar inherit
+    * their predecessor's — only schema CHANGES write one). */
+  def schemaAt(root: String, v: Long): Option[Seq[EvoField]] = {
+    if (!Files.exists(snapDir(root))) return None
+    val vers = Files.list(snapDir(root)).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".schema") =>
+        s.stripPrefix("v").stripSuffix(".schema").toLong }
+      .filter(_ <= v).toSeq
+    if (vers.isEmpty) None
+    else {
+      val sv = vers.max
+      Some(new String(
+        Files.readAllBytes(snapDir(root).resolve(s"v$sv.schema")), UTF_8)
+        .split("\n").filter(_.nonEmpty).toSeq
+        .map { line =>
+          val Array(id, name, typ) = line.split(",", 3)
+          EvoField(id.toInt, name, typ)
+        })
+    }
+  }
+
+  /** [[commit]] carrying an evolution schema: `df`'s physical columns are
+    * `fields`' names at THIS version; the sidecar becomes visible through
+    * the same atomic pointer swap as the data. */
+  def commitEvo(df: DataFrame, root: String, fields: Seq[EvoField]): Long = {
+    val v = prepare(df, root)
+    writeSchemaSidecar(root, v, fields)
+    swap(root, v)
+    v
+  }
+
+  /** [[append]] that also evolves the schema: `fields` is the NEW current
+    * schema (same field ids, possibly renamed / widened / dropped / added
+    * columns); previous generations' files are untouched — their bytes stay
+    * identical, which is the whole point of metadata-level evolution. */
+  def appendEvo(df: DataFrame, root: String, fields: Seq[EvoField]): Long = {
+    val prev = latestVersion(root).map(v =>
+      new String(Files.readAllBytes(snapDir(root).resolve(s"v$v.manifest")), UTF_8)
+        .split("\n").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val v = latestVersion(root).getOrElse(0L) + 1
+    val dataDir = Paths.get(root, "data", s"v$v")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val added = Files.list(dataDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => s"data/v$v/${p.getFileName}").toSeq.sorted
+    Files.createDirectories(snapDir(root))
+    Files.write(snapDir(root).resolve(s"v$v.manifest"),
+      (prev ++ added).mkString("\n").getBytes(UTF_8))
+    writeSchemaSidecar(root, v, fields)
+    swap(root, v)
+    v
+  }
+
+  /** Evolution-aware read: every file generation is read under ITS OWN
+    * physical schema (the sidecar in effect at its write version) and
+    * resolved to the CURRENT schema by field id — renamed columns come back
+    * under their new name, narrower generations upcast to the widened type,
+    * dropped columns vanish, later-added columns null-fill. One scan job
+    * per schema GENERATION (bounded by the number of schema changes, never
+    * by file count), unioned by name — at 100 TB this plans as a handful of
+    * parquet scans with per-scan projections, no data rewrite ever. */
+  def readEvo(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val current = schemaAt(root, v).getOrElse(
+      throw new IllegalStateException(s"no evolution schema at $root"))
+    val files = new String(
+      Files.readAllBytes(snapDir(root).resolve(s"v$v.manifest")), UTF_8)
+      .split("\n").filter(_.nonEmpty).toSeq
+    val gen = "data/v(\\d+)/".r
+    files.groupBy(f => gen.findFirstMatchIn(f).get.group(1).toLong)
+      .toSeq.sortBy(_._1)
+      .map { case (w, fs) =>
+        val physByField = schemaAt(root, w).getOrElse(current)
+          .map(f => f.id -> f).toMap
+        val cols = current.map { cf =>
+          physByField.get(cf.id) match {
+            case Some(pf) => col(pf.name).cast(cf.typ).as(cf.name)
+            case None => lit(null).cast(cf.typ).as(cf.name)
+          }
+        }
+        spark.read.parquet(fs.map(f => Paths.get(root, f).toString): _*)
+          .select(cols: _*)
+      }
+      .reduce(_.unionByName(_))
   }
 }

@@ -48,7 +48,8 @@ object ZoneMap {
     // failure the sf10 gate caught on g49's shingle index) must also flip
     // the marker, so the cluster column's crc32 sum rides along.
     val fpRow = df.agg(count(lit(1)),
-      sum(crc32(col(clusterCol).cast("string").cast("binary")))).head()
+      coalesce(sum(crc32(col(clusterCol).cast("string").cast("binary"))),
+        lit(0L))).head()
     val fingerprint = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
     val stale = Files.exists(ready) &&
       new String(Files.readAllBytes(ready), "UTF-8") != fingerprint

@@ -261,7 +261,7 @@ class PlanSpec extends AnyFunSuite {
   test("m16: the DV read path is one broadcast probe — no shuffle, probe inside codegen") {
     import org.apache.spark.sql.functions._
     import graft.sources.{DeletionVectors, SnapshotTable}
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_dv_plan_${sfDir.hashCode & 0x7fffffff}"
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_dv_plan_${Tables.pathKey(sfDir)}"
     val dvRoot = s"${root}_dv"
     def rmrf(f: java.io.File): Unit = {
       val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()

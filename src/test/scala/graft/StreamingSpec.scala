@@ -173,7 +173,7 @@ class StreamingSpec extends AnyFunSuite {
     // 4 chunks at 2 files/trigger -> 2 versions, metas "0" and "1"
     import graft.sources.SnapshotTable
     val root = s"${if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_ckpt"
-      else System.getProperty("java.io.tmpdir") + "/graft_ckpt"}/graft_snap_i13_${sfDir.hashCode & 0x7fffffff}"
+      else System.getProperty("java.io.tmpdir") + "/graft_ckpt"}/graft_snap_i13_${Tables.pathKey(sfDir)}"
     val latest = SnapshotTable.latestVersion(root)
     assert(latest.contains(2L), s"expected 2 committed versions, got $latest")
     assert(SnapshotTable.versionMeta(root, 1).contains("0"))

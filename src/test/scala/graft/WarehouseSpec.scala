@@ -72,7 +72,7 @@ class WarehouseSpec extends AnyFunSuite {
 
   test("zone map: range overlapping no file yields an empty frame with the table schema") {
     val t = Tables(spark, sfDir)
-    val zpath = s"${System.getProperty("java.io.tmpdir")}/graft_zm_spec_${sfDir.hashCode & 0x7fffffff}"
+    val zpath = s"${System.getProperty("java.io.tmpdir")}/graft_zm_spec_${Tables.pathKey(sfDir)}"
     graft.sources.ZoneMap.writeClustered(t.orders, zpath, "o_orderdate", nFiles = 8)
     val lo = lit("2050-01-01 00:00:00").cast("timestamp")
     val hi = lit("2050-12-31 00:00:00").cast("timestamp")
@@ -106,7 +106,7 @@ class WarehouseSpec extends AnyFunSuite {
 
   test("zone map: range query opens a strict subset of files, same answer as full scan") {
     val t = Tables(spark, sfDir)
-    val zpath = s"${System.getProperty("java.io.tmpdir")}/graft_zm_spec_${sfDir.hashCode & 0x7fffffff}"
+    val zpath = s"${System.getProperty("java.io.tmpdir")}/graft_zm_spec_${Tables.pathKey(sfDir)}"
     graft.sources.ZoneMap.writeClustered(t.orders, zpath, "o_orderdate", nFiles = 8)
     val lo = lit("1997-01-01 00:00:00").cast("timestamp")
     val hi = lit("1997-06-30 23:59:59").cast("timestamp")
@@ -410,7 +410,7 @@ class WarehouseSpec extends AnyFunSuite {
   test("bloom index: point lookup opens a strict subset of files with no false negatives") {
     import graft.sources.BloomIndex
     val t = Tables(spark, sfDir)
-    val bpath = s"${System.getProperty("java.io.tmpdir")}/graft_bloomidx_spec_${sfDir.hashCode & 0x7fffffff}"
+    val bpath = s"${System.getProperty("java.io.tmpdir")}/graft_bloomidx_spec_${Tables.pathKey(sfDir)}"
     BloomIndex.writeIndexed(t.orders, bpath, "o_custkey", "o_orderkey", nFiles = 16)
     val allFiles = new java.io.File(bpath).listFiles()
       .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
@@ -439,7 +439,7 @@ class WarehouseSpec extends AnyFunSuite {
   test("deletion vectors: deletes never rewrite data files; reads equal the plain filter") {
     import graft.sources.{DeletionVectors, SnapshotTable}
     val t = Tables(spark, sfDir)
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_dv_spec_${sfDir.hashCode & 0x7fffffff}"
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_dv_spec_${Tables.pathKey(sfDir)}"
     val dvRoot = s"${root}_dv"
     def rmrf(f: java.io.File): Unit = {
       val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
@@ -497,6 +497,49 @@ class WarehouseSpec extends AnyFunSuite {
     // files miss the DV join, cold files re-apply the same bitmap
     val again = DeletionVectors.applyTo(SnapshotTable.read(spark, root), dvs)
     assert(keys(again) == want)
+  }
+
+  test("field-id evolution: rename/widen/drop never rewrite old files; readEvo maps by id") {
+    import graft.sources.{EvoField, SnapshotTable}
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val s = spark
+    import s.implicits._
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_evo_spec_${System.nanoTime()}"
+    val key = EvoField(1, "k", "bigint")
+    SnapshotTable.commitEvo(
+      Seq((1L, "A", 10), (2L, "B", 20)).toDF("k", "status", "price"),
+      root, Seq(key, EvoField(2, "status", "string"), EvoField(3, "price", "int")))
+    def v1Bytes(): Map[String, Seq[Byte]] =
+      Files.list(Paths.get(root, "data", "v1")).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString -> Files.readAllBytes(p).toSeq)
+        .toMap
+    val before = v1Bytes()
+    // v2: rename status -> st, widen price int -> bigint, drop nothing yet
+    SnapshotTable.appendEvo(
+      Seq((3L, "A", 30L)).toDF("k", "st", "price"),
+      root, Seq(key, EvoField(2, "st", "string"), EvoField(3, "price", "bigint")))
+    // v3: drop the renamed column entirely, add a fresh one under a NEW id
+    SnapshotTable.appendEvo(
+      Seq((4L, 40L, "x")).toDF("k", "price", "tag"),
+      root, Seq(key, EvoField(3, "price", "bigint"), EvoField(5, "tag", "string")))
+    assert(v1Bytes() == before, "pre-evolution data files must stay byte-identical")
+    // v1's footers still carry the ORIGINAL physical schema (old name, int32)
+    val v1File = Files.list(Paths.get(root, "data", "v1")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).next().toString
+    val v1Schema = spark.read.parquet(v1File).schema
+    assert(v1Schema.fieldNames.contains("status") &&
+      v1Schema("price").dataType.typeName == "integer",
+      s"old footer must keep old physical schema, got $v1Schema")
+    val out = SnapshotTable.readEvo(spark, root)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)))).toSeq
+    assert(SnapshotTable.readEvo(spark, root).columns.toSeq == Seq("k", "price", "tag"),
+      "dropped column must vanish; surviving columns under current names")
+    assert(out == Seq((1L, 10L, None), (2L, 20L, None), (3L, 30L, None),
+      (4L, 40L, Some("x"))),
+      s"renamed/widened/added columns must resolve by field id, got $out")
   }
 
   test("bitmap_contains: bit probes, trailing-zero blobs, and out-of-range positions") {
