@@ -431,10 +431,15 @@ object TextQueries extends QueryModule {
     "g72_dedup_lsh_recall" -> ((s, dir) => {
       val t = Tables(s, dir)
       val nH = 16; val bands = 4; val rpb = 4
+      // repartition BEFORE the checkpoint: the md5-min signature fold and
+      // the truth-side Jaccard are per-row CPU on what is often a one-file
+      // scan — without the spread they serialize on a single core
+      val n0 = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
       val base = t.documents
         .withColumn("toks", TF.tokens(lower(col("text"))))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), TF.shingles3("toks").as("sh"))
+        .repartition(n0)
         .localCheckpoint() // consumed by the signature AND both truth sides
       val mh = base.select(col("doc_id"), array((0 until nH).map(i =>
         array_min(transform(col("sh"), x => md5(concat(lit(i + "|"), x))))): _*)
