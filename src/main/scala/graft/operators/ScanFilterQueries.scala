@@ -164,7 +164,10 @@ object ScanFilterQueries extends QueryModule {
         count(lit(1)).as("n_rows"),
         Tables.dsum(col("l_quantity")).as("sum_qty"),
         Tables.dsum(col("l_extendedprice")).as("sum_price"))
-      observed.foreach((_: org.apache.spark.sql.Row) => ()) // one real pass, no collect
+      // one real pass, no collect: the noop sink consumes InternalRows
+      // inside codegen — Dataset.foreach would deserialize every row into a
+      // Scala Row just to discard it (measured 30x the scan cost at sf10)
+      observed.write.format("noop").mode("overwrite").save()
       val m = obs.get
       import s.implicits._
       Seq((m("n_rows").asInstanceOf[Long],
