@@ -3,6 +3,7 @@ package graft.operators
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import graft.{QueryModule, Tables}
+import graft.functions.{TextFunctions => TF}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
@@ -272,6 +273,17 @@ object StreamingQueries extends QueryModule {
     spark.read.parquet(out)
   }
 
+  /** State-store partition count sized by the fixture: 2 state stores floor
+    * the per-micro-batch overhead at bench scale (fewer store round-trips
+    * per trigger), but a 10M-event sf10 ingest on 2 stores SERIALIZES the
+    * stateful operator — i3 measured 144 s at 100×, ~3× better at 32. A
+    * deployment fixes this once at query birth (the checkpoint pins it);
+    * here it is a pure function of fixture size, so each scale gets the
+    * right constant. */
+  private def statePar(dir: String): Int =
+    if (new java.io.File(s"$dir/events.parquet").length() > (32L << 20)) 32
+    else 2
+
   val queries: Seq[(String, QFn)] = Seq(
     // I1: tumbling 5-minute counts per event type.
     "i1_stream_tumbling" -> ((s, dir) => {
@@ -304,7 +316,7 @@ object StreamingQueries extends QueryModule {
         .withWatermark("ts", "1 hour")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n"))
-      runMemory(q, "append", "i3", statePartitions = 2)
+      runMemory(q, "append", "i3", statePartitions = statePar(dir))
         .select(col("session_window.start").cast("timestamp_ntz").as("s_start"),
           col("user_id"), col("n"))
         .orderBy("s_start", "user_id")
@@ -372,7 +384,7 @@ object StreamingQueries extends QueryModule {
       // the fixture's users all stay active (timer expiry is proven on a
       // crafted stream in StreamingSpec)
       withRocksDbStateStore(s) {
-        runMemory(q, "update", "i6", needsFinalFlush = false, statePartitions = 2)
+        runMemory(q, "update", "i6", needsFinalFlush = false, statePartitions = statePar(dir))
       }
         .groupBy(col("user_id")).agg(max(col("n_so_far")).as("n_total"),
           count(lit(1)).as("n_updates"))
@@ -649,6 +661,93 @@ object StreamingQueries extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // I23: STREAMING INGEST DEDUP SERVED FROM A PINNED INDEX VERSION —
+    // g49's per-ingest dedup run as the live service loop: the existing
+    // corpus's (blk, shingles) index is committed once (v1) and the whole
+    // ingest campaign PINS that version for matching (index versions are
+    // immutable; matching against a moving index would make answers depend
+    // on micro-batch boundaries). Each arriving delta micro-batch
+    // (a) joins the pinned index scan on the blocking key with
+    // exact-Jaccard verification, (b) writes its per-doc verdict ledger
+    // IDEMPOTENTLY (overwrite-by-batch dir — a replayed batch overwrites
+    // itself), and (c) appends its NOVEL docs' index rows as the next
+    // table version with the applied batch id in the commit metadata (the
+    // i13 exactly-once discipline: data + applied-marker become visible
+    // through one atomic pointer swap, so a crash at any point neither
+    // loses nor double-appends). Because matching pins v1, the union of
+    // the batch verdicts equals g49's single-shot answer EXACTLY — same
+    // oracle SQL; the accumulating versions are the NEXT index build's
+    // input (final count pinned in StreamingSpec with restart recovery).
+    // At 100 TB: one index-scan join per batch (linear in the delta),
+    // O(delta) append I/O, one pointer swap — no corpus rescan anywhere.
+    "i23_stream_index_dedup" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val t = Tables(s, dir)
+      val n = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+      val idxRoot = s"$ckptRoot/graft_snap_i23_${Tables.pathKey(dir)}"
+      rmrfDir(new java.io.File(idxRoot))
+      val out = s"$ckptRoot/graft_out_i23_${Tables.pathKey(dir)}"
+      rmrfDir(new java.io.File(out))
+      def shingled(d: DataFrame) = d
+        .withColumn("toks", TF.tokens(lower(col("text"))))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), substring(lower(col("text")), 1, 40).as("blk"),
+          TF.shingles3("toks").as("sh"))
+      SnapshotTable.commit(
+        shingled(t.documents.filter(col("doc_id") % 5 =!= 0))
+          .select(col("doc_id").as("e_id"), col("blk").as("e_blk"),
+            col("sh").as("e_sh"))
+          .repartition(n, col("e_blk")),
+        idxRoot, meta = "-1")
+      val pinned = SnapshotTable.latestVersion(idxRoot).get
+      val ckpt = s"$ckptRoot/graft_i23_${System.nanoTime()}"
+      val st = s.readStream.schema(docChunkSchema)
+        .option("maxFilesPerTrigger", 1).parquet(chunkedDocSource(s, dir))
+        .filter(col("doc_id") % 5 === 0)
+      val sq = withStreamShufflePartitions(s) {
+        st.writeStream.outputMode(OutputMode.Append())
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            val sp = df.sparkSession
+            val applied = SnapshotTable.latestMeta(idxRoot)
+              .map(_.toLong).getOrElse(-2L)
+            if (batchId > applied) {
+              val delta = shingled(df).repartition(n, col("blk"))
+                .localCheckpoint()
+              val existing = SnapshotTable.readVersion(sp, idxRoot, pinned)
+                .repartition(n, col("e_blk"))
+              val matches = delta.join(existing, col("blk") === col("e_blk"))
+                .withColumn("jac", TF.jaccard(col("sh"), col("e_sh")))
+                .filter(col("jac") >= 0.4)
+                .groupBy(col("doc_id"))
+                .agg(count(lit(1)).as("n_matches"),
+                  min(col("e_id")).as("first_match"),
+                  round(max(col("jac")), 6).as("best_jac"))
+              val verdicts = delta.select(col("doc_id"))
+                .join(matches, Seq("doc_id"), "left")
+                .select(col("doc_id"),
+                  coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+                  col("first_match"), col("best_jac"))
+                .localCheckpoint() // pin BEFORE ledger write + index append
+              verdicts.write.mode("overwrite").parquet(f"$out/b$batchId%04d")
+              val novel = delta
+                .join(verdicts.filter(col("n_matches") === 0),
+                  Seq("doc_id"), "left_semi")
+                .select(col("doc_id").as("e_id"), col("blk").as("e_blk"),
+                  col("sh").as("e_sh"))
+              SnapshotTable.append(novel, idxRoot, meta = batchId.toString)
+              ()
+            }
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+      }
+      try sq.awaitTermination() finally rmrfDir(new java.io.File(ckpt))
+      s.read.option("recursiveFileLookup", "true").parquet(out)
+        .select(col("doc_id"), col("n_matches"), col("first_match"),
+          col("best_jac"))
+        .orderBy("doc_id")
+    }),
+
     // I14: streaming NEAR-DUP filter — the ingestion-time dedup gate a
     // training-data pipeline runs in front of its corpus: each arriving
     // document's 64-bit SimHash splits into 4×16-bit bands, and
@@ -707,7 +806,7 @@ object StreamingQueries extends QueryModule {
           OutputMode.Update())
         .toDF("user_id", "seq", "n_kept", "val_sum_micro")
       withRocksDbStateStore(s) {
-        runMemory(q, "update", "i15", needsFinalFlush = false, statePartitions = 2)
+        runMemory(q, "update", "i15", needsFinalFlush = false, statePartitions = statePar(dir))
       }
         .groupBy(col("user_id"))
         .agg(max(struct(col("seq"), col("n_kept"), col("val_sum_micro"))).as("last"))
@@ -734,7 +833,7 @@ object StreamingQueries extends QueryModule {
           OutputMode.Update())
         .toDF("user_id", "seq", "event_type", "n")
       withRocksDbStateStore(s) {
-        runMemory(q, "update", "i16", needsFinalFlush = false, statePartitions = 2)
+        runMemory(q, "update", "i16", needsFinalFlush = false, statePartitions = statePar(dir))
       }
         .groupBy(col("user_id"), col("event_type"))
         .agg(max(struct(col("seq"), col("n"))).as("last"))
@@ -826,7 +925,7 @@ object StreamingQueries extends QueryModule {
           OutputMode.Append())
         .toDF("user_id", "s_start_us", "s_end_us", "n_events")
       withRocksDbStateStore(s) {
-        runMemory(q, "append", "i18", statePartitions = 2)
+        runMemory(q, "append", "i18", statePartitions = statePar(dir))
       }
         .select(col("user_id"),
           timestamp_micros(col("s_start_us")).cast("timestamp_ntz").as("s_start"),
@@ -895,7 +994,7 @@ object StreamingQueries extends QueryModule {
           bootstrap)
         .toDF("user_id", "s_start_us", "s_end_us", "n_events")
       val streamed = withRocksDbStateStore(s) {
-        runMemory(q, "append", "i22", statePartitions = 2)
+        runMemory(q, "append", "i22", statePartitions = statePar(dir))
       }
       closedInPrefix.unionByName(streamed)
         .select(col("user_id"),
@@ -945,6 +1044,24 @@ object StreamingQueries extends QueryModule {
       ("SELECT CAST(ts AS DATE) AS day, count(*) AS n, " +
         s"round(${graft.Tables.dsumSql("value")}, 6) AS val_sum " +
         "FROM events GROUP BY 1 ORDER BY day"),
+
+    // matching pins index v1, so the union of per-batch verdicts equals
+    // g49's single-shot delta-vs-existing answer exactly — same SQL
+    "i23_stream_index_dedup" ->
+      ("WITH s AS (SELECT doc_id, substring(lower(text), 1, 40) AS blk, " +
+        "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh " +
+        "FROM (SELECT doc_id, text, str_split(lower(text), ' ') AS toks FROM documents) " +
+        "WHERE len(toks) >= 3), " +
+        "d AS (SELECT * FROM s WHERE doc_id % 5 = 0), " +
+        "e AS (SELECT * FROM s WHERE doc_id % 5 <> 0), " +
+        "m AS (SELECT d.doc_id, count(*) AS n_matches, min(e.doc_id) AS first_match, " +
+        "round(max(CAST(len(list_intersect(d.sh, e.sh)) AS DOUBLE) / len(list_distinct(d.sh || e.sh))), 6) AS best_jac " +
+        "FROM d JOIN e ON d.blk = e.blk " +
+        "WHERE CAST(len(list_intersect(d.sh, e.sh)) AS DOUBLE) / len(list_distinct(d.sh || e.sh)) >= 0.4 " +
+        "GROUP BY d.doc_id) " +
+        "SELECT d.doc_id, COALESCE(m.n_matches, 0) AS n_matches, m.first_match, m.best_jac " +
+        "FROM d LEFT JOIN m USING (doc_id) ORDER BY doc_id"),
 
     // LWW with tombstones is chunking-independent: the final CDC state is
     // exactly "latest op per key, deletes hidden"

@@ -25,6 +25,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("i23: pinned-version serving + exactly-once appends grow the index by exactly the novel docs") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.SnapshotTable
+    val verdicts = SparkEntry.queries("i23_stream_index_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the batch single-shot answer (g49 shares the oracle) must agree
+    val batch = SparkEntry.queries("g49_incremental_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(verdicts === batch,
+      "per-batch verdicts against the pinned index must equal the single-shot answer")
+    // final index = v1 (existing corpus) + one append per batch holding
+    // exactly that batch's novel docs — nothing lost, nothing doubled
+    // (same root resolution as StreamingQueries.ckptRoot)
+    val shm = new java.io.File("/dev/shm")
+    val ckptRoot =
+      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_ckpt"
+      else System.getProperty("java.io.tmpdir") + "/graft_ckpt"
+    val idxRoot = s"$ckptRoot/graft_snap_i23_${Tables.pathKey(sfDir)}"
+    val existing = Tables(spark, sfDir).documents
+      .filter(col("doc_id") % 5 =!= 0)
+      .withColumn("toks", split(lower(col("text")), " "))
+      .filter(size(col("toks")) >= 3).count()
+    val novel = verdicts.count(_._2 == 0L)
+    val finalIdx = SnapshotTable.read(spark, idxRoot).count()
+    assert(finalIdx == existing + novel,
+      s"index grew to $finalIdx, want $existing existing + $novel novel")
+    // every version's metadata carries the applied batch id — the replay
+    // guard's ledger is complete and strictly increasing
+    val latest = SnapshotTable.latestVersion(idxRoot).get
+    val metas = (1L to latest).flatMap(v => SnapshotTable.versionMeta(idxRoot, v))
+      .map(_.toLong)
+    assert(metas == metas.sorted && metas.distinct == metas,
+      s"applied-batch ledger must be strictly increasing, got $metas")
+  }
+
   test("i16: MapState across micro-batches equals the batch per-type counts") {
     import org.apache.spark.sql.functions._
     val streamed = SparkEntry.queries("i16_stream_map_counts")(spark, sfDir)
