@@ -16,7 +16,7 @@ cd /root/repo
 # decorrelates shingle sets but NOT prefix edit distance, so the fuzzy
 # family's pair OUTPUT is quadratic in clone multiplicity under any
 # clone-replicating fixture (SCALING_r15 finding 2)
-SALTED="g2_dedup_near_jaccard,g2b_dedup_minhash_lsh,g2c_dedup_simhash,g72_dedup_lsh_recall,g17_contamination_ngram,g24_dedup_components,g25_dedup_pipeline,g27_contamination_bloom,g45_dedup_survivor,g49_incremental_dedup,g53_setsim_prefix,g53b_setsim_dict,g54_paragraph_dedup,g56_substring_dedup,g57_ngram_novelty,g60_containment_contamination,g62_dedup_source_matrix,g64_incremental_components"
+SALTED="i23_stream_index_dedup,g2_dedup_near_jaccard,g2b_dedup_minhash_lsh,g2c_dedup_simhash,g72_dedup_lsh_recall,g17_contamination_ngram,g24_dedup_components,g25_dedup_pipeline,g27_contamination_bloom,g45_dedup_survivor,g49_incremental_dedup,g53_setsim_prefix,g53b_setsim_dict,g54_paragraph_dedup,g56_substring_dedup,g57_ngram_novelty,g60_containment_contamination,g62_dedup_source_matrix,g64_incremental_components"
 PAIRS="g3_sim_cosine_pairs,g3b_sim_cosine_native,g5_knn_join,g5b_knn_lsh,g5c_knn_block,g15_dedup_embed_cosine,g15b_dedup_embed_lsh,g15c_dedup_embed_block,g42_kmeans_dedup,g44_graph_triangles,g30_fuzzy_pairs,g30b_fuzzy_pairs_banded"
 
 # verbatim list = all queries minus the two bands (computed in-JVM via the
