@@ -479,6 +479,72 @@ object VectorQueries extends QueryModule {
         .limit(10)
     }),
 
+    // G73: ANN served from the PERSISTED IVF-PQ index (sources/IvfPqIndex)
+    // — the complete FAISS-style serving shape, composing g71's partition-
+    // pruned inverted-list read with g55's product quantization, and unlike
+    // the in-query g55 FULLY ORACLE-BACKED: coarse cells and all four
+    // subspace codebooks come from deterministic Lloyd (bit-replayable),
+    // every persisted number is 6dp-rounded, the ADC lookup table is an
+    // ordered driver-side fold, and the two cuts (ADC top-50 shortlist,
+    // exact top-10 re-rank) order on rounded values with vec_id ties — so
+    // DuckDB unrolls the 5+4×3 training iterations, re-encodes the corpus,
+    // and replays probe selection, ADC scoring, and both cuts exactly.
+    // Plan shape at 100 TB: k×64 + 4×16×16 driver doubles; ONE scan of the
+    // 2 probed cells' directories reading (vec_id, label, codes) — 4 array
+    // lookups + 3 adds per row, no vector math; 50 raw vectors touched for
+    // the exact re-rank.
+    "g73_ann_ivfpq_serve" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val t = Tables(s, dir)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_${Tables.pathKey(dir)}"
+      graft.sources.IvfPqIndex.write(t.embeddings, idx)
+      def dotd(x: Array[Double], y: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i) * y(i); i += 1 }
+        acc
+      }
+      def cos(a: Array[Double], b: Array[Double]): Double =
+        dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
+      val query = t.embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding")).as[Seq[Float]].head().map(_.toDouble).toArray
+      val probes = graft.sources.IvfPqIndex.centroids(s, idx)
+        .map { case (cell, c) =>
+          (cell, BigDecimal(cos(query, c)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        }
+        .sortBy { case (cell, sim) => (-sim, cell) }.take(2).map(_._1)
+      // ADC lookup table: exact subspace sq-L2 query↔rounded-centroid,
+      // driver-side ordered fold (16 terms ascending — the oracle's
+      // list_reduce order)
+      val cbs = graft.sources.IvfPqIndex.codebooks(s, idx)
+      val lut = cbs.zipWithIndex.map { case (cb, m) =>
+        val q = query.slice(m * 16, m * 16 + 16)
+        cb.toIndexedSeq.map { c =>
+          var acc = 0.0; var i = 0
+          while (i < 16) { val d = q(i) - c(i); acc += d * d; i += 1 }
+          acc
+        }
+      }.toIndexedSeq
+      val lutCol = typedLit(lut)
+      val adist = (0 until 4).map(m =>
+        element_at(element_at(lutCol, m + 1), col(s"c$m") + 1)).reduce(_ + _)
+      val qv = typedLit(query.toIndexedSeq)
+      graft.sources.IvfPqIndex.postings(s, idx)
+        .filter(col("cell").isin(probes.map(Integer.valueOf): _*) &&
+          col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          round(adist, 6).as("adist"))
+        .orderBy(col("adist").asc, col("vec_id").asc)
+        .limit(50)
+        .withColumn("qv", qv)
+        .withColumn("dist", round(expr(
+          "aggregate(zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), qv, " +
+            "(a, b) -> (a - b) * (a - b)), 0D, (s, v) -> s + v)"), 6))
+        .select(col("vec_id"), col("label"), col("adist"), col("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // G4b: IVF top-k — a data-derived coarse codebook (per-label centroids),
     // each vector assigned to its NEAREST centroid, query probes the 2
     // closest cells and searches only those. The codebook is tiny (10×64)
@@ -1038,7 +1104,94 @@ object VectorQueries extends QueryModule {
       rounds
   }
 
+  /** Unrolled SUBSPACE-Lloyd chain for g73's PQ halves (k=16 on the m-th
+    * 16-dim slice) — same bit-replay discipline as [[kmeansCtes]]. */
+  private def pqCtes(m: Int, iters: Int): String = {
+    val lo = m * 16 + 1
+    def sqd(cent: String) =
+      "list_reduce(list_transform(range(1, 17), " +
+        s"t -> (sx[t] - ($cent)[t]) * (sx[t] - ($cent)[t])), (a, b) -> a + b)"
+    val seed =
+      s"em$m AS MATERIALIZED (SELECT vec_id, x[$lo:${lo + 15}] AS sx FROM emb), " +
+        s"p${m}c0 AS MATERIALIZED (SELECT list(sx ORDER BY vec_id) AS cs FROM (" +
+        s"SELECT vec_id, sx FROM em$m ORDER BY vec_id LIMIT 16))"
+    val rounds = (1 to iters).map { k =>
+      s"p${m}d$k AS MATERIALIZED (SELECT vec_id, sx, ci.ci AS cid, " +
+        s"${sqd(s"cs[ci.ci + 1]")} AS d2 FROM em$m, p${m}c${k - 1}, range(0, 16) ci(ci)), " +
+        s"p${m}a$k AS MATERIALIZED (SELECT vec_id, sx, cid, d2 FROM (" +
+        s"SELECT vec_id, sx, cid, d2, row_number() OVER (PARTITION BY vec_id " +
+        s"ORDER BY d2, cid) AS rn FROM p${m}d$k) WHERE rn = 1), " +
+        s"p${m}u$k AS (SELECT cid, list(mn ORDER BY p) AS cv FROM (" +
+        s"SELECT cid, p.p AS p, CAST(sum(CAST(sx[p.p] AS DECIMAL(38,12))) " +
+        s"AS DOUBLE) / count(*) AS mn FROM p${m}a$k, range(1, 17) p(p) " +
+        "GROUP BY 1, 2) GROUP BY cid), " +
+        s"p${m}c$k AS MATERIALIZED (SELECT list(coalesce(u.cv, prev.cs[cx.ci + 1]) " +
+        s"ORDER BY cx.ci) AS cs FROM p${m}c${k - 1} prev CROSS JOIN range(0, 16) cx(ci) " +
+        s"LEFT JOIN p${m}u$k u ON u.cid = cx.ci)"
+    }.mkString(", ")
+    seed + ", " + rounds
+  }
+
+  /** g73's full replay: IVF training (kmeansCtes), 4 subspace trainings
+    * (pqCtes), rounded persisted codebooks, corpus re-encode, probe
+    * selection, ADC scoring, shortlist and exact re-rank cuts. */
+  private def g73Oracle: String = {
+    val pq = (0 until 4).map(pqCtes(_, 3)).mkString(", ")
+    val roundedCb = (0 until 4).map(m =>
+      s"pcb$m AS MATERIALIZED (SELECT list_transform(cs, " +
+        s"l -> list_transform(l, v -> round(v, 6))) AS cs FROM p${m}c3)")
+      .mkString(", ")
+    val codes = (0 until 4).map { m =>
+      val sqd = "list_reduce(list_transform(range(1, 17), " +
+        "t -> (e.sx[t] - cb.cs[ci.ci + 1][t]) * (e.sx[t] - cb.cs[ci.ci + 1][t])), " +
+        "(a, b) -> a + b)"
+      s"pcode$m AS MATERIALIZED (SELECT vec_id, cid AS c$m FROM (" +
+        "SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY d2, cid) AS rn FROM (" +
+        s"SELECT e.vec_id, ci.ci AS cid, $sqd AS d2 " +
+        s"FROM em$m e, pcb$m cb, range(0, 16) ci(ci))) WHERE rn = 1)"
+    }.mkString(", ")
+    val terms = (0 until 4).map { m =>
+      val lo = m * 16
+      "list_reduce(list_transform(range(1, 17), " +
+        s"t -> (q.qv[$lo + t] - cb$m.cs[k$m.c$m + 1][t]) * " +
+        s"(q.qv[$lo + t] - cb$m.cs[k$m.c$m + 1][t])), (a, b) -> a + b)"
+    }
+    val adistExpr = s"(((${terms(0)} + ${terms(1)}) + ${terms(2)}) + ${terms(3)})"
+    s"WITH ${kmeansCtes(5)}, ${kmeansAssign("c5", "f")}, $pq, $roundedCb, $codes, " +
+      "cb AS (SELECT cx.ci AS cell, " +
+      "list_transform(cs[cx.ci + 1], v -> round(v, 6)) AS cv " +
+      "FROM c5, range(0, 8) cx(ci)), " +
+      "q AS (SELECT x AS qv FROM emb WHERE vec_id = 0), " +
+      "probed AS (SELECT cell FROM (SELECT cell, row_number() OVER (ORDER BY " +
+      "round(list_cosine_similarity(qv, cv), 6) DESC, cell) AS rn FROM q, cb) " +
+      "WHERE rn <= 2), " +
+      "scored AS MATERIALIZED (SELECT a.vec_id, " +
+      s"round($adistExpr, 6) AS adist " +
+      "FROM af a " +
+      "JOIN pcode0 k0 ON k0.vec_id = a.vec_id " +
+      "JOIN pcode1 k1 ON k1.vec_id = a.vec_id " +
+      "JOIN pcode2 k2 ON k2.vec_id = a.vec_id " +
+      "JOIN pcode3 k3 ON k3.vec_id = a.vec_id, " +
+      "pcb0 cb0, pcb1 cb1, pcb2 cb2, pcb3 cb3, q " +
+      "WHERE a.vec_id <> 0 AND a.cid IN (SELECT cell FROM probed)), " +
+      "sl AS MATERIALIZED (SELECT vec_id, adist FROM (SELECT vec_id, adist, " +
+      "row_number() OVER (ORDER BY adist, vec_id) AS rn FROM scored) " +
+      "WHERE rn <= 50), " +
+      "rr AS (SELECT s.vec_id, b.label, s.adist, " +
+      "round(list_reduce(list_transform(range(1, 65), " +
+      "t -> (e2.x[t] - q.qv[t]) * (e2.x[t] - q.qv[t])), (a, b) -> a + b), 6) AS dist " +
+      "FROM sl s JOIN emb e2 ON e2.vec_id = s.vec_id " +
+      "JOIN embeddings b ON b.vec_id = s.vec_id, q) " +
+      "SELECT vec_id, label, adist, dist FROM (SELECT vec_id, label, adist, dist, " +
+      "row_number() OVER (ORDER BY dist, vec_id) AS rn FROM rr) " +
+      "WHERE rn <= 10 ORDER BY dist, vec_id"
+  }
+
   val oracles: Seq[(String, String)] = Seq(
+    // full IVF-PQ replay: training, encode, probe, ADC, both cuts
+    "g73_ann_ivfpq_serve" -> g73Oracle,
+
     "g3_sim_cosine_pairs" ->
       ("SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label, " +
         "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos " +

@@ -301,6 +301,14 @@ class PlanSpec extends AnyFunSuite {
       s"cell probe did not become a partition filter:\n$p")
   }
 
+  test("g73: the IVF-PQ probed-cells filter prunes postings partitions at the scan") {
+    val df = SparkEntry.queries("g73_ann_ivfpq_serve")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cell""".r.findFirstIn(p).isDefined,
+      s"cell probe did not become a partition filter:\n$p")
+  }
+
   test("s8: LATERAL + per-row LIMIT decorrelates to a window group-limit, not a nested loop") {
     val p = finalPlan("s8_sql_lateral")
     assert(p.contains("WindowGroupLimit"), p)
