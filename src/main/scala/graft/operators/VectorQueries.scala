@@ -555,7 +555,10 @@ object VectorQueries extends QueryModule {
     // `array_max` over (sim, −label) structs — no typed-Dataset lambda, no
     // DeserializeToObject, so the embeddings scan stays columnar inside
     // whole-stage codegen with column pruning intact (asserted in
-    // PlanSpec). Approximate → rows-only (recall asserted in VectorSpec).
+    // PlanSpec). FULLY oracle-backed (converted r15): assignment ranks on
+    // the 6dp-rounded cosine, so codebook, probes, per-vector assignment,
+    // and the top-10 cut all replay in SQL; recall vs the exact top-10
+    // additionally asserted in VectorSpec.
     "g4b_sim_topk_ivf" -> ((s, dir) => {
       graft.functions.CosineSim.register(s)
       val spark = s
@@ -590,7 +593,10 @@ object VectorQueries extends QueryModule {
           }
       val query = t.embeddings.filter(col("vec_id") === 0)
         .select(col("embedding")).as[Seq[Float]].head().map(_.toDouble).toArray
-      val probed = codebook.map { case (l, c) => (l, cos(query, c)) }
+      val probed = codebook
+        .map { case (l, c) =>
+          (l, BigDecimal(cos(query, c)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        }
         .sortBy { case (l, sim) => (-sim, l) }.take(2).map(_._1)
       // one typed literal column per centroid + the query vector — exact
       // doubles (no string round-trip), all folded into the scan projection
@@ -599,7 +605,10 @@ object VectorQueries extends QueryModule {
           .withColumn("qv", typedLit(query.toSeq))) {
           case (df, ((_, c), i)) =>
             df.withColumn(s"cb_$i", typedLit(c.toSeq))
-              .withColumn(s"sim_$i", expr(s"cosine_sim(v, cb_$i)"))
+              // 6dp-rounded assignment similarity: engine-stable AND
+              // cross-engine replayable (raw-double argmax would hinge on
+              // the other engine's accumulation order at the ulp scale)
+              .withColumn(s"sim_$i", round(expr(s"cosine_sim(v, cb_$i)"), 6))
         }
       // argmax via struct ordering: max sim, then max(−label) = min label on
       // ties — the same winner the sequential strict-> scan would pick
@@ -986,8 +995,11 @@ object VectorQueries extends QueryModule {
     //    is exact-ordered — the standard two-stage ANN serving shape (the
     //    compressed index prunes 90%+ of the corpus; the raw-vector fetch is
     //    id-addressed and shortlist-sized, never a scan).
-    // Rows-only by design (the shortlist is approximate); shortlist recall +
-    // ADC-identity invariants live in VectorSpec.
+    // FULLY oracle-backed (converted r15): the deterministic Lloyd chains
+    // make even the raw-double codebooks SQL-replayable, so DuckDB unrolls
+    // the 4×3 subspace trainings, re-encodes the corpus, and replays ADC,
+    // the top-50 shortlist, and the exact re-rank bit-for-bit; shortlist
+    // recall + ADC-identity invariants additionally live in VectorSpec.
     "g55_pq_adc_topk" -> ((s, dir) => {
       val t = Tables(s, dir)
       val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -1188,9 +1200,61 @@ object VectorQueries extends QueryModule {
       "WHERE rn <= 10 ORDER BY dist, vec_id"
   }
 
+  /** g55's full replay — the in-query PQ twin of [[g73Oracle]] minus the
+    * IVF filter: 4 subspace trainings, corpus re-encode and ADC against the
+    * RAW Lloyd-final codebooks (the engine encodes with unrounded driver
+    * doubles), full-corpus top-50 shortlist, exact top-10 re-rank. */
+  private def g55Oracle: String = {
+    val pq = (0 until 4).map(pqCtes(_, 3)).mkString(", ")
+    val codes = (0 until 4).map { m =>
+      val sqd = "list_reduce(list_transform(range(1, 17), " +
+        "t -> (e.sx[t] - cb.cs[ci.ci + 1][t]) * (e.sx[t] - cb.cs[ci.ci + 1][t])), " +
+        "(a, b) -> a + b)"
+      s"pcode$m AS MATERIALIZED (SELECT vec_id, cid AS c$m FROM (" +
+        "SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY d2, cid) AS rn FROM (" +
+        s"SELECT e.vec_id, ci.ci AS cid, $sqd AS d2 " +
+        s"FROM em$m e, p${m}c3 cb, range(0, 16) ci(ci))) WHERE rn = 1)"
+    }.mkString(", ")
+    val terms = (0 until 4).map { m =>
+      val lo = m * 16
+      "list_reduce(list_transform(range(1, 17), " +
+        s"t -> (q.qv[$lo + t] - cb$m.cs[k$m.c$m + 1][t]) * " +
+        s"(q.qv[$lo + t] - cb$m.cs[k$m.c$m + 1][t])), (a, b) -> a + b)"
+    }
+    val adistExpr = s"(((${terms(0)} + ${terms(1)}) + ${terms(2)}) + ${terms(3)})"
+    "WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x " +
+      s"FROM embeddings), $pq, $codes, " +
+      "q AS (SELECT x AS qv FROM emb WHERE vec_id = 0), " +
+      "scored AS MATERIALIZED (SELECT k0.vec_id, " +
+      s"round($adistExpr, 6) AS adist " +
+      "FROM pcode0 k0 " +
+      "JOIN pcode1 k1 ON k1.vec_id = k0.vec_id " +
+      "JOIN pcode2 k2 ON k2.vec_id = k0.vec_id " +
+      "JOIN pcode3 k3 ON k3.vec_id = k0.vec_id, " +
+      "p0c3 cb0, p1c3 cb1, p2c3 cb2, p3c3 cb3, q " +
+      "WHERE k0.vec_id <> 0), " +
+      "sl AS MATERIALIZED (SELECT vec_id, adist FROM (SELECT vec_id, adist, " +
+      "row_number() OVER (ORDER BY adist, vec_id) AS rn FROM scored) " +
+      "WHERE rn <= 50), " +
+      "rr AS (SELECT s.vec_id, b.label, s.adist, " +
+      "round(list_reduce(list_transform(range(1, 65), " +
+      "t -> (e2.x[t] - q.qv[t]) * (e2.x[t] - q.qv[t])), (a, b) -> a + b), 6) AS dist " +
+      "FROM sl s JOIN emb e2 ON e2.vec_id = s.vec_id " +
+      "JOIN embeddings b ON b.vec_id = s.vec_id, q) " +
+      "SELECT vec_id, label, adist, dist FROM (SELECT vec_id, label, adist, dist, " +
+      "row_number() OVER (ORDER BY dist, vec_id) AS rn FROM rr) " +
+      "WHERE rn <= 10 ORDER BY dist, vec_id"
+  }
+
   val oracles: Seq[(String, String)] = Seq(
     // full IVF-PQ replay: training, encode, probe, ADC, both cuts
     "g73_ann_ivfpq_serve" -> g73Oracle,
+
+    // full in-query PQ replay (CONVERTED from rows-only this round): the
+    // deterministic Lloyd chains make even the raw-double codebooks
+    // SQL-replayable — training, encode, ADC, shortlist, re-rank
+    "g55_pq_adc_topk" -> g55Oracle,
 
     "g3_sim_cosine_pairs" ->
       ("SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label, " +
@@ -1302,7 +1366,29 @@ object VectorQueries extends QueryModule {
         "ORDER BY cos DESC, b.vec_id LIMIT 10"),
 
     // g5b: approximate (LSH) — oracle intentionally omitted.
-    // g4b: approximate (IVF) — oracle intentionally omitted.
+
+    // g4b CONVERTED from rows-only (r15): the label codebook is the exact
+    // decimal per-label mean, and the nearest-cell assignment now ranks on
+    // the 6dp-ROUNDED cosine (label ties low) — so codebook build, probe
+    // selection, per-vector assignment, and the top-10 cut all replay
+    "g4b_sim_topk_ivf" ->
+      ("WITH cb AS MATERIALIZED (SELECT label AS clabel, list(c ORDER BY pos) AS cv FROM (" +
+        "SELECT label, pos, CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(v) AS c " +
+        "FROM (SELECT label, pos, CAST(embedding AS DOUBLE[])[pos + 1] AS v " +
+        "FROM embeddings, range(64) t(pos)) GROUP BY label, pos) GROUP BY label), " +
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0), " +
+        "probed AS (SELECT clabel FROM (SELECT clabel, row_number() OVER (ORDER BY " +
+        "round(list_cosine_similarity(qv, cv), 6) DESC, clabel) AS rn FROM q, cb) " +
+        "WHERE rn <= 2), " +
+        "asg AS MATERIALIZED (SELECT vec_id, clabel AS cell FROM (" +
+        "SELECT e.vec_id, cb.clabel, row_number() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cb.cv), 6) DESC, " +
+        "cb.clabel) AS rn FROM embeddings e, cb) WHERE rn = 1) " +
+        "SELECT e.vec_id, e.label, " +
+        "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), 6) AS cos " +
+        "FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id, q " +
+        "WHERE e.vec_id <> 0 AND a.cell IN (SELECT clabel FROM probed) " +
+        "ORDER BY cos DESC, e.vec_id LIMIT 10"),
 
     // g5c: EXACT block nested-loop kNN — same answer, same oracle as g5.
     "g5c_knn_block" ->
