@@ -659,6 +659,78 @@ object PipelineQueries extends QueryModule {
           coalesce(expr("listagg(CASE WHEN masked THEN concat('<extra_id_', CAST(sent_id AS STRING), '> ', span_text) " +
             "END, ' ') WITHIN GROUP (ORDER BY span_id)"), lit("")).as("target"))
         .orderBy("doc_id")
+    }),
+
+    // G74: HYBRID RETRIEVAL with RECIPROCAL RANK FUSION — the serving shape
+    // every RAG stack runs: a lexical leg (g58's deterministic BM25 over
+    // 3 query terms) and a semantic leg (exact cosine against doc 0's
+    // embedding, doc_id == vec_id per g10's linkage) each produce a top-20
+    // ranked list, fused by RRF: score = Σ_legs 1/(60 + rank), missing legs
+    // contribute 0 (Cormack et al.'s k=60). Rank-based fusion needs no
+    // score calibration between legs — exactly why production systems use
+    // it — and makes the oracle trivial: ranks are integers, each
+    // reciprocal is ONE IEEE division, and the 2-term sum is written in
+    // fixed (lex + vec) order. Scale shape at 100 TB: each leg is its own
+    // top-k (the BM25 leg never scans docs without a query term, the
+    // vector leg is the ANN family's job — g71 drops in for the exact
+    // scan here); the fusion is a 20∪20-row full-outer join — driver-free,
+    // metadata-scale.
+    "g74_hybrid_rrf" -> ((s, dir) => {
+      graft.functions.CosineSim.register(s)
+      val spark = s
+      import spark.implicits._
+      val t = Tables(s, dir)
+      // lexical leg — g58's BM25 (rational idf ×2, k1=1, b=½, fixed-order
+      // 3-term sum), cut to a ranked top-20
+      val terms = Seq("spark", "merge", "vector")
+      val toks = t.documents
+        .select(col("doc_id"), explode(TF.tokens(lower(col("text")))).as("term"))
+      val corpus = toks.agg(count(lit(1)).as("tt"),
+        countDistinct(col("doc_id")).as("nn")).head()
+      val (tt, nn) = (corpus.getLong(0), corpus.getLong(1))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val tf = toks.filter(col("term").isin(terms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df), "term").join(dl, "doc_id")
+        .withColumn("idf",
+          (lit(2) * nn - lit(2) * col("df") + lit(1)).cast("double") /
+            (lit(2) * col("df") + lit(1)).cast("double"))
+        .withColumn("tfc",
+          (lit(4) * tt * col("tf")).cast("double") /
+            (lit(2) * tt * col("tf") + lit(tt) + col("dl") * nn).cast("double"))
+        .withColumn("s", col("idf") * col("tfc"))
+      val byTerm = scored.groupBy("doc_id")
+        .pivot("term", terms).agg(first(col("s")))
+      val bmScore = terms.map(c => coalesce(col(s"`$c`"), lit(0d))).reduce(_ + _)
+      // top-k FIRST (parallel TakeOrdered), the rank window only ever sees
+      // the 20 surviving rows — never a global window over the corpus
+      val wLex = Window.orderBy(col("bm25").desc, col("doc_id"))
+      val lex = byTerm.withColumn("bm25", bmScore)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+        .withColumn("rank_lex", row_number().over(wLex))
+        .select("doc_id", "rank_lex")
+      // semantic leg — exact cosine top-20 vs doc 0's embedding
+      val query = t.embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding")).as[Seq[Float]].head().map(_.toDouble).toSeq
+      val wVec = Window.orderBy(col("cos").desc, col("doc_id"))
+      val vec = t.embeddings.filter(col("vec_id") =!= 0)
+        .withColumn("qv", typedLit(query))
+        .select(col("vec_id").as("doc_id"),
+          round(expr("cosine_sim(transform(embedding, x -> CAST(x AS DOUBLE)), qv)"), 6).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(20)
+        .withColumn("rank_vec", row_number().over(wVec))
+        .select("doc_id", "rank_vec")
+      // RRF fusion: fixed lex + vec order, absent legs contribute 0
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("rank_lex"), lit(0)).as("rank_lex"),
+          coalesce(col("rank_vec"), lit(0)).as("rank_vec"),
+          round(
+            coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
     })
   )
 
@@ -1071,6 +1143,39 @@ object PipelineQueries extends QueryModule {
         "ELSE span_text END, ' ' ORDER BY span_id) AS corrupted, " +
         "coalesce(string_agg(CASE WHEN masked THEN '<extra_id_' || CAST(sent_id AS VARCHAR) || '> ' || span_text END, " +
         "' ' ORDER BY span_id), '') AS target " +
-        "FROM nb GROUP BY doc_id ORDER BY doc_id")
+        "FROM nb GROUP BY doc_id ORDER BY doc_id"),
+
+    // RRF fusion: the g58 BM25 replay cut at 20, the exact-cosine leg cut
+    // at 20, reciprocals as single IEEE divisions summed in fixed order
+    "g74_hybrid_rrf" ->
+      ("WITH p AS (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS term FROM documents), " +
+        "c AS (SELECT count(*) AS tt, count(DISTINCT doc_id) AS nn FROM p), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM p GROUP BY 1), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM p " +
+        "WHERE term IN ('spark','merge','vector') GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "sc AS (SELECT tf.doc_id, tf.term, " +
+        "(CAST(2*c.nn - 2*df.df + 1 AS DOUBLE) / CAST(2*df.df + 1 AS DOUBLE)) * " +
+        "(CAST(4*c.tt*tf.tf AS DOUBLE) / CAST(2*c.tt*tf.tf + c.tt + dl.dl*c.nn AS DOUBLE)) AS s " +
+        "FROM tf JOIN df USING (term) JOIN dl USING (doc_id), c), " +
+        "pv AS (SELECT doc_id, " +
+        "max(CASE WHEN term = 'spark' THEN s END) AS s1, " +
+        "max(CASE WHEN term = 'merge' THEN s END) AS s2, " +
+        "max(CASE WHEN term = 'vector' THEN s END) AS s3 FROM sc GROUP BY doc_id), " +
+        "lex AS (SELECT doc_id, rank_lex FROM (SELECT doc_id, " +
+        "CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank_lex FROM (" +
+        "SELECT doc_id, (coalesce(s1, 0) + coalesce(s2, 0)) + coalesce(s3, 0) AS bm25 " +
+        "FROM pv)) WHERE rank_lex <= 20), " +
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0), " +
+        "vec AS (SELECT doc_id, rank_vec FROM (SELECT vec_id AS doc_id, " +
+        "CAST(row_number() OVER (ORDER BY " +
+        "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) DESC, vec_id) AS INT) AS rank_vec " +
+        "FROM embeddings, q WHERE vec_id <> 0) WHERE rank_vec <= 20) " +
+        "SELECT doc_id, coalesce(rank_lex, 0) AS rank_lex, " +
+        "coalesce(rank_vec, 0) AS rank_vec, " +
+        "round(coalesce(CAST(1 AS DOUBLE) / (60 + rank_lex), 0) + " +
+        "coalesce(CAST(1 AS DOUBLE) / (60 + rank_vec), 0), 6) AS rrf " +
+        "FROM lex FULL OUTER JOIN vec USING (doc_id) " +
+        "ORDER BY rrf DESC, doc_id LIMIT 10")
   )
 }

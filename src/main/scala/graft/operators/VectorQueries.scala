@@ -545,6 +545,134 @@ object VectorQueries extends QueryModule {
         .limit(10)
     }),
 
+    // G75: FILTERED ANN — top-k under a metadata predicate, the serving
+    // shape every production vector store exposes (Qdrant/Vespa/Milvus
+    // "filtered search"): the SAME persisted IVF index as g71 serves a
+    // query that only wants label % 3 == 1 candidates. The predicate
+    // composes with the index read instead of post-filtering a materialized
+    // top-k (which under-fills k when the filter is selective): cell
+    // probing prunes partitions AND the label predicate pushes into the
+    // postings parquet scan (both pinned in PlanSpec), so the executor
+    // touches only probed-cell row groups that can contain matching labels.
+    // Exact within the probed cells → the oracle replays training,
+    // assignment, probe selection, the filter, and the top-10 cut.
+    // Plan shape at 100 TB: identical to g71 plus one pushed predicate —
+    // filtered serving costs LESS than unfiltered, never more.
+    "g75_ann_filtered" -> ((s, dir) => {
+      graft.functions.CosineSim.register(s)
+      val spark = s
+      import spark.implicits._
+      val t = Tables(s, dir)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_${Tables.pathKey(dir)}"
+      graft.sources.IvfIndex.write(t.embeddings, idx)
+      def dotd(x: Array[Double], y: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i) * y(i); i += 1 }
+        acc
+      }
+      def cos(a: Array[Double], b: Array[Double]): Double =
+        dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
+      val query = t.embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding")).as[Seq[Float]].head().map(_.toDouble).toArray
+      val probes = graft.sources.IvfIndex.centroids(s, idx)
+        .map { case (cell, c) =>
+          (cell, BigDecimal(cos(query, c)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        }
+        .sortBy { case (cell, sim) => (-sim, cell) }.take(2).map(_._1)
+      graft.sources.IvfIndex.postings(s, idx)
+        .filter(col("cell").isin(probes.map(Integer.valueOf): _*) &&
+          col("label") % 3 === 1 && col("vec_id") =!= 0)
+        .withColumn("qv", typedLit(query.toSeq))
+        .select(col("vec_id"), col("label"),
+          round(expr("cosine_sim(transform(embedding, x -> CAST(x AS DOUBLE)), qv)"), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // G76: INCREMENTAL INDEX UPDATE — the segment discipline: a 10% delta
+    // batch (vec_id % 10 == 9) arrives AFTER the index was built on the
+    // other 90%; retraining per batch is unaffordable at 100 TB, so the
+    // delta is assigned to the FROZEN persisted codebook (the 6dp serving
+    // centroids) and committed as its own immutable cell-partitioned
+    // segment (sources/IvfIndex.appendSegment — idempotent per content
+    // fingerprint, self-healing overwrite). Serving unions the base and
+    // segment postings scans, the probed-cells filter pruning partitions
+    // in BOTH (pinned in PlanSpec); VectorSpec pins that the append left
+    // the codebook bit-identical and that a re-append is a no-op. Full
+    // oracle: DuckDB trains on the base subset, re-assigns the delta to
+    // the rounded codebook, unions, and replays probe + top-10. The ANN
+    // twin of i23's pinned-index streaming dedup.
+    "g76_ann_index_append" -> ((s, dir) => {
+      graft.functions.CosineSim.register(s)
+      val spark = s
+      import spark.implicits._
+      val t = Tables(s, dir)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfseg_${Tables.pathKey(dir)}"
+      graft.sources.IvfIndex.write(t.embeddings.filter(col("vec_id") % 10 =!= 9), idx)
+      graft.sources.IvfIndex.appendSegment(
+        t.embeddings.filter(col("vec_id") % 10 === 9), idx, "d1")
+      def dotd(x: Array[Double], y: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i) * y(i); i += 1 }
+        acc
+      }
+      def cos(a: Array[Double], b: Array[Double]): Double =
+        dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
+      val query = t.embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding")).as[Seq[Float]].head().map(_.toDouble).toArray
+      val probes = graft.sources.IvfIndex.centroids(s, idx)
+        .map { case (cell, c) =>
+          (cell, BigDecimal(cos(query, c)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        }
+        .sortBy { case (cell, sim) => (-sim, cell) }.take(2).map(_._1)
+      graft.sources.IvfIndex.postings(s, idx)
+        .unionByName(graft.sources.IvfIndex.segment(s, idx, "d1"))
+        .filter(col("cell").isin(probes.map(Integer.valueOf): _*) &&
+          col("vec_id") =!= 0)
+        .withColumn("qv", typedLit(query.toSeq))
+        .select(col("vec_id"), col("label"),
+          round(expr("cosine_sim(transform(embedding, x -> CAST(x AS DOUBLE)), qv)"), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // G77: MULTI-VECTOR LATE INTERACTION (ColBERT-style MaxSim) — the
+    // retrieval model where documents and queries are SETS of vectors and
+    // score(q, d) = Σ_i max_j cos(q_i, d_j): each query token finds its
+    // best-matching document token. Token vectors are derived
+    // deterministically as the embedding's four 16-dim slices (the fixture
+    // stand-in for a real per-token encoder — the scoring plan is the real
+    // thing). Fully declarative: the 16 slice-pair similarities are
+    // codegen'd cosine_sim calls over `slice()` projections, each rounded
+    // to 6dp, the per-query-token max is `greatest`, and the 4-term sum is
+    // written in fixed order — so DuckDB replays the exact doubles. Plan
+    // shape at 100 TB: one narrow scan-speed projection per document (16
+    // fused 16-dim kernels, no shuffle, no explode — n×16 FLOPs, not n×16
+    // rows), then the global top-10.
+    "g77_colbert_maxsim" -> ((s, dir) => {
+      graft.functions.CosineSim.register(s)
+      val spark = s
+      import spark.implicits._
+      val t = Tables(s, dir)
+      val query = t.embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding")).as[Seq[Float]].head().map(_.toDouble).toArray
+      val base = (0 until 4).foldLeft(
+        t.embeddings.filter(col("vec_id") =!= 0)
+          .withColumn("dv", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))) {
+        case (df, i) =>
+          df.withColumn(s"q$i", typedLit(query.slice(i * 16, i * 16 + 16).toSeq))
+      }
+      val sims = (0 until 4).map { i =>
+        greatest((0 until 4).map(j =>
+          round(expr(s"cosine_sim(slice(dv, ${j * 16 + 1}, 16), q$i)"), 6)): _*)
+      }
+      // fixed-order sum ((s0 + s1) + s2) + s3 — never reassociated
+      val score = sims.reduce(_ + _)
+      base.select(col("vec_id"), col("label"), round(score, 6).as("maxsim"))
+        .orderBy(col("maxsim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // G4b: IVF top-k — a data-derived coarse codebook (per-label centroids),
     // each vector assigned to its NEAREST centroid, query probes the 2
     // closest cells and searches only those. The codebook is tiny (10×64)
@@ -1098,7 +1226,7 @@ object VectorQueries extends QueryModule {
       s"SELECT vec_id, x, cid, d2, row_number() OVER (PARTITION BY vec_id " +
       s"ORDER BY d2, cid) AS rn FROM d$nm) WHERE rn = 1)"
 
-  private def kmeansCtes(iters: Int): String = {
+  private def kmeansCtes(iters: Int, where: String = ""): String = {
     val rounds = (1 to iters).map { k =>
       kmeansAssign(s"c${k - 1}", s"$k") + ", " +
         s"u$k AS (SELECT cid, list(m ORDER BY p) AS cv FROM (" +
@@ -1110,7 +1238,7 @@ object VectorQueries extends QueryModule {
         s"LEFT JOIN u$k u ON u.cid = cx.ci)"
     }.mkString(", ")
     "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x " +
-      "FROM embeddings), " +
+      s"FROM embeddings$where), " +
       "c0 AS MATERIALIZED (SELECT list(x ORDER BY vec_id) AS cs FROM (" +
       "SELECT vec_id, x FROM emb ORDER BY vec_id LIMIT 8)), " +
       rounds
@@ -1366,6 +1494,71 @@ object VectorQueries extends QueryModule {
         "ORDER BY cos DESC, b.vec_id LIMIT 10"),
 
     // g5b: approximate (LSH) — oracle intentionally omitted.
+
+    // filtered ANN: g71's replay plus the pushed metadata predicate —
+    // exact within the probed cells, so the filter composes conjunctively
+    "g75_ann_filtered" ->
+      (s"WITH ${kmeansCtes(5)}, ${kmeansAssign("c5", "f")}, " +
+        "cb AS (SELECT cx.ci AS cell, " +
+        "list_transform(cs[cx.ci + 1], v -> round(v, 6)) AS cv " +
+        "FROM c5, range(0, 8) cx(ci)), " +
+        "q AS (SELECT x AS qv FROM emb WHERE vec_id = 0), " +
+        "probed AS (SELECT cell FROM (SELECT cell, row_number() OVER (ORDER BY " +
+        "round(list_cosine_similarity(qv, cv), 6) DESC, cell) AS rn FROM q, cb) " +
+        "WHERE rn <= 2) " +
+        "SELECT b.vec_id, b.label, " +
+        "round(list_cosine_similarity(a.x, qv), 6) AS cos " +
+        "FROM embeddings b, af a, q WHERE a.vec_id = b.vec_id " +
+        "AND b.vec_id <> 0 AND b.label % 3 = 1 " +
+        "AND a.cid IN (SELECT cell FROM probed) " +
+        "ORDER BY cos DESC, b.vec_id LIMIT 10"),
+
+    // segment append: train on the 90% base, assign the 10% delta to the
+    // ROUNDED frozen codebook (what the serving artifact holds), union,
+    // then replay probe selection and the top-10 cut
+    "g76_ann_index_append" ->
+      (s"WITH ${kmeansCtes(5, " WHERE vec_id % 10 <> 9")}, " +
+        s"${kmeansAssign("c5", "f")}, " +
+        "cb AS MATERIALIZED (SELECT cx.ci AS cell, " +
+        "list_transform(cs[cx.ci + 1], v -> round(v, 6)) AS cv " +
+        "FROM c5, range(0, 8) cx(ci)), " +
+        "demb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x " +
+        "FROM embeddings WHERE vec_id % 10 = 9), " +
+        "dasg AS (SELECT vec_id, x, cell AS cid FROM (" +
+        "SELECT d.vec_id, d.x, cb.cell, row_number() OVER (PARTITION BY d.vec_id " +
+        "ORDER BY list_reduce(list_transform(range(1, 65), " +
+        "t -> (d.x[t] - cb.cv[t]) * (d.x[t] - cb.cv[t])), (a, b) -> a + b), cell) AS rn " +
+        "FROM demb d, cb) WHERE rn = 1), " +
+        "allv AS (SELECT vec_id, x, cid FROM af " +
+        "UNION ALL SELECT vec_id, x, cid FROM dasg), " +
+        "q AS (SELECT x AS qv FROM emb WHERE vec_id = 0), " +
+        "probed AS (SELECT cell FROM (SELECT cell, row_number() OVER (ORDER BY " +
+        "round(list_cosine_similarity(qv, cv), 6) DESC, cell) AS rn FROM q, cb) " +
+        "WHERE rn <= 2) " +
+        "SELECT b.vec_id, b.label, " +
+        "round(list_cosine_similarity(a.x, qv), 6) AS cos " +
+        "FROM embeddings b, allv a, q WHERE a.vec_id = b.vec_id " +
+        "AND b.vec_id <> 0 AND a.cid IN (SELECT cell FROM probed) " +
+        "ORDER BY cos DESC, b.vec_id LIMIT 10"),
+
+    // MaxSim late interaction: 16 slice-pair cosines each rounded to 6dp,
+    // per-query-token greatest, fixed-order 4-term sum — exact replay
+    "g77_colbert_maxsim" -> {
+      def s(i: Int): String = {
+        val qlo = i * 16 + 1; val qhi = i * 16 + 16
+        "greatest(" + (0 until 4).map { j =>
+          val lo = j * 16 + 1; val hi = j * 16 + 16
+          s"round(list_cosine_similarity(e.x[$lo:$hi], qv[$qlo:$qhi]), 6)"
+        }.mkString(", ") + s") AS s$i"
+      }
+      "WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x " +
+        "FROM embeddings), " +
+        "q AS (SELECT x AS qv FROM emb WHERE vec_id = 0), " +
+        s"sc AS (SELECT e.vec_id, e.label, ${(0 until 4).map(s).mkString(", ")} " +
+        "FROM emb e, q WHERE e.vec_id <> 0) " +
+        "SELECT vec_id, label, round(((s0 + s1) + s2) + s3, 6) AS maxsim " +
+        "FROM sc ORDER BY maxsim DESC, vec_id LIMIT 10"
+    },
 
     // g4b CONVERTED from rows-only (r15): the label codebook is the exact
     // decimal per-label mean, and the nearest-cell assignment now ranks on

@@ -708,6 +708,56 @@ object WarehouseQueries extends QueryModule {
         .select(col("bucket"), col("n"), round(col("rev"), 6).as("revenue"),
           lit(expired.size).cast("int").as("n_expired"))
         .orderBy("bucket")
+    }),
+
+    // M21: WRITE-TIME EXPECTATIONS with ROW QUARANTINE — the row-level
+    // data-quality gate (Delta Live Tables' `expect_or_quarantine`,
+    // dbt-style tests enforced at ingest) that m4's read-side audit and
+    // m12's table-level write-audit-publish both lack: each arriving row is
+    // checked against an ORDERED rule list inside one codegen'd projection;
+    // rows passing every rule commit to the table, violators land in a
+    // quarantine table tagged with the FIRST failing rule (the order makes
+    // the reason deterministic), and the graded result is the audit ledger
+    // — per-rule quarantine counts (zero-count rules included, proving the
+    // rule ran) plus the committed row count. Both sides are SnapshotTable
+    // commits: the quarantine is queryable/replayable for repair jobs, not
+    // a log line. WarehouseSpec pins conservation (committed + quarantined
+    // == input) and that the committed table holds ZERO violating rows.
+    // Scale shape at 100 TB: the rule CASE is a narrow scan-speed
+    // projection; the two filtered writes are the standard DLT split (one
+    // pass each, no shuffle — partitioned-by-validity single-pass write is
+    // the variant when the input scan itself is the bottleneck).
+    "m21_expectations_quarantine" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m21_${Tables.pathKey(dir)}"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root))
+      val t = Tables(s, dir)
+      val src = t.lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_discount"), col("l_tax"), col("l_returnflag"))
+      // ordered rule list — first failing rule wins the reason; the last
+      // rule never fires on this fixture, proving zero-count rules surface
+      val reason = when(col("l_quantity") > 45, "quantity_gt_45")
+        .when(col("l_discount") > 0.08, "discount_gt_8pct")
+        .when(col("l_tax") > 0.07, "tax_gt_7pct")
+        .when(!col("l_returnflag").isin("A", "N", "R"), "bad_returnflag")
+      val tagged = src.withColumn("__reason", reason)
+      SnapshotTable.commit(
+        tagged.filter(col("__reason").isNull).drop("__reason"), s"$root/table")
+      SnapshotTable.commit(
+        tagged.filter(col("__reason").isNotNull), s"$root/quarantine")
+      val committedN = SnapshotTable.read(s, s"$root/table").count()
+      val rules = Seq("quantity_gt_45", "discount_gt_8pct", "tax_gt_7pct",
+        "bad_returnflag").toDF("rule")
+      val qCounts = SnapshotTable.read(s, s"$root/quarantine")
+        .groupBy(col("__reason").as("rule")).agg(count(lit(1)).as("n"))
+      rules.join(qCounts, Seq("rule"), "left")
+        .select(col("rule"), coalesce(col("n"), lit(0L)).as("n_rows"))
+        .unionByName(Seq(("committed", committedN)).toDF("rule", "n_rows"))
+        .orderBy("rule")
     })
   )
 
@@ -910,6 +960,22 @@ object WarehouseQueries extends QueryModule {
       ("SELECT o_orderkey % 10 AS bucket, count(*) AS n, " +
         s"round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue, " +
         "CAST(3 AS INT) AS n_expired " +
-        "FROM orders GROUP BY 1 ORDER BY bucket")
+        "FROM orders GROUP BY 1 ORDER BY bucket"),
+
+    // the quarantine ledger re-derives from the same ordered CASE rule list
+    "m21_expectations_quarantine" ->
+      ("WITH t AS (SELECT CASE WHEN l_quantity > 45 THEN 'quantity_gt_45' " +
+        "WHEN l_discount > 0.08 THEN 'discount_gt_8pct' " +
+        "WHEN l_tax > 0.07 THEN 'tax_gt_7pct' " +
+        "WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 'bad_returnflag' END AS rule " +
+        "FROM lineitem) " +
+        "SELECT rule, n_rows FROM (" +
+        "SELECT r.rule, CAST(coalesce(q.n, 0) AS BIGINT) AS n_rows " +
+        "FROM (VALUES ('quantity_gt_45'), ('discount_gt_8pct'), " +
+        "('tax_gt_7pct'), ('bad_returnflag')) r(rule) " +
+        "LEFT JOIN (SELECT rule, count(*) AS n FROM t WHERE rule IS NOT NULL " +
+        "GROUP BY 1) q USING (rule) " +
+        "UNION ALL SELECT 'committed', count(*) FROM t WHERE rule IS NULL" +
+        ") ORDER BY rule")
   )
 }

@@ -79,6 +79,54 @@ object IvfIndex {
     }
   }
 
+  /** INCREMENTAL index update — the segment discipline (how Lucene/FAISS
+    * deployments absorb new vectors without retraining): the base index
+    * stays immutable; a delta batch is assigned to the FROZEN persisted
+    * codebook (the 6dp serving centroids — exactly what a serving node
+    * holds; no retrain, no base rewrite) and written as its own
+    * cell-partitioned segment under `segments/<name>/`. Serving unions the
+    * base and segment postings scans, each partition-pruned to the probed
+    * cells. Idempotent per segment content fingerprint (the `_ready`
+    * discipline), and overwrite-mode makes a half-written segment
+    * self-healing on rerun — the marker is only written after the segment
+    * commit completes.
+    *
+    * Scale notes (100 TB): the delta assignment is one narrow codegen pass
+    * over the delta batch (k×d literal codebook, no shuffle); the segment
+    * write is a cell-partitioned write of ONLY the delta. Query cost grows
+    * by one pruned scan per live segment — real deployments fold segments
+    * back into the base on a compaction schedule (m9's compact shape). */
+  def appendSegment(delta: DataFrame, path: String, name: String): Unit = {
+    val spark = delta.sparkSession
+    val segReady = Paths.get(path, s"_seg_${name}_ready")
+    val fpRow = delta.agg(count(lit(1)),
+      coalesce(sum(crc32(concat_ws(",", col("vec_id"), col("label"),
+        concat_ws(",", transform(col("embedding"), x => x.cast("string"))))
+        .cast("binary"))), lit(0L))).head()
+    val fingerprint = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    val stale = Files.exists(segReady) &&
+      new String(Files.readAllBytes(segReady), "UTF-8") != fingerprint
+    if (!Files.exists(segReady) || stale) {
+      // FROZEN codebook: the rounded persisted centroids, i.e. what probe
+      // selection itself reads — a serving node never sees the raw
+      // Lloyd-final doubles
+      val cents = centroids(spark, path).map(_._2).toArray
+      val vd = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+      val base = delta.select(col("vec_id"), col("label"), col("embedding"),
+        vd.as("__x"))
+      val (cid, _) = graft.plans.KMeans.assignCols("__x", cents)
+      base.select(cid.as("cell"), col("vec_id"), col("label"), col("embedding"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/segments/$name")
+      Files.write(segReady, fingerprint.getBytes("UTF-8"))
+      ()
+    }
+  }
+
+  /** A segment's postings; filter on `cell` prunes exactly like the base. */
+  def segment(spark: SparkSession, path: String, name: String): DataFrame =
+    spark.read.parquet(s"$path/segments/$name")
+
   /** Codebook hyper-parameters — shared with the DuckDB oracles, which
     * unroll exactly [[lloydIters]] Lloyd iterations over [[cellsK]] cells
     * (operators/VectorQueries kmeansCtes). */

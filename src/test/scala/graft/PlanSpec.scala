@@ -309,6 +309,27 @@ class PlanSpec extends AnyFunSuite {
       s"cell probe did not become a partition filter:\n$p")
   }
 
+  test("g75: filtered ANN composes partition pruning with a pushed metadata predicate") {
+    val df = SparkEntry.queries("g75_ann_filtered")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cell""".r.findFirstIn(p).isDefined,
+      s"cell probe did not become a partition filter:\n$p")
+    // the label predicate must reach the postings parquet scan, not run as
+    // a post-scan Filter only — filtered serving costs LESS, never more
+    assert("""PushedFilters: \[[^\]]*label""".r.findFirstIn(p).isDefined,
+      s"label predicate did not push into the postings scan:\n$p")
+  }
+
+  test("g76: the probed-cells filter prunes BOTH the base and segment scans under the union") {
+    val df = SparkEntry.queries("g76_ann_index_append")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val pruned = """PartitionFilters: \[[^\]]*cell""".r.findAllIn(p).size
+    assert(pruned >= 2,
+      s"expected cell partition pruning in both union legs, found $pruned:\n$p")
+  }
+
   test("s8: LATERAL + per-row LIMIT decorrelates to a window group-limit, not a nested loop") {
     val p = finalPlan("s8_sql_lateral")
     assert(p.contains("WindowGroupLimit"), p)

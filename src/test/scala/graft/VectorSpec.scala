@@ -260,6 +260,36 @@ class VectorSpec extends AnyFunSuite {
     ()
   }
 
+  test("g76: segment append freezes the codebook, partitions the delta exactly, and re-appends are no-ops") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sfDir)
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfseg_${Tables.pathKey(sfDir)}"
+    val base = t.embeddings.filter(col("vec_id") % 10 =!= 9)
+    val delta = t.embeddings.filter(col("vec_id") % 10 === 9)
+    graft.sources.IvfIndex.write(base, idx)
+    val before = graft.sources.IvfIndex.centroids(spark, idx)
+      .map { case (c, v) => (c, v.toSeq) }
+    graft.sources.IvfIndex.appendSegment(delta, idx, "d1")
+    // no retrain: the serving codebook is bit-identical after the append
+    val after = graft.sources.IvfIndex.centroids(spark, idx)
+      .map { case (c, v) => (c, v.toSeq) }
+    assert(before == after, "segment append retrained the codebook")
+    // the segment holds exactly the delta, every row in a valid cell
+    val seg = graft.sources.IvfIndex.segment(spark, idx, "d1")
+    assert(seg.count() == delta.count())
+    assert(seg.filter(col("cell") < 0 || col("cell") >= graft.sources.IvfIndex.cellsK)
+      .count() == 0)
+    // idempotence: the fingerprint marker makes a re-append a no-op
+    graft.sources.IvfIndex.appendSegment(delta, idx, "d1")
+    assert(graft.sources.IvfIndex.segment(spark, idx, "d1").count() == delta.count(),
+      "re-append duplicated the segment")
+    // base ∪ segment covers the corpus exactly once
+    val union = graft.sources.IvfIndex.postings(spark, idx)
+      .select("vec_id").unionByName(seg.select("vec_id"))
+    assert(union.count() == t.embeddings.count())
+    assert(union.distinct().count() == t.embeddings.count())
+  }
+
   test("g55: PQ-ADC distances equal query-to-decoded distances exactly; recall is sane") {
     import org.apache.spark.sql.functions._
     val t = Tables(spark, sfDir)

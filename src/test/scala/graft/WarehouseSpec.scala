@@ -554,4 +554,28 @@ class WarehouseSpec extends AnyFunSuite {
     val empty = spark.sql("SELECT bitmap_contains(X'', 5L)").collect()(0)
     assert(!empty.getBoolean(0), "empty blob contains nothing")
   }
+
+  test("m21: expectations conserve rows and the committed table is violation-free") {
+    import graft.sources.SnapshotTable
+    // run the declared query — it (re)builds both SnapshotTables
+    SparkEntry.queries("m21_expectations_quarantine")(spark, sfDir).collect()
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_m21_${Tables.pathKey(sfDir)}"
+    val t = Tables(spark, sfDir)
+    val committed = SnapshotTable.read(spark, s"$root/table")
+    val quarantined = SnapshotTable.read(spark, s"$root/quarantine")
+    // conservation: every input row lands in exactly one side
+    assert(committed.count() + quarantined.count() == t.lineitem.count(),
+      "committed + quarantined must equal the input")
+    // the committed table must hold ZERO rows violating ANY rule
+    val violating = committed.filter(
+      col("l_quantity") > 45 || col("l_discount") > 0.08 ||
+        col("l_tax") > 0.07 || !col("l_returnflag").isin("A", "N", "R"))
+    assert(violating.count() == 0, "a violating row leaked into the table")
+    // every quarantined row carries a reason from the declared rule list
+    assert(quarantined.filter(col("__reason").isNull).count() == 0)
+    val reasons = quarantined.select("__reason").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(reasons.subsetOf(Set("quantity_gt_45", "discount_gt_8pct",
+      "tax_gt_7pct", "bad_returnflag")))
+  }
 }
