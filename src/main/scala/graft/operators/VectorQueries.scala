@@ -636,6 +636,106 @@ object VectorQueries extends QueryModule {
         .limit(10)
     }),
 
+    // G78: INDEX COMPACTION — the lifecycle close of g76's segment append
+    // (the index twin of m9's file compaction / m20's vacuum): base ∪
+    // segment rewrite into a fresh cell-partitioned GENERATION, an atomic
+    // `_postings` pointer flip (readers never see a half-compacted index),
+    // segment dirs dropped — so per-query scan count returns to ONE pruned
+    // read no matter how many deltas accumulated. Idempotent end to end
+    // (fingerprint + compaction markers), and serving equality is the
+    // graded contract: the post-compaction serve must produce EXACTLY the
+    // base∪delta answer — same oracle as g76 (VectorSpec additionally pins
+    // the pointer flip, the dropped segment, and single-scan serving).
+    "g78_ann_index_compact" -> ((s, dir) => {
+      graft.functions.CosineSim.register(s)
+      val spark = s
+      import spark.implicits._
+      val t = Tables(s, dir)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfcmp_${Tables.pathKey(dir)}"
+      graft.sources.IvfIndex.write(t.embeddings.filter(col("vec_id") % 10 =!= 9), idx)
+      graft.sources.IvfIndex.appendSegment(
+        t.embeddings.filter(col("vec_id") % 10 === 9), idx, "d1")
+      graft.sources.IvfIndex.compact(s, idx, Seq("d1"))
+      def dotd(x: Array[Double], y: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i) * y(i); i += 1 }
+        acc
+      }
+      def cos(a: Array[Double], b: Array[Double]): Double =
+        dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
+      val query = t.embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding")).as[Seq[Float]].head().map(_.toDouble).toArray
+      val probes = graft.sources.IvfIndex.centroids(s, idx)
+        .map { case (cell, c) =>
+          (cell, BigDecimal(cos(query, c)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        }
+        .sortBy { case (cell, sim) => (-sim, cell) }.take(2).map(_._1)
+      // ONE pruned scan again — the whole point of compacting
+      graft.sources.IvfIndex.postings(s, idx)
+        .filter(col("cell").isin(probes.map(Integer.valueOf): _*) &&
+          col("vec_id") =!= 0)
+        .withColumn("qv", typedLit(query.toSeq))
+        .select(col("vec_id"), col("label"),
+          round(expr("cosine_sim(transform(embedding, x -> CAST(x AS DOUBLE)), qv)"), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // G79: PROBE SWEEP — the recall/latency tuning curve a deployment reads
+    // before fixing nprobe: serve the SAME query from g71's persisted
+    // learned index at probes = 1..4 and grade each run's overlap with the
+    // exact top-10 as an integer (the g69 discipline, parameterized). Each
+    // leg is one partition-pruned scan of exactly `probes` cells, so the
+    // curve's cost axis is plan-visible; recall is monotone in probes by
+    // construction (candidate sets nest — asserted in VectorSpec). Fully
+    // oracle-backed: DuckDB replays training, the cell ranking, all four
+    // candidate cuts, and the exact baseline.
+    "g79_ann_probe_sweep" -> ((s, dir) => {
+      graft.functions.CosineSim.register(s)
+      val spark = s
+      import spark.implicits._
+      val t = Tables(s, dir)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_${Tables.pathKey(dir)}"
+      graft.sources.IvfIndex.write(t.embeddings, idx)
+      def dotd(x: Array[Double], y: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i) * y(i); i += 1 }
+        acc
+      }
+      def cos(a: Array[Double], b: Array[Double]): Double =
+        dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
+      val query = t.embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding")).as[Seq[Float]].head().map(_.toDouble).toArray
+      val ranked = graft.sources.IvfIndex.centroids(s, idx)
+        .map { case (cell, c) =>
+          (cell, BigDecimal(cos(query, c)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        }
+        .sortBy { case (cell, sim) => (-sim, cell) }.map(_._1)
+      val qv = typedLit(query.toSeq)
+      val scored = t.embeddings.filter(col("vec_id") =!= 0)
+        .withColumn("qv", qv)
+        .select(col("vec_id"),
+          round(expr("cosine_sim(transform(embedding, x -> CAST(x AS DOUBLE)), qv)"), 6).as("cos"))
+      val exact = scored.orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(10).select("vec_id")
+      val legs = (1 to 4).map { p =>
+        graft.sources.IvfIndex.postings(s, idx)
+          .filter(col("cell").isin(ranked.take(p).map(Integer.valueOf): _*) &&
+            col("vec_id") =!= 0)
+          .withColumn("qv", qv)
+          .select(col("vec_id"),
+            round(expr("cosine_sim(transform(embedding, x -> CAST(x AS DOUBLE)), qv)"), 6).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+          .limit(10)
+          .select(lit(p).as("probes"), col("vec_id"))
+      }
+      legs.reduce(_ unionByName _)
+        .join(exact, Seq("vec_id"))
+        .groupBy("probes").agg(count(lit(1)).as("hits_at_10"))
+        .withColumn("recall_pct", (col("hits_at_10") * 10).cast("int"))
+        .orderBy("probes")
+    }),
+
     // G77: MULTI-VECTOR LATE INTERACTION (ColBERT-style MaxSim) — the
     // retrieval model where documents and queries are SETS of vectors and
     // score(q, d) = Σ_i max_j cos(q_i, d_j): each query token finds its
@@ -1375,6 +1475,34 @@ object VectorQueries extends QueryModule {
       "WHERE rn <= 10 ORDER BY dist, vec_id"
   }
 
+  /** Shared g76/g78 replay: train on the 90% base, assign the 10% delta to
+    * the ROUNDED frozen codebook, union, probe, top-10 — compaction must
+    * not change a single served row, so both queries grade against it. */
+  private def g76Oracle: String =
+    s"WITH ${kmeansCtes(5, " WHERE vec_id % 10 <> 9")}, " +
+      s"${kmeansAssign("c5", "f")}, " +
+      "cb AS MATERIALIZED (SELECT cx.ci AS cell, " +
+      "list_transform(cs[cx.ci + 1], v -> round(v, 6)) AS cv " +
+      "FROM c5, range(0, 8) cx(ci)), " +
+      "demb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x " +
+      "FROM embeddings WHERE vec_id % 10 = 9), " +
+      "dasg AS (SELECT vec_id, x, cell AS cid FROM (" +
+      "SELECT d.vec_id, d.x, cb.cell, row_number() OVER (PARTITION BY d.vec_id " +
+      "ORDER BY list_reduce(list_transform(range(1, 65), " +
+      "t -> (d.x[t] - cb.cv[t]) * (d.x[t] - cb.cv[t])), (a, b) -> a + b), cell) AS rn " +
+      "FROM demb d, cb) WHERE rn = 1), " +
+      "allv AS (SELECT vec_id, x, cid FROM af " +
+      "UNION ALL SELECT vec_id, x, cid FROM dasg), " +
+      "q AS (SELECT x AS qv FROM emb WHERE vec_id = 0), " +
+      "probed AS (SELECT cell FROM (SELECT cell, row_number() OVER (ORDER BY " +
+      "round(list_cosine_similarity(qv, cv), 6) DESC, cell) AS rn FROM q, cb) " +
+      "WHERE rn <= 2) " +
+      "SELECT b.vec_id, b.label, " +
+      "round(list_cosine_similarity(a.x, qv), 6) AS cos " +
+      "FROM embeddings b, allv a, q WHERE a.vec_id = b.vec_id " +
+      "AND b.vec_id <> 0 AND a.cid IN (SELECT cell FROM probed) " +
+      "ORDER BY cos DESC, b.vec_id LIMIT 10"
+
   val oracles: Seq[(String, String)] = Seq(
     // full IVF-PQ replay: training, encode, probe, ADC, both cuts
     "g73_ann_ivfpq_serve" -> g73Oracle,
@@ -1516,30 +1644,37 @@ object VectorQueries extends QueryModule {
     // segment append: train on the 90% base, assign the 10% delta to the
     // ROUNDED frozen codebook (what the serving artifact holds), union,
     // then replay probe selection and the top-10 cut
-    "g76_ann_index_append" ->
-      (s"WITH ${kmeansCtes(5, " WHERE vec_id % 10 <> 9")}, " +
-        s"${kmeansAssign("c5", "f")}, " +
-        "cb AS MATERIALIZED (SELECT cx.ci AS cell, " +
+    "g76_ann_index_append" -> g76Oracle,
+
+    // compaction must serve EXACTLY the base∪delta answer — same replay
+    "g78_ann_index_compact" -> g76Oracle,
+
+    // probe sweep: one replayed candidate cut per probes value, graded as
+    // integer overlap with the exact top-10 (the g69 discipline ×4)
+    "g79_ann_probe_sweep" ->
+      (s"WITH ${kmeansCtes(5)}, ${kmeansAssign("c5", "f")}, " +
+        "cb AS (SELECT cx.ci AS cell, " +
         "list_transform(cs[cx.ci + 1], v -> round(v, 6)) AS cv " +
         "FROM c5, range(0, 8) cx(ci)), " +
-        "demb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x " +
-        "FROM embeddings WHERE vec_id % 10 = 9), " +
-        "dasg AS (SELECT vec_id, x, cell AS cid FROM (" +
-        "SELECT d.vec_id, d.x, cb.cell, row_number() OVER (PARTITION BY d.vec_id " +
-        "ORDER BY list_reduce(list_transform(range(1, 65), " +
-        "t -> (d.x[t] - cb.cv[t]) * (d.x[t] - cb.cv[t])), (a, b) -> a + b), cell) AS rn " +
-        "FROM demb d, cb) WHERE rn = 1), " +
-        "allv AS (SELECT vec_id, x, cid FROM af " +
-        "UNION ALL SELECT vec_id, x, cid FROM dasg), " +
         "q AS (SELECT x AS qv FROM emb WHERE vec_id = 0), " +
-        "probed AS (SELECT cell FROM (SELECT cell, row_number() OVER (ORDER BY " +
-        "round(list_cosine_similarity(qv, cv), 6) DESC, cell) AS rn FROM q, cb) " +
-        "WHERE rn <= 2) " +
-        "SELECT b.vec_id, b.label, " +
+        "rc AS (SELECT cell, row_number() OVER (ORDER BY " +
+        "round(list_cosine_similarity(qv, cv), 6) DESC, cell) AS crn FROM q, cb), " +
+        "sc AS MATERIALIZED (SELECT a.vec_id, a.cid, " +
         "round(list_cosine_similarity(a.x, qv), 6) AS cos " +
-        "FROM embeddings b, allv a, q WHERE a.vec_id = b.vec_id " +
-        "AND b.vec_id <> 0 AND a.cid IN (SELECT cell FROM probed) " +
-        "ORDER BY cos DESC, b.vec_id LIMIT 10"),
+        "FROM af a, q WHERE a.vec_id <> 0), " +
+        "apx AS (SELECT probes, vec_id FROM (" +
+        "SELECT p.p AS probes, s.vec_id, row_number() OVER (PARTITION BY p.p " +
+        "ORDER BY s.cos DESC, s.vec_id) AS rn " +
+        "FROM range(1, 5) p(p) JOIN rc ON rc.crn <= p.p " +
+        "JOIN sc s ON s.cid = rc.cell) WHERE rn <= 10), " +
+        "ex AS (SELECT vec_id FROM (SELECT vec_id, row_number() OVER (" +
+        "ORDER BY cos DESC, vec_id) AS rn FROM sc) WHERE rn <= 10) " +
+        "SELECT CAST(p.p AS INT) AS probes, " +
+        "CAST(coalesce(h.n, 0) AS BIGINT) AS hits_at_10, " +
+        "CAST(coalesce(h.n, 0) * 10 AS INT) AS recall_pct " +
+        "FROM range(1, 5) p(p) LEFT JOIN (SELECT probes, count(*) AS n " +
+        "FROM apx JOIN ex USING (vec_id) GROUP BY 1) h ON h.probes = p.p " +
+        "ORDER BY probes"),
 
     // MaxSim late interaction: 16 slice-pair cosines each rounded to 6dp,
     // per-query-token greatest, fixed-order 4-term sum — exact replay

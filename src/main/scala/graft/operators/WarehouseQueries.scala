@@ -758,6 +758,46 @@ object WarehouseQueries extends QueryModule {
         .select(col("rule"), coalesce(col("n"), lit(0L)).as("n_rows"))
         .unionByName(Seq(("committed", committedN)).toDF("rule", "n_rows"))
         .orderBy("rule")
+    }),
+
+    // M22: SHALLOW CLONE — zero-copy table branching (Delta CLONE, the
+    // dev/test-against-prod-data primitive): the clone's first manifest
+    // lists the source's current data files by ABSOLUTE path
+    // (SnapshotTable.cloneFrom), so cloning a 100 TB table is O(manifest)
+    // — no data is read or copied (WarehouseSpec pins that the clone root
+    // holds no v1 data directory). Both tables then diverge independently:
+    // an append lands on the clone, a different append on the source, and
+    // neither sees the other's. The graded ledger reads all three
+    // timelines — the diverged source, the diverged clone, and the
+    // clone's time-traveled v1 (== the source at clone time) — each
+    // re-derivable from the raw table by residue set. The clone's vacuum
+    // never deletes foreign files (expire skips absolute entries —
+    // WarehouseSpec proves the source survives an expire on the clone).
+    "m22_shallow_clone" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_m22_${Tables.pathKey(dir)}"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(base))
+      val src = s"$base/src"
+      val dst = s"$base/clone"
+      val t = Tables(s, dir)
+      def slice(r: Int) = t.orders.filter(col("o_orderkey") % 5 === r)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      SnapshotTable.commit(slice(0), src)
+      SnapshotTable.append(slice(1), src)
+      val cv = SnapshotTable.cloneFrom(src, dst)
+      // divergence: each side appends a different slice
+      SnapshotTable.append(slice(2), dst)
+      SnapshotTable.append(slice(3), src)
+      def ledger(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+            round(Tables.dsum(col("o_totalprice")), 6).as("revenue"))
+          .select(lit(tag).as("side"), col("n_rows"), col("revenue"))
+      ledger(SnapshotTable.read(s, src), "source")
+        .unionByName(ledger(SnapshotTable.read(s, dst), "clone"))
+        .unionByName(ledger(SnapshotTable.readVersion(s, dst, cv), "clone_v1"))
+        .orderBy("side")
     })
   )
 
@@ -976,6 +1016,22 @@ object WarehouseQueries extends QueryModule {
         "LEFT JOIN (SELECT rule, count(*) AS n FROM t WHERE rule IS NOT NULL " +
         "GROUP BY 1) q USING (rule) " +
         "UNION ALL SELECT 'committed', count(*) FROM t WHERE rule IS NULL" +
-        ") ORDER BY rule")
+        ") ORDER BY rule"),
+
+    // three timelines, each a residue set of the raw table: the diverged
+    // source {0,1,3}, the diverged clone {0,1,2}, the clone's v1 {0,1}
+    "m22_shallow_clone" ->
+      ("WITH sl AS (SELECT o_orderkey % 5 AS r, o_totalprice FROM orders) " +
+        "SELECT side, n_rows, revenue FROM (" +
+        "SELECT 'source' AS side, count(*) AS n_rows, " +
+        s"round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue " +
+        "FROM sl WHERE r IN (0, 1, 3) " +
+        "UNION ALL SELECT 'clone', count(*), " +
+        s"round(${Tables.dsumSql("o_totalprice")}, 6) " +
+        "FROM sl WHERE r IN (0, 1, 2) " +
+        "UNION ALL SELECT 'clone_v1', count(*), " +
+        s"round(${Tables.dsumSql("o_totalprice")}, 6) " +
+        "FROM sl WHERE r IN (0, 1)" +
+        ") ORDER BY side")
   )
 }

@@ -74,9 +74,52 @@ object IvfIndex {
       val (cid, _) = graft.plans.KMeans.assignCols("__x", cents)
       base.select(cid.as("cell"), col("vec_id"), col("label"), col("embedding"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
+      // a rebuild starts a fresh index generation: stale segments,
+      // compactions, and the postings pointer all reset with it
+      Files.deleteIfExists(Paths.get(path, "_postings"))
+      rmrfDir(new java.io.File(s"$path/segments"))
+      val dir = new java.io.File(path)
+      val stray = dir.listFiles()
+      if (stray != null) stray.filter(f => f.getName.startsWith("_seg_") ||
+        f.getName.startsWith("_compacted_")).foreach(_.delete())
       Files.write(ready, fingerprint.getBytes("UTF-8"))
       ()
     }
+  }
+
+  private def rmrfDir(f: java.io.File): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(rmrfDir); f.delete(); ()
+  }
+
+  /** COMPACTION — fold live segments back into the base (the index twin of
+    * m9's file compaction): the merged postings (base ∪ segments) are
+    * rewritten under a fresh GENERATION directory, the `_postings` pointer
+    * flips to it atomically (readers never see a half-compacted index), and
+    * the segment dirs drop. Idempotent per segment set (`_compacted_*`
+    * markers — the segment `_seg_*` markers stay, so a query re-run
+    * neither re-appends nor re-compacts). Serving before and after must be
+    * identical — pinned in VectorSpec. At 100 TB this is the background
+    * job that bounds per-query scan count: one cell-partitioned rewrite,
+    * no training, no driver state beyond the file lists. */
+  def compact(spark: SparkSession, path: String, segs: Seq[String]): Unit = {
+    val marker = Paths.get(path, s"_compacted_${segs.mkString("_")}")
+    if (Files.exists(marker)) return
+    val merged = segs.foldLeft(postings(spark, path)) { (df, n) =>
+      df.unionByName(segment(spark, path, n))
+    }
+    val gen = 1 + Option(new java.io.File(path).list()).toSeq.flatten
+      .filter(_.startsWith("postings_g")).map(_.stripPrefix("postings_g").toInt)
+      .foldLeft(0)(math.max)
+    merged.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/postings_g$gen")
+    val tmp = Paths.get(path, s"._postings.g$gen.tmp")
+    Files.write(tmp, s"postings_g$gen".getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(path, "_postings"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    segs.foreach(n => rmrfDir(new java.io.File(s"$path/segments/$n")))
+    Files.write(marker, "done".getBytes("UTF-8"))
+    ()
   }
 
   /** INCREMENTAL index update — the segment discipline (how Lucene/FAISS
@@ -147,7 +190,13 @@ object IvfIndex {
       }
 
   /** The postings table; filter on `cell` before use — the filter becomes a
-    * partition-pruning predicate (only probed directories are listed). */
-  def postings(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/postings")
+    * partition-pruning predicate (only probed directories are listed).
+    * Resolves the CURRENT generation via the `_postings` pointer when a
+    * [[compact]]ion has run; the original `postings/` directory otherwise. */
+  def postings(spark: SparkSession, path: String): DataFrame = {
+    val ptr = Paths.get(path, "_postings")
+    val dir = if (Files.exists(ptr))
+      new String(Files.readAllBytes(ptr), "UTF-8") else "postings"
+    spark.read.parquet(s"$path/$dir")
+  }
 }

@@ -248,7 +248,10 @@ object SnapshotTable {
       new String(Files.readAllBytes(snapDir(root).resolve(s"v$v.manifest")), UTF_8)
         .split("\n").filter(_.nonEmpty).toSeq
     val stillReferenced = retained.flatMap(fileList).toSet
-    val candidates = expiring.flatMap(fileList).toSet -- stillReferenced
+    // FOREIGN (absolute) entries — a shallow clone's references into its
+    // source — are never this table's to delete; see cloneFrom
+    val candidates = (expiring.flatMap(fileList).toSet -- stillReferenced)
+      .filterNot(f => Paths.get(f).isAbsolute)
     expiring.foreach { v =>
       Files.deleteIfExists(snapDir(root).resolve(s"v$v.meta"))
       Files.deleteIfExists(snapDir(root).resolve(s"v$v.reserved"))
@@ -276,12 +279,43 @@ object SnapshotTable {
     expiring
   }
 
+  /** Resolve a manifest entry: entries are root-relative except FOREIGN
+    * (absolute) entries written by [[cloneFrom]] — a shallow clone's
+    * manifest points into its source's data directory. */
+  private def resolveEntry(root: String, f: String): String =
+    if (Paths.get(f).isAbsolute) f else Paths.get(root, f).toString
+
+  /** SHALLOW CLONE — the zero-copy table copy (Delta's CLONE, Iceberg
+    * snapshot refs): the clone's v1 manifest lists the source's CURRENT
+    * data files by absolute path, so creating it is O(manifest) regardless
+    * of table size — no data file is read or copied. Both tables then
+    * evolve independently: commits to the clone write under the clone's
+    * own root; the source never learns the clone exists. The clone's
+    * [[expire]] never deletes foreign files (they are the source's to
+    * vacuum — production formats track this with a retention lease; the
+    * fixture discipline is that a cloned source outlives its clones).
+    * Returns the clone's committed version (1). */
+  def cloneFrom(srcRoot: String, dstRoot: String): Long = {
+    val sv = latestVersion(srcRoot).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $srcRoot"))
+    val files = new String(
+      Files.readAllBytes(snapDir(srcRoot).resolve(s"v$sv.manifest")), UTF_8)
+      .split("\n").filter(_.nonEmpty).toSeq
+      .map(f => Paths.get(srcRoot).toAbsolutePath.resolve(f).toString)
+    val v = latestVersion(dstRoot).getOrElse(0L) + 1
+    Files.createDirectories(snapDir(dstRoot))
+    Files.write(snapDir(dstRoot).resolve(s"v$v.manifest"),
+      files.sorted.mkString("\n").getBytes(UTF_8))
+    swap(dstRoot, v)
+    v
+  }
+
   /** Read a specific committed (or prepared) version — time travel. */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     val m = snapDir(root).resolve(s"v$v.manifest")
     require(Files.exists(m), s"no snapshot v$v at $root")
     val files = new String(Files.readAllBytes(m), UTF_8)
-      .split("\n").filter(_.nonEmpty).map(f => Paths.get(root, f).toString)
+      .split("\n").filter(_.nonEmpty).map(resolveEntry(root, _))
     spark.read.parquet(files.toIndexedSeq: _*)
   }
 
@@ -300,7 +334,7 @@ object SnapshotTable {
       throw new IllegalStateException(s"no committed snapshot at $root"))
     val m = snapDir(root).resolve(s"v$v.manifest")
     val files = new String(Files.readAllBytes(m), UTF_8)
-      .split("\n").filter(_.nonEmpty).map(f => Paths.get(root, f).toString)
+      .split("\n").filter(_.nonEmpty).map(resolveEntry(root, _))
     spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
   }
 

@@ -290,6 +290,37 @@ class VectorSpec extends AnyFunSuite {
     assert(union.distinct().count() == t.embeddings.count())
   }
 
+  test("g78: compaction flips the pointer, drops the segment, and serves identically") {
+    import java.nio.file.{Files, Paths}
+    val g76 = SparkEntry.queries("g76_ann_index_append")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val g78 = SparkEntry.queries("g78_ann_index_compact")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    // compaction must not change a single served row
+    assert(g76 == g78, "post-compaction serve diverged from base∪segment serve")
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfcmp_${Tables.pathKey(sfDir)}"
+    // the pointer names the compacted generation and the segment is gone
+    val ptr = Paths.get(idx, "_postings")
+    assert(Files.exists(ptr), "compaction did not flip the postings pointer")
+    assert(new String(Files.readAllBytes(ptr), "UTF-8").startsWith("postings_g"))
+    assert(!Files.exists(Paths.get(idx, "segments/d1")),
+      "compaction left the folded segment behind")
+    // single-scan serving: the compacted generation holds the full corpus
+    assert(graft.sources.IvfIndex.postings(spark, idx).count() ==
+      Tables(spark, sfDir).embeddings.count())
+  }
+
+  test("g79: probe-sweep recall is monotone and hits 100% at full probes only if exact ⊆ cells") {
+    val rows = SparkEntry.queries("g79_ann_probe_sweep")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    // candidate sets nest as probes grow, so hits can never decrease
+    rows.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(b >= a, s"recall decreased across probe counts: $a -> $b")
+    }
+    assert(rows.forall { case (_, h) => h >= 0 && h <= 10 })
+  }
+
   test("g55: PQ-ADC distances equal query-to-decoded distances exactly; recall is sane") {
     import org.apache.spark.sql.functions._
     val t = Tables(spark, sfDir)

@@ -555,6 +555,39 @@ class WarehouseSpec extends AnyFunSuite {
     assert(!empty.getBoolean(0), "empty blob contains nothing")
   }
 
+  test("m22: shallow clone copies no data, diverges independently, and its vacuum spares the source") {
+    import graft.sources.SnapshotTable
+    import java.nio.file.{Files, Paths}
+    SparkEntry.queries("m22_shallow_clone")(spark, sfDir).collect()
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_m22_${Tables.pathKey(sfDir)}"
+    // zero-copy: the clone's v1 wrote NO data directory of its own — its
+    // manifest points (absolutely) into the source
+    assert(!Files.exists(Paths.get(s"$base/clone/data/v1")),
+      "shallow clone materialized data files")
+    val m = new String(Files.readAllBytes(
+      Paths.get(s"$base/clone/_snapshots/v1.manifest")), "UTF-8")
+    assert(m.split("\n").forall(_.startsWith("/")),
+      "clone manifest entries must be absolute (foreign) paths")
+    // divergence: the clone's append is invisible to the source and
+    // vice versa (residue sets {0,1,3} vs {0,1,2})
+    val srcRows = SnapshotTable.read(spark, s"$base/src")
+      .select((col("o_orderkey") % 5).as("r")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val cloneRows = SnapshotTable.read(spark, s"$base/clone")
+      .select((col("o_orderkey") % 5).as("r")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(srcRows == Set(0L, 1L, 3L) && cloneRows == Set(0L, 1L, 2L))
+    // the clone's vacuum never deletes foreign files: expire the clone to
+    // its latest version, then the SOURCE must still read intact
+    SnapshotTable.expire(s"$base/clone", keepLast = 1)
+    assert(SnapshotTable.read(spark, s"$base/src").count() > 0,
+      "clone vacuum deleted source data files")
+    // and the clone itself still reads (its retained manifest carries the
+    // foreign base files plus its own append)
+    assert(SnapshotTable.read(spark, s"$base/clone")
+      .select((col("o_orderkey") % 5).as("r")).distinct().count() == 3)
+  }
+
   test("m21: expectations conserve rows and the committed table is violation-free") {
     import graft.sources.SnapshotTable
     // run the declared query — it (re)builds both SnapshotTables
