@@ -1649,6 +1649,30 @@ object VectorQueries extends QueryModule {
     // compaction must serve EXACTLY the base∪delta answer — same replay
     "g78_ann_index_compact" -> g76Oracle,
 
+    // i24 (declared in StreamingQueries) serves a query STREAM from the
+    // same persisted learned index this module's oracles replay; the index
+    // is pinned for the campaign, so union-of-batch ledgers == this
+    // single-shot answer: training, per-query probe selection, every
+    // per-query top-10 cut
+    "i24_stream_ann_serve" ->
+      (s"WITH ${kmeansCtes(5)}, ${kmeansAssign("c5", "f")}, " +
+        "cb AS (SELECT cx.ci AS cell, " +
+        "list_transform(cs[cx.ci + 1], v -> round(v, 6)) AS cv " +
+        "FROM c5, range(0, 8) cx(ci)), " +
+        "qs AS (SELECT vec_id AS q_id, x AS qv FROM emb " +
+        "WHERE vec_id % 37 = 0 AND vec_id IN (SELECT doc_id FROM documents)), " +
+        "probed AS (SELECT q_id, qv, cell FROM (SELECT q.q_id, q.qv, cb.cell, " +
+        "row_number() OVER (PARTITION BY q.q_id ORDER BY " +
+        "round(list_cosine_similarity(q.qv, cb.cv), 6) DESC, cb.cell) AS rn " +
+        "FROM qs q, cb) WHERE rn <= 2), " +
+        "cand AS (SELECT p.q_id, a.vec_id AS b_id, " +
+        "round(list_cosine_similarity(a.x, p.qv), 6) AS cos " +
+        "FROM af a JOIN probed p ON a.cid = p.cell AND a.vec_id <> p.q_id) " +
+        "SELECT q_id, CAST(rn AS INT) AS rn, b_id, cos FROM (" +
+        "SELECT q_id, b_id, cos, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY cos DESC, b_id) AS rn FROM cand) WHERE rn <= 10 " +
+        "ORDER BY q_id, rn"),
+
     // probe sweep: one replayed candidate cut per probes value, graded as
     // integer overlap with the exact top-10 (the g69 discipline ×4)
     "g79_ann_probe_sweep" ->
