@@ -736,6 +736,50 @@ object VectorQueries extends QueryModule {
         .orderBy("probes")
     }),
 
+    // G80: TOMBSTONE DELETE — the index-CRUD verb g71/g76/g78 leave open
+    // (takedowns, GDPR erasure from a vector store): deleted ids commit as
+    // a tombstone table under the index (IvfIndex.delete — idempotent per
+    // fingerprint, O(tombstones), NO postings rewrite: VectorSpec pins the
+    // postings files byte-identical) and the serve path anti-joins the
+    // broadcast tombstones inside the probed-cell scan — the m16
+    // deletion-vector discipline applied to the ANN index, with the next
+    // compaction as the physical fold. Deleted vectors must be unfindable:
+    // the oracle serves the probed cells with the tombstone set excluded.
+    "g80_ann_index_delete" -> ((s, dir) => {
+      graft.functions.CosineSim.register(s)
+      val spark = s
+      import spark.implicits._
+      val t = Tables(s, dir)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfdel_${Tables.pathKey(dir)}"
+      graft.sources.IvfIndex.write(t.embeddings, idx)
+      graft.sources.IvfIndex.delete(
+        t.embeddings.filter(col("vec_id") % 101 === 7).select(col("vec_id")), idx)
+      def dotd(x: Array[Double], y: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i) * y(i); i += 1 }
+        acc
+      }
+      def cos(a: Array[Double], b: Array[Double]): Double =
+        dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
+      val query = t.embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding")).as[Seq[Float]].head().map(_.toDouble).toArray
+      val probes = graft.sources.IvfIndex.centroids(s, idx)
+        .map { case (cell, c) =>
+          (cell, BigDecimal(cos(query, c)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        }
+        .sortBy { case (cell, sim) => (-sim, cell) }.take(2).map(_._1)
+      graft.sources.IvfIndex.postings(s, idx)
+        .filter(col("cell").isin(probes.map(Integer.valueOf): _*) &&
+          col("vec_id") =!= 0)
+        .join(broadcast(graft.sources.IvfIndex.tombstones(s, idx)),
+          col("vec_id") === col("__dead_id"), "left_anti")
+        .withColumn("qv", typedLit(query.toSeq))
+        .select(col("vec_id"), col("label"),
+          round(expr("cosine_sim(transform(embedding, x -> CAST(x AS DOUBLE)), qv)"), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // G77: MULTI-VECTOR LATE INTERACTION (ColBERT-style MaxSim) — the
     // retrieval model where documents and queries are SETS of vectors and
     // score(q, d) = Σ_i max_j cos(q_i, d_j): each query token finds its
@@ -1672,6 +1716,24 @@ object VectorQueries extends QueryModule {
         "SELECT q_id, b_id, cos, row_number() OVER (PARTITION BY q_id " +
         "ORDER BY cos DESC, b_id) AS rn FROM cand) WHERE rn <= 10 " +
         "ORDER BY q_id, rn"),
+
+    // tombstone delete: g71's replay with the deleted set excluded — a
+    // deleted vector must be unfindable through any probe
+    "g80_ann_index_delete" ->
+      (s"WITH ${kmeansCtes(5)}, ${kmeansAssign("c5", "f")}, " +
+        "cb AS (SELECT cx.ci AS cell, " +
+        "list_transform(cs[cx.ci + 1], v -> round(v, 6)) AS cv " +
+        "FROM c5, range(0, 8) cx(ci)), " +
+        "q AS (SELECT x AS qv FROM emb WHERE vec_id = 0), " +
+        "probed AS (SELECT cell FROM (SELECT cell, row_number() OVER (ORDER BY " +
+        "round(list_cosine_similarity(qv, cv), 6) DESC, cell) AS rn FROM q, cb) " +
+        "WHERE rn <= 2) " +
+        "SELECT b.vec_id, b.label, " +
+        "round(list_cosine_similarity(a.x, qv), 6) AS cos " +
+        "FROM embeddings b, af a, q WHERE a.vec_id = b.vec_id " +
+        "AND b.vec_id <> 0 AND b.vec_id % 101 <> 7 " +
+        "AND a.cid IN (SELECT cell FROM probed) " +
+        "ORDER BY cos DESC, b.vec_id LIMIT 10"),
 
     // probe sweep: one replayed candidate cut per probes value, graded as
     // integer overlap with the exact top-10 (the g69 discipline ×4)

@@ -78,10 +78,12 @@ object IvfIndex {
       // compactions, and the postings pointer all reset with it
       Files.deleteIfExists(Paths.get(path, "_postings"))
       rmrfDir(new java.io.File(s"$path/segments"))
+      rmrfDir(new java.io.File(s"$path/tombstones"))
       val dir = new java.io.File(path)
       val stray = dir.listFiles()
       if (stray != null) stray.filter(f => f.getName.startsWith("_seg_") ||
-        f.getName.startsWith("_compacted_")).foreach(_.delete())
+        f.getName.startsWith("_compacted_") ||
+        f.getName == "_tombstones_ready").foreach(_.delete())
       Files.write(ready, fingerprint.getBytes("UTF-8"))
       ()
     }
@@ -169,6 +171,36 @@ object IvfIndex {
   /** A segment's postings; filter on `cell` prunes exactly like the base. */
   def segment(spark: SparkSession, path: String, name: String): DataFrame =
     spark.read.parquet(s"$path/segments/$name")
+
+  /** TOMBSTONE DELETE — how a vector store honors removals (takedowns,
+    * GDPR erasure) without rewriting the index: the deleted ids are
+    * committed as a tombstone table under the index and the serving query
+    * anti-joins them; postings files stay byte-identical (pinned in
+    * VectorSpec — at 100 TB a delete is O(tombstones), never a postings
+    * rewrite; the next [[compact]]ion folds them in physically, exactly
+    * like m16's deletion vectors fold into a purge). Idempotent per
+    * tombstone-set fingerprint. */
+  def delete(ids: DataFrame, path: String): Unit = {
+    val ready = Paths.get(path, "_tombstones_ready")
+    val fpRow = ids.agg(count(lit(1)),
+      coalesce(sum(crc32(col("vec_id").cast("string").cast("binary"))),
+        lit(0L))).head()
+    val fingerprint = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    val stale = Files.exists(ready) &&
+      new String(Files.readAllBytes(ready), "UTF-8") != fingerprint
+    if (!Files.exists(ready) || stale) {
+      ids.select(col("vec_id").as("__dead_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/tombstones")
+      Files.write(ready, fingerprint.getBytes("UTF-8"))
+      ()
+    }
+  }
+
+  /** The committed tombstones (empty if none were ever deleted). */
+  def tombstones(spark: SparkSession, path: String): DataFrame =
+    if (Files.exists(Paths.get(path, "_tombstones_ready")))
+      spark.read.parquet(s"$path/tombstones")
+    else spark.emptyDataFrame.withColumn("__dead_id", lit(0L)).limit(0)
 
   /** Codebook hyper-parameters — shared with the DuckDB oracles, which
     * unroll exactly [[lloydIters]] Lloyd iterations over [[cellsK]] cells

@@ -310,6 +310,36 @@ class VectorSpec extends AnyFunSuite {
       Tables(spark, sfDir).embeddings.count())
   }
 
+  test("g80: tombstone delete never rewrites postings and makes deleted ids unfindable") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths}
+    val t = Tables(spark, sfDir)
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfdel_${Tables.pathKey(sfDir)}"
+    graft.sources.IvfIndex.write(t.embeddings, idx)
+    def postingsState(): Seq[(String, Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val base = Paths.get(idx, "postings")
+      Files.walk(base).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => (base.relativize(p).toString, Files.size(p),
+          Files.getLastModifiedTime(p).toMillis))
+        .toSeq.sortBy(_._1)
+    }
+    val before = postingsState()
+    val dead = t.embeddings.filter(col("vec_id") % 101 === 7).select(col("vec_id"))
+    graft.sources.IvfIndex.delete(dead, idx)
+    // a delete is O(tombstones): no postings file was touched
+    assert(postingsState() == before, "delete rewrote postings files")
+    // idempotence: the fingerprint marker makes a re-delete a no-op
+    graft.sources.IvfIndex.delete(dead, idx)
+    assert(postingsState() == before)
+    // deleted ids are unfindable through the declared serve
+    val served = SparkEntry.queries("g80_ann_index_delete")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val deadIds = dead.collect().map(_.getLong(0)).toSet
+    assert((served & deadIds).isEmpty, "a tombstoned vector was served")
+  }
+
   test("g79: probe-sweep recall is monotone and hits 100% at full probes only if exact ⊆ cells") {
     val rows = SparkEntry.queries("g79_ann_probe_sweep")(spark, sfDir)
       .collect().map(r => (r.getInt(0), r.getLong(1)))
