@@ -545,6 +545,70 @@ object VectorQueries extends QueryModule {
         .limit(10)
     }),
 
+    // G81: PQ INDEX APPEND — FAISS's `add()` for the deployable artifact:
+    // g73's IVF-PQ index is built on a 90% base; the 10% delta is ENCODED
+    // against the FROZEN persisted codebooks (6dp coarse cells for the
+    // inverted list, 6dp subspace codebooks for the 4 codes — production
+    // PQ never retrains per batch) and committed as an immutable
+    // cell-partitioned segment (IvfPqIndex.appendSegment). Serving is
+    // g73's two-stage pipeline over base ∪ segment, both scans pruned to
+    // the probed cells: ADC top-50 shortlist from codes only, exact top-10
+    // re-rank. Fully oracle-backed — DuckDB trains on the base, re-encodes
+    // base AND delta against the rounded codebooks, and replays probe
+    // selection, ADC, and both cuts bit-for-bit.
+    "g81_pq_index_append" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val t = Tables(s, dir)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_pqseg_${Tables.pathKey(dir)}"
+      graft.sources.IvfPqIndex.write(
+        t.embeddings.filter(col("vec_id") % 10 =!= 9), idx)
+      graft.sources.IvfPqIndex.appendSegment(
+        t.embeddings.filter(col("vec_id") % 10 === 9), idx, "d1")
+      def dotd(x: Array[Double], y: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i) * y(i); i += 1 }
+        acc
+      }
+      def cos(a: Array[Double], b: Array[Double]): Double =
+        dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
+      val query = t.embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding")).as[Seq[Float]].head().map(_.toDouble).toArray
+      val probes = graft.sources.IvfPqIndex.centroids(s, idx)
+        .map { case (cell, c) =>
+          (cell, BigDecimal(cos(query, c)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        }
+        .sortBy { case (cell, sim) => (-sim, cell) }.take(2).map(_._1)
+      val cbs = graft.sources.IvfPqIndex.codebooks(s, idx)
+      val lut = cbs.zipWithIndex.map { case (cb, m) =>
+        val q = query.slice(m * 16, m * 16 + 16)
+        cb.toIndexedSeq.map { c =>
+          var acc = 0.0; var i = 0
+          while (i < 16) { val d = q(i) - c(i); acc += d * d; i += 1 }
+          acc
+        }
+      }.toIndexedSeq
+      val lutCol = typedLit(lut)
+      val adist = (0 until 4).map(m =>
+        element_at(element_at(lutCol, m + 1), col(s"c$m") + 1)).reduce(_ + _)
+      val qv = typedLit(query.toIndexedSeq)
+      graft.sources.IvfPqIndex.postings(s, idx)
+        .unionByName(graft.sources.IvfPqIndex.segment(s, idx, "d1"))
+        .filter(col("cell").isin(probes.map(Integer.valueOf): _*) &&
+          col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          round(adist, 6).as("adist"))
+        .orderBy(col("adist").asc, col("vec_id").asc)
+        .limit(50)
+        .withColumn("qv", qv)
+        .withColumn("dist", round(expr(
+          "aggregate(zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), qv, " +
+            "(a, b) -> (a - b) * (a - b)), 0D, (s, v) -> s + v)"), 6))
+        .select(col("vec_id"), col("label"), col("adist"), col("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // G75: FILTERED ANN — top-k under a metadata predicate, the serving
     // shape every production vector store exposes (Qdrant/Vespa/Milvus
     // "filtered search"): the SAME persisted IVF index as g71 serves a
@@ -1472,6 +1536,83 @@ object VectorQueries extends QueryModule {
       "WHERE rn <= 10 ORDER BY dist, vec_id"
   }
 
+  /** g81's replay — [[g73Oracle]] with the index TRAINED on the 90% base
+    * and the 10% delta re-encoded against the FROZEN rounded codebooks
+    * (coarse cell via the rounded centroids, 4 codes via the rounded
+    * subspace codebooks), exactly what IvfPqIndex.appendSegment persists. */
+  private def g81Oracle: String = {
+    val pq = (0 until 4).map(pqCtes(_, 3)).mkString(", ")
+    val roundedCb = (0 until 4).map(m =>
+      s"pcb$m AS MATERIALIZED (SELECT list_transform(cs, " +
+        s"l -> list_transform(l, v -> round(v, 6))) AS cs FROM p${m}c3)")
+      .mkString(", ")
+    def codeCte(src: String, out: String, m: Int): String = {
+      val sqd = "list_reduce(list_transform(range(1, 17), " +
+        "t -> (e.sx[t] - cb.cs[ci.ci + 1][t]) * (e.sx[t] - cb.cs[ci.ci + 1][t])), " +
+        "(a, b) -> a + b)"
+      s"$out AS MATERIALIZED (SELECT vec_id, cid AS c$m FROM (" +
+        "SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY d2, cid) AS rn FROM (" +
+        s"SELECT e.vec_id, ci.ci AS cid, $sqd AS d2 " +
+        s"FROM $src e, pcb$m cb, range(0, 16) ci(ci))) WHERE rn = 1)"
+    }
+    val baseCodes = (0 until 4).map(m => codeCte(s"em$m", s"pcode$m", m)).mkString(", ")
+    val deltaSlices = (0 until 4).map { m =>
+      val lo = m * 16 + 1
+      s"dem$m AS (SELECT vec_id, x[$lo:${lo + 15}] AS sx FROM dembx)"
+    }.mkString(", ")
+    val deltaCodes = (0 until 4).map(m => codeCte(s"dem$m", s"dcode$m", m)).mkString(", ")
+    val unions = (0 until 4).map(m =>
+      s"acode$m AS (SELECT * FROM pcode$m UNION ALL SELECT * FROM dcode$m)")
+      .mkString(", ")
+    val terms = (0 until 4).map { m =>
+      val lo = m * 16
+      "list_reduce(list_transform(range(1, 17), " +
+        s"t -> (q.qv[$lo + t] - cb$m.cs[k$m.c$m + 1][t]) * " +
+        s"(q.qv[$lo + t] - cb$m.cs[k$m.c$m + 1][t])), (a, b) -> a + b)"
+    }
+    val adistExpr = s"(((${terms(0)} + ${terms(1)}) + ${terms(2)}) + ${terms(3)})"
+    s"WITH ${kmeansCtes(5, " WHERE vec_id % 10 <> 9")}, " +
+      s"${kmeansAssign("c5", "f")}, $pq, $roundedCb, $baseCodes, " +
+      "cb AS MATERIALIZED (SELECT cx.ci AS cell, " +
+      "list_transform(cs[cx.ci + 1], v -> round(v, 6)) AS cv " +
+      "FROM c5, range(0, 8) cx(ci)), " +
+      "dembx AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x " +
+      "FROM embeddings WHERE vec_id % 10 = 9), " +
+      "dcell AS (SELECT vec_id, x, cell AS cid FROM (" +
+      "SELECT d.vec_id, d.x, cb.cell, row_number() OVER (PARTITION BY d.vec_id " +
+      "ORDER BY list_reduce(list_transform(range(1, 65), " +
+      "t -> (d.x[t] - cb.cv[t]) * (d.x[t] - cb.cv[t])), (a, b) -> a + b), cell) AS rn " +
+      s"FROM dembx d, cb) WHERE rn = 1), $deltaSlices, $deltaCodes, $unions, " +
+      "allv AS (SELECT vec_id, x, cid FROM af " +
+      "UNION ALL SELECT vec_id, x, cid FROM dcell), " +
+      "q AS (SELECT x AS qv FROM emb WHERE vec_id = 0), " +
+      "probed AS (SELECT cell FROM (SELECT cell, row_number() OVER (ORDER BY " +
+      "round(list_cosine_similarity(qv, cv), 6) DESC, cell) AS rn FROM q, cb) " +
+      "WHERE rn <= 2), " +
+      "scored AS MATERIALIZED (SELECT a.vec_id, " +
+      s"round($adistExpr, 6) AS adist " +
+      "FROM allv a " +
+      "JOIN acode0 k0 ON k0.vec_id = a.vec_id " +
+      "JOIN acode1 k1 ON k1.vec_id = a.vec_id " +
+      "JOIN acode2 k2 ON k2.vec_id = a.vec_id " +
+      "JOIN acode3 k3 ON k3.vec_id = a.vec_id, " +
+      "pcb0 cb0, pcb1 cb1, pcb2 cb2, pcb3 cb3, q " +
+      "WHERE a.vec_id <> 0 AND a.cid IN (SELECT cell FROM probed)), " +
+      "sl AS MATERIALIZED (SELECT vec_id, adist FROM (SELECT vec_id, adist, " +
+      "row_number() OVER (ORDER BY adist, vec_id) AS rn FROM scored) " +
+      "WHERE rn <= 50), " +
+      "rr AS (SELECT s.vec_id, b.label, s.adist, " +
+      "round(list_reduce(list_transform(range(1, 65), " +
+      "t -> (e2.x[t] - q.qv[t]) * (e2.x[t] - q.qv[t])), (a, b) -> a + b), 6) AS dist " +
+      "FROM sl s JOIN (SELECT vec_id, x FROM emb UNION ALL " +
+      "SELECT vec_id, x FROM dembx) e2 ON e2.vec_id = s.vec_id " +
+      "JOIN embeddings b ON b.vec_id = s.vec_id, q) " +
+      "SELECT vec_id, label, adist, dist FROM (SELECT vec_id, label, adist, dist, " +
+      "row_number() OVER (ORDER BY dist, vec_id) AS rn FROM rr) " +
+      "WHERE rn <= 10 ORDER BY dist, vec_id"
+  }
+
   /** g55's full replay — the in-query PQ twin of [[g73Oracle]] minus the
     * IVF filter: 4 subspace trainings, corpus re-encode and ADC against the
     * RAW Lloyd-final codebooks (the engine encodes with unrounded driver
@@ -1550,6 +1691,10 @@ object VectorQueries extends QueryModule {
   val oracles: Seq[(String, String)] = Seq(
     // full IVF-PQ replay: training, encode, probe, ADC, both cuts
     "g73_ann_ivfpq_serve" -> g73Oracle,
+
+    // PQ append: base-trained codebooks frozen, delta re-encoded, same
+    // two-stage serve replayed over the union
+    "g81_pq_index_append" -> g81Oracle,
 
     // full in-query PQ replay (CONVERTED from rows-only this round): the
     // deterministic Lloyd chains make even the raw-double codebooks

@@ -85,10 +85,63 @@ object IvfPqIndex {
       base.select(cellCol.as("cell") +: col("vec_id") +: col("label") +:
         col("embedding") +: codeCols: _*)
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
+      // a rebuild starts a fresh index generation — stale segments reset
+      def rmrfDir(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrfDir); f.delete(); ()
+      }
+      rmrfDir(new java.io.File(s"$path/segments"))
+      val stray = new java.io.File(path).listFiles()
+      if (stray != null)
+        stray.filter(_.getName.startsWith("_seg_")).foreach(_.delete())
       Files.write(ready, fingerprint.getBytes("UTF-8"))
       ()
     }
   }
+
+  /** INCREMENTAL update — FAISS's `add()` semantics as a lakehouse segment:
+    * new vectors are ENCODED against the FROZEN persisted artifacts (the
+    * 6dp coarse centroids for the cell, the 6dp subspace codebooks for the
+    * codes — production PQ never retrains per batch) and committed as an
+    * immutable cell-partitioned segment. One narrow codegen pass over the
+    * delta (k×64 + 4×16×16 literal doubles, no shuffle), one partitioned
+    * delta-only write; idempotent per content fingerprint, self-healing
+    * overwrite. Serving unions base + segment scans, both pruned; a
+    * compaction folds segments back (the IvfIndex.compact shape). */
+  def appendSegment(delta: DataFrame, path: String, name: String): Unit = {
+    val spark = delta.sparkSession
+    val segReady = Paths.get(path, s"_seg_${name}_ready")
+    val fpRow = delta.agg(count(lit(1)),
+      coalesce(sum(crc32(concat_ws(",", col("vec_id"), col("label"),
+        concat_ws(",", transform(col("embedding"), x => x.cast("string"))))
+        .cast("binary"))), lit(0L))).head()
+    val fingerprint = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    val stale = Files.exists(segReady) &&
+      new String(Files.readAllBytes(segReady), "UTF-8") != fingerprint
+    if (!Files.exists(segReady) || stale) {
+      val coarse = centroids(spark, path).map(_._2).toArray
+      val cbs = codebooks(spark, path)
+      val vd = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+      val base = (0 until subs).foldLeft(
+        delta.select(col("vec_id"), col("label"), col("embedding"), vd.as("__x"))) {
+        case (d, m) =>
+          d.withColumn(s"__s$m", expr(s"slice(__x, ${m * subDim + 1}, $subDim)"))
+      }
+      val cellCol = graft.plans.KMeans.assignCols("__x", coarse)._1
+      val codeCols = (0 until subs).map { m =>
+        graft.plans.KMeans.assignCols(s"__s$m", cbs(m))._1.as(s"c$m")
+      }
+      base.select(cellCol.as("cell") +: col("vec_id") +: col("label") +:
+        col("embedding") +: codeCols: _*)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/segments/$name")
+      Files.write(segReady, fingerprint.getBytes("UTF-8"))
+      ()
+    }
+  }
+
+  /** A segment's coded postings; `cell` filters prune like the base. */
+  def segment(spark: SparkSession, path: String, name: String): DataFrame =
+    spark.read.parquet(s"$path/segments/$name")
 
   /** Driver-side coarse codebook: (cell, 64 rounded components). */
   def centroids(spark: SparkSession, path: String): Seq[(Int, Array[Double])] =

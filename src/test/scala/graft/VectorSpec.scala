@@ -310,6 +310,34 @@ class VectorSpec extends AnyFunSuite {
       Tables(spark, sfDir).embeddings.count())
   }
 
+  test("g81: PQ append freezes coarse AND subspace codebooks; the segment is exactly the delta") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sfDir)
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_pqseg_${Tables.pathKey(sfDir)}"
+    val base = t.embeddings.filter(col("vec_id") % 10 =!= 9)
+    val delta = t.embeddings.filter(col("vec_id") % 10 === 9)
+    graft.sources.IvfPqIndex.write(base, idx)
+    val coarseBefore = graft.sources.IvfPqIndex.centroids(spark, idx)
+      .map { case (c, v) => (c, v.toSeq) }
+    val cbsBefore = graft.sources.IvfPqIndex.codebooks(spark, idx)
+      .map(_.map(_.toSeq).toSeq)
+    graft.sources.IvfPqIndex.appendSegment(delta, idx, "d1")
+    assert(graft.sources.IvfPqIndex.centroids(spark, idx)
+      .map { case (c, v) => (c, v.toSeq) } == coarseBefore,
+      "append retrained the coarse codebook")
+    assert(graft.sources.IvfPqIndex.codebooks(spark, idx)
+      .map(_.map(_.toSeq).toSeq) == cbsBefore,
+      "append retrained a subspace codebook")
+    val seg = graft.sources.IvfPqIndex.segment(spark, idx, "d1")
+    assert(seg.count() == delta.count())
+    // every segment row carries valid codes for all 4 subspaces
+    assert(seg.filter((0 until 4).map(m =>
+      col(s"c$m") < 0 || col(s"c$m") >= 16).reduce(_ || _)).count() == 0)
+    // idempotent re-append
+    graft.sources.IvfPqIndex.appendSegment(delta, idx, "d1")
+    assert(graft.sources.IvfPqIndex.segment(spark, idx, "d1").count() == delta.count())
+  }
+
   test("g80: tombstone delete never rewrites postings and makes deleted ids unfindable") {
     import org.apache.spark.sql.functions._
     import java.nio.file.{Files, Paths}
