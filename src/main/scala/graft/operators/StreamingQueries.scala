@@ -816,6 +816,62 @@ object StreamingQueries extends QueryModule {
         .orderBy("q_id", "rn")
     }),
 
+    // I25: STREAMING EXPECTATIONS — m21's write-time data-quality gate run
+    // as the live ingest loop (Delta Live Tables' expectations on a
+    // stream): every micro-batch splits on the ordered rule CASE inside
+    // one codegen'd projection; valid rows APPEND to the serving table,
+    // violators to the reason-tagged quarantine table, each append
+    // carrying its batch id in the commit metadata (the i13 exactly-once
+    // discipline, applied PER TABLE: a crash between the two appends
+    // replays the batch and each table's own guard skips or applies it —
+    // both converge, neither double-counts). The rules are stateless, so
+    // the union of batch splits equals the single-shot split — the audit
+    // ledger (per-rule quarantine counts, zero-count rules included, plus
+    // committed rows) grades against a plain SQL replay over events. At
+    // 100 TB: scan-speed CASE, two O(delta) appends, two pointer swaps per
+    // batch — no corpus rescan, no state.
+    "i25_stream_expectations" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val spark = s
+      import spark.implicits._
+      val tblRoot = s"$ckptRoot/graft_snap_i25t_${Tables.pathKey(dir)}"
+      val qRoot = s"$ckptRoot/graft_snap_i25q_${Tables.pathKey(dir)}"
+      rmrfDir(new java.io.File(tblRoot))
+      rmrfDir(new java.io.File(qRoot))
+      val reason = when(col("value") > 80, "value_gt_80")
+        .when(col("event_type") === "error", "error_event")
+        .when(col("user_id") % 97 === 13, "blocked_user")
+      val ckpt = s"$ckptRoot/graft_i25_${System.nanoTime()}"
+      val sq = withStreamShufflePartitions(s) {
+        stream(s, dir).writeStream.outputMode(OutputMode.Append())
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            val tagged = df.withColumn("__reason", reason).localCheckpoint()
+            def appliedAt(root: String) =
+              SnapshotTable.latestMeta(root).map(_.toLong).getOrElse(-1L)
+            if (batchId > appliedAt(tblRoot))
+              SnapshotTable.append(
+                tagged.filter(col("__reason").isNull).drop("__reason"),
+                tblRoot, meta = batchId.toString)
+            if (batchId > appliedAt(qRoot))
+              SnapshotTable.append(
+                tagged.filter(col("__reason").isNotNull),
+                qRoot, meta = batchId.toString)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+      }
+      try sq.awaitTermination() finally rmrfDir(new java.io.File(ckpt))
+      val committedN = SnapshotTable.read(s, tblRoot).count()
+      val rules = Seq("value_gt_80", "error_event", "blocked_user").toDF("rule")
+      val qCounts = SnapshotTable.read(s, qRoot)
+        .groupBy(col("__reason").as("rule")).agg(count(lit(1)).as("n"))
+      rules.join(qCounts, Seq("rule"), "left")
+        .select(col("rule"), coalesce(col("n"), lit(0L)).as("n_rows"))
+        .unionByName(Seq(("committed", committedN)).toDF("rule", "n_rows"))
+        .orderBy("rule")
+    }),
+
     // I14: streaming NEAR-DUP filter — the ingestion-time dedup gate a
     // training-data pipeline runs in front of its corpus: each arriving
     // document's 64-bit SimHash splits into 4×16-bit bands, and
@@ -1076,6 +1132,20 @@ object StreamingQueries extends QueryModule {
   // File-fed streaming output is micro-batch dependent — no SQL oracles
   // (rows-only). i10's generator is deterministic, so it alone gets one.
   val oracles: Seq[(String, String)] = Seq(
+    // stateless rules make the batch-split union equal the single-shot
+    // split — the audit ledger replays as plain SQL over events
+    "i25_stream_expectations" ->
+      ("WITH t AS (SELECT CASE WHEN value > 80 THEN 'value_gt_80' " +
+        "WHEN event_type = 'error' THEN 'error_event' " +
+        "WHEN user_id % 97 = 13 THEN 'blocked_user' END AS rule FROM events) " +
+        "SELECT rule, n_rows FROM (" +
+        "SELECT r.rule, CAST(coalesce(q.n, 0) AS BIGINT) AS n_rows " +
+        "FROM (VALUES ('value_gt_80'), ('error_event'), ('blocked_user')) r(rule) " +
+        "LEFT JOIN (SELECT rule, count(*) AS n FROM t WHERE rule IS NOT NULL " +
+        "GROUP BY 1) q USING (rule) " +
+        "UNION ALL SELECT 'committed', count(*) FROM t WHERE rule IS NULL" +
+        ") ORDER BY rule"),
+
     // i15's final ListState per user is chunking-independent: the most
     // recent 5 observations by (ts, event_id) over the whole fixture —
     // batch-replayable, so this streaming query carries a full value oracle
