@@ -81,9 +81,13 @@ object IvfIndex {
       rmrfDir(new java.io.File(s"$path/tombstones"))
       val dir = new java.io.File(path)
       val stray = dir.listFiles()
-      if (stray != null) stray.filter(f => f.getName.startsWith("_seg_") ||
-        f.getName.startsWith("_compacted_") ||
-        f.getName == "_tombstones_ready").foreach(_.delete())
+      if (stray != null) {
+        stray.filter(f => f.getName.startsWith("_seg_") ||
+          f.getName.startsWith("_compacted_") ||
+          f.getName == "_tombstones_ready").foreach(_.delete())
+        // stale compacted generations from the previous index content
+        stray.filter(_.getName.startsWith("postings_g")).foreach(rmrfDir)
+      }
       Files.write(ready, fingerprint.getBytes("UTF-8"))
       ()
     }
