@@ -800,6 +800,70 @@ object VectorQueries extends QueryModule {
         .orderBy("probes")
     }),
 
+    // G82: GRADED EMBEDDING-LSH RECALL — the g69/g72 discipline applied to
+    // the THIRD sketch family (g15b's sign-random-projection embedding
+    // dedup stays the production fast path; this is its graded twin): the
+    // hash family here is COMPARATIVE anchoring — bit_j(v) = [cos(v, a_j) >
+    // cos(v, b_j)] against 16 FIXED corpus vector pairs (vec_ids 1..32) —
+    // which is engine-portable by construction (two rounded cosines and a
+    // comparison; random hyperplanes are not SQL-replayable, comparative
+    // bits are). 16 bits band into 4×4; candidates = same (band, key)
+    // pairs; truth = exact round6-cosine >= 0.45 partners of the FIXED
+    // 50-vector anchor batch (the g68/g72 lesson: graded batches never
+    // scale with the pool). Output integers per anchor: n_true, n_found,
+    // recall_pct. Plan shape: 32 fused cosine kernels per row in ONE
+    // scan-speed projection, a banded self-join on (band, key) with pinned
+    // partition counts (per-bucket pair enumeration is quadratic —
+    // invisible to AQE), truth as anchors broadcast onto one corpus scan.
+    "g82_embed_lsh_recall" -> ((s, dir) => {
+      graft.functions.CosineSim.register(s)
+      val spark = s
+      import spark.implicits._
+      val t = Tables(s, dir)
+      val refs = t.embeddings.filter(col("vec_id") >= 1 && col("vec_id") <= 32)
+        .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+        .collect().sortBy(_._1).map(_._2.map(_.toDouble).toSeq)
+      require(refs.length == 32, s"need vec_ids 1..32 as references")
+      val dv = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+      val base = t.embeddings.select(col("vec_id"), dv.as("v"))
+      val bits = (0 until 16).map { j =>
+        (round(expr(s"cosine_sim(v, ref_a_$j)"), 6) >
+          round(expr(s"cosine_sim(v, ref_b_$j)"), 6)).cast("int").as(s"bit_$j")
+      }
+      val withRefs = (0 until 16).foldLeft(base) { case (df, j) =>
+        df.withColumn(s"ref_a_$j", typedLit(refs(2 * j)))
+          .withColumn(s"ref_b_$j", typedLit(refs(2 * j + 1)))
+      }
+      val keyExprs = (0 until 4).map { b =>
+        (0 until 4).map(i => col(s"bit_${4 * b + i}") * lit(1 << i)).reduce(_ + _)
+      }
+      val keyed = withRefs.select(col("vec_id") +: bits: _*)
+        .select(col("vec_id"), posexplode(array(keyExprs: _*)).as(Seq("band", "bkey")))
+      val n = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+      val cand = keyed.repartition(n, col("band"), col("bkey"))
+        .join(keyed.select(col("vec_id").as("v_id"), col("band").as("band_b"),
+            col("bkey").as("bkey_b")).repartition(n, col("band_b"), col("bkey_b")),
+          col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
+            col("vec_id") < col("v_id"))
+        .select(col("vec_id").as("u"), col("v_id").as("v")).distinct()
+      val anchors = base.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("v").as("av"))
+      val tru = base.select(col("vec_id").as("b_id"), col("v").as("bv"))
+        .join(broadcast(anchors), col("a_id") =!= col("b_id"))
+        .filter(round(expr("cosine_sim(av, bv)"), 6) >= 0.45)
+        .select(col("a_id"), least(col("a_id"), col("b_id")).as("u"),
+          greatest(col("a_id"), col("b_id")).as("v"))
+      val fnd = tru.join(cand, Seq("u", "v"), "left_semi")
+      tru.groupBy(col("a_id")).agg(count(lit(1)).as("n_true"))
+        .join(fnd.groupBy(col("a_id")).agg(count(lit(1)).as("n_found")),
+          Seq("a_id"), "left")
+        .select(col("a_id"), col("n_true"),
+          coalesce(col("n_found"), lit(0L)).as("n_found"))
+        .withColumn("recall_pct",
+          expr("CAST(n_found * 100 div n_true AS INT)"))
+        .orderBy("a_id")
+    }),
+
     // G80: TOMBSTONE DELETE — the index-CRUD verb g71/g76/g78 leave open
     // (takedowns, GDPR erasure from a vector store): deleted ids commit as
     // a tombstone table under the index (IvfIndex.delete — idempotent per
@@ -1861,6 +1925,36 @@ object VectorQueries extends QueryModule {
         "SELECT q_id, b_id, cos, row_number() OVER (PARTITION BY q_id " +
         "ORDER BY cos DESC, b_id) AS rn FROM cand) WHERE rn <= 10 " +
         "ORDER BY q_id, rn"),
+
+    // comparative-anchor LSH: bits, band keys, candidate buckets, the exact
+    // truth set, and per-anchor integer recall all replay relationally
+    "g82_embed_lsh_recall" ->
+      ("WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x " +
+        "FROM embeddings), " +
+        "refs AS (SELECT j.j AS j, ea.x AS ax, eb.x AS bx FROM range(0, 16) j(j) " +
+        "JOIN emb ea ON ea.vec_id = 2 * j.j + 1 " +
+        "JOIN emb eb ON eb.vec_id = 2 * j.j + 2), " +
+        "bits AS (SELECT e.vec_id, r.j, CASE WHEN " +
+        "round(list_cosine_similarity(e.x, r.ax), 6) > " +
+        "round(list_cosine_similarity(e.x, r.bx), 6) THEN 1 ELSE 0 END AS bit " +
+        "FROM emb e, refs r), " +
+        "keys AS MATERIALIZED (SELECT vec_id, j // 4 AS band, " +
+        "CAST(sum(bit * (1 << (j % 4))) AS INT) AS bkey FROM bits GROUP BY 1, 2), " +
+        "cand AS MATERIALIZED (SELECT DISTINCT k1.vec_id AS u, k2.vec_id AS v " +
+        "FROM keys k1 JOIN keys k2 ON k1.band = k2.band AND k1.bkey = k2.bkey " +
+        "AND k1.vec_id < k2.vec_id), " +
+        "anchors AS (SELECT vec_id AS a_id, x AS ax FROM emb WHERE vec_id < 50), " +
+        "tru AS MATERIALIZED (SELECT a.a_id, least(a.a_id, e.vec_id) AS u, " +
+        "greatest(a.a_id, e.vec_id) AS v FROM emb e JOIN anchors a " +
+        "ON e.vec_id <> a.a_id " +
+        "WHERE round(list_cosine_similarity(e.x, a.ax), 6) >= 0.45), " +
+        "fnd AS (SELECT t.a_id FROM tru t WHERE EXISTS (" +
+        "SELECT 1 FROM cand c WHERE c.u = t.u AND c.v = t.v)) " +
+        "SELECT t.a_id, count(*) AS n_true, " +
+        "CAST(coalesce(f.n, 0) AS BIGINT) AS n_found, " +
+        "CAST(coalesce(f.n, 0) * 100 // count(*) AS INT) AS recall_pct " +
+        "FROM tru t LEFT JOIN (SELECT a_id, count(*) AS n FROM fnd GROUP BY 1) f " +
+        "ON f.a_id = t.a_id GROUP BY t.a_id, f.n ORDER BY t.a_id"),
 
     // tombstone delete: g71's replay with the deleted set excluded — a
     // deleted vector must be unfindable through any probe
