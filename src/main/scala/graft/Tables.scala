@@ -64,11 +64,18 @@ object Tables {
   }
 
   /** Collision-free tmp-path key for a fixture dir: the full sanitized path
-    * (not its hashCode — two dirs hashing alike must not share mutable index
-    * state; the check-then-commit fingerprint/rmrf sites have no locking). */
-  def pathKey(dir: String): String =
+    * PLUS a CRC of the original string — sanitization alone is not injective
+    * (`sf0.1` and `sf0_1` both sanitize to `sf0_1`), and two dirs keying
+    * alike must not share mutable index state (the check-then-commit
+    * fingerprint/rmrf sites have no locking). CRC32 (not hashCode) so the
+    * key is stable across JVMs. */
+  def pathKey(dir: String): String = {
+    val crc = new java.util.zip.CRC32
+    crc.update(dir.getBytes("UTF-8"))
     // identifier-safe (doubles as a SQL table-name suffix): [A-Za-z0-9_] only
-    dir.replaceAll("[^A-Za-z0-9_]", "_").stripPrefix("_")
+    dir.replaceAll("[^A-Za-z0-9_]", "_").stripPrefix("_") +
+      "_" + java.lang.Long.toHexString(crc.getValue)
+  }
 
   /** DECIMAL(27,6) — enough integer digits for any sf0.1 money sum. */
   val dec: DecimalType = DecimalType(27, 6)

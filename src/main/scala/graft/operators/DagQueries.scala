@@ -582,7 +582,8 @@ object DagQueries extends QueryModule {
           .filter(d => matches(kind, d))
           .filter(d => lastRun.forall(d.isAfter))
           .toSeq
-        val latest = due.sortBy(_.toEpochDay).lastOption
+        // due is ascending by construction (day-by-day iteration)
+        val latest = due.lastOption
         due.map { d =>
           (java.sql.Date.valueOf(d), task,
             if (catchup || latest.contains(d)) "run" else "skipped")

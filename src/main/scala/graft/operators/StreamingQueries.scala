@@ -193,7 +193,9 @@ object StreamingQueries extends QueryModule {
     * this at its fast durable store instead; the semantics (WAL layout,
     * exactly-once replay) are identical.
     */
-  private lazy val ckptRoot: String = {
+  /** Package-visible so specs share the exact root resolution instead of
+    * hand-copying it (a copy already drifted once — missing canWrite). */
+  private[graft] lazy val ckptRoot: String = {
     val shm = new java.io.File("/dev/shm")
     val root =
       if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_ckpt"

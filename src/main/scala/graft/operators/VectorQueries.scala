@@ -52,6 +52,25 @@ object VectorQueries extends QueryModule {
   private def round6(x: Double): Double =
     java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** Query vector lookup shared by the ANN serving family: vec 0's
+    * embedding as driver doubles (one row — metadata scale). */
+  private def queryVec(t: Tables): Array[Double] =
+    t.embeddings.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+
+  /** Driver-side probe selection shared by every persisted-index serve:
+    * rank cells on the HALF_UP-6dp-ROUNDED cosine with cell-id ties low —
+    * the exact ordering every oracle replays — and keep the top p. ONE
+    * definition so the serving family cannot drift from its oracles. */
+  private def topCells(cents: Seq[(Int, Array[Double])],
+      query: Array[Double], p: Int): Seq[Int] = {
+    val qn = math.sqrt(dotd(query, query))
+    cents.map { case (cell, c) =>
+      (cell, BigDecimal(dotd(query, c) / (qn * math.sqrt(dotd(c, c))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    }.sortBy { case (cell, sim) => (-sim, cell) }.take(p).map(_._1)
+  }
+
   /** EXACT k-NN (k=5) with no driver collect and no full-set broadcast — the
     * block nested-loop plan that holds at 100 TB: rows are hashed into B
     * blocks; each row is replicated B times as a query (to buckets
@@ -455,20 +474,8 @@ object VectorQueries extends QueryModule {
       val t = Tables(s, dir)
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_${Tables.pathKey(dir)}"
       graft.sources.IvfIndex.write(t.embeddings, idx)
-      def dotd(x: Array[Double], y: Array[Double]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < x.length) { acc += x(i) * y(i); i += 1 }
-        acc
-      }
-      def cos(a: Array[Double], b: Array[Double]): Double =
-        dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
-      val query = t.embeddings.filter(col("vec_id") === 0)
-        .select(col("embedding")).as[Seq[Float]].head().map(_.toDouble).toArray
-      val probes = graft.sources.IvfIndex.centroids(s, idx)
-        .map { case (cell, c) =>
-          (cell, BigDecimal(cos(query, c)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
-        }
-        .sortBy { case (cell, sim) => (-sim, cell) }.take(2).map(_._1)
+      val query = queryVec(t)
+      val probes = topCells(graft.sources.IvfIndex.centroids(s, idx), query, 2)
       graft.sources.IvfIndex.postings(s, idx)
         .filter(col("cell").isin(probes.map(Integer.valueOf): _*) &&
           col("vec_id") =!= 0)
@@ -499,20 +506,8 @@ object VectorQueries extends QueryModule {
       val t = Tables(s, dir)
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_${Tables.pathKey(dir)}"
       graft.sources.IvfPqIndex.write(t.embeddings, idx)
-      def dotd(x: Array[Double], y: Array[Double]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < x.length) { acc += x(i) * y(i); i += 1 }
-        acc
-      }
-      def cos(a: Array[Double], b: Array[Double]): Double =
-        dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
-      val query = t.embeddings.filter(col("vec_id") === 0)
-        .select(col("embedding")).as[Seq[Float]].head().map(_.toDouble).toArray
-      val probes = graft.sources.IvfPqIndex.centroids(s, idx)
-        .map { case (cell, c) =>
-          (cell, BigDecimal(cos(query, c)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
-        }
-        .sortBy { case (cell, sim) => (-sim, cell) }.take(2).map(_._1)
+      val query = queryVec(t)
+      val probes = topCells(graft.sources.IvfPqIndex.centroids(s, idx), query, 2)
       // ADC lookup table: exact subspace sq-L2 query↔rounded-centroid,
       // driver-side ordered fold (16 terms ascending — the oracle's
       // list_reduce order)
@@ -565,20 +560,8 @@ object VectorQueries extends QueryModule {
         t.embeddings.filter(col("vec_id") % 10 =!= 9), idx)
       graft.sources.IvfPqIndex.appendSegment(
         t.embeddings.filter(col("vec_id") % 10 === 9), idx, "d1")
-      def dotd(x: Array[Double], y: Array[Double]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < x.length) { acc += x(i) * y(i); i += 1 }
-        acc
-      }
-      def cos(a: Array[Double], b: Array[Double]): Double =
-        dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
-      val query = t.embeddings.filter(col("vec_id") === 0)
-        .select(col("embedding")).as[Seq[Float]].head().map(_.toDouble).toArray
-      val probes = graft.sources.IvfPqIndex.centroids(s, idx)
-        .map { case (cell, c) =>
-          (cell, BigDecimal(cos(query, c)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
-        }
-        .sortBy { case (cell, sim) => (-sim, cell) }.take(2).map(_._1)
+      val query = queryVec(t)
+      val probes = topCells(graft.sources.IvfPqIndex.centroids(s, idx), query, 2)
       val cbs = graft.sources.IvfPqIndex.codebooks(s, idx)
       val lut = cbs.zipWithIndex.map { case (cb, m) =>
         val q = query.slice(m * 16, m * 16 + 16)
@@ -629,20 +612,8 @@ object VectorQueries extends QueryModule {
       val t = Tables(s, dir)
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_${Tables.pathKey(dir)}"
       graft.sources.IvfIndex.write(t.embeddings, idx)
-      def dotd(x: Array[Double], y: Array[Double]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < x.length) { acc += x(i) * y(i); i += 1 }
-        acc
-      }
-      def cos(a: Array[Double], b: Array[Double]): Double =
-        dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
-      val query = t.embeddings.filter(col("vec_id") === 0)
-        .select(col("embedding")).as[Seq[Float]].head().map(_.toDouble).toArray
-      val probes = graft.sources.IvfIndex.centroids(s, idx)
-        .map { case (cell, c) =>
-          (cell, BigDecimal(cos(query, c)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
-        }
-        .sortBy { case (cell, sim) => (-sim, cell) }.take(2).map(_._1)
+      val query = queryVec(t)
+      val probes = topCells(graft.sources.IvfIndex.centroids(s, idx), query, 2)
       graft.sources.IvfIndex.postings(s, idx)
         .filter(col("cell").isin(probes.map(Integer.valueOf): _*) &&
           col("label") % 3 === 1 && col("vec_id") =!= 0)
@@ -675,20 +646,8 @@ object VectorQueries extends QueryModule {
       graft.sources.IvfIndex.write(t.embeddings.filter(col("vec_id") % 10 =!= 9), idx)
       graft.sources.IvfIndex.appendSegment(
         t.embeddings.filter(col("vec_id") % 10 === 9), idx, "d1")
-      def dotd(x: Array[Double], y: Array[Double]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < x.length) { acc += x(i) * y(i); i += 1 }
-        acc
-      }
-      def cos(a: Array[Double], b: Array[Double]): Double =
-        dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
-      val query = t.embeddings.filter(col("vec_id") === 0)
-        .select(col("embedding")).as[Seq[Float]].head().map(_.toDouble).toArray
-      val probes = graft.sources.IvfIndex.centroids(s, idx)
-        .map { case (cell, c) =>
-          (cell, BigDecimal(cos(query, c)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
-        }
-        .sortBy { case (cell, sim) => (-sim, cell) }.take(2).map(_._1)
+      val query = queryVec(t)
+      val probes = topCells(graft.sources.IvfIndex.centroids(s, idx), query, 2)
       graft.sources.IvfIndex.postings(s, idx)
         .unionByName(graft.sources.IvfIndex.segment(s, idx, "d1"))
         .filter(col("cell").isin(probes.map(Integer.valueOf): _*) &&
@@ -720,20 +679,8 @@ object VectorQueries extends QueryModule {
       graft.sources.IvfIndex.appendSegment(
         t.embeddings.filter(col("vec_id") % 10 === 9), idx, "d1")
       graft.sources.IvfIndex.compact(s, idx, Seq("d1"))
-      def dotd(x: Array[Double], y: Array[Double]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < x.length) { acc += x(i) * y(i); i += 1 }
-        acc
-      }
-      def cos(a: Array[Double], b: Array[Double]): Double =
-        dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
-      val query = t.embeddings.filter(col("vec_id") === 0)
-        .select(col("embedding")).as[Seq[Float]].head().map(_.toDouble).toArray
-      val probes = graft.sources.IvfIndex.centroids(s, idx)
-        .map { case (cell, c) =>
-          (cell, BigDecimal(cos(query, c)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
-        }
-        .sortBy { case (cell, sim) => (-sim, cell) }.take(2).map(_._1)
+      val query = queryVec(t)
+      val probes = topCells(graft.sources.IvfIndex.centroids(s, idx), query, 2)
       // ONE pruned scan again — the whole point of compacting
       graft.sources.IvfIndex.postings(s, idx)
         .filter(col("cell").isin(probes.map(Integer.valueOf): _*) &&
@@ -761,20 +708,9 @@ object VectorQueries extends QueryModule {
       val t = Tables(s, dir)
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_${Tables.pathKey(dir)}"
       graft.sources.IvfIndex.write(t.embeddings, idx)
-      def dotd(x: Array[Double], y: Array[Double]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < x.length) { acc += x(i) * y(i); i += 1 }
-        acc
-      }
-      def cos(a: Array[Double], b: Array[Double]): Double =
-        dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
-      val query = t.embeddings.filter(col("vec_id") === 0)
-        .select(col("embedding")).as[Seq[Float]].head().map(_.toDouble).toArray
-      val ranked = graft.sources.IvfIndex.centroids(s, idx)
-        .map { case (cell, c) =>
-          (cell, BigDecimal(cos(query, c)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
-        }
-        .sortBy { case (cell, sim) => (-sim, cell) }.map(_._1)
+      val query = queryVec(t)
+      val ranked = topCells(graft.sources.IvfIndex.centroids(s, idx), query,
+        graft.sources.IvfIndex.cellsK)
       val qv = typedLit(query.toSeq)
       val scored = t.embeddings.filter(col("vec_id") =!= 0)
         .withColumn("qv", qv)
@@ -793,9 +729,15 @@ object VectorQueries extends QueryModule {
           .limit(10)
           .select(lit(p).as("probes"), col("vec_id"))
       }
-      legs.reduce(_ unionByName _)
+      // left-join from the full probe range (the g69 pattern) so a probe
+      // level with ZERO overlap still emits its (p, 0) row — an inner join
+      // would silently drop it and diverge from the oracle's LEFT JOIN
+      val hits = legs.reduce(_ unionByName _)
         .join(exact, Seq("vec_id"))
-        .groupBy("probes").agg(count(lit(1)).as("hits_at_10"))
+        .groupBy("probes").agg(count(lit(1)).as("hits"))
+      (1 to 4).toDF("probes")
+        .join(hits, Seq("probes"), "left")
+        .select(col("probes"), coalesce(col("hits"), lit(0L)).as("hits_at_10"))
         .withColumn("recall_pct", (col("hits_at_10") * 10).cast("int"))
         .orderBy("probes")
     }),
@@ -882,20 +824,8 @@ object VectorQueries extends QueryModule {
       graft.sources.IvfIndex.write(t.embeddings, idx)
       graft.sources.IvfIndex.delete(
         t.embeddings.filter(col("vec_id") % 101 === 7).select(col("vec_id")), idx)
-      def dotd(x: Array[Double], y: Array[Double]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < x.length) { acc += x(i) * y(i); i += 1 }
-        acc
-      }
-      def cos(a: Array[Double], b: Array[Double]): Double =
-        dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
-      val query = t.embeddings.filter(col("vec_id") === 0)
-        .select(col("embedding")).as[Seq[Float]].head().map(_.toDouble).toArray
-      val probes = graft.sources.IvfIndex.centroids(s, idx)
-        .map { case (cell, c) =>
-          (cell, BigDecimal(cos(query, c)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
-        }
-        .sortBy { case (cell, sim) => (-sim, cell) }.take(2).map(_._1)
+      val query = queryVec(t)
+      val probes = topCells(graft.sources.IvfIndex.centroids(s, idx), query, 2)
       graft.sources.IvfIndex.postings(s, idx)
         .filter(col("cell").isin(probes.map(Integer.valueOf): _*) &&
           col("vec_id") =!= 0)

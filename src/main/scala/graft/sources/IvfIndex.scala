@@ -98,21 +98,29 @@ object IvfIndex {
   }
 
   /** COMPACTION — fold live segments back into the base (the index twin of
-    * m9's file compaction): the merged postings (base ∪ segments) are
-    * rewritten under a fresh GENERATION directory, the `_postings` pointer
-    * flips to it atomically (readers never see a half-compacted index), and
-    * the segment dirs drop. Idempotent per segment set (`_compacted_*`
-    * markers — the segment `_seg_*` markers stay, so a query re-run
-    * neither re-appends nor re-compacts). Serving before and after must be
-    * identical — pinned in VectorSpec. At 100 TB this is the background
-    * job that bounds per-query scan count: one cell-partitioned rewrite,
-    * no training, no driver state beyond the file lists. */
+    * m9's file compaction): the merged postings (base ∪ segments, MINUS any
+    * committed tombstones — this is [[delete]]'s physical fold, after which
+    * the tombstone table resets) are rewritten under a fresh GENERATION
+    * directory, the `_postings` pointer flips to it atomically (readers
+    * never see a half-compacted index), and the segment dirs drop.
+    * Idempotent per segment SET (the marker name sorts the segment list,
+    * so a retried orchestrator may reorder it; the `_seg_*` markers stay,
+    * so a query re-run neither re-appends nor re-compacts — segment names
+    * are one-shot per index generation, a rebuild resets them). Serving
+    * before and after must be identical — pinned in VectorSpec. At 100 TB
+    * this is the background job that bounds per-query scan count: one
+    * cell-partitioned rewrite, no training, no driver state beyond the
+    * file lists. */
   def compact(spark: SparkSession, path: String, segs: Seq[String]): Unit = {
-    val marker = Paths.get(path, s"_compacted_${segs.mkString("_")}")
+    val marker = Paths.get(path, s"_compacted_${segs.sorted.mkString("_")}")
     if (Files.exists(marker)) return
-    val merged = segs.foldLeft(postings(spark, path)) { (df, n) =>
+    val live = segs.foldLeft(postings(spark, path)) { (df, n) =>
       df.unionByName(segment(spark, path, n))
     }
+    // physical fold of the tombstones: the compacted generation simply
+    // omits deleted rows, and the tombstone table retires with them
+    val merged = live.join(broadcast(tombstones(spark, path)),
+      col("vec_id") === col("__dead_id"), "left_anti")
     val gen = 1 + Option(new java.io.File(path).list()).toSeq.flatten
       .filter(_.startsWith("postings_g")).map(_.stripPrefix("postings_g").toInt)
       .foldLeft(0)(math.max)
@@ -124,6 +132,8 @@ object IvfIndex {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     segs.foreach(n => rmrfDir(new java.io.File(s"$path/segments/$n")))
+    rmrfDir(new java.io.File(s"$path/tombstones"))
+    Files.deleteIfExists(Paths.get(path, "_tombstones_ready"))
     Files.write(marker, "done".getBytes("UTF-8"))
     ()
   }

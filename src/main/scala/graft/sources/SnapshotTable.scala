@@ -294,7 +294,10 @@ object SnapshotTable {
     * [[expire]] never deletes foreign files (they are the source's to
     * vacuum — production formats track this with a retention lease; the
     * fixture discipline is that a cloned source outlives its clones).
-    * Returns the clone's committed version (1). */
+    * Shallow clones cover PLAIN tables; field-id-evolved tables need a
+    * deep clone (readEvo refuses foreign entries — its generation numbers
+    * and schema sidecars are root-local). Returns the clone's committed
+    * version (1). */
   def cloneFrom(srcRoot: String, dstRoot: String): Long = {
     val sv = latestVersion(srcRoot).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $srcRoot"))
@@ -427,6 +430,14 @@ object SnapshotTable {
     val files = new String(
       Files.readAllBytes(snapDir(root).resolve(s"v$v.manifest")), UTF_8)
       .split("\n").filter(_.nonEmpty).toSeq
+    // field-id evolution keys the physical schema on THIS table's version
+    // number in each entry's path, and the sidecars live under THIS root —
+    // a shallow clone's foreign entries would resolve generation numbers
+    // against the SOURCE's history. Evolution across a clone needs a deep
+    // clone (or sidecar copy); refuse loudly rather than mis-resolve.
+    require(!files.exists(f => Paths.get(f).isAbsolute),
+      s"readEvo: $root has foreign (cloned) manifest entries — " +
+        "field-id evolution does not compose with shallow clones")
     val gen = "data/v(\\d+)/".r
     files.groupBy(f => gen.findFirstMatchIn(f).get.group(1).toLong)
       .toSeq.sortBy(_._1)

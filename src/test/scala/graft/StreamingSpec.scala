@@ -37,12 +37,7 @@ class StreamingSpec extends AnyFunSuite {
       "per-batch verdicts against the pinned index must equal the single-shot answer")
     // final index = v1 (existing corpus) + one append per batch holding
     // exactly that batch's novel docs — nothing lost, nothing doubled
-    // (same root resolution as StreamingQueries.ckptRoot)
-    val shm = new java.io.File("/dev/shm")
-    val ckptRoot =
-      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_ckpt"
-      else System.getProperty("java.io.tmpdir") + "/graft_ckpt"
-    val idxRoot = s"$ckptRoot/graft_snap_i23_${Tables.pathKey(sfDir)}"
+    val idxRoot = s"${operators.StreamingQueries.ckptRoot}/graft_snap_i23_${Tables.pathKey(sfDir)}"
     val existing = Tables(spark, sfDir).documents
       .filter(col("doc_id") % 5 =!= 0)
       .withColumn("toks", split(lower(col("text")), " "))
@@ -207,8 +202,7 @@ class StreamingSpec extends AnyFunSuite {
     // the sink table's version history IS the applied-batch ledger:
     // 4 chunks at 2 files/trigger -> 2 versions, metas "0" and "1"
     import graft.sources.SnapshotTable
-    val root = s"${if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_ckpt"
-      else System.getProperty("java.io.tmpdir") + "/graft_ckpt"}/graft_snap_i13_${Tables.pathKey(sfDir)}"
+    val root = s"${operators.StreamingQueries.ckptRoot}/graft_snap_i13_${Tables.pathKey(sfDir)}"
     val latest = SnapshotTable.latestVersion(root)
     assert(latest.contains(2L), s"expected 2 committed versions, got $latest")
     assert(SnapshotTable.versionMeta(root, 1).contains("0"))
