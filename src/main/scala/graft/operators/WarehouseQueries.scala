@@ -798,6 +798,123 @@ object WarehouseQueries extends QueryModule {
         .unionByName(ledger(SnapshotTable.read(s, dst), "clone"))
         .unionByName(ledger(SnapshotTable.readVersion(s, dst, cv), "clone_v1"))
         .orderBy("side")
+    }),
+
+    // M23: CONCURRENT WRITERS under OPTIMISTIC CONCURRENCY — the
+    // multi-writer ACID story (Delta/Iceberg's commit-conflict loop) run as
+    // a graded scenario: writers A and B both read v1 and race; exactly one
+    // wins the version-slot reservation (filesystem exclusive-create — an
+    // object store's If-None-Match put), the loser fails BEFORE writing any
+    // data, REBASES on the winner's snapshot, and retries; a writer that
+    // crashed between reserve and swap leaves a stale reservation that
+    // blocks the slot until recovery releases it. The graded ledger derives
+    // every outcome from ACTUAL execution (the exception is caught, the
+    // release list is read back) — nothing is hard-coded — and carries the
+    // table's (count, revenue) state after each step, so the oracle verifies
+    // no lost update end-to-end: A's and B's rows BOTH land despite the
+    // race. At 100 TB the protocol cost is the same one reservation + one
+    // pointer swap per commit; conflict detection never reads data.
+    "m23_concurrent_writers" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m23_${Tables.pathKey(dir)}"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root))
+      val t = Tables(s, dir)
+      def slice(r: Int) = t.orders.filter(col("o_orderkey") % 4 === r)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      def state(): (Long, Long) = {
+        val r = SnapshotTable.read(s, root)
+          .agg(count(lit(1)),
+            floor(Tables.dsum(col("o_totalprice"))).cast("long")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      SnapshotTable.commit(slice(0), root) // v1 — the snapshot both read
+      // writer A wins the race from base v1
+      val vA = SnapshotTable.commitIfUnchanged(
+        SnapshotTable.read(s, root).unionByName(slice(1)), root, 1L)
+      val (n2, r2) = state()
+      // writer B raced from the SAME base: the reservation CAS rejects it
+      // before any data write — the caught exception is the ledger entry
+      val bOutcome =
+        try {
+          SnapshotTable.commitIfUnchanged(slice(2), root, 1L); "committed"
+        } catch {
+          case _: java.util.ConcurrentModificationException => "conflict"
+        }
+      // B rebases: re-reads the winner's snapshot, reapplies its change
+      val vB = SnapshotTable.commitIfUnchanged(
+        SnapshotTable.read(s, root).unionByName(slice(2)), root, vA)
+      val (n3, r3) = state()
+      // a writer crashed between reserve and swap: its stale reservation
+      // blocks slot v4 until recovery releases it
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(root, "_snapshots", s"v${vB + 1}.reserved"))
+      val cBlocked =
+        try {
+          SnapshotTable.commitIfUnchanged(slice(3), root, vB); "committed"
+        } catch {
+          case _: java.util.ConcurrentModificationException => "blocked_stale"
+        }
+      val released = SnapshotTable.releaseStaleReservation(root)
+      val vC = SnapshotTable.commitIfUnchanged(
+        SnapshotTable.read(s, root).unionByName(slice(3)), root, vB)
+      val (n4, r4) = state()
+      Seq(
+        (1, "A", 1L, "committed", vA, n2, r2),
+        (2, "B", 1L, bOutcome, 0L, n2, r2),
+        (3, "B", vA, "committed", vB, n3, r3),
+        (4, "C", vB, cBlocked, 0L, n3, r3),
+        (5, "recovery", vB, "released", released.headOption.getOrElse(0L), n3, r3),
+        (6, "C", vB, "committed", vC, n4, r4))
+        .toDF("step", "actor", "base", "outcome", "version", "n_rows", "revenue")
+        .orderBy("step")
+    }),
+
+    // M24: ORPHAN-FILE SWEEP — the maintenance verb m20's expire cannot
+    // cover: expire deletes what manifests STOP referencing; this deletes
+    // what they NEVER referenced. The scenario plants both orphan kinds a
+    // real table accrues — a task-retry part-file inside a committed
+    // version's data dir (present on disk, absent from the authoritative
+    // manifest file list) and a fully staged-but-never-swapped version from
+    // a writer that died between prepare and swap — then sweeps. Graded:
+    // the sweep's parquet/manifest counts (from the actual return list), a
+    // second pass finding nothing (idempotence), and the table content
+    // after the sweep, which must equal the committed snapshot exactly —
+    // reads were never polluted (they resolve the manifest, not the
+    // directory listing), so the sweep reclaims disk without touching a
+    // live byte. WarehouseSpec additionally pins time travel to v1 across
+    // the sweep. Metadata-scale at 100 TB: one snapshot-dir read + one
+    // data-dir walk, no data bytes read.
+    "m24_orphan_cleanup" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m24_${Tables.pathKey(dir)}"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root))
+      val t = Tables(s, dir)
+      def slice(r: Int) = t.orders.filter(col("o_orderkey") % 3 === r)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      SnapshotTable.commit(slice(0), root)
+      SnapshotTable.append(slice(1), root) // LATEST = v2
+      // orphan kind 1: task-retry debris — on disk, in no manifest
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, "data", "v1", "part-retry-debris.parquet"),
+        "not-a-real-parquet".getBytes("UTF-8"))
+      // orphan kind 2: abandoned staging — prepared v3, writer died pre-swap
+      SnapshotTable.prepare(slice(2).coalesce(1), root)
+      val removed = SnapshotTable.removeOrphans(root)
+      val second = SnapshotTable.removeOrphans(root)
+      SnapshotTable.read(s, root)
+        .groupBy((col("o_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice")).as("rev"))
+        .select(col("bucket"), col("n"), round(col("rev"), 6).as("revenue"),
+          lit(removed.count(_.endsWith(".parquet"))).cast("int").as("n_orphan_parquet"),
+          lit(removed.count(_.endsWith(".manifest"))).cast("int").as("n_staged_manifests"),
+          lit(second.size).cast("int").as("n_second_pass"))
+        .orderBy("bucket")
     })
   )
 
@@ -1033,5 +1150,43 @@ object WarehouseQueries extends QueryModule {
         s"round(${Tables.dsumSql("o_totalprice")}, 6) " +
         "FROM sl WHERE r IN (0, 1)" +
         ") ORDER BY side")
+  ) ++ Seq(
+
+    // the ledger's (n_rows, revenue) after each step re-derives from the
+    // declared commit sequence: v2 = residues {0,1}, v3 = {0,1,2},
+    // v4 = {0,1,2,3} of o_orderkey % 4
+    "m23_concurrent_writers" ->
+      ("WITH st AS (" +
+        "SELECT 2 AS v, count(*) AS n, " +
+        s"CAST(floor(${Tables.dsumSql("o_totalprice")}) AS BIGINT) AS rev " +
+        "FROM orders WHERE o_orderkey % 4 IN (0, 1) " +
+        "UNION ALL SELECT 3, count(*), " +
+        s"CAST(floor(${Tables.dsumSql("o_totalprice")}) AS BIGINT) " +
+        "FROM orders WHERE o_orderkey % 4 IN (0, 1, 2) " +
+        "UNION ALL SELECT 4, count(*), " +
+        s"CAST(floor(${Tables.dsumSql("o_totalprice")}) AS BIGINT) " +
+        "FROM orders) " +
+        "SELECT l.step, l.actor, CAST(l.base AS BIGINT) AS base, l.outcome, " +
+        "CAST(l.version AS BIGINT) AS version, st.n AS n_rows, st.rev AS revenue " +
+        "FROM (VALUES " +
+        "(1, 'A', 1, 'committed', 2, 2), " +
+        "(2, 'B', 1, 'conflict', 0, 2), " +
+        "(3, 'B', 2, 'committed', 3, 3), " +
+        "(4, 'C', 3, 'blocked_stale', 0, 3), " +
+        "(5, 'recovery', 3, 'released', 4, 3), " +
+        "(6, 'C', 3, 'committed', 4, 4)" +
+        ") l(step, actor, base, outcome, version, sv) " +
+        "JOIN st ON st.v = l.sv ORDER BY l.step"),
+
+    // post-sweep content == the committed snapshot (all three residue
+    // slices); the sweep counts are deterministic from the planted orphans:
+    // 1 debris parquet + 1 staged (coalesced) parquet, 1 staged manifest,
+    // second pass empty
+    "m24_orphan_cleanup" ->
+      ("SELECT o_orderkey % 10 AS bucket, count(*) AS n, " +
+        s"round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue, " +
+        "CAST(2 AS INT) AS n_orphan_parquet, CAST(1 AS INT) AS n_staged_manifests, " +
+        "CAST(0 AS INT) AS n_second_pass " +
+        "FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 1 ORDER BY bucket")
   )
 }

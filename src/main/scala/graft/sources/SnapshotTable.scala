@@ -279,6 +279,78 @@ object SnapshotTable {
     expiring
   }
 
+  /** ORPHAN-FILE SWEEP (Iceberg's `remove_orphan_files`, Delta VACUUM's
+    * untracked-file half) — the maintenance verb [[expire]] cannot cover:
+    * expire deletes files the manifests STOP referencing; this deletes
+    * files the manifests NEVER referenced. Two ways a table accrues them:
+    *
+    *  1. task-retry debris — a speculative/failed task's part-file landed
+    *     in a committed version's data dir but the committing writer's
+    *     manifest (the authoritative file list) never included it;
+    *  2. abandoned staging — a writer crashed between [[prepare]] and
+    *     [[swap]], leaving a fully staged version ABOVE latest that no
+    *     reader can ever see (a retried prepare would re-stage it, but a
+    *     writer that never returns leaves it forever).
+    *
+    * Sweeps (1) as any unreferenced `*.parquet` under `data/` (checksum
+    * sidecars of a swept file go with it; `_SUCCESS`/sidecars of LIVE
+    * files are untouched — manifests list only parquet), and (2) as every
+    * staged version's manifest/meta/reservation + data dir above latest.
+    * Production age-gates both sweeps (a writer may be mid-commit); the
+    * caller contract here is "run with no writer in flight" — same as
+    * [[releaseStaleReservation]]. Metadata-scale: one `_snapshots/` read
+    * plus one `data/` walk, no data bytes read. Idempotent. Returns
+    * root-relative deleted paths, sorted. */
+  def removeOrphans(root: String): Seq[String] = {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val versions = Files.list(snapDir(root)).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
+        s.stripPrefix("v").stripSuffix(".manifest").toLong }
+      .toSeq.sorted
+    val (staged, committed) = versions.partition(_ > latest)
+    val referenced = committed.flatMap { v =>
+      new String(Files.readAllBytes(snapDir(root).resolve(s"v$v.manifest")), UTF_8)
+        .split("\n").filter(_.nonEmpty)
+    }.toSet
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    // (2) abandoned staging: nothing at a version above LATEST is reachable
+    staged.foreach { v =>
+      Seq(s"v$v.meta", s"v$v.reserved", s"v$v.manifest").foreach { n =>
+        if (Files.deleteIfExists(snapDir(root).resolve(n)))
+          deleted += s"_snapshots/$n"
+      }
+    }
+    val dataRoot = Paths.get(root, "data")
+    if (Files.exists(dataRoot)) {
+      Files.list(dataRoot).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.matches("v\\d+")).foreach { d =>
+          val v = d.getFileName.toString.stripPrefix("v").toLong
+          if (v > latest) {
+            Files.list(d).iterator().asScala.toSeq.foreach { f =>
+              Files.deleteIfExists(f)
+              deleted += s"data/v$v/${f.getFileName}"
+            }
+            Files.deleteIfExists(d)
+          } else {
+            // (1) task debris inside a live version dir
+            Files.list(d).iterator().asScala.toSeq
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .filterNot(f => referenced(s"data/v$v/${f.getFileName}"))
+              .foreach { f =>
+                Files.deleteIfExists(f)
+                deleted += s"data/v$v/${f.getFileName}"
+                val crc = d.resolve(s".${f.getFileName}.crc")
+                if (Files.deleteIfExists(crc))
+                  deleted += s"data/v$v/.${f.getFileName}.crc"
+              }
+          }
+        }
+    }
+    deleted.toSeq.sorted
+  }
+
   /** Resolve a manifest entry: entries are root-relative except FOREIGN
     * (absolute) entries written by [[cloneFrom]] — a shallow clone's
     * manifest points into its source's data directory. */

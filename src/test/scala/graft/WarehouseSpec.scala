@@ -320,6 +320,38 @@ class WarehouseSpec extends AnyFunSuite {
     assert(SnapshotTable.releaseStaleReservation(root).isEmpty)
   }
 
+  test("snapshot table: orphan sweep reclaims debris + abandoned staging, touches no live byte") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.SnapshotTable
+    import java.nio.file.{Files => JF, Paths => JP}
+    val root = JF.createTempDirectory("graft_snap_orphan").toString
+    SnapshotTable.commit(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), root)
+    SnapshotTable.append(Seq((3L, 3.0)).toDF("k", "v"), root) // LATEST = 2
+    val before = SnapshotTable.read(s, root).orderBy("k").collect().toSeq
+    val v1Before = SnapshotTable.readVersion(s, root, 1L).count()
+    // plant both orphan kinds: task-retry debris in a live version dir,
+    // and a staged-but-never-swapped v3 from a crashed writer
+    JF.write(JP.get(root, "data", "v1", "part-retry-debris.parquet"),
+      "junk".getBytes("UTF-8"))
+    SnapshotTable.prepare(Seq((9L, 9.0)).toDF("k", "v").coalesce(1), root)
+    assert(JF.exists(JP.get(root, "_snapshots", "v3.manifest")))
+    val removed = SnapshotTable.removeOrphans(root)
+    assert(removed.contains("data/v1/part-retry-debris.parquet"),
+      "the unreferenced part-file is swept")
+    assert(removed.contains("_snapshots/v3.manifest"),
+      "the abandoned staged manifest is swept")
+    assert(!JF.exists(JP.get(root, "data", "v3")), "staged data dir gone")
+    // reads were never polluted and are untouched by the sweep; time travel
+    // to v1 still works (its manifest + listed files survive)
+    assert(SnapshotTable.read(s, root).orderBy("k").collect().toSeq == before)
+    assert(SnapshotTable.readVersion(s, root, 1L).count() == v1Before)
+    // idempotent: a second sweep finds nothing
+    assert(SnapshotTable.removeOrphans(root).isEmpty)
+    // a retried prepare can re-stage the slot the sweep reclaimed
+    assert(SnapshotTable.prepare(Seq((9L, 9.0)).toDF("k", "v"), root) == 3L)
+  }
+
   test("snapshot table: commit metadata becomes visible atomically with the data") {
     val s = spark
     import s.implicits._
