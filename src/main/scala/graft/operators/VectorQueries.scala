@@ -4,6 +4,7 @@ import graft.{QueryModule, Tables}
 import graft.functions.VecSumAgg
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 /** SURVEY §2 G vector band (G3–G6, G10) + H2 (typed Aggregator UDAF) + the
   * north-star multimodal-binary pipeline.
@@ -250,6 +251,51 @@ object VectorQueries extends QueryModule {
       val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
       e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
         .select(col("vec_id"), col("label"),
+          round(dot("v", "qv") / (sqrt(dot("v", "v")) * sqrt(dot("qv", "qv"))), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // G83: BINARY QUANTIZATION ANN — the third point on the compression
+    // curve after float32 (g4 exact) and PQ codes (g55): each 64-dim float
+    // vector (256 B) quantizes to ONE bit per dimension — two packed 32-bit
+    // words, 8 B, 32× — by thresholding each dimension at its exact-decimal
+    // corpus MEAN (the g6 centroid discipline, so the oracle re-derives the
+    // same thresholds bit-for-bit). Serving is the standard two-stage
+    // shape: Hamming distance to the query signature (two XOR+popcount
+    // codegen ops — memory-bandwidth speed, the reason BQ is the hot first
+    // stage in production vector stores) cuts a top-50 shortlist with
+    // vec_id tiebreak, then the exact 6dp-rounded cosine re-ranks the
+    // shortlist to the final 10. Everything replays in SQL: thresholds,
+    // bit-packing, XOR/popcount, both cuts. At 100 TB the signature column
+    // is 32× smaller than the vectors, scans at RAM speed, and the
+    // re-rank touches only 50 full vectors per query; the threshold pass
+    // is one aggregate (64 decimal sums — metadata to the driver).
+    "g83_ann_binary_quant" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings.select(col("vec_id"), vd.as("v"))
+      val aggs = count(lit(1)).as("n") +:
+        (0 until 64).map(d =>
+          sum(col("v")(d).cast(DecimalType(38, 12))).cast("double").as(s"s$d"))
+      val mRow = e.agg(aggs.head, aggs.tail: _*).head()
+      val n = mRow.getLong(0).toDouble
+      val mu = (0 until 64).map(d => mRow.getDouble(d + 1) / n)
+      def word(off: Int) = (0 until 32).map { d =>
+        when(col("v")(off + d) > lit(mu(off + d)), lit(1L << d)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val sigs = e.select(col("vec_id"), col("v"),
+        word(0).as("lo"), word(32).as("hi"))
+      val qs = sigs.filter(col("vec_id") === 0).select(col("lo"), col("hi")).head()
+      val (qlo, qhi) = (qs.getLong(0), qs.getLong(1))
+      val query = queryVec(t)
+      sigs.filter(col("vec_id") =!= 0)
+        .withColumn("hamming",
+          (bit_count(col("lo").bitwiseXOR(lit(qlo))) +
+            bit_count(col("hi").bitwiseXOR(lit(qhi)))).cast("int"))
+        .orderBy(col("hamming").asc, col("vec_id").asc)
+        .limit(50)
+        .withColumn("qv", typedLit(query.toSeq))
+        .select(col("vec_id"), col("hamming"),
           round(dot("v", "qv") / (sqrt(dot("v", "v")) * sqrt(dot("qv", "qv"))), 6).as("cos"))
         .orderBy(col("cos").desc, col("vec_id").asc)
         .limit(10)
@@ -1712,6 +1758,27 @@ object VectorQueries extends QueryModule {
         "SELECT vec_id, label, " +
         "round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cos " +
         "FROM embeddings, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10"),
+
+    // full replay of the binary-quantization pipeline: per-dim exact-decimal
+    // mean thresholds (the g6 formula), bit-pack into two 32-bit words,
+    // XOR+popcount Hamming shortlist (top-50, vec_id tiebreak), exact
+    // rounded-cosine re-rank to 10 — every cut engine-stable
+    "g83_ann_binary_quant" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "m AS (SELECT pos, CAST(sum(CAST(v[pos + 1] AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mu " +
+        "FROM e, range(64) t(pos) GROUP BY pos), " +
+        "sig AS (SELECT vec_id, " +
+        "CAST(sum(CASE WHEN pos < 32 AND v[pos + 1] > mu THEN (CAST(1 AS BIGINT) << pos) ELSE 0 END) AS BIGINT) AS lo, " +
+        "CAST(sum(CASE WHEN pos >= 32 AND v[pos + 1] > mu THEN (CAST(1 AS BIGINT) << (pos - 32)) ELSE 0 END) AS BIGINT) AS hi " +
+        "FROM e, range(64) t(pos) JOIN m USING (pos) GROUP BY vec_id), " +
+        "q AS (SELECT lo AS qlo, hi AS qhi FROM sig WHERE vec_id = 0), " +
+        "qv AS (SELECT v AS qv FROM e WHERE vec_id = 0), " +
+        "short AS (SELECT vec_id, " +
+        "CAST(bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS INT) AS hamming " +
+        "FROM sig, q WHERE vec_id <> 0 ORDER BY hamming, vec_id LIMIT 50) " +
+        "SELECT s.vec_id, s.hamming, round(list_cosine_similarity(e.v, qv), 6) AS cos " +
+        "FROM short s JOIN e ON e.vec_id = s.vec_id, qv " +
+        "ORDER BY cos DESC, s.vec_id LIMIT 10"),
 
     "g33_random_projection" ->
       ("SELECT vec_id, i.range AS i, " +

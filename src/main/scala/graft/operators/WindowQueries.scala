@@ -529,6 +529,48 @@ object WindowQueries extends QueryModule {
         .agg(countDistinct(col("user_id")).as("wau"),
           countDistinct(when(col("k") === 0, col("user_id"))).as("dau"))
         .orderBy("day")
+    }),
+
+    // E24: HOLT LINEAR TREND (double exponential smoothing) — the
+    // forecasting recurrence e15's single EWMA can't express: level AND
+    // trend, l' = α·x + (1−α)(l+t), t' = β(l'−l) + (1−β)t with α=0.3,
+    // β=0.1, zero-seeded and folded left-to-right over each event type's
+    // ZERO-FILLED daily revenue series (a quiet day is x=0, not a skipped
+    // step). All arithmetic is fixed-point integer micros with a SIGN-SAFE
+    // truncating div-by-10 — the trend goes negative, and floor- vs
+    // truncate-division differ between engines on negatives, so both sides
+    // only ever divide non-negative magnitudes. The facts crush to
+    // (type, day) integer sums first — one shuffle at data scale; the fold
+    // itself runs on 5 arrays of ~31 elements. The oracle replays the
+    // identical recurrence as an unrolled 64-step MATERIALIZED CTE chain
+    // (the kmeans/PCA discipline — list_reduce is scalar-state, Holt is
+    // two-state), each step a 5-row join; steps beyond the span carry
+    // state unchanged, so any fixture span ≤ 64 days replays exactly.
+    "e24_holt_linear" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val ev = t.events.select(col("event_type"), to_date(col("ts")).as("d"),
+        floor(col("value") * lit(1000000.0)).cast("long").as("vm"))
+      val daily = ev.groupBy(col("event_type"), col("d")).agg(sum(col("vm")).as("x"))
+      val b = ev.agg(min(col("d")), max(col("d"))).head()
+      val (d0, d1) = (b.getDate(0), b.getDate(1))
+      val cal = ev.select(col("event_type")).distinct()
+        .select(col("event_type"),
+          explode(expr(s"sequence(DATE '$d0', DATE '$d1', interval 1 day)")).as("d"))
+      val filled = cal.join(daily, Seq("event_type", "d"), "left")
+        .withColumn("x", coalesce(col("x"), lit(0L)))
+      def td(a: String) =
+        s"(CASE WHEN ($a) < 0L THEN -((-($a)) DIV 10L) ELSE ($a) DIV 10L END)"
+      val lNew = td("3L * x + 7L * (acc[0] + acc[1])")
+      val tNew = td(s"($lNew - acc[0]) + 9L * acc[1]")
+      filled.groupBy(col("event_type"))
+        .agg(expr("transform(array_sort(collect_list(struct(d, x))), p -> p.x)").as("xs"),
+          count(lit(1)).as("n_days"))
+        .withColumn("st",
+          expr(s"aggregate(xs, array(0L, 0L), (acc, x) -> array($lNew, $tNew))"))
+        .select(col("event_type"), col("n_days"),
+          col("st")(0).as("level_micro"), col("st")(1).as("trend_micro"),
+          (col("st")(0) + col("st")(1)).as("forecast_micro"))
+        .orderBy("event_type")
     })
   )
 
@@ -771,6 +813,32 @@ object WindowQueries extends QueryModule {
         "SELECT day, count(DISTINCT user_id) AS wau, " +
         "count(DISTINCT CASE WHEN k = 0 THEN user_id END) AS dau " +
         "FROM x WHERE day IN (SELECT DISTINCT CAST(ts AS DATE) FROM events) " +
-        "GROUP BY day ORDER BY day")
+        "GROUP BY day ORDER BY day"),
+
+    // the two-state Holt recurrence unrolled as 64 MATERIALIZED 5-row CTE
+    // steps (list_reduce is scalar-state); sign-safe truncating div-by-10
+    // mirrors the engine exactly, steps past the span carry state
+    "e24_holt_linear" -> {
+      def td(a: String) =
+        s"(CASE WHEN ($a) < 0 THEN -((-($a)) // 10) ELSE ($a) // 10 END)"
+      val lNew = td("3 * COALESCE(d.x, 0) + 7 * (s.l + s.t)")
+      val tNew = td(s"($lNew - s.l) + 9 * s.t")
+      val steps = (0 until 64).map { k =>
+        s"s${k + 1} AS MATERIALIZED (SELECT s.event_type, " +
+          s"CASE WHEN $k < (SELECT nd FROM n) THEN $lNew ELSE s.l END AS l, " +
+          s"CASE WHEN $k < (SELECT nd FROM n) THEN $tNew ELSE s.t END AS t " +
+          s"FROM s$k s LEFT JOIN daily d ON d.event_type = s.event_type AND d.k = $k)"
+      }.mkString(", ")
+      "WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events), " +
+        "n AS (SELECT datediff('day', d0, d1) + 1 AS nd FROM bounds), " +
+        "daily AS (SELECT event_type, datediff('day', b.d0, CAST(ts AS DATE)) AS k, " +
+        "CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS x " +
+        "FROM events, bounds b GROUP BY 1, 2), " +
+        "s0 AS (SELECT DISTINCT event_type, CAST(0 AS BIGINT) AS l, CAST(0 AS BIGINT) AS t FROM events), " +
+        steps +
+        " SELECT event_type, (SELECT CAST(nd AS BIGINT) FROM n) AS n_days, " +
+        "l AS level_micro, t AS trend_micro, l + t AS forecast_micro " +
+        "FROM s64 ORDER BY event_type"
+    }
   )
 }

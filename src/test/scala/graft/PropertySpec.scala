@@ -27,6 +27,34 @@ class PropertySpec extends AnyFunSuite {
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
   }
 
+  test("holt linear fold matches a hand-traced recurrence on a crafted series") {
+    val s = spark
+    import s.implicits._
+    // hand trace, integer micros, zero-seeded, alpha=0.3 beta=0.1:
+    //   x=100: l = (300 + 0) /10 = 30;  t = ((30-0) + 0) /10 = 3
+    //   x=200: l = (600 + 7*33)/10 = 83; t = ((83-30) + 27)/10 = 8
+    //   x=50:  l = (150 + 7*91)/10 = 78; t = ((78-83) + 72)/10 = 6
+    //     (trend step: (-5 + 72) = 67 -> 6, truncation toward zero)
+    def td(a: String) =
+      s"(CASE WHEN ($a) < 0L THEN -((-($a)) DIV 10L) ELSE ($a) DIV 10L END)"
+    val lNew = td("3L * x + 7L * (acc[0] + acc[1])")
+    val tNew = td(s"($lNew - acc[0]) + 9L * acc[1]")
+    val out = Seq(Seq(100L, 200L, 50L)).toDF("xs")
+      .withColumn("st",
+        expr(s"aggregate(xs, array(0L, 0L), (acc, x) -> array($lNew, $tNew))"))
+      .select(col("st")(0), col("st")(1)).head()
+    assert((out.getLong(0), out.getLong(1)) == (78L, 6L))
+    // a negative-trend fold divides only non-negative magnitudes: a spike
+    // followed by a long flat tail ends with trend < 0 (beta=0.1 damps the
+    // turn, so the sign flip needs several steps) and no engine-dependent
+    // rounding on the way there
+    val neg = Seq(Seq(1000L) ++ Seq.fill(7)(1L)).toDF("xs")
+      .withColumn("st",
+        expr(s"aggregate(xs, array(0L, 0L), (acc, x) -> array($lNew, $tNew))"))
+      .select(col("st")(1)).head()
+    assert(neg.getLong(0) < 0L, "crafted decreasing series must yield a negative trend")
+  }
+
   test("cosine pairs stay within [-1, 1]") {
     val r = SparkEntry.queries("g3_sim_cosine_pairs")(spark, sfDir)
       .agg(min("cos"), max("cos")).head()

@@ -35,6 +35,17 @@ class VectorSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall $recall")
   }
 
+  test("g83: binary-quantized shortlist recalls a reasonable share of the exact top-10") {
+    val exact = SparkEntry.queries("g4_sim_topk_search")(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val bq = SparkEntry.queries("g83_ann_binary_quant")(spark, sfDir).collect()
+    assert(bq.length == 10)
+    // hamming distances are consistent: non-negative, <= 64
+    bq.foreach(r => assert(r.getInt(1) >= 0 && r.getInt(1) <= 64))
+    val recall = (bq.map(_.getLong(0)).toSet & exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"binary-quant recall $recall too low")
+  }
+
   test("g15: embedding near-dup pairs respect the threshold and ordering") {
     val pairs = SparkEntry.queries("g15_dedup_embed_cosine")(spark, sfDir).collect()
     pairs.foreach { r =>
