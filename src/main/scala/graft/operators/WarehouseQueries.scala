@@ -915,8 +915,63 @@ object WarehouseQueries extends QueryModule {
           lit(removed.count(_.endsWith(".manifest"))).cast("int").as("n_staged_manifests"),
           lit(second.size).cast("int").as("n_second_pass"))
         .orderBy("bucket")
+    }),
+
+    // M25: PARTITION-SPEC EVOLUTION — Iceberg's evolving hidden
+    // partitioning, the layout verb m19's column-identity evolution
+    // doesn't touch: the table starts partitioned by YEAR, later writers
+    // switch the spec to (YEAR, MONTH), and NO existing byte moves — the
+    // whole point at 100 TB, where a re-partition of history is a table
+    // rewrite. Each generation's spec rides in its version metadata; the
+    // read translates ONE data predicate (an o_orderdate range) to each
+    // generation's partition columns — coarse year-level pruning on the
+    // old layout, year+month pruning on the new — so both legs scan only
+    // matching partition directories (PlanSpec pins PartitionFilters on
+    // BOTH scans), then the row-level date filter tightens the edges. The
+    // graded result is the monthly rollup over the range, re-derived by
+    // the oracle from the raw table: spec evolution must never change an
+    // answer, only the scan cost.
+    "m25_partition_evolution" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m25_${Tables.pathKey(dir)}"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root))
+      val t = Tables(s, dir)
+      val base = t.orders.select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate"), year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      SnapshotTable.commitPartitioned(
+        base.filter(col("o_orderkey") % 2 === 0).drop("mo"), root, Seq("yr"))
+      SnapshotTable.appendPartitioned(
+        base.filter(col("o_orderkey") % 2 === 1), root, Seq("yr", "mo"))
+      m25Read(s, root)
+        .groupBy(month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice")).as("rev"))
+        .select(col("mo"), col("n"), round(col("rev"), 6).as("revenue"))
+        .orderBy("mo")
     })
   )
+
+  /** m25's read path, shared with PlanSpec's pruning pin: per-generation
+    * spec-translated partition predicates + the row-level date filter. */
+  def m25Read(s: org.apache.spark.sql.SparkSession, root: String): org.apache.spark.sql.DataFrame = {
+    val legs = SnapshotTable.partitionedGenerations(root).map { case (g, spec, fs) =>
+      val df = s.read.option("basePath", s"$root/data/v$g")
+        .parquet(fs.map(f => s"$root/$f"): _*)
+      // the hidden-partitioning translation: the same data predicate,
+      // projected onto whatever partition columns THIS generation has
+      val pruned = spec match {
+        case Seq("yr")       => df.filter(col("yr") === 1996)
+        case Seq("yr", "mo") => df.filter(col("yr") === 1996 && col("mo") >= 3)
+        case _               => df
+      }
+      pruned.select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    }
+    legs.reduce(_ unionByName _)
+      .filter(col("o_orderdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+  }
 
   val oracles: Seq[(String, String)] = Seq(
     "m1_scd2_merge" ->
@@ -1187,6 +1242,15 @@ object WarehouseQueries extends QueryModule {
         s"round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue, " +
         "CAST(2 AS INT) AS n_orphan_parquet, CAST(1 AS INT) AS n_staged_manifests, " +
         "CAST(0 AS INT) AS n_second_pass " +
-        "FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 1 ORDER BY bucket")
+        "FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 1 ORDER BY bucket"),
+
+    // spec evolution never changes an answer — the oracle is the plain
+    // date-range rollup on the raw table
+    "m25_partition_evolution" ->
+      ("SELECT month(o_orderdate) AS mo, count(*) AS n, " +
+        s"round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-03-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY 1 ORDER BY mo")
   )
 }

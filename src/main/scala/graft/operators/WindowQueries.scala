@@ -531,6 +531,47 @@ object WindowQueries extends QueryModule {
         .orderBy("day")
     }),
 
+    // E25: CUSUM CHANGEPOINT DETECTION — the sequential drift monitor the
+    // rolling z-score (e13) and MAD gate (e16) don't cover: a one-sided
+    // upper CUSUM S_t = max(0, S_{t-1} + x_t − μ − kslack) accumulates
+    // small sustained upward shifts in each event type's zero-filled daily
+    // revenue that no single day would flag, alarming when S crosses
+    // h = 8·kslack. Everything is integer micros: μ is the truncated
+    // per-type mean of the daily sums, kslack = μ DIV 20 (a 5% allowance),
+    // so the recurrence is exact on both engines. Each day's S value comes
+    // from folding the PREFIX list (collect_list over an unbounded-
+    // preceding window — the e15 shape; ~31²·5 lambda steps, metadata
+    // scale after the one (type, day) crush shuffle). The oracle replays
+    // the identical fold via zero-prepended list_reduce.
+    "e25_cusum_changepoint" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val ev = t.events.select(col("event_type"), to_date(col("ts")).as("d"),
+        floor(col("value") * lit(1000000.0)).cast("long").as("vm"))
+      val daily = ev.groupBy(col("event_type"), col("d")).agg(sum(col("vm")).as("x"))
+      val b = ev.agg(min(col("d")), max(col("d"))).head()
+      val (d0, d1) = (b.getDate(0), b.getDate(1))
+      val cal = ev.select(col("event_type")).distinct()
+        .select(col("event_type"),
+          explode(expr(s"sequence(DATE '$d0', DATE '$d1', interval 1 day)")).as("d"))
+      val filled = cal.join(daily, Seq("event_type", "d"), "left")
+        .withColumn("x", coalesce(col("x"), lit(0L)))
+      val stats = filled.groupBy(col("event_type"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("nd"))
+        .withColumn("mu", expr("sx DIV nd"))
+        .withColumn("kslack", expr("mu DIV 20L"))
+        .select("event_type", "mu", "kslack")
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      filled.join(broadcast(stats), "event_type")
+        .withColumn("vals", collect_list(col("x")).over(w))
+        .withColumn("cusum", expr(
+          "aggregate(vals, 0L, (acc, v) -> greatest(0L, acc + v - mu - kslack))"))
+        .select(col("event_type"), col("d").as("day"), col("x").as("x_micro"),
+          col("cusum").as("cusum_micro"),
+          when(col("cusum") > col("kslack") * 8, 1).otherwise(0).as("alarm"))
+        .orderBy("event_type", "day")
+    }),
+
     // E24: HOLT LINEAR TREND (double exponential smoothing) — the
     // forecasting recurrence e15's single EWMA can't express: level AND
     // trend, l' = α·x + (1−α)(l+t), t' = β(l'−l) + (1−β)t with α=0.3,
@@ -814,6 +855,33 @@ object WindowQueries extends QueryModule {
         "count(DISTINCT CASE WHEN k = 0 THEN user_id END) AS dau " +
         "FROM x WHERE day IN (SELECT DISTINCT CAST(ts AS DATE) FROM events) " +
         "GROUP BY day ORDER BY day"),
+
+    // zero-prepended list_reduce over the prefix list = the engine's
+    // zero-initialized aggregate fold; mu/kslack are integer divisions of
+    // integer sums, so the whole recurrence is exact on both engines
+    "e25_cusum_changepoint" ->
+      ("WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events), " +
+        "cal AS (SELECT et.event_type, CAST(u.d AS DATE) AS d FROM " +
+        "(SELECT DISTINCT event_type FROM events) et, bounds b, " +
+        "UNNEST(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) u(d)), " +
+        "daily AS (SELECT event_type, CAST(ts AS DATE) AS d, " +
+        "CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS x " +
+        "FROM events GROUP BY 1, 2), " +
+        "filled AS (SELECT c.event_type, c.d, COALESCE(daily.x, 0) AS x " +
+        "FROM cal c LEFT JOIN daily ON daily.event_type = c.event_type AND daily.d = c.d), " +
+        "st AS (SELECT event_type, CAST(sum(x) AS BIGINT) // count(*) AS mu " +
+        "FROM filled GROUP BY 1), " +
+        "pre AS (SELECT f.event_type, f.d, f.x, st.mu, st.mu // 20 AS kslack, " +
+        "list(f.x) OVER (PARTITION BY f.event_type ORDER BY f.d " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vals " +
+        "FROM filled f JOIN st USING (event_type)) " +
+        "SELECT event_type, d AS day, x AS x_micro, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), vals), " +
+        "(acc, v) -> greatest(CAST(0 AS BIGINT), acc + v - mu - kslack)) AS cusum_micro, " +
+        "CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), vals), " +
+        "(acc, v) -> greatest(CAST(0 AS BIGINT), acc + v - mu - kslack)) > kslack * 8 " +
+        "THEN 1 ELSE 0 END AS alarm " +
+        "FROM pre ORDER BY event_type, day"),
 
     // the two-state Holt recurrence unrolled as 64 MATERIALIZED 5-row CTE
     // steps (list_reduce is scalar-state); sign-safe truncating div-by-10

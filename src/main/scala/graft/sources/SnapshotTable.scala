@@ -279,6 +279,72 @@ object SnapshotTable {
     expiring
   }
 
+  /** PARTITION-SPEC EVOLUTION (Iceberg's evolving hidden partitioning) —
+    * each generation writes under its OWN partition layout, recorded in the
+    * version metadata as `partspec:<col,...>`; old files never move when
+    * the spec changes (a repartition-the-world rewrite is exactly what the
+    * feature exists to avoid at 100 TB). Readers resolve the spec per
+    * generation via [[partitionedGenerations]] and translate their data
+    * predicate to each generation's partition columns — coarse pruning on
+    * the old layout, fine pruning on the new, both served by the ordinary
+    * partition-directory file index. */
+  def commitPartitioned(df: DataFrame, root: String, cols: Seq[String]): Long = {
+    val v = writePartitioned(df, root, cols, Nil)
+    swap(root, v)
+    v
+  }
+
+  /** Partitioned APPEND: the delta lands under the NEW spec while every
+    * carried-over file stays in its original generation's layout. */
+  def appendPartitioned(df: DataFrame, root: String, cols: Seq[String]): Long = {
+    val prev = latestVersion(root).map(v =>
+      new String(Files.readAllBytes(snapDir(root).resolve(s"v$v.manifest")), UTF_8)
+        .split("\n").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val v = writePartitioned(df, root, cols, prev)
+    swap(root, v)
+    v
+  }
+
+  private def writePartitioned(df: DataFrame, root: String,
+      cols: Seq[String], carried: Seq[String]): Long = {
+    val v = latestVersion(root).getOrElse(0L) + 1
+    val dataDir = Paths.get(root, "data", s"v$v")
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(dataDir.toString)
+    def rec(p: Path): Seq[Path] =
+      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.toSeq.flatMap(rec)
+      else Seq(p)
+    val added = rec(dataDir)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => dataDir.getParent.getParent.relativize(p).toString).sorted
+    Files.createDirectories(snapDir(root))
+    Files.write(snapDir(root).resolve(s"v$v.meta"),
+      s"partspec:${cols.mkString(",")}".getBytes(UTF_8))
+    Files.write(snapDir(root).resolve(s"v$v.manifest"),
+      (carried ++ added).mkString("\n").getBytes(UTF_8))
+    v
+  }
+
+  /** The current snapshot's files grouped by GENERATION with each
+    * generation's partition spec: (generation, spec columns, files).
+    * Metadata-scale — one manifest + one meta read per generation. */
+  def partitionedGenerations(root: String): Seq[(Long, Seq[String], Seq[String])] = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val files = new String(
+      Files.readAllBytes(snapDir(root).resolve(s"v$v.manifest")), UTF_8)
+      .split("\n").filter(_.nonEmpty).toSeq
+    val gen = "data/v(\\d+)/".r
+    files.groupBy(f => gen.findFirstMatchIn(f).get.group(1).toLong)
+      .toSeq.sortBy(_._1)
+      .map { case (g, fs) =>
+        val spec = versionMeta(root, g)
+          .filter(_.startsWith("partspec:"))
+          .map(_.stripPrefix("partspec:").split(",").filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
+        (g, spec, fs)
+      }
+  }
+
   /** ORPHAN-FILE SWEEP (Iceberg's `remove_orphan_files`, Delta VACUUM's
     * untracked-file half) — the maintenance verb [[expire]] cannot cover:
     * expire deletes files the manifests STOP referencing; this deletes

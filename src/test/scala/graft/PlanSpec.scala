@@ -234,6 +234,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("2024-01-05"), p)
   }
 
+  test("m25: spec evolution prunes BOTH generations' scans on their own partition columns") {
+    // run the query once so the evolved table exists, then pin the shared
+    // read path's plan: the v1 leg prunes on yr alone, the v2 leg on
+    // (yr, mo) — partition pruning under two different specs in ONE read
+    SparkEntry.queries("m25_partition_evolution")(spark, sfDir).count()
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_m25_${Tables.pathKey(sfDir)}"
+    val p = graft.operators.WarehouseQueries.m25Read(spark, root)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(yr"), p)
+    assert(p.contains("(mo"), s"v2 leg lost month-level pruning:\n$p")
+    // pruning actually bites: the executed scans read exactly the files the
+    // translated predicates select per generation (numFiles is the
+    // post-pruning metric; inputFiles would show the pre-pruning index)
+    val gens = graft.sources.SnapshotTable.partitionedGenerations(root)
+    val expected =
+      gens.find(_._1 == 1L).get._3.count(_.contains("yr=1996")) +
+        gens.find(_._1 == 2L).get._3.count(f =>
+          f.contains("yr=1996") && (3 to 12).exists(m => f.contains(s"/mo=$m/")))
+    val total = gens.map(_._3.size).sum
+    assert(expected < total, "fixture must span more than the pruned range")
+    val df = graft.operators.WarehouseQueries.m25Read(spark, root)
+    df.collect() // execute THIS plan instance so its scan metrics populate
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val filesRead = exec.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.sum
+    assert(filesRead == expected,
+      s"scanned $filesRead files, pruning should leave exactly $expected of $total")
+  }
+
   test("f15: variant extraction prunes the events scan to props + event_type") {
     val p = finalPlan("f15_fn_variant")
     assert(p.contains("props"), p)
