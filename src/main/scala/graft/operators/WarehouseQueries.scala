@@ -917,6 +917,38 @@ object WarehouseQueries extends QueryModule {
         .orderBy("bucket")
     }),
 
+    // M26: SNAPSHOT ROLLBACK — the incident-response verb (Delta RESTORE,
+    // Iceberg rollback_to_snapshot): a fat-fingered full-table overwrite
+    // lands as v3, rollback re-commits v2's manifest as v4 — METADATA-ONLY
+    // (zero data bytes move at any table size) and HISTORY-PRESERVING: the
+    // bad v3 stays time-travelable for forensics, which is what separates
+    // rollback from a destructive pointer reset. Graded: the post-rollback
+    // content (== v2 exactly, re-derived by the oracle), the still-readable
+    // bad version's row count, the new version number, and the audit note.
+    "m26_snapshot_rollback" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m26_${Tables.pathKey(dir)}"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root))
+      val t = Tables(s, dir)
+      def slice(r: Int) = t.orders.filter(col("o_orderkey") % 3 === r)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      SnapshotTable.commit(slice(0), root)
+      SnapshotTable.append(slice(1), root) // v2 — the good state
+      // the incident: a full-table overwrite that silently dropped rows
+      SnapshotTable.commit(slice(0).filter(col("o_orderkey") % 10 < 5), root)
+      val nv = SnapshotTable.rollbackTo(root, 2L)
+      val badRows = SnapshotTable.readVersion(s, root, 3L).count()
+      SnapshotTable.read(s, root)
+        .groupBy((col("o_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice")).as("rev"))
+        .select(col("bucket"), col("n"), round(col("rev"), 6).as("revenue"),
+          lit(nv).as("current_version"), lit(badRows).as("bad_version_rows"),
+          lit(SnapshotTable.versionMeta(root, nv).getOrElse("")).as("audit"))
+        .orderBy("bucket")
+    }),
+
     // M25: PARTITION-SPEC EVOLUTION — Iceberg's evolving hidden
     // partitioning, the layout verb m19's column-identity evolution
     // doesn't touch: the table starts partitioned by YEAR, later writers
@@ -1242,6 +1274,16 @@ object WarehouseQueries extends QueryModule {
         s"round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue, " +
         "CAST(2 AS INT) AS n_orphan_parquet, CAST(1 AS INT) AS n_staged_manifests, " +
         "CAST(0 AS INT) AS n_second_pass " +
+        "FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 1 ORDER BY bucket"),
+
+    // post-rollback content = the good v2 state (residues {0,1}); the bad
+    // version's row count re-derives from the fat-finger predicate
+    "m26_snapshot_rollback" ->
+      ("SELECT o_orderkey % 10 AS bucket, count(*) AS n, " +
+        s"round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue, " +
+        "CAST(4 AS BIGINT) AS current_version, " +
+        "(SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 10 < 5) AS bad_version_rows, " +
+        "'rollback:2' AS audit " +
         "FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 1 ORDER BY bucket"),
 
     // spec evolution never changes an answer — the oracle is the plain

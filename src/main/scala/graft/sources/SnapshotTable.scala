@@ -279,6 +279,23 @@ object SnapshotTable {
     expiring
   }
 
+  /** ROLLBACK (Delta RESTORE, Iceberg rollback_to_snapshot) — undo a bad
+    * commit by committing the GOOD version's manifest again as a NEW
+    * version: metadata-only (zero data bytes move, O(manifest) at any
+    * table size), and history-preserving — the bad version stays
+    * time-travelable for forensics until [[expire]]d, which is what
+    * distinguishes rollback from a destructive pointer reset. Returns the
+    * new version number. */
+  def rollbackTo(root: String, v: Long): Long = {
+    val files = new String(
+      Files.readAllBytes(snapDir(root).resolve(s"v$v.manifest")), UTF_8)
+      .split("\n").filter(_.nonEmpty).toSeq
+    val nv = commitFiles(root, files)
+    Files.write(snapDir(root).resolve(s"v$nv.meta"),
+      s"rollback:$v".getBytes(UTF_8))
+    nv
+  }
+
   /** PARTITION-SPEC EVOLUTION (Iceberg's evolving hidden partitioning) —
     * each generation writes under its OWN partition layout, recorded in the
     * version metadata as `partspec:<col,...>`; old files never move when
