@@ -326,7 +326,12 @@ object SnapshotTable {
       cols: Seq[String], carried: Seq[String]): Long = {
     val v = latestVersion(root).getOrElse(0L) + 1
     val dataDir = Paths.get(root, "data", s"v$v")
-    df.write.mode("overwrite").partitionBy(cols: _*).parquet(dataDir.toString)
+    // cluster rows by the partition columns first: one file per directory
+    // instead of one per (task × directory) — the standard dynamic-
+    // partition write discipline (at 100 TB, add a salt column to split
+    // hot partitions across tasks)
+    df.repartition(cols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").partitionBy(cols: _*).parquet(dataDir.toString)
     def rec(p: Path): Seq[Path] =
       if (Files.isDirectory(p)) Files.list(p).iterator().asScala.toSeq.flatMap(rec)
       else Seq(p)
