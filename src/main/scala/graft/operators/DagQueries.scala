@@ -590,6 +590,56 @@ object DagQueries extends QueryModule {
         }
       }
       ledger.toDF("run_date", "task", "action").orderBy("run_date", "task")
+    }),
+
+    // J15: DEPENDS-ON-PAST chains — the scheduler semantic j14's calendar
+    // expansion and j3's same-run retries don't cover: a task whose run for
+    // date d may only start once its OWN run for d−1 reached a terminal
+    // success — the discipline incremental ingests need (each day's load
+    // assumes yesterday's landed). Three tasks share a 14-day window:
+    // `ingest` (depends_on_past, no retries) hard-fails on day 6, so every
+    // later date is BLOCKED (attempts=0 — the runs never start, which is
+    // what distinguishes blocked from failed); `stats` (depends_on_past,
+    // one retry) soft-fails its first attempt on day 4 and the retry HEALS
+    // THE CHAIN — later dates run normally, proving the dependency is on
+    // the terminal state, not on "an attempt failed"; `load` (independent)
+    // hard-fails the same day 6 and its later dates still run — the
+    // contrast that shows the flag is per-task policy, not global. The
+    // simulation executes the semantic (per-task fold over dates with an
+    // attempts loop); the oracle re-derives the whole ledger from the
+    // declared failure rules with one window per task. Metadata-scale at
+    // any fleet size: the ledger is (tasks × dates) rows.
+    "j15_depends_on_past" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      import java.time.LocalDate
+      val days = Iterator.iterate(LocalDate.parse("2024-01-01"))(_.plusDays(1))
+        .takeWhile(!_.isAfter(LocalDate.parse("2024-01-14"))).toSeq
+      // (task, depends_on_past, retries); failure rules are deterministic:
+      // hard = every attempt fails; soft = only the first attempt fails
+      val tasks = Seq(("ingest", true, 0), ("load", false, 0), ("stats", true, 1))
+      def hardFail(task: String, d: LocalDate) =
+        (task == "ingest" || task == "load") && d.getDayOfMonth == 6
+      def softFail(task: String, d: LocalDate) =
+        task == "stats" && d.getDayOfMonth == 4
+      val ledger = tasks.flatMap { case (task, dop, retries) =>
+        days.foldLeft((Seq.empty[(java.sql.Date, String, Int, String)], "success")) {
+          case ((acc, prevState), d) =>
+            val (attempts, state) =
+              if (dop && prevState != "success") (0, "blocked")
+              else {
+                // attempts loop: first attempt that succeeds wins
+                val tried = (1 to retries + 1).find { a =>
+                  !(hardFail(task, d) || (softFail(task, d) && a == 1))
+                }
+                tried.map(a => (a, "success"))
+                  .getOrElse((retries + 1, "failed"))
+              }
+            (acc :+ ((java.sql.Date.valueOf(d), task, attempts, state)), state)
+        }._1
+      }
+      ledger.toDF("run_date", "task", "attempts", "state")
+        .orderBy("run_date", "task")
     })
   )
 
@@ -741,6 +791,27 @@ object DagQueries extends QueryModule {
         "UNION ALL SELECT 'report', run_date FROM d WHERE day(run_date) = 1) " +
         "SELECT run_date, task, CASE WHEN task = 'stats' " +
         "AND run_date < DATE '2024-01-14' THEN 'skipped' ELSE 'run' END AS action " +
-        "FROM due ORDER BY run_date, task")
+        "FROM due ORDER BY run_date, task"),
+
+    // the whole ledger re-derived from the declared failure rules: blocked
+    // iff a dop task has any PRIOR terminal failure (one window per task);
+    // the soft failure heals on retry so it never blocks anything
+    "j15_depends_on_past" ->
+      ("WITH days AS (SELECT CAST(unnest(generate_series(DATE '2024-01-01', " +
+        "DATE '2024-01-14', INTERVAL 1 DAY)) AS DATE) AS run_date), " +
+        "tasks(task, dop, retries) AS (VALUES ('ingest', 1, 0), ('load', 0, 0), ('stats', 1, 1)), " +
+        "base AS (SELECT t.task, t.dop, t.retries, d.run_date, " +
+        "CASE WHEN t.task IN ('ingest', 'load') AND day(d.run_date) = 6 THEN 1 ELSE 0 END AS hard_fail, " +
+        "CASE WHEN t.task = 'stats' AND day(d.run_date) = 4 THEN 1 ELSE 0 END AS soft_fail " +
+        "FROM tasks t, days d), " +
+        "w AS (SELECT *, COALESCE(max(hard_fail) OVER (PARTITION BY task ORDER BY run_date " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_fail FROM base) " +
+        "SELECT run_date, task, " +
+        "CAST(CASE WHEN dop = 1 AND prior_fail = 1 THEN 0 " +
+        "WHEN hard_fail = 1 THEN retries + 1 " +
+        "WHEN soft_fail = 1 THEN 2 ELSE 1 END AS INT) AS attempts, " +
+        "CASE WHEN dop = 1 AND prior_fail = 1 THEN 'blocked' " +
+        "WHEN hard_fail = 1 THEN 'failed' ELSE 'success' END AS state " +
+        "FROM w ORDER BY run_date, task")
   )
 }
