@@ -46,6 +46,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // `levenshtein(a, b) <= k` comparisons to the banded O(k·n) kernel —
     // see graft.plans.GraftLevBoundedRule.
     ext.injectOptimizerRule(_ => graft.plans.GraftLevBoundedRule)
+    // Optimizer rule (conf-gated, default off): exact-match materialized-
+    // view rewrite — an aggregate that re-states a registered view
+    // definition reads the precomputed MV instead of the facts. See
+    // graft.plans.{MvRegistry, GraftMvRewriteRule}.
+    ext.injectOptimizerRule(_ => graft.plans.GraftMvRewriteRule)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "cosine_sim"),

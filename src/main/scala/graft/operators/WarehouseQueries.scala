@@ -949,6 +949,44 @@ object WarehouseQueries extends QueryModule {
         .orderBy("bucket")
     }),
 
+    // M27: MATERIALIZED-VIEW AUTOMATIC QUERY REWRITE — the extension-tier
+    // warehouse capability Spark itself lacks (Hive MV rewrite): a custom
+    // optimizer Rule (plans/MvRewrite.scala, injected by GraftExtensions,
+    // conf-gated) redirects any aggregate that re-states a registered view
+    // definition to the precomputed MV parquet — full fact scan + shuffle
+    // becomes a metadata-sized read, invisible to the query author. This
+    // query runs the whole loop: build the MV (with the rule OFF, so a
+    // re-run can never rewrite the MV build into reading the path it is
+    // overwriting), register the definition, enable the rule, and return
+    // the re-issued dashboard query — whose ANSWER must be byte-identical
+    // to computing from the facts (the oracle does exactly that), while
+    // PlanSpec pins that the executed plan reads the MV path and that a
+    // non-registered variant (an extra filter) still reads the facts. At
+    // 100 TB this is the difference between a 60M-row shuffle per dashboard
+    // refresh and an 84-row file read; freshness is the registrar's
+    // contract (re-register on refresh — the m2/m11 incremental-MV
+    // discipline supplies the versioned refresh).
+    "m27_mv_auto_rewrite" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val mvPath = s"${System.getProperty("java.io.tmpdir")}/graft_m27_${Tables.pathKey(dir)}"
+      def viewDef = t.orders
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(Tables.dsum(col("o_totalprice")), 6).as("revenue"))
+      // the rule rides in the user-provided optimizer batch (sessions built
+      // with GraftExtensions get it injected at build time instead); it is
+      // flag-gated, so registration order never hijacks anything
+      if (!s.experimental.extraOptimizations.contains(graft.plans.GraftMvRewriteRule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.GraftMvRewriteRule
+      s.conf.set(graft.plans.GraftMvRewriteRule.Flag, "false")
+      viewDef.coalesce(1).write.mode("overwrite").parquet(mvPath)
+      graft.plans.MvRegistry.register(
+        s"monthly_rev_${Tables.pathKey(dir)}", viewDef, mvPath)
+      s.conf.set(graft.plans.GraftMvRewriteRule.Flag, "true")
+      viewDef.orderBy("yr", "mo")
+    }),
+
     // M25: PARTITION-SPEC EVOLUTION — Iceberg's evolving hidden
     // partitioning, the layout verb m19's column-identity evolution
     // doesn't touch: the table starts partitioned by YEAR, later writers
@@ -1275,6 +1313,14 @@ object WarehouseQueries extends QueryModule {
         "CAST(2 AS INT) AS n_orphan_parquet, CAST(1 AS INT) AS n_staged_manifests, " +
         "CAST(0 AS INT) AS n_second_pass " +
         "FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 1 ORDER BY bucket"),
+
+    // the rewrite must be answer-preserving — the oracle computes from the
+    // facts what the engine serves from the MV
+    "m27_mv_auto_rewrite" ->
+      ("SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, " +
+        "count(*) AS n_orders, " +
+        s"round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue " +
+        "FROM orders GROUP BY 1, 2 ORDER BY yr, mo"),
 
     // post-rollback content = the good v2 state (residues {0,1}); the bad
     // version's row count re-derives from the fat-finger predicate

@@ -269,6 +269,30 @@ class PlanSpec extends AnyFunSuite {
       s"scanned $filesRead files, pruning should leave exactly $expected of $total")
   }
 
+  test("m27: the re-issued view definition reads the MV, not the facts") {
+    val df = SparkEntry.queries("m27_mv_auto_rewrite")(spark, sfDir)
+    try {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("graft_m27_"), s"MV path absent from the scan:\n$p")
+      assert(!p.contains("orders.parquet"),
+        s"rewrite missed — the fact scan survived:\n$p")
+      // negative control: a NON-registered variant (extra filter) must keep
+      // reading the facts — exact-match rewriting never over-fires
+      import org.apache.spark.sql.functions._
+      val t = Tables(spark, sfDir)
+      val variant = t.orders.filter(col("o_totalprice") > 0)
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"))
+      variant.collect()
+      assert(variant.queryExecution.executedPlan.toString.contains("orders.parquet"),
+        "the unregistered variant stopped reading the facts")
+    } finally {
+      spark.conf.set(graft.plans.GraftMvRewriteRule.Flag, "false")
+    }
+  }
+
   test("f15: variant extraction prunes the events scan to props + event_type") {
     val p = finalPlan("f15_fn_variant")
     assert(p.contains("props"), p)
