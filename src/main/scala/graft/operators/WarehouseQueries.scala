@@ -987,6 +987,46 @@ object WarehouseQueries extends QueryModule {
       viewDef.orderBy("yr", "mo")
     }),
 
+    // M28: MV CONTAINMENT REWRITE — the second tier of m27's rule, the one
+    // that makes a single MV serve a whole family of dashboards: the query
+    // is COARSER than the registered view (yearly rollup vs the stored
+    // (year, month) view), so instead of a plain scan swap the rule emits a
+    // RE-AGGREGATION of the MV — count(1) re-sums the stored long counts,
+    // sum(decimal) re-sums the stored exact-decimal partials (cast back to
+    // the original width — lossless, the partial already fit). Only
+    // LOSSLESS partials participate: a double sum or a rounded/floored
+    // aggregate classifies Opaque and refuses containment (floating
+    // re-aggregation reorders — answer preservation is the whole deal),
+    // which is also what keeps the rule from ever hijacking the dsum-based
+    // queries elsewhere in this suite (their trailing cast-to-double makes
+    // them Opaque by construction). The 60M-row fact shuffle becomes an
+    // 84-row re-aggregation; the oracle computes the yearly rollup from
+    // the raw facts and the answers must hash-match.
+    "m28_mv_containment" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val mvPath = s"${System.getProperty("java.io.tmpdir")}/graft_m28_${Tables.pathKey(dir)}"
+      def fine = t.orders
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(Tables.dec)).as("rev_sum"))
+      if (!s.experimental.extraOptimizations.contains(graft.plans.GraftMvRewriteRule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.GraftMvRewriteRule
+      s.conf.set(graft.plans.GraftMvRewriteRule.Flag, "false")
+      fine.coalesce(1).write.mode("overwrite").parquet(mvPath)
+      graft.plans.MvRegistry.register(
+        s"monthly_raw_${Tables.pathKey(dir)}", fine, mvPath)
+      s.conf.set(graft.plans.GraftMvRewriteRule.Flag, "true")
+      // the coarser dashboard query: a yearly rollup the rule serves by
+      // re-aggregating the 84-row monthly MV
+      t.orders.groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(Tables.dec)).as("rev_sum"))
+        .select(col("yr"), col("n_orders"),
+          round(col("rev_sum").cast("double"), 6).as("revenue"))
+        .orderBy("yr")
+    }),
+
     // M25: PARTITION-SPEC EVOLUTION — Iceberg's evolving hidden
     // partitioning, the layout verb m19's column-identity evolution
     // doesn't touch: the table starts partitioned by YEAR, later writers
@@ -1313,6 +1353,13 @@ object WarehouseQueries extends QueryModule {
         "CAST(2 AS INT) AS n_orphan_parquet, CAST(1 AS INT) AS n_staged_manifests, " +
         "CAST(0 AS INT) AS n_second_pass " +
         "FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 1 ORDER BY bucket"),
+
+    // containment must be answer-preserving — the oracle computes the
+    // yearly rollup from the raw facts
+    "m28_mv_containment" ->
+      ("SELECT year(o_orderdate) AS yr, count(*) AS n_orders, " +
+        s"round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue " +
+        "FROM orders GROUP BY 1 ORDER BY yr"),
 
     // the rewrite must be answer-preserving — the oracle computes from the
     // facts what the engine serves from the MV

@@ -1,21 +1,30 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DataType, DecimalType, LongType}
 
 /** MATERIALIZED-VIEW AUTOMATIC QUERY REWRITE — the warehouse capability
   * Spark itself lacks (Hive MV rewrite, BigQuery MV smart tuning): a query
-  * that re-states a registered view definition is silently redirected to
-  * the precomputed MV table, turning a full fact scan + shuffle into a
-  * metadata-sized read. This is the EXACT-MATCH tier of view rewriting —
-  * the grouping expressions, aggregate list, and source table must all
-  * match the registered definition (the BI-dashboard case, where the same
-  * rollup is re-issued verbatim thousands of times a day); containment
-  * rewriting (matching a coarser query against a finer MV) is the
-  * documented next tier and reuses this registry.
+  * over the facts is silently redirected to a precomputed MV, turning a
+  * full fact scan + shuffle into a metadata-sized read. Two tiers:
+  *
+  *  - EXACT MATCH (m27): the query re-states the registered view
+  *    definition verbatim — grouping list, aggregate list, and source all
+  *    match — and becomes a plain MV scan. The BI-dashboard case.
+  *  - CONTAINMENT (m28): the query is COARSER than the view — its grouping
+  *    set is a subset of the view's and every aggregate is decomposable
+  *    from the view's stored partials — and becomes a RE-AGGREGATION of
+  *    the MV: `count(1)` re-sums the stored counts, `sum(x)` re-sums the
+  *    stored per-group sums. Supported partials are the lossless ones:
+  *    LONG counts and DECIMAL sums (the repo-wide exact-decimal
+  *    discipline); DOUBLE sums are refused — floating re-aggregation
+  *    reorders and is not answer-preserving. A rolled-up month view thus
+  *    serves every year-level and whole-table rollup for free.
   *
   * Matching is SEMANTIC on the OPTIMIZED plan shape, not textual: by the
   * time injected optimizer rules run, `PullOutGroupingExpressions` has
@@ -26,9 +35,10 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * subtree are NORMALIZED by inlining that child Project's aliases back
   * into the grouping/aggregate expressions and comparing resolved `sql`
   * forms, with the scan identified by its file-source root paths. ExprId
-  * churn, alias indirection, and projection order all normalize away. The
-  * rewrite preserves the query's output schema and exprIds exactly (each
-  * MV column is re-aliased under the original output's exprId), so nothing
+  * churn, alias indirection, and projection order all normalize away.
+  * Both rewrites preserve the query's output schema and exprIds exactly
+  * (every produced column is re-aliased — with a cast where decimal sum
+  * widths differ — under the original output's exprId), so nothing
   * downstream re-resolves.
   *
   * Freshness is the registrar's contract: register the MV from the same
@@ -43,10 +53,19 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object MvRegistry {
 
-  /** One registered view: the match key (source root paths + normalized
-    * sql of grouping and aggregate lists) and the MV parquet path. */
+  /** How one stored MV column decomposes for containment rewriting. */
+  private[plans] sealed trait ColKind
+  private[plans] final case class GroupRef(sql: String) extends ColKind
+  private[plans] case object CountStar extends ColKind
+  private[plans] final case class SumOf(childSql: String) extends ColKind
+  private[plans] case object Opaque extends ColKind // exact-match only
+
+  /** One registered view: the exact-match key (source root paths +
+    * normalized sql of grouping and aggregate lists), the per-column
+    * decomposition for containment, and the MV parquet path. */
   final case class Mv(name: String, sourcePaths: Set[String],
-      groupSql: Seq[String], aggSql: Seq[String], mvPath: String)
+      groupSql: Seq[String], aggSql: Seq[String],
+      private[plans] val cols: Seq[MvRegistry.ColKind], mvPath: String)
 
   private val mvs = new java.util.concurrent.ConcurrentHashMap[String, Mv]()
 
@@ -65,19 +84,40 @@ object MvRegistry {
     val (paths, g, a) = normalized(agg)
     require(paths.nonEmpty,
       s"mv $name: the view definition must scan a file source")
-    mvs.put(name, Mv(name, paths, g, a, mvPath))
+    val gSql = g.map(_.sql)
+    mvs.put(name, Mv(name, paths, gSql, a.map(_.sql),
+      a.map(colKind(_, gSql.toSet)), mvPath))
     ()
   }
 
   def clear(): Unit = mvs.clear()
 
-  /** Normalize an optimized Aggregate subtree to its match key: inline the
-    * child Project's aliases (the `_groupingexpression` indirection
+  /** Classify one stored MV column for containment: a grouping
+    * passthrough, a lossless partial (long count / decimal sum), or
+    * opaque (exact-match only — e.g. a rounded or double aggregate). */
+  private def colKind(e: NamedExpression, groupSqls: Set[String]): ColKind =
+    e match {
+      case Alias(child, _) => colKind0(child, groupSqls)
+      case other           => colKind0(other, groupSqls)
+    }
+
+  private def colKind0(e: Expression, groupSqls: Set[String]): ColKind = e match {
+    case AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _) =>
+      CountStar
+    case AggregateExpression(s: Sum, _, false, None, _)
+        if s.dataType.isInstanceOf[DecimalType] || s.dataType == LongType =>
+      SumOf(s.child.sql)
+    case g if groupSqls.contains(g.sql) => GroupRef(g.sql)
+    case _                              => Opaque
+  }
+
+  /** Normalize an optimized Aggregate subtree: inline the child Project's
+    * aliases (the `_groupingexpression` indirection
     * PullOutGroupingExpressions introduces, plus any computed columns) back
-    * into the grouping/aggregate expressions, then key on resolved sql +
-    * the underlying scan's root paths. */
+    * into the grouping/aggregate expressions; identify the scan by its
+    * root paths. */
   private[plans] def normalized(
-      agg: Aggregate): (Set[String], Seq[String], Seq[String]) = {
+      agg: Aggregate): (Set[String], Seq[Expression], Seq[NamedExpression]) = {
     val (child, sub): (LogicalPlan, Expression => Expression) = agg.child match {
       case Project(list, gc) =>
         val m = list.collect { case al: Alias => al.exprId -> al.child }.toMap
@@ -87,8 +127,8 @@ object MvRegistry {
       case c => (c, identity[Expression] _)
     }
     (scanPaths(child),
-      agg.groupingExpressions.map(e => sub(e).sql),
-      agg.aggregateExpressions.map(e => sub(e).sql))
+      agg.groupingExpressions.map(sub),
+      agg.aggregateExpressions.map(e => sub(e).asInstanceOf[NamedExpression]))
   }
 
   /** File-source root paths under a (possibly column-pruning Project of a)
@@ -103,24 +143,31 @@ object MvRegistry {
     case _ => Set.empty
   }
 
-  private[plans] def lookup(agg: Aggregate): Option[Mv] = {
-    if (mvs.isEmpty) return None
-    val (paths, g, a) = normalized(agg)
-    if (paths.isEmpty) None
-    else {
-      val it = mvs.values.iterator
-      var found: Option[Mv] = None
-      while (found.isEmpty && it.hasNext) {
-        val mv = it.next()
-        if (mv.sourcePaths == paths && mv.groupSql == g && mv.aggSql == a)
-          found = Some(mv)
-      }
-      found
+  private def all: Iterator[Mv] = {
+    val it = mvs.values.iterator
+    new Iterator[Mv] {
+      def hasNext: Boolean = it.hasNext
+      def next(): Mv = it.next()
     }
   }
+
+  /** Tier 1: the candidate IS the registered definition. */
+  private[plans] def lookupExact(paths: Set[String], gSql: Seq[String],
+      aSql: Seq[String]): Option[Mv] =
+    all.find(mv => mv.sourcePaths == paths && mv.groupSql == gSql &&
+      mv.aggSql == aSql)
+
+  /** Containment candidates: MVs over the same scan whose grouping set
+    * contains the candidate's. */
+  private[plans] def containCandidates(paths: Set[String],
+      gSql: Seq[String]): Seq[Mv] =
+    all.filter(mv => mv.sourcePaths == paths &&
+      gSql.forall(mv.groupSql.contains)).toSeq
 }
 
 object GraftMvRewriteRule extends Rule[LogicalPlan] {
+
+  import MvRegistry.{CountStar, GroupRef, SumOf}
 
   val Flag = "spark.graft.mv.rewrite"
 
@@ -128,23 +175,94 @@ object GraftMvRewriteRule extends Rule[LogicalPlan] {
     if (!conf.getConfString(Flag, "false").toBoolean) plan
     else plan.transformUp {
       case agg: Aggregate =>
-        MvRegistry.lookup(agg) match {
-          case Some(mv) =>
-            val spark = SparkSession.active
-            // fresh relation instance per use (fresh exprIds, so one query
-            // may hit the same MV twice); positional mapping MV column ->
-            // aggregate output, re-aliased under the ORIGINAL exprIds so
-            // every downstream reference keeps resolving
-            val scan = spark.read.parquet(mv.mvPath).queryExecution.analyzed
-            require(scan.output.length == agg.output.length &&
-              scan.output.zip(agg.output).forall { case (i, o) =>
-                i.dataType == o.dataType },
-              s"mv ${mv.name}: stored schema ${scan.schema.simpleString} does " +
-                s"not align with the aggregate's output ${agg.schema.simpleString}")
-            Project(scan.output.zip(agg.output).map { case (in, out) =>
-              Alias(in, out.name)(exprId = out.exprId)
-            }, scan)
-          case None => agg
+        val (paths, g, a) = MvRegistry.normalized(agg)
+        if (paths.isEmpty) agg
+        else MvRegistry.lookupExact(paths, g.map(_.sql), a.map(_.sql)) match {
+          case Some(mv) => exactRewrite(agg, mv)
+          case None =>
+            if (g.isEmpty) agg // count()=0 over an empty MV would sum to NULL
+            else MvRegistry.containCandidates(paths, g.map(_.sql)).view
+              .flatMap(mv => containRewrite(agg, g, a, mv))
+              .headOption.getOrElse(agg)
         }
     }
+
+  /** Fresh relation instance per use (fresh exprIds, so one query may hit
+    * the same MV twice). */
+  private def mvScan(mv: MvRegistry.Mv): LogicalPlan =
+    SparkSession.active.read.parquet(mv.mvPath).queryExecution.analyzed
+
+  /** Tier 1: plain MV scan, columns re-aliased positionally under the
+    * ORIGINAL output exprIds so every downstream reference keeps
+    * resolving. */
+  private def exactRewrite(agg: Aggregate, mv: MvRegistry.Mv): LogicalPlan = {
+    val scan = mvScan(mv)
+    require(scan.output.length == agg.output.length &&
+      scan.output.zip(agg.output).forall { case (i, o) => i.dataType == o.dataType },
+      s"mv ${mv.name}: stored schema ${scan.schema.simpleString} does " +
+        s"not align with the aggregate's output ${agg.schema.simpleString}")
+    Project(scan.output.zip(agg.output).map { case (in, out) =>
+      Alias(in, out.name)(exprId = out.exprId)
+    }, scan)
+  }
+
+  /** Tier 2: re-aggregate the MV. Each candidate output (after the
+    * normalization inlining) may be an ARBITRARY expression over
+    * decomposable pieces — the optimizer collapses final projections like
+    * `round(cast(sum(...)))` INTO the aggregate list — so substitution is
+    * structural: every fact-side AggregateExpression becomes a re-sum of
+    * its stored partial (count(1) → sum(counts), sum(decimal|long) →
+    * sum(partials), each cast back to the original result type — lossless,
+    * the partial already fit), every grouping sub-expression becomes the
+    * stored group column, and outer functions stay. Substitution recurses
+    * manually so replacements are terminal (a transformDown would re-visit
+    * the replacement's own Sum and reject it). If anything non-decomposable
+    * remains — a double sum, count(col), a distinct, a filter clause, or
+    * any surviving reference to the fact table — the rewrite REFUSES and
+    * the query keeps its fact scan: answer preservation over cleverness. */
+  private def containRewrite(agg: Aggregate, g: Seq[Expression],
+      a: Seq[NamedExpression], mv: MvRegistry.Mv): Option[LogicalPlan] = {
+    val scan = mvScan(mv)
+    val groupCol: Map[String, Expression] = mv.cols.zipWithIndex.collect {
+      case (GroupRef(s), i) => s -> (scan.output(i): Expression)
+    }.toMap
+    val countCol: Option[Expression] = mv.cols.zipWithIndex.collectFirst {
+      case (CountStar, i) => scan.output(i)
+    }
+    val sumCol: Map[String, Expression] = mv.cols.zipWithIndex.collect {
+      case (SumOf(s), i) => s -> (scan.output(i): Expression)
+    }.toMap
+    def castTo(e: Expression, to: DataType): Expression =
+      if (e.dataType == to) e else Cast(e, to)
+    def mapAgg(ae: AggregateExpression): Option[Expression] =
+      if (ae.isDistinct || ae.filter.isDefined) None
+      else ae.aggregateFunction match {
+        case Count(Seq(Literal(_, _))) =>
+          countCol.map(c => castTo(Sum(c).toAggregateExpression(), ae.dataType))
+        case s: Sum
+            if s.dataType.isInstanceOf[DecimalType] || s.dataType == LongType =>
+          sumCol.get(s.child.sql)
+            .map(c => castTo(Sum(c).toAggregateExpression(), ae.dataType))
+        case _ => None
+      }
+    var ok = true
+    def subst(e: Expression): Expression = e match {
+      case ae: AggregateExpression =>
+        mapAgg(ae).getOrElse { ok = false; ae }
+      case e2 if groupCol.contains(e2.sql) => groupCol(e2.sql)
+      case other => other.mapChildren(subst)
+    }
+    val g2 = g.map(ge => groupCol.get(ge.sql))
+    if (g2.exists(_.isEmpty)) return None
+    val a2 = a.zip(agg.output).map { case (out, orig) =>
+      val r = out match {
+        case al: Alias => subst(al.child)
+        case other     => subst(other)
+      }
+      Alias(r, orig.name)(exprId = orig.exprId)
+    }
+    val mvAttrs = scan.outputSet
+    if (!ok || a2.exists(x => !x.references.subsetOf(mvAttrs))) None
+    else Some(Aggregate(g2.map(_.get), a2, scan))
+  }
 }

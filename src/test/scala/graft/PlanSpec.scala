@@ -293,6 +293,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("m28: the coarser rollup re-aggregates the MV instead of scanning the facts") {
+    val df = SparkEntry.queries("m28_mv_containment")(spark, sfDir)
+    try {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("graft_m28_"), s"MV path absent from the scan:\n$p")
+      assert(!p.contains("orders.parquet"),
+        s"containment missed — the fact scan survived:\n$p")
+      // tier 2 is a RE-AGGREGATION, not a scan swap: the rewritten plan
+      // still aggregates (over 84 MV rows, not 1500 facts)
+      assert(p.contains("HashAggregate"), s"no re-aggregation in:\n$p")
+      // negative control: a grouping OUTSIDE the MV's set keeps the facts
+      import org.apache.spark.sql.functions._
+      val t = Tables(spark, sfDir)
+      val variant = t.orders
+        .groupBy(dayofweek(col("o_orderdate")).as("dow"))
+        .agg(count(lit(1)).as("n_orders"))
+      variant.collect()
+      assert(variant.queryExecution.executedPlan.toString.contains("orders.parquet"),
+        "a grouping the MV cannot serve stopped reading the facts")
+    } finally {
+      spark.conf.set(graft.plans.GraftMvRewriteRule.Flag, "false")
+    }
+  }
+
   test("f15: variant extraction prunes the events scan to props + event_type") {
     val p = finalPlan("f15_fn_variant")
     assert(p.contains("props"), p)
