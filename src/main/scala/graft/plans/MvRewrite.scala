@@ -128,7 +128,14 @@ object MvRegistry {
     }
     (scanPaths(child),
       agg.groupingExpressions.map(sub),
-      agg.aggregateExpressions.map(e => sub(e).asInstanceOf[NamedExpression]))
+      agg.aggregateExpressions.map { e =>
+        sub(e) match {
+          // substituting a bare attr output for its defining expression
+          // denames it — re-wrap under the SAME name/exprId
+          case ne: NamedExpression => ne
+          case x                   => Alias(x, e.name)(exprId = e.exprId)
+        }
+      })
   }
 
   /** File-source root paths under a (possibly column-pruning Project of a)
@@ -163,6 +170,13 @@ object MvRegistry {
       gSql: Seq[String]): Seq[Mv] =
     all.filter(mv => mv.sourcePaths == paths &&
       gSql.forall(mv.groupSql.contains)).toSeq
+
+  private[plans] def isEmpty: Boolean = mvs.isEmpty
+
+  /** Cheap pre-filter before any expression inspection: is this scan even
+    * registered? */
+  private[plans] def pathsRegistered(paths: Set[String]): Boolean =
+    all.exists(_.sourcePaths == paths)
 }
 
 object GraftMvRewriteRule extends Rule[LogicalPlan] {
@@ -171,21 +185,30 @@ object GraftMvRewriteRule extends Rule[LogicalPlan] {
 
   val Flag = "spark.graft.mv.rewrite"
 
+  /** The rule must NEVER break a query it cannot serve: an Aggregate the
+    * registry doesn't cover is left untouched even if inspecting it throws
+    * (`Expression.sql` is unsupported for some UDAF/internal expressions —
+    * any such query simply keeps its own plan). */
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString(Flag, "false").toBoolean) plan
+    if (!conf.getConfString(Flag, "false").toBoolean || MvRegistry.isEmpty) plan
     else plan.transformUp {
       case agg: Aggregate =>
-        val (paths, g, a) = MvRegistry.normalized(agg)
-        if (paths.isEmpty) agg
-        else MvRegistry.lookupExact(paths, g.map(_.sql), a.map(_.sql)) match {
-          case Some(mv) => exactRewrite(agg, mv)
-          case None =>
-            if (g.isEmpty) agg // count()=0 over an empty MV would sum to NULL
-            else MvRegistry.containCandidates(paths, g.map(_.sql)).view
-              .flatMap(mv => containRewrite(agg, g, a, mv))
-              .headOption.getOrElse(agg)
-        }
+        try rewriteIfServed(agg)
+        catch { case scala.util.control.NonFatal(_) => agg }
     }
+
+  private def rewriteIfServed(agg: Aggregate): LogicalPlan = {
+    val (paths, g, a) = MvRegistry.normalized(agg)
+    if (paths.isEmpty || !MvRegistry.pathsRegistered(paths)) agg
+    else MvRegistry.lookupExact(paths, g.map(_.sql), a.map(_.sql)) match {
+      case Some(mv) => exactRewrite(agg, mv)
+      case None =>
+        if (g.isEmpty) agg // count()=0 over an empty MV would sum to NULL
+        else MvRegistry.containCandidates(paths, g.map(_.sql)).view
+          .flatMap(mv => containRewrite(agg, g, a, mv))
+          .headOption.getOrElse(agg)
+    }
+  }
 
   /** Fresh relation instance per use (fresh exprIds, so one query may hit
     * the same MV twice). */

@@ -313,6 +313,13 @@ class PlanSpec extends AnyFunSuite {
       variant.collect()
       assert(variant.queryExecution.executedPlan.toString.contains("orders.parquet"),
         "a grouping the MV cannot serve stopped reading the facts")
+      // regression: with the flag ON session-wide, aggregates the rule
+      // cannot even INSPECT (UDAF/window expressions whose .sql throws,
+      // bare-attr outputs) must run untouched — the r15 full bench caught
+      // 20 queries failing in later repeat passes before this guard
+      assert(SparkEntry.queries("d17_weighted_median")(spark, sfDir).collect().nonEmpty)
+      assert(SparkEntry.queries("g40_kmeans")(spark, sfDir).collect().nonEmpty)
+      assert(SparkEntry.queries("i1_stream_tumbling")(spark, sfDir).collect().nonEmpty)
     } finally {
       spark.conf.set(graft.plans.GraftMvRewriteRule.Flag, "false")
     }
