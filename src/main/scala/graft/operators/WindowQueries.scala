@@ -16,6 +16,33 @@ import org.apache.spark.sql.expressions.Window
   */
 object WindowQueries extends QueryModule {
 
+  /** Shared by the e24/e25 recurrences: each event type's ZERO-FILLED
+    * daily revenue series in exact integer micros — a quiet day is x=0,
+    * not a skipped step, so every fold advances over the same global
+    * calendar. One (type, day) crush shuffle at data scale; the bounds
+    * read is a one-row driver action. `maxSpanDays` turns an
+    * oracle-capacity cap (e24's 64 unrolled CTE steps) into a loud
+    * failure instead of a silent divergence. */
+  private def zeroFilledDaily(t: Tables,
+      maxSpanDays: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    val ev = t.events.select(col("event_type"), to_date(col("ts")).as("d"),
+      floor(col("value") * lit(1000000.0)).cast("long").as("vm"))
+    val daily = ev.groupBy(col("event_type"), col("d")).agg(sum(col("vm")).as("x"))
+    val b = ev.agg(min(col("d")), max(col("d"))).head()
+    val (d0, d1) = (b.getDate(0), b.getDate(1))
+    maxSpanDays.foreach { cap =>
+      val span = 1 + java.time.temporal.ChronoUnit.DAYS.between(
+        d0.toLocalDate, d1.toLocalDate)
+      require(span <= cap,
+        s"fixture spans $span days but the paired oracle unrolls only $cap steps")
+    }
+    val cal = ev.select(col("event_type")).distinct()
+      .select(col("event_type"),
+        explode(expr(s"sequence(DATE '$d0', DATE '$d1', interval 1 day)")).as("d"))
+    cal.join(daily, Seq("event_type", "d"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     // E1: top-3 orders per customer.
     "e1_win_rownumber_topk" -> ((s, dir) => {
@@ -545,16 +572,7 @@ object WindowQueries extends QueryModule {
     // the identical fold via zero-prepended list_reduce.
     "e25_cusum_changepoint" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val ev = t.events.select(col("event_type"), to_date(col("ts")).as("d"),
-        floor(col("value") * lit(1000000.0)).cast("long").as("vm"))
-      val daily = ev.groupBy(col("event_type"), col("d")).agg(sum(col("vm")).as("x"))
-      val b = ev.agg(min(col("d")), max(col("d"))).head()
-      val (d0, d1) = (b.getDate(0), b.getDate(1))
-      val cal = ev.select(col("event_type")).distinct()
-        .select(col("event_type"),
-          explode(expr(s"sequence(DATE '$d0', DATE '$d1', interval 1 day)")).as("d"))
-      val filled = cal.join(daily, Seq("event_type", "d"), "left")
-        .withColumn("x", coalesce(col("x"), lit(0L)))
+      val filled = zeroFilledDaily(t)
       val stats = filled.groupBy(col("event_type"))
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("nd"))
         .withColumn("mu", expr("sx DIV nd"))
@@ -589,16 +607,9 @@ object WindowQueries extends QueryModule {
     // state unchanged, so any fixture span ≤ 64 days replays exactly.
     "e24_holt_linear" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val ev = t.events.select(col("event_type"), to_date(col("ts")).as("d"),
-        floor(col("value") * lit(1000000.0)).cast("long").as("vm"))
-      val daily = ev.groupBy(col("event_type"), col("d")).agg(sum(col("vm")).as("x"))
-      val b = ev.agg(min(col("d")), max(col("d"))).head()
-      val (d0, d1) = (b.getDate(0), b.getDate(1))
-      val cal = ev.select(col("event_type")).distinct()
-        .select(col("event_type"),
-          explode(expr(s"sequence(DATE '$d0', DATE '$d1', interval 1 day)")).as("d"))
-      val filled = cal.join(daily, Seq("event_type", "d"), "left")
-        .withColumn("x", coalesce(col("x"), lit(0L)))
+      // the oracle unrolls exactly 64 CTE steps with a carry guard; fail
+      // LOUDLY (not silently diverge) if a fixture ever spans more
+      val filled = zeroFilledDaily(t, maxSpanDays = Some(64))
       def td(a: String) =
         s"(CASE WHEN ($a) < 0L THEN -((-($a)) DIV 10L) ELSE ($a) DIV 10L END)"
       val lNew = td("3L * x + 7L * (acc[0] + acc[1])")

@@ -78,9 +78,18 @@ object MvRegistry {
   def register(name: String, viewDf: org.apache.spark.sql.DataFrame,
       mvPath: String): Unit = {
     val plan = viewDf.queryExecution.optimizedPlan
-    val agg = plan.collectFirst { case a: Aggregate => a }.getOrElse(
-      throw new IllegalArgumentException(
-        s"mv $name: the view definition must be an aggregate query"))
+    // the MV parquet's column order follows the DataFrame's TOP-LEVEL
+    // output; both rewrite tiers map MV columns positionally against the
+    // Aggregate's output — a Project above the Aggregate (a reordering
+    // select) would silently mis-map same-typed columns, so refuse it:
+    // register the bare aggregate, reorder at query time
+    val agg = plan match {
+      case a: Aggregate => a
+      case other => throw new IllegalArgumentException(
+        s"mv $name: register the bare aggregate query (top operator is " +
+          s"${other.nodeName}; a projection above the aggregate would " +
+          "reorder the stored columns against the positional match key)")
+    }
     val (paths, g, a) = normalized(agg)
     require(paths.nonEmpty,
       s"mv $name: the view definition must scan a file source")
@@ -151,11 +160,8 @@ object MvRegistry {
   }
 
   private def all: Iterator[Mv] = {
-    val it = mvs.values.iterator
-    new Iterator[Mv] {
-      def hasNext: Boolean = it.hasNext
-      def next(): Mv = it.next()
-    }
+    import scala.jdk.CollectionConverters._
+    mvs.values.iterator.asScala
   }
 
   /** Tier 1: the candidate IS the registered definition. */

@@ -410,28 +410,36 @@ object SnapshotTable {
           deleted += s"_snapshots/$n"
       }
     }
+    // depth-first walk: staged dirs may be PARTITIONED (yr=…/ subdirs) or
+    // hold Spark's _temporary/ tree from a mid-write crash — a flat list
+    // would abort on DirectoryNotEmptyException half-swept
+    def walk(p: Path): Seq[Path] =
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.toSeq.flatMap(walk) :+ p
+      else Seq(p)
     val dataRoot = Paths.get(root, "data")
     if (Files.exists(dataRoot)) {
       Files.list(dataRoot).iterator().asScala.toSeq
         .filter(_.getFileName.toString.matches("v\\d+")).foreach { d =>
           val v = d.getFileName.toString.stripPrefix("v").toLong
           if (v > latest) {
-            Files.list(d).iterator().asScala.toSeq.foreach { f =>
+            // children-before-parents, so directories empty as we reach them
+            walk(d).foreach { f =>
+              if (!Files.isDirectory(f)) deleted += s"data/v$v/${d.relativize(f)}"
               Files.deleteIfExists(f)
-              deleted += s"data/v$v/${f.getFileName}"
             }
-            Files.deleteIfExists(d)
           } else {
-            // (1) task debris inside a live version dir
-            Files.list(d).iterator().asScala.toSeq
+            // (1) task debris anywhere inside a live version dir (the live
+            // generation itself may be partitioned into subdirectories)
+            walk(d).filterNot(Files.isDirectory(_))
               .filter(_.getFileName.toString.endsWith(".parquet"))
-              .filterNot(f => referenced(s"data/v$v/${f.getFileName}"))
+              .filterNot(f => referenced(s"data/v$v/${d.relativize(f)}"))
               .foreach { f =>
                 Files.deleteIfExists(f)
-                deleted += s"data/v$v/${f.getFileName}"
-                val crc = d.resolve(s".${f.getFileName}.crc")
+                deleted += s"data/v$v/${d.relativize(f)}"
+                val crc = f.getParent.resolve(s".${f.getFileName}.crc")
                 if (Files.deleteIfExists(crc))
-                  deleted += s"data/v$v/.${f.getFileName}.crc"
+                  deleted += s"data/v$v/${d.relativize(crc)}"
               }
           }
         }

@@ -348,6 +348,18 @@ class WarehouseSpec extends AnyFunSuite {
     assert(SnapshotTable.readVersion(s, root, 1L).count() == v1Before)
     // idempotent: a second sweep finds nothing
     assert(SnapshotTable.removeOrphans(root).isEmpty)
+    // a crashed PARTITIONED writer leaves a staged dir with SUBDIRECTORIES
+    // (and a mid-write crash leaves Spark's _temporary tree) — the sweep
+    // must walk depth-first, not abort on a non-empty directory
+    JF.createDirectories(JP.get(root, "data", "v3", "yr=1996"))
+    JF.createDirectories(JP.get(root, "data", "v3", "_temporary", "0"))
+    JF.write(JP.get(root, "data", "v3", "yr=1996", "part-a.parquet"),
+      "junk".getBytes("UTF-8"))
+    JF.write(JP.get(root, "_snapshots", "v3.manifest"),
+      "data/v3/yr=1996/part-a.parquet".getBytes("UTF-8"))
+    val removed2 = SnapshotTable.removeOrphans(root)
+    assert(removed2.contains("data/v3/yr=1996/part-a.parquet"), removed2.toString)
+    assert(!JF.exists(JP.get(root, "data", "v3")), "nested staged dir gone")
     // a retried prepare can re-stage the slot the sweep reclaimed
     assert(SnapshotTable.prepare(Seq((9L, 9.0)).toDF("k", "v"), root) == 3L)
   }
