@@ -28,17 +28,57 @@ import org.apache.spark.sql.expressions.Window
   */
 object PipelineQueries extends QueryModule {
 
+  /** FIXED-SIZE benchmark slice: doc_id < 50, i.e. 50 held-out documents at
+    * EVERY corpus scale. A %-of-pool slice (the r15-flagged `doc_id % 10`)
+    * grows the probe linearly with the corpus, so match volume grows
+    * superlinearly and the broadcast eventually OOMs — the g68/g69/g72
+    * discipline is that graded batches never scale with the pool. */
+  private val BenchmarkK = 50
+
+  /** Persisted BENCHMARK-SHINGLE INDEX — distinct (b_id, sh) word-3-shingle
+    * rows of the fixed benchmark slice, committed once per benchmark-content
+    * fingerprint (the g49 SnapshotTable freshness discipline) and read back
+    * by every contamination query. The fingerprint scan is the benchmark
+    * slice only (doc_id < K pushes down to the parquet scan), so serving a
+    * 100 TB corpus costs one tiny index read + the corpus-side scan — the
+    * benchmark is never re-tokenized per query, and nothing about the probe
+    * side grows with the pool. */
+  private def benchShingleIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.sources.SnapshotTable
+    val t = Tables(s, dir)
+    val bdocs = t.documents.filter(col("doc_id") < BenchmarkK)
+    val idxRoot = s"${System.getProperty("java.io.tmpdir")}/graft_benchidx_" +
+      s"${Tables.pathKey(dir)}"
+    val fpRow = bdocs.agg(count(lit(1)),
+      coalesce(sum(crc32(col("text").cast("binary"))), lit(0L))).head()
+    val fingerprint = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    if (!SnapshotTable.latestMeta(idxRoot).contains(fingerprint)) {
+      SnapshotTable.commit(
+        bdocs.withColumn("toks", TF.tokens(lower(col("text"))))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id").as("b_id"),
+            explode(TF.shingles3("toks")).as("sh"))
+          .coalesce(1),
+        idxRoot, meta = fingerprint)
+      ()
+    }
+    SnapshotTable.read(s, idxRoot)
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     // G17: benchmark contamination — which training docs share word
-    // 3-shingles with the held-out "benchmark" slice (doc_id % 10 == 0)?
+    // 3-shingles with the held-out FIXED benchmark slice (doc_id < 50)?
+    // The benchmark shingles come from the persisted index and broadcast;
+    // the corpus side never shuffles. Match volume is bounded by the
+    // benchmark's shingle vocabulary — constant as the corpus grows.
     "g17_contamination_ngram" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val sh = t.documents
+      val bench = benchShingleIndex(s, dir).select(col("sh")).distinct()
+      t.documents.filter(col("doc_id") >= BenchmarkK)
         .withColumn("toks", TF.tokens(lower(col("text"))))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), explode(TF.shingles3("toks")).as("sh"))
-      val bench = sh.filter(col("doc_id") % 10 === 0).select(col("sh")).distinct()
-      sh.filter(col("doc_id") % 10 =!= 0)
         .join(broadcast(bench), "sh")
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("sh")).as("n_shared"))
@@ -59,14 +99,13 @@ object PipelineQueries extends QueryModule {
     "g27_contamination_bloom" -> ((s, dir) => {
       graft.functions.BloomSketch.register(s)
       val t = Tables(s, dir)
-      val sh = t.documents
+      val bench = benchShingleIndex(s, dir).select(col("sh")).distinct()
+      val blob = bench.agg(expr("bloom_sketch(sh, 1048576, 5)").as("bsk"))
+        .head().getAs[Array[Byte]](0)
+      t.documents.filter(col("doc_id") >= BenchmarkK)
         .withColumn("toks", TF.tokens(lower(col("text"))))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), explode(TF.shingles3("toks")).as("sh"))
-      val bench = sh.filter(col("doc_id") % 10 === 0).select(col("sh")).distinct()
-      val blob = bench.agg(expr("bloom_sketch(sh, 1048576, 5)").as("bsk"))
-        .head().getAs[Array[Byte]](0)
-      sh.filter(col("doc_id") % 10 =!= 0)
         .filter(graft.functions.BloomSketch.containsColumn(blob, col("sh")))
         .join(broadcast(bench), "sh")
         .groupBy(col("doc_id"))
@@ -535,14 +574,12 @@ object PipelineQueries extends QueryModule {
     // prefix) or a df cap; the fixture's vocabulary doesn't need it.
     "g60_containment_contamination" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val sh = t.documents
+      val bench = benchShingleIndex(s, dir)
+      val bSize = bench.groupBy("b_id").agg(count(lit(1)).as("b_size"))
+      val corpus = t.documents.filter(col("doc_id") >= BenchmarkK)
         .withColumn("toks", TF.tokens(lower(col("text"))))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), explode(TF.shingles3("toks")).as("sh"))
-      val bench = sh.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id").as("b_id"), col("sh"))
-      val bSize = bench.groupBy("b_id").agg(count(lit(1)).as("b_size"))
-      val corpus = sh.filter(col("doc_id") % 10 =!= 0)
       corpus.join(broadcast(bench), "sh")
         .groupBy(col("b_id"), col("doc_id"))
         .agg(count(lit(1)).as("inter"))
@@ -770,9 +807,9 @@ object PipelineQueries extends QueryModule {
         "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh " +
         "FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents) " +
         "WHERE len(toks) >= 3), " +
-        "bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0) " +
+        "bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 50) " +
         "SELECT s.doc_id AS doc_id, count(DISTINCT s.sh) AS n_shared " +
-        "FROM sh s JOIN bench b ON s.sh = b.sh WHERE s.doc_id % 10 <> 0 " +
+        "FROM sh s JOIN bench b ON s.sh = b.sh WHERE s.doc_id >= 50 " +
         "GROUP BY s.doc_id ORDER BY doc_id"),
 
     // identical result to g17 by construction: the bloom prefilter has no
@@ -783,9 +820,9 @@ object PipelineQueries extends QueryModule {
         "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh " +
         "FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents) " +
         "WHERE len(toks) >= 3), " +
-        "bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0) " +
+        "bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 50) " +
         "SELECT s.doc_id AS doc_id, count(DISTINCT s.sh) AS n_shared " +
-        "FROM sh s JOIN bench b ON s.sh = b.sh WHERE s.doc_id % 10 <> 0 " +
+        "FROM sh s JOIN bench b ON s.sh = b.sh WHERE s.doc_id >= 50 " +
         "GROUP BY s.doc_id ORDER BY doc_id"),
 
     "g18_stratified_sample" ->
@@ -1091,9 +1128,9 @@ object PipelineQueries extends QueryModule {
         "range(1, greatest(len(toks) - 2, 0) + 1), " +
         "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh " +
         "FROM t WHERE len(toks) >= 3), " +
-        "b AS (SELECT doc_id AS b_id, sh FROM sh WHERE doc_id % 10 = 0), " +
+        "b AS (SELECT doc_id AS b_id, sh FROM sh WHERE doc_id < 50), " +
         "bs AS (SELECT b_id, count(*) AS b_size FROM b GROUP BY 1), " +
-        "c AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 <> 0), " +
+        "c AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 50), " +
         "i AS (SELECT b_id, doc_id, count(*) AS inter FROM c JOIN b USING (sh) " +
         "GROUP BY 1, 2) " +
         "SELECT b_id, doc_id, inter, b_size, " +

@@ -62,10 +62,14 @@ object MvRegistry {
 
   /** One registered view: the exact-match key (source root paths +
     * normalized sql of grouping and aggregate lists), the per-column
-    * decomposition for containment, and the MV parquet path. */
+    * decomposition for containment, the MV parquet path, and the source
+    * CONTENT FINGERPRINT captured at registration (file name/size/mtime
+    * metadata of every source file — the same staleness discipline as the
+    * BloomIndex/ZoneMap/IvfIndex `_ready` markers). */
   final case class Mv(name: String, sourcePaths: Set[String],
       groupSql: Seq[String], aggSql: Seq[String],
-      private[plans] val cols: Seq[MvRegistry.ColKind], mvPath: String)
+      private[plans] val cols: Seq[MvRegistry.ColKind], mvPath: String,
+      private[plans] val sourceFp: String)
 
   private val mvs = new java.util.concurrent.ConcurrentHashMap[String, Mv]()
 
@@ -95,9 +99,42 @@ object MvRegistry {
       s"mv $name: the view definition must scan a file source")
     val gSql = g.map(_.sql)
     mvs.put(name, Mv(name, paths, gSql, a.map(_.sql),
-      a.map(colKind(_, gSql.toSet)), mvPath))
+      a.map(colKind(_, gSql.toSet)), mvPath, fingerprint(paths)))
     ()
   }
+
+  /** Source-content fingerprint: (relative name, size, mtime) of every data
+    * file under the source roots — metadata-scale (one directory listing,
+    * no data bytes). An MV whose source changed since registration is
+    * REFUSED by the rewrite rule, so a regenerated table can never be
+    * silently served from a stale MV; a SnapshotTable-backed deployment
+    * would key on the committed version instead (cheaper, same contract). */
+  private[plans] def fingerprint(paths: Set[String]): String = {
+    def localPath(p: String): java.nio.file.Path = {
+      val uri = java.net.URI.create(p.replace(" ", "%20"))
+      if (uri.getScheme == "file") java.nio.file.Paths.get(uri)
+      else java.nio.file.Paths.get(p)
+    }
+    val entries = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(f: java.io.File, rel: String): Unit =
+      if (f.isDirectory) {
+        val cs = f.listFiles()
+        if (cs != null) cs.sortBy(_.getName)
+          .foreach(c => walk(c, s"$rel/${c.getName}"))
+      } else if (!f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        entries += s"$rel:${f.length}:${f.lastModified}"
+    paths.toSeq.sorted.foreach { p =>
+      val root = localPath(p).toFile
+      walk(root, root.getName)
+    }
+    java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(entries.mkString("\n").getBytes("UTF-8")))
+  }
+
+  /** Is this MV still fresh (source unchanged since registration)? */
+  private[plans] def fresh(mv: Mv): Boolean =
+    fingerprint(mv.sourcePaths) == mv.sourceFp
 
   def clear(): Unit = mvs.clear()
 
@@ -206,11 +243,13 @@ object GraftMvRewriteRule extends Rule[LogicalPlan] {
   private def rewriteIfServed(agg: Aggregate): LogicalPlan = {
     val (paths, g, a) = MvRegistry.normalized(agg)
     if (paths.isEmpty || !MvRegistry.pathsRegistered(paths)) agg
-    else MvRegistry.lookupExact(paths, g.map(_.sql), a.map(_.sql)) match {
+    else MvRegistry.lookupExact(paths, g.map(_.sql), a.map(_.sql))
+      .filter(MvRegistry.fresh) match {
       case Some(mv) => exactRewrite(agg, mv)
       case None =>
         if (g.isEmpty) agg // count()=0 over an empty MV would sum to NULL
         else MvRegistry.containCandidates(paths, g.map(_.sql)).view
+          .filter(MvRegistry.fresh) // stale MV = refuse, read the facts
           .flatMap(mv => containRewrite(agg, g, a, mv))
           .headOption.getOrElse(agg)
     }

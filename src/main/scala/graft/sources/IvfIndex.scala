@@ -112,29 +112,48 @@ object IvfIndex {
     * cell-partitioned rewrite, no training, no driver state beyond the
     * file lists. */
   def compact(spark: SparkSession, path: String, segs: Seq[String]): Unit = {
+    // CRASH-RECOVERABLE sequencing: the marker names the target generation
+    // and is written BEFORE the pointer flip, so every step after the
+    // merged write is idempotent — a retry at any crash point re-reads the
+    // marker, re-flips the pointer to the SAME generation (a no-op if it
+    // already flipped), and resumes the tolerant cleanup. The old ordering
+    // (flip → cleanup → marker) wedged a retried compact: it re-read
+    // segment dirs it had already deleted AND re-unioned segments already
+    // folded into the flipped generation.
     val marker = Paths.get(path, s"_compacted_${segs.sorted.mkString("_")}")
-    if (Files.exists(marker)) return
-    val live = segs.foldLeft(postings(spark, path)) { (df, n) =>
-      df.unionByName(segment(spark, path, n))
-    }
-    // physical fold of the tombstones: the compacted generation simply
-    // omits deleted rows, and the tombstone table retires with them
-    val merged = live.join(broadcast(tombstones(spark, path)),
-      col("vec_id") === col("__dead_id"), "left_anti")
-    val gen = 1 + Option(new java.io.File(path).list()).toSeq.flatten
-      .filter(_.startsWith("postings_g")).map(_.stripPrefix("postings_g").toInt)
-      .foldLeft(0)(math.max)
-    merged.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/postings_g$gen")
-    val tmp = Paths.get(path, s"._postings.g$gen.tmp")
-    Files.write(tmp, s"postings_g$gen".getBytes("UTF-8"))
+    val gen: String =
+      if (Files.exists(marker)) {
+        val m = new String(Files.readAllBytes(marker), "UTF-8").trim
+        // legacy "done" markers predate generation-named markers: the old
+        // ordering wrote them after cleanup, so the pointer already flipped
+        if (m.startsWith("postings_g")) m
+        else new String(Files.readAllBytes(Paths.get(path, "_postings")), "UTF-8").trim
+      } else {
+        val live = segs.foldLeft(postings(spark, path)) { (df, n) =>
+          df.unionByName(segment(spark, path, n))
+        }
+        // physical fold of the tombstones: the compacted generation simply
+        // omits deleted rows, and the tombstone table retires with them
+        val merged = live.join(broadcast(tombstones(spark, path)),
+          col("vec_id") === col("__dead_id"), "left_anti")
+        val g = 1 + Option(new java.io.File(path).list()).toSeq.flatten
+          .filter(_.startsWith("postings_g"))
+          .map(_.stripPrefix("postings_g").toInt)
+          .foldLeft(0)(math.max)
+        merged.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$path/postings_g$g")
+        Files.write(marker, s"postings_g$g".getBytes("UTF-8"))
+        s"postings_g$g"
+      }
+    val tmp = Paths.get(path, s"._postings.$gen.tmp")
+    Files.write(tmp, gen.getBytes("UTF-8"))
     Files.move(tmp, Paths.get(path, "_postings"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // cleanup tolerates already-deleted paths (rmrfDir no-ops on missing)
     segs.foreach(n => rmrfDir(new java.io.File(s"$path/segments/$n")))
     rmrfDir(new java.io.File(s"$path/tombstones"))
     Files.deleteIfExists(Paths.get(path, "_tombstones_ready"))
-    Files.write(marker, "done".getBytes("UTF-8"))
     ()
   }
 

@@ -118,13 +118,17 @@ object SnapshotTable {
     * [[expire]]d (which is reference-counted, so shared files survive the
     * old version's vacuum). Every listed file must already exist — a
     * manifest naming a missing file would commit a torn table. */
-  def commitFiles(root: String, files: Seq[String]): Long = {
+  def commitFiles(root: String, files: Seq[String], meta: String = null): Long = {
     require(files.nonEmpty, "commitFiles: refusing to commit an empty manifest")
     files.foreach { f =>
       require(Files.exists(Paths.get(root, f)), s"commitFiles: missing data file $f")
     }
     val v = latestVersion(root).getOrElse(0L) + 1
     Files.createDirectories(snapDir(root))
+    // meta BEFORE swap: commit metadata becomes visible through the same
+    // atomic pointer flip as the data — same contract as prepare()
+    if (meta != null)
+      Files.write(snapDir(root).resolve(s"v$v.meta"), meta.getBytes(UTF_8))
     Files.write(snapDir(root).resolve(s"v$v.manifest"),
       files.sorted.mkString("\n").getBytes(UTF_8))
     swap(root, v)
@@ -272,8 +276,15 @@ object SnapshotTable {
           d.getFileName.toString.stripPrefix("v").toLong < cutoff &&
           !stillReferenced.exists(_.startsWith(s"data/${d.getFileName}/")))
         .foreach { d =>
-          Files.list(d).iterator().asScala.foreach(Files.deleteIfExists)
-          Files.deleteIfExists(d)
+          // depth-first, children before parents: partitioned generations
+          // (commitPartitioned/appendPartitioned) nest yr=…/ subdirs whose
+          // .crc sidecars appear in no manifest — a flat list would throw
+          // DirectoryNotEmptyException and abort the vacuum half-swept
+          def walk(p: Path): Seq[Path] =
+            if (Files.isDirectory(p))
+              Files.list(p).iterator().asScala.toSeq.flatMap(walk) :+ p
+            else Seq(p)
+          walk(d).foreach(Files.deleteIfExists)
         }
     }
     expiring
@@ -286,15 +297,12 @@ object SnapshotTable {
     * time-travelable for forensics until [[expire]]d, which is what
     * distinguishes rollback from a destructive pointer reset. Returns the
     * new version number. */
-  def rollbackTo(root: String, v: Long): Long = {
-    val files = new String(
-      Files.readAllBytes(snapDir(root).resolve(s"v$v.manifest")), UTF_8)
-      .split("\n").filter(_.nonEmpty).toSeq
-    val nv = commitFiles(root, files)
-    Files.write(snapDir(root).resolve(s"v$nv.meta"),
-      s"rollback:$v".getBytes(UTF_8))
-    nv
-  }
+  def rollbackTo(root: String, v: Long): Long =
+    commitFiles(root,
+      new String(
+        Files.readAllBytes(snapDir(root).resolve(s"v$v.manifest")), UTF_8)
+        .split("\n").filter(_.nonEmpty).toSeq,
+      meta = s"rollback:$v")
 
   /** PARTITION-SPEC EVOLUTION (Iceberg's evolving hidden partitioning) —
     * each generation writes under its OWN partition layout, recorded in the
@@ -405,7 +413,7 @@ object SnapshotTable {
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
     // (2) abandoned staging: nothing at a version above LATEST is reachable
     staged.foreach { v =>
-      Seq(s"v$v.meta", s"v$v.reserved", s"v$v.manifest").foreach { n =>
+      Seq(s"v$v.meta", s"v$v.reserved", s"v$v.schema", s"v$v.manifest").foreach { n =>
         if (Files.deleteIfExists(snapDir(root).resolve(n)))
           deleted += s"_snapshots/$n"
       }

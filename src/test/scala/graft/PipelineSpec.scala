@@ -64,8 +64,9 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("g17: no benchmark doc appears on the training side") {
+    // fixed-size benchmark slice: doc_id < 50 at every corpus scale
     val r = SparkEntry.queries("g17_contamination_ngram")(spark, sfDir)
-    assert(r.filter(col("doc_id") % 10 === 0).count() == 0)
+    assert(r.filter(col("doc_id") < 50).count() == 0)
     assert(r.filter(col("n_shared") < 1).count() == 0)
   }
 
