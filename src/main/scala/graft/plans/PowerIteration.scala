@@ -89,6 +89,46 @@ object PowerIteration {
     (v, vcv)
   }
 
+  /** One addend of the exact Gram: round_half_up(shortest_decimal(p)·1e12)
+    * as a LONG — bit-identical to
+    * `BigDecimal.valueOf(p).setScale(12, HALF_UP).unscaledValue()` (exactly
+    * Spark's and DuckDB's double→DECIMAL(38,12) cast, which both round the
+    * double's SHORTEST decimal representation) for every |p| small enough
+    * that the 1e12-scaled value fits (|p| ≲ 9e6 — centered embedding
+    * products are O(1)). The double fast path decides every product whose
+    * scaled fractional part is provably farther from the .5 rounding
+    * boundary than the combined error bound (the ×1e12 multiply's rounding
+    * + the shortest-repr's distance from the exact binary value); only the
+    * near-boundary stragglers (~1e-4 of products) pay the BigDecimal
+    * string walk. Measured ~6× on the g39 Gram fold at sf10. */
+  private[graft] def scaled12(p: Double): Long = {
+    val y = p * 1e12
+    val ay = math.abs(y)
+    val fl = math.floor(ay)
+    val frac = ay - fl
+    val bound = Math.ulp(ay) + Math.ulp(p) * 1e12
+    if (math.abs(frac - 0.5) > bound) {
+      val r = (if (frac > 0.5) fl + 1.0 else fl).toLong
+      if (y < 0) -r else r
+    } else
+      java.math.BigDecimal.valueOf(p)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+  }
+
+  /** 128-bit two's-complement accumulate: (hi(k), lo(k)) += addend, where
+    * addend sign-extends into the high word. Exact decimal sums of
+    * 12dp-scaled longs can exceed one long (n·|p|·1e12 passes 2^63 well
+    * below 100 TB row counts), never two. */
+  @inline private def add128(hi: Array[Long], lo: Array[Long], k: Int,
+      addHi: Long, addLo: Long): Unit = {
+    val l0 = lo(k)
+    val nl = l0 + addLo
+    val carry = ((l0 & addLo) | ((l0 | addLo) & ~nl)) >>> 63
+    lo(k) = nl
+    hi(k) += addHi + carry
+  }
+
   /** DECIMAL-EXACT Gram matrix: C(i)(j) = Σ_rows x_i·x_j with each product
     * rounded to DECIMAL(38,12) and summed exactly — merge-order independent
     * like the rest of the dsum discipline, AND replayable by any engine
@@ -97,25 +137,25 @@ object PowerIteration {
     * numerically but unfalsifiable by an external oracle).
     *
     * Shape: ONE distributed pass, zero shuffle — a partition-local typed
-    * fold accumulates the d² decimal Gram per partition ([[topComponentGram]]'s
-    * one-pass layout with DecVecSumAgg's addend digits: each double product
-    * is `BigDecimal.valueOf(p).setScale(12, HALF_UP)`, exactly Spark's
-    * double→DECIMAL(38,12) cast), and only d² decimals per partition reach
-    * the driver, where decimal addition merges them in any order to the
-    * same digits. Returns (C, row count). */
+    * fold accumulates the d² Gram per partition as 1e12-SCALED 128-BIT
+    * INTEGERS ([[scaled12]] carries the exact digits of the double→
+    * DECIMAL(38,12) cast; integer addition is exact and commutative), and
+    * only d² (hi, lo) long pairs per partition reach the driver, where the
+    * same 128-bit addition merges them in any order to the same digits.
+    * Returns (C, row count). */
   def gramExact(xc: DataFrame, xcCol: String, d: Int): (Array[Double], Long) = {
     val spark = xc.sparkSession
     import spark.implicits._
-    import java.math.{BigDecimal => JBigDecimal, RoundingMode}
-    // spread the d²-per-row decimal work across every core: a small cached
+    // spread the d²-per-row kernel across every core: a small cached
     // input often sits in ONE scan partition, which would serialize the
-    // whole fold (measured 30× on the sf0.1 fixture); the decimal sums are
-    // merge-order independent, so the round-robin reshuffle is free of
-    // determinism risk and moves only n rows
+    // whole fold (measured 30× on the sf0.1 fixture); the scaled-integer
+    // sums are merge-order independent, so the round-robin reshuffle is
+    // free of determinism risk and moves only n rows
     val par = spark.sparkContext.defaultParallelism
     val partials = xc.select(col(xcCol)).repartition(par).as[Seq[Double]]
       .mapPartitions { it =>
-        val acc: Array[JBigDecimal] = Array.fill(d * d)(JBigDecimal.ZERO)
+        val hi = new Array[Long](d * d)
+        val lo = new Array[Long](d * d)
         var m = 0L
         it.foreach { x =>
           val a = x.toArray
@@ -123,27 +163,35 @@ object PowerIteration {
           while (i < d) {
             val xi = a(i); var j = 0
             while (j < d) {
-              acc(i * d + j) = acc(i * d + j).add(
-                JBigDecimal.valueOf(xi * a(j)).setScale(12, RoundingMode.HALF_UP))
+              val add = scaled12(xi * a(j))
+              add128(hi, lo, i * d + j, add >> 63, add)
               j += 1
             }
             i += 1
           }
           m += 1
         }
-        // plain-string decimals survive the encoder without precision loss
         if (m == 0) Iterator.empty
-        else Iterator((m, acc.map(_.toPlainString).toSeq))
+        else Iterator((m, hi.toSeq, lo.toSeq))
       }.collect()
     require(partials.nonEmpty, "empty input")
-    val cd: Array[JBigDecimal] = Array.fill(d * d)(JBigDecimal.ZERO)
+    val hi = new Array[Long](d * d)
+    val lo = new Array[Long](d * d)
     var n = 0L
-    partials.foreach { case (m, arr) =>
-      var i = 0
-      while (i < d * d) { cd(i) = cd(i).add(new JBigDecimal(arr(i))); i += 1 }
+    partials.foreach { case (m, ph, pl) =>
+      var k = 0
+      while (k < d * d) { add128(hi, lo, k, ph(k), pl(k)); k += 1 }
       n += m
     }
-    (cd.map(_.doubleValue()), n)
+    val mask64 = java.math.BigInteger.ONE.shiftLeft(64)
+      .subtract(java.math.BigInteger.ONE)
+    val c = Array.tabulate(d * d) { k =>
+      new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(hi(k)).shiftLeft(64)
+          .add(java.math.BigInteger.valueOf(lo(k)).and(mask64)), 12)
+        .doubleValue()
+    }
+    (c, n)
   }
 
   /** [[topComponentGram]] on the decimal-exact Gram — every number in the

@@ -130,4 +130,29 @@ class PropertySpec extends AnyFunSuite {
       .map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(single == wide)
   }
+
+  test("scaled12 matches the BigDecimal double->DECIMAL(38,12) cast exactly") {
+    // the Gram fold's fast path must be bit-identical to
+    // BigDecimal.valueOf(p).setScale(12, HALF_UP) — the contract the g39
+    // DuckDB oracle replays. Deterministic LCG over a spread of magnitudes,
+    // plus adversarial near-boundary values.
+    def ref(p: Double): Long =
+      java.math.BigDecimal.valueOf(p)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    var seed = 0x2545F4914F6CDD1DL
+    def next(): Long = { seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17; seed }
+    val mags = Array(1e-14, 1e-9, 1e-6, 1e-3, 1.0, 37.0, 4096.0, 1e6)
+    var i = 0
+    while (i < 200000) {
+      val u = (next() >>> 11).toDouble / (1L << 53).toDouble // [0,1)
+      val p = (u * 2 - 1) * mags(i % mags.length)
+      assert(graft.plans.PowerIteration.scaled12(p) == ref(p), s"p=$p")
+      i += 1
+    }
+    // exact boundary / degenerate cases
+    for (p <- Seq(0.0, -0.0, 0.5e-12, -0.5e-12, 1.5e-12, 2.5e-12,
+        1.0000000000005, -1.0000000000005, 123.4567890123455))
+      assert(graft.plans.PowerIteration.scaled12(p) == ref(p), s"p=$p")
+  }
 }
