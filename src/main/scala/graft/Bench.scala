@@ -31,6 +31,7 @@ object Bench {
       // the uniform s*-band drift round 8 measured. A long-lived session
       // serving a large query mix sizes this to its working set.
       .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated name filter for local profiling runs

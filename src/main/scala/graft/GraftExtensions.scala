@@ -51,6 +51,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // definition reads the precomputed MV instead of the facts. See
     // graft.plans.{MvRegistry, GraftMvRewriteRule}.
     ext.injectOptimizerRule(_ => graft.plans.GraftMvRewriteRule)
+    // SQL DML statement surface: MERGE INTO / UPDATE / DELETE / VERSION AS
+    // OF over registered SnapshotTable roots — statements whose target is
+    // not registered delegate to Spark's parser untouched. See
+    // graft.plans.{GraftDmlRegistry, GraftSqlParser}.
+    ext.injectParser((session, delegate) =>
+      new graft.plans.GraftSqlParser(session, delegate))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "cosine_sim"),

@@ -1060,6 +1060,67 @@ object WarehouseQueries extends QueryModule {
         .agg(count(lit(1)).as("n"), Tables.dsum(col("o_totalprice")).as("rev"))
         .select(col("mo"), col("n"), round(col("rev"), 6).as("revenue"))
         .orderBy("mo")
+    }),
+
+    // M30: SQL DML STATEMENT SURFACE — the warehouse band reachable from
+    // plain `spark.sql(...)`: MERGE INTO / UPDATE / DELETE / VERSION AS OF
+    // parsed by the injected GraftSqlParser (plans/SqlDml.scala) and
+    // executed through the existing MergeInto + SnapshotTable machinery.
+    // This query runs the full statement lifecycle — seed commit, one
+    // CDC-shaped MERGE (updates + deletes + inserts in one batch), an
+    // UPDATE, a DELETE, then reads the final state through the bare
+    // registered name and the v1 history through VERSION AS OF, all pure
+    // SQL. The graded row carries the per-statement affected counts and the
+    // committed version, so a statement silently doing the wrong thing
+    // can't hash-match; the oracle replays the whole chain as conditional
+    // SQL over the raw facts. Every mutation is an atomic snapshot commit —
+    // DML at 100 TB costs exactly what the underlying plan costs (the
+    // broadcast-feed MERGE shape, the conditional-projection UPDATE), plus
+    // one pointer swap.
+    "m30_sql_dml" -> ((s, dir) => {
+      import graft.plans.GraftDmlRegistry
+      val t = Tables(s, dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m30_${Tables.pathKey(dir)}"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root))
+      val name = s"m30t_${Tables.pathKey(dir)}"
+      val base = t.orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderstatus"))
+      SnapshotTable.commit(base.filter(col("o_orderkey") % 4 === 0), root)
+      GraftDmlRegistry.registerSnapshot(name, root)
+      // the CDC batch: +1-price updates (%8==0), deletes (%16==4, disjoint
+      // from the updates), inserts (%4==1, absent from the target)
+      base.filter(col("o_orderkey") % 8 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+        .withColumn("op", lit("upsert"))
+        .unionByName(base.filter(col("o_orderkey") % 16 === 4)
+          .withColumn("op", lit("delete")))
+        .unionByName(t.orders.filter(col("o_orderkey") % 4 === 1)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+          .withColumn("op", lit("upsert")))
+        .createOrReplaceTempView("m30_chg")
+      val mergeRow = s.sql(
+        s"MERGE INTO $name USING m30_chg ON $name.o_orderkey = m30_chg.o_orderkey " +
+          "WHEN MATCHED AND op = 'delete' THEN DELETE " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *").head()
+      val updRow = s.sql(
+        s"UPDATE $name SET o_totalprice = o_totalprice * 2 " +
+          "WHERE o_orderkey % 32 = 0").head()
+      val delRow = s.sql(s"DELETE FROM $name WHERE o_orderkey % 32 = 5").head()
+      s.sql(
+        s"SELECT o_orderkey % 10 AS bucket, count(*) AS n, " +
+          "round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE), 6) AS revenue " +
+          s"FROM $name GROUP BY o_orderkey % 10")
+        .crossJoin(s.sql(s"SELECT count(*) AS n_v1 FROM $name VERSION AS OF 1"))
+        .withColumn("merged_rows", lit(mergeRow.getLong(1)))
+        .withColumn("n_updated", lit(updRow.getLong(1)))
+        .withColumn("n_deleted", lit(delRow.getLong(1)))
+        .withColumn("current_version", lit(delRow.getLong(0)))
+        .orderBy("bucket")
     })
   )
 
@@ -1386,6 +1447,33 @@ object WarehouseQueries extends QueryModule {
         s"round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue FROM orders " +
         "WHERE o_orderdate >= TIMESTAMP '1996-03-01' " +
         "AND o_orderdate < TIMESTAMP '1997-01-01' " +
-        "GROUP BY 1 ORDER BY mo")
+        "GROUP BY 1 ORDER BY mo"),
+
+    // the whole DML statement chain replayed as conditional SQL over the
+    // raw facts: seed (%4=0) -> MERGE (+1 on %8=0, delete %16=4, insert
+    // %4=1) -> UPDATE (*2 on %32=0) -> DELETE (%32=5). All price arithmetic
+    // is single IEEE ops on identical doubles, so the decimal rollup is
+    // engine-exact.
+    "m30_sql_dml" ->
+      ("WITH tgt AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus " +
+        "FROM orders WHERE o_orderkey % 4 = 0), " +
+        "merged AS (SELECT o_orderkey, o_custkey, " +
+        "CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice + 1.0 " +
+        "ELSE o_totalprice END AS o_totalprice, o_orderstatus " +
+        "FROM tgt WHERE o_orderkey % 16 <> 4 " +
+        "UNION ALL SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus " +
+        "FROM orders WHERE o_orderkey % 4 = 1), " +
+        "updated AS (SELECT o_orderkey, " +
+        "CASE WHEN o_orderkey % 32 = 0 THEN o_totalprice * 2 " +
+        "ELSE o_totalprice END AS o_totalprice FROM merged), " +
+        "fin AS (SELECT * FROM updated WHERE o_orderkey % 32 <> 5) " +
+        "SELECT o_orderkey % 10 AS bucket, count(*) AS n, " +
+        s"round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue, " +
+        "(SELECT count(*) FROM tgt) AS n_v1, " +
+        "(SELECT count(*) FROM merged) AS merged_rows, " +
+        "(SELECT count(*) FROM merged WHERE o_orderkey % 32 = 0) AS n_updated, " +
+        "(SELECT count(*) FROM updated WHERE o_orderkey % 32 = 5) AS n_deleted, " +
+        "CAST(4 AS BIGINT) AS current_version " +
+        "FROM fin GROUP BY 1 ORDER BY bucket")
   )
 }

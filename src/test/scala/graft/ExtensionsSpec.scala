@@ -122,6 +122,50 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL DML statements reach the snapshot table through plain spark.sql") {
+    // the shared session is built withExtensions, so the injected parser is
+    // already active — this is exactly the pure-SQL user's surface
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_dmlspec").toString
+    val name = "dmlspec_t"
+    val seed = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
+      .toDF("k", "price", "tag")
+    graft.sources.SnapshotTable.commit(seed, root)
+    graft.plans.GraftDmlRegistry.registerSnapshot(name, root)
+    try {
+      Seq((2L, 21.0, "b2", "upsert"), (3L, 0.0, "c", "delete"),
+        (4L, 40.0, "d", "upsert"))
+        .toDF("k", "price", "tag", "op")
+        .createOrReplaceTempView("dmlspec_chg")
+      val m = spark.sql(
+        s"MERGE INTO $name USING dmlspec_chg ON $name.k = dmlspec_chg.k " +
+          "WHEN MATCHED AND op = 'delete' THEN DELETE " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *").head()
+      assert(m.getLong(0) == 2L && m.getLong(1) == 3L) // v2: {1 kept, 2 updated, 4 inserted}
+      val u = spark.sql(s"UPDATE $name SET price = price + 5 WHERE k = 1").head()
+      assert(u.getLong(0) == 3L && u.getLong(1) == 1L)
+      val d = spark.sql(s"DELETE FROM $name WHERE tag = 'b2'").head()
+      assert(d.getLong(0) == 4L && d.getLong(1) == 1L)
+      // final state through the bare registered name
+      val fin = spark.sql(s"SELECT k, price FROM $name ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(fin == Seq((1L, 15.0), (4L, 40.0)))
+      // history through VERSION AS OF — v1 seed, v2 post-merge
+      assert(spark.sql(s"SELECT count(*) AS n FROM $name VERSION AS OF 1")
+        .head().getLong(0) == 3L)
+      assert(spark.sql(s"SELECT price FROM $name VERSION AS OF 2 WHERE k = 2")
+        .head().getDouble(0) == 21.0)
+      // the statement path really is OUR command, not Spark's v2 DML
+      val qe = spark.sql(s"DELETE FROM $name WHERE 1 = 0")
+      assert(qe.queryExecution.analyzed.toString.contains("GraftDeleteCommand"))
+      // unregistered targets delegate verbatim to Spark's parser/analyzer
+      intercept[Exception](spark.sql("UPDATE nosuch_table_xyz SET a = 1").collect())
+      // statements with no registered names in them parse untouched
+      assert(spark.sql("SELECT 1 AS one").head().getInt(0) == 1)
+    } finally graft.plans.GraftDmlRegistry.unregister(name)
+  }
+
   test("conf-gated rule rewrites levenshtein thresholds to the banded kernel") {
     spark.sparkContext // ensure the shared context exists (builder reuses it)
     SparkSession.clearActiveSession()
