@@ -57,6 +57,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // graft.plans.{GraftDmlRegistry, GraftSqlParser}.
     ext.injectParser((session, delegate) =>
       new graft.plans.GraftSqlParser(session, delegate))
+    // Post-hoc resolution rule (conf-gated, default off): swaps the built-in
+    // streaming session_window count aggregate for the timer sessionizer —
+    // analysis-time because streaming state placement happens at query
+    // start. See graft.plans.GraftSessionRewriteRule.
+    ext.injectPostHocResolutionRule(session =>
+      new graft.plans.GraftSessionRewriteRule(session))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "cosine_sim"),

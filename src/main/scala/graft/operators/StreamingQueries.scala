@@ -325,6 +325,37 @@ object StreamingQueries extends QueryModule {
         .orderBy("s_start", "user_id")
     }),
 
+    // I3B: the SAME declarative session query as i3 with the conf-gated
+    // auto-rewrite on (plans/SessionRewrite.scala): the built-in
+    // session_window aggregate swaps to the timer sessionizer
+    // (SessionWindowProcessor) during analysis — no API change, identical
+    // append-mode semantics, and the SAME full value oracle as i3. The
+    // built-in's UpdatingSessions/MergingSessions execs sort and
+    // re-serialize every key's sessions through the state store per batch
+    // (145 s at sf10, flat in state parallelism — the r15 finding); the
+    // timer shape is one state-map round-trip per active key per batch.
+    "i3b_stream_session_native" -> ((s, dir) => {
+      val flag = graft.plans.GraftSessionRewriteRule.Flag
+      s.conf.set(flag, "true")
+      try {
+        val q = stream(s, dir, perBatch = false)
+          .withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+        // a silent non-fire would still answer correctly through the
+        // built-in — refuse to measure the wrong shape
+        require(q.queryExecution.analyzed.collectFirst {
+          case n if n.nodeName == "TransformWithState" => n
+        }.isDefined, "i3b: session_window auto-rewrite did not fire")
+        withRocksDbStateStore(s) {
+          runMemory(q, "append", "i3b", statePartitions = statePar(dir))
+        }
+          .select(col("session_window.start").cast("timestamp_ntz").as("s_start"),
+            col("user_id"), col("n"))
+          .orderBy("s_start", "user_id")
+      } finally s.conf.unset(flag)
+    }),
+
     // I4: watermark late-drop — hourly tumbling counts in append mode; events
     // arriving behind the 1-hour watermark are dropped. Two chunks per
     // trigger: late-drop only needs SOME batch boundary after the watermark
@@ -1236,6 +1267,22 @@ object StreamingQueries extends QueryModule {
     // 30-min-gap session (break at diff >= gap, session_window semantics)
     // whose end + gap clears the final watermark (max ts - 1 h delay)
     "i3_stream_session" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events), " +
+        "mx AS (SELECT max(ts) AS m FROM e), " +
+        "l AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w IS NULL OR " +
+        "epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS brk " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "g AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM l), " +
+        "sess AS (SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end, " +
+        "count(*) AS n FROM g GROUP BY 1, 2) " +
+        "SELECT s_start, user_id, n FROM sess, mx " +
+        "WHERE epoch_us(s_end) + 1800000000 <= epoch_us(m) - 3600000000 " +
+        "ORDER BY s_start, user_id"),
+
+    // the auto-rewritten i3b must emit EXACTLY i3's session set — same
+    // oracle verbatim (the judge-grade contract of the rewrite)
+    "i3b_stream_session_native" ->
       ("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events), " +
         "mx AS (SELECT max(ts) AS m FROM e), " +
         "l AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w IS NULL OR " +

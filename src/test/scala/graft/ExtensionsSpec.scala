@@ -166,6 +166,42 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally graft.plans.GraftDmlRegistry.unregister(name)
   }
 
+  test("session_window auto-rewrite is conf-gated and shape-exact") {
+    import org.apache.spark.sql.functions._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_swspec").toString
+    import spark.implicits._
+    Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+      .toDF("user_id", "ts").write.mode("overwrite").parquet(srcDir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, ts TIMESTAMP")
+    def q = spark.readStream.schema(schema).parquet(srcDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    def hasTws(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collectFirst {
+        case n if n.nodeName == "TransformWithState" => n
+      }.isDefined
+    val flag = graft.plans.GraftSessionRewriteRule.Flag
+    assert(!hasTws(q)) // default off
+    spark.conf.set(flag, "true")
+    try {
+      assert(hasTws(q)) // exact shape rewrites
+      // a non-count aggregate over the same session grouping is NOT ours
+      val other = spark.readStream.schema(schema).parquet(srcDir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(max(col("ts")).as("m"))
+      assert(!hasTws(other))
+      // static (non-streaming) session_window keeps the built-in
+      val batch = spark.read.schema(schema).parquet(srcDir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      assert(!hasTws(batch))
+      assert(batch.count() == 1)
+    } finally spark.conf.unset(flag)
+  }
+
   test("conf-gated rule rewrites levenshtein thresholds to the banded kernel") {
     spark.sparkContext // ensure the shared context exists (builder reuses it)
     SparkSession.clearActiveSession()
