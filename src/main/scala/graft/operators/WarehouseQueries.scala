@@ -1062,6 +1062,48 @@ object WarehouseQueries extends QueryModule {
         .orderBy("mo")
     }),
 
+    // M29: MV CONTAINMENT TIER 3 — the two shapes m28's re-aggregation
+    // didn't cover, together: (a) the registered view is a JOIN view (m11's
+    // orders ⋈ customer by (segment, year)) — the source-body identity is
+    // the canonicalized join subtree with pruning projects stripped, so one
+    // stored join rollup serves every coarser rollup of the same join
+    // without touching either fact table; (b) the dashboard asks for
+    // avg(), which decomposes as resum(stored sums)/resum(stored counts)
+    // replayed through Average's own decimal divide — answer-preserving
+    // because the stored sum partials are exact decimals (a double avg is
+    // refused, like a double sum). The oracle recomputes everything from
+    // the raw join; PlanSpec pins that the served plan reads the MV path,
+    // that rewritten == unrewritten at full precision, and the refusal
+    // negative controls.
+    "m29_mv_join_containment" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val mvPath = s"${System.getProperty("java.io.tmpdir")}/graft_m29_${Tables.pathKey(dir)}"
+      def fine = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(Tables.dec)).as("rev_sum"))
+      if (!s.experimental.extraOptimizations.contains(graft.plans.GraftMvRewriteRule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.GraftMvRewriteRule
+      s.conf.set(graft.plans.GraftMvRewriteRule.Flag, "false")
+      fine.coalesce(1).write.mode("overwrite").parquet(mvPath)
+      graft.plans.MvRegistry.register(
+        s"seg_year_${Tables.pathKey(dir)}", fine, mvPath)
+      s.conf.set(graft.plans.GraftMvRewriteRule.Flag, "true")
+      // the coarser dashboard: segment-level count, revenue AND average —
+      // served by re-aggregating the 25-row (segment, year) join MV
+      t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(Tables.dec)).as("rev_sum"),
+          avg(col("o_totalprice").cast(Tables.dec)).as("avg_raw"))
+        .select(col("c_mktsegment"), col("n_orders"),
+          round(col("rev_sum").cast("double"), 6).as("revenue"),
+          round(col("avg_raw").cast("double"), 6).as("avg_price"))
+        .orderBy("c_mktsegment")
+    }),
+
     // M30: SQL DML STATEMENT SURFACE — the warehouse band reachable from
     // plain `spark.sql(...)`: MERGE INTO / UPDATE / DELETE / VERSION AS OF
     // parsed by the injected GraftSqlParser (plans/SqlDml.scala) and
@@ -1448,6 +1490,16 @@ object WarehouseQueries extends QueryModule {
         "WHERE o_orderdate >= TIMESTAMP '1996-03-01' " +
         "AND o_orderdate < TIMESTAMP '1997-01-01' " +
         "GROUP BY 1 ORDER BY mo"),
+
+    // everything re-derived from the raw join; avg as one double division
+    // of the exact decimal sum (Spark's decimal avg rounds at 1e-10 before
+    // the double cast — both land on the same 6dp digits)
+    "m29_mv_join_containment" ->
+      ("SELECT c_mktsegment, count(*) AS n_orders, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE), 6) AS revenue, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) / count(*), 6) AS avg_price " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY 1 ORDER BY c_mktsegment"),
 
     // the whole DML statement chain replayed as conditional SQL over the
     // raw facts: seed (%4=0) -> MERGE (+1 on %8=0, delete %16=4, insert

@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, DecimalDivideWithOverflowCheck, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -69,7 +69,8 @@ object MvRegistry {
   final case class Mv(name: String, sourcePaths: Set[String],
       groupSql: Seq[String], aggSql: Seq[String],
       private[plans] val cols: Seq[MvRegistry.ColKind], mvPath: String,
-      private[plans] val sourceFp: String)
+      private[plans] val sourceFp: String,
+      private[plans] val childKey: String)
 
   private val mvs = new java.util.concurrent.ConcurrentHashMap[String, Mv]()
 
@@ -94,12 +95,12 @@ object MvRegistry {
           s"${other.nodeName}; a projection above the aggregate would " +
           "reorder the stored columns against the positional match key)")
     }
-    val (paths, g, a) = normalized(agg)
+    val (paths, childKey, g, a) = normalized(agg)
     require(paths.nonEmpty,
       s"mv $name: the view definition must scan a file source")
     val gSql = g.map(_.sql)
     mvs.put(name, Mv(name, paths, gSql, a.map(_.sql),
-      a.map(colKind(_, gSql.toSet)), mvPath, fingerprint(paths)))
+      a.map(colKind(_, gSql.toSet)), mvPath, fingerprint(paths), childKey))
     ()
   }
 
@@ -160,10 +161,14 @@ object MvRegistry {
   /** Normalize an optimized Aggregate subtree: inline the child Project's
     * aliases (the `_groupingexpression` indirection
     * PullOutGroupingExpressions introduces, plus any computed columns) back
-    * into the grouping/aggregate expressions; identify the scan by its
-    * root paths. */
+    * into the grouping/aggregate expressions; identify the SOURCE by its
+    * file roots (cheap pre-filter) plus the canonicalized child plan (the
+    * full identity — equal for two independently-built restatements of the
+    * same scan/filter/JOIN body, exprIds normalized away). The child key is
+    * what lets one registered JOIN view serve every coarser rollup of the
+    * same join (m29). */
   private[plans] def normalized(
-      agg: Aggregate): (Set[String], Seq[Expression], Seq[NamedExpression]) = {
+      agg: Aggregate): (Set[String], String, Seq[Expression], Seq[NamedExpression]) = {
     val (child, sub): (LogicalPlan, Expression => Expression) = agg.child match {
       case Project(list, gc) =>
         val m = list.collect { case al: Alias => al.exprId -> al.child }.toMap
@@ -172,7 +177,7 @@ object MvRegistry {
         })
       case c => (c, identity[Expression] _)
     }
-    (scanPaths(child),
+    (allScanPaths(child), childKeyOf(child),
       agg.groupingExpressions.map(sub),
       agg.aggregateExpressions.map { e =>
         sub(e) match {
@@ -184,34 +189,43 @@ object MvRegistry {
       })
   }
 
-  /** File-source root paths under a (possibly column-pruning Project of a)
-    * V1 relation — the scan identity the match keys on. */
-  private def scanPaths(p: LogicalPlan): Set[String] = p match {
-    case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
-      scanPaths(child)
-    case lr: LogicalRelation => lr.relation match {
+  /** The source-body identity: the child with pure COLUMN-SELECTION
+    * Projects stripped, canonicalized (exprIds normalized). Stripping is
+    * what makes the key PRUNING-INSENSITIVE: a coarser rollup references
+    * fewer columns, so the optimizer prunes its join inputs differently —
+    * but the join/filter/scan BODY is identical, which is the identity that
+    * decides whether the stored partials answer the query. Projects that
+    * COMPUTE anything stay in the key (a computed input changes answers). */
+  private def childKeyOf(child: LogicalPlan): String =
+    child.transformUp {
+      case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) => c
+    }.canonicalized.toString
+
+  /** Every file-source root path anywhere under the child (scans, joins of
+    * scans, filters) — the cheap registration pre-filter. */
+  private def allScanPaths(p: LogicalPlan): Set[String] =
+    p.collect { case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString).toSet
-      case _                    => Set.empty
-    }
-    case _ => Set.empty
-  }
+      case _                    => Set.empty[String]
+    } }.flatten.toSet
 
   private def all: Iterator[Mv] = {
     import scala.jdk.CollectionConverters._
     mvs.values.iterator.asScala
   }
 
-  /** Tier 1: the candidate IS the registered definition. */
-  private[plans] def lookupExact(paths: Set[String], gSql: Seq[String],
-      aSql: Seq[String]): Option[Mv] =
-    all.find(mv => mv.sourcePaths == paths && mv.groupSql == gSql &&
-      mv.aggSql == aSql)
+  /** Tier 1: the candidate IS the registered definition (same source BODY —
+    * scan or join — same grouping, same aggregates). */
+  private[plans] def lookupExact(paths: Set[String], childKey: String,
+      gSql: Seq[String], aSql: Seq[String]): Option[Mv] =
+    all.find(mv => mv.sourcePaths == paths && mv.childKey == childKey &&
+      mv.groupSql == gSql && mv.aggSql == aSql)
 
-  /** Containment candidates: MVs over the same scan whose grouping set
-    * contains the candidate's. */
-  private[plans] def containCandidates(paths: Set[String],
+  /** Containment candidates: MVs over the same source body whose grouping
+    * set contains the candidate's. */
+  private[plans] def containCandidates(paths: Set[String], childKey: String,
       gSql: Seq[String]): Seq[Mv] =
-    all.filter(mv => mv.sourcePaths == paths &&
+    all.filter(mv => mv.sourcePaths == paths && mv.childKey == childKey &&
       gSql.forall(mv.groupSql.contains)).toSeq
 
   private[plans] def isEmpty: Boolean = mvs.isEmpty
@@ -241,14 +255,14 @@ object GraftMvRewriteRule extends Rule[LogicalPlan] {
     }
 
   private def rewriteIfServed(agg: Aggregate): LogicalPlan = {
-    val (paths, g, a) = MvRegistry.normalized(agg)
+    val (paths, childKey, g, a) = MvRegistry.normalized(agg)
     if (paths.isEmpty || !MvRegistry.pathsRegistered(paths)) agg
-    else MvRegistry.lookupExact(paths, g.map(_.sql), a.map(_.sql))
+    else MvRegistry.lookupExact(paths, childKey, g.map(_.sql), a.map(_.sql))
       .filter(MvRegistry.fresh) match {
       case Some(mv) => exactRewrite(agg, mv)
       case None =>
         if (g.isEmpty) agg // count()=0 over an empty MV would sum to NULL
-        else MvRegistry.containCandidates(paths, g.map(_.sql)).view
+        else MvRegistry.containCandidates(paths, childKey, g.map(_.sql)).view
           .filter(MvRegistry.fresh) // stale MV = refuse, read the facts
           .flatMap(mv => containRewrite(agg, g, a, mv))
           .headOption.getOrElse(agg)
@@ -311,6 +325,30 @@ object GraftMvRewriteRule extends Rule[LogicalPlan] {
             if s.dataType.isInstanceOf[DecimalType] || s.dataType == LongType =>
           sumCol.get(s.child.sql)
             .map(c => castTo(Sum(c).toAggregateExpression(), ae.dataType))
+        // avg DECOMPOSITION (tier 3): avg(x) = resum(stored sums) /
+        // resum(stored counts), replayed through Average's own decimal
+        // evaluate shape — Divide(sum, count cast to (20,0)) cast to the
+        // avg result type — so the rewritten digits equal the fact-side
+        // aggregate's exactly. DECIMAL children only: a double avg's sum
+        // accumulates order-dependently and is refused like a double sum.
+        case av: Average if av.child.dataType.isInstanceOf[DecimalType] &&
+            ae.dataType.isInstanceOf[DecimalType] =>
+          for {
+            sc <- sumCol.get(av.child.sql)
+            cc <- countCol
+          } yield {
+            val factSumType = Sum(av.child).dataType // what Average divides
+            val reSum = castTo(Sum(sc).toAggregateExpression(), factSumType)
+            val reCnt = Cast(Sum(cc).toAggregateExpression(),
+              DecimalType(20, 0)) // DecimalType.LongDecimal (private[sql])
+            // Average's own decimal evaluate shape: a direct decimal divide
+            // INTO the avg result type (a plain Divide would re-derive a
+            // coarser scale and round early — measured 1e-7 vs the
+            // fact-side 1e-10 digits). nullOnOverflow mirrors LEGACY mode.
+            new DecimalDivideWithOverflowCheck(reSum, reCnt,
+              ae.dataType.asInstanceOf[DecimalType], null,
+              nullOnOverflow = true)
+          }
         case _ => None
       }
     var ok = true

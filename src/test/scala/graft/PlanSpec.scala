@@ -325,6 +325,50 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("m29: the coarser join rollup (incl avg) re-aggregates the join MV") {
+    val df = SparkEntry.queries("m29_mv_join_containment")(spark, sfDir)
+    try {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("graft_m29_"), s"MV path absent from the scan:\n$p")
+      assert(!p.contains("orders.parquet") && !p.contains("customer.parquet"),
+        s"containment missed — a fact scan survived:\n$p")
+      assert(p.contains("HashAggregate"), s"no re-aggregation in:\n$p")
+      import org.apache.spark.sql.functions._
+      val t = Tables(spark, sfDir)
+      def dash = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(Tables.dec)).as("rev_sum"),
+          avg(col("o_totalprice").cast(Tables.dec)).as("avg_raw"))
+      // ANSWER PRESERVATION at full precision: the avg decomposition must
+      // reproduce Average's decimal digits exactly, not approximately
+      val served = dash.orderBy("c_mktsegment").collect()
+      spark.conf.set(graft.plans.GraftMvRewriteRule.Flag, "false")
+      val facts = dash.orderBy("c_mktsegment").collect()
+      spark.conf.set(graft.plans.GraftMvRewriteRule.Flag, "true")
+      assert(served.toSeq == facts.toSeq,
+        s"rewritten != unrewritten:\n${served.toSeq}\n${facts.toSeq}")
+      // negative control 1: a DIFFERENT join body (extra filter) keeps facts
+      val filtered = t.orders.filter(col("o_totalprice") > 0)
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      filtered.collect()
+      assert(filtered.queryExecution.executedPlan.toString.contains("orders.parquet"),
+        "a filtered join body was wrongly served from the MV")
+      // negative control 2: a DOUBLE avg does not decompose — facts
+      val dAvg = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(avg(col("o_totalprice")).as("a"))
+      dAvg.collect()
+      assert(dAvg.queryExecution.executedPlan.toString.contains("orders.parquet"),
+        "a double avg was wrongly decomposed from stored partials")
+    } finally {
+      spark.conf.set(graft.plans.GraftMvRewriteRule.Flag, "false")
+    }
+  }
+
   test("f15: variant extraction prunes the events scan to props + event_type") {
     val p = finalPlan("f15_fn_variant")
     assert(p.contains("props"), p)
