@@ -361,7 +361,10 @@ object StreamingQueries extends QueryModule {
     // trigger: late-drop only needs SOME batch boundary after the watermark
     // has advanced (chunks 3–4 arrive behind chunk 1–2's watermark), and
     // halving the micro-batch count halves the per-batch state-store and
-    // incremental-planning overhead — the i* floor cost.
+    // incremental-planning overhead — the i* floor cost. FULL VALUE ORACLE
+    // (r16): the kept set is watermark-determined because the chunking is
+    // — the oracle replays the id-range chunks, batch 1's watermark, and
+    // the window-closed late filter in SQL.
     "i4_stream_watermark_late" -> ((s, dir) => {
       val q = stream(s, dir, filesPerTrigger = 2)
         .withWatermark("ts", "1 hour")
@@ -465,8 +468,11 @@ object StreamingQueries extends QueryModule {
     // click watermark passes the purchase's join window, so the trailing
     // no-data batch (needsFinalFlush) is what flushes the final unmatched
     // purchases. Both sides watermarked → join state stays bounded, same
-    // as i9. Rows-only; the null-padding semantics are proven fixture-free
-    // in StreamingSpec.
+    // as i9. FULL VALUE ORACLE (r16): with single-batch ingest the emitted
+    // set is watermark-determined — every matched pair emits, and a
+    // purchase null-pads iff unmatched and evicted (p_ts < the min of the
+    // two streams' final watermarks); the null-padding mechanics are also
+    // proven fixture-free in StreamingSpec.
     "i17_stream_outer_join" -> ((s, dir) => {
       val clicks = stream(s, dir, perBatch = false)
         .filter(col("event_type") === "click")
@@ -1296,6 +1302,27 @@ object StreamingQueries extends QueryModule {
         "WHERE epoch_us(s_end) + 1800000000 <= epoch_us(m) - 3600000000 " +
         "ORDER BY s_start, user_id"),
 
+    // i4's KEPT set is watermark-determined because the chunking is: the
+    // id-range chunks replay in SQL (chunk i = event_id ∈ [mx·i/4, mx·(i+1)/4)),
+    // batch 1 = chunks 0–1 (initial watermark 0 ⇒ nothing late), batch 2 =
+    // chunks 2–3 filtered against batch 1's watermark (rows whose HOUR
+    // WINDOW already closed are dropped); emission is the usual append rule
+    // (window end ≤ final watermark)
+    "i4_stream_watermark_late" ->
+      ("WITH e AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "ids AS (SELECT max(event_id) AS mx FROM e), " +
+        "b1 AS (SELECT e.* FROM e, ids WHERE event_id < (mx * 2) // 4), " +
+        "b2 AS (SELECT e.* FROM e, ids WHERE event_id >= (mx * 2) // 4), " +
+        "wm1 AS (SELECT epoch_us(max(ts)) - 3600000000 AS w_us FROM b1), " +
+        "kept AS (SELECT event_type, ts FROM b1 UNION ALL " +
+        "SELECT b2.event_type, b2.ts FROM b2, wm1 " +
+        "WHERE (epoch_us(b2.ts) // 3600000000) * 3600000000 + 3600000000 > w_us), " +
+        "wmf AS (SELECT epoch_us(max(ts)) - 3600000000 AS w_us FROM e), " +
+        "a AS (SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws, " +
+        "event_type, count(*) AS n FROM kept GROUP BY 1, 2) " +
+        "SELECT make_timestamp(ws) AS w_start, event_type, n FROM a, wmf " +
+        "WHERE ws + 3600000000 <= w_us ORDER BY w_start, event_type"),
+
     // i5's injected duplicates collapse back to the unique event set; day
     // windows are emitted once the final watermark passes their end
     "i5_stream_dedup" ->
@@ -1323,6 +1350,28 @@ object StreamingQueries extends QueryModule {
         "SELECT p.u AS p_user, count(*) AS n_pairs FROM p JOIN c ON p.u = c.u " +
         "AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts " +
         "GROUP BY 1 ORDER BY p_user"),
+
+    // i17's emitted set is fully watermark-determined with single-batch
+    // ingest (the i3/i5 argument): every MATCHED pair emits in batch 1, and
+    // a purchase NULL-PADS iff it never matched and its join window closed —
+    // state eviction at p_ts < global watermark, where the global watermark
+    // is the MIN of the two streams' (ms-floored max ts − 1 h) — Spark's
+    // default multiple-watermark policy
+    "i17_stream_outer_join" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts FROM e WHERE event_type = 'click'), " +
+        "p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts FROM e WHERE event_type = 'purchase'), " +
+        "wm AS (SELECT least((SELECT epoch_us(max(c_ts)) // 1000 FROM c), " +
+        "(SELECT epoch_us(max(p_ts)) // 1000 FROM p)) - 3600000 AS w_ms), " +
+        "pp AS (SELECT p.p_id, p.p_user, p.p_ts, count(c.c_id) AS nm " +
+        "FROM p LEFT JOIN c ON p.p_user = c.c_user " +
+        "AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts " +
+        "GROUP BY 1, 2, 3), " +
+        "r AS (SELECT p_user, nm, CASE WHEN nm = 0 AND " +
+        "epoch_us(p_ts) < (SELECT w_ms FROM wm) * 1000 THEN 1 ELSE 0 END AS pad FROM pp) " +
+        "SELECT p_user, CAST(sum(nm) AS BIGINT) AS n_matched, " +
+        "CAST(sum(pad) AS BIGINT) AS n_unmatched " +
+        "FROM r WHERE nm > 0 OR pad = 1 GROUP BY 1 ORDER BY p_user"),
 
     // the bitmap OR is associative/commutative, so the final complete-mode
     // table equals the batch exact-distinct regardless of chunking

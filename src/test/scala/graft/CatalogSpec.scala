@@ -20,15 +20,15 @@ class CatalogSpec extends AnyFunSuite {
     // rows-only queries must be the known approximate/streaming set — a new
     // query landing without an oracle by ACCIDENT fails here
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // g39/g40/g42/g61 were converted to full oracles in r14, g55 in r15 —
-    // the allowed set is kept EXACT so a conversion regression fails too
+    // g39/g40/g42/g61 were converted to full oracles in r14, g55 in r15,
+    // i17/i4 in r16 (watermark-determined emitted/kept sets) — the allowed
+    // set is kept EXACT so a conversion regression fails too
     val allowed = Set(
       "d11_agg_approx_percentile", "d3_agg_approx_distinct",
       "g15b_dedup_embed_lsh", "g26_vocab_heavyhitters",
       "g2b_dedup_minhash_lsh", "g2c_dedup_simhash",
       "g5b_knn_lsh", "h3_udaf_hll", "h5_sketch_reagg",
       "h6_sketch_intersect", "i11_stream_hll", "i14_stream_neardup_filter",
-      "i17_stream_outer_join", "i4_stream_watermark_late",
       "i6_stream_stateful", "i8_stream_sink")
     val converted = allowed -- rowsOnly
     assert(converted.isEmpty,
