@@ -640,6 +640,116 @@ object DagQueries extends QueryModule {
       }
       ledger.toDF("run_date", "task", "attempts", "state")
         .orderBy("run_date", "task")
+    }),
+
+    // J16: DOGFOOD — the scheduler runs a 20-job slice of THIS LIBRARY'S
+    // OWN declared query inventory as a Dag, composing the control-plane
+    // verbs j10–j15 proved in isolation: a SENSOR gates the whole run
+    // (j10's poke-count rendezvous — the "corpus landed" gate), the real
+    // queries execute as layered Dag jobs with retry/skip semantics (j3),
+    // pool assignment + a deterministic fair-share START-TICK plan audited
+    // against an SLA (j11/j12's modeled-schedule discipline — wall time is
+    // machine noise, the PLAN is the graded object), and one job is
+    // DEPENDS-ON-PAST (j15): it hard-fails on day 1, so day 2 must BLOCK it
+    // without an attempt and skip its subtree. The graded ledger fuses the
+    // REAL run records (status, attempts, non-empty output — the queries
+    // genuinely execute against the fixture) with the modeled schedule;
+    // every column is deterministic, so the oracle is the hand-traced
+    // VALUES ledger. At 100 TB the control plane is unchanged — job bodies
+    // are lazy DataFrame builders and the ledger is metadata-scale.
+    "j16_dag_dogfood" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      import graft.plans.{Dag, Job}
+      def q(name: String) = graft.SparkEntry.queries(name)
+      // (job, pool, deps) — submission order IS the per-pool FIFO order;
+      // etl holds 2 of the 3 modeled slots (weight 2), adhoc 1
+      val etl = Seq("sensor_docs", "b1_project", "b2_filter_pred",
+        "d1_agg_hash", "d2_agg_distinct", "d4_agg_rollup",
+        "e1_win_rownumber_topk", "c1_join_broadcast", "d8_agg_stats", "report")
+      val adhoc = Seq("f5_fn_string", "f6_fn_datetime", "f7_fn_json",
+        "f8_fn_math", "f9_fn_array", "f11_fn_conditional", "f2_topk_limit",
+        "g8_text_stats_by_lang", "g12_text_fingerprint", "g13_token_count")
+      val deps = Map(
+        "b1_project" -> Seq("sensor_docs"), "b2_filter_pred" -> Seq("sensor_docs"),
+        "f5_fn_string" -> Seq("sensor_docs"), "f6_fn_datetime" -> Seq("sensor_docs"),
+        "f7_fn_json" -> Seq("sensor_docs"), "f8_fn_math" -> Seq("sensor_docs"),
+        "g8_text_stats_by_lang" -> Seq("sensor_docs"),
+        "d1_agg_hash" -> Seq("b1_project"), "d2_agg_distinct" -> Seq("b2_filter_pred"),
+        "f9_fn_array" -> Seq("f5_fn_string"), "f11_fn_conditional" -> Seq("f6_fn_datetime"),
+        "d4_agg_rollup" -> Seq("f8_fn_math"), "d8_agg_stats" -> Seq("f7_fn_json"),
+        "g12_text_fingerprint" -> Seq("g8_text_stats_by_lang"),
+        "g13_token_count" -> Seq("g8_text_stats_by_lang"),
+        "e1_win_rownumber_topk" -> Seq("d1_agg_hash", "d2_agg_distinct"),
+        "f2_topk_limit" -> Seq("f9_fn_array"),
+        "c1_join_broadcast" -> Seq("f11_fn_conditional", "d4_agg_rollup"),
+        "report" -> Seq("e1_win_rownumber_topk", "f2_topk_limit",
+          "c1_join_broadcast", "d8_agg_stats"))
+      // modeled fair-share plan (the j12 steady state with unit durations):
+      // etl's 2 slots start its k-th task at tick k/2, adhoc's 1 slot at
+      // tick k; SLA = finish tick (start + 1) within 8
+      val startTick = (etl.zipWithIndex.map { case (n, i) => n -> (i / 2).toLong } ++
+        adhoc.zipWithIndex.map { case (n, i) => n -> i.toLong }).toMap
+      val pool = (etl.map(_ -> "etl") ++ adhoc.map(_ -> "adhoc")).toMap
+      val dates = Seq("2024-02-01", "2024-02-02")
+      val ledger = dates.zipWithIndex.flatMap { case (date, di) =>
+        // depends-on-past: g8 hard-fails on day 1 (both attempts), so day 2
+        // never submits it — blocked, subtree skipped without an attempt
+        val blocked = if (di == 1) Set("g8_text_stats_by_lang",
+          "g12_text_fingerprint", "g13_token_count") else Set.empty[String]
+        val pokes = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_j16_${Tables.pathKey(dir)}_$date"
+        def rmrf(f: java.io.File): Unit = {
+          val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+        }
+        rmrf(new java.io.File(base))
+        val jobs = (etl ++ adhoc).filterNot(blocked).map {
+          case "sensor_docs" => Job("sensor_docs", Nil, 0, (sp, _) => {
+            var n = 0
+            while ({
+              n += 1; pokes.put("sensor_docs", n)
+              val hit = new java.io.File(s"$base/docs/_SUCCESS").exists()
+              // the rendezvous: the "external producer" lands the gated
+              // partition on poke 2, so every run records exactly 2 pokes
+              if (!hit && n == 2) Tables(sp, dir).documents
+                .select(col("doc_id"), col("lang")).coalesce(1)
+                .write.mode("overwrite").parquet(s"$base/docs")
+              !new java.io.File(s"$base/docs/_SUCCESS").exists()
+            }) ()
+            sp.read.parquet(s"$base/docs")
+          })
+          case "report" => Job("report",
+            deps("report").filterNot(blocked), 0, (_, d) =>
+              d.values.reduce(_.select(lit(1).as("one")) unionAll
+                _.select(lit(1).as("one"))).groupBy().agg(count(lit(1)).as("n")))
+          case "g8_text_stats_by_lang" =>
+            Job("g8_text_stats_by_lang", deps("g8_text_stats_by_lang"), 1,
+              (sp, _) => {
+                // day-1 hard failure (every attempt): the dop trigger
+                sys.error("upstream corpus quarantined for 2024-02-01")
+              })
+          case name => Job(name, deps.getOrElse(name, Nil).filterNot(blocked),
+            0, (sp, _) => q(name)(sp, dir))
+        }
+        val (dfs, runs) = new Dag(jobs).run(s, parallelism = 3)
+        rmrf(new java.io.File(base))
+        val real = runs.map { r =>
+          (java.sql.Date.valueOf(date), r.name, pool(r.name), r.status,
+            r.attempts, dfs.contains(r.name),
+            Option(pokes.get(r.name)).fold(0)(_.intValue),
+            startTick(r.name),
+            if (startTick(r.name) + 1 > 8) 1 else 0)
+        }
+        val synthetic = blocked.toSeq.sorted.map { n =>
+          val st = if (n == "g8_text_stats_by_lang") "blocked" else "skipped"
+          (java.sql.Date.valueOf(date), n, pool(n), st, 0, false, 0,
+            startTick(n), if (startTick(n) + 1 > 8) 1 else 0)
+        }
+        real ++ synthetic
+      }
+      ledger.toDF("run_date", "job", "pool", "status", "attempts",
+        "nonempty", "pokes", "start_tick", "sla_miss")
+        .orderBy("run_date", "job")
     })
   )
 
@@ -812,6 +922,57 @@ object DagQueries extends QueryModule {
         "WHEN soft_fail = 1 THEN 2 ELSE 1 END AS INT) AS attempts, " +
         "CASE WHEN dop = 1 AND prior_fail = 1 THEN 'blocked' " +
         "WHEN hard_fail = 1 THEN 'failed' ELSE 'success' END AS state " +
-        "FROM w ORDER BY run_date, task")
+        "FROM w ORDER BY run_date, task"),
+
+    // the hand-traced dogfood ledger: day 1 = clean run except the injected
+    // g8 hard-failure (retries=1 → 2 attempts) with its subtree skipped;
+    // day 2 = g8 depends-on-past BLOCKED (0 attempts), subtree skipped;
+    // sensor pokes pinned at 2 by the rendezvous; start ticks from the
+    // fair-share plan (etl k-th task at k/2 on 2 slots, adhoc k-th at k on
+    // 1); SLA misses = modeled finish past tick 8
+    "j16_dag_dogfood" ->
+      ("SELECT * FROM (VALUES " +
+        "(DATE '2024-02-01', 'b1_project', 'etl', 'ok', 1, true, 0, 0, 0), " +
+        "(DATE '2024-02-01', 'b2_filter_pred', 'etl', 'ok', 1, true, 0, 1, 0), " +
+        "(DATE '2024-02-01', 'c1_join_broadcast', 'etl', 'ok', 1, true, 0, 3, 0), " +
+        "(DATE '2024-02-01', 'd1_agg_hash', 'etl', 'ok', 1, true, 0, 1, 0), " +
+        "(DATE '2024-02-01', 'd2_agg_distinct', 'etl', 'ok', 1, true, 0, 2, 0), " +
+        "(DATE '2024-02-01', 'd4_agg_rollup', 'etl', 'ok', 1, true, 0, 2, 0), " +
+        "(DATE '2024-02-01', 'd8_agg_stats', 'etl', 'ok', 1, true, 0, 4, 0), " +
+        "(DATE '2024-02-01', 'e1_win_rownumber_topk', 'etl', 'ok', 1, true, 0, 3, 0), " +
+        "(DATE '2024-02-01', 'f11_fn_conditional', 'adhoc', 'ok', 1, true, 0, 5, 0), " +
+        "(DATE '2024-02-01', 'f2_topk_limit', 'adhoc', 'ok', 1, true, 0, 6, 0), " +
+        "(DATE '2024-02-01', 'f5_fn_string', 'adhoc', 'ok', 1, true, 0, 0, 0), " +
+        "(DATE '2024-02-01', 'f6_fn_datetime', 'adhoc', 'ok', 1, true, 0, 1, 0), " +
+        "(DATE '2024-02-01', 'f7_fn_json', 'adhoc', 'ok', 1, true, 0, 2, 0), " +
+        "(DATE '2024-02-01', 'f8_fn_math', 'adhoc', 'ok', 1, true, 0, 3, 0), " +
+        "(DATE '2024-02-01', 'f9_fn_array', 'adhoc', 'ok', 1, true, 0, 4, 0), " +
+        "(DATE '2024-02-01', 'g12_text_fingerprint', 'adhoc', 'skipped', 0, false, 0, 8, 1), " +
+        "(DATE '2024-02-01', 'g13_token_count', 'adhoc', 'skipped', 0, false, 0, 9, 1), " +
+        "(DATE '2024-02-01', 'g8_text_stats_by_lang', 'adhoc', 'failed', 2, false, 0, 7, 0), " +
+        "(DATE '2024-02-01', 'report', 'etl', 'ok', 1, true, 0, 4, 0), " +
+        "(DATE '2024-02-01', 'sensor_docs', 'etl', 'ok', 1, true, 2, 0, 0), " +
+        "(DATE '2024-02-02', 'b1_project', 'etl', 'ok', 1, true, 0, 0, 0), " +
+        "(DATE '2024-02-02', 'b2_filter_pred', 'etl', 'ok', 1, true, 0, 1, 0), " +
+        "(DATE '2024-02-02', 'c1_join_broadcast', 'etl', 'ok', 1, true, 0, 3, 0), " +
+        "(DATE '2024-02-02', 'd1_agg_hash', 'etl', 'ok', 1, true, 0, 1, 0), " +
+        "(DATE '2024-02-02', 'd2_agg_distinct', 'etl', 'ok', 1, true, 0, 2, 0), " +
+        "(DATE '2024-02-02', 'd4_agg_rollup', 'etl', 'ok', 1, true, 0, 2, 0), " +
+        "(DATE '2024-02-02', 'd8_agg_stats', 'etl', 'ok', 1, true, 0, 4, 0), " +
+        "(DATE '2024-02-02', 'e1_win_rownumber_topk', 'etl', 'ok', 1, true, 0, 3, 0), " +
+        "(DATE '2024-02-02', 'f11_fn_conditional', 'adhoc', 'ok', 1, true, 0, 5, 0), " +
+        "(DATE '2024-02-02', 'f2_topk_limit', 'adhoc', 'ok', 1, true, 0, 6, 0), " +
+        "(DATE '2024-02-02', 'f5_fn_string', 'adhoc', 'ok', 1, true, 0, 0, 0), " +
+        "(DATE '2024-02-02', 'f6_fn_datetime', 'adhoc', 'ok', 1, true, 0, 1, 0), " +
+        "(DATE '2024-02-02', 'f7_fn_json', 'adhoc', 'ok', 1, true, 0, 2, 0), " +
+        "(DATE '2024-02-02', 'f8_fn_math', 'adhoc', 'ok', 1, true, 0, 3, 0), " +
+        "(DATE '2024-02-02', 'f9_fn_array', 'adhoc', 'ok', 1, true, 0, 4, 0), " +
+        "(DATE '2024-02-02', 'g12_text_fingerprint', 'adhoc', 'skipped', 0, false, 0, 8, 1), " +
+        "(DATE '2024-02-02', 'g13_token_count', 'adhoc', 'skipped', 0, false, 0, 9, 1), " +
+        "(DATE '2024-02-02', 'g8_text_stats_by_lang', 'adhoc', 'blocked', 0, false, 0, 7, 0), " +
+        "(DATE '2024-02-02', 'report', 'etl', 'ok', 1, true, 0, 4, 0), " +
+        "(DATE '2024-02-02', 'sensor_docs', 'etl', 'ok', 1, true, 2, 0, 0)" +
+        ") t(run_date, job, pool, status, attempts, nonempty, pokes, start_tick, sla_miss) " +
+        "ORDER BY run_date, job")
   )
 }

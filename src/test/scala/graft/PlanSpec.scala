@@ -325,6 +325,59 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits the 50%-hot-key skewed join (OptimizeSkewedJoin fires)") {
+    // the within-sandbox proxy for real-cluster skew handling, alongside
+    // c14's MANUAL salting: an adversarial fixture where ONE key holds 50%
+    // of the left side, thresholds scaled to fixture bytes (a cluster run
+    // uses the 256 MB defaults — the mechanism is identical)
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "8")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(200000).select(
+        when(col("id") % 2 === 0, 0L).otherwise(col("id")).as("k"),
+        md5(col("id").cast("string")).as("pad"))
+      val right = spark.range(100000).select(col("id").as("rk"),
+        md5((col("id") * 3).cast("string")).as("rpad"))
+      // the payloads must SURVIVE column pruning (count(pad) folds to
+      // count(1) and the pruned shuffle ducks the byte threshold), and the
+      // plan must be read from the SAME df instance after collect() —
+      // head()/count() execute a different wrapped plan
+      val j = left.join(right, col("k") === col("rk"))
+        .agg(count(lit(1)).as("n"), sum(length(col("pad"))).as("lp"),
+          sum(length(col("rpad"))).as("lr"))
+      // expected output: key 0 matches 100k left rows x 1 right row; the
+      // 50k odd left ids below 100000 match one row each
+      assert(j.collect()(0).getLong(0) === 150000L)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire on the hot-key join:\n$p")
+      // the hot partition must have been SPLIT: more shuffle-read tasks
+      // than the static partition count on the skewed side
+      val reads = "AQEShuffleRead".r.findAllIn(p).size
+      assert(reads >= 1, s"no AQE shuffle reads in:\n$p")
+      // negative control: a uniform join must NOT be marked skewed
+      val uni = spark.range(200000).select(col("id").as("k"),
+        md5(col("id").cast("string")).as("pad"))
+        .join(right, col("k") === col("rk"))
+        .agg(sum(length(col("pad"))).as("lp"))
+      uni.collect()
+      assert(!uni.queryExecution.executedPlan.toString.contains("skew=true"),
+        "a uniform join was wrongly skew-split")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("m29: the coarser join rollup (incl avg) re-aggregates the join MV") {
     val df = SparkEntry.queries("m29_mv_join_containment")(spark, sfDir)
     try {
