@@ -15,6 +15,59 @@ object ScanFilterQueries extends QueryModule {
   private def tmp(name: String, dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${Tables.pathKey(dir)}"
 
+  /** The Kafka-shaped [[graft.sources.GraftLog]] fixture: events keyed into
+    * 4 log partitions by user_id % 4, per-partition offsets following
+    * event_id order — so offsets, record payloads, and (capped) micro-batch
+    * boundaries all replay in SQL. Fingerprint-guarded like every derived
+    * fixture. Segments are written as ONE distributed text job per
+    * partition and adopted under the broker layout; a live producer appends
+    * through [[graft.sources.GraftLog.append]] instead (LogSourceSpec
+    * exercises that path plus checkpointed offset resume). */
+  private[operators] def logFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val root = tmp("log_src", dir)
+    val ready = Paths.get(root, "_ready")
+    val src = new java.io.File(s"$dir/events.parquet")
+    val fingerprint = s"${src.length()}:${src.lastModified()}"
+    val fresh = Files.exists(ready) &&
+      new String(Files.readAllBytes(ready), "UTF-8").trim == fingerprint
+    if (!fresh) {
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("p").orderBy("event_id")
+      val ev = Tables(s, dir).events
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("p", pmod(col("user_id"), lit(4L)))
+        .withColumn("off", row_number().over(w).cast("long") - 1)
+        .withColumn("line", concat_ws("\t", col("off"),
+          unix_micros(col("ts")), col("user_id"), col("event_type"),
+          col("value")))
+        .localCheckpoint()
+      (0 until 4).foreach { p =>
+        val stage = s"$root/stage_$p"
+        val part = ev.filter(col("p") === p)
+        part.orderBy("off").select("line")
+          .coalesce(1).write.mode("overwrite").text(stage)
+        val seg = Files.list(Paths.get(stage)).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".txt")).get
+        Files.createDirectories(Paths.get(root, s"p=$p"))
+        Files.move(seg, Paths.get(root, s"p=$p", f"${0L}%020d.seg"),
+          StandardCopyOption.REPLACE_EXISTING)
+        Files.write(Paths.get(root, s"p=$p", "_end"),
+          part.count().toString.getBytes("UTF-8"))
+        rmrf(new java.io.File(stage))
+      }
+      Files.write(ready, fingerprint.getBytes("UTF-8"))
+      ()
+    }
+    root
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     // A1: plain parquet scan.
     "a1_scan_parquet" -> ((s, dir) =>
@@ -299,6 +352,25 @@ object ScanFilterQueries extends QueryModule {
         .orderBy("grp")
     }),
 
+    // A16: KAFKA-SHAPED PARTITIONED LOG, batch read — the network-connector
+    // contract (numbered partitions, per-partition monotone offsets,
+    // seek-by-segment) over the sandbox's filesystem transport
+    // (sources/GraftLogSource.scala). The graded row proves the offset
+    // semantics, not just row counts: consecutive offsets per partition
+    // (max_offset = n-1), offset order following the producer's event_id
+    // order (the user at offset 0 IS the partition's min-event_id user),
+    // and exact payload round-trip (the decimal value rollup). The
+    // streaming half is i26; checkpointed resume is LogSourceSpec.
+    "a16_scan_log_offsets" -> ((s, dir) => {
+      val root = logFixture(s, dir)
+      s.read.format("graft.sources.GraftLogSource").option("path", root).load()
+        .groupBy(col("p"))
+        .agg(count(lit(1)).as("n"), max(col("offset")).as("max_offset"),
+          max(when(col("offset") === 0, col("user_id"))).as("first_user"),
+          round(Tables.dsum(col("value")), 6).as("val_sum"))
+        .orderBy("p")
+    }),
+
     // A11: custom DataSource V2 WRITE path (graft.sources.GraftTsvSink) —
     // executor-local part files + driver-side atomic-rename commit, then
     // read back through the same provider. The oracle recomputes the
@@ -389,6 +461,17 @@ object ScanFilterQueries extends QueryModule {
   val oracles: Seq[(String, String)] = Seq(
     "a1_scan_parquet" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    // the log's partition/offset assignment replayed from the raw events:
+    // partition = user_id % 4, offset = event_id rank within the partition
+    "a16_scan_log_offsets" ->
+      ("WITH ev AS (SELECT user_id % 4 AS p, user_id, value, " +
+        "row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id) - 1 AS off " +
+        "FROM events) " +
+        "SELECT p, count(*) AS n, max(off) AS max_offset, " +
+        "max(CASE WHEN off = 0 THEN user_id END) AS first_user, " +
+        s"round(${Tables.dsumSql("value")}, 6) AS val_sum " +
+        "FROM ev GROUP BY p ORDER BY p"),
 
     "a2_scan_parquet_nanos" ->
       ("SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, " +

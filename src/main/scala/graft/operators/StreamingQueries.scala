@@ -1060,6 +1060,29 @@ object StreamingQueries extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // I26: STREAMING READ OF THE KAFKA-SHAPED LOG — the ingest loop a
+    // production pipeline starts from: the custom MicroBatchStream
+    // (sources/GraftLogSource.scala) advances a {partition → offset} map
+    // per batch under ADMISSION CONTROL (maxRowsPerBatch 4000 over 4
+    // partitions → at most 1000 offsets per partition per batch — Kafka's
+    // maxOffsetsPerTrigger split), so batch boundaries are a DETERMINISTIC
+    // function of the log content and the per-batch ledger replays in SQL:
+    // batch k holds exactly each partition's offsets [1000k, 1000(k+1)).
+    // The foreachBatch sink tags rows with the batch id (the i8 shape);
+    // offset-checkpoint RESUME (stop, append, restart → only the delta) is
+    // pinned in LogSourceSpec.
+    "i26_stream_log_offsets" -> ((s, dir) => {
+      val root = ScanFilterQueries.logFixture(s, dir)
+      val q = s.readStream.format("graft.sources.GraftLogSource")
+        .option("path", root).option("maxRowsPerBatch", "4000").load()
+        .select(col("p"), col("offset"), col("value"))
+      runForeachBatch(q, "i26", dir)
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n"),
+          round(Tables.dsum(col("value")), 6).as("val_sum"))
+        .orderBy("batch_id")
+    }),
+
     // I18: EVENT-TIME TIMERS — per-user gap sessionization where sessions
     // close when the WATERMARK passes last_event + 30 min, fired by a
     // registered timer rather than by a later event (SessionTimerProcessor;
@@ -1378,6 +1401,17 @@ object StreamingQueries extends QueryModule {
     "i19_stream_bitmap_distinct" ->
       ("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
         "count(*) AS n_events FROM events GROUP BY 1 ORDER BY event_type"),
+
+    // i26's batch boundaries replay exactly: batch k = each partition's
+    // offsets [1000k, 1000(k+1)), where offset = event_id rank within
+    // partition user_id % 4
+    "i26_stream_log_offsets" ->
+      ("WITH ev AS (SELECT value, " +
+        "(row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id) - 1) // 1000 " +
+        "AS batch_id FROM events) " +
+        "SELECT batch_id, count(*) AS n, " +
+        s"round(${graft.Tables.dsumSql("value")}, 6) AS val_sum " +
+        "FROM ev GROUP BY 1 ORDER BY batch_id"),
 
     // i18's emitted set is chunking-independent: every maximal 30-min-gap
     // session whose end + gap ≤ the stream's final watermark (= max ts at

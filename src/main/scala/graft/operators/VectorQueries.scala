@@ -1293,6 +1293,68 @@ object VectorQueries extends QueryModule {
         .orderBy("h", "batch_idx")
     }),
 
+    // G14C: REAL IMAGE-CODEC DECODE — the gap g14's synthetic GRF1 container
+    // left open: the binary column holds genuine PNGs (RGB, zlib-compressed,
+    // written by the JDK's ImageIO — no external libraries), and the decode
+    // kernel runs the real codec per row inside mapPartitions, exactly the
+    // plumbing a JPEG pipeline uses (schema, batch shape, partitioning are
+    // codec-agnostic). The fixture images carry a DETERMINISTIC pattern —
+    // R varies along x, G along y, B constant, dims keyed on the image id —
+    // so the decoded pixel SUMS are exact integers the DuckDB oracle
+    // re-derives analytically from the pattern, independent of the
+    // encoder's byte layout (PNG is lossless: decode(encode(p)) == p).
+    // At 100 TB the decode is embarrassingly parallel scan-side CPU; the
+    // only schema requirement is the binary column + typed metadata, which
+    // is what this query pins.
+    "g14c_multimodal_png" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val imgs = (0 until 60).map { k =>
+        val w = 32 + k % 5
+        val h = 24 + k % 3
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = (k + x) % 256
+            val g = (k * 5 + y) % 256
+            val b = (k * 11) % 256
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (k.toLong, bos.toByteArray)
+      }
+      // the binary table a real pipeline would SCAN; 60 tiny blobs here,
+      // the same shape at petabyte image corpora
+      val bin = imgs.toDF("img_id", "png").repartition(4)
+      bin.as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val im = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (im.getWidth, im.getHeight)
+          var (rs, gs, bs) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = im.getRGB(x, y)
+              rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (id, w, h, rs, gs, bs)
+        })
+        .toDF("img_id", "w", "h", "r_sum", "g_sum", "b_sum")
+        .orderBy("img_id")
+    }),
+
     "g14_multimodal_binary" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
@@ -2185,6 +2247,18 @@ object VectorQueries extends QueryModule {
         "SELECT h, batch_idx, n_images, " +
         "CAST(n_images * (h * 8 + 8) AS BIGINT) AS batch_bytes, first_doc, last_doc " +
         "FROM b ORDER BY h, batch_idx"),
+
+    // the decoded pixel sums re-derived ANALYTICALLY from the pattern the
+    // fixture painted — PNG is lossless, so the codec round-trip must land
+    // on these exact integers
+    "g14c_multimodal_png" ->
+      ("WITH k AS (SELECT unnest(range(0, 60)) AS img_id), " +
+        "d AS (SELECT img_id, 32 + img_id % 5 AS w, 24 + img_id % 3 AS h FROM k) " +
+        "SELECT img_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h, " +
+        "CAST(h * list_sum(list_transform(range(0, w), x -> (img_id + x) % 256)) AS BIGINT) AS r_sum, " +
+        "CAST(w * list_sum(list_transform(range(0, h), y -> (img_id * 5 + y) % 256)) AS BIGINT) AS g_sum, " +
+        "CAST(w * h * ((img_id * 11) % 256) AS BIGINT) AS b_sum " +
+        "FROM d ORDER BY img_id"),
 
     "g14_multimodal_binary" ->
       ("SELECT doc_id, lang, 8 AS w, h, " +
