@@ -419,7 +419,10 @@ object StreamingQueries extends QueryModule {
       // no final flush: update-mode emission happens on data batches; the
       // trailing no-data batch exists only to fire event-time timers, and
       // the fixture's users all stay active (timer expiry is proven on a
-      // crafted stream in StreamingSpec)
+      // crafted stream in StreamingSpec). FULL VALUE ORACLE (r16): the
+      // counter emits once per (user, data batch), batches are the two
+      // deterministic id-range halves, and transformWithState never drops
+      // input below the watermark — the ledger replays in SQL
       withRocksDbStateStore(s) {
         runMemory(q, "update", "i6", needsFinalFlush = false, statePartitions = statePar(dir))
       }
@@ -514,7 +517,8 @@ object StreamingQueries extends QueryModule {
     }),
 
     // I8: deterministic sink — foreachBatch append to parquet, one batch id
-    // per source chunk.
+    // per source chunk. FULL VALUE ORACLE (r16): batch k IS id-range chunk
+    // k, so the per-batch ledger replays in SQL.
     "i8_stream_sink" -> ((s, dir) => {
       val q = stream(s, dir).select(col("event_id"), col("event_type"), col("value"))
       runForeachBatch(q, "i8", dir)
@@ -1401,6 +1405,28 @@ object StreamingQueries extends QueryModule {
     "i19_stream_bitmap_distinct" ->
       ("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
         "count(*) AS n_events FROM events GROUP BY 1 ORDER BY event_type"),
+
+    // i8's sink ledger replays from the deterministic id-range chunking:
+    // one file per trigger → batch k IS chunk k
+    "i8_stream_sink" ->
+      ("WITH ids AS (SELECT max(event_id) AS mx FROM events), " +
+        "c AS (SELECT CASE WHEN event_id < (mx * 1) // 4 THEN 0 " +
+        "WHEN event_id < (mx * 2) // 4 THEN 1 " +
+        "WHEN event_id < (mx * 3) // 4 THEN 2 ELSE 3 END AS batch_id " +
+        "FROM events, ids) " +
+        "SELECT batch_id, count(*) AS n FROM c GROUP BY 1 ORDER BY batch_id"),
+
+    // i6's update-mode ledger replays too: the counter emits once per
+    // (user, data batch), batches are the two id-range halves
+    // (filesPerTrigger=2), transformWithState never drops input rows below
+    // the watermark (the watermark only drives timers), so n_total is the
+    // user's full event count and n_updates the halves it appears in
+    "i6_stream_stateful" ->
+      ("WITH ids AS (SELECT max(event_id) AS mx FROM events), " +
+        "e AS (SELECT user_id, CASE WHEN event_id < (mx * 2) // 4 THEN 0 " +
+        "ELSE 1 END AS b FROM events, ids) " +
+        "SELECT user_id, count(*) AS n_total, count(DISTINCT b) AS n_updates " +
+        "FROM e GROUP BY 1 ORDER BY user_id"),
 
     // i26's batch boundaries replay exactly: batch k = each partition's
     // offsets [1000k, 1000(k+1)), where offset = event_id rank within

@@ -21,15 +21,14 @@ class CatalogSpec extends AnyFunSuite {
     // query landing without an oracle by ACCIDENT fails here
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // g39/g40/g42/g61 were converted to full oracles in r14, g55 in r15,
-    // i17/i4 in r16 (watermark-determined emitted/kept sets) — the allowed
-    // set is kept EXACT so a conversion regression fails too
+    // i17/i4/i6/i8 in r16 (watermark- or chunk-determined outputs) — the
+    // allowed set is kept EXACT so a conversion regression fails too
     val allowed = Set(
       "d11_agg_approx_percentile", "d3_agg_approx_distinct",
       "g15b_dedup_embed_lsh", "g26_vocab_heavyhitters",
       "g2b_dedup_minhash_lsh", "g2c_dedup_simhash",
       "g5b_knn_lsh", "h3_udaf_hll", "h5_sketch_reagg",
-      "h6_sketch_intersect", "i11_stream_hll", "i14_stream_neardup_filter",
-      "i6_stream_stateful", "i8_stream_sink")
+      "h6_sketch_intersect", "i11_stream_hll", "i14_stream_neardup_filter")
     val converted = allowed -- rowsOnly
     assert(converted.isEmpty,
       s"oracle-backed queries still on the rows-only allowlist: ${converted.mkString(", ")}")
