@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, DecimalDivideWithOverflowCheck, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DataType, DecimalType, LongType}
@@ -57,6 +57,7 @@ object MvRegistry {
   private[plans] sealed trait ColKind
   private[plans] final case class GroupRef(sql: String) extends ColKind
   private[plans] case object CountStar extends ColKind
+  private[plans] final case class CountOf(childSql: String) extends ColKind
   private[plans] final case class SumOf(childSql: String) extends ColKind
   private[plans] case object Opaque extends ColKind // exact-match only
 
@@ -70,7 +71,8 @@ object MvRegistry {
       groupSql: Seq[String], aggSql: Seq[String],
       private[plans] val cols: Seq[MvRegistry.ColKind], mvPath: String,
       private[plans] val sourceFp: String,
-      private[plans] val childKey: String)
+      private[plans] val childKey: String,
+      private[plans] val filterSql: Option[String])
 
   private val mvs = new java.util.concurrent.ConcurrentHashMap[String, Mv]()
 
@@ -95,12 +97,13 @@ object MvRegistry {
           s"${other.nodeName}; a projection above the aggregate would " +
           "reorder the stored columns against the positional match key)")
     }
-    val (paths, childKey, g, a) = normalized(agg)
+    val (paths, childKey, filt, g, a) = normalized(agg)
     require(paths.nonEmpty,
       s"mv $name: the view definition must scan a file source")
     val gSql = g.map(_.sql)
     mvs.put(name, Mv(name, paths, gSql, a.map(_.sql),
-      a.map(colKind(_, gSql.toSet)), mvPath, fingerprint(paths), childKey))
+      a.map(colKind(_, gSql.toSet)), mvPath, fingerprint(paths), childKey,
+      filt.map(_.sql)))
     ()
   }
 
@@ -151,6 +154,10 @@ object MvRegistry {
   private def colKind0(e: Expression, groupSqls: Set[String]): ColKind = e match {
     case AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _) =>
       CountStar
+    // count(col): the NON-NULL count partial — what Average's denominator
+    // needs when the child is nullable (count(1) would over-count)
+    case AggregateExpression(Count(Seq(c)), _, false, None, _) =>
+      CountOf(c.sql)
     case AggregateExpression(s: Sum, _, false, None, _)
         if s.dataType.isInstanceOf[DecimalType] || s.dataType == LongType =>
       SumOf(s.child.sql)
@@ -168,8 +175,8 @@ object MvRegistry {
     * what lets one registered JOIN view serve every coarser rollup of the
     * same join (m29). */
   private[plans] def normalized(
-      agg: Aggregate): (Set[String], String, Seq[Expression], Seq[NamedExpression]) = {
-    val (child, sub): (LogicalPlan, Expression => Expression) = agg.child match {
+      agg: Aggregate): (Set[String], String, Option[Expression], Seq[Expression], Seq[NamedExpression]) = {
+    val (c1, sub): (LogicalPlan, Expression => Expression) = agg.child match {
       case Project(list, gc) =>
         val m = list.collect { case al: Alias => al.exprId -> al.child }.toMap
         (gc, e => e.transformUp {
@@ -177,7 +184,16 @@ object MvRegistry {
         })
       case c => (c, identity[Expression] _)
     }
-    (allScanPaths(child), childKeyOf(child),
+    // peel ONE filter between the aggregate and the source body (the
+    // optimizer pushes WHERE/HAVING predicates here and collapses stacks
+    // into a single And) — the tier-4 filtered-containment input; the
+    // filter's condition references scan attributes, so `sub` is a no-op
+    // on it but applied for uniformity
+    val (child, filt) = c1 match {
+      case Filter(cond, gc) => (gc, Some(sub(cond)))
+      case c                => (c, None)
+    }
+    (allScanPaths(child), childKeyOf(child), filt,
       agg.groupingExpressions.map(sub),
       agg.aggregateExpressions.map { e =>
         sub(e) match {
@@ -215,17 +231,21 @@ object MvRegistry {
   }
 
   /** Tier 1: the candidate IS the registered definition (same source BODY —
-    * scan or join — same grouping, same aggregates). */
+    * scan or join — same grouping, same aggregates, same filter). */
   private[plans] def lookupExact(paths: Set[String], childKey: String,
-      gSql: Seq[String], aSql: Seq[String]): Option[Mv] =
+      filterSql: Option[String], gSql: Seq[String], aSql: Seq[String]): Option[Mv] =
     all.find(mv => mv.sourcePaths == paths && mv.childKey == childKey &&
-      mv.groupSql == gSql && mv.aggSql == aSql)
+      mv.filterSql == filterSql && mv.groupSql == gSql && mv.aggSql == aSql)
 
   /** Containment candidates: MVs over the same source body whose grouping
-    * set contains the candidate's. */
+    * set contains the candidate's, and whose filter either equals the
+    * candidate's (classic containment over the same slice) or is absent
+    * while the candidate filters (tier 4 — the predicate is PUSHED onto
+    * the MV scan, lossless iff it references only grouping columns). */
   private[plans] def containCandidates(paths: Set[String], childKey: String,
-      gSql: Seq[String]): Seq[Mv] =
+      filterSql: Option[String], gSql: Seq[String]): Seq[Mv] =
     all.filter(mv => mv.sourcePaths == paths && mv.childKey == childKey &&
+      (mv.filterSql == filterSql || mv.filterSql.isEmpty) &&
       gSql.forall(mv.groupSql.contains)).toSeq
 
   private[plans] def isEmpty: Boolean = mvs.isEmpty
@@ -238,7 +258,7 @@ object MvRegistry {
 
 object GraftMvRewriteRule extends Rule[LogicalPlan] {
 
-  import MvRegistry.{CountStar, GroupRef, SumOf}
+  import MvRegistry.{CountOf, CountStar, GroupRef, SumOf}
 
   val Flag = "spark.graft.mv.rewrite"
 
@@ -255,16 +275,22 @@ object GraftMvRewriteRule extends Rule[LogicalPlan] {
     }
 
   private def rewriteIfServed(agg: Aggregate): LogicalPlan = {
-    val (paths, childKey, g, a) = MvRegistry.normalized(agg)
+    val (paths, childKey, filt, g, a) = MvRegistry.normalized(agg)
     if (paths.isEmpty || !MvRegistry.pathsRegistered(paths)) agg
-    else MvRegistry.lookupExact(paths, childKey, g.map(_.sql), a.map(_.sql))
-      .filter(MvRegistry.fresh) match {
+    else MvRegistry.lookupExact(paths, childKey, filt.map(_.sql),
+      g.map(_.sql), a.map(_.sql)).filter(MvRegistry.fresh) match {
       case Some(mv) => exactRewrite(agg, mv)
       case None =>
         if (g.isEmpty) agg // count()=0 over an empty MV would sum to NULL
-        else MvRegistry.containCandidates(paths, childKey, g.map(_.sql)).view
+        else MvRegistry.containCandidates(paths, childKey, filt.map(_.sql),
+            g.map(_.sql)).view
           .filter(MvRegistry.fresh) // stale MV = refuse, read the facts
-          .flatMap(mv => containRewrite(agg, g, a, mv))
+          .flatMap { mv =>
+            // tier 4: only when the MV is unfiltered and the candidate
+            // filters does a predicate need pushing onto the MV scan
+            val push = if (mv.filterSql == filt.map(_.sql)) None else filt
+            containRewrite(agg, g, a, push, mv)
+          }
           .headOption.getOrElse(agg)
     }
   }
@@ -303,7 +329,8 @@ object GraftMvRewriteRule extends Rule[LogicalPlan] {
     * any surviving reference to the fact table — the rewrite REFUSES and
     * the query keeps its fact scan: answer preservation over cleverness. */
   private def containRewrite(agg: Aggregate, g: Seq[Expression],
-      a: Seq[NamedExpression], mv: MvRegistry.Mv): Option[LogicalPlan] = {
+      a: Seq[NamedExpression], push: Option[Expression],
+      mv: MvRegistry.Mv): Option[LogicalPlan] = {
     val scan = mvScan(mv)
     val groupCol: Map[String, Expression] = mv.cols.zipWithIndex.collect {
       case (GroupRef(s), i) => s -> (scan.output(i): Expression)
@@ -311,31 +338,44 @@ object GraftMvRewriteRule extends Rule[LogicalPlan] {
     val countCol: Option[Expression] = mv.cols.zipWithIndex.collectFirst {
       case (CountStar, i) => scan.output(i)
     }
+    val countOfCol: Map[String, Expression] = mv.cols.zipWithIndex.collect {
+      case (CountOf(s), i) => s -> (scan.output(i): Expression)
+    }.toMap
     val sumCol: Map[String, Expression] = mv.cols.zipWithIndex.collect {
       case (SumOf(s), i) => s -> (scan.output(i): Expression)
     }.toMap
     def castTo(e: Expression, to: DataType): Expression =
       if (e.dataType == to) e else Cast(e, to)
+    // Average's denominator is count(NON-NULL child): a stored count(child)
+    // partial serves it always; the count(1) partial serves it only when
+    // the child cannot be null (else the rewrite would divide by too many
+    // rows and silently shrink the average — the r16 ADVICE defect)
+    def denomFor(child: Expression): Option[Expression] =
+      countOfCol.get(child.sql)
+        .orElse(if (!child.nullable) countCol else None)
     def mapAgg(ae: AggregateExpression): Option[Expression] =
       if (ae.isDistinct || ae.filter.isDefined) None
       else ae.aggregateFunction match {
         case Count(Seq(Literal(_, _))) =>
           countCol.map(c => castTo(Sum(c).toAggregateExpression(), ae.dataType))
+        case Count(Seq(c)) =>
+          denomFor(c).map(x => castTo(Sum(x).toAggregateExpression(), ae.dataType))
         case s: Sum
             if s.dataType.isInstanceOf[DecimalType] || s.dataType == LongType =>
           sumCol.get(s.child.sql)
             .map(c => castTo(Sum(c).toAggregateExpression(), ae.dataType))
         // avg DECOMPOSITION (tier 3): avg(x) = resum(stored sums) /
-        // resum(stored counts), replayed through Average's own decimal
-        // evaluate shape — Divide(sum, count cast to (20,0)) cast to the
-        // avg result type — so the rewritten digits equal the fact-side
-        // aggregate's exactly. DECIMAL children only: a double avg's sum
-        // accumulates order-dependently and is refused like a double sum.
+        // resum(stored non-null counts), replayed through Average's own
+        // decimal evaluate shape — Divide(sum, count cast to (20,0)) cast
+        // to the avg result type — so the rewritten digits equal the
+        // fact-side aggregate's exactly. DECIMAL children only: a double
+        // avg's sum accumulates order-dependently and is refused like a
+        // double sum.
         case av: Average if av.child.dataType.isInstanceOf[DecimalType] &&
             ae.dataType.isInstanceOf[DecimalType] =>
           for {
             sc <- sumCol.get(av.child.sql)
-            cc <- countCol
+            cc <- denomFor(av.child)
           } yield {
             val factSumType = Sum(av.child).dataType // what Average divides
             val reSum = castTo(Sum(sc).toAggregateExpression(), factSumType)
@@ -368,7 +408,20 @@ object GraftMvRewriteRule extends Rule[LogicalPlan] {
       Alias(r, orig.name)(exprId = orig.exprId)
     }
     val mvAttrs = scan.outputSet
-    if (!ok || a2.exists(x => !x.references.subsetOf(mvAttrs))) None
-    else Some(Aggregate(g2.map(_.get), a2, scan))
+    if (!ok || a2.exists(x => !x.references.subsetOf(mvAttrs))) return None
+    // tier 4: push the candidate's predicate onto the MV scan — lossless
+    // exactly when every sub-expression it references maps to a stored
+    // GROUPING column (each MV row aggregates one whole group, so a
+    // group-column predicate selects whole groups); anything touching a
+    // non-grouping fact column survives substitution as a fact reference
+    // and is refused here
+    val child: Option[LogicalPlan] = push match {
+      case None => Some(scan)
+      case Some(cond) =>
+        val c2 = subst(cond)
+        if (ok && c2.references.subsetOf(mvAttrs)) Some(Filter(c2, scan))
+        else None
+    }
+    child.map(c => Aggregate(g2.map(_.get), a2, c))
   }
 }

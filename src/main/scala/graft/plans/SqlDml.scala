@@ -2,7 +2,7 @@ package graft.plans
 
 import scala.util.matching.Regex
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
@@ -29,30 +29,30 @@ import graft.sources.SnapshotTable
   * delegates verbatim to Spark's parser, so the extension can never break a
   * query it does not serve (the MvRewrite discipline):
   *
-  *  - `MERGE INTO t USING src ON t.k = src.k
-  *       [WHEN MATCHED AND <col> = '<v>' THEN DELETE]
-  *       WHEN MATCHED THEN UPDATE SET *
-  *       WHEN NOT MATCHED THEN INSERT *`
-  *    → [[graft.operators.MergeInto.applyChanges]] + snapshot commit. The
-  *    CDC shape (`SET *` / `INSERT *`): per-column merge clauses compile to
-  *    the same full-outer projection and are left to the library call.
+  *  - `MERGE INTO t USING src ON t.k = src.k ...` in two shapes:
+  *    the CDC shape (`WHEN MATCHED THEN UPDATE SET *` / `WHEN NOT MATCHED
+  *    THEN INSERT *`, optional marker-column DELETE clause) compiles to
+  *    [[graft.operators.MergeInto.applyChanges]]; the PER-COLUMN shape
+  *    (`WHEN MATCHED [AND cond] THEN UPDATE SET c = expr, ...` /
+  *    `WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)`) compiles to
+  *    one full-outer projection that honors clause ORDER per row (standard
+  *    MERGE first-match-wins). Both commit through the snapshot protocol.
   *  - `UPDATE t SET c = expr[, ...] [WHERE pred]` → conditional projection
   *    (each assignment cast back to the column's type) + snapshot commit.
-  *  - `DELETE FROM t [WHERE pred]` → copy-on-write anti-filter + snapshot
-  *    commit (the merge-on-read alternative is
-  *    [[graft.sources.DeletionVectors]], m16 — a format with file manifests
-  *    prunes the rewrite to touched files).
+  *  - `DELETE FROM t [WHERE pred]` → copy-on-write filter keeping every row
+  *    whose predicate is not TRUE (NULL keeps the row — standard SQL
+  *    three-valued DELETE) + snapshot commit.
   *  - `SELECT ... FROM t [VERSION AS OF n] ...` → the registered name (and
   *    its `VERSION AS OF` form) resolves to the snapshot read; bare names
-  *    resolve to LATEST. Rewritten textually to session temp views before
-  *    delegation, so arbitrary SELECT syntax around them keeps working.
+  *    resolve to LATEST. Substitution is CODE-POSITION-ONLY — a registered
+  *    name inside a string literal or a SQL comment is never rewritten —
+  *    and still happens at parse time (an EXPLAIN creates the temp views
+  *    too; they are session-namespaced `__graft_snap_*` names).
   *
   * Every write commits through the snapshot protocol: atomic pointer swap,
   * history preserved, time-travelable — DML at 100 TB is exactly as safe as
   * the underlying commit. Registered names are reserved identifiers for the
-  * session (the textual read rewrite substitutes every word-boundary
-  * occurrence outside our DML statements — don't name a table after a
-  * column). Commands return their committed version + affected-row count,
+  * session. Commands return their committed version + affected-row count,
   * the lakehouse convention.
   */
 object GraftDmlRegistry {
@@ -114,8 +114,12 @@ case class GraftUpdateCommand(root: String, assigns: Seq[(String, String)],
   }
 }
 
-/** `DELETE FROM t [WHERE pred]` — copy-on-write: the next version carries
-  * only the surviving rows; history keeps the deleted ones until expire. */
+/** `DELETE FROM t [WHERE pred]` — copy-on-write: the next version keeps
+  * every row whose predicate is NOT TRUE (a NULL predicate keeps the row,
+  * the standard three-valued DELETE semantics — `NOT pred` alone would
+  * silently delete NULL-predicate rows); history keeps the deleted ones
+  * until expire. n_deleted counts pred = TRUE rows, which by the same
+  * three-valued rule is exactly the number of rows removed. */
 case class GraftDeleteCommand(root: String, whereSql: Option[String])
     extends LeafRunnableCommand {
 
@@ -127,7 +131,8 @@ case class GraftDeleteCommand(root: String, whereSql: Option[String])
     val t = SnapshotTable.read(spark, root)
     val pred = whereSql.map(expr).getOrElse(lit(true))
     val nDel = t.filter(pred).count()
-    val v = SnapshotTable.commit(t.filter(!pred), root, meta = s"delete:$nDel")
+    val kept = t.filter(!coalesce(pred, lit(false)))
+    val v = SnapshotTable.commit(kept, root, meta = s"delete:$nDel")
     Seq(Row(v, nDel))
   }
 }
@@ -152,6 +157,116 @@ case class GraftMergeCommand(root: String, sourceSql: String, key: String,
       case None => src.withColumn("__graft_op", lit("upsert"))
     }
     val merged = MergeInto.applyChanges(target, ch, key, opCol = "__graft_op")
+    val n = merged.count()
+    val v = SnapshotTable.commit(merged, root, meta = s"merge:$n")
+    Seq(Row(v, n))
+  }
+}
+
+/** One parsed per-column MERGE action, in statement order. `cond` is the
+  * clause's extra `AND <cond>` predicate text (None = unconditional). */
+private[plans] sealed trait MergeClause
+private[plans] final case class MatchedDelete(cond: Option[String]) extends MergeClause
+private[plans] final case class MatchedUpdate(cond: Option[String],
+    assigns: Seq[(String, String)]) extends MergeClause
+private[plans] final case class NotMatchedInsert(cols: Seq[String],
+    exprs: Seq[String]) extends MergeClause
+
+/** The PER-COLUMN `MERGE INTO` (m31): one full-outer projection honoring
+  * clause order per row — standard MERGE first-match-wins. Expression text
+  * in clauses may reference the target (`<target>.c` or unqualified) and
+  * the source (`<alias>.c`, or unqualified when the name exists on the
+  * source side — source wins ambiguity, matching the "assign from the
+  * incoming row" MERGE convention). */
+case class GraftMergeColsCommand(root: String, sourceSql: String,
+    srcAlias: String, targetName: String, key: String,
+    clauses: Seq[MergeClause]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val target = SnapshotTable.read(spark, root)
+    val srcRaw = spark.sql(sourceSql)
+    val srcCols = srcRaw.columns.toSeq
+    val src = srcRaw.select(
+      srcCols.map(c => col(c).as(s"__s_$c")) :+ lit(true).as("__s_present"): _*)
+    // resolve clause expression text against the joined row: qualified
+    // source refs and unqualified source-column names go to the renamed
+    // __s_* side, qualified target refs to the bare name — a code-position
+    // tokenized substitution (string literals are never rewritten)
+    def resolve(e: String): Column = {
+      var out = e
+      srcCols.foreach { c =>
+        out = GraftSqlParser.substOutsideLiterals(out,
+          s"(?i)\\b${Regex.quote(srcAlias)}\\.${Regex.quote(c)}\\b", s"__s_$c")
+      }
+      // target-qualified refs go through a placeholder so the unqualified
+      // source pass below can't hijack them (both sides share column names)
+      target.columns.foreach { c =>
+        out = GraftSqlParser.substOutsideLiterals(out,
+          s"(?i)\\b${Regex.quote(targetName)}\\.${Regex.quote(c)}\\b", s"__tgt__$c")
+      }
+      // unqualified names that exist on the source side resolve there
+      srcCols.foreach { c =>
+        out = GraftSqlParser.substOutsideLiterals(out,
+          s"(?i)(?<![A-Za-z0-9_.])${Regex.quote(c)}\\b", s"__s_$c")
+      }
+      target.columns.foreach { c =>
+        out = GraftSqlParser.substOutsideLiterals(out,
+          s"(?i)\\b__tgt__${Regex.quote(c)}\\b", c)
+      }
+      expr(out)
+    }
+    val matched = col("__s_present").isNotNull
+    val j = target.join(src, col(key) === col(s"__s_$key"), "full_outer")
+
+    // per-row first-match-wins over the MATCHED clauses, in written order:
+    // fold into (deleteCond, per-column value chain)
+    val targetFields = target.schema.fields.toSeq
+    var remaining: Column = matched // matched rows not yet claimed by a clause
+    var deleted: Column = lit(false)
+    var updates: Map[String, Column] = targetFields.map(f => f.name ->
+      col(f.name)).toMap
+    clauses.foreach {
+      case MatchedDelete(cond) =>
+        val hit = remaining && cond.map(resolve).getOrElse(lit(true))
+        deleted = deleted || coalesce(hit, lit(false))
+        remaining = remaining && !coalesce(hit, lit(false))
+      case MatchedUpdate(cond, assigns) =>
+        val hit = remaining && cond.map(resolve).getOrElse(lit(true))
+        val claimed = coalesce(hit, lit(false))
+        assigns.foreach { case (c, e) =>
+          val f = targetFields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalArgumentException(s"MERGE: unknown target column $c"))
+          updates += f.name -> when(claimed, resolve(e).cast(f.dataType))
+            .otherwise(updates(f.name))
+        }
+        remaining = remaining && !claimed
+      case _: NotMatchedInsert => // handled on the source-only side below
+    }
+    val kept = j.filter(col(key).isNotNull && !deleted)
+      .select(targetFields.map(f => updates(f.name).as(f.name)): _*)
+
+    val inserts = clauses.collectFirst { case ni: NotMatchedInsert => ni } match {
+      case Some(NotMatchedInsert(cols, exprs)) =>
+        val byCol = cols.map(_.toLowerCase).zip(exprs).toMap
+        require(byCol.size == cols.size, "MERGE: duplicate INSERT column")
+        byCol.keys.foreach(c => require(
+          targetFields.exists(_.name.equalsIgnoreCase(c)),
+          s"MERGE: INSERT names unknown target column $c"))
+        j.filter(col(key).isNull)
+          .select(targetFields.map { f =>
+            byCol.get(f.name.toLowerCase) match {
+              case Some(e) => resolve(e).cast(f.dataType).as(f.name)
+              case None    => lit(null).cast(f.dataType).as(f.name)
+            }
+          }: _*)
+      case None => spark.createDataFrame(
+        new java.util.ArrayList[Row](), target.schema)
+    }
+    val merged = kept.unionByName(inserts)
     val n = merged.count()
     val v = SnapshotTable.commit(merged, root, meta = s"merge:$n")
     Seq(Row(v, n))
@@ -201,24 +316,34 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 object GraftSqlParser {
 
   private val UpdateRe: Regex =
-    """(?is)^UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.*?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+    """(?is)^UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.*?)\s*;?\s*$""".r
   private val DeleteRe: Regex =
     """(?is)^DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val MergeRe: Regex =
     """(?is)^MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+USING\s+(.+?)\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*;?\s*$""".r
   private val OnRe: Regex =
     """(?is)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""".r
-  private val WhenDeleteRe: Regex =
-    """(?is)WHEN\s+MATCHED\s+AND\s+(?:\w+\.)?(\w+)\s*=\s*'([^']*)'\s+THEN\s+DELETE""".r
-  private val WhenUpdateRe: Regex =
-    """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""".r
-  private val WhenInsertRe: Regex =
-    """(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*""".r
+  // one WHEN clause each; cond/body split below is scanner-based
+  private val ClauseMatchedRe: Regex =
+    """(?is)^WHEN\s+MATCHED\s*(?:AND\s+(.+?))?\s*THEN\s+(DELETE|UPDATE\s+SET\s+(.+))$""".r
+  private val ClauseNotMatchedRe: Regex =
+    """(?is)^WHEN\s+NOT\s+MATCHED\s*(?:AND\s+(.+?))?\s*THEN\s+INSERT\s+(.+)$""".r
+  private val InsertValuesRe: Regex =
+    """(?is)^\(\s*([^)]*?)\s*\)\s*VALUES\s*\((.*)\)\s*$""".r
+  private val MarkerEqRe: Regex =
+    """(?is)^\s*(?:\w+\.)?(\w+)\s*=\s*'([^']*)'\s*$""".r
 
   /** None = not ours (unregistered target / different shape): delegate. */
   private def parseUpdate(t: String): Option[LogicalPlan] = t match {
-    case UpdateRe(name, setList, where) =>
+    case UpdateRe(name, rest) =>
       GraftDmlRegistry.rootOf(name).map { root =>
+        // locate the top-level WHERE with the depth/literal scanner — a
+        // regex split would misparse a SET expression whose string literal
+        // contains ' WHERE ' (UPDATE t SET c = 'a WHERE b')
+        val (setList, where) = splitTopLevelKeyword(rest, "WHERE") match {
+          case (s, Some(w)) => (s, Some(w.trim))
+          case (s, None)    => (s, None)
+        }
         val assigns = splitTopLevel(setList).map { a =>
           val eq = topLevelEq(a)
           require(eq > 0, s"UPDATE: malformed assignment '$a'")
@@ -227,7 +352,7 @@ object GraftSqlParser {
             s"UPDATE: assignment target must be a column, got '$c'")
           c -> a.substring(eq + 1).trim
         }
-        GraftUpdateCommand(root, assigns, Option(where).map(_.trim))
+        GraftUpdateCommand(root, assigns, where)
       }
     case _ => None
   }
@@ -251,65 +376,238 @@ object GraftSqlParser {
           case other => throw new IllegalArgumentException(
             s"MERGE: unsupported ON clause '$other' — expected t.key = s.key")
         }
-        require(WhenUpdateRe.findFirstIn(whens).isDefined,
-          "MERGE: missing WHEN MATCHED THEN UPDATE SET *")
-        require(WhenInsertRe.findFirstIn(whens).isDefined,
-          "MERGE: missing WHEN NOT MATCHED THEN INSERT *")
-        val deleteWhen = WhenDeleteRe.findFirstMatchIn(whens)
-          .map(m => (m.group(1), m.group(2)))
         // source: a view/table name (optional alias) or a (subquery) alias
         val srcText = source.trim
-        val srcSql =
+        val (srcSql, srcAlias) =
           if (srcText.startsWith("(")) {
             val close = matchParen(srcText)
-            srcText.substring(1, close)
-          } else s"SELECT * FROM ${srcText.split("\\s+").head}"
-        GraftMergeCommand(root, srcSql, key, deleteWhen)
+            val alias = srcText.substring(close + 1).trim
+              .split("\\s+").filterNot(_.equalsIgnoreCase("AS"))
+              .headOption.filter(_.nonEmpty).getOrElse("src")
+            (srcText.substring(1, close), alias)
+          } else {
+            val parts = srcText.split("\\s+").filterNot(_.equalsIgnoreCase("AS"))
+            (s"SELECT * FROM ${parts.head}", parts.lastOption.getOrElse(parts.head))
+          }
+        val clauses = splitWhenClauses(whens).map(parseClause)
+        compileMerge(root, name, srcSql, srcAlias, key, clauses)
       }
     case _ => None
   }
 
+  /** Parse one WHEN clause into its typed form. Unsupported shapes are
+    * explicit parse errors naming the supported grammar, never silent. */
+  private def parseClause(c: String): MergeClause = c.trim match {
+    case ClauseMatchedRe(cond, action, setList) =>
+      if (action.equalsIgnoreCase("DELETE")) MatchedDelete(Option(cond))
+      else {
+        val assigns = splitTopLevel(setList).map { a =>
+          if (a.trim == "*") "*" -> "*"
+          else {
+            val eq = topLevelEq(a)
+            require(eq > 0, s"MERGE: malformed assignment '$a'")
+            a.substring(0, eq).trim -> a.substring(eq + 1).trim
+          }
+        }
+        MatchedUpdate(Option(cond), assigns)
+      }
+    case ClauseNotMatchedRe(cond, body) =>
+      require(cond == null,
+        "MERGE: WHEN NOT MATCHED AND <cond> is not supported — supported " +
+          "forms: WHEN NOT MATCHED THEN INSERT * | INSERT (cols) VALUES (exprs)")
+      body.trim match {
+        case "*" => NotMatchedInsert(Seq("*"), Seq("*"))
+        case InsertValuesRe(cols, exprs) =>
+          val cs = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val es = splitTopLevel(exprs)
+          require(cs.size == es.size,
+            s"MERGE: INSERT lists ${cs.size} columns but ${es.size} values")
+          NotMatchedInsert(cs, es)
+        case other => throw new IllegalArgumentException(
+          s"MERGE: unsupported INSERT body '$other' — supported forms: " +
+            "INSERT * | INSERT (cols) VALUES (exprs)")
+      }
+    case other => throw new IllegalArgumentException(
+      s"MERGE: unsupported clause '$other' — supported: WHEN MATCHED [AND " +
+        "cond] THEN DELETE | UPDATE SET ... ; WHEN NOT MATCHED THEN INSERT ...")
+  }
+
+  /** Pick the execution shape: the CDC form (`SET *` + `INSERT *`) maps to
+    * [[GraftMergeCommand]]; anything per-column maps to
+    * [[GraftMergeColsCommand]]. Clause ORDER is enforced for the CDC form
+    * (SQL semantics: a DELETE clause after an unconditional UPDATE clause
+    * can never fire — such statements are rejected, not reordered). */
+  private def compileMerge(root: String, target: String, srcSql: String,
+      srcAlias: String, key: String, clauses: Seq[MergeClause]): LogicalPlan = {
+    val isCdc = clauses.forall {
+      case MatchedUpdate(None, Seq(("*", "*"))) => true
+      case MatchedDelete(Some(c)) => MarkerEqRe.findFirstIn(c).isDefined
+      case NotMatchedInsert(Seq("*"), Seq("*")) => true
+      case _ => false
+    }
+    if (isCdc) {
+      val updIdx = clauses.indexWhere {
+        case MatchedUpdate(None, Seq(("*", "*"))) => true; case _ => false }
+      val delIdx = clauses.indexWhere(_.isInstanceOf[MatchedDelete])
+      require(updIdx >= 0,
+        "MERGE: missing WHEN MATCHED THEN UPDATE SET * (CDC form) or " +
+          "per-column UPDATE SET c = expr clauses")
+      require(clauses.exists { case NotMatchedInsert(Seq("*"), Seq("*")) => true
+        case _ => false },
+        "MERGE: missing WHEN NOT MATCHED THEN INSERT * (CDC form) or " +
+          "INSERT (cols) VALUES (exprs)")
+      require(delIdx < 0 || delIdx < updIdx,
+        "MERGE: the WHEN MATCHED AND <marker> THEN DELETE clause must " +
+          "precede the unconditional UPDATE clause (written after it, SQL " +
+          "first-match-wins semantics make it unreachable)")
+      val deleteWhen = clauses.collectFirst {
+        case MatchedDelete(Some(MarkerEqRe(c, v))) => (c, v)
+      }
+      GraftMergeCommand(root, srcSql, key, deleteWhen)
+    } else {
+      clauses.foreach {
+        case MatchedUpdate(_, as) => require(!as.exists(_._1 == "*"),
+          "MERGE: UPDATE SET * cannot mix with per-column clauses")
+        case _ =>
+      }
+      GraftMergeColsCommand(root, srcSql, srcAlias, target, key, clauses)
+    }
+  }
+
+  /** Split the WHEN-clause tail into individual clauses at top-level `WHEN`
+    * keyword boundaries (outside literals/parens). */
+  private[plans] def splitWhenClauses(s: String): Seq[String] = {
+    val idxs = keywordPositions(s, "WHEN")
+    require(idxs.nonEmpty && idxs.head == 0,
+      s"MERGE: expected WHEN clauses, got '$s'")
+    (idxs :+ s.length).sliding(2).map {
+      case Seq(a, b) => s.substring(a, b).trim
+    }.toSeq
+  }
+
   /** Substitute registered-name reads with snapshot temp views: the
     * `VERSION AS OF n` form reads that committed version; a bare name reads
-    * LATEST. Word-boundary textual substitution (registered names are
-    * reserved), applied only when a registered name actually occurs. */
+    * LATEST. Substitution is applied ONLY to code segments — string
+    * literals and comments are preserved verbatim (a query filtering on
+    * the literal 'orders' must keep its literal). */
   private def rewriteReads(session: SparkSession, sql: String): String = {
     val names = GraftDmlRegistry.names
     if (names.isEmpty) return sql
-    var out = sql
-    names.foreach { name =>
-      if (out.toLowerCase.contains(name)) {
-        val root = GraftDmlRegistry.rootOf(name).get
-        val vPat = ("(?i)\\b" + Regex.quote(name) +
-          "\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)").r
-        out = vPat.replaceAllIn(out, m => {
-          val v = m.group(1).toLong
-          val view = s"__graft_snap_${name}_v$v"
-          SnapshotTable.readVersion(session, root, v)
-            .createOrReplaceTempView(view)
-          view
-        })
-        val bPat = ("(?i)\\b" + Regex.quote(name) + "\\b").r
-        if (bPat.findFirstIn(out).isDefined) {
-          val view = s"__graft_snap_${name}_latest"
-          SnapshotTable.read(session, root).createOrReplaceTempView(view)
-          out = bPat.replaceAllIn(out, view)
+    if (!names.exists(n => sql.toLowerCase.contains(n))) return sql
+    mapCodeSegments(sql) { code =>
+      var out = code
+      names.foreach { name =>
+        if (out.toLowerCase.contains(name)) {
+          val root = GraftDmlRegistry.rootOf(name).get
+          val vPat = ("(?i)\\b" + Regex.quote(name) +
+            "\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)").r
+          out = vPat.replaceAllIn(out, m => {
+            val v = m.group(1).toLong
+            val view = s"__graft_snap_${name}_v$v"
+            SnapshotTable.readVersion(session, root, v)
+              .createOrReplaceTempView(view)
+            view
+          })
+          val bPat = ("(?i)\\b" + Regex.quote(name) + "\\b").r
+          if (bPat.findFirstIn(out).isDefined) {
+            val view = s"__graft_snap_${name}_latest"
+            SnapshotTable.read(session, root).createOrReplaceTempView(view)
+            out = bPat.replaceAllIn(out, view)
+          }
         }
       }
+      out
     }
-    out
   }
+
+  /** Apply `f` to each CODE segment of a SQL text, leaving string literals
+    * ('...', with '' escapes), line comments (`-- ...\n`) and block
+    * comments verbatim. */
+  private[plans] def mapCodeSegments(sql: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val code = new StringBuilder
+    def flush(): Unit = { out.append(f(code.toString)); code.clear() }
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        flush()
+        val e = endOfLiteral(sql, i)
+        out.append(sql.substring(i, e)); i = e
+      } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        flush()
+        val e = sql.indexOf('\n', i) match { case -1 => sql.length; case x => x }
+        out.append(sql.substring(i, e)); i = e
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        flush()
+        val e = sql.indexOf("*/", i) match { case -1 => sql.length; case x => x + 2 }
+        out.append(sql.substring(i, e)); i = e
+      } else { code.append(c); i += 1 }
+    }
+    flush()
+    out.toString
+  }
+
+  /** Regex substitution applied only outside string literals. */
+  private[plans] def substOutsideLiterals(s: String, pattern: String,
+      replacement: String): String =
+    mapCodeSegments(s)(code => pattern.r.replaceAllIn(code,
+      Regex.quoteReplacement(replacement)))
+
+  /** End index (exclusive) of the literal starting at `i` ('' = escape). */
+  private def endOfLiteral(s: String, i: Int): Int = {
+    var j = i + 1
+    while (j < s.length) {
+      if (s.charAt(j) == '\'') {
+        if (j + 1 < s.length && s.charAt(j + 1) == '\'') j += 2
+        else return j + 1
+      } else j += 1
+    }
+    s.length
+  }
+
+  /** Start indices of a keyword at depth 0 outside literals. */
+  private def keywordPositions(s: String, kw: String): Seq[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer[Int]()
+    var depth = 0; var i = 0
+    val n = kw.length
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => i = endOfLiteral(s, i) - 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && s.regionMatches(true, i, kw, 0, n) &&
+            (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+            (i + n >= s.length || !isIdentChar(s.charAt(i + n))) =>
+          out += i
+        case _ =>
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  private def isIdentChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_'
+
+  /** Split `s` at the FIRST top-level occurrence of keyword `kw` (depth 0,
+    * outside literals): (before, Some(after)) or (s, None). */
+  private[plans] def splitTopLevelKeyword(s: String, kw: String): (String, Option[String]) =
+    keywordPositions(s, kw).headOption match {
+      case Some(i) => (s.substring(0, i).trim, Some(s.substring(i + kw.length)))
+      case None    => (s.trim, None)
+    }
 
   /** Split on commas at paren depth 0, outside string literals. */
   private[plans] def splitTopLevel(s: String): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer[String]()
-    var depth = 0; var inStr = false; var start = 0; var i = 0
+    var depth = 0; var start = 0; var i = 0
     while (i < s.length) {
       s.charAt(i) match {
-        case '\'' => inStr = !inStr
-        case '(' if !inStr => depth += 1
-        case ')' if !inStr => depth -= 1
-        case ',' if !inStr && depth == 0 =>
+        case '\'' => i = endOfLiteral(s, i) - 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
           parts += s.substring(start, i); start = i + 1
         case _ =>
       }
@@ -322,13 +620,13 @@ object GraftSqlParser {
   /** Index of the first '=' at paren depth 0 outside literals (the
     * assignment operator — the RHS may itself contain '='). */
   private def topLevelEq(s: String): Int = {
-    var depth = 0; var inStr = false; var i = 0
+    var depth = 0; var i = 0
     while (i < s.length) {
       s.charAt(i) match {
-        case '\'' => inStr = !inStr
-        case '(' if !inStr => depth += 1
-        case ')' if !inStr => depth -= 1
-        case '=' if !inStr && depth == 0 => return i
+        case '\'' => i = endOfLiteral(s, i) - 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '=' if depth == 0 => return i
         case _ =>
       }
       i += 1
@@ -338,12 +636,12 @@ object GraftSqlParser {
 
   /** Index of the ')' matching the '(' at position 0. */
   private def matchParen(s: String): Int = {
-    var depth = 0; var inStr = false; var i = 0
+    var depth = 0; var i = 0
     while (i < s.length) {
       s.charAt(i) match {
-        case '\'' => inStr = !inStr
-        case '(' if !inStr => depth += 1
-        case ')' if !inStr =>
+        case '\'' => i = endOfLiteral(s, i) - 1
+        case '(' => depth += 1
+        case ')' =>
           depth -= 1
           if (depth == 0) return i
         case _ =>

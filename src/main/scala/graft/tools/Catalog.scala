@@ -17,12 +17,17 @@ object Catalog {
 
   private case class Site(file: String, line: Int, desc: String)
 
-  /** First definition site of each `"name" -> ...` under operators/ (the
-    * queries Seq precedes the oracles Seq in every module, so the first
-    * match is the implementation, not the oracle SQL). */
+  /** First DEFINITION site of each query under operators/: the match's RHS
+    * must open a query lambda (`"name" -> ((s, dir) => ...`) or name a def
+    * defined in the same file (`"name" -> knnBlock,`) — a plain `"name" ->`
+    * would also hit oracle-SQL entries and incidental maps (j16's deps map
+    * shadowed 9 query sites in r16). The queries Seq precedes the oracles
+    * Seq in every module, so within a file the first qualifying match is
+    * still the implementation when a bare-ident oracle alias reuses it. */
   private def sites(root: String): Map[String, Site] = {
     val dir = new java.io.File(s"$root/src/main/scala/graft/operators")
-    val defPat = """^\s*"([a-z0-9_]+)" ->.*""".r
+    val lambdaPat = """^\s*"([a-z0-9_]+)" -> \(\(.*""".r
+    val identPat = """^\s*"([a-z0-9_]+)" -> ([A-Za-z][A-Za-z0-9_]*)\s*,?\s*$""".r
     val out = scala.collection.mutable.Map.empty[String, Site]
     dir.listFiles().filter(_.getName.endsWith(".scala")).sortBy(_.getName)
       .foreach { f =>
@@ -30,9 +35,14 @@ object Catalog {
           val s = scala.io.Source.fromFile(f)(scala.io.Codec.UTF8)
           try s.getLines().toVector finally s.close()
         }
+        def hasDef(ident: String): Boolean =
+          lines.exists(_.matches(s"""^\\s*(private\\s+)?(lazy\\s+)?(def|val)\\s+$ident\\b.*"""))
         lines.zipWithIndex.foreach { case (l, i) =>
           l match {
-            case defPat(name) if !out.contains(name) =>
+            case lambdaPat(name) if !out.contains(name) =>
+              out(name) = Site(s"src/main/scala/graft/operators/${f.getName}",
+                i + 1, describe(lines, i))
+            case identPat(name, ident) if !out.contains(name) && hasDef(ident) =>
               out(name) = Site(s"src/main/scala/graft/operators/${f.getName}",
                 i + 1, describe(lines, i))
             case _ =>

@@ -16,6 +16,38 @@ class CatalogSpec extends AnyFunSuite {
       "CATALOG.md is stale — run `sbt \"runMain graft.tools.Catalog\"`")
   }
 
+  test("every CATALOG row's file:line is the id's real definition site") {
+    // the r16 audit found 9 rows pointing at j16's deps map instead of the
+    // query lambdas — this pins attribution, not just freshness: the cited
+    // line must open the id's own lambda or reference a same-file def
+    val rows = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("CATALOG.md")), "UTF-8")
+      .linesIterator.filter(_.startsWith("| `")).toSeq
+    assert(rows.size == SparkEntry.queries.size, s"row count ${rows.size}")
+    val fileCache = scala.collection.mutable.Map.empty[String, Vector[String]]
+    rows.foreach { r =>
+      val cols = r.split("\\|").map(_.trim)
+      val id = cols(1).stripPrefix("`").stripSuffix("`")
+      val Array(file, line) = cols(3).split(":")
+      val lines = fileCache.getOrElseUpdate(file, {
+        val s = scala.io.Source.fromFile(file)(scala.io.Codec.UTF8)
+        try s.getLines().toVector finally s.close()
+      })
+      val l = lines(line.toInt - 1)
+      assert(l.trim.startsWith(s""""$id" ->"""),
+        s"$id: cited line $file:$line does not define it: $l")
+      val isLambda = l.contains("-> ((")
+      val identRe = """^\s*"[a-z0-9_]+" -> ([A-Za-z][A-Za-z0-9_]*)\s*,?\s*$""".r
+      val isRef = l match {
+        case identRe(ident) =>
+          lines.exists(_.matches(s"""^\\s*(private\\s+)?(lazy\\s+)?(def|val)\\s+$ident\\b.*"""))
+        case _ => false
+      }
+      assert(isLambda || isRef,
+        s"$id: cited line is neither a lambda nor a same-file def reference: $l")
+    }
+  }
+
   test("every declared query has an oracle or is a documented rows-only op") {
     // rows-only queries must be the known approximate/streaming set — a new
     // query landing without an oracle by ACCIDENT fails here

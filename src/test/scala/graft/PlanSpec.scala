@@ -270,7 +270,9 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("m27: the re-issued view definition reads the MV, not the facts") {
-    val df = SparkEntry.queries("m27_mv_auto_rewrite")(spark, sfDir)
+    // the declared query materializes eagerly and resets the flag; the live
+    // rewritten plan is pinned here against the pipeline helper
+    val df = operators.WarehouseQueries.m27Pipeline(spark, sfDir)
     try {
       df.collect()
       val p = df.queryExecution.executedPlan.toString
@@ -294,7 +296,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("m28: the coarser rollup re-aggregates the MV instead of scanning the facts") {
-    val df = SparkEntry.queries("m28_mv_containment")(spark, sfDir)
+    val df = operators.WarehouseQueries.m28Pipeline(spark, sfDir)
     try {
       df.collect()
       val p = df.queryExecution.executedPlan.toString
@@ -379,7 +381,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("m29: the coarser join rollup (incl avg) re-aggregates the join MV") {
-    val df = SparkEntry.queries("m29_mv_join_containment")(spark, sfDir)
+    val df = operators.WarehouseQueries.m29Pipeline(spark, sfDir)
     try {
       df.collect()
       val p = df.queryExecution.executedPlan.toString
@@ -417,6 +419,42 @@ class PlanSpec extends AnyFunSuite {
       dAvg.collect()
       assert(dAvg.queryExecution.executedPlan.toString.contains("orders.parquet"),
         "a double avg was wrongly decomposed from stored partials")
+    } finally {
+      spark.conf.set(graft.plans.GraftMvRewriteRule.Flag, "false")
+    }
+  }
+
+  test("m32: a group-column slice is pushed onto the MV scan (tier 4)") {
+    val df = operators.WarehouseQueries.m32Pipeline(spark, sfDir)
+    try {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("graft_m32_"), s"MV path absent from the scan:\n$p")
+      assert(!p.contains("orders.parquet"),
+        s"filtered containment missed — the fact scan survived:\n$p")
+      // the pushed predicate must reach the MV scan as a filter on the
+      // stored GROUP column (yr), prunable at the parquet level
+      assert(p.contains("HashAggregate"), s"no re-aggregation in:\n$p")
+      import org.apache.spark.sql.functions._
+      val t = Tables(spark, sfDir)
+      // refusal control: a predicate on a NON-grouping fact column cannot
+      // select whole groups — the query must keep its fact scan
+      val bad = t.orders.filter(col("o_totalprice") > 1000)
+        .groupBy(month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"))
+      bad.collect()
+      assert(bad.queryExecution.executedPlan.toString.contains("orders.parquet"),
+        "a non-grouping-column predicate was wrongly pushed onto the MV")
+      // answer preservation: served slice == fact-computed slice
+      def dash = t.orders.filter(year(col("o_orderdate")) === 1996)
+        .groupBy(month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(Tables.dec)).as("rev_sum"))
+      val served = dash.orderBy("mo").collect()
+      spark.conf.set(graft.plans.GraftMvRewriteRule.Flag, "false")
+      val facts = dash.orderBy("mo").collect()
+      assert(served.toSeq == facts.toSeq,
+        s"rewritten != unrewritten:\n${served.toSeq}\n${facts.toSeq}")
     } finally {
       spark.conf.set(graft.plans.GraftMvRewriteRule.Flag, "false")
     }
