@@ -691,10 +691,14 @@ object DagQueries extends QueryModule {
       val startTick = (etl.zipWithIndex.map { case (n, i) => n -> (i / 2).toLong } ++
         adhoc.zipWithIndex.map { case (n, i) => n -> i.toLong }).toMap
       val pool = (etl.map(_ -> "etl") ++ adhoc.map(_ -> "adhoc")).toMap
-      val dates = Seq("2024-02-01", "2024-02-02")
+      // ONE logical date: the second date this query carried through r16
+      // only re-proved depends-on-past blocking, which j15 already grades —
+      // trimmed as a pure bench-cost cut (the ledger still exercises the
+      // injected hard-failure + subtree skip on real query bodies)
+      val dates = Seq("2024-02-01")
       val ledger = dates.zipWithIndex.flatMap { case (date, di) =>
-        // depends-on-past: g8 hard-fails on day 1 (both attempts), so day 2
-        // never submits it — blocked, subtree skipped without an attempt
+        // depends-on-past: g8 hard-fails on day 1 (both attempts); a later
+        // date would be blocked without an attempt (graded by j15)
         val blocked = if (di == 1) Set("g8_text_stats_by_lang",
           "g12_text_fingerprint", "g13_token_count") else Set.empty[String]
         val pokes = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
@@ -924,12 +928,11 @@ object DagQueries extends QueryModule {
         "WHEN hard_fail = 1 THEN 'failed' ELSE 'success' END AS state " +
         "FROM w ORDER BY run_date, task"),
 
-    // the hand-traced dogfood ledger: day 1 = clean run except the injected
-    // g8 hard-failure (retries=1 → 2 attempts) with its subtree skipped;
-    // day 2 = g8 depends-on-past BLOCKED (0 attempts), subtree skipped;
-    // sensor pokes pinned at 2 by the rendezvous; start ticks from the
-    // fair-share plan (etl k-th task at k/2 on 2 slots, adhoc k-th at k on
-    // 1); SLA misses = modeled finish past tick 8
+    // the hand-traced dogfood ledger (one logical date since r17): a clean
+    // run except the injected g8 hard-failure (retries=1 → 2 attempts) with
+    // its subtree skipped; sensor pokes pinned at 2 by the rendezvous;
+    // start ticks from the fair-share plan (etl k-th task at k/2 on 2
+    // slots, adhoc k-th at k on 1); SLA misses = modeled finish past tick 8
     "j16_dag_dogfood" ->
       ("SELECT * FROM (VALUES " +
         "(DATE '2024-02-01', 'b1_project', 'etl', 'ok', 1, true, 0, 0, 0), " +
@@ -951,27 +954,7 @@ object DagQueries extends QueryModule {
         "(DATE '2024-02-01', 'g13_token_count', 'adhoc', 'skipped', 0, false, 0, 9, 1), " +
         "(DATE '2024-02-01', 'g8_text_stats_by_lang', 'adhoc', 'failed', 2, false, 0, 7, 0), " +
         "(DATE '2024-02-01', 'report', 'etl', 'ok', 1, true, 0, 4, 0), " +
-        "(DATE '2024-02-01', 'sensor_docs', 'etl', 'ok', 1, true, 2, 0, 0), " +
-        "(DATE '2024-02-02', 'b1_project', 'etl', 'ok', 1, true, 0, 0, 0), " +
-        "(DATE '2024-02-02', 'b2_filter_pred', 'etl', 'ok', 1, true, 0, 1, 0), " +
-        "(DATE '2024-02-02', 'c1_join_broadcast', 'etl', 'ok', 1, true, 0, 3, 0), " +
-        "(DATE '2024-02-02', 'd1_agg_hash', 'etl', 'ok', 1, true, 0, 1, 0), " +
-        "(DATE '2024-02-02', 'd2_agg_distinct', 'etl', 'ok', 1, true, 0, 2, 0), " +
-        "(DATE '2024-02-02', 'd4_agg_rollup', 'etl', 'ok', 1, true, 0, 2, 0), " +
-        "(DATE '2024-02-02', 'd8_agg_stats', 'etl', 'ok', 1, true, 0, 4, 0), " +
-        "(DATE '2024-02-02', 'e1_win_rownumber_topk', 'etl', 'ok', 1, true, 0, 3, 0), " +
-        "(DATE '2024-02-02', 'f11_fn_conditional', 'adhoc', 'ok', 1, true, 0, 5, 0), " +
-        "(DATE '2024-02-02', 'f2_topk_limit', 'adhoc', 'ok', 1, true, 0, 6, 0), " +
-        "(DATE '2024-02-02', 'f5_fn_string', 'adhoc', 'ok', 1, true, 0, 0, 0), " +
-        "(DATE '2024-02-02', 'f6_fn_datetime', 'adhoc', 'ok', 1, true, 0, 1, 0), " +
-        "(DATE '2024-02-02', 'f7_fn_json', 'adhoc', 'ok', 1, true, 0, 2, 0), " +
-        "(DATE '2024-02-02', 'f8_fn_math', 'adhoc', 'ok', 1, true, 0, 3, 0), " +
-        "(DATE '2024-02-02', 'f9_fn_array', 'adhoc', 'ok', 1, true, 0, 4, 0), " +
-        "(DATE '2024-02-02', 'g12_text_fingerprint', 'adhoc', 'skipped', 0, false, 0, 8, 1), " +
-        "(DATE '2024-02-02', 'g13_token_count', 'adhoc', 'skipped', 0, false, 0, 9, 1), " +
-        "(DATE '2024-02-02', 'g8_text_stats_by_lang', 'adhoc', 'blocked', 0, false, 0, 7, 0), " +
-        "(DATE '2024-02-02', 'report', 'etl', 'ok', 1, true, 0, 4, 0), " +
-        "(DATE '2024-02-02', 'sensor_docs', 'etl', 'ok', 1, true, 2, 0, 0)" +
+        "(DATE '2024-02-01', 'sensor_docs', 'etl', 'ok', 1, true, 2, 0, 0)" +
         ") t(run_date, job, pool, status, attempts, nonempty, pokes, start_tick, sla_miss) " +
         "ORDER BY run_date, job")
   )

@@ -2,6 +2,8 @@ package graft.operators
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import scala.jdk.CollectionConverters._
+
 import graft.{QueryModule, Tables}
 import graft.functions.{TextFunctions => TF}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -215,6 +217,62 @@ object StreamingQueries extends QueryModule {
     val cs = f.listFiles()
     if (cs != null) cs.foreach(rmrfDir)
     f.delete(); ()
+  }
+
+  /** i27's two-campaign log staging, built ONCE per fixture (fingerprint-
+    * guarded like the other stream sources): campaign 1 = each partition's
+    * first-half event_ids as the offset-0 segment, campaign 2 = the rest as
+    * the follow-on segment (file name = its start offset, offsets
+    * continuing), plus a `_meta` ledger of per-partition (n1, total) end
+    * offsets. The query copies these into a fresh live root per invocation
+    * so restart mechanics — not fixture builds — are what it times. */
+  private def resumeStaging(s: SparkSession, dir: String): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_i27_stage_${Tables.pathKey(dir)}"
+    val ready = Paths.get(base, "_ready")
+    val src = new java.io.File(s"$dir/events.parquet")
+    val fingerprint = s"${src.length()}:${src.lastModified()}"
+    val fresh = Files.exists(ready) &&
+      new String(Files.readAllBytes(ready), "UTF-8").trim == fingerprint
+    if (!fresh) {
+      rmrfDir(new java.io.File(base))
+      val w = Window.partitionBy("p").orderBy("event_id")
+      val ev = Tables(s, dir).events
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("p", pmod(col("user_id"), lit(4L)))
+        .withColumn("off", row_number().over(w).cast("long") - 1)
+        .withColumn("line", concat_ws("\t", col("off"),
+          unix_micros(col("ts")), col("user_id"), col("event_type"),
+          col("value")))
+        .localCheckpoint()
+      // campaign split by event_id half: campaign-1 rows hold the smallest
+      // ids per partition, so their offsets are exactly [0, n1)
+      val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+      val meta = scala.collection.mutable.ArrayBuffer[String]()
+      (0 until 4).foreach { p =>
+        val part = ev.filter(col("p") === p)
+        val n1 = part.filter(col("event_id") < mid).count()
+        val total = part.count()
+        meta += s"$p,$n1,$total"
+        Seq((1, col("event_id") < mid, 0L),
+            (2, col("event_id") >= mid, n1)).foreach { case (c, pred, start) =>
+          val stageDir = s"$base/stage_${c}_$p"
+          part.filter(pred).orderBy("off").select("line")
+            .coalesce(1).write.mode("overwrite").text(stageDir)
+          val ls = Files.list(Paths.get(stageDir))
+          val seg =
+            try ls.iterator().asScala.find(_.getFileName.toString.endsWith(".txt")).get
+            finally ls.close()
+          Files.createDirectories(Paths.get(base, s"c$c", s"p=$p"))
+          Files.move(seg, Paths.get(base, s"c$c", s"p=$p", f"$start%020d.seg"),
+            StandardCopyOption.REPLACE_EXISTING)
+          rmrfDir(new java.io.File(stageDir))
+        }
+      }
+      Files.write(Paths.get(base, "_meta"), meta.mkString("\n").getBytes("UTF-8"))
+      Files.write(ready, fingerprint.getBytes("UTF-8"))
+      ()
+    }
+    base
   }
 
   /** Run to completion (AvailableNow) into an in-memory table, return it.
@@ -819,8 +877,11 @@ object StreamingQueries extends QueryModule {
         .map { case (cell, c) => (cell, c.toSeq) }.toDF("clabel", "cv")
       val vd = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
       val ckpt = s"$ckptRoot/graft_i24_${System.nanoTime()}"
+      // 2 files per trigger: the serve loop is batch-count-INDEPENDENT (the
+      // index is pinned, union-of-batches == single-shot — that is what the
+      // oracle grades), so fewer micro-batches is pure fixed-cost savings
       val st = s.readStream.schema(docChunkSchema)
-        .option("maxFilesPerTrigger", 1).parquet(chunkedDocSource(s, dir))
+        .option("maxFilesPerTrigger", 2).parquet(chunkedDocSource(s, dir))
         .filter(col("doc_id") % 37 === 0)
       val sq = withStreamShufflePartitions(s) {
         st.writeStream.outputMode(OutputMode.Append())
@@ -1067,24 +1128,94 @@ object StreamingQueries extends QueryModule {
     // I26: STREAMING READ OF THE KAFKA-SHAPED LOG — the ingest loop a
     // production pipeline starts from: the custom MicroBatchStream
     // (sources/GraftLogSource.scala) advances a {partition → offset} map
-    // per batch under ADMISSION CONTROL (maxRowsPerBatch 4000 over 4
-    // partitions → at most 1000 offsets per partition per batch — Kafka's
+    // per batch under ADMISSION CONTROL (maxRowsPerBatch 8000 over 4
+    // partitions → at most 2000 offsets per partition per batch — Kafka's
     // maxOffsetsPerTrigger split), so batch boundaries are a DETERMINISTIC
     // function of the log content and the per-batch ledger replays in SQL:
-    // batch k holds exactly each partition's offsets [1000k, 1000(k+1)).
+    // batch k holds exactly each partition's offsets [2000k, 2000(k+1)).
     // The foreachBatch sink tags rows with the batch id (the i8 shape);
     // offset-checkpoint RESUME (stop, append, restart → only the delta) is
-    // pinned in LogSourceSpec.
+    // graded by i27 and pinned in LogSourceSpec.
     "i26_stream_log_offsets" -> ((s, dir) => {
       val root = ScanFilterQueries.logFixture(s, dir)
       val q = s.readStream.format("graft.sources.GraftLogSource")
-        .option("path", root).option("maxRowsPerBatch", "4000").load()
+        .option("path", root).option("maxRowsPerBatch", "8000").load()
         .select(col("p"), col("offset"), col("value"))
       runForeachBatch(q, "i26", dir)
         .groupBy(col("batch_id"))
         .agg(count(lit(1)).as("n"),
           round(Tables.dsum(col("value")), 6).as("val_sum"))
         .orderBy("batch_id")
+    }),
+
+    // I27: OFFSET-CHECKPOINT RESTART-RESUME, GRADED — the consumer-position
+    // contract i26 relies on, exercised end-to-end as a declared query: a
+    // capped stream drains PRODUCER CAMPAIGN 1 to completion against a
+    // checkpoint, the producer appends campaign 2 (new segments, offsets
+    // continuing per partition), and a RESTARTED stream from the SAME
+    // checkpoint must read exactly the delta — no replay (a replayed
+    // campaign-1 row would inflate run 2's ledger), no loss (a skipped
+    // offset would deflate it). Batch boundaries stay deterministic under
+    // the admission cap (20000/4 = 5000 offsets per partition per batch),
+    // so the union ledger carries a FULL value oracle: run r's batch k =
+    // each partition's campaign-r rows ranked [5000k, 5000(k+1)). Segments
+    // are staged once per fixture (fingerprint-guarded) and hardlink-copied
+    // into a fresh live root per invocation — restart mechanics, not
+    // fixture builds, are what the query times. At 100 TB this is the
+    // Kafka restart story verbatim: the checkpoint holds one long per
+    // partition and readers seek by segment name.
+    "i27_stream_log_resume" -> ((s, dir) => {
+      val stage = resumeStaging(s, dir)
+      val live = s"${System.getProperty("java.io.tmpdir")}/graft_i27_live_${Tables.pathKey(dir)}"
+      val out = s"$ckptRoot/graft_out_i27_${Tables.pathKey(dir)}"
+      val ckpt = s"$ckptRoot/graft_i27_${System.nanoTime()}"
+      rmrfDir(new java.io.File(live)); rmrfDir(new java.io.File(out))
+      def installCampaign(c: Int): Unit = {
+        val meta = Files.readAllLines(Paths.get(stage, "_meta")).asScala
+          .map(_.split(",")).map(a => a(0).toInt -> (a(1).toLong, a(2).toLong)).toMap
+        (0 until 4).foreach { p =>
+          val dst = Paths.get(live, s"p=$p")
+          Files.createDirectories(dst)
+          val srcDir = Paths.get(stage, s"c$c", s"p=$p")
+          val segs = Files.list(srcDir)
+          try segs.iterator().asScala.filter(_.toString.endsWith(".seg")).foreach { f =>
+            Files.copy(f, dst.resolve(f.getFileName.toString),
+              StandardCopyOption.REPLACE_EXISTING)
+          } finally segs.close()
+          val end = if (c == 1) meta(p)._1 else meta(p)._2
+          Files.write(dst.resolve("_end"), end.toString.getBytes("UTF-8"))
+        }
+      }
+      def runOnce(run: Int): Unit = {
+        val q = s.readStream.format("graft.sources.GraftLogSource")
+          .option("path", live).option("maxRowsPerBatch", "20000").load()
+          .select(col("p"), col("offset"), col("value"))
+        val sq = withStreamShufflePartitions(s, 8) {
+          q.writeStream.outputMode(OutputMode.Update())
+            .foreachBatch { (df: DataFrame, id: Long) =>
+              df.withColumn("run", lit(run)).withColumn("batch_id", lit(id))
+                .write.mode("append").parquet(out)
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+        }
+        sq.awaitTermination()
+      }
+      try {
+        installCampaign(1); runOnce(1)
+        installCampaign(2); runOnce(2) // SAME checkpoint: resume, not replay
+      } finally rmrfDir(new java.io.File(ckpt))
+      val wseq = Window.partitionBy("run").orderBy("batch_id")
+      s.read.parquet(out)
+        .groupBy(col("run"), col("batch_id"))
+        .agg(count(lit(1)).as("n"),
+          round(Tables.dsum(col("value")), 6).as("val_sum"))
+        // dense per-run batch SEQUENCE: absolute ids continue across the
+        // restart (that is the checkpoint working); the oracle replays the
+        // per-run sequence, which is the chunking-deterministic object
+        .withColumn("batch_seq", dense_rank().over(wseq).cast("long") - 1)
+        .select(col("run"), col("batch_seq"), col("n"), col("val_sum"))
+        .orderBy("run", "batch_seq")
     }),
 
     // I18: EVENT-TIME TIMERS — per-user gap sessionization where sessions
@@ -1169,8 +1300,11 @@ object StreamingQueries extends QueryModule {
         .as[(Long, Long, Long, Long)]
         .groupByKey(_._1)
         .mapValues(r => (r._2, r._3, r._4))
+      // 2 time-ordered files per trigger: the emitted set is watermark-
+      // determined (every session with end + gap ≤ the FINAL watermark),
+      // identical at any chunking — fewer batches is pure fixed-cost savings
       val src = spark.readStream.schema(chunkSchema)
-        .option("maxFilesPerTrigger", "1").parquet(chunkedTsSource(s, dir))
+        .option("maxFilesPerTrigger", "2").parquet(chunkedTsSource(s, dir))
       val q = src
         .filter(col("ts") >= cutoff) // suffix only — history is not replayed
         .withWatermark("ts", "0 seconds")
@@ -1429,15 +1563,30 @@ object StreamingQueries extends QueryModule {
         "FROM e GROUP BY 1 ORDER BY user_id"),
 
     // i26's batch boundaries replay exactly: batch k = each partition's
-    // offsets [1000k, 1000(k+1)), where offset = event_id rank within
+    // offsets [2000k, 2000(k+1)), where offset = event_id rank within
     // partition user_id % 4
     "i26_stream_log_offsets" ->
       ("WITH ev AS (SELECT value, " +
-        "(row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id) - 1) // 1000 " +
+        "(row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id) - 1) // 2000 " +
         "AS batch_id FROM events) " +
         "SELECT batch_id, count(*) AS n, " +
         s"round(${graft.Tables.dsumSql("value")}, 6) AS val_sum " +
         "FROM ev GROUP BY 1 ORDER BY batch_id"),
+
+    // i27's union ledger replays exactly: run r = the event_id half, run
+    // r's batch k = each partition's campaign-r rows ranked [5000k,
+    // 5000(k+1)) — the admission split applied per campaign, since the
+    // restarted stream resumes at each partition's campaign-1 end offset
+    "i27_stream_log_resume" ->
+      ("WITH ids AS (SELECT max(event_id) AS mx FROM events), " +
+        "ev AS (SELECT value, " +
+        "CASE WHEN event_id < mx // 2 THEN 1 ELSE 2 END AS run, " +
+        "(row_number() OVER (PARTITION BY user_id % 4, " +
+        "CASE WHEN event_id < mx // 2 THEN 1 ELSE 2 END " +
+        "ORDER BY event_id) - 1) // 5000 AS batch_seq FROM events, ids) " +
+        "SELECT run, batch_seq, count(*) AS n, " +
+        s"round(${graft.Tables.dsumSql("value")}, 6) AS val_sum " +
+        "FROM ev GROUP BY 1, 2 ORDER BY run, batch_seq"),
 
     // i18's emitted set is chunking-independent: every maximal 30-min-gap
     // session whose end + gap ≤ the stream's final watermark (= max ts at

@@ -1309,49 +1309,48 @@ object VectorQueries extends QueryModule {
     "g14c_multimodal_png" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val imgs = (0 until 60).map { k =>
-        val w = 32 + k % 5
-        val h = 24 + k % 3
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val r = (k + x) % 256
-            val g = (k * 5 + y) % 256
-            val b = (k * 11) % 256
-            img.setRGB(x, y, (r << 16) | (g << 8) | b)
-            x += 1
-          }
-          y += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        (k.toLong, bos.toByteArray)
-      }
       // the binary table a real pipeline would SCAN; 60 tiny blobs here,
       // the same shape at petabyte image corpora
-      val bin = imgs.toDF("img_id", "png").repartition(4)
+      val bin = (0 until 60)
+        .map(k => (k.toLong, encodeImage(patternImage(k), "png")))
+        .toDF("img_id", "png").repartition(4)
       bin.as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, bytes) =>
           val im = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
           val (w, h) = (im.getWidth, im.getHeight)
-          var (rs, gs, bs) = (0L, 0L, 0L)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = im.getRGB(x, y)
-              rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
-              x += 1
-            }
-            y += 1
-          }
+          val (rs, gs, bs) = channelSums(im)
           (id, w, h, rs, gs, bs)
         })
         .toDF("img_id", "w", "h", "r_sum", "g_sum", "b_sum")
+        .orderBy("img_id")
+    }),
+
+    // G14D: LOSSY CODEC DECODE (JPEG) — the other half of the codec story:
+    // the same deterministic pattern encoded with the JDK's LOSSY JPEG
+    // writer and decoded by the real codec per row. Lossy decode cannot
+    // hash-match raw pixels (the encoder is free to perturb them), so the
+    // DECLARED columns are the codec's deterministic outputs — decoded
+    // dimensions and pixel count, which JPEG preserves exactly — while the
+    // channel-sum DRIFT is bounded in VectorSpec (mean per-pixel error ≤ a
+    // few grey levels on these gradients), the decode-tolerance discipline
+    // a production lossy pipeline grades by. Plumbing (binary column,
+    // mapPartitions batch shape, partitioning) is identical to g14c —
+    // codec-agnostic by construction.
+    "g14d_multimodal_jpeg" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val bin = (0 until 60)
+        .map(k => (k.toLong, encodeImage(patternImage(k), "jpg")))
+        .toDF("img_id", "jpg").repartition(4)
+      bin.as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val im = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          (id, im.getWidth, im.getHeight,
+            im.getWidth.toLong * im.getHeight)
+        })
+        .toDF("img_id", "w", "h", "n_px")
         .orderBy("img_id")
     }),
 
@@ -1481,6 +1480,51 @@ object VectorQueries extends QueryModule {
   )
 
   /** PQ geometry: 64 dims → 4 contiguous 16-dim subspaces (column names). */
+  /** The deterministic codec-fixture pattern (g14c/g14d, bounded in
+    * VectorSpec): R varies along x, G along y, B constant, dims keyed on
+    * the image id — every channel sum re-derives analytically. */
+  private[graft] def patternImage(k: Int): java.awt.image.BufferedImage = {
+    val w = 32 + k % 5
+    val h = 24 + k % 3
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (k + x) % 256
+        val g = (k * 5 + y) % 256
+        val b = (k * 11) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private[graft] def encodeImage(img: java.awt.image.BufferedImage,
+      format: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  private[graft] def channelSums(im: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    var (rs, gs, bs) = (0L, 0L, 0L)
+    var y = 0
+    while (y < im.getHeight) {
+      var x = 0
+      while (x < im.getWidth) {
+        val p = im.getRGB(x, y)
+        rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (rs, gs, bs)
+  }
+
   private def pqSubCols: Seq[String] = (0 until 4).map(j => s"sub$j")
 
   /** Add the 4 subvector columns (one slice each, pure projection). */
@@ -2247,6 +2291,15 @@ object VectorQueries extends QueryModule {
         "SELECT h, batch_idx, n_images, " +
         "CAST(n_images * (h * 8 + 8) AS BIGINT) AS batch_bytes, first_doc, last_doc " +
         "FROM b ORDER BY h, batch_idx"),
+
+    // lossy codec: the DETERMINISTIC outputs are the decoded dims + pixel
+    // count (JPEG preserves dimensions exactly); pixel drift is bounded in
+    // VectorSpec, not hash-matched
+    "g14d_multimodal_jpeg" ->
+      ("WITH k AS (SELECT unnest(range(0, 60)) AS img_id), " +
+        "d AS (SELECT img_id, 32 + img_id % 5 AS w, 24 + img_id % 3 AS h FROM k) " +
+        "SELECT img_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h, " +
+        "CAST(w * h AS BIGINT) AS n_px FROM d ORDER BY img_id"),
 
     // the decoded pixel sums re-derived ANALYTICALLY from the pattern the
     // fixture painted — PNG is lossless, so the codec round-trip must land

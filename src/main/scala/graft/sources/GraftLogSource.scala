@@ -56,6 +56,16 @@ object GraftLog {
 
   private def partDir(root: String, p: Int): Path = Paths.get(root, s"p=$p")
 
+  /** Directory listing with the stream CLOSED on exit — `endOffsets` runs
+    * once per micro-batch from the driver's `latestOffset`, so a leaked
+    * `Files.list` iterator accumulates open fds for the life of the
+    * streaming query (the r16 audit finding). */
+  private def listNames(d: Path): Seq[String] = {
+    val s = Files.list(d)
+    try s.iterator().asScala.map(_.getFileName.toString).toVector
+    finally s.close()
+  }
+
   /** Current end offset (next offset to assign) of one partition. */
   def endOffset(root: String, p: Int): Long = {
     val d = partDir(root, p)
@@ -64,26 +74,28 @@ object GraftLog {
     if (Files.exists(marker))
       new String(Files.readAllBytes(marker), UTF_8).trim.toLong
     else segmentStarts(root, p).lastOption.map { start =>
-      start + Files.readAllLines(d.resolve(f"$start%020d.seg")).size
+      // marker lost (crash between segment write and marker write): re-count
+      // the last segment on a STREAMING read — never the whole file in heap
+      val s = Files.lines(d.resolve(f"$start%020d.seg"), UTF_8)
+      try start + s.count()
+      finally s.close()
     }.getOrElse(0L)
   }
 
   def partitions(root: String): Seq[Int] = {
     val r = Paths.get(root)
     if (!Files.exists(r)) Nil
-    else Files.list(r).iterator().asScala
-      .map(_.getFileName.toString)
+    else listNames(r)
       .collect { case s if s.startsWith("p=") => s.stripPrefix("p=").toInt }
-      .toSeq.sorted
+      .sorted
   }
 
   private[sources] def segmentStarts(root: String, p: Int): Seq[Long] = {
     val d = partDir(root, p)
     if (!Files.exists(d)) Nil
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
+    else listNames(d)
       .collect { case s if s.endsWith(".seg") => s.stripSuffix(".seg").toLong }
-      .toSeq.sorted
+      .sorted
   }
 
   /** Append records to one partition; offsets assigned consecutively from
@@ -247,28 +259,44 @@ private[sources] class GraftLogReaderFactory extends PartitionReaderFactory {
       // segment SEEK: skip whole files whose successor starts at/below
       // `from` — file-name addressing, never a scan of earlier data
       private val starts = GraftLog.segmentStarts(r.root, r.p)
-      private val segs = starts.zipAll(starts.drop(1).map(Some(_)), 0L, None)
+      private var segs = starts.zipAll(starts.drop(1).map(Some(_)), 0L, None)
         .collect { case (st, nxt) if nxt.forall(_ > r.from) && st < r.until => st }
-      private val lines: Iterator[String] = segs.iterator.flatMap { st =>
-        Files.readAllLines(
-          Paths.get(r.root, s"p=${r.p}", f"$st%020d.seg")).asScala
+        .toList
+      // one open segment at a time, read as a STREAM (a production-sized
+      // segment must never be materialized whole in executor heap) and
+      // closed before the next opens — plus on task close/failure
+      private var stream: java.util.stream.Stream[String] = _
+      private var it: java.util.Iterator[String] = java.util.Collections.emptyIterator()
+      private def advanceSegment(): Boolean = segs match {
+        case st :: rest =>
+          segs = rest
+          closeStream()
+          stream = Files.lines(Paths.get(r.root, s"p=${r.p}", f"$st%020d.seg"), UTF_8)
+          it = stream.iterator()
+          true
+        case Nil => false
       }
+      private def closeStream(): Unit =
+        if (stream != null) { stream.close(); stream = null }
       private var cur: InternalRow = _
       override def next(): Boolean = {
-        while (lines.hasNext) {
-          val parts = lines.next().split("\t", 5)
-          val off = parts(0).toLong
-          if (off >= r.from && off < r.until) {
-            cur = new GenericInternalRow(Array[Any](
-              r.p.toLong, off, parts(1).toLong, parts(2).toLong,
-              UTF8String.fromString(parts(3)), parts(4).toDouble))
-            return true
+        while (it.hasNext || advanceSegment()) {
+          if (it.hasNext) {
+            val parts = it.next().split("\t", 5)
+            val off = parts(0).toLong
+            if (off >= r.from && off < r.until) {
+              cur = new GenericInternalRow(Array[Any](
+                r.p.toLong, off, parts(1).toLong, parts(2).toLong,
+                UTF8String.fromString(parts(3)), parts(4).toDouble))
+              return true
+            }
           }
         }
+        closeStream()
         false
       }
       override def get(): InternalRow = cur
-      override def close(): Unit = ()
+      override def close(): Unit = closeStream()
     }
   }
 }

@@ -6,6 +6,33 @@ import org.scalatest.funsuite.AnyFunSuite
 class VectorSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("g14d: JPEG round-trip preserves dims exactly and bounds channel drift") {
+    // the decode-tolerance contract the declared query's oracle can't carry
+    // (lossy pixels don't hash-match): dims exact, mean per-pixel channel
+    // error within a few grey levels on the gradient fixtures
+    import graft.operators.VectorQueries._
+    (0 until 60 by 7).foreach { k =>
+      val src = patternImage(k)
+      val dec = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(encodeImage(src, "jpg")))
+      assert(dec.getWidth == src.getWidth && dec.getHeight == src.getHeight,
+        s"img $k: JPEG changed dimensions")
+      val n = src.getWidth.toLong * src.getHeight
+      val (r0, g0, b0) = channelSums(src)
+      val (r1, g1, b1) = channelSums(dec)
+      Seq(("R", r0, r1), ("G", g0, g1), ("B", b0, b1)).foreach {
+        case (c, a, b) =>
+          val meanErr = math.abs(a - b).toDouble / n
+          assert(meanErr <= 10.0,
+            s"img $k channel $c: mean per-pixel drift $meanErr > 10")
+      }
+      // and the lossless control on the same fixture: PNG is exact
+      val png = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(encodeImage(src, "png")))
+      assert(channelSums(png) == ((r0, g0, b0)), s"img $k: PNG not lossless")
+    }
+  }
+
   test("g5: exactly <= 5 neighbors per vector, self excluded") {
     val knn = SparkEntry.queries("g5_knn_join")(spark, sfDir).collect()
     val byA = knn.groupBy(_.getLong(0))
