@@ -476,10 +476,81 @@ object JoinQueries extends QueryModule {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"), Tables.dsum(col("o_totalprice")).as("total"))
         .orderBy("o_orderpriority")
+    }),
+
+    // C22: COST-BASED JOIN REORDER — the one Catalyst capability SURVEY §4's
+    // 100 TB story cites ("ANALYZE once per load, let CBO pick the join
+    // tree"): the query is WRITTEN in the worst order — the two big tables
+    // joined first, the selective filtered dimension last — and
+    // CostBasedJoinReorder must rewrite it to join the filtered dimension
+    // first, driven ONLY by the ANALYZE statistics (row counts + column
+    // NDVs), not the query text. Runs in a cloned session (isolated CBO
+    // flags, shared catalog) against catalog tables analyzed once per
+    // fixture; PlanSpec pins that the optimized innermost join is
+    // customer ⋈ nation under CBO and the syntactic pair without it. The
+    // answer must equal the raw-parquet join regardless of order — that is
+    // the oracle, making the reorder answer-preserving by construction.
+    "c22_join_cbo_reorder" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.cbo.enabled", "true")
+      s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val names = c22Tables(s2, dir)
+      s2.sql(c22Sql(names))
     })
   )
 
+  /** c22's catalog tables + column statistics, created/analyzed once per
+    * JVM and fixture (saveAsTable + ANALYZE — the once-per-load cost the
+    * at-scale story budgets for). Shared with PlanSpec's reorder pin. */
+  def c22Tables(s: org.apache.spark.sql.SparkSession, dir: String): Map[String, String] = {
+    val key = Tables.pathKey(dir)
+    val names = Map("orders" -> s"cbo22_orders_$key",
+      "customer" -> s"cbo22_customer_$key", "nation" -> s"cbo22_nation_$key")
+    if (!s.catalog.tableExists(names("nation"))) {
+      val t = Tables(s, dir)
+      // the catalog is in-memory but the warehouse directory persists: a
+      // previous JVM's table location without a catalog entry would fail
+      // CTAS with LOCATION_ALREADY_EXISTS — drop both before creating
+      val wh = java.net.URI.create(
+        s.conf.get("spark.sql.warehouse.dir").replace(" ", "%20"))
+      val whDir = if (wh.getScheme == "file") new java.io.File(wh)
+        else new java.io.File(wh.toString)
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      Seq("orders" -> t.orders, "customer" -> t.customer,
+          "nation" -> t.nation).foreach { case (k, df) =>
+        s.sql(s"DROP TABLE IF EXISTS ${names(k)}")
+        rmrf(new java.io.File(whDir, names(k)))
+        df.write.mode("overwrite").saveAsTable(names(k))
+        s.sql(s"ANALYZE TABLE ${names(k)} COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+    }
+    names
+  }
+
+  /** The deliberately pessimal join order: orders ⋈ customer first, the
+    * filtered 25-row nation last. */
+  def c22Sql(names: Map[String, String]): String =
+    s"""SELECT o_orderstatus, count(*) AS n_orders,
+       |round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE), 6) AS revenue
+       |FROM ${names("orders")} o
+       |JOIN ${names("customer")} c ON o.o_custkey = c.c_custkey
+       |JOIN ${names("nation")} n ON c.c_nationkey = n.n_nationkey
+       |WHERE n.n_name = 'NATION_7'
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
+    // reorder must be answer-preserving: the oracle is the same join over
+    // the raw parquet in any order
+    "c22_join_cbo_reorder" ->
+      ("SELECT o_orderstatus, count(*) AS n_orders, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE), 6) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE n_name = 'NATION_7' GROUP BY 1 ORDER BY o_orderstatus"),
+
     "c1_join_broadcast" ->
       (s"SELECT c_nationkey, count(*) AS n_orders, ${Tables.dsumSql("o_totalprice")} AS total " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +

@@ -178,54 +178,36 @@ class PlanSpec extends AnyFunSuite {
       s"unpruned columns survive in the TSV scan: $scan")
   }
 
-  test("cbo: table stats drive a cost-based join reorder") {
+  test("c22: table stats drive a cost-based join reorder (declared query's plan)") {
     // SURVEY §4's open note: at 100 TB you run ANALYZE TABLE once per load
     // and let CostBasedJoinReorder pick the join tree instead of trusting
-    // query author order. Here the query is written in the WORST order —
-    // fact ⋈ fact first, the selective dimension last — and the optimizer
-    // must rewrite it to join the filtered dimension first.
-    import org.apache.spark.sql.functions._
+    // query author order. c22 is WRITTEN in the worst order — the two big
+    // tables joined first, the selective filtered dimension last — and the
+    // optimizer must rewrite it to join the filtered dimension first,
+    // driven only by the stored statistics.
     import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
-    val t = Tables(spark, sfDir)
-    val keys = Seq("spark.sql.cbo.enabled" -> "true",
-      "spark.sql.cbo.joinReorder.enabled" -> "true",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
-    try {
-      t.lineitem.write.mode("overwrite").saveAsTable("cbo_lineitem")
-      t.orders.write.mode("overwrite").saveAsTable("cbo_orders")
-      t.customer.write.mode("overwrite").saveAsTable("cbo_customer")
-      Seq("cbo_lineitem", "cbo_orders", "cbo_customer").foreach { tb =>
-        spark.sql(s"ANALYZE TABLE $tb COMPUTE STATISTICS FOR ALL COLUMNS")
-      }
-      val query =
-        """SELECT count(*) AS n
-          |FROM cbo_lineitem l
-          |JOIN cbo_orders o ON l.l_orderkey = o.o_orderkey
-          |JOIN cbo_customer c ON o.o_custkey = c.c_custkey
-          |WHERE c.c_custkey < 3""".stripMargin
-      def innermostJoinTables(plan: LogicalPlan): Set[String] = {
-        val joins = plan.collect { case j: Join => j }
-        val innermost = joins.last // collect is pre-order; last = deepest
-        innermost.collectLeaves().flatMap(_.toString.split("\n").headOption)
-          .flatMap(l => "cbo_\\w+".r.findFirstIn(l)).toSet
-      }
-      keys.foreach { case (k, v) => spark.conf.set(k, v) }
-      val on = innermostJoinTables(spark.sql(query).queryExecution.optimizedPlan)
-      assert(on == Set("cbo_orders", "cbo_customer"),
-        s"CBO did not reorder the selective dimension first: innermost = $on")
-      spark.conf.set("spark.sql.cbo.enabled", "false")
-      val off = innermostJoinTables(spark.sql(query).queryExecution.optimizedPlan)
-      assert(off == Set("cbo_lineitem", "cbo_orders"),
-        s"sanity: syntactic order should survive without CBO, got $off")
-    } finally {
-      prev.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
-      Seq("cbo_lineitem", "cbo_orders", "cbo_customer")
-        .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+    def innermostJoinTables(plan: LogicalPlan): Set[String] = {
+      val joins = plan.collect { case j: Join => j }
+      val innermost = joins.last // collect is pre-order; last = deepest
+      innermost.collectLeaves().flatMap(_.toString.split("\n").headOption)
+        .flatMap(l => "cbo22_[a-z]+".r.findFirstIn(l)).toSet
     }
+    // cloned session exactly as the declared query runs it
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+    s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val names = operators.JoinQueries.c22Tables(s2, sfDir)
+    val sql = operators.JoinQueries.c22Sql(names)
+    // the [a-z]+ match stops at the sf-key suffix, so names compare bare
+    val on = innermostJoinTables(s2.sql(sql).queryExecution.optimizedPlan)
+    assert(on == Set("cbo22_customer", "cbo22_nation"),
+      s"CBO did not reorder the selective dimension first: innermost = $on")
+    // negative control: without CBO the syntactic order survives
+    s2.conf.set("spark.sql.cbo.enabled", "false")
+    val off = innermostJoinTables(s2.sql(sql).queryExecution.optimizedPlan)
+    assert(off == Set("cbo22_orders", "cbo22_customer"),
+      s"sanity: syntactic order should survive without CBO, got $off")
   }
 
   test("a6: day filter prunes partitions at the scan") {
