@@ -37,6 +37,9 @@ import graft.sources.SnapshotTable
   *    `WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)`) compiles to
   *    one full-outer projection that honors clause ORDER per row (standard
   *    MERGE first-match-wins). Both commit through the snapshot protocol.
+  *  - `INSERT INTO t [(cols)] <query|VALUES ...>` → append commit (new
+  *    files only — O(delta) at any table size), positional column
+  *    mapping, unlisted columns NULL-filled.
   *  - `UPDATE t SET c = expr[, ...] [WHERE pred]` → conditional projection
   *    (each assignment cast back to the column's type) + snapshot commit.
   *  - `DELETE FROM t [WHERE pred]` → copy-on-write filter keeping every row
@@ -134,6 +137,41 @@ case class GraftDeleteCommand(root: String, whereSql: Option[String])
     val kept = t.filter(!coalesce(pred, lit(false)))
     val v = SnapshotTable.commit(kept, root, meta = s"delete:$nDel")
     Seq(Row(v, nDel))
+  }
+}
+
+/** `INSERT INTO t [(cols)] <query|VALUES ...>` — an APPEND commit: new
+  * data files only, nothing existing rewritten (the O(delta) shape an
+  * append must keep at 100 TB). Columns map positionally to the listed
+  * names (or the full schema when unlisted); unlisted target columns are
+  * NULL-filled and every value casts to the stored type. */
+case class GraftInsertCommand(root: String, cols: Seq[String],
+    sourceSql: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_inserted", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = SnapshotTable.read(spark, root)
+    val fields = t.schema.fields.toSeq
+    val src = spark.sql(sourceSql)
+    val names = if (cols.isEmpty) fields.map(_.name) else cols
+    require(src.columns.length == names.length,
+      s"INSERT: source has ${src.columns.length} columns, expected ${names.length}")
+    names.foreach(c => require(fields.exists(_.name.equalsIgnoreCase(c)),
+      s"INSERT: unknown target column $c"))
+    require(names.map(_.toLowerCase).distinct.size == names.size,
+      "INSERT: duplicate target column")
+    val renamed = src.toDF(names: _*)
+    val known = names.map(_.toLowerCase).toSet
+    val aligned = renamed.select(fields.map { f =>
+      if (known(f.name.toLowerCase)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    val n = aligned.count()
+    val v = SnapshotTable.append(aligned, root, meta = s"insert:$n")
+    Seq(Row(v, n))
   }
 }
 
@@ -289,6 +327,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case "MERGE"  => parseMerge(t)
       case "UPDATE" => parseUpdate(t)
       case "DELETE" => parseDelete(t)
+      case "INSERT" => parseInsert(t)
       case _        => None
     }
     plan.getOrElse(delegate.parsePlan(rewriteReads(session, sqlText)))
@@ -353,6 +392,32 @@ object GraftSqlParser {
           c -> a.substring(eq + 1).trim
         }
         GraftUpdateCommand(root, assigns, where)
+      }
+    case _ => None
+  }
+
+  private val InsertRe: Regex =
+    """(?is)^INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.+?)\s*;?\s*$""".r
+
+  /** `INSERT INTO t [(cols)] <query|VALUES ...>`. A leading parenthesized
+    * IDENTIFIER LIST is the column list; a leading `(SELECT ...)` is the
+    * body itself — disambiguated by shape, not by the paren. */
+  private def parseInsert(t: String): Option[LogicalPlan] = t match {
+    case InsertRe(name, rest0) =>
+      GraftDmlRegistry.rootOf(name).map { root =>
+        val rest = rest0.trim
+        val identList = """[A-Za-z_][A-Za-z0-9_]*(\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*"""
+        val (cols, body) =
+          if (rest.startsWith("(")) {
+            val close = matchParen(rest)
+            val inside = rest.substring(1, close).trim
+            if (inside.matches(identList))
+              (inside.split(",").map(_.trim).toSeq, rest.substring(close + 1).trim)
+            else (Seq.empty[String], rest)
+          } else (Seq.empty[String], rest)
+        require(body.nonEmpty,
+          "INSERT: missing source — supported: INSERT INTO t [(cols)] SELECT ... | VALUES ...")
+        GraftInsertCommand(root, cols, body)
       }
     case _ => None
   }

@@ -147,6 +147,22 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(u.getLong(0) == 3L && u.getLong(1) == 1L)
       val d = spark.sql(s"DELETE FROM $name WHERE tag = 'b2'").head()
       assert(d.getLong(0) == 4L && d.getLong(1) == 1L)
+      // three-valued DELETE: a NULL predicate keeps the row (k=1's tag is
+      // 'a', nullif makes the predicate NULL for it — not deleted)
+      val d0 = spark.sql(
+        s"DELETE FROM $name WHERE length(nullif(tag, tag)) > 0").head()
+      assert(d0.getLong(1) == 0L, "NULL-predicate rows must not delete")
+      // INSERT INTO: full-width VALUES + column-listed with NULL fill
+      val i1 = spark.sql(s"INSERT INTO $name VALUES (9, 90.0, 'i')").head()
+      assert(i1.getLong(1) == 1L)
+      val i2 = spark.sql(s"INSERT INTO $name (k) SELECT 10 AS k").head()
+      assert(i2.getLong(1) == 1L)
+      assert(spark.sql(s"SELECT price FROM $name WHERE k = 10")
+        .head().isNullAt(0), "unlisted INSERT columns must NULL-fill")
+      val cleanup = spark.sql(s"DELETE FROM $name WHERE k >= 9").head()
+      assert(cleanup.getLong(1) == 2L)
+      // a string literal containing the registered name is NOT rewritten
+      assert(spark.sql(s"SELECT '$name' AS s").head().getString(0) == name)
       // final state through the bare registered name
       val fin = spark.sql(s"SELECT k, price FROM $name ORDER BY k")
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
