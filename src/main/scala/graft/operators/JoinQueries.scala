@@ -501,30 +501,26 @@ object JoinQueries extends QueryModule {
   )
 
   /** c22's catalog tables + column statistics, created/analyzed once per
-    * JVM and fixture (saveAsTable + ANALYZE — the once-per-load cost the
-    * at-scale story budgets for). Shared with PlanSpec's reorder pin. */
+    * JVM and fixture. EXTERNAL tables over the fixture parquet — no data
+    * copy at any scale (production tables ARE external locations) — and
+    * ANALYZE restricted to the columns the reorder decision reads (join
+    * keys + the filter column): the once-per-load cost the at-scale story
+    * budgets for, priced as stats passes, not table rewrites. Shared with
+    * PlanSpec's reorder pin. */
   def c22Tables(s: org.apache.spark.sql.SparkSession, dir: String): Map[String, String] = {
     val key = Tables.pathKey(dir)
     val names = Map("orders" -> s"cbo22_orders_$key",
       "customer" -> s"cbo22_customer_$key", "nation" -> s"cbo22_nation_$key")
     if (!s.catalog.tableExists(names("nation"))) {
-      val t = Tables(s, dir)
-      // the catalog is in-memory but the warehouse directory persists: a
-      // previous JVM's table location without a catalog entry would fail
-      // CTAS with LOCATION_ALREADY_EXISTS — drop both before creating
-      val wh = java.net.URI.create(
-        s.conf.get("spark.sql.warehouse.dir").replace(" ", "%20"))
-      val whDir = if (wh.getScheme == "file") new java.io.File(wh)
-        else new java.io.File(wh.toString)
-      def rmrf(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
-      }
-      Seq("orders" -> t.orders, "customer" -> t.customer,
-          "nation" -> t.nation).foreach { case (k, df) =>
+      val statCols = Map(
+        "orders" -> "o_custkey",
+        "customer" -> "c_custkey, c_nationkey",
+        "nation" -> "n_nationkey, n_name")
+      Seq("orders", "customer", "nation").foreach { k =>
         s.sql(s"DROP TABLE IF EXISTS ${names(k)}")
-        rmrf(new java.io.File(whDir, names(k)))
-        df.write.mode("overwrite").saveAsTable(names(k))
-        s.sql(s"ANALYZE TABLE ${names(k)} COMPUTE STATISTICS FOR ALL COLUMNS")
+        s.catalog.createTable(names(k), s"$dir/$k.parquet", "parquet")
+        s.sql(s"ANALYZE TABLE ${names(k)} COMPUTE STATISTICS " +
+          s"FOR COLUMNS ${statCols(k)}")
       }
     }
     names

@@ -1128,18 +1128,25 @@ object StreamingQueries extends QueryModule {
     // I26: STREAMING READ OF THE KAFKA-SHAPED LOG — the ingest loop a
     // production pipeline starts from: the custom MicroBatchStream
     // (sources/GraftLogSource.scala) advances a {partition → offset} map
-    // per batch under ADMISSION CONTROL (maxRowsPerBatch 8000 over 4
-    // partitions → at most 2000 offsets per partition per batch — Kafka's
-    // maxOffsetsPerTrigger split), so batch boundaries are a DETERMINISTIC
-    // function of the log content and the per-batch ledger replays in SQL:
-    // batch k holds exactly each partition's offsets [2000k, 2000(k+1)).
-    // The foreachBatch sink tags rows with the batch id (the i8 shape);
-    // offset-checkpoint RESUME (stop, append, restart → only the delta) is
+    // per batch under ADMISSION CONTROL (Kafka's maxOffsetsPerTrigger
+    // split), so batch boundaries are a DETERMINISTIC function of the log
+    // content and the per-batch ledger replays in SQL. The cap is SIZE-
+    // DERIVED — per-partition advance = ceil(total/48), i.e. ~12 batches
+    // at ANY scale (an sf10 log drains in 12 big batches, not 1200 small
+    // ones — the backpressure knob tracks throughput, exactly how a
+    // production job sizes maxOffsetsPerTrigger); the oracle replays the
+    // same formula: batch k = each partition's offsets
+    // [perPart*k, perPart*(k+1)) with perPart = (count + 47) // 48. The
+    // cap read is metadata-only (the per-partition _end markers).
+    // Offset-checkpoint RESUME (stop, append, restart → only the delta) is
     // graded by i27 and pinned in LogSourceSpec.
     "i26_stream_log_offsets" -> ((s, dir) => {
       val root = ScanFilterQueries.logFixture(s, dir)
+      val total = graft.sources.GraftLog.endOffsets(root).values.sum
+      val perPart = (total + 47) / 48
       val q = s.readStream.format("graft.sources.GraftLogSource")
-        .option("path", root).option("maxRowsPerBatch", "8000").load()
+        .option("path", root)
+        .option("maxRowsPerBatch", (4 * perPart).toString).load()
         .select(col("p"), col("offset"), col("value"))
       runForeachBatch(q, "i26", dir)
         .groupBy(col("batch_id"))
@@ -1156,9 +1163,11 @@ object StreamingQueries extends QueryModule {
     // checkpoint must read exactly the delta — no replay (a replayed
     // campaign-1 row would inflate run 2's ledger), no loss (a skipped
     // offset would deflate it). Batch boundaries stay deterministic under
-    // the admission cap (20000/4 = 5000 offsets per partition per batch),
-    // so the union ledger carries a FULL value oracle: run r's batch k =
-    // each partition's campaign-r rows ranked [5000k, 5000(k+1)). Segments
+    // the SIZE-DERIVED admission cap (per-partition advance =
+    // ceil(total/24) → ~3 batches per run per partition at ANY scale, the
+    // i26 discipline), so the union ledger carries a FULL value oracle:
+    // run r's batch k = each partition's campaign-r rows ranked
+    // [perPart*k, perPart*(k+1)). Segments
     // are staged once per fixture (fingerprint-guarded) and hardlink-copied
     // into a fresh live root per invocation — restart mechanics, not
     // fixture builds, are what the query times. At 100 TB this is the
@@ -1186,9 +1195,13 @@ object StreamingQueries extends QueryModule {
           Files.write(dst.resolve("_end"), end.toString.getBytes("UTF-8"))
         }
       }
+      val totalRows = Files.readAllLines(Paths.get(stage, "_meta")).asScala
+        .map(_.split(",")(2).toLong).sum
+      val perPart = (totalRows + 23) / 24
       def runOnce(run: Int): Unit = {
         val q = s.readStream.format("graft.sources.GraftLogSource")
-          .option("path", live).option("maxRowsPerBatch", "20000").load()
+          .option("path", live)
+          .option("maxRowsPerBatch", (4 * perPart).toString).load()
           .select(col("p"), col("offset"), col("value"))
         val sq = withStreamShufflePartitions(s, 8) {
           q.writeStream.outputMode(OutputMode.Update())
@@ -1567,27 +1580,30 @@ object StreamingQueries extends QueryModule {
         "FROM e GROUP BY 1 ORDER BY user_id"),
 
     // i26's batch boundaries replay exactly: batch k = each partition's
-    // offsets [2000k, 2000(k+1)), where offset = event_id rank within
-    // partition user_id % 4
+    // offsets [p*k, p*(k+1)) with the size-derived per-partition cap
+    // p = ceil(count/48), where offset = event_id rank within partition
+    // user_id % 4
     "i26_stream_log_offsets" ->
-      ("WITH ev AS (SELECT value, " +
-        "(row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id) - 1) // 2000 " +
-        "AS batch_id FROM events) " +
+      ("WITH c AS (SELECT count(*) AS cnt FROM events), " +
+        "ev AS (SELECT value, " +
+        "(row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id) - 1) " +
+        "// ((cnt + 47) // 48) AS batch_id FROM events, c) " +
         "SELECT batch_id, count(*) AS n, " +
         s"round(${graft.Tables.dsumSql("value")}, 6) AS val_sum " +
         "FROM ev GROUP BY 1 ORDER BY batch_id"),
 
     // i27's union ledger replays exactly: run r = the event_id half, run
-    // r's batch k = each partition's campaign-r rows ranked [5000k,
-    // 5000(k+1)) — the admission split applied per campaign, since the
-    // restarted stream resumes at each partition's campaign-1 end offset
+    // r's batch k = each partition's campaign-r rows ranked
+    // [p*k, p*(k+1)) with the size-derived cap p = ceil(count/24) — the
+    // admission split applied per campaign, since the restarted stream
+    // resumes at each partition's campaign-1 end offset
     "i27_stream_log_resume" ->
-      ("WITH ids AS (SELECT max(event_id) AS mx FROM events), " +
+      ("WITH ids AS (SELECT max(event_id) AS mx, count(*) AS cnt FROM events), " +
         "ev AS (SELECT value, " +
         "CASE WHEN event_id < mx // 2 THEN 1 ELSE 2 END AS run, " +
         "(row_number() OVER (PARTITION BY user_id % 4, " +
         "CASE WHEN event_id < mx // 2 THEN 1 ELSE 2 END " +
-        "ORDER BY event_id) - 1) // 5000 AS batch_seq FROM events, ids) " +
+        "ORDER BY event_id) - 1) // ((cnt + 23) // 24) AS batch_seq FROM events, ids) " +
         "SELECT run, batch_seq, count(*) AS n, " +
         s"round(${graft.Tables.dsumSql("value")}, 6) AS val_sum " +
         "FROM ev GROUP BY 1, 2 ORDER BY run, batch_seq"),
