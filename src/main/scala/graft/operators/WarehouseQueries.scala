@@ -1207,6 +1207,35 @@ object WarehouseQueries extends QueryModule {
         .withColumn("ins_values", lit(r3.getLong(1)))
         .withColumn("current_version", lit(r3.getLong(0)))
         .orderBy("o_orderstatus")
+    }),
+
+    // M34: DESCRIBE HISTORY — the introspection verb that closes the SQL
+    // DML loop: after a seed + INSERT + UPDATE + DELETE chain, the version
+    // ledger (version → operation metadata) is readable in pure SQL. The
+    // operation strings carry each statement's affected-row count, so the
+    // oracle replays the WHOLE chain's arithmetic from the raw facts —
+    // history introspection graded as values, not just row shape. A
+    // metadata read at any scale: one small meta file per version, no data
+    // scanned (timestamps deliberately excluded — nondeterministic).
+    "m34_sql_history" -> ((s, dir) => {
+      import graft.plans.GraftDmlRegistry
+      val t = Tables(s, dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m34_${Tables.pathKey(dir)}"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root))
+      val name = s"m34t_${Tables.pathKey(dir)}"
+      val base = t.orders.select(col("o_orderkey"), col("o_totalprice"))
+      SnapshotTable.commit(base.filter(col("o_orderkey") % 7 === 0), root,
+        meta = "seed")
+      GraftDmlRegistry.registerSnapshot(name, root)
+      base.filter(col("o_orderkey") % 7 === 1).createOrReplaceTempView("m34_src")
+      s.sql(s"INSERT INTO $name SELECT * FROM m34_src").collect()
+      s.sql(s"UPDATE $name SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderkey % 3 = 0").collect()
+      s.sql(s"DELETE FROM $name WHERE o_orderkey % 5 = 4").collect()
+      s.sql(s"DESCRIBE HISTORY $name").orderBy("version")
     })
   )
 
@@ -1760,6 +1789,18 @@ object WarehouseQueries extends QueryModule {
         "CAST(1 AS BIGINT) AS ins_values, " +
         "CAST(4 AS BIGINT) AS current_version " +
         "FROM fin GROUP BY 1 ORDER BY o_orderstatus"),
+
+    // the version ledger's operation strings replay from the raw facts:
+    // insert count = the %7=1 slice; update count = %3=0 rows of the
+    // union; delete count = %5=4 rows of the union
+    "m34_sql_history" ->
+      ("WITH t0 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 IN (0, 1)) " +
+        "SELECT * FROM (VALUES " +
+        "(CAST(1 AS BIGINT), 'seed'), " +
+        "(CAST(2 AS BIGINT), 'insert:' || (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 1)), " +
+        "(CAST(3 AS BIGINT), 'update:' || (SELECT count(*) FROM t0 WHERE o_orderkey % 3 = 0)), " +
+        "(CAST(4 AS BIGINT), 'delete:' || (SELECT count(*) FROM t0 WHERE o_orderkey % 5 = 4))" +
+        ") t(version, operation) ORDER BY version"),
 
     // filtered containment must be answer-preserving — the oracle computes
     // the 1996 monthly slice from the raw facts

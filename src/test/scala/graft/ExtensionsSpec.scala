@@ -163,6 +163,17 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(cleanup.getLong(1) == 2L)
       // a string literal containing the registered name is NOT rewritten
       assert(spark.sql(s"SELECT '$name' AS s").head().getString(0) == name)
+      // DESCRIBE HISTORY: the version/operation ledger in pure SQL
+      val hist = spark.sql(s"DESCRIBE HISTORY $name")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(hist.size >= 6 && hist.head == ((1L, "")), // seed had no meta
+        s"unexpected history: $hist")
+      assert(hist.exists(_._2.startsWith("merge:")) &&
+        hist.exists(_._2.startsWith("update:")) &&
+        hist.exists(_._2.startsWith("insert:")) &&
+        hist.exists(_._2.startsWith("delete:")), s"ledger misses ops: $hist")
+      // every other DESCRIBE still delegates to Spark untouched
+      assert(spark.sql("DESCRIBE QUERY SELECT 1 AS one").collect().nonEmpty)
       // final state through the bare registered name
       val fin = spark.sql(s"SELECT k, price FROM $name ORDER BY k")
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
