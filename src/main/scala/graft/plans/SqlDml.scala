@@ -311,6 +311,13 @@ case class GraftMergeColsCommand(root: String, sourceSql: String,
       .select(targetFields.map(f => updates(f.name).as(f.name)): _*)
 
     val inserts = clauses.collectFirst { case ni: NotMatchedInsert => ni } match {
+      // INSERT *: the full row from the source side (name-matched — the
+      // source must carry every target column, checked at join build)
+      case Some(NotMatchedInsert(Seq("*"), Seq("*"))) =>
+        j.filter(col(key).isNull)
+          .select(targetFields.map { f =>
+            col(s"__s_${f.name}").cast(f.dataType).as(f.name)
+          }: _*)
       case Some(NotMatchedInsert(cols, exprs)) =>
         val byCol = cols.map(_.toLowerCase).zip(exprs).toMap
         require(byCol.size == cols.size, "MERGE: duplicate INSERT column")
@@ -569,6 +576,8 @@ object GraftSqlParser {
           "MERGE: UPDATE SET * cannot mix with per-column clauses")
         case _ =>
       }
+      require(clauses.count(_.isInstanceOf[NotMatchedInsert]) <= 1,
+        "MERGE: at most one WHEN NOT MATCHED THEN INSERT clause is supported")
       GraftMergeColsCommand(root, srcSql, srcAlias, target, key, clauses)
     }
   }

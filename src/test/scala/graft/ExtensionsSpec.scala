@@ -163,6 +163,18 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(cleanup.getLong(1) == 2L)
       // a string literal containing the registered name is NOT rewritten
       assert(spark.sql(s"SELECT '$name' AS s").head().getString(0) == name)
+      // per-column MERGE mixing a conditional UPDATE with INSERT * (the
+      // full source row inserts by name)
+      Seq((4L, 1.0, "dx"), (6L, 60.0, "f")).toDF("k", "price", "tag")
+        .createOrReplaceTempView("dmlspec_chg2")
+      spark.sql(
+        s"MERGE INTO $name USING dmlspec_chg2 ON $name.k = dmlspec_chg2.k " +
+          s"WHEN MATCHED THEN UPDATE SET price = $name.price + dmlspec_chg2.price " +
+          "WHEN NOT MATCHED THEN INSERT *").collect()
+      val afterM = spark.sql(s"SELECT k, price, tag FROM $name ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+      assert(afterM == Seq((1L, 15.0, "a"), (4L, 41.0, "d"), (6L, 60.0, "f")),
+        s"per-column merge with INSERT * produced $afterM")
       // DESCRIBE HISTORY: the version/operation ledger in pure SQL
       val hist = spark.sql(s"DESCRIBE HISTORY $name")
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
@@ -174,10 +186,10 @@ class ExtensionsSpec extends AnyFunSuite {
         hist.exists(_._2.startsWith("delete:")), s"ledger misses ops: $hist")
       // every other DESCRIBE still delegates to Spark untouched
       assert(spark.sql("DESCRIBE QUERY SELECT 1 AS one").collect().nonEmpty)
-      // final state through the bare registered name
+      // final state through the bare registered name (post per-column merge)
       val fin = spark.sql(s"SELECT k, price FROM $name ORDER BY k")
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      assert(fin == Seq((1L, 15.0), (4L, 40.0)))
+      assert(fin == Seq((1L, 15.0), (4L, 41.0), (6L, 60.0)))
       // history through VERSION AS OF — v1 seed, v2 post-merge
       assert(spark.sql(s"SELECT count(*) AS n FROM $name VERSION AS OF 1")
         .head().getLong(0) == 3L)
