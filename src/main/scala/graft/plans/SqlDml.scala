@@ -135,9 +135,18 @@ case class GraftDeleteCommand(root: String, whereSql: Option[String])
   override def run(spark: SparkSession): Seq[Row] = {
     val t = SnapshotTable.read(spark, root)
     val pred = whereSql.map(expr).getOrElse(lit(true))
-    val nDel = t.filter(pred).count()
     val kept = t.filter(!coalesce(pred, lit(false)))
-    val v = SnapshotTable.commit(kept, root, meta = s"delete:$nDel")
+    // n_deleted = before − after: both are footer-cheap parquet counts, so
+    // the filtered rewrite is computed exactly ONCE (rows removed equals
+    // pred-TRUE rows under the three-valued keep rule, so the ledger value
+    // is unchanged); meta attaches before the flip — the m12 discipline
+    val before = t.count()
+    val v = SnapshotTable.prepare(kept, root)
+    val after = spark.read.schema(t.schema)
+      .parquet(s"$root/data/v$v").count()
+    val nDel = before - after
+    SnapshotTable.attachMeta(root, v, s"delete:$nDel")
+    SnapshotTable.swap(root, v)
     Seq(Row(v, nDel))
   }
 }
@@ -171,8 +180,13 @@ case class GraftInsertCommand(root: String, cols: Seq[String],
       if (known(f.name.toLowerCase)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
-    val n = aligned.count()
-    val v = SnapshotTable.append(aligned, root, meta = s"insert:$n")
+    // the source query runs ONCE (the delta write); n_inserted is the
+    // staged delta files' footer count, attached before the flip
+    val v = SnapshotTable.appendPrepare(aligned, root)
+    val n = spark.read.schema(t.schema)
+      .parquet(s"$root/data/v$v").count()
+    SnapshotTable.attachMeta(root, v, s"insert:$n")
+    SnapshotTable.swap(root, v)
     Seq(Row(v, n))
   }
 }
@@ -218,8 +232,13 @@ case class GraftMergeCommand(root: String, sourceSql: String, key: String,
       case None => src.withColumn("__graft_op", lit("upsert"))
     }
     val merged = MergeInto.applyChanges(target, ch, key, opCol = "__graft_op")
-    val n = merged.count()
-    val v = SnapshotTable.commit(merged, root, meta = s"merge:$n")
+    // the merge plan runs ONCE (the write); n_rows comes from the staged
+    // footers, and the metadata lands before the atomic flip
+    val v = SnapshotTable.prepare(merged, root)
+    val n = spark.read.schema(target.schema)
+      .parquet(s"$root/data/v$v").count()
+    SnapshotTable.attachMeta(root, v, s"merge:$n")
+    SnapshotTable.swap(root, v)
     Seq(Row(v, n))
   }
 }
@@ -335,8 +354,13 @@ case class GraftMergeColsCommand(root: String, sourceSql: String,
         new java.util.ArrayList[Row](), target.schema)
     }
     val merged = kept.unionByName(inserts)
-    val n = merged.count()
-    val v = SnapshotTable.commit(merged, root, meta = s"merge:$n")
+    // single computation: the full-outer projection runs once (the write);
+    // n_rows is the staged footers' count
+    val v = SnapshotTable.prepare(merged, root)
+    val n = spark.read.schema(target.schema)
+      .parquet(s"$root/data/v$v").count()
+    SnapshotTable.attachMeta(root, v, s"merge:$n")
+    SnapshotTable.swap(root, v)
     Seq(Row(v, n))
   }
 }

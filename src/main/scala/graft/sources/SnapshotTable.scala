@@ -71,15 +71,33 @@ object SnapshotTable {
     val v = latestVersion(root).getOrElse(0L) + 1
     val dataDir = Paths.get(root, "data", s"v$v")
     df.write.mode("overwrite").parquet(dataDir.toString)
-    val files = Files.list(dataDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(p => s"data/v$v/${p.getFileName}").toSeq.sorted
+    val files = listParquet(dataDir, v)
     Files.createDirectories(snapDir(root))
     if (meta != null)
       Files.write(snapDir(root).resolve(s"v$v.meta"), meta.getBytes(UTF_8))
     Files.write(snapDir(root).resolve(s"v$v.manifest"),
       files.mkString("\n").getBytes(UTF_8))
     v
+  }
+
+  /** Staged data files of a prepared version, stream CLOSED on exit. */
+  private def listParquet(dataDir: java.nio.file.Path, v: Long): Seq[String] = {
+    val st = Files.list(dataDir)
+    try st.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => s"data/v$v/${p.getFileName}").toSeq.sorted
+    finally st.close()
+  }
+
+  /** Attach commit metadata to a PREPARED (not yet swapped) version —
+    * called between [[prepare]]/[[appendPrepare]] and [[swap]], so the
+    * metadata becomes visible through the same atomic pointer flip as the
+    * data. This is what lets a DML command derive its metadata (affected-
+    * row counts) from the STAGED files' parquet footers instead of
+    * computing its plan twice — once for the count, once for the write. */
+  def attachMeta(root: String, v: Long, meta: String): Unit = {
+    Files.write(snapDir(root).resolve(s"v$v.meta"), meta.getBytes(UTF_8))
+    ()
   }
 
   /** Commit metadata of version `v`, if any was attached. */
@@ -143,21 +161,27 @@ object SnapshotTable {
     * [[expire]] is reference-counted, so vacuuming versions whose files a
     * retained manifest still lists never deletes those files. */
   def append(df: DataFrame, root: String, meta: String = null): Long = {
+    val v = appendPrepare(df, root)
+    if (meta != null) attachMeta(root, v, meta)
+    swap(root, v)
+    v
+  }
+
+  /** Phase 1 of [[append]]: stage the delta files + manifest WITHOUT
+    * publishing (the prepare/swap split [[prepare]] already has) — lets a
+    * caller footer-count the staged delta and [[attachMeta]] before the
+    * flip. */
+  def appendPrepare(df: DataFrame, root: String): Long = {
     val prev = latestVersion(root).map(v =>
       new String(Files.readAllBytes(snapDir(root).resolve(s"v$v.manifest")), UTF_8)
         .split("\n").filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val v = latestVersion(root).getOrElse(0L) + 1
     val dataDir = Paths.get(root, "data", s"v$v")
     df.write.mode("overwrite").parquet(dataDir.toString)
-    val added = Files.list(dataDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(p => s"data/v$v/${p.getFileName}").toSeq.sorted
+    val added = listParquet(dataDir, v)
     Files.createDirectories(snapDir(root))
-    if (meta != null)
-      Files.write(snapDir(root).resolve(s"v$v.meta"), meta.getBytes(UTF_8))
     Files.write(snapDir(root).resolve(s"v$v.manifest"),
       (prev ++ added).mkString("\n").getBytes(UTF_8))
-    swap(root, v)
     v
   }
 
@@ -578,9 +602,7 @@ object SnapshotTable {
     val v = latestVersion(root).getOrElse(0L) + 1
     val dataDir = Paths.get(root, "data", s"v$v")
     df.write.mode("overwrite").parquet(dataDir.toString)
-    val added = Files.list(dataDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(p => s"data/v$v/${p.getFileName}").toSeq.sorted
+    val added = listParquet(dataDir, v)
     Files.createDirectories(snapDir(root))
     Files.write(snapDir(root).resolve(s"v$v.manifest"),
       (prev ++ added).mkString("\n").getBytes(UTF_8))
