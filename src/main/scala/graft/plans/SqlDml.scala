@@ -47,6 +47,13 @@ import graft.sources.SnapshotTable
   *    three-valued DELETE) + snapshot commit.
   *  - `DESCRIBE HISTORY t` → the version/operation ledger (a metadata
   *    read — one small file per version, never a data scan).
+  *  - `CREATE SNAPSHOT TABLE t LOCATION 'root' AS <query>` → CTAS: the
+  *    query result commits as v1 and the name registers for the session.
+  *  - `OPTIMIZE t [SMALLER THAN n BYTES] [ZORDER BY (cols)] INTO k FILES`
+  *    → bin-pack small files (big ones carry over untouched), optionally
+  *    Z-order-clustering the rewrite; `VACUUM t RETAIN k VERSIONS` →
+  *    reference-counted expiry; `RESTORE t TO VERSION AS OF v` →
+  *    metadata-only rollback. The full maintenance lifecycle in SQL.
   *  - `SELECT ... FROM t [VERSION AS OF n] ...` → the registered name (and
   *    its `VERSION AS OF` form) resolves to the snapshot read; bare names
   *    resolve to LATEST. Substitution is CODE-POSITION-ONLY — a registered
@@ -206,9 +213,138 @@ case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
     val latest = SnapshotTable.latestVersion(root).getOrElse(0L)
-    (1L to latest).map { v =>
+    // VACUUMed versions (manifest gone) drop out of the ledger, matching
+    // the lakehouse convention that history ends at the retention horizon
+    (1L to latest).filter(SnapshotTable.versionExists(root, _)).map { v =>
       Row(v, SnapshotTable.versionMeta(root, v).getOrElse(""))
     }
+  }
+}
+
+/** `CREATE SNAPSHOT TABLE name LOCATION 'root' AS <query>` — CTAS into the
+  * snapshot protocol: the query's result commits as version 1 at `root`
+  * and `name` registers for every later DML/read statement in the session.
+  * The AS-query text re-enters the session's parser, so it may itself read
+  * other registered snapshot tables (including `VERSION AS OF`). */
+case class GraftCreateTableCommand(name: String, root: String,
+    sourceSql: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(GraftDmlRegistry.rootOf(name).isEmpty,
+      s"CREATE SNAPSHOT TABLE: '$name' is already registered in this session")
+    require(SnapshotTable.latestVersion(root).isEmpty,
+      s"CREATE SNAPSHOT TABLE: LOCATION '$root' already holds a snapshot table")
+    val df = spark.sql(sourceSql)
+    // single computation: the plan runs once (the v1 write); n_rows is the
+    // staged files' footer count, attached before the atomic flip
+    val v = SnapshotTable.prepare(df, root)
+    val n = spark.read.schema(df.schema).parquet(s"$root/data/v$v").count()
+    SnapshotTable.attachMeta(root, v, s"ctas:$n")
+    SnapshotTable.swap(root, v)
+    GraftDmlRegistry.registerSnapshot(name, root)
+    Seq(Row(v, n))
+  }
+}
+
+/** `OPTIMIZE t [SMALLER THAN n BYTES] [ZORDER BY (c1, ...)] INTO k FILES`
+  * — the lakehouse maintenance verb: bin-pack the table's small files into
+  * `k` files, carrying every file at/over the size bound into the new
+  * manifest UNTOUCHED (zero bytes move for them — compacting the small
+  * tail of a 100 TB table is O(small files), never a rewrite; omitting the
+  * bound rewrites everything, the first-OPTIMIZE shape). `ZORDER BY`
+  * range-clusters the rewritten rows on the interleaved bits of the named
+  * numeric columns (the f13 layout), so min/max file stats prune scans
+  * filtered on ANY of them — a pure layout choice: the snapshot's CONTENT
+  * is identical either way. A run with nothing to rewrite is a no-op that
+  * commits no version. */
+case class GraftOptimizeCommand(root: String, smallerThan: Option[Long],
+    zorderCols: Seq[String], targetFiles: Int) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_before", LongType, nullable = false)(),
+    AttributeReference("files_rewritten", LongType, nullable = false)(),
+    AttributeReference("files_after", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(targetFiles >= 1, s"OPTIMIZE: INTO $targetFiles FILES")
+    val latest = SnapshotTable.latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val files = SnapshotTable.manifestFiles(root, latest)
+    val (rewrite, carry) = smallerThan match {
+      case Some(thr) => files.partition { f =>
+        val p = java.nio.file.Paths.get(root, f)
+        java.nio.file.Files.size(p) < thr
+      }
+      case None => (files, Seq.empty[String])
+    }
+    if (rewrite.isEmpty)
+      return Seq(Row(latest, files.size.toLong, 0L, files.size.toLong))
+    val df = spark.read.parquet(rewrite.map(f => s"$root/$f"): _*)
+    val packed =
+      if (zorderCols.isEmpty) df.repartition(targetFiles)
+      else {
+        zorderCols.foreach(c => require(df.columns.exists(_.equalsIgnoreCase(c)),
+          s"OPTIMIZE: ZORDER BY names unknown column $c"))
+        val z = zorderCols.map(c => col(c).cast("long")) match {
+          case Seq(one) => one
+          case cols => cols.reduceLeft { (acc, c) =>
+            // pairwise interleave of the low 16 bits (the f13 key): good
+            // locality on every listed dimension, plain codegen'd bit ops
+            (0 until 16).map { i =>
+              shiftleft(shiftrightunsigned(acc, i) % 2, 2 * i + 1) +
+                shiftleft(shiftrightunsigned(c, i) % 2, 2 * i)
+            }.reduce(_ + _)
+          }
+        }
+        df.withColumn("__graft_z", z)
+          .repartitionByRange(targetFiles, col("__graft_z"))
+          .sortWithinPartitions("__graft_z")
+          .drop("__graft_z")
+      }
+    val v = SnapshotTable.commitRewrite(packed, root, carry,
+      metaFor = added => s"optimize:${files.size}->${carry.size + added.size}")
+    val after = SnapshotTable.manifestFiles(root, v).size.toLong
+    Seq(Row(v, files.size.toLong, rewrite.size.toLong, after))
+  }
+}
+
+/** `VACUUM t RETAIN k VERSIONS` — expire everything older than the newest
+  * `k` versions: reference-counted (files shared with retained manifests
+  * survive), metadata-scale driver work. Returns the number expired. */
+case class GraftVacuumCommand(root: String, keepLast: Int)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_expired", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val expired = SnapshotTable.expire(root, keepLast)
+    val latest = SnapshotTable.latestVersion(root).getOrElse(0L)
+    Seq(Row(latest, expired.size.toLong))
+  }
+}
+
+/** `RESTORE t TO VERSION AS OF v` — undo a bad commit by re-committing the
+  * good version's manifest as a NEW version (metadata-only, zero data
+  * bytes move; the bad version stays time-travelable until VACUUMed). */
+case class GraftRestoreCommand(root: String, toVersion: Long)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = SnapshotTable.rollbackTo(root, toVersion)
+    // footer-count of the restored snapshot: row-group metadata only
+    val n = SnapshotTable.read(spark, root).count()
+    Seq(Row(v, n))
   }
 }
 
@@ -383,6 +519,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case "DELETE" => parseDelete(t)
       case "INSERT" => parseInsert(t)
       case "DESCRIBE" => parseHistory(t)
+      case "CREATE"   => parseCreate(t)
+      case "OPTIMIZE" => parseOptimize(t)
+      case "VACUUM"   => parseVacuum(t)
+      case "RESTORE"  => parseRestore(t)
       case _        => None
     }
     plan.getOrElse(delegate.parsePlan(rewriteReads(session, sqlText)))
@@ -484,6 +624,48 @@ object GraftSqlParser {
           "INSERT: missing source — supported: INSERT INTO t [(cols)] SELECT ... | VALUES ...")
         GraftInsertCommand(root, cols, body)
       }
+    case _ => None
+  }
+
+  private val CreateRe: Regex =
+    """(?is)^CREATE\s+SNAPSHOT\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+LOCATION\s+'([^']+)'\s+AS\s+(.+?)\s*;?\s*$""".r
+  private val OptimizeRe: Regex =
+    ("""(?is)^OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)""" +
+      """(?:\s+SMALLER\s+THAN\s+(\d+)\s+BYTES)?""" +
+      """(?:\s+ZORDER\s+BY\s+\(([^)]*)\))?""" +
+      """\s+INTO\s+(\d+)\s+FILES\s*;?\s*$""").r
+  private val VacuumRe: Regex =
+    """(?is)^VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$""".r
+  private val RestoreRe: Regex =
+    """(?is)^RESTORE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+
+  /** Only the exact `CREATE SNAPSHOT TABLE` shape is ours — every other
+    * CREATE (table, view, function, ...) delegates to Spark untouched. */
+  private def parseCreate(t: String): Option[LogicalPlan] = t match {
+    case CreateRe(name, root, query) =>
+      Some(GraftCreateTableCommand(name, root, query))
+    case _ => None
+  }
+
+  private def parseOptimize(t: String): Option[LogicalPlan] = t match {
+    case OptimizeRe(name, thr, zcols, k) =>
+      GraftDmlRegistry.rootOf(name).map { root =>
+        val z = Option(zcols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+        GraftOptimizeCommand(root, Option(thr).map(_.toLong), z, k.toInt)
+      }
+    case _ => None
+  }
+
+  private def parseVacuum(t: String): Option[LogicalPlan] = t match {
+    case VacuumRe(name, k) =>
+      GraftDmlRegistry.rootOf(name).map(GraftVacuumCommand(_, k.toInt))
+    case _ => None
+  }
+
+  private def parseRestore(t: String): Option[LogicalPlan] = t match {
+    case RestoreRe(name, v) =>
+      GraftDmlRegistry.rootOf(name).map(GraftRestoreCommand(_, v.toLong))
     case _ => None
   }
 

@@ -100,6 +100,37 @@ object SnapshotTable {
     ()
   }
 
+  /** Root-relative data files of committed/staged version `v` — the
+    * manifest contents. A metadata read (one small file), any table size. */
+  def manifestFiles(root: String, v: Long): Seq[String] = {
+    val p = snapDir(root).resolve(s"v$v.manifest")
+    require(Files.exists(p), s"no manifest for v$v at $root")
+    new String(Files.readAllBytes(p), UTF_8).split("\n").filter(_.nonEmpty).toSeq
+  }
+
+  /** Whether version `v` is still readable (its manifest exists — false
+    * once [[expire]] vacuumed it). */
+  def versionExists(root: String, v: Long): Boolean =
+    Files.exists(snapDir(root).resolve(s"v$v.manifest"))
+
+  /** REWRITE commit — the OPTIMIZE/clustering shape: `df`'s files REPLACE
+    * the rewritten ones while `carryOver` (root-relative paths from the
+    * previous manifest) transfer into the new manifest untouched — zero
+    * bytes move for carried files, so compacting the small tail of a 100 TB
+    * table costs O(small files), never a table rewrite. The replaced
+    * version stays time-travelable until [[expire]]d (reference-counted, so
+    * carried files survive the old version's vacuum). Returns the new
+    * version. */
+  def commitRewrite(df: DataFrame, root: String, carryOver: Seq[String],
+      metaFor: Seq[String] => String = null): Long = {
+    val v = latestVersion(root).getOrElse(0L) + 1
+    val dataDir = Paths.get(root, "data", s"v$v")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val added = listParquet(dataDir, v)
+    commitFiles(root, carryOver ++ added,
+      if (metaFor == null) null else metaFor(added))
+  }
+
   /** Commit metadata of version `v`, if any was attached. */
   def versionMeta(root: String, v: Long): Option[String] = {
     val p = snapDir(root).resolve(s"v$v.meta")

@@ -205,6 +205,116 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally graft.plans.GraftDmlRegistry.unregister(name)
   }
 
+  test("SQL maintenance verbs: CTAS, OPTIMIZE bin-pack/ZORDER, VACUUM, RESTORE") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_maintspec").toString
+    val root = s"$dir/t"
+    val name = "maintspec_t"
+    graft.plans.GraftDmlRegistry.unregister(name)
+    try {
+      // CTAS: v1, registered, readable through the bare name
+      (1L to 100L).map(i => (i, i * 2.0)).toDF("k", "v").repartition(5)
+        .createOrReplaceTempView("maintspec_src")
+      val c = spark.sql(s"CREATE SNAPSHOT TABLE $name LOCATION '$root' " +
+        "AS SELECT * FROM maintspec_src").head()
+      assert(c.getLong(0) == 1L && c.getLong(1) == 100L)
+      assert(SnapshotTable.manifestFiles(root, 1L).size == 5)
+      assert(spark.sql(s"SELECT count(*) AS n FROM $name").head().getLong(0) == 100L)
+      // CTAS refuses a taken name and a non-empty location
+      intercept[Exception](spark.sql(
+        s"CREATE SNAPSHOT TABLE $name LOCATION '$dir/other' AS SELECT 1 AS x").collect())
+      graft.plans.GraftDmlRegistry.unregister("maintspec_t2")
+      intercept[Exception](spark.sql(
+        s"CREATE SNAPSHOT TABLE maintspec_t2 LOCATION '$root' AS SELECT 1 AS x").collect())
+      // ordinary CREATE still delegates to Spark untouched
+      spark.sql("CREATE TEMPORARY VIEW maintspec_plainview AS SELECT 1 AS x")
+      assert(spark.sql("SELECT x FROM maintspec_plainview").head().getInt(0) == 1)
+
+      // one BIG file (append of 10k rows as a single file) + the 5 small
+      (101L to 10100L).map(i => (i, i * 2.0)).toDF("k", "v").repartition(1)
+        .createOrReplaceTempView("maintspec_big")
+      spark.sql(s"INSERT INTO $name SELECT * FROM maintspec_big").collect()
+      val bigFile = SnapshotTable.manifestFiles(root, 2L)
+        .find(_.startsWith("data/v2/")).get
+      val bigBytes = java.nio.file.Files.size(java.nio.file.Paths.get(root, bigFile))
+      val smallest = SnapshotTable.manifestFiles(root, 2L)
+        .map(f => java.nio.file.Files.size(java.nio.file.Paths.get(root, f))).min
+      assert(bigBytes > smallest, "fixture assumption: the 10k-row file is biggest")
+
+      // bin-pack: files under the bound rewrite into 2; the big file CARRIES
+      // OVER by path — zero bytes of it move
+      val o = spark.sql(s"OPTIMIZE $name SMALLER THAN $bigBytes BYTES " +
+        "INTO 2 FILES").head()
+      assert(o.getLong(0) == 3L, s"optimize committed v${o.getLong(0)}")
+      assert(o.getLong(1) == 6L && o.getLong(2) == 5L && o.getLong(3) == 3L,
+        s"bin-pack counts: before=${o.getLong(1)} rewritten=${o.getLong(2)} after=${o.getLong(3)}")
+      assert(SnapshotTable.manifestFiles(root, 3L).contains(bigFile),
+        "the over-bound file must carry over into the new manifest untouched")
+      assert(spark.sql(s"SELECT count(*) AS n, sum(v) AS s FROM $name").head()
+        .getLong(0) == 10100L, "optimize must not change content")
+
+      // no-op: nothing under 1 byte — no version committed
+      val noop = spark.sql(s"OPTIMIZE $name SMALLER THAN 1 BYTES INTO 2 FILES").head()
+      assert(noop.getLong(0) == 3L && noop.getLong(2) == 0L)
+      assert(SnapshotTable.latestVersion(root).contains(3L))
+
+      // ZORDER rewrite: range-partitioned on the interleaved key, so the
+      // per-file z ranges are pairwise disjoint (what min/max stats prune on)
+      val oz = spark.sql(s"OPTIMIZE $name ZORDER BY (k, v) INTO 4 FILES").head()
+      assert(oz.getLong(0) == 4L && oz.getLong(3) == 4L)
+      val zExpr = (0 until 16).map { i =>
+        s"shiftleft(shiftrightunsigned(CAST(k AS BIGINT), $i) % 2, ${2 * i + 1}) + " +
+          s"shiftleft(shiftrightunsigned(CAST(v AS BIGINT), $i) % 2, ${2 * i})"
+      }.mkString("(", " + ", ")")
+      val ranges = SnapshotTable.manifestFiles(root, 4L).map { f =>
+        val r = spark.read.parquet(s"$root/$f")
+          .selectExpr(s"min($zExpr) AS lo", s"max($zExpr) AS hi").head()
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) =>
+          assert(hi <= lo2, s"z ranges overlap: $ranges")
+        case _ =>
+      }
+      assert(spark.sql(s"SELECT count(*) AS n FROM $name").head()
+        .getLong(0) == 10100L, "zorder must not change content")
+
+      // a bad commit, then RESTORE: metadata-only undo (no data dir for v6)
+      spark.sql(s"DELETE FROM $name WHERE k <= 10000").collect() // v5, "bad"
+      assert(spark.sql(s"SELECT count(*) AS n FROM $name").head().getLong(0) == 100L)
+      val r = spark.sql(s"RESTORE $name TO VERSION AS OF 4").head()
+      assert(r.getLong(0) == 6L && r.getLong(1) == 10100L)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "data", "v6")),
+        "restore must be metadata-only — no new data files")
+      assert(spark.sql(s"SELECT count(*) AS n FROM $name").head()
+        .getLong(0) == 10100L)
+
+      // VACUUM: keep 2 → v1..v4 expire; time travel past the horizon fails;
+      // DESCRIBE HISTORY shrinks to the retained window
+      val vac = spark.sql(s"VACUUM $name RETAIN 2 VERSIONS").head()
+      assert(vac.getLong(1) == 4L, s"expired ${vac.getLong(1)} versions")
+      intercept[Exception](
+        spark.sql(s"SELECT count(*) AS n FROM $name VERSION AS OF 1").collect())
+      val hist = spark.sql(s"DESCRIBE HISTORY $name")
+        .collect().map(_.getLong(0)).toSeq
+      assert(hist == Seq(5L, 6L), s"history after vacuum: $hist")
+      // the restored content survives the vacuum (v6 references v4's files,
+      // which the reference-counted expiry must keep)
+      assert(spark.sql(s"SELECT count(*) AS n FROM $name").head()
+        .getLong(0) == 10100L)
+
+      // unregistered maintenance targets delegate to Spark's parser → error
+      intercept[Exception](spark.sql("OPTIMIZE nosuch_xyz INTO 2 FILES").collect())
+      intercept[Exception](spark.sql("VACUUM nosuch_xyz RETAIN 2 VERSIONS").collect())
+      intercept[Exception](spark.sql("RESTORE nosuch_xyz TO VERSION AS OF 1").collect())
+    } finally {
+      graft.plans.GraftDmlRegistry.unregister(name)
+      graft.plans.GraftDmlRegistry.unregister("maintspec_t2")
+    }
+  }
+
   test("session_window auto-rewrite is conf-gated and shape-exact") {
     import org.apache.spark.sql.functions._
     val srcDir = java.nio.file.Files.createTempDirectory("graft_swspec").toString
