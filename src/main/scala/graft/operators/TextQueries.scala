@@ -909,6 +909,54 @@ object TextQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // G84: DATA SELECTION VIA IMPORTANCE RESAMPLING (the DSIR recipe,
+    // Xie et al. 2023): pick raw-pool documents whose HASHED-N-GRAM
+    // distribution looks like a small target domain. Features are
+    // unigrams+bigrams of the lowercased tokens hashed into B=4096 buckets
+    // (md5 prefix mod B — the same deterministic hash in both engines);
+    // the target (doc_id % 17 = 3, the held-out "domain we want more of")
+    // and the raw pool each fit a Laplace-smoothed unigram bucket model,
+    // and every raw doc scores the log-likelihood RATIO of its buckets —
+    // sum(n_b * (ln p_T(b) − ln p_R(b))) — with the top-k selected.
+    // Scale shape (DSIR's whole point): the fitted model is B=4096 rows
+    // REGARDLESS of corpus size — two aggregate passes fit it, a broadcast
+    // join + per-doc agg scores 100 TB map-side, and the top-k is a
+    // TakeOrdered. Nothing grows with the pool but the two scans.
+    "g84_dsir_importance" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val B = 4096
+      val toks = t.documents.select(col("doc_id"),
+        TF.tokens(lower(col("text"))).as("tk"))
+      val grams = toks.select(col("doc_id"), explode(concat(col("tk"),
+        when(size(col("tk")) >= 2, expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> concat(element_at(tk, i), '_', element_at(tk, i + 1)))"))
+          .otherwise(array().cast("array<string>")))).as("g"))
+      val bucketed = grams.select(col("doc_id"),
+        (expr("CAST(conv(substring(md5(g), 1, 6), 16, 10) AS BIGINT)") % B).as("b"))
+      val isT = col("doc_id") % 17 === 3
+      val tCounts = bucketed.filter(isT).groupBy("b").agg(count(lit(1)).as("ct"))
+      val rGrams = bucketed.filter(!isT)
+      val rCounts = rGrams.groupBy("b").agg(count(lit(1)).as("cr"))
+      val totT = bucketed.filter(isT).agg(count(lit(1)).as("tt"))
+      val totR = rGrams.agg(count(lit(1)).as("tr"))
+      // the fitted model: ≤ B rows — broadcast to score map-side
+      val llr = rCounts.join(tCounts, Seq("b"), "left")
+        .crossJoin(totT).crossJoin(totR)
+        .select(col("b"),
+          (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (col("tt") + B)) -
+            log((col("cr") + 1).cast("double") / (col("tr") + B))).as("llr"))
+      val scored = rGrams.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+        .join(broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(round(sum(col("n") * col("llr")), 6).as("score"))
+      val top = scored.orderBy(col("score").desc, col("doc_id")).limit(200)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("rank"), col("doc_id"), col("score"))
+        .orderBy("rank")
+    }),
+
     // G54: PARAGRAPH-level exact dedup (the CCNet shape): dedup at a
     // granularity FINER than the document — boilerplate paragraphs repeat
     // across pages that are not document-level duplicates, so doc-level
@@ -1327,6 +1375,28 @@ object TextQueries extends QueryModule {
         "CAST(sum(tok) OVER (ORDER BY tok DESC, doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM toks) " +
         "SELECT doc_id, source, tok, cum FROM c, b WHERE cum <= budget ORDER BY doc_id"),
+
+    // the DSIR replay: same md5-prefix bucket hash, same Laplace-smoothed
+    // log-ratio, same (score DESC, doc_id) selection order — the float sum
+    // rounds to 6dp on both sides
+    "g84_dsir_importance" ->
+      ("WITH tk AS (SELECT doc_id, str_split(lower(text), ' ') AS tk FROM documents), " +
+        "gr AS (SELECT doc_id, unnest(tk) AS g FROM tk " +
+        "UNION ALL SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1), " +
+        "i -> tk[i] || '_' || tk[i+1])) AS g FROM tk), " +
+        "bk AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 6))::BIGINT % 4096 AS b FROM gr), " +
+        "tc AS (SELECT b, count(*) AS ct FROM bk WHERE doc_id % 17 = 3 GROUP BY b), " +
+        "rg AS (SELECT * FROM bk WHERE doc_id % 17 <> 3), " +
+        "rc AS (SELECT b, count(*) AS cr FROM rg GROUP BY b), " +
+        "tot AS (SELECT (SELECT count(*) FROM bk WHERE doc_id % 17 = 3) AS tt, " +
+        "(SELECT count(*) FROM rg) AS tr), " +
+        "llr AS (SELECT rc.b AS b, ln((coalesce(ct, 0) + 1) / CAST(tt + 4096 AS DOUBLE)) - " +
+        "ln((cr + 1) / CAST(tr + 4096 AS DOUBLE)) AS llr " +
+        "FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tot), " +
+        "pd AS (SELECT doc_id, b, count(*) AS n FROM rg GROUP BY 1, 2), " +
+        "sc AS (SELECT doc_id, round(sum(n * llr), 6) AS score FROM pd JOIN llr USING (b) GROUP BY doc_id) " +
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score " +
+        "FROM sc ORDER BY score DESC, doc_id LIMIT 200"),
 
     "g54_paragraph_dedup" ->
       ("WITH d AS (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents " +

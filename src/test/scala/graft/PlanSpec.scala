@@ -28,6 +28,16 @@ class PlanSpec extends AnyFunSuite {
     assert(finalPlan("c1_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("g84: the DSIR model joins broadcast — the pool is never shuffled on the model key") {
+    // DSIR's scale contract: the fitted bucket model (≤4096 rows) reaches
+    // every scoring task as a broadcast; the raw pool's per-doc buckets are
+    // scored map-side. A sort-merge join here would shuffle the whole pool.
+    val p = finalPlan("g84_dsir_importance")
+    assert(p.contains("BroadcastHashJoin"), s"model join is not broadcast:\n$p")
+    // the top-k must be a TakeOrdered, not a global sort of every score
+    assert(p.contains("TakeOrderedAndProject"), s"top-k is a global sort:\n$p")
+  }
+
   test("c2: SHUFFLE_HASH hint yields a shuffled hash join") {
     assert(finalPlan("c2_join_shuffle_hash").contains("ShuffledHashJoin"))
   }
