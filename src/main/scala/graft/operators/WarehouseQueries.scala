@@ -1292,6 +1292,63 @@ object WarehouseQueries extends QueryModule {
         .withColumn("restored_rows", lit(rst.getLong(1)))
         .withColumn("n_expired", lit(vac.getLong(1)))
         .orderBy("bucket")
+    }),
+
+    // M36: the MATERIALIZED VIEW lifecycle in SQL — CREATE / (implicit
+    // serve) / source change / REFRESH, the last piece a pure-SQL user
+    // needs after m27-m29/m32 gave the automatic rewrite to library-
+    // registered views. Three phases over a MUTABLE source copy, all
+    // value-graded: 'fresh' runs the dashboard query right after `CREATE
+    // MATERIALIZED VIEW ... AS` (served from the stored parquet —
+    // ExtensionsSpec pins the plan reads the MV path and no source scan
+    // survives); 'stale' runs it after a second slice lands in the source
+    // (the content fingerprint refuses the MV, the plan falls back to the
+    // raw scan — answers stay CORRECT the moment data changes, the
+    // non-negotiable rewrite contract); 'refreshed' runs it after `REFRESH
+    // MATERIALIZED VIEW` rebuilt the parquet and re-fingerprinted. A
+    // rewrite that served stale data would hash-mismatch phase 2; a
+    // refresh that lost rows would mismatch phase 3.
+    "m36_sql_mv_lifecycle" -> ((s, dir) => {
+      import graft.plans.{GraftMvDdlRegistry, GraftMvRewriteRule, MvRegistry}
+      val t = Tables(s, dir)
+      val key = Tables.pathKey(dir)
+      val srcDir = s"${System.getProperty("java.io.tmpdir")}/graft_m36src_$key"
+      val mvPath = s"${System.getProperty("java.io.tmpdir")}/graft_m36mv_$key"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(srcDir)); rmrf(new java.io.File(mvPath))
+      ensureMvRule(s)
+      // self-containment: this query owns the registries it serves from
+      MvRegistry.clear()
+      val name = s"m36v_$key"
+      GraftMvDdlRegistry.remove(name)
+      val base = t.orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      base.filter(col("o_orderkey") % 2 === 0).write.parquet(srcDir)
+      def refreshView(): Unit = // re-list the dir (file indexes are pinned)
+        s.read.parquet(srcDir).createOrReplaceTempView("m36_src")
+      refreshView()
+      val defSql = "SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, " +
+        "count(*) AS n_orders, " +
+        s"round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue " +
+        "FROM m36_src GROUP BY year(o_orderdate), month(o_orderdate)"
+      s.sql(s"CREATE MATERIALIZED VIEW $name LOCATION '$mvPath' AS $defSql")
+      def eager(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+      try {
+        s.conf.set(GraftMvRewriteRule.Flag, "true")
+        val fresh = eager(s.sql(defSql).withColumn("phase", lit("fresh")))
+        base.filter(col("o_orderkey") % 2 === 1).write.mode("append").parquet(srcDir)
+        refreshView()
+        val stale = eager(s.sql(defSql).withColumn("phase", lit("stale")))
+        s.sql(s"REFRESH MATERIALIZED VIEW $name")
+        val refreshed = eager(s.sql(defSql).withColumn("phase", lit("refreshed")))
+        fresh.unionByName(stale).unionByName(refreshed)
+          .select(col("phase"), col("yr"), col("mo"), col("n_orders"),
+            col("revenue"))
+          .orderBy("phase", "yr", "mo")
+      } finally s.conf.set(GraftMvRewriteRule.Flag, "false")
     })
   )
 
@@ -1857,6 +1914,20 @@ object WarehouseQueries extends QueryModule {
         "(CAST(3 AS BIGINT), 'update:' || (SELECT count(*) FROM t0 WHERE o_orderkey % 3 = 0)), " +
         "(CAST(4 AS BIGINT), 'delete:' || (SELECT count(*) FROM t0 WHERE o_orderkey % 5 = 4))" +
         ") t(version, operation) ORDER BY version"),
+
+    // the MV lifecycle replayed: 'fresh' sees only the even-key slice (the
+    // MV built from it — serving is a layout choice, content is the
+    // slice's rollup); 'stale' and 'refreshed' both see the full table
+    "m36_sql_mv_lifecycle" ->
+      ("WITH s1 AS (SELECT o_orderdate, o_totalprice FROM orders WHERE o_orderkey % 2 = 0) " +
+        "SELECT 'fresh' AS phase, year(o_orderdate) AS yr, month(o_orderdate) AS mo, " +
+        s"count(*) AS n_orders, round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue " +
+        "FROM s1 GROUP BY 2, 3 " +
+        "UNION ALL SELECT 'stale', year(o_orderdate), month(o_orderdate), " +
+        s"count(*), round(${Tables.dsumSql("o_totalprice")}, 6) FROM orders GROUP BY 2, 3 " +
+        "UNION ALL SELECT 'refreshed', year(o_orderdate), month(o_orderdate), " +
+        s"count(*), round(${Tables.dsumSql("o_totalprice")}, 6) FROM orders GROUP BY 2, 3 " +
+        "ORDER BY phase, yr, mo"),
 
     // the maintenance lifecycle replayed: final content = the CTAS slice +
     // the inserted slice at ORIGINAL prices (the restore undid the doubled

@@ -142,6 +142,8 @@ object MvRegistry {
 
   def clear(): Unit = mvs.clear()
 
+  def unregister(name: String): Unit = { mvs.remove(name); () }
+
   /** Classify one stored MV column for containment: a grouping
     * passthrough, a lossless partial (long count / decimal sum), or
     * opaque (exact-match only — e.g. a rounded or double aggregate). */

@@ -348,6 +348,69 @@ case class GraftRestoreCommand(root: String, toVersion: Long)
   }
 }
 
+/** Session registry of MATERIALIZED VIEW definitions created through SQL —
+  * the definition TEXT plus the storage path, what REFRESH needs to re-run
+  * and DROP to forget (a production metastore persists exactly this pair;
+  * [[MvRegistry]] holds the match-key/fingerprint half). */
+object GraftMvDdlRegistry {
+  private val defs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  def put(name: String, sql: String, path: String): Unit = {
+    defs.put(name.toLowerCase, (sql, path)); ()
+  }
+  def get(name: String): Option[(String, String)] =
+    Option(defs.get(name.toLowerCase))
+  def remove(name: String): Unit = { defs.remove(name.toLowerCase); () }
+  def clear(): Unit = defs.clear()
+}
+
+/** `CREATE MATERIALIZED VIEW name LOCATION 'path' AS <agg query>` and
+  * `REFRESH MATERIALIZED VIEW name` — the MV lifecycle in SQL: the
+  * definition runs WITH THE REWRITE FLAG FORCED OFF (the m27 discipline —
+  * while a stale MV of the same shape is registered, the rebuild could
+  * otherwise be served from the very MV it is refreshing), its result
+  * lands as the MV parquet, and [[MvRegistry.register]] captures the match
+  * key + source-content fingerprint. A later matching aggregate query
+  * (flag on) is served from the stored parquet; a SOURCE THAT CHANGED
+  * since (re)registration makes the rule refuse and fall back to the raw
+  * plan — correct answers always, REFRESH restores the fast path. */
+case class GraftCreateMvCommand(name: String, path: String, sourceSql: String,
+    isRefresh: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("n_rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (!isRefresh) require(GraftMvDdlRegistry.get(name).isEmpty,
+      s"CREATE MATERIALIZED VIEW: '$name' already exists in this session")
+    val flag = spark.conf.get(GraftMvRewriteRule.Flag, "false")
+    spark.conf.set(GraftMvRewriteRule.Flag, "false")
+    try {
+      val df = spark.sql(sourceSql)
+      df.write.mode("overwrite").parquet(path)
+      MvRegistry.register(name, df, path)
+      GraftMvDdlRegistry.put(name, sourceSql, path)
+      val n = spark.read.parquet(path).count()
+      Seq(Row(n))
+    } finally spark.conf.set(GraftMvRewriteRule.Flag, flag)
+  }
+}
+
+/** `DROP MATERIALIZED VIEW name` — forget the view (both registries); the
+  * stored parquet stays for the owner to vacuum, like an external table. */
+case class GraftDropMvCommand(name: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("dropped", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val had = GraftMvDdlRegistry.get(name).isDefined
+    MvRegistry.unregister(name)
+    GraftMvDdlRegistry.remove(name)
+    Seq(Row(if (had) 1L else 0L))
+  }
+}
+
 /** The CDC-shaped `MERGE INTO` (`UPDATE SET *` / `INSERT *`, optional
   * marker-column DELETE clause) over [[MergeInto.applyChanges]]. */
 case class GraftMergeCommand(root: String, sourceSql: String, key: String,
@@ -523,6 +586,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case "OPTIMIZE" => parseOptimize(t)
       case "VACUUM"   => parseVacuum(t)
       case "RESTORE"  => parseRestore(t)
+      case "REFRESH"  => parseRefreshMv(t)
+      case "DROP"     => parseDropMv(t)
       case _        => None
     }
     plan.getOrElse(delegate.parsePlan(rewriteReads(session, sqlText)))
@@ -639,11 +704,36 @@ object GraftSqlParser {
   private val RestoreRe: Regex =
     """(?is)^RESTORE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
 
-  /** Only the exact `CREATE SNAPSHOT TABLE` shape is ours — every other
-    * CREATE (table, view, function, ...) delegates to Spark untouched. */
+  private val CreateMvRe: Regex =
+    """(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][A-Za-z0-9_]*)\s+LOCATION\s+'([^']+)'\s+AS\s+(.+?)\s*;?\s*$""".r
+  private val RefreshMvRe: Regex =
+    """(?is)^REFRESH\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val DropMvRe: Regex =
+    """(?is)^DROP\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+
+  /** Only the exact `CREATE SNAPSHOT TABLE` / `CREATE MATERIALIZED VIEW`
+    * shapes are ours — every other CREATE (table, view, function, ...)
+    * delegates to Spark untouched. */
   private def parseCreate(t: String): Option[LogicalPlan] = t match {
     case CreateRe(name, root, query) =>
       Some(GraftCreateTableCommand(name, root, query))
+    case CreateMvRe(name, path, query) =>
+      Some(GraftCreateMvCommand(name, path, query, isRefresh = false))
+    case _ => None
+  }
+
+  /** `REFRESH MATERIALIZED VIEW` for a name created through SQL; every
+    * other REFRESH (TABLE, FUNCTION, ...) delegates to Spark untouched. */
+  private def parseRefreshMv(t: String): Option[LogicalPlan] = t match {
+    case RefreshMvRe(name) => GraftMvDdlRegistry.get(name).map {
+      case (sql, path) => GraftCreateMvCommand(name, path, sql, isRefresh = true)
+    }
+    case _ => None
+  }
+
+  private def parseDropMv(t: String): Option[LogicalPlan] = t match {
+    case DropMvRe(name) if GraftMvDdlRegistry.get(name).isDefined =>
+      Some(GraftDropMvCommand(name))
     case _ => None
   }
 

@@ -315,6 +315,69 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL MV DDL: CREATE serves, stale source refuses, REFRESH restores, DROP forgets") {
+    import spark.implicits._
+    import graft.plans.{GraftMvDdlRegistry, GraftMvRewriteRule, MvRegistry}
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvddl").toString
+    val srcDir = s"$dir/src"; val mvPath = s"$dir/mv"
+    val name = "mvddl_v"
+    // the shared test session is built withExtensions, so the rewrite rule
+    // is injected; the flag gates it
+    MvRegistry.clear(); GraftMvDdlRegistry.remove(name)
+    (1L to 50L).map(i => (i, i % 5, i * 1.0)).toDF("k", "grp", "x")
+      .write.parquet(srcDir)
+    def refreshView(): Unit =
+      spark.read.parquet(srcDir).createOrReplaceTempView("mvddl_src")
+    refreshView()
+    val defSql = "SELECT grp, count(*) AS n, " +
+      "CAST(sum(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx " +
+      "FROM mvddl_src GROUP BY grp"
+    try {
+      val c = spark.sql(
+        s"CREATE MATERIALIZED VIEW $name LOCATION '$mvPath' AS $defSql").head()
+      assert(c.getLong(0) == 5L)
+      spark.conf.set(GraftMvRewriteRule.Flag, "true")
+      def planOf(): String = {
+        val df = spark.sql(defSql); df.collect()
+        df.queryExecution.executedPlan.toString
+      }
+      // fresh: served from the MV parquet, source scan gone
+      val p1 = planOf()
+      assert(p1.contains("/mv") && !p1.contains("/src"),
+        s"CREATE did not serve from the MV:\n$p1")
+      // duplicate CREATE refuses
+      intercept[Exception](spark.sql(
+        s"CREATE MATERIALIZED VIEW $name LOCATION '$dir/mv2' AS $defSql").collect())
+      // source changes → fingerprint refuses → raw scan, CORRECT totals
+      Seq((51L, 0L, 100.0)).toDF("k", "grp", "x").write.mode("append").parquet(srcDir)
+      refreshView()
+      val p2 = planOf()
+      assert(p2.contains("/src") && !p2.contains("/mv"),
+        s"stale MV still served:\n$p2")
+      assert(spark.sql(defSql).agg(org.apache.spark.sql.functions.sum("n"))
+        .head().getLong(0) == 51L)
+      // REFRESH rebuilds + re-fingerprints → served again, new totals
+      val r = spark.sql(s"REFRESH MATERIALIZED VIEW $name").head()
+      assert(r.getLong(0) == 5L)
+      val p3 = planOf()
+      assert(p3.contains("/mv") && !p3.contains("/src"),
+        s"REFRESH did not restore serving:\n$p3")
+      assert(spark.sql(defSql).agg(org.apache.spark.sql.functions.sum("n"))
+        .head().getLong(0) == 51L, "refreshed MV lost rows")
+      // DROP forgets: raw scan again; a second DROP has no registered name
+      // and delegates to Spark's parser (which has no such statement)
+      assert(spark.sql(s"DROP MATERIALIZED VIEW $name").head().getLong(0) == 1L)
+      val p4 = planOf()
+      assert(p4.contains("/src") && !p4.contains("/mv"), s"dropped MV served:\n$p4")
+      intercept[Exception](spark.sql(s"DROP MATERIALIZED VIEW $name").collect())
+      // Spark's own REFRESH TABLE still delegates untouched
+      spark.sql("REFRESH TABLE mvddl_src")
+    } finally {
+      spark.conf.set(GraftMvRewriteRule.Flag, "false")
+      MvRegistry.clear(); GraftMvDdlRegistry.remove(name)
+    }
+  }
+
   test("session_window auto-rewrite is conf-gated and shape-exact") {
     import org.apache.spark.sql.functions._
     val srcDir = java.nio.file.Files.createTempDirectory("graft_swspec").toString
