@@ -938,18 +938,26 @@ object TextQueries extends QueryModule {
       val tCounts = bucketed.filter(isT).groupBy("b").agg(count(lit(1)).as("ct"))
       val rGrams = bucketed.filter(!isT)
       val rCounts = rGrams.groupBy("b").agg(count(lit(1)).as("cr"))
-      val totT = bucketed.filter(isT).agg(count(lit(1)).as("tt"))
-      val totR = rGrams.agg(count(lit(1)).as("tr"))
+      // the totals come from the ≤B-row models, NOT extra corpus passes —
+      // the pool is scanned exactly twice (fit rCounts, score pd) and the
+      // small target slice once
+      val totT = tCounts.agg(sum(col("ct")).as("tt"))
+      val totR = rCounts.agg(sum(col("cr")).as("tr"))
       // the fitted model: ≤ B rows — broadcast to score map-side
       val llr = rCounts.join(tCounts, Seq("b"), "left")
         .crossJoin(totT).crossJoin(totR)
         .select(col("b"),
           (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (col("tt") + B)) -
             log((col("cr") + 1).cast("double") / (col("tr") + B))).as("llr"))
+      // per-addend cast to DECIMAL(38,12) makes the score sum
+      // ORDER-INDEPENDENT (partial-agg merge order can never move the 6dp
+      // rounding — the repo-wide dsum discipline; the score is also the
+      // top-k selection key, so it must be engine-exact)
       val scored = rGrams.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
         .join(broadcast(llr), "b")
         .groupBy("doc_id")
-        .agg(round(sum(col("n") * col("llr")), 6).as("score"))
+        .agg(round(sum((col("n") * col("llr")).cast(Tables.decHi))
+          .cast("double"), 6).as("score"))
       val top = scored.orderBy(col("score").desc, col("doc_id")).limit(200)
       top.withColumn("rank",
           row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
@@ -1388,13 +1396,13 @@ object TextQueries extends QueryModule {
         "tc AS (SELECT b, count(*) AS ct FROM bk WHERE doc_id % 17 = 3 GROUP BY b), " +
         "rg AS (SELECT * FROM bk WHERE doc_id % 17 <> 3), " +
         "rc AS (SELECT b, count(*) AS cr FROM rg GROUP BY b), " +
-        "tot AS (SELECT (SELECT count(*) FROM bk WHERE doc_id % 17 = 3) AS tt, " +
-        "(SELECT count(*) FROM rg) AS tr), " +
+        "tot AS (SELECT (SELECT sum(ct) FROM tc) AS tt, (SELECT sum(cr) FROM rc) AS tr), " +
         "llr AS (SELECT rc.b AS b, ln((coalesce(ct, 0) + 1) / CAST(tt + 4096 AS DOUBLE)) - " +
         "ln((cr + 1) / CAST(tr + 4096 AS DOUBLE)) AS llr " +
         "FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tot), " +
         "pd AS (SELECT doc_id, b, count(*) AS n FROM rg GROUP BY 1, 2), " +
-        "sc AS (SELECT doc_id, round(sum(n * llr), 6) AS score FROM pd JOIN llr USING (b) GROUP BY doc_id) " +
+        "sc AS (SELECT doc_id, round(CAST(sum(CAST(n * llr AS DECIMAL(38,12))) AS DOUBLE), 6) AS score " +
+        "FROM pd JOIN llr USING (b) GROUP BY doc_id) " +
         "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, doc_id, score " +
         "FROM sc ORDER BY score DESC, doc_id LIMIT 200"),
 

@@ -290,17 +290,7 @@ case class GraftOptimizeCommand(root: String, smallerThan: Option[Long],
       else {
         zorderCols.foreach(c => require(df.columns.exists(_.equalsIgnoreCase(c)),
           s"OPTIMIZE: ZORDER BY names unknown column $c"))
-        val z = zorderCols.map(c => col(c).cast("long")) match {
-          case Seq(one) => one
-          case cols => cols.reduceLeft { (acc, c) =>
-            // pairwise interleave of the low 16 bits (the f13 key): good
-            // locality on every listed dimension, plain codegen'd bit ops
-            (0 until 16).map { i =>
-              shiftleft(shiftrightunsigned(acc, i) % 2, 2 * i + 1) +
-                shiftleft(shiftrightunsigned(c, i) % 2, 2 * i)
-            }.reduce(_ + _)
-          }
-        }
+        val z = GraftOptimizeCommand.zorderKey(zorderCols.map(c => col(c)))
         df.withColumn("__graft_z", z)
           .repartitionByRange(targetFiles, col("__graft_z"))
           .sortWithinPartitions("__graft_z")
@@ -310,6 +300,30 @@ case class GraftOptimizeCommand(root: String, smallerThan: Option[Long],
       metaFor = added => s"optimize:${files.size}->${carry.size + added.size}")
     val after = SnapshotTable.manifestFiles(root, v).size.toLong
     Seq(Row(v, files.size.toLong, rewrite.size.toLong, after))
+  }
+}
+
+object GraftOptimizeCommand {
+  /** Generalized bit-interleave of k numeric columns into one long
+    * clustering key: bit `i` of column `j` lands at position
+    * `i*k + (k-1-j)` — ROUND-ROBIN across ALL listed columns (earlier
+    * columns in the higher bit of each group), so every dimension keeps
+    * locality; for k=2 this is exactly the f13 key (x odd bits, y even).
+    * min(16, 48/k) low bits per column keeps the key inside a long.
+    * Plain codegen'd bit ops — no UDF. */
+  def zorderKey(cols: Seq[Column]): Column = {
+    require(cols.nonEmpty, "zorderKey: no columns")
+    val k = cols.size
+    val longs = cols.map(_.cast("long"))
+    if (k == 1) longs.head
+    else {
+      val bits = math.min(16, 48 / k)
+      (for {
+        i <- 0 until bits
+        (c, j) <- longs.zipWithIndex
+      } yield shiftleft(shiftrightunsigned(c, i) % 2, i * k + (k - 1 - j)))
+        .reduce(_ + _)
+    }
   }
 }
 
@@ -388,7 +402,10 @@ case class GraftCreateMvCommand(name: String, path: String, sourceSql: String,
     try {
       val df = spark.sql(sourceSql)
       df.write.mode("overwrite").parquet(path)
-      MvRegistry.register(name, df, path)
+      // MvRegistry keys are case-sensitive; the SQL layer is
+      // case-insensitive — normalize here so REFRESH REPLACES (same key)
+      // and DROP under any casing unregisters the entry CREATE made
+      MvRegistry.register(name.toLowerCase, df, path)
       GraftMvDdlRegistry.put(name, sourceSql, path)
       val n = spark.read.parquet(path).count()
       Seq(Row(n))
@@ -405,7 +422,7 @@ case class GraftDropMvCommand(name: String) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
     val had = GraftMvDdlRegistry.get(name).isDefined
-    MvRegistry.unregister(name)
+    MvRegistry.unregister(name.toLowerCase)
     GraftMvDdlRegistry.remove(name)
     Seq(Row(if (had) 1L else 0L))
   }

@@ -315,6 +315,24 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("zorderKey round-robins bits across ALL listed columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (2L, 0L, 4L))
+      .toDF("a", "b", "c")
+    // k=3: bit i of column j lands at position i*3 + (2-j) — every column
+    // keeps locality (a pairwise fold would drop the earlier columns' high
+    // bits and cluster almost solely on the last column)
+    val z3 = graft.plans.GraftOptimizeCommand.zorderKey(
+      Seq(col("a"), col("b"), col("c")))
+    assert(df.select(z3.as("z")).collect().map(_.getLong(0)).toSeq ==
+      Seq(4L, 2L, 1L, 96L)) // (2,0,4): a bit1→pos5=32, c bit2→pos6=64
+    // k=2 stays the f13 layout: first column odd bits, second even
+    val z2 = graft.plans.GraftOptimizeCommand.zorderKey(Seq(col("a"), col("b")))
+    assert(df.select(z2.as("z")).collect().map(_.getLong(0)).toSeq ==
+      Seq(2L, 1L, 0L, 8L))
+  }
+
   test("SQL MV DDL: CREATE serves, stale source refuses, REFRESH restores, DROP forgets") {
     import spark.implicits._
     import graft.plans.{GraftMvDdlRegistry, GraftMvRewriteRule, MvRegistry}
