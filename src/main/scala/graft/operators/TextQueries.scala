@@ -935,12 +935,17 @@ object TextQueries extends QueryModule {
       val bucketed = grams.select(col("doc_id"),
         (expr("CAST(conv(substring(md5(g), 1, 6), 16, 10) AS BIGINT)") % B).as("b"))
       val isT = col("doc_id") % 17 === 3
-      val tCounts = bucketed.filter(isT).groupBy("b").agg(count(lit(1)).as("ct"))
+      // ONE fit pass: both models from a single tokenize+hash traversal,
+      // pinned by localCheckpoint (≤2B rows of (bucket, side) counts) so
+      // the tCounts/rCounts branches cannot re-run the corpus scan; the
+      // totals come from the models, not extra passes. The whole selector
+      // is then exactly two corpus traversals: fit, score.
+      val counts = bucketed.withColumn("is_t", isT)
+        .groupBy("b", "is_t").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val tCounts = counts.filter(col("is_t")).select(col("b"), col("cnt").as("ct"))
       val rGrams = bucketed.filter(!isT)
-      val rCounts = rGrams.groupBy("b").agg(count(lit(1)).as("cr"))
-      // the totals come from the ≤B-row models, NOT extra corpus passes —
-      // the pool is scanned exactly twice (fit rCounts, score pd) and the
-      // small target slice once
+      val rCounts = counts.filter(!col("is_t")).select(col("b"), col("cnt").as("cr"))
       val totT = tCounts.agg(sum(col("ct")).as("tt"))
       val totR = rCounts.agg(sum(col("cr")).as("tr"))
       // the fitted model: ≤ B rows — broadcast to score map-side

@@ -1329,9 +1329,13 @@ object WarehouseQueries extends QueryModule {
       def refreshView(): Unit = // re-list the dir (file indexes are pinned)
         s.read.parquet(srcDir).createOrReplaceTempView("m36_src")
       refreshView()
+      // revenue as the EXACT integer floor of the decimal sum (the §7.4
+      // magnitude rule: monthly sums pass 2^31 at sf1, where a rounded
+      // double's 6th decimal is engine-ambiguous; every value ≤ 2^53 is
+      // exact in both engines this way)
       val defSql = "SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, " +
         "count(*) AS n_orders, " +
-        s"round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue " +
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) AS revenue " +
         "FROM m36_src GROUP BY year(o_orderdate), month(o_orderdate)"
       s.sql(s"CREATE MATERIALIZED VIEW $name LOCATION '$mvPath' AS $defSql")
       def eager(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -1921,12 +1925,12 @@ object WarehouseQueries extends QueryModule {
     "m36_sql_mv_lifecycle" ->
       ("WITH s1 AS (SELECT o_orderdate, o_totalprice FROM orders WHERE o_orderkey % 2 = 0) " +
         "SELECT 'fresh' AS phase, year(o_orderdate) AS yr, month(o_orderdate) AS mo, " +
-        s"count(*) AS n_orders, round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue " +
+        "count(*) AS n_orders, CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) AS revenue " +
         "FROM s1 GROUP BY 2, 3 " +
         "UNION ALL SELECT 'stale', year(o_orderdate), month(o_orderdate), " +
-        s"count(*), round(${Tables.dsumSql("o_totalprice")}, 6) FROM orders GROUP BY 2, 3 " +
+        "count(*), CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) FROM orders GROUP BY 2, 3 " +
         "UNION ALL SELECT 'refreshed', year(o_orderdate), month(o_orderdate), " +
-        s"count(*), round(${Tables.dsumSql("o_totalprice")}, 6) FROM orders GROUP BY 2, 3 " +
+        "count(*), CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) FROM orders GROUP BY 2, 3 " +
         "ORDER BY phase, yr, mo"),
 
     // the maintenance lifecycle replayed: final content = the CTAS slice +
