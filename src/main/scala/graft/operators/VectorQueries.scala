@@ -1354,6 +1354,47 @@ object VectorQueries extends QueryModule {
         .orderBy("img_id")
     }),
 
+    // G14E: RESIZE — the remaining verb of the multimodal quartet (decode /
+    // feature-extract / RESIZE / frame-sample): every image pipeline
+    // normalizes to a fixed model input size before featurizing. Real PNG
+    // decode per row, then an explicit top-left nearest-neighbor downsample
+    // to 16×12 (source pixel (i*w div 16, j*h div 12)) — spelled as the
+    // index loop, not Graphics2D scaling, because the resampling convention
+    // IS the operator's contract (half-pixel-center conventions differ
+    // between libraries; a graded pipeline must pin one). The graded
+    // channel sums of the RESIZED image re-derive analytically from the
+    // painted gradient, so a wrong sampling grid cannot hash-match. Same
+    // scan-side mapPartitions shape as g14c/g14d: embarrassingly parallel,
+    // schema = binary column + metadata at any corpus size.
+    "g14e_multimodal_resize" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val (tw, th) = (16, 12)
+      val bin = (0 until 60)
+        .map(k => (k.toLong, encodeImage(patternImage(k), "png")))
+        .toDF("img_id", "png").repartition(4)
+      bin.as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val im = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (im.getWidth, im.getHeight)
+          var (rs, gs, bs) = (0L, 0L, 0L)
+          var j = 0
+          while (j < th) {
+            var i = 0
+            while (i < tw) {
+              val p = im.getRGB(i * w / tw, j * h / th)
+              rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+              i += 1
+            }
+            j += 1
+          }
+          (id, w, h, tw, th, rs, gs, bs)
+        })
+        .toDF("img_id", "src_w", "src_h", "w", "h", "r_sum", "g_sum", "b_sum")
+        .orderBy("img_id")
+    }),
+
     "g14_multimodal_binary" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
@@ -2300,6 +2341,20 @@ object VectorQueries extends QueryModule {
         "d AS (SELECT img_id, 32 + img_id % 5 AS w, 24 + img_id % 3 AS h FROM k) " +
         "SELECT img_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h, " +
         "CAST(w * h AS BIGINT) AS n_px FROM d ORDER BY img_id"),
+
+    // the RESIZED sums re-derived analytically: nearest-neighbor with the
+    // top-left convention samples source column (i*w div 16) and row
+    // (j*h div 12); the r gradient depends only on x and g only on y, so
+    // the resized sums factor into one 16-term and one 12-term series
+    "g14e_multimodal_resize" ->
+      ("WITH k AS (SELECT unnest(range(0, 60)) AS img_id), " +
+        "d AS (SELECT img_id, 32 + img_id % 5 AS w, 24 + img_id % 3 AS h FROM k) " +
+        "SELECT img_id, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h, " +
+        "CAST(16 AS INT) AS w, CAST(12 AS INT) AS h, " +
+        "CAST(12 * list_sum(list_transform(range(0, 16), i -> (img_id + (i * w) // 16) % 256)) AS BIGINT) AS r_sum, " +
+        "CAST(16 * list_sum(list_transform(range(0, 12), j -> (img_id * 5 + (j * h) // 12) % 256)) AS BIGINT) AS g_sum, " +
+        "CAST(16 * 12 * ((img_id * 11) % 256) AS BIGINT) AS b_sum " +
+        "FROM d ORDER BY img_id"),
 
     // the decoded pixel sums re-derived ANALYTICALLY from the pattern the
     // fixture painted — PNG is lossless, so the codec round-trip must land
