@@ -548,8 +548,17 @@ object SnapshotTable {
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     val m = snapDir(root).resolve(s"v$v.manifest")
     require(Files.exists(m), s"no snapshot v$v at $root")
-    val files = new String(Files.readAllBytes(m), UTF_8)
-      .split("\n").filter(_.nonEmpty).map(resolveEntry(root, _))
+    val entries = new String(Files.readAllBytes(m), UTF_8)
+      .split("\n").filter(_.nonEmpty)
+    // a PARTITIONED generation stores its partition columns in directory
+    // names, not file footers — a flat file-list read would silently DROP
+    // those columns (and a DML rewrite would then commit the loss). Refuse
+    // loudly; the generation-aware reader owns this layout.
+    require(!entries.exists(_.matches(".*/[^/]+=[^/]*/.*")),
+      s"snapshot v$v at $root has partitioned-generation data files — " +
+        "read via partitionedGenerations (the per-generation spec decides " +
+        "the partition columns; a flat file read would silently drop them)")
+    val files = entries.map(resolveEntry(root, _))
     spark.read.parquet(files.toIndexedSeq: _*)
   }
 

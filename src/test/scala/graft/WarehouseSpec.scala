@@ -11,6 +11,25 @@ class WarehouseSpec extends AnyFunSuite {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("readVersion refuses a partitioned-generation manifest instead of dropping columns") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("graft_partguard").toString
+    val df = Seq((1L, 1994, 10.0), (2L, 1995, 20.0)).toDF("k", "yr", "x")
+    SnapshotTable.commitPartitioned(df, root, Seq("yr"))
+    // the partition column lives in directory names; a flat file read would
+    // silently lose it (and any DML over it would commit the loss)
+    val e = intercept[IllegalArgumentException](SnapshotTable.read(spark, root))
+    assert(e.getMessage.contains("partitionedGenerations"), e.getMessage)
+    // the generation-aware reader serves it with the column intact
+    val gens = SnapshotTable.partitionedGenerations(root)
+    assert(gens.nonEmpty && gens.head._2 == Seq("yr"))
+    // plain (unpartitioned) snapshots are untouched by the guard
+    val root2 = java.nio.file.Files.createTempDirectory("graft_partguard2").toString
+    SnapshotTable.commit(df, root2)
+    assert(SnapshotTable.read(spark, root2).count() == 2L)
+  }
+
   test("scd2: changed keys split into closed + current, others keep one open row") {
     val s = spark
     import s.implicits._
