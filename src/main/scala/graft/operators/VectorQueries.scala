@@ -1520,7 +1520,6 @@ object VectorQueries extends QueryModule {
     })
   )
 
-  /** PQ geometry: 64 dims → 4 contiguous 16-dim subspaces (column names). */
   /** The deterministic codec-fixture pattern (g14c/g14d, bounded in
     * VectorSpec): R varies along x, G along y, B constant, dims keyed on
     * the image id — every channel sum re-derives analytically. */
@@ -1566,6 +1565,7 @@ object VectorQueries extends QueryModule {
     (rs, gs, bs)
   }
 
+  /** PQ geometry: 64 dims → 4 contiguous 16-dim subspaces (column names). */
   private def pqSubCols: Seq[String] = (0 until 4).map(j => s"sub$j")
 
   /** Add the 4 subvector columns (one slice each, pure projection). */

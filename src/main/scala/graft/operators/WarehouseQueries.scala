@@ -1319,10 +1319,12 @@ object WarehouseQueries extends QueryModule {
       }
       rmrf(new java.io.File(srcDir)); rmrf(new java.io.File(mvPath))
       ensureMvRule(s)
-      // self-containment: this query owns the registries it serves from
+      // self-containment: this query owns BOTH registries (clearing only
+      // the rewrite side would desync DROP/REFRESH from what the rule
+      // serves — the m27-band discipline via registerMv)
       MvRegistry.clear()
+      GraftMvDdlRegistry.clear()
       val name = s"m36v_$key"
-      GraftMvDdlRegistry.remove(name)
       val base = t.orders.select(col("o_orderkey"), col("o_orderdate"),
         col("o_totalprice"))
       base.filter(col("o_orderkey") % 2 === 0).write.parquet(srcDir)
@@ -1338,8 +1340,7 @@ object WarehouseQueries extends QueryModule {
         "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) AS revenue " +
         "FROM m36_src GROUP BY year(o_orderdate), month(o_orderdate)"
       s.sql(s"CREATE MATERIALIZED VIEW $name LOCATION '$mvPath' AS $defSql")
-      def eager(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-        s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+      def eager(df: org.apache.spark.sql.DataFrame) = eagerDf(s, df)
       try {
         s.conf.set(GraftMvRewriteRule.Flag, "true")
         val fresh = eager(s.sql(defSql).withColumn("phase", lit("fresh")))
@@ -1356,16 +1357,37 @@ object WarehouseQueries extends QueryModule {
     })
   )
 
+  /** Materialize `df` eagerly into a local relation (the plan executes
+    * NOW, under whatever optimizer state is currently set). */
+  private[operators] def eagerDf(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+
   /** Materialize `df` eagerly (the rewrite happens NOW, under the flag),
     * then reset the session-global rewrite flag — declared queries must not
     * leave optimizer state flipped for whatever runs next. */
   private def eagerWithMvReset(s: org.apache.spark.sql.SparkSession,
       df: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    try {
-      val live = df
-      val rows = java.util.Arrays.asList(live.collect(): _*)
-      s.createDataFrame(rows, live.schema)
-    } finally s.conf.set(graft.plans.GraftMvRewriteRule.Flag, "false")
+    try eagerDf(s, df)
+    finally s.conf.set(graft.plans.GraftMvRewriteRule.Flag, "false")
+
+  /** Shared registration discipline for the declared MV pipelines: inject
+    * the rule, take exclusive ownership of BOTH MV registries (the rewrite
+    * match-keys AND the SQL DDL definitions — clearing only the rewrite
+    * side would leave DROP/REFRESH claiming views the rule no longer
+    * serves), build the view parquet with the flag OFF (the registration
+    * query must not itself be rewritten against a stale sibling), register,
+    * and turn the flag on for the serving phase. */
+  private def registerMv(s: org.apache.spark.sql.SparkSession, name: String,
+      mvPath: String, viewDef: org.apache.spark.sql.DataFrame): Unit = {
+    ensureMvRule(s)
+    graft.plans.MvRegistry.clear()
+    graft.plans.GraftMvDdlRegistry.clear()
+    s.conf.set(graft.plans.GraftMvRewriteRule.Flag, "false")
+    viewDef.coalesce(1).write.mode("overwrite").parquet(mvPath)
+    graft.plans.MvRegistry.register(name, viewDef, mvPath)
+    s.conf.set(graft.plans.GraftMvRewriteRule.Flag, "true")
+  }
 
   /** Append the flag-gated rewrite rule to the session's user batch once
     * (sessions built with GraftExtensions get it injected at build time). */
@@ -1383,16 +1405,10 @@ object WarehouseQueries extends QueryModule {
       .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
       .agg(count(lit(1)).as("n_orders"),
         round(Tables.dsum(col("o_totalprice")), 6).as("revenue"))
-    ensureMvRule(s)
-    // self-containment: each declared MV query owns the registry it serves
-    // from (sibling MVs over the same source body would otherwise be valid
-    // candidates and make the served path nondeterministic)
-    graft.plans.MvRegistry.clear()
-    s.conf.set(graft.plans.GraftMvRewriteRule.Flag, "false")
-    viewDef.coalesce(1).write.mode("overwrite").parquet(mvPath)
-    graft.plans.MvRegistry.register(
-      s"monthly_rev_${Tables.pathKey(dir)}", viewDef, mvPath)
-    s.conf.set(graft.plans.GraftMvRewriteRule.Flag, "true")
+    // self-containment: each declared MV query owns the registries it
+    // serves from (sibling MVs over the same source body would otherwise be
+    // valid candidates and make the served path nondeterministic)
+    registerMv(s, s"monthly_rev_${Tables.pathKey(dir)}", mvPath, viewDef)
     viewDef.orderBy("yr", "mo")
   }
 
@@ -1405,16 +1421,7 @@ object WarehouseQueries extends QueryModule {
       .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast(Tables.dec)).as("rev_sum"))
-    ensureMvRule(s)
-    // self-containment: each declared MV query owns the registry it serves
-    // from (sibling MVs over the same source body would otherwise be valid
-    // candidates and make the served path nondeterministic)
-    graft.plans.MvRegistry.clear()
-    s.conf.set(graft.plans.GraftMvRewriteRule.Flag, "false")
-    fine.coalesce(1).write.mode("overwrite").parquet(mvPath)
-    graft.plans.MvRegistry.register(
-      s"monthly_raw_${Tables.pathKey(dir)}", fine, mvPath)
-    s.conf.set(graft.plans.GraftMvRewriteRule.Flag, "true")
+    registerMv(s, s"monthly_raw_${Tables.pathKey(dir)}", mvPath, fine)
     t.orders.groupBy(year(col("o_orderdate")).as("yr"))
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast(Tables.dec)).as("rev_sum"))
@@ -1437,16 +1444,7 @@ object WarehouseQueries extends QueryModule {
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast(Tables.dec)).as("rev_sum"),
         count(col("o_totalprice").cast(Tables.dec)).as("n_price"))
-    ensureMvRule(s)
-    // self-containment: each declared MV query owns the registry it serves
-    // from (sibling MVs over the same source body would otherwise be valid
-    // candidates and make the served path nondeterministic)
-    graft.plans.MvRegistry.clear()
-    s.conf.set(graft.plans.GraftMvRewriteRule.Flag, "false")
-    fine.coalesce(1).write.mode("overwrite").parquet(mvPath)
-    graft.plans.MvRegistry.register(
-      s"seg_year_${Tables.pathKey(dir)}", fine, mvPath)
-    s.conf.set(graft.plans.GraftMvRewriteRule.Flag, "true")
+    registerMv(s, s"seg_year_${Tables.pathKey(dir)}", mvPath, fine)
     // the coarser dashboard: segment-level count, revenue AND average —
     // served by re-aggregating the 25-row (segment, year) join MV
     t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
@@ -1470,16 +1468,7 @@ object WarehouseQueries extends QueryModule {
       .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast(Tables.dec)).as("rev_sum"))
-    ensureMvRule(s)
-    // self-containment: each declared MV query owns the registry it serves
-    // from (sibling MVs over the same source body would otherwise be valid
-    // candidates and make the served path nondeterministic)
-    graft.plans.MvRegistry.clear()
-    s.conf.set(graft.plans.GraftMvRewriteRule.Flag, "false")
-    fine.coalesce(1).write.mode("overwrite").parquet(mvPath)
-    graft.plans.MvRegistry.register(
-      s"monthly_m32_${Tables.pathKey(dir)}", fine, mvPath)
-    s.conf.set(graft.plans.GraftMvRewriteRule.Flag, "true")
+    registerMv(s, s"monthly_m32_${Tables.pathKey(dir)}", mvPath, fine)
     t.orders.filter(year(col("o_orderdate")) === 1996)
       .groupBy(month(col("o_orderdate")).as("mo"))
       .agg(count(lit(1)).as("n_orders"),

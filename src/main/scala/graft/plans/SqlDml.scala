@@ -515,8 +515,22 @@ case class GraftMergeColsCommand(root: String, sourceSql: String,
       }
       expr(out)
     }
+    // the STANDARD MERGE cardinality rule: a target row matched by more
+    // than one source row is an error, not a silent duplication (the
+    // full-outer projection below would emit one copy per source match)
+    val dupKeys = srcRaw.filter(col(key).isNotNull).groupBy(col(key))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dupKeys == 0L,
+      s"MERGE: the source has multiple rows for the same $key — standard " +
+        "MERGE rejects this (each target row may match at most one source row)")
     val matched = col("__s_present").isNotNull
-    val j = target.join(src, col(key) === col(s"__s_$key"), "full_outer")
+    // presence on each side is a MARKER column, never the key itself: a
+    // NULL-key row (reachable via INSERT's NULL fill) matches nothing by
+    // SQL join semantics and must pass through kept UNCHANGED — keying
+    // presence on col(key).isNotNull would drop it from kept and re-emit
+    // it through the INSERT branch as garbage
+    val tgt = target.withColumn("__t_present", lit(true))
+    val j = tgt.join(src, col(key) === col(s"__s_$key"), "full_outer")
 
     // per-row first-match-wins over the MATCHED clauses, in written order:
     // fold into (deleteCond, per-column value chain)
@@ -542,14 +556,14 @@ case class GraftMergeColsCommand(root: String, sourceSql: String,
         remaining = remaining && !claimed
       case _: NotMatchedInsert => // handled on the source-only side below
     }
-    val kept = j.filter(col(key).isNotNull && !deleted)
+    val kept = j.filter(col("__t_present").isNotNull && !deleted)
       .select(targetFields.map(f => updates(f.name).as(f.name)): _*)
 
     val inserts = clauses.collectFirst { case ni: NotMatchedInsert => ni } match {
       // INSERT *: the full row from the source side (name-matched — the
       // source must carry every target column, checked at join build)
       case Some(NotMatchedInsert(Seq("*"), Seq("*"))) =>
-        j.filter(col(key).isNull)
+        j.filter(col("__t_present").isNull)
           .select(targetFields.map { f =>
             col(s"__s_${f.name}").cast(f.dataType).as(f.name)
           }: _*)
@@ -559,7 +573,7 @@ case class GraftMergeColsCommand(root: String, sourceSql: String,
         byCol.keys.foreach(c => require(
           targetFields.exists(_.name.equalsIgnoreCase(c)),
           s"MERGE: INSERT names unknown target column $c"))
-        j.filter(col(key).isNull)
+        j.filter(col("__t_present").isNull)
           .select(targetFields.map { f =>
             byCol.get(f.name.toLowerCase) match {
               case Some(e) => resolve(e).cast(f.dataType).as(f.name)
@@ -635,8 +649,8 @@ object GraftSqlParser {
     """(?is)^UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.*?)\s*;?\s*$""".r
   private val DeleteRe: Regex =
     """(?is)^DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
-  private val MergeRe: Regex =
-    """(?is)^MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+USING\s+(.+?)\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*;?\s*$""".r
+  private val MergeHeadRe: Regex =
+    """(?is)^MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+USING\s+(.+?)\s*;?\s*$""".r
   private val OnRe: Regex =
     """(?is)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""".r
   // one WHEN clause each; cond/body split below is scanner-based
@@ -784,8 +798,19 @@ object GraftSqlParser {
   }
 
   private def parseMerge(t: String): Option[LogicalPlan] = t match {
-    case MergeRe(name, source, on, whens) =>
+    case MergeHeadRe(name, rest) =>
       GraftDmlRegistry.rootOf(name).map { root =>
+        // scanner-based splits (depth-0, literal-aware), NOT lazy regex: a
+        // USING subquery may contain its own JOIN ... ON, and clause bodies
+        // may contain ' ON '/' WHEN ' inside string literals
+        val (source, afterOn) = splitTopLevelKeyword(rest, "ON")
+        require(afterOn.isDefined,
+          "MERGE: missing ON clause — expected MERGE INTO t USING src ON t.k = s.k WHEN ...")
+        val whenIdxs = clauseWhenPositions(afterOn.get)
+        require(whenIdxs.nonEmpty,
+          "MERGE: missing WHEN clauses after the ON condition")
+        val on = afterOn.get.substring(0, whenIdxs.head)
+        val whens = afterOn.get.substring(whenIdxs.head)
         val key = on.trim match {
           case OnRe(_, k1, _, k2) =>
             require(k1.equalsIgnoreCase(k2),
@@ -895,10 +920,30 @@ object GraftSqlParser {
     }
   }
 
-  /** Split the WHEN-clause tail into individual clauses at top-level `WHEN`
-    * keyword boundaries (outside literals/parens). */
+  /** Positions of CLAUSE-level `WHEN` keywords: depth 0, outside literals,
+    * and NOT inside a `CASE ... END` expression — `UPDATE SET c = CASE
+    * WHEN ... END` is mainstream MERGE and its inner WHENs are not clause
+    * boundaries. (A bare identifier literally named `end` at depth 0 would
+    * confuse the CASE tracker; quoted/qualified names do not.) */
+  private[plans] def clauseWhenPositions(s: String): Seq[Int] = {
+    val events = (keywordPositions(s, "WHEN").map((_, 'w')) ++
+      keywordPositions(s, "CASE").map((_, 'c')) ++
+      keywordPositions(s, "END").map((_, 'e'))).sortBy(_._1)
+    var caseDepth = 0
+    val out = scala.collection.mutable.ArrayBuffer[Int]()
+    events.foreach {
+      case (_, 'c') => caseDepth += 1
+      case (_, 'e') => caseDepth = math.max(0, caseDepth - 1)
+      case (i, 'w') => if (caseDepth == 0) out += i
+      case _ =>
+    }
+    out.toSeq
+  }
+
+  /** Split the WHEN-clause tail into individual clauses at CLAUSE-level
+    * `WHEN` boundaries (outside literals/parens/CASE expressions). */
   private[plans] def splitWhenClauses(s: String): Seq[String] = {
-    val idxs = keywordPositions(s, "WHEN")
+    val idxs = clauseWhenPositions(s)
     require(idxs.nonEmpty && idxs.head == 0,
       s"MERGE: expected WHEN clauses, got '$s'")
     (idxs :+ s.length).sliding(2).map {

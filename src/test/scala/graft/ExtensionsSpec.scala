@@ -315,6 +315,62 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("per-column MERGE: NULL-key rows pass through, duplicate source keys refuse, CASE/JOIN-ON grammar parses") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mergespec").toString
+    val name = "mergespec_t"
+    graft.plans.GraftDmlRegistry.unregister(name)
+    val seed = Seq((Option(1L), 10.0, "a"), (Option(2L), 20.0, "b"))
+      .toDF("k", "price", "tag")
+    graft.sources.SnapshotTable.commit(seed, root)
+    graft.plans.GraftDmlRegistry.registerSnapshot(name, root)
+    try {
+      // a NULL-key target row (reachable via INSERT's NULL fill)
+      spark.sql(s"INSERT INTO $name (price) VALUES (5.0)").collect()
+      Seq((2L, 2.0, "b2"), (9L, 90.0, "i")).toDF("k", "price", "tag")
+        .createOrReplaceTempView("mergespec_chg")
+      // standard MERGE: the NULL-key row matches nothing and must survive
+      // UNCHANGED — not be dropped from kept and re-emitted as INSERT junk
+      spark.sql(
+        s"MERGE INTO $name USING mergespec_chg ON $name.k = mergespec_chg.k " +
+          s"WHEN MATCHED THEN UPDATE SET price = $name.price + mergespec_chg.price " +
+          "WHEN NOT MATCHED THEN INSERT (k, price, tag) " +
+          "VALUES (mergespec_chg.k, mergespec_chg.price, 'n')").collect()
+      val rows = spark.sql(
+        s"SELECT k, price, tag FROM $name ORDER BY k NULLS FIRST")
+        .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          r.getDouble(1), if (r.isNullAt(2)) null else r.getString(2))).toSeq
+      assert(rows == Seq((-1L, 5.0, null), (1L, 10.0, "a"), (2L, 22.0, "b"),
+        (9L, 90.0, "n")), s"unexpected table state: $rows")
+      // CASE WHEN inside an UPDATE SET expression is not a clause boundary
+      spark.sql(
+        s"MERGE INTO $name USING mergespec_chg ON $name.k = mergespec_chg.k " +
+          s"WHEN MATCHED THEN UPDATE SET tag = CASE WHEN mergespec_chg.price > 50 " +
+          "THEN 'hi' ELSE 'lo' END " +
+          "WHEN NOT MATCHED THEN INSERT (k) VALUES (mergespec_chg.k)").collect()
+      assert(spark.sql(s"SELECT tag FROM $name WHERE k = 9").head()
+        .getString(0) == "hi")
+      // a USING (subquery) with its own JOIN ... ON splits at the RIGHT ON
+      spark.sql("SELECT 2 AS k UNION ALL SELECT 4 AS k")
+        .createOrReplaceTempView("mergespec_dim")
+      spark.sql(
+        s"MERGE INTO $name USING (SELECT c.k, c.price FROM mergespec_chg c " +
+          s"JOIN mergespec_dim d ON c.k = d.k) s ON $name.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET price = s.price * 10 " +
+          "WHEN NOT MATCHED THEN INSERT (k, price) VALUES (s.k, s.price)").collect()
+      assert(spark.sql(s"SELECT price FROM $name WHERE k = 2").head()
+        .getDouble(0) == 20.0)
+      // duplicate source keys: the standard MERGE cardinality error
+      Seq((1L, 1.0), (1L, 2.0)).toDF("k", "price")
+        .createOrReplaceTempView("mergespec_dup")
+      val e = intercept[Exception](spark.sql(
+        s"MERGE INTO $name USING mergespec_dup ON $name.k = mergespec_dup.k " +
+          "WHEN MATCHED THEN UPDATE SET price = mergespec_dup.price " +
+          "WHEN NOT MATCHED THEN INSERT (k) VALUES (mergespec_dup.k)").collect())
+      assert(e.getMessage.contains("multiple rows"), e.getMessage)
+    } finally graft.plans.GraftDmlRegistry.unregister(name)
+  }
+
   test("zorderKey round-robins bits across ALL listed columns") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
