@@ -1294,6 +1294,52 @@ object WarehouseQueries extends QueryModule {
         .orderBy("bucket")
     }),
 
+    // M37: FULL-SYNC MERGE — the `WHEN NOT MATCHED BY SOURCE` clause
+    // family (Delta/SQL-Server MERGE's third leg), the statement that
+    // mirrors a source into a target in ONE pass: matched rows update,
+    // source-only rows insert, and target rows ABSENT from the source
+    // either delete (here: only the 'F' rows, the conditional form) or
+    // tombstone via a BY SOURCE UPDATE. All three families fold into the
+    // same single full-outer projection as m31 — no extra scan, no second
+    // pass, which is what makes a 100 TB mirror affordable. The oracle
+    // replays the whole cascade as CASE/filter SQL over the raw facts and
+    // the graded row carries the committed version + row count.
+    "m37_sql_merge_full_sync" -> ((s, dir) => {
+      import graft.plans.GraftDmlRegistry
+      val t = Tables(s, dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m37_${Tables.pathKey(dir)}"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root))
+      val name = s"m37t_${Tables.pathKey(dir)}"
+      val base = t.orders.select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      SnapshotTable.commit(base.filter(col("o_orderkey") % 3 === 0), root)
+      GraftDmlRegistry.registerSnapshot(name, root)
+      // the source mirror: half the target's keys (%6==0, price re-stated
+      // at half — exact in binary) plus brand-new keys (%6==1, outside the
+      // target's %3==0 residues); the target's %6==3 rows are ABSENT from
+      // the source and exercise both BY SOURCE clauses
+      base.filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 0.5)
+        .unionByName(base.filter(col("o_orderkey") % 6 === 1))
+        .createOrReplaceTempView("m37_src")
+      val m = s.sql(
+        s"MERGE INTO $name USING m37_src ON $name.o_orderkey = m37_src.o_orderkey " +
+          "WHEN MATCHED THEN UPDATE SET o_totalprice = m37_src.o_totalprice " +
+          s"WHEN NOT MATCHED BY SOURCE AND $name.o_orderstatus = 'F' THEN DELETE " +
+          "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_orderstatus = 'X' " +
+          "WHEN NOT MATCHED THEN INSERT *").head()
+      s.sql(
+        s"SELECT o_orderstatus, count(*) AS n, " +
+          "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) AS revenue " +
+          s"FROM $name GROUP BY o_orderstatus")
+        .withColumn("merged_version", lit(m.getLong(0)))
+        .withColumn("merged_rows", lit(m.getLong(1)))
+        .orderBy("o_orderstatus")
+    }),
+
     // M36: the MATERIALIZED VIEW lifecycle in SQL — CREATE / (implicit
     // serve) / source change / REFRESH, the last piece a pure-SQL user
     // needs after m27-m29/m32 gave the automatic rewrite to library-
@@ -1907,6 +1953,25 @@ object WarehouseQueries extends QueryModule {
         "(CAST(3 AS BIGINT), 'update:' || (SELECT count(*) FROM t0 WHERE o_orderkey % 3 = 0)), " +
         "(CAST(4 AS BIGINT), 'delete:' || (SELECT count(*) FROM t0 WHERE o_orderkey % 5 = 4))" +
         ") t(version, operation) ORDER BY version"),
+
+    // the full-sync cascade replayed: matched (%6==0) rows take the halved
+    // source price; target rows absent from the source (%6==3) delete when
+    // 'F' and tombstone to 'X' otherwise; source-only keys (%6==1) insert
+    "m37_sql_merge_full_sync" ->
+      ("WITH tgt AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
+        "WHERE o_orderkey % 3 = 0), " +
+        "fin AS (" +
+        "SELECT o_orderkey, o_totalprice * 0.5 AS o_totalprice, o_orderstatus " +
+        "FROM tgt WHERE o_orderkey % 6 = 0 " +
+        "UNION ALL SELECT o_orderkey, o_totalprice, 'X' AS o_orderstatus " +
+        "FROM tgt WHERE o_orderkey % 6 = 3 AND o_orderstatus <> 'F' " +
+        "UNION ALL SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
+        "WHERE o_orderkey % 6 = 1) " +
+        "SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) AS revenue, " +
+        "CAST(2 AS BIGINT) AS merged_version, " +
+        "(SELECT count(*) FROM fin) AS merged_rows " +
+        "FROM fin GROUP BY 1 ORDER BY o_orderstatus"),
 
     // the MV lifecycle replayed: 'fresh' sees only the even-key slice (the
     // MV built from it — serving is a layout choice, content is the

@@ -34,9 +34,12 @@ import graft.sources.SnapshotTable
   *    THEN INSERT *`, optional marker-column DELETE clause) compiles to
   *    [[graft.operators.MergeInto.applyChanges]]; the PER-COLUMN shape
   *    (`WHEN MATCHED [AND cond] THEN UPDATE SET c = expr, ...` /
-  *    `WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)`) compiles to
-  *    one full-outer projection that honors clause ORDER per row (standard
-  *    MERGE first-match-wins). Both commit through the snapshot protocol.
+  *    `WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)` /
+  *    `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE | UPDATE SET ...`
+  *    — the full-sync family acting on target rows absent from the
+  *    source) compiles to one full-outer projection that honors clause
+  *    ORDER per row within each family (standard MERGE first-match-wins).
+  *    Both commit through the snapshot protocol.
   *  - `INSERT INTO t [(cols)] <query|VALUES ...>` → append commit (new
   *    files only — O(delta) at any table size), positional column
   *    mapping, unlisted columns NULL-filled.
@@ -467,6 +470,14 @@ private[plans] final case class MatchedUpdate(cond: Option[String],
     assigns: Seq[(String, String)]) extends MergeClause
 private[plans] final case class NotMatchedInsert(cols: Seq[String],
     exprs: Seq[String]) extends MergeClause
+/** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE | UPDATE SET ...` —
+  * acts on TARGET rows no source row matched (the full-sync half of MERGE:
+  * mirror deletions, tombstone stale rows). `cond`/assignments may
+  * reference target columns only — the source side is all-NULL there. */
+private[plans] final case class NotMatchedBySourceDelete(cond: Option[String])
+    extends MergeClause
+private[plans] final case class NotMatchedBySourceUpdate(cond: Option[String],
+    assigns: Seq[(String, String)]) extends MergeClause
 
 /** The PER-COLUMN `MERGE INTO` (m31): one full-outer projection honoring
   * clause order per row — standard MERGE first-match-wins. Expression text
@@ -532,13 +543,24 @@ case class GraftMergeColsCommand(root: String, sourceSql: String,
     val tgt = target.withColumn("__t_present", lit(true))
     val j = tgt.join(src, col(key) === col(s"__s_$key"), "full_outer")
 
-    // per-row first-match-wins over the MATCHED clauses, in written order:
+    // per-row first-match-wins over the MATCHED and NOT-MATCHED-BY-SOURCE
+    // clause families, each in written order over its DISJOINT row set:
     // fold into (deleteCond, per-column value chain)
     val targetFields = target.schema.fields.toSeq
     var remaining: Column = matched // matched rows not yet claimed by a clause
+    // target-present rows NO source row matched — the full-sync family
+    var remainingNS: Column =
+      col("__t_present").isNotNull && col("__s_present").isNull
     var deleted: Column = lit(false)
     var updates: Map[String, Column] = targetFields.map(f => f.name ->
       col(f.name)).toMap
+    def applyUpdate(claimed: Column, assigns: Seq[(String, String)]): Unit =
+      assigns.foreach { case (c, e) =>
+        val f = targetFields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(s"MERGE: unknown target column $c"))
+        updates += f.name -> when(claimed, resolve(e).cast(f.dataType))
+          .otherwise(updates(f.name))
+      }
     clauses.foreach {
       case MatchedDelete(cond) =>
         val hit = remaining && cond.map(resolve).getOrElse(lit(true))
@@ -547,13 +569,17 @@ case class GraftMergeColsCommand(root: String, sourceSql: String,
       case MatchedUpdate(cond, assigns) =>
         val hit = remaining && cond.map(resolve).getOrElse(lit(true))
         val claimed = coalesce(hit, lit(false))
-        assigns.foreach { case (c, e) =>
-          val f = targetFields.find(_.name.equalsIgnoreCase(c)).getOrElse(
-            throw new IllegalArgumentException(s"MERGE: unknown target column $c"))
-          updates += f.name -> when(claimed, resolve(e).cast(f.dataType))
-            .otherwise(updates(f.name))
-        }
+        applyUpdate(claimed, assigns)
         remaining = remaining && !claimed
+      case NotMatchedBySourceDelete(cond) =>
+        val hit = remainingNS && cond.map(resolve).getOrElse(lit(true))
+        deleted = deleted || coalesce(hit, lit(false))
+        remainingNS = remainingNS && !coalesce(hit, lit(false))
+      case NotMatchedBySourceUpdate(cond, assigns) =>
+        val hit = remainingNS && cond.map(resolve).getOrElse(lit(true))
+        val claimed = coalesce(hit, lit(false))
+        applyUpdate(claimed, assigns)
+        remainingNS = remainingNS && !claimed
       case _: NotMatchedInsert => // handled on the source-only side below
     }
     val kept = j.filter(col("__t_present").isNotNull && !deleted)
@@ -658,6 +684,8 @@ object GraftSqlParser {
     """(?is)^WHEN\s+MATCHED\s*(?:AND\s+(.+?))?\s*THEN\s+(DELETE|UPDATE\s+SET\s+(.+))$""".r
   private val ClauseNotMatchedRe: Regex =
     """(?is)^WHEN\s+NOT\s+MATCHED\s*(?:AND\s+(.+?))?\s*THEN\s+INSERT\s+(.+)$""".r
+  private val ClauseNotMatchedBySourceRe: Regex =
+    """(?is)^WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(.+?))?\s*THEN\s+(DELETE|UPDATE\s+SET\s+(.+))$""".r
   private val InsertValuesRe: Regex =
     """(?is)^\(\s*([^)]*?)\s*\)\s*VALUES\s*\((.*)\)\s*$""".r
   private val MarkerEqRe: Regex =
@@ -855,6 +883,17 @@ object GraftSqlParser {
         }
         MatchedUpdate(Option(cond), assigns)
       }
+    case ClauseNotMatchedBySourceRe(cond, action, setList) =>
+      if (action.equalsIgnoreCase("DELETE"))
+        NotMatchedBySourceDelete(Option(cond))
+      else {
+        val assigns = splitTopLevel(setList).map { a =>
+          val eq = topLevelEq(a)
+          require(eq > 0, s"MERGE: malformed assignment '$a'")
+          a.substring(0, eq).trim -> a.substring(eq + 1).trim
+        }
+        NotMatchedBySourceUpdate(Option(cond), assigns)
+      }
     case ClauseNotMatchedRe(cond, body) =>
       require(cond == null,
         "MERGE: WHEN NOT MATCHED AND <cond> is not supported — supported " +
@@ -873,7 +912,8 @@ object GraftSqlParser {
       }
     case other => throw new IllegalArgumentException(
       s"MERGE: unsupported clause '$other' — supported: WHEN MATCHED [AND " +
-        "cond] THEN DELETE | UPDATE SET ... ; WHEN NOT MATCHED THEN INSERT ...")
+        "cond] THEN DELETE | UPDATE SET ... ; WHEN NOT MATCHED THEN INSERT " +
+        "... ; WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE | UPDATE SET ...")
   }
 
   /** Pick the execution shape: the CDC form (`SET *` + `INSERT *`) maps to
