@@ -8,7 +8,23 @@ import org.scalatest.funsuite.AnyFunSuite
   * the current one must hold. */
 class SqlParserSpec extends AnyFunSuite {
 
-  import GraftSqlParser.{mapCodeSegments, splitTopLevel, splitTopLevelKeyword, substOutsideLiterals}
+  import GraftSqlParser.{clauseWhenPositions, mapCodeSegments, splitTopLevel, splitTopLevelKeyword, substOutsideLiterals}
+
+  test("clauseWhenPositions skips WHENs inside CASE ... END, including nesting") {
+    val s = "WHEN MATCHED THEN UPDATE SET c = CASE WHEN x > 0 THEN 1 " +
+      "ELSE CASE WHEN y THEN 2 ELSE 3 END END " +
+      "WHEN NOT MATCHED THEN INSERT *"
+    val idxs = clauseWhenPositions(s)
+    assert(idxs.size == 2 && idxs.head == 0, idxs)
+    assert(s.substring(idxs(1)).startsWith("WHEN NOT MATCHED"), idxs)
+    // a WHEN inside a string literal is not a boundary either
+    val lit = "WHEN MATCHED THEN UPDATE SET c = ' WHEN ' WHEN NOT MATCHED THEN INSERT *"
+    assert(clauseWhenPositions(lit).size == 2)
+    // parenthesized sub-selects hide their WHENs at depth > 0
+    val par = "WHEN MATCHED AND k IN (SELECT CASE WHEN a THEN b END FROM t) " +
+      "THEN DELETE WHEN NOT MATCHED THEN INSERT *"
+    assert(clauseWhenPositions(par).size == 2)
+  }
 
   test("mapCodeSegments with identity is the identity, on every shape") {
     val shapes = Seq(
