@@ -1340,6 +1340,57 @@ object WarehouseQueries extends QueryModule {
         .orderBy("o_orderstatus")
     }),
 
+    // M38: COPY INTO — idempotent landing-zone ingestion, the statement a
+    // scheduled loader runs every few minutes against a directory files
+    // keep arriving in. Three campaigns prove the contract: the first load
+    // takes the 2 waiting files, an immediate re-run loads NOTHING (the
+    // by-name ledger skips them — the crash/retry guarantee), and after a
+    // third file lands only THAT file loads. O(new files) per run at any
+    // table size; the ledger rides per-version sidecars that become
+    // visible through the same atomic flip as the data and survive
+    // VACUUM (forgetting it would double-load old files). The graded row
+    // carries content + each campaign's (version, files, rows).
+    "m38_sql_copy_into" -> ((s, dir) => {
+      import graft.plans.GraftDmlRegistry
+      val t = Tables(s, dir)
+      val key = Tables.pathKey(dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m38_$key"
+      val landing = s"${System.getProperty("java.io.tmpdir")}/graft_m38land_$key"
+      val staging = s"${System.getProperty("java.io.tmpdir")}/graft_m38stage_$key"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      Seq(root, landing, staging).foreach(p => rmrf(new java.io.File(p)))
+      val name = s"m38t_$key"
+      val base = t.orders.select(col("o_orderkey"), col("o_totalprice"))
+      SnapshotTable.commit(base.filter(col("o_orderkey") % 5 === 1), root)
+      GraftDmlRegistry.registerSnapshot(name, root)
+      // wave 1: two files land
+      base.filter(col("o_orderkey") % 5 === 0).repartition(2)
+        .write.parquet(landing)
+      val c1 = s.sql(s"COPY INTO $name FROM '$landing'").head()
+      val c2 = s.sql(s"COPY INTO $name FROM '$landing'").head() // idempotent
+      // wave 2: one more file arrives in the same directory
+      base.filter(col("o_orderkey") % 5 === 2).repartition(1)
+        .write.parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(landing, part.getName))
+      val c3 = s.sql(s"COPY INTO $name FROM '$landing'").head()
+      s.sql(s"SELECT o_orderkey % 4 AS bucket, count(*) AS n, " +
+          "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) AS revenue " +
+          s"FROM $name GROUP BY o_orderkey % 4")
+        .withColumn("v1_files", lit(c1.getLong(1)))
+        .withColumn("v1_rows", lit(c1.getLong(2)))
+        .withColumn("rerun_files", lit(c2.getLong(1)))
+        .withColumn("rerun_rows", lit(c2.getLong(2)))
+        .withColumn("v2_files", lit(c3.getLong(1)))
+        .withColumn("v2_rows", lit(c3.getLong(2)))
+        .withColumn("final_version", lit(c3.getLong(0)))
+        .orderBy("bucket")
+    }),
+
     // M36: the MATERIALIZED VIEW lifecycle in SQL — CREATE / (implicit
     // serve) / source change / REFRESH, the last piece a pure-SQL user
     // needs after m27-m29/m32 gave the automatic rewrite to library-
@@ -1953,6 +2004,21 @@ object WarehouseQueries extends QueryModule {
         "(CAST(3 AS BIGINT), 'update:' || (SELECT count(*) FROM t0 WHERE o_orderkey % 3 = 0)), " +
         "(CAST(4 AS BIGINT), 'delete:' || (SELECT count(*) FROM t0 WHERE o_orderkey % 5 = 4))" +
         ") t(version, operation) ORDER BY version"),
+
+    // the three copy campaigns replayed: content = seed (%5==1) + wave 1
+    // (%5==0) + wave 2 (%5==2); the ledger makes the re-run load zero
+    "m38_sql_copy_into" ->
+      ("WITH seed AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 = 1), " +
+        "w1 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 = 0), " +
+        "w2 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 = 2), " +
+        "cur AS (SELECT * FROM seed UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2) " +
+        "SELECT o_orderkey % 4 AS bucket, count(*) AS n, " +
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) AS revenue, " +
+        "CAST(2 AS BIGINT) AS v1_files, (SELECT count(*) FROM w1) AS v1_rows, " +
+        "CAST(0 AS BIGINT) AS rerun_files, CAST(0 AS BIGINT) AS rerun_rows, " +
+        "CAST(1 AS BIGINT) AS v2_files, (SELECT count(*) FROM w2) AS v2_rows, " +
+        "CAST(3 AS BIGINT) AS final_version " +
+        "FROM cur GROUP BY 1 ORDER BY bucket"),
 
     // the full-sync cascade replayed: matched (%6==0) rows take the halved
     // source price; target rows absent from the source (%6==3) delete when

@@ -306,6 +306,55 @@ case class GraftOptimizeCommand(root: String, smallerThan: Option[Long],
   }
 }
 
+/** `COPY INTO t FROM 'dir'` — idempotent landing-zone ingestion (the
+  * Databricks COPY INTO contract): every `*.parquet` file in the landing
+  * directory that has NOT been loaded before appends to the table in one
+  * O(new files) commit; files already loaded are skipped BY NAME, so
+  * re-running the statement after a crash or on a schedule never
+  * double-loads. The loaded-file ledger rides a per-version sidecar
+  * (`v<N>.copied`) written between prepare and swap — it becomes visible
+  * through the same atomic pointer flip as the data, closing the
+  * crash-between-load-and-record window; the current loaded set is the
+  * union over live versions' sidecars (a metadata read). */
+case class GraftCopyIntoCommand(root: String, fromDir: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files_loaded", LongType, nullable = false)(),
+    AttributeReference("n_rows_loaded", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val landing = Paths.get(fromDir)
+    require(Files.isDirectory(landing),
+      s"COPY INTO: FROM '$fromDir' is not a directory")
+    val st = Files.list(landing)
+    val candidates =
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+      finally st.close()
+    val loaded = SnapshotTable.copiedFiles(root)
+    val fresh = candidates.filterNot(loaded)
+    val latest = SnapshotTable.latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    if (fresh.isEmpty) return Seq(Row(latest, 0L, 0L))
+    val target = SnapshotTable.read(spark, root)
+    val df = spark.read.schema(target.schema)
+      .parquet(fresh.map(f => s"$fromDir/$f"): _*)
+    // single computation: the append stages the delta once; the row count
+    // comes from the staged files' footers; ledger + meta land before swap
+    val v = SnapshotTable.appendPrepare(df, root)
+    val n = spark.read.schema(target.schema)
+      .parquet(s"$root/data/v$v").count()
+    SnapshotTable.writeCopiedSidecar(root, v, fresh)
+    SnapshotTable.attachMeta(root, v, s"copy:$n")
+    SnapshotTable.swap(root, v)
+    Seq(Row(v, fresh.size.toLong, n))
+  }
+}
+
 object GraftOptimizeCommand {
   /** Generalized bit-interleave of k numeric columns into one long
     * clustering key: bit `i` of column `j` lands at position
@@ -645,6 +694,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case "RESTORE"  => parseRestore(t)
       case "REFRESH"  => parseRefreshMv(t)
       case "DROP"     => parseDropMv(t)
+      case "COPY"     => parseCopyInto(t)
       case _        => None
     }
     plan.getOrElse(delegate.parsePlan(rewriteReads(session, sqlText)))
@@ -787,6 +837,15 @@ object GraftSqlParser {
     case RefreshMvRe(name) => GraftMvDdlRegistry.get(name).map {
       case (sql, path) => GraftCreateMvCommand(name, path, sql, isRefresh = true)
     }
+    case _ => None
+  }
+
+  private val CopyIntoRe: Regex =
+    """(?is)^COPY\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'\s*(?:FILEFORMAT\s*=\s*PARQUET)?\s*;?\s*$""".r
+
+  private def parseCopyInto(t: String): Option[LogicalPlan] = t match {
+    case CopyIntoRe(name, dir) =>
+      GraftDmlRegistry.rootOf(name).map(GraftCopyIntoCommand(_, dir))
     case _ => None
   }
 

@@ -131,6 +131,34 @@ object SnapshotTable {
       if (metaFor == null) null else metaFor(added))
   }
 
+  /** COPY INTO's loaded-file ledger: the sidecar lists the landing-zone
+    * file names version `v` ingested. Written between prepare and swap so
+    * it becomes visible atomically with the data (same contract as
+    * [[attachMeta]]). Deliberately OUTLIVES [[expire]]: the ledger answers
+    * "was this file ever loaded", and forgetting it at the retention
+    * horizon would double-load old landing files on the next run. */
+  def writeCopiedSidecar(root: String, v: Long, files: Seq[String]): Unit = {
+    Files.write(snapDir(root).resolve(s"v$v.copied"),
+      files.mkString("\n").getBytes(UTF_8))
+    ()
+  }
+
+  /** The union of every copy commit's sidecar (expired versions included —
+    * see [[writeCopiedSidecar]]) — the set COPY INTO must skip. A metadata
+    * read: one small file per copy commit. */
+  def copiedFiles(root: String): Set[String] = {
+    if (!Files.exists(snapDir(root))) return Set.empty
+    val st = Files.list(snapDir(root))
+    val sidecars =
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(s => s.startsWith("v") && s.endsWith(".copied")).toSeq
+      finally st.close()
+    sidecars.flatMap { s =>
+      new String(Files.readAllBytes(snapDir(root).resolve(s)), UTF_8)
+        .split("\n").filter(_.nonEmpty)
+    }.toSet
+  }
+
   /** Commit metadata of version `v`, if any was attached. */
   def versionMeta(root: String, v: Long): Option[String] = {
     val p = snapDir(root).resolve(s"v$v.meta")

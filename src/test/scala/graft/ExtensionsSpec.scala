@@ -315,6 +315,43 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("COPY INTO: by-name idempotency and a ledger that survives VACUUM") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_copyspec").toString
+    val root = s"$dir/t"; val landing = s"$dir/landing"
+    val name = "copyspec_t"
+    graft.plans.GraftDmlRegistry.unregister(name)
+    SnapshotTable.commit(Seq((0L, 0.0)).toDF("k", "v"), root)
+    graft.plans.GraftDmlRegistry.registerSnapshot(name, root)
+    try {
+      (1L to 40L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(2)
+        .write.parquet(landing)
+      val c1 = spark.sql(s"COPY INTO $name FROM '$landing'").head()
+      assert(c1.getLong(1) == 2L && c1.getLong(2) == 40L)
+      // retry loads nothing — the crash/schedule re-run guarantee
+      val c2 = spark.sql(s"COPY INTO $name FROM '$landing'").head()
+      assert(c2.getLong(1) == 0L && c2.getLong(2) == 0L)
+      // churn versions past the copy commit, then VACUUM it away: the
+      // LEDGER must survive (re-loading old landing files would be silent
+      // row duplication)
+      spark.sql(s"INSERT INTO $name VALUES (100, 1.0)").collect()
+      spark.sql(s"INSERT INTO $name VALUES (101, 1.0)").collect()
+      spark.sql(s"VACUUM $name RETAIN 2 VERSIONS").collect()
+      assert(!SnapshotTable.versionExists(root, 2L), "copy commit expired")
+      val c3 = spark.sql(s"COPY INTO $name FROM '$landing'").head()
+      assert(c3.getLong(1) == 0L,
+        "vacuum forgot the copy ledger — old files would double-load")
+      assert(spark.sql(s"SELECT count(*) AS n FROM $name").head()
+        .getLong(0) == 43L)
+      // a non-directory FROM fails loudly; unregistered names delegate
+      intercept[Exception](
+        spark.sql(s"COPY INTO $name FROM '$dir/nosuch'").collect())
+      intercept[Exception](
+        spark.sql("COPY INTO nosuch_copy_t FROM '/tmp'").collect())
+    } finally graft.plans.GraftDmlRegistry.unregister(name)
+  }
+
   test("per-column MERGE: NULL-key rows pass through, duplicate source keys refuse, CASE/JOIN-ON grammar parses") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_mergespec").toString
