@@ -1424,7 +1424,9 @@ object WarehouseQueries extends QueryModule {
       val name = s"m36v_$key"
       val base = t.orders.select(col("o_orderkey"), col("o_orderdate"),
         col("o_totalprice"))
-      base.filter(col("o_orderkey") % 2 === 0).write.parquet(srcDir)
+      // quarter slices keep the source-copy I/O (the query's dominant
+      // fixed cost) small; the lifecycle semantics are slice-size-free
+      base.filter(col("o_orderkey") % 4 === 0).write.parquet(srcDir)
       def refreshView(): Unit = // re-list the dir (file indexes are pinned)
         s.read.parquet(srcDir).createOrReplaceTempView("m36_src")
       refreshView()
@@ -1441,7 +1443,7 @@ object WarehouseQueries extends QueryModule {
       try {
         s.conf.set(GraftMvRewriteRule.Flag, "true")
         val fresh = eager(s.sql(defSql).withColumn("phase", lit("fresh")))
-        base.filter(col("o_orderkey") % 2 === 1).write.mode("append").parquet(srcDir)
+        base.filter(col("o_orderkey") % 4 === 1).write.mode("append").parquet(srcDir)
         refreshView()
         val stale = eager(s.sql(defSql).withColumn("phase", lit("stale")))
         s.sql(s"REFRESH MATERIALIZED VIEW $name")
@@ -2043,14 +2045,15 @@ object WarehouseQueries extends QueryModule {
     // MV built from it — serving is a layout choice, content is the
     // slice's rollup); 'stale' and 'refreshed' both see the full table
     "m36_sql_mv_lifecycle" ->
-      ("WITH s1 AS (SELECT o_orderdate, o_totalprice FROM orders WHERE o_orderkey % 2 = 0) " +
+      ("WITH s1 AS (SELECT o_orderdate, o_totalprice FROM orders WHERE o_orderkey % 4 = 0), " +
+        "s2 AS (SELECT o_orderdate, o_totalprice FROM orders WHERE o_orderkey % 4 IN (0, 1)) " +
         "SELECT 'fresh' AS phase, year(o_orderdate) AS yr, month(o_orderdate) AS mo, " +
         "count(*) AS n_orders, CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) AS revenue " +
         "FROM s1 GROUP BY 2, 3 " +
         "UNION ALL SELECT 'stale', year(o_orderdate), month(o_orderdate), " +
-        "count(*), CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) FROM orders GROUP BY 2, 3 " +
+        "count(*), CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) FROM s2 GROUP BY 2, 3 " +
         "UNION ALL SELECT 'refreshed', year(o_orderdate), month(o_orderdate), " +
-        "count(*), CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) FROM orders GROUP BY 2, 3 " +
+        "count(*), CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) FROM s2 GROUP BY 2, 3 " +
         "ORDER BY phase, yr, mo"),
 
     // the maintenance lifecycle replayed: final content = the CTAS slice +
