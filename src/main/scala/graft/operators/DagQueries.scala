@@ -832,6 +832,38 @@ object DagQueries extends QueryModule {
           tick(n), if (tick(n) + 1 > 80) 1 else 0)
       }.toDF("job", "pool", "status", "computed", "start_tick", "sla_miss")
         .orderBy("job")
+    }),
+
+    // J18: DYNAMIC TASK MAPPING (Airflow 2.3's expand()) — the task COUNT
+    // is decided by the DATA at run time, not by the DAG author: stage 1
+    // discovers the corpus languages (a metadata-scale driver list — the
+    // item list, never data rows), the scheduler then EXPANDS one
+    // `lang_stats[<lang>]` task per discovered language and a reduce task
+    // depending on all of them, with the ordinary retry/skip/parallelism
+    // machinery applying per mapped task. Graded row = the reduce output
+    // joined to each mapped task's ledger entry — a task that failed,
+    // retried, or was never expanded breaks the hash.
+    "j18_dag_dynamic_map" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      import graft.plans.{Dag, Job}
+      val prelude = Seq(Job("discover_langs", Nil, 0, (sp, _) =>
+        Tables(sp, dir).documents.select(col("lang")).distinct()))
+      val (out, runs) = Dag.runMapped(s, prelude,
+        dfs => dfs("discover_langs").collect().map(_.getString(0)).toSeq,
+        "lang_stats",
+        (sp, _, lang) => Tables(sp, dir).documents
+          .filter(col("lang") === lang)
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+          .select(lit(lang).as("lang"), col("n_docs"), col("chars")),
+        (_, parts) => parts.map(_._2).reduce(_ unionByName _))
+      val ledger = runs.map(r => (r.name, r.status, r.attempts))
+        .toDF("job", "status", "attempts")
+      out.get.join(ledger,
+          ledger("job") === concat(lit("lang_stats["), col("lang"), lit("]")))
+        .select(col("lang"), col("n_docs"), col("chars"), col("status"),
+          col("attempts"))
+        .orderBy("lang")
     })
   )
 
@@ -1036,7 +1068,13 @@ object DagQueries extends QueryModule {
         "(DATE '2024-02-01', 'report', 'etl', 'ok', 1, true, 0, 4, 0), " +
         "(DATE '2024-02-01', 'sensor_docs', 'etl', 'ok', 1, true, 2, 0, 0)" +
         ") t(run_date, job, pool, status, attempts, nonempty, pokes, start_tick, sla_miss) " +
-        "ORDER BY run_date, job")
+        "ORDER BY run_date, job"),
+
+    // one mapped task per language in the data: every ledger row is 'ok'
+    // on the first attempt and carries that language's corpus stats
+    "j18_dag_dynamic_map" ->
+      ("SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars, " +
+        "'ok' AS status, 1 AS attempts FROM documents GROUP BY lang ORDER BY lang")
   ) :+ j17Oracle
 
   /** j17's oracle: the name LIST is the shared input (it IS the declared

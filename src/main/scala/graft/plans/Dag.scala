@@ -34,6 +34,40 @@ final case class JobRun(
     inputs: Seq[String], // distinct basenames of scanned files
     error: Option[String])
 
+object Dag {
+
+  /** DYNAMIC TASK MAPPING (Airflow 2.3's `expand()`): the task COUNT is
+    * runtime data, not DAG-authoring data. Stage 1 runs `prelude` as an
+    * ordinary [[Dag]]; `discover` then derives the item list from its
+    * outputs (driver-side and METADATA-scale by contract — a list of
+    * partitions/languages/files, never data rows); stage 2 is a second
+    * [[Dag]] with one `mapName[item]` job per discovered item plus a
+    * `reduce` job depending on all of them. Both stages share the retry /
+    * downstream-skip / parallelism machinery, so a failing mapped task
+    * retries like any job and only the reduce is skipped on exhaustion.
+    * Returns the reduce output (None if it failed/skipped) and the
+    * CONCATENATED ledger of both stages. */
+  def runMapped(spark: SparkSession, prelude: Seq[Job],
+      discover: Map[String, DataFrame] => Seq[String], mapName: String,
+      runOne: (SparkSession, Map[String, DataFrame], String) => DataFrame,
+      reduce: (SparkSession, Seq[(String, DataFrame)]) => DataFrame,
+      parallelism: Int = 4, retries: Int = 0)
+      : (Option[DataFrame], Seq[JobRun]) = {
+    val (dfs1, runs1) = new Dag(prelude).run(spark, parallelism)
+    if (prelude.exists(j => !dfs1.contains(j.name)))
+      return (None, runs1) // discovery inputs failed — nothing to expand
+    val items = discover(dfs1).distinct.sorted
+    val mapped = items.map { it =>
+      Job(s"$mapName[$it]", Nil, retries, (sp, _) => runOne(sp, dfs1, it))
+    }
+    val reduceJob = Job(s"${mapName}_reduce", mapped.map(_.name), 0,
+      (sp, deps) => reduce(sp,
+        items.map(it => it -> deps(s"$mapName[$it]"))))
+    val (dfs2, runs2) = new Dag(mapped :+ reduceJob).run(spark, parallelism)
+    (dfs2.get(reduceJob.name), runs1 ++ runs2)
+  }
+}
+
 final class Dag(val jobs: Seq[Job]) {
   private val byName: Map[String, Job] = jobs.map(j => j.name -> j).toMap
   require(byName.size == jobs.size, "duplicate job names")

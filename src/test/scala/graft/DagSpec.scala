@@ -55,6 +55,50 @@ class DagSpec extends AnyFunSuite {
     assert(runs.head.status == "ok" && runs.head.attempts == 3)
   }
 
+  test("dynamic mapping: runtime items expand, a failing item retries, reduce skips on exhaustion") {
+    val spark2 = spark
+    import spark2.implicits._
+    // expansion count comes from the DATA (here: 3 runtime items)
+    val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val (out, runs) = Dag.runMapped(spark,
+      prelude = Seq(Job("disc", Nil, 0, (_, _) =>
+        Seq("a", "b", "c").toDF("item"))),
+      discover = dfs => dfs("disc").collect().map(_.getString(0)).toSeq,
+      mapName = "work",
+      runOne = (_, _, it) => { hits.put(it, 1); Seq(it).toDF("item") },
+      reduce = (_, parts) => parts.map(_._2).reduce(_ unionByName _))
+    assert(out.isDefined && out.get.count() == 3L)
+    assert(hits.size == 3)
+    val byName = runs.map(r => r.name -> r).toMap
+    assert(Seq("work[a]", "work[b]", "work[c]", "work_reduce")
+      .forall(n => byName(n).status == "ok"), runs)
+
+    // a mapped item exhausting its retries skips ONLY the reduce; sibling
+    // items still complete — the per-task isolation mapping promises
+    val (out2, runs2) = Dag.runMapped(spark,
+      prelude = Seq(Job("disc", Nil, 0, (_, _) => Seq("x", "y").toDF("item"))),
+      discover = dfs => dfs("disc").collect().map(_.getString(0)).toSeq,
+      mapName = "w2",
+      runOne = (_, _, it) =>
+        if (it == "x") sys.error("poisoned item") else Seq(it).toDF("item"),
+      reduce = (_, parts) => parts.map(_._2).reduce(_ unionByName _),
+      retries = 1)
+    assert(out2.isEmpty)
+    val by2 = runs2.map(r => r.name -> r).toMap
+    assert(by2("w2[x]").status == "failed" && by2("w2[x]").attempts == 2)
+    assert(by2("w2[y]").status == "ok")
+    assert(by2("w2_reduce").status == "skipped")
+
+    // a failed prelude returns no reduce and never expands
+    val (out3, runs3) = Dag.runMapped(spark,
+      prelude = Seq(Job("disc", Nil, 0, (_, _) => sys.error("no source"))),
+      discover = dfs => dfs("disc").collect().map(_.getString(0)).toSeq,
+      mapName = "w3",
+      runOne = (_, _, it) => Seq(it).toDF("item"),
+      reduce = (_, parts) => parts.map(_._2).reduce(_ unionByName _))
+    assert(out3.isEmpty && runs3.map(_.name) == Seq("disc"))
+  }
+
   test("lineage records the scanned fixture files") {
     val dag = new Dag(Seq(noop("scan_region")))
     val (_, runs) = dag.run(spark)
