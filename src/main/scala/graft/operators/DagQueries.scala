@@ -864,6 +864,49 @@ object DagQueries extends QueryModule {
         .select(col("lang"), col("n_docs"), col("chars"), col("status"),
           col("attempts"))
         .orderBy("lang")
+    }),
+
+    // J19: TRIGGER RULES — the Airflow clause deciding what runs when an
+    // upstream fails: a two-branch pipeline where one branch hard-fails;
+    // the ALL_SUCCESS consumer of the failed branch skips, a ONE_FAILED
+    // `cleanup` fires exactly BECAUSE of the failure, an ALL_DONE `audit`
+    // publishes regardless (seeing only the surviving branch's output),
+    // and a second ONE_FAILED task under the HEALTHY branch is skipped
+    // with `no upstream failure` — the rule must not over-fire. Ledger +
+    // the audit's real aggregate are value-graded; the audit row count
+    // proves the all_done body really ran on the surviving data.
+    "j19_dag_trigger_rules" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      import graft.plans.{Dag, Job}
+      val jobs = Seq(
+        Job("extract_ok", Nil, 0, (sp, _) =>
+          Tables(sp, dir).orders.select(col("o_orderkey"), col("o_totalprice"))),
+        Job("extract_boom", Nil, 1, (_, _) => sys.error("source quarantined")),
+        Job("load_boom", Seq("extract_boom"), 0, (sp, _) =>
+          Tables(sp, dir).region),
+        Job("cleanup", Seq("extract_boom"), 0, (sp, _) => {
+          import sp.implicits._
+          Seq("released staging locks").toDF("action")
+        }, trigger = "one_failed"),
+        Job("cleanup_healthy", Seq("extract_ok"), 0, (sp, _) => {
+          import sp.implicits._
+          Seq("never").toDF("action")
+        }, trigger = "one_failed"),
+        Job("audit", Seq("extract_ok", "extract_boom"), 0, (sp, deps) => {
+          import sp.implicits._
+          // all_done: publish whatever arrived — only the healthy branch
+          deps.getOrElse("extract_ok", Seq.empty[(Long, Double)]
+            .toDF("o_orderkey", "o_totalprice"))
+            .agg(count(lit(1)).as("n"))
+        }, trigger = "all_done"))
+      val (dfs, runs) = new Dag(jobs).run(s, parallelism = 3)
+      val auditRows = dfs("audit").head().getLong(0)
+      runs.map(r => (r.name, r.status, r.attempts,
+          r.error.getOrElse("")))
+        .toDF("job", "status", "attempts", "reason")
+        .withColumn("audit_n", lit(auditRows))
+        .orderBy("job")
     })
   )
 
@@ -1069,6 +1112,19 @@ object DagQueries extends QueryModule {
         "(DATE '2024-02-01', 'sensor_docs', 'etl', 'ok', 1, true, 2, 0, 0)" +
         ") t(run_date, job, pool, status, attempts, nonempty, pokes, start_tick, sla_miss) " +
         "ORDER BY run_date, job"),
+
+    // the trigger-rule ledger: one_failed fires only under the failed
+    // branch, all_done publishes the surviving branch's real row count
+    "j19_dag_trigger_rules" ->
+      ("SELECT job, status, attempts, reason, " +
+        "(SELECT count(*) FROM orders) AS audit_n FROM (VALUES " +
+        "('audit', 'ok', 1, ''), " +
+        "('cleanup', 'ok', 1, ''), " +
+        "('cleanup_healthy', 'skipped', 0, 'no upstream failure'), " +
+        "('extract_boom', 'failed', 2, 'source quarantined'), " +
+        "('extract_ok', 'ok', 1, ''), " +
+        "('load_boom', 'skipped', 0, 'upstream failure')" +
+        ") t(job, status, attempts, reason) ORDER BY job"),
 
     // one mapped task per language in the data: every ledger row is 'ok'
     // on the first attempt and carries that language's corpus stats

@@ -21,11 +21,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * job bodies are lazy DataFrame builders, materialization happens once per
   * job, and nothing is collected to the driver.
   */
+/** `trigger` is the Airflow-style TRIGGER RULE deciding whether the job
+  * runs once every dependency has settled:
+  *  - `all_success` (default): run iff every dep produced output; any
+  *    upstream failure skips this job (and transitively its descendants).
+  *  - `all_done`: run once all deps settled REGARDLESS of their status —
+  *    the "always publish the audit report" shape; the dep map carries
+  *    only the successful deps' outputs.
+  *  - `one_failed`: run iff at least one dep failed/skipped — the cleanup/
+  *    alerting shape; skipped (reason `no upstream failure`) otherwise.
+  */
 final case class Job(
     name: String,
     deps: Seq[String] = Nil,
     retries: Int = 0,
-    run: (SparkSession, Map[String, DataFrame]) => DataFrame)
+    run: (SparkSession, Map[String, DataFrame]) => DataFrame,
+    trigger: String = "all_success") {
+  require(Seq("all_success", "all_done", "one_failed").contains(trigger),
+    s"job $name: unknown trigger rule '$trigger'")
+}
 
 final case class JobRun(
     name: String,
@@ -113,11 +127,21 @@ final class Dag(val jobs: Seq[Job]) {
       futures.computeIfAbsent(name, _ => {
         val job = byName(name)
         Future.sequence(job.deps.map(futureFor)).map { depResults =>
-          if (depResults.exists(_.isEmpty)) {
-            runs.put(name, JobRun(name, "skipped", 0, Nil, Some("upstream failure")))
+          val anyFailed = depResults.exists(_.isEmpty)
+          val shouldRun = job.trigger match {
+            case "all_success" => !anyFailed
+            case "all_done"    => true
+            case "one_failed"  => anyFailed
+          }
+          if (!shouldRun) {
+            runs.put(name, JobRun(name, "skipped", 0, Nil,
+              Some(if (anyFailed) "upstream failure" else "no upstream failure")))
             None
           } else {
-            val depMap = job.deps.zip(depResults.map(_.get)).toMap
+            // only successful deps' outputs are visible (all_done /
+            // one_failed bodies must tolerate missing upstreams by design)
+            val depMap = job.deps.zip(depResults)
+              .collect { case (d, Some(df)) => d -> df }.toMap
             var attempt = 0
             var result: Option[DataFrame] = None
             var lastErr: Option[String] = None
