@@ -428,6 +428,10 @@ object GraftMvDdlRegistry {
     Option(defs.get(name.toLowerCase))
   def remove(name: String): Unit = { defs.remove(name.toLowerCase); () }
   def clear(): Unit = defs.clear()
+  private[plans] def names: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    defs.keys.asScala.toSeq
+  }
 }
 
 /** `CREATE MATERIALIZED VIEW name LOCATION 'path' AS <agg query>` and
@@ -478,6 +482,31 @@ case class GraftDropMvCommand(name: String) extends LeafRunnableCommand {
     GraftMvDdlRegistry.remove(name)
     Seq(Row(if (had) 1L else 0L))
   }
+}
+
+/** `SHOW SNAPSHOT TABLES` / `SHOW MATERIALIZED VIEWS` — session-registry
+  * introspection for the pure-SQL user: one row per registered name with
+  * its storage root and (for tables) current version. Metadata reads. */
+case class GraftShowCommand(mvs: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("location", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = true)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    if (mvs)
+      GraftMvDdlRegistry.names.sorted.map { n =>
+        val (_, path) = GraftMvDdlRegistry.get(n).get
+        Row(n, path, null)
+      }
+    else
+      GraftDmlRegistry.names.sorted.map { n =>
+        val root = GraftDmlRegistry.rootOf(n).get
+        Row(n, root, SnapshotTable.latestVersion(root).getOrElse(0L))
+      }
 }
 
 /** The CDC-shaped `MERGE INTO` (`UPDATE SET *` / `INSERT *`, optional
@@ -695,6 +724,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case "REFRESH"  => parseRefreshMv(t)
       case "DROP"     => parseDropMv(t)
       case "COPY"     => parseCopyInto(t)
+      case "SHOW"     => parseShow(t)
       case _        => None
     }
     plan.getOrElse(delegate.parsePlan(rewriteReads(session, sqlText)))
@@ -847,6 +877,17 @@ object GraftSqlParser {
     case CopyIntoRe(name, dir) =>
       GraftDmlRegistry.rootOf(name).map(GraftCopyIntoCommand(_, dir))
     case _ => None
+  }
+
+  /** Only the two exact graft SHOW shapes are ours — SHOW TABLES /
+    * DATABASES / FUNCTIONS / ... delegate to Spark untouched. */
+  private def parseShow(t: String): Option[LogicalPlan] = {
+    val norm = t.replaceAll("\\s+", " ").replaceAll(";\\s*$", "").trim
+    if (norm.equalsIgnoreCase("SHOW SNAPSHOT TABLES"))
+      Some(GraftShowCommand(mvs = false))
+    else if (norm.equalsIgnoreCase("SHOW MATERIALIZED VIEWS"))
+      Some(GraftShowCommand(mvs = true))
+    else None
   }
 
   private def parseDropMv(t: String): Option[LogicalPlan] = t match {

@@ -305,6 +305,14 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(spark.sql(s"SELECT count(*) AS n FROM $name").head()
         .getLong(0) == 10100L)
 
+      // SHOW SNAPSHOT TABLES lists the registered name with its version;
+      // Spark's own SHOW TABLES still delegates untouched
+      val shown = spark.sql("SHOW SNAPSHOT TABLES")
+        .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      assert(shown.get(name).contains(
+        graft.sources.SnapshotTable.latestVersion(root).get), shown)
+      assert(spark.sql("SHOW TABLES").columns.nonEmpty)
+
       // unregistered maintenance targets delegate to Spark's parser → error
       intercept[Exception](spark.sql("OPTIMIZE nosuch_xyz INTO 2 FILES").collect())
       intercept[Exception](spark.sql("VACUUM nosuch_xyz RETAIN 2 VERSIONS").collect())
@@ -475,9 +483,14 @@ class ExtensionsSpec extends AnyFunSuite {
         s"REFRESH did not restore serving:\n$p3")
       assert(spark.sql(defSql).agg(org.apache.spark.sql.functions.sum("n"))
         .head().getLong(0) == 51L, "refreshed MV lost rows")
+      // SHOW MATERIALIZED VIEWS lists it until DROP forgets it
+      assert(spark.sql("SHOW MATERIALIZED VIEWS").collect()
+        .exists(_.getString(0) == name))
       // DROP forgets: raw scan again; a second DROP has no registered name
       // and delegates to Spark's parser (which has no such statement)
       assert(spark.sql(s"DROP MATERIALIZED VIEW $name").head().getLong(0) == 1L)
+      assert(!spark.sql("SHOW MATERIALIZED VIEWS").collect()
+        .exists(_.getString(0) == name))
       val p4 = planOf()
       assert(p4.contains("/src") && !p4.contains("/mv"), s"dropped MV served:\n$p4")
       intercept[Exception](spark.sql(s"DROP MATERIALIZED VIEW $name").collect())
