@@ -71,6 +71,12 @@ object Dag {
     if (prelude.exists(j => !dfs1.contains(j.name)))
       return (None, runs1) // discovery inputs failed — nothing to expand
     val items = discover(dfs1).distinct.sorted
+    if (items.isEmpty)
+      // zero discovered items: skip the whole mapped stage cleanly (the
+      // Airflow expand() convention) instead of handing `reduce` an empty
+      // list every caller would crash on
+      return (None, runs1 :+ JobRun(s"${mapName}_reduce", "skipped", 0, Nil,
+        Some("no items discovered")))
     val mapped = items.map { it =>
       Job(s"$mapName[$it]", Nil, retries, (sp, _) => runOne(sp, dfs1, it))
     }
@@ -127,15 +133,26 @@ final class Dag(val jobs: Seq[Job]) {
       futures.computeIfAbsent(name, _ => {
         val job = byName(name)
         Future.sequence(job.deps.map(futureFor)).map { depResults =>
-          val anyFailed = depResults.exists(_.isEmpty)
+          val anyMissing = depResults.exists(_.isEmpty)
+          // one_failed means a dep actually FAILED — a dep that was merely
+          // skipped (its own trigger refused, or its ancestors failed) must
+          // not fire a cleanup two levels down; statuses are settled by
+          // the Future.sequence barrier above
+          val anyFailedDirect =
+            job.deps.exists(d => Option(runs.get(d)).exists(_.status == "failed"))
           val shouldRun = job.trigger match {
-            case "all_success" => !anyFailed
+            case "all_success" => !anyMissing
             case "all_done"    => true
-            case "one_failed"  => anyFailed
+            case "one_failed"  => anyFailedDirect
           }
           if (!shouldRun) {
+            // the reason names the TRIGGER's unmet condition: one_failed
+            // skips because nothing failed (even when a dep was itself
+            // skipped and produced no output); all_success skips because
+            // an upstream produced nothing
             runs.put(name, JobRun(name, "skipped", 0, Nil,
-              Some(if (anyFailed) "upstream failure" else "no upstream failure")))
+              Some(if (job.trigger == "one_failed") "no upstream failure"
+                else "upstream failure")))
             None
           } else {
             // only successful deps' outputs are visible (all_done /

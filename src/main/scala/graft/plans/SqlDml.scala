@@ -581,7 +581,7 @@ case class GraftMergeColsCommand(root: String, sourceSql: String,
     // source refs and unqualified source-column names go to the renamed
     // __s_* side, qualified target refs to the bare name — a code-position
     // tokenized substitution (string literals are never rewritten)
-    def resolve(e: String): Column = {
+    def resolve(e: String, preferSource: Boolean = true): Column = {
       var out = e
       srcCols.foreach { c =>
         out = GraftSqlParser.substOutsideLiterals(out,
@@ -593,8 +593,12 @@ case class GraftMergeColsCommand(root: String, sourceSql: String,
         out = GraftSqlParser.substOutsideLiterals(out,
           s"(?i)\\b${Regex.quote(targetName)}\\.${Regex.quote(c)}\\b", s"__tgt__$c")
       }
-      // unqualified names that exist on the source side resolve there
-      srcCols.foreach { c =>
+      // unqualified names that exist on the source side resolve there —
+      // EXCEPT in NOT MATCHED BY SOURCE clauses, where the source side is
+      // all NULL by definition and unqualified names mean the target (the
+      // Delta/SQL-Server convention; resolving them to NULLs would
+      // silently corrupt assignments and disable conditions)
+      if (preferSource) srcCols.foreach { c =>
         out = GraftSqlParser.substOutsideLiterals(out,
           s"(?i)(?<![A-Za-z0-9_.])${Regex.quote(c)}\\b", s"__s_$c")
       }
@@ -632,31 +636,35 @@ case class GraftMergeColsCommand(root: String, sourceSql: String,
     var deleted: Column = lit(false)
     var updates: Map[String, Column] = targetFields.map(f => f.name ->
       col(f.name)).toMap
-    def applyUpdate(claimed: Column, assigns: Seq[(String, String)]): Unit =
+    def applyUpdate(claimed: Column, assigns: Seq[(String, String)],
+        preferSource: Boolean): Unit =
       assigns.foreach { case (c, e) =>
         val f = targetFields.find(_.name.equalsIgnoreCase(c)).getOrElse(
           throw new IllegalArgumentException(s"MERGE: unknown target column $c"))
-        updates += f.name -> when(claimed, resolve(e).cast(f.dataType))
+        updates += f.name -> when(claimed,
+            resolve(e, preferSource).cast(f.dataType))
           .otherwise(updates(f.name))
       }
     clauses.foreach {
       case MatchedDelete(cond) =>
-        val hit = remaining && cond.map(resolve).getOrElse(lit(true))
+        val hit = remaining && cond.map(resolve(_)).getOrElse(lit(true))
         deleted = deleted || coalesce(hit, lit(false))
         remaining = remaining && !coalesce(hit, lit(false))
       case MatchedUpdate(cond, assigns) =>
-        val hit = remaining && cond.map(resolve).getOrElse(lit(true))
+        val hit = remaining && cond.map(resolve(_)).getOrElse(lit(true))
         val claimed = coalesce(hit, lit(false))
-        applyUpdate(claimed, assigns)
+        applyUpdate(claimed, assigns, preferSource = true)
         remaining = remaining && !claimed
       case NotMatchedBySourceDelete(cond) =>
-        val hit = remainingNS && cond.map(resolve).getOrElse(lit(true))
+        val hit = remainingNS &&
+          cond.map(resolve(_, preferSource = false)).getOrElse(lit(true))
         deleted = deleted || coalesce(hit, lit(false))
         remainingNS = remainingNS && !coalesce(hit, lit(false))
       case NotMatchedBySourceUpdate(cond, assigns) =>
-        val hit = remainingNS && cond.map(resolve).getOrElse(lit(true))
+        val hit = remainingNS &&
+          cond.map(resolve(_, preferSource = false)).getOrElse(lit(true))
         val claimed = coalesce(hit, lit(false))
-        applyUpdate(claimed, assigns)
+        applyUpdate(claimed, assigns, preferSource = false)
         remainingNS = remainingNS && !claimed
       case _: NotMatchedInsert => // handled on the source-only side below
     }
@@ -880,9 +888,28 @@ object GraftSqlParser {
   }
 
   /** Only the two exact graft SHOW shapes are ours — SHOW TABLES /
-    * DATABASES / FUNCTIONS / ... delegate to Spark untouched. */
+    * DATABASES / FUNCTIONS / ... delegate to Spark untouched. Comments
+    * are stripped with the literal-aware scanner first, so a trailing
+    * `-- note` does not change which parser claims the statement. */
   private def parseShow(t: String): Option[LogicalPlan] = {
-    val norm = t.replaceAll("\\s+", " ").replaceAll(";\\s*$", "").trim
+    val noComments = {
+      // rebuild keeping only CODE segments (comments → a space, literals
+      // kept — irrelevant here since the accepted shapes carry none)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < t.length) {
+        val c = t.charAt(i)
+        if (c == '-' && i + 1 < t.length && t.charAt(i + 1) == '-') {
+          val e = t.indexOf('\n', i) match { case -1 => t.length; case x => x }
+          sb.append(' '); i = e
+        } else if (c == '/' && i + 1 < t.length && t.charAt(i + 1) == '*') {
+          val e = t.indexOf("*/", i) match { case -1 => t.length; case x => x + 2 }
+          sb.append(' '); i = e
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    val norm = noComments.replaceAll("\\s+", " ").replaceAll(";\\s*$", "").trim
     if (norm.equalsIgnoreCase("SHOW SNAPSHOT TABLES"))
       Some(GraftShowCommand(mvs = false))
     else if (norm.equalsIgnoreCase("SHOW MATERIALIZED VIEWS"))
@@ -1023,7 +1050,13 @@ object GraftSqlParser {
     * can never fire — such statements are rejected, not reordered). */
   private def compileMerge(root: String, target: String, srcSql: String,
       srcAlias: String, key: String, clauses: Seq[MergeClause]): LogicalPlan = {
-    val isCdc = clauses.forall {
+    // the CDC form is identified by its UPDATE SET * clause — a marker-
+    // shaped conditional DELETE alone is perfectly valid per-column MERGE
+    // (delete-only statements) and must not be claimed by the CDC path
+    val isCdc = clauses.exists {
+      case MatchedUpdate(None, Seq(("*", "*"))) => true
+      case _ => false
+    } && clauses.forall {
       case MatchedUpdate(None, Seq(("*", "*"))) => true
       case MatchedDelete(Some(c)) => MarkerEqRe.findFirstIn(c).isDefined
       case NotMatchedInsert(Seq("*"), Seq("*")) => true

@@ -144,14 +144,22 @@ object SnapshotTable {
   }
 
   /** The union of every copy commit's sidecar (expired versions included —
-    * see [[writeCopiedSidecar]]) — the set COPY INTO must skip. A metadata
-    * read: one small file per copy commit. */
+    * see [[writeCopiedSidecar]]) — the set COPY INTO must skip. Sidecars of
+    * versions ABOVE the current pointer are ignored: they belong to a load
+    * that crashed between staging and swap, whose rows never became
+    * visible — counting them would permanently skip (i.e. silently lose)
+    * those landing files; the retried COPY INTO restages the same version
+    * number and overwrites the abandoned sidecar. A metadata read: one
+    * small file per copy commit. */
   def copiedFiles(root: String): Set[String] = {
     if (!Files.exists(snapDir(root))) return Set.empty
+    val latest = latestVersion(root).getOrElse(0L)
     val st = Files.list(snapDir(root))
     val sidecars =
       try st.iterator().asScala.map(_.getFileName.toString)
-        .filter(s => s.startsWith("v") && s.endsWith(".copied")).toSeq
+        .filter(s => s.startsWith("v") && s.endsWith(".copied"))
+        .filter(_.stripPrefix("v").stripSuffix(".copied").toLong <= latest)
+        .toSeq
       finally st.close()
     sidecars.flatMap { s =>
       new String(Files.readAllBytes(snapDir(root).resolve(s)), UTF_8)

@@ -97,6 +97,40 @@ class DagSpec extends AnyFunSuite {
       runOne = (_, _, it) => Seq(it).toDF("item"),
       reduce = (_, parts) => parts.map(_._2).reduce(_ unionByName _))
     assert(out3.isEmpty && runs3.map(_.name) == Seq("disc"))
+
+    // ZERO discovered items: the mapped stage skips cleanly instead of
+    // feeding the caller's reduce an empty list it would crash on
+    val (out4, runs4) = Dag.runMapped(spark,
+      prelude = Seq(Job("disc", Nil, 0, (_, _) =>
+        Seq.empty[String].toDF("item"))),
+      discover = dfs => dfs("disc").collect().map(_.getString(0)).toSeq,
+      mapName = "w4",
+      runOne = (_, _, it) => Seq(it).toDF("item"),
+      reduce = (_, parts) => parts.map(_._2).reduce(_ unionByName _))
+    assert(out4.isEmpty)
+    val red4 = runs4.find(_.name == "w4_reduce").get
+    assert(red4.status == "skipped" &&
+      red4.error.contains("no items discovered"), runs4)
+  }
+
+  test("one_failed fires on a FAILED dep only — a merely-skipped dep must not cascade cleanups") {
+    val dag = new Dag(Seq(
+      noop("a"),
+      Job("b", Seq("a"), 0, (s, _) => Tables(s, sfDir).region,
+        trigger = "one_failed"), // a succeeded → b skips
+      Job("c", Seq("b"), 0, (s, _) => Tables(s, sfDir).region,
+        trigger = "one_failed"), // b SKIPPED, nothing failed → c must skip
+      Job("d", Seq("b"), 0, (s, _) => Tables(s, sfDir).region,
+        trigger = "all_done") // runs regardless
+    ))
+    val (_, runs) = dag.run(spark, parallelism = 2)
+    val byName = runs.map(r => r.name -> r).toMap
+    assert(byName("b").status == "skipped" &&
+      byName("b").error.contains("no upstream failure"))
+    assert(byName("c").status == "skipped" &&
+      byName("c").error.contains("no upstream failure"),
+      s"one_failed over-fired on a skipped (not failed) dep: ${byName("c")}")
+    assert(byName("d").status == "ok")
   }
 
   test("lineage records the scanned fixture files") {

@@ -352,11 +352,28 @@ class ExtensionsSpec extends AnyFunSuite {
         "vacuum forgot the copy ledger — old files would double-load")
       assert(spark.sql(s"SELECT count(*) AS n FROM $name").head()
         .getLong(0) == 43L)
+      // CRASH RECOVERY: a sidecar staged for an UNPUBLISHED version (load
+      // crashed between sidecar write and swap) must NOT count as loaded —
+      // the retried COPY INTO re-loads those files
+      (200L to 205L).map(i => (i, 1.0)).toDF("k", "v").repartition(1)
+        .write.parquet(s"$dir/wave2")
+      val w2 = new java.io.File(s"$dir/wave2").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(w2.toPath,
+        java.nio.file.Paths.get(landing, w2.getName))
+      val staged = SnapshotTable.latestVersion(root).get + 1
+      SnapshotTable.writeCopiedSidecar(root, staged, Seq(w2.getName))
+      val c4 = spark.sql(s"COPY INTO $name FROM '$landing'").head()
+      assert(c4.getLong(1) == 1L && c4.getLong(2) == 6L,
+        "a crashed (unswapped) load's sidecar permanently skipped its files")
       // a non-directory FROM fails loudly; unregistered names delegate
       intercept[Exception](
         spark.sql(s"COPY INTO $name FROM '$dir/nosuch'").collect())
       intercept[Exception](
         spark.sql("COPY INTO nosuch_copy_t FROM '/tmp'").collect())
+      // SHOW with a trailing comment still parses as ours
+      assert(spark.sql("SHOW SNAPSHOT TABLES -- refresh the list")
+        .collect().exists(_.getString(0) == name))
     } finally graft.plans.GraftDmlRegistry.unregister(name)
   }
 
@@ -405,6 +422,33 @@ class ExtensionsSpec extends AnyFunSuite {
           "WHEN NOT MATCHED THEN INSERT (k, price) VALUES (s.k, s.price)").collect()
       assert(spark.sql(s"SELECT price FROM $name WHERE k = 2").head()
         .getDouble(0) == 20.0)
+      // BY SOURCE with UNQUALIFIED refs: the bare name means the TARGET
+      // (the source side is all NULL on those rows) — `v = v * 2` must
+      // double, `AND price > X` must consult the target's price
+      Seq((6L, 60.0, "f")).toDF("k", "price", "tag")
+        .createOrReplaceTempView("mergespec_keep")
+      spark.sql(
+        s"MERGE INTO $name USING mergespec_keep ON $name.k = mergespec_keep.k " +
+          "WHEN MATCHED THEN UPDATE SET tag = 'kept' " +
+          "WHEN NOT MATCHED BY SOURCE AND price > 15 THEN UPDATE SET price = price * 2 " +
+          "WHEN NOT MATCHED THEN INSERT *").collect()
+      val bySrc = spark.sql(
+        s"SELECT k, price FROM $name WHERE k IS NOT NULL ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // k=2 (price 20 > 15) doubled to 40; k=1 (price 10) untouched;
+      // k=9 (90) doubled; k=6 is source-only → INSERT * adds it verbatim
+      assert(bySrc == Seq((1L, 10.0), (2L, 40.0), (6L, 60.0), (9L, 180.0)),
+        s"by-source unqualified refs misresolved: $bySrc")
+
+      // a DELETE-ONLY conditional MERGE is valid per-column MERGE — the
+      // marker-shaped condition must not be claimed by the CDC classifier
+      val delOnly = spark.sql(
+        s"MERGE INTO $name USING mergespec_keep ON $name.k = mergespec_keep.k " +
+          s"WHEN MATCHED AND $name.tag = 'f' THEN DELETE").head()
+      assert(delOnly.getLong(0) > 0L)
+      assert(spark.sql(s"SELECT count(*) AS n FROM $name WHERE k = 6")
+        .head().getLong(0) == 0L, "conditional delete-only MERGE did not apply")
+
       // duplicate source keys: the standard MERGE cardinality error
       Seq((1L, 1.0), (1L, 2.0)).toDF("k", "price")
         .createOrReplaceTempView("mergespec_dup")

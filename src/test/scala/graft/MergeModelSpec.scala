@@ -26,32 +26,36 @@ class MergeModelSpec extends AnyFunSuite {
   private case object Ins extends Cl
 
   // conds: 0 = none, 1 = source price > 50, 2 = target tag = 'a',
-  // 3 = target v > 50 (by-source variants use target refs only)
+  // 3 = target v > 50; 4 = UNQUALIFIED v > 50 — in BY SOURCE clauses the
+  // bare name must mean the TARGET (the source side is all NULL there)
   private def condSql(name: String, c: Int): String = c match {
     case 0 => ""
     case 1 => " AND s.v > 50"
     case 2 => s" AND $name.tag = 'a'"
     case 3 => s" AND $name.v > 50"
+    case 4 => " AND v > 50"
   }
   private def condHolds(c: Int, t: TRow, s: Option[TRow]): Boolean = c match {
     case 0 => true
     case 1 => s.exists(_.v > 50)
     case 2 => t.tag == "a"
-    case 3 => t.v > 50
+    case 3 | 4 => t.v > 50
   }
   // assigns: 0 = v from source + 1; 1 = tag 'u' and doubled target v;
-  // 2 = tag 'x'; 3 = doubled target v
+  // 2 = tag 'x'; 3 = doubled target v; 4 = UNQUALIFIED target v + 1
   private def assignSql(name: String, a: Int): String = a match {
     case 0 => "v = s.v + 1"
     case 1 => s"tag = 'u', v = $name.v * 2"
     case 2 => "tag = 'x'"
     case 3 => s"v = $name.v * 2"
+    case 4 => "v = v + 1"
   }
   private def applyAssign(a: Int, t: TRow, s: Option[TRow]): TRow = a match {
     case 0 => t.copy(v = s.get.v + 1)
     case 1 => t.copy(tag = "u", v = t.v * 2)
     case 2 => t.copy(tag = "x")
     case 3 => t.copy(v = t.v * 2)
+    case 4 => t.copy(v = t.v + 1)
   }
 
   private def renderClause(name: String, c: Cl): String = c match {
@@ -129,15 +133,14 @@ class MergeModelSpec extends AnyFunSuite {
       // clause list: 1-2 matched, 0-2 by-source, 0-1 insert (order kept
       // within each family, which is all the engine promises)
       val matched: Seq[Cl] = (0 until 1 + pick(2)).map { _ =>
-        // MatchDel cond 2 is `tag = 'a'` — the CDC classifier's marker
-        // shape; keep per-column deletes off it so every scenario takes
-        // the per-column path this spec models
-        if (pick(3) == 0) MatchDel(Seq(0, 1, 3)(pick(3)))
-        else MatchUpd(pick(3), pick(2))
+        // marker-shaped conditional deletes (cond 2) are legitimate
+        // per-column MERGE — the classifier keys on UPDATE SET *, so
+        // delete-only statements stay on the path this spec models
+        if (pick(3) == 0) MatchDel(pick(3)) else MatchUpd(pick(3), pick(2))
       }
       val bySrc: Seq[Cl] = (0 until pick(3)).map { _ =>
-        if (pick(2) == 0) BySrcDel(Seq(0, 2, 3)(pick(3)))
-        else BySrcUpd(Seq(0, 2, 3)(pick(3)), 2 + pick(2))
+        if (pick(2) == 0) BySrcDel(Seq(0, 2, 3, 4)(pick(4)))
+        else BySrcUpd(Seq(0, 2, 3, 4)(pick(4)), Seq(2, 3, 4)(pick(3)))
       }
       val clauses = matched ++ bySrc ++ (if (pick(4) > 0) Seq(Ins) else Nil)
 
