@@ -108,14 +108,21 @@ case class GraftUpdateCommand(root: String, assigns: Seq[(String, String)],
     AttributeReference("n_updated", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = SnapshotTable.read(spark, root)
+    val t = SnapshotTable.readCurrent(spark, root)
     val pred = whereSql.map(expr).getOrElse(lit(true))
     val byName = assigns.map { case (c, e) => c.toLowerCase -> e }.toMap
     require(byName.size == assigns.size, "UPDATE: duplicate SET column")
     val known = t.columns.map(_.toLowerCase).toSet
     byName.keys.foreach(c => require(known(c), s"UPDATE: unknown column $c"))
-    val nUpd = t.filter(pred).count()
-    val updated = t.select(t.schema.fields.map { f =>
+    // n_updated rides the rewrite plan as an observed metric (a map-side
+    // conditional count collected during the ONE data pass the rewrite
+    // already makes) — the separate `t.filter(pred).count()` pass every
+    // other DML command already avoids via staged-footer counts
+    val obs = org.apache.spark.sql.Observation()
+    val updated = t
+      .observe(obs, sum(when(coalesce(pred, lit(false)), 1L).otherwise(0L))
+        .as("n_upd"))
+      .select(t.schema.fields.map { f =>
       byName.get(f.name.toLowerCase) match {
         // cast back to the stored type so a widened assignment expression
         // (decimal arithmetic, int promotion) can't drift the table schema
@@ -124,7 +131,13 @@ case class GraftUpdateCommand(root: String, assigns: Seq[(String, String)],
         case None => col(f.name)
       }
     }.toIndexedSeq: _*)
-    val v = SnapshotTable.commit(updated, root, meta = s"update:$nUpd")
+    val v = SnapshotTable.prepare(updated, root)
+    val nUpd = obs.get.get("n_upd") match {
+      case Some(n: Long) => n
+      case _ => 0L // empty table: sum over zero rows observes NULL
+    }
+    SnapshotTable.attachMeta(root, v, s"update:$nUpd")
+    SnapshotTable.swap(root, v)
     Seq(Row(v, nUpd))
   }
 }
@@ -143,7 +156,7 @@ case class GraftDeleteCommand(root: String, whereSql: Option[String])
     AttributeReference("n_deleted", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = SnapshotTable.read(spark, root)
+    val t = SnapshotTable.readCurrent(spark, root)
     val pred = whereSql.map(expr).getOrElse(lit(true))
     val kept = t.filter(!coalesce(pred, lit(false)))
     // n_deleted = before − after: both are footer-cheap parquet counts, so
@@ -174,7 +187,7 @@ case class GraftInsertCommand(root: String, cols: Seq[String],
     AttributeReference("n_inserted", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = SnapshotTable.read(spark, root)
+    val t = SnapshotTable.readCurrent(spark, root)
     val fields = t.schema.fields.toSeq
     val src = spark.sql(sourceSql)
     val names = if (cols.isEmpty) fields.map(_.name) else cols
@@ -278,10 +291,15 @@ case class GraftOptimizeCommand(root: String, smallerThan: Option[Long],
     val latest = SnapshotTable.latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     val files = SnapshotTable.manifestFiles(root, latest)
+    // bin-pack planning reads byte sizes from the manifest's sizes sidecar
+    // (ONE metadata file) — OPTIMIZE on a 100 TB table never stats the
+    // filesystem per data file; the stat fallback only serves tables whose
+    // versions predate the sidecar
+    val recorded = SnapshotTable.fileSizes(root, latest)
     val (rewrite, carry) = smallerThan match {
       case Some(thr) => files.partition { f =>
-        val p = java.nio.file.Paths.get(root, f)
-        java.nio.file.Files.size(p) < thr
+        recorded.getOrElse(f,
+          java.nio.file.Files.size(java.nio.file.Paths.get(root, f))) < thr
       }
       case None => (files, Seq.empty[String])
     }
@@ -340,7 +358,35 @@ case class GraftCopyIntoCommand(root: String, fromDir: String)
     val latest = SnapshotTable.latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     if (fresh.isEmpty) return Seq(Row(latest, 0L, 0L))
-    val target = SnapshotTable.read(spark, root)
+    val target = SnapshotTable.readCurrent(spark, root)
+    // SCHEMA ENFORCEMENT (the Databricks COPY INTO contract): each fresh
+    // file's footer schema must carry exactly the target's columns with
+    // upcastable types — a drifted landing file (renamed/missing column,
+    // incompatible type, extra column) fails LOUDLY here instead of
+    // silently loading NULLs under the forced target schema. One driver
+    // footer read per NEW file — O(delta), the price of the contract.
+    fresh.foreach { f =>
+      val fs = spark.read.parquet(s"$fromDir/$f").schema
+      val byName = fs.fields.map(x => x.name.toLowerCase -> x).toMap
+      require(byName.size == fs.fields.length,
+        s"COPY INTO: landing file $f has case-ambiguous duplicate columns")
+      target.schema.fields.foreach { tf =>
+        val ff = byName.getOrElse(tf.name.toLowerCase, throw new
+            IllegalArgumentException(
+          s"COPY INTO: landing file $f is missing target column ${tf.name}"))
+        require(ff.dataType == tf.dataType ||
+            org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(
+              ff.dataType, tf.dataType),
+          s"COPY INTO: landing file $f column ${tf.name} has type " +
+            s"${ff.dataType.catalogString}, not loadable into " +
+            s"${tf.dataType.catalogString}")
+      }
+      val extra = byName.keySet --
+        target.schema.fields.map(_.name.toLowerCase).toSet
+      require(extra.isEmpty,
+        s"COPY INTO: landing file $f carries columns ${extra.mkString(", ")} " +
+          "absent from the target (schema evolution is not implicit)")
+    }
     val df = spark.read.schema(target.schema)
       .parquet(fresh.map(f => s"$fromDir/$f"): _*)
     // single computation: the append stages the delta once; the row count
@@ -409,7 +455,7 @@ case class GraftRestoreCommand(root: String, toVersion: Long)
   override def run(spark: SparkSession): Seq[Row] = {
     val v = SnapshotTable.rollbackTo(root, toVersion)
     // footer-count of the restored snapshot: row-group metadata only
-    val n = SnapshotTable.read(spark, root).count()
+    val n = SnapshotTable.readCurrent(spark, root).count()
     Seq(Row(v, n))
   }
 }
@@ -519,7 +565,7 @@ case class GraftMergeCommand(root: String, sourceSql: String, key: String,
     AttributeReference("n_rows", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val target = SnapshotTable.read(spark, root)
+    val target = SnapshotTable.readCurrent(spark, root)
     val src = spark.sql(sourceSql)
     val ch = deleteWhen match {
       case Some((opc, del)) =>
@@ -546,8 +592,12 @@ private[plans] sealed trait MergeClause
 private[plans] final case class MatchedDelete(cond: Option[String]) extends MergeClause
 private[plans] final case class MatchedUpdate(cond: Option[String],
     assigns: Seq[(String, String)]) extends MergeClause
-private[plans] final case class NotMatchedInsert(cols: Seq[String],
-    exprs: Seq[String]) extends MergeClause
+/** `WHEN NOT MATCHED [AND cond] THEN INSERT ...` — `cond` (source-side
+  * references only; the target side is all-NULL there) filters which
+  * source-only rows this clause claims; multiple conditional INSERT
+  * clauses resolve first-match-wins like the other two families. */
+private[plans] final case class NotMatchedInsert(cond: Option[String],
+    cols: Seq[String], exprs: Seq[String]) extends MergeClause
 /** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE | UPDATE SET ...` —
   * acts on TARGET rows no source row matched (the full-sync half of MERGE:
   * mirror deletions, tombstone stale rows). `cond`/assignments may
@@ -562,9 +612,17 @@ private[plans] final case class NotMatchedBySourceUpdate(cond: Option[String],
   * in clauses may reference the target (`<target>.c` or unqualified) and
   * the source (`<alias>.c`, or unqualified when the name exists on the
   * source side — source wins ambiguity, matching the "assign from the
-  * incoming row" MERGE convention). */
+  * incoming row" MERGE convention). `keys` is the ON conjunction
+  * (same-name equi-keys); a source row with ANY null key matches nothing,
+  * by SQL join semantics. The standard-MERGE cardinality rule (a source
+  * with duplicate keys is an error) is enforced INSIDE the merge plan —
+  * a window count over the source side feeding a `raise_error` guard — so
+  * the source query is computed exactly ONCE, and the checked rows are
+  * the very rows the join consumes (an eager pre-check would re-execute
+  * the source, and a non-deterministic source could pass it yet hand
+  * duplicates to the join). */
 case class GraftMergeColsCommand(root: String, sourceSql: String,
-    srcAlias: String, targetName: String, key: String,
+    srcAlias: String, targetName: String, keys: Seq[String],
     clauses: Seq[MergeClause]) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -572,11 +630,29 @@ case class GraftMergeColsCommand(root: String, sourceSql: String,
     AttributeReference("n_rows", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val target = SnapshotTable.read(spark, root)
+    import org.apache.spark.sql.expressions.Window
+    val target = SnapshotTable.readCurrent(spark, root)
     val srcRaw = spark.sql(sourceSql)
     val srcCols = srcRaw.columns.toSeq
+    keys.foreach { k =>
+      require(target.columns.exists(_.equalsIgnoreCase(k)),
+        s"MERGE: ON key $k is not a target column")
+      require(srcCols.exists(_.equalsIgnoreCase(k)),
+        s"MERGE: ON key $k is not a source column")
+    }
+    val keyCols = keys.map(k => col(s"__s_$k"))
+    val allKeysNotNull = keyCols.map(_.isNotNull).reduce(_ && _)
+    // __s_dup rides the SAME plan the join consumes: the window's hash
+    // partitioning on the join keys is exactly the distribution the join
+    // requires from the source side, so the count costs no extra shuffle
+    // and the source subquery runs once. NULL-key rows match nothing and
+    // are exempt from the cardinality rule (dup forced to 1).
     val src = srcRaw.select(
-      srcCols.map(c => col(c).as(s"__s_$c")) :+ lit(true).as("__s_present"): _*)
+        srcCols.map(c => col(c).as(s"__s_$c")) :+ lit(true).as("__s_present"): _*)
+      .withColumn("__s_dup",
+        when(allKeysNotNull,
+          count(lit(1)).over(Window.partitionBy(keyCols: _*)))
+          .otherwise(lit(1L)))
     // resolve clause expression text against the joined row: qualified
     // source refs and unqualified source-column names go to the renamed
     // __s_* side, qualified target refs to the bare name — a code-position
@@ -608,22 +684,29 @@ case class GraftMergeColsCommand(root: String, sourceSql: String,
       }
       expr(out)
     }
-    // the STANDARD MERGE cardinality rule: a target row matched by more
-    // than one source row is an error, not a silent duplication (the
-    // full-outer projection below would emit one copy per source match)
-    val dupKeys = srcRaw.filter(col(key).isNotNull).groupBy(col(key))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
-    require(dupKeys == 0L,
-      s"MERGE: the source has multiple rows for the same $key — standard " +
-        "MERGE rejects this (each target row may match at most one source row)")
     val matched = col("__s_present").isNotNull
     // presence on each side is a MARKER column, never the key itself: a
     // NULL-key row (reachable via INSERT's NULL fill) matches nothing by
     // SQL join semantics and must pass through kept UNCHANGED — keying
-    // presence on col(key).isNotNull would drop it from kept and re-emit
-    // it through the INSERT branch as garbage
+    // presence on key nullness would drop it from kept and re-emit it
+    // through the INSERT branch as garbage
     val tgt = target.withColumn("__t_present", lit(true))
-    val j = tgt.join(src, col(key) === col(s"__s_$key"), "full_outer")
+    // the STANDARD MERGE cardinality rule, enforced in-plan: every joined
+    // row carries its source row's per-key count; any duplicate surfacing
+    // on either side of the full outer join (matched or source-only — a
+    // non-null-key source row always lands in exactly one of them) raises
+    // before a single row commits. Filtered ABOVE the join, evaluated on
+    // every joined row; null __s_dup (target-only rows) passes.
+    val joinCond = keys.map(k => col(k) === col(s"__s_$k")).reduce(_ && _)
+    val keyDesc = concat_ws(",", keyCols.map(_.cast("string")): _*)
+    val j = tgt.join(src, joinCond, "full_outer")
+      .filter(coalesce(
+        when(col("__s_dup") > 1, raise_error(concat(
+          lit(s"MERGE: the source has multiple rows for the same " +
+            s"${keys.mkString(", ")} ("), keyDesc,
+          lit(") — standard MERGE rejects this (each target row may " +
+            "match at most one source row)"))).cast("boolean")),
+        lit(true)))
 
     // per-row first-match-wins over the MATCHED and NOT-MATCHED-BY-SOURCE
     // clause families, each in written order over its DISJOINT row set:
@@ -636,8 +719,18 @@ case class GraftMergeColsCommand(root: String, sourceSql: String,
     var deleted: Column = lit(false)
     var updates: Map[String, Column] = targetFields.map(f => f.name ->
       col(f.name)).toMap
-    def applyUpdate(claimed: Column, assigns: Seq[(String, String)],
-        preferSource: Boolean): Unit =
+    def applyUpdate(claimed: Column, assigns0: Seq[(String, String)],
+        preferSource: Boolean): Unit = {
+      // `UPDATE SET *` (the CDC shape routed here when the ON key is
+      // composite) expands to every target column assigned from the
+      // source's same-name column
+      val assigns =
+        if (assigns0 == Seq(("*", "*"))) targetFields.map { f =>
+          require(srcCols.exists(_.equalsIgnoreCase(f.name)),
+            s"MERGE: UPDATE SET * needs source column ${f.name}")
+          f.name -> s"$srcAlias.${f.name}"
+        }
+        else assigns0
       assigns.foreach { case (c, e) =>
         val f = targetFields.find(_.name.equalsIgnoreCase(c)).getOrElse(
           throw new IllegalArgumentException(s"MERGE: unknown target column $c"))
@@ -645,6 +738,7 @@ case class GraftMergeColsCommand(root: String, sourceSql: String,
             resolve(e, preferSource).cast(f.dataType))
           .otherwise(updates(f.name))
       }
+    }
     clauses.foreach {
       case MatchedDelete(cond) =>
         val hit = remaining && cond.map(resolve(_)).getOrElse(lit(true))
@@ -671,29 +765,49 @@ case class GraftMergeColsCommand(root: String, sourceSql: String,
     val kept = j.filter(col("__t_present").isNotNull && !deleted)
       .select(targetFields.map(f => updates(f.name).as(f.name)): _*)
 
-    val inserts = clauses.collectFirst { case ni: NotMatchedInsert => ni } match {
-      // INSERT *: the full row from the source side (name-matched — the
-      // source must carry every target column, checked at join build)
-      case Some(NotMatchedInsert(Seq("*"), Seq("*"))) =>
-        j.filter(col("__t_present").isNull)
-          .select(targetFields.map { f =>
-            col(s"__s_${f.name}").cast(f.dataType).as(f.name)
-          }: _*)
-      case Some(NotMatchedInsert(cols, exprs)) =>
-        val byCol = cols.map(_.toLowerCase).zip(exprs).toMap
-        require(byCol.size == cols.size, "MERGE: duplicate INSERT column")
-        byCol.keys.foreach(c => require(
-          targetFields.exists(_.name.equalsIgnoreCase(c)),
-          s"MERGE: INSERT names unknown target column $c"))
-        j.filter(col("__t_present").isNull)
-          .select(targetFields.map { f =>
-            byCol.get(f.name.toLowerCase) match {
-              case Some(e) => resolve(e).cast(f.dataType).as(f.name)
-              case None    => lit(null).cast(f.dataType).as(f.name)
-            }
-          }: _*)
-      case None => spark.createDataFrame(
-        new java.util.ArrayList[Row](), target.schema)
+    // the NOT MATCHED family over its DISJOINT row set (source-only rows),
+    // same first-match-wins fold as the other two families: the first
+    // INSERT clause whose condition passes claims the row and supplies its
+    // values; rows no clause claims are not inserted
+    val insertClauses = clauses.collect { case ni: NotMatchedInsert => ni }
+    val inserts = if (insertClauses.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), target.schema)
+    else {
+      var remainingIns: Column = col("__t_present").isNull
+      var claimedAny: Column = lit(false)
+      var insVals: Map[String, Column] = targetFields.map(f =>
+        f.name -> lit(null).cast(f.dataType)).toMap
+      insertClauses.foreach { ni =>
+        val hit = remainingIns && ni.cond.map(resolve(_)).getOrElse(lit(true))
+        val claimed = coalesce(hit, lit(false))
+        val vals: Map[String, Column] =
+          if (ni.cols == Seq("*")) {
+            // INSERT *: the full row from the source side (name-matched —
+            // the source must carry every target column)
+            targetFields.map { f =>
+              require(srcCols.exists(_.equalsIgnoreCase(f.name)),
+                s"MERGE: INSERT * needs source column ${f.name}")
+              f.name.toLowerCase -> col(s"__s_${f.name}")
+            }.toMap
+          } else {
+            val byCol = ni.cols.map(_.toLowerCase).zip(ni.exprs).toMap
+            require(byCol.size == ni.cols.size, "MERGE: duplicate INSERT column")
+            byCol.keys.foreach(c => require(
+              targetFields.exists(_.name.equalsIgnoreCase(c)),
+              s"MERGE: INSERT names unknown target column $c"))
+            byCol.map { case (c, e) => c -> resolve(e) }
+          }
+        targetFields.foreach { f =>
+          vals.get(f.name.toLowerCase).foreach { v =>
+            insVals += f.name ->
+              when(claimed, v.cast(f.dataType)).otherwise(insVals(f.name))
+          }
+        }
+        claimedAny = claimedAny || claimed
+        remainingIns = remainingIns && !claimed
+      }
+      j.filter(claimedAny)
+        .select(targetFields.map(f => insVals(f.name).as(f.name)): _*)
     }
     val merged = kept.unionByName(inserts)
     // single computation: the full-outer projection runs once (the write);
@@ -966,15 +1080,20 @@ object GraftSqlParser {
           "MERGE: missing WHEN clauses after the ON condition")
         val on = afterOn.get.substring(0, whenIdxs.head)
         val whens = afterOn.get.substring(whenIdxs.head)
-        val key = on.trim match {
+        // ON is a conjunction of same-name equi-keys (the composite-PK
+        // lakehouse MERGE): split at top-level ANDs, each conjunct t.k = s.k
+        val keys = splitTopLevelAll(on, "AND").map(_.trim match {
           case OnRe(_, k1, _, k2) =>
             require(k1.equalsIgnoreCase(k2),
               s"MERGE: ON must equate the same key column on both sides " +
                 s"(got $k1 = $k2)")
             k1
           case other => throw new IllegalArgumentException(
-            s"MERGE: unsupported ON clause '$other' — expected t.key = s.key")
-        }
+            s"MERGE: unsupported ON conjunct '$other' — expected " +
+              "t.key = s.key [AND t.key2 = s.key2 ...]")
+        })
+        require(keys.map(_.toLowerCase).distinct.size == keys.size,
+          s"MERGE: duplicate ON key in ${keys.mkString(", ")}")
         // source: a view/table name (optional alias) or a (subquery) alias
         val srcText = source.trim
         val (srcSql, srcAlias) =
@@ -989,7 +1108,7 @@ object GraftSqlParser {
             (s"SELECT * FROM ${parts.head}", parts.lastOption.getOrElse(parts.head))
           }
         val clauses = splitWhenClauses(whens).map(parseClause)
-        compileMerge(root, name, srcSql, srcAlias, key, clauses)
+        compileMerge(root, name, srcSql, srcAlias, keys, clauses)
       }
     case _ => None
   }
@@ -1022,17 +1141,14 @@ object GraftSqlParser {
         NotMatchedBySourceUpdate(Option(cond), assigns)
       }
     case ClauseNotMatchedRe(cond, body) =>
-      require(cond == null,
-        "MERGE: WHEN NOT MATCHED AND <cond> is not supported — supported " +
-          "forms: WHEN NOT MATCHED THEN INSERT * | INSERT (cols) VALUES (exprs)")
       body.trim match {
-        case "*" => NotMatchedInsert(Seq("*"), Seq("*"))
+        case "*" => NotMatchedInsert(Option(cond), Seq("*"), Seq("*"))
         case InsertValuesRe(cols, exprs) =>
           val cs = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
           val es = splitTopLevel(exprs)
           require(cs.size == es.size,
             s"MERGE: INSERT lists ${cs.size} columns but ${es.size} values")
-          NotMatchedInsert(cs, es)
+          NotMatchedInsert(Option(cond), cs, es)
         case other => throw new IllegalArgumentException(
           s"MERGE: unsupported INSERT body '$other' — supported forms: " +
             "INSERT * | INSERT (cols) VALUES (exprs)")
@@ -1049,7 +1165,8 @@ object GraftSqlParser {
     * (SQL semantics: a DELETE clause after an unconditional UPDATE clause
     * can never fire — such statements are rejected, not reordered). */
   private def compileMerge(root: String, target: String, srcSql: String,
-      srcAlias: String, key: String, clauses: Seq[MergeClause]): LogicalPlan = {
+      srcAlias: String, keys: Seq[String],
+      clauses: Seq[MergeClause]): LogicalPlan = {
     // the CDC form is identified by its UPDATE SET * clause — a marker-
     // shaped conditional DELETE alone is perfectly valid per-column MERGE
     // (delete-only statements) and must not be claimed by the CDC path
@@ -1059,7 +1176,7 @@ object GraftSqlParser {
     } && clauses.forall {
       case MatchedUpdate(None, Seq(("*", "*"))) => true
       case MatchedDelete(Some(c)) => MarkerEqRe.findFirstIn(c).isDefined
-      case NotMatchedInsert(Seq("*"), Seq("*")) => true
+      case NotMatchedInsert(None, Seq("*"), Seq("*")) => true
       case _ => false
     }
     if (isCdc) {
@@ -1069,7 +1186,8 @@ object GraftSqlParser {
       require(updIdx >= 0,
         "MERGE: missing WHEN MATCHED THEN UPDATE SET * (CDC form) or " +
           "per-column UPDATE SET c = expr clauses")
-      require(clauses.exists { case NotMatchedInsert(Seq("*"), Seq("*")) => true
+      require(clauses.exists {
+        case NotMatchedInsert(None, Seq("*"), Seq("*")) => true
         case _ => false },
         "MERGE: missing WHEN NOT MATCHED THEN INSERT * (CDC form) or " +
           "INSERT (cols) VALUES (exprs)")
@@ -1080,16 +1198,35 @@ object GraftSqlParser {
       val deleteWhen = clauses.collectFirst {
         case MatchedDelete(Some(MarkerEqRe(c, v))) => (c, v)
       }
-      GraftMergeCommand(root, srcSql, key, deleteWhen)
+      if (keys.size == 1) GraftMergeCommand(root, srcSql, keys.head, deleteWhen)
+      else {
+        // composite-key CDC routes through the per-column engine: SET * /
+        // INSERT * expand there, and the marker DELETE's unmatched rows
+        // must NOT insert (CDC deletes replay idempotently) — expressed as
+        // the conditional-INSERT guard on the same full-outer projection
+        val insCond = deleteWhen.map { case (opc, v) =>
+          s"NOT coalesce($opc = '$v', false)" }
+        val translated = clauses.map {
+          case NotMatchedInsert(None, Seq("*"), Seq("*")) =>
+            NotMatchedInsert(insCond, Seq("*"), Seq("*"))
+          case c => c
+        }
+        GraftMergeColsCommand(root, srcSql, srcAlias, target, keys, translated)
+      }
     } else {
       clauses.foreach {
         case MatchedUpdate(_, as) => require(!as.exists(_._1 == "*"),
           "MERGE: UPDATE SET * cannot mix with per-column clauses")
         case _ =>
       }
-      require(clauses.count(_.isInstanceOf[NotMatchedInsert]) <= 1,
-        "MERGE: at most one WHEN NOT MATCHED THEN INSERT clause is supported")
-      GraftMergeColsCommand(root, srcSql, srcAlias, target, key, clauses)
+      // the Delta discipline for the NOT MATCHED family: every INSERT
+      // clause except the last needs a condition (an earlier unconditional
+      // INSERT makes the rest unreachable — reject, don't reorder)
+      val ins = clauses.collect { case ni: NotMatchedInsert => ni }
+      ins.dropRight(1).foreach(ni => require(ni.cond.isDefined,
+        "MERGE: only the last WHEN NOT MATCHED ... INSERT clause may omit " +
+          "AND <cond> (an earlier unconditional INSERT is unreachable)"))
+      GraftMergeColsCommand(root, srcSql, srcAlias, target, keys, clauses)
     }
   }
 
@@ -1236,6 +1373,15 @@ object GraftSqlParser {
       case Some(i) => (s.substring(0, i).trim, Some(s.substring(i + kw.length)))
       case None    => (s.trim, None)
     }
+
+  /** Split `s` at EVERY top-level occurrence of keyword `kw` (depth 0,
+    * outside literals) — the ON-conjunction splitter. */
+  private[plans] def splitTopLevelAll(s: String, kw: String): Seq[String] = {
+    val idxs = keywordPositions(s, kw)
+    ((-kw.length +: idxs) :+ s.length).sliding(2).map {
+      case Seq(a, b) => s.substring(a + kw.length, b)
+    }.toSeq
+  }
 
   /** Split on commas at paren depth 0, outside string literals. */
   private[plans] def splitTopLevel(s: String): Seq[String] = {

@@ -51,6 +51,26 @@ object SnapshotTable {
 
   private def snapDir(root: String): Path = Paths.get(root, "_snapshots")
 
+  /** Clear abandoned per-version sidecars before (re)staging version `v`.
+    * A writer that crashed between staging and [[swap]] can leave
+    * `v<N>.meta` / `v<N>.schema` / `v<N>.copied` behind; a LATER statement
+    * of a DIFFERENT kind staging the same version number would otherwise
+    * silently ADOPT them — a plain commit inheriting a dead COPY INTO's
+    * loaded-file ledger permanently skips those landing files, and a plain
+    * commit inheriting a dead commitEvo's schema sidecar mis-resolves every
+    * later evolution read. Deliberately does NOT touch `v<N>.reserved`
+    * (the CAS reservation is exclusive-create by contract — deleting it
+    * here would un-serialize a concurrent committer). */
+  private def clearStaleSidecars(root: String, v: Long): Unit = {
+    if (Files.exists(snapDir(root))) {
+      Files.deleteIfExists(snapDir(root).resolve(s"v$v.meta"))
+      Files.deleteIfExists(snapDir(root).resolve(s"v$v.schema"))
+      Files.deleteIfExists(snapDir(root).resolve(s"v$v.copied"))
+      Files.deleteIfExists(snapDir(root).resolve(s"v$v.sizes"))
+    }
+    ()
+  }
+
   /** Current committed version, if any commit has completed. */
   def latestVersion(root: String): Option[Long] = {
     val p = snapDir(root).resolve("LATEST")
@@ -69,12 +89,15 @@ object SnapshotTable {
     * cleanly. Returns the staged version number. */
   def prepare(df: DataFrame, root: String, meta: String = null): Long = {
     val v = latestVersion(root).getOrElse(0L) + 1
+    clearStaleSidecars(root, v)
     val dataDir = Paths.get(root, "data", s"v$v")
     df.write.mode("overwrite").parquet(dataDir.toString)
     val files = listParquet(dataDir, v)
     Files.createDirectories(snapDir(root))
     if (meta != null)
       Files.write(snapDir(root).resolve(s"v$v.meta"), meta.getBytes(UTF_8))
+    writeSizesSidecar(root, v, files.map(f =>
+      f -> Files.size(Paths.get(root, f))))
     Files.write(snapDir(root).resolve(s"v$v.manifest"),
       files.mkString("\n").getBytes(UTF_8))
     v
@@ -87,6 +110,43 @@ object SnapshotTable {
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => s"data/v$v/${p.getFileName}").toSeq.sorted
     finally st.close()
+  }
+
+  /** Per-version FILE-SIZE sidecar (`v<N>.sizes`, one `path\tbytes` line
+    * per manifest entry) — byte sizes are manifest METADATA, recorded once
+    * at commit time when the writer has just created (or carried) the
+    * files, so maintenance planning (OPTIMIZE bin-packing) reads sizes
+    * from one small file instead of stat-ing the filesystem per data file.
+    * Written between staging and [[swap]], visible through the same atomic
+    * pointer flip as the data. Absent on pre-existing tables — readers
+    * fall back to a stat per missing entry. */
+  private def writeSizesSidecar(root: String, v: Long,
+      sizes: Seq[(String, Long)]): Unit = {
+    Files.write(snapDir(root).resolve(s"v$v.sizes"),
+      sizes.sortBy(_._1).map { case (f, n) => s"$f\t$n" }.mkString("\n")
+        .getBytes(UTF_8))
+    ()
+  }
+
+  /** Recorded byte sizes of version `v`'s manifest entries (empty map for
+    * tables/versions committed before the sizes sidecar existed). */
+  def fileSizes(root: String, v: Long): Map[String, Long] = {
+    val p = snapDir(root).resolve(s"v$v.sizes")
+    if (!Files.exists(p)) Map.empty
+    else new String(Files.readAllBytes(p), UTF_8).split("\n")
+      .filter(_.nonEmpty).map { line =>
+        val i = line.lastIndexOf('\t')
+        line.substring(0, i) -> line.substring(i + 1).toLong
+      }.toMap
+  }
+
+  /** Sizes for a staged manifest: new files are stat-ed (the writer just
+    * created them — local metadata), carried files resolve from the
+    * PREVIOUS version's sidecar (a metadata read), stat only as the
+    * fallback for entries predating the sidecar. */
+  private def sizesFor(root: String, files: Seq[String]): Seq[(String, Long)] = {
+    val prev = latestVersion(root).map(fileSizes(root, _)).getOrElse(Map.empty)
+    files.map(f => f -> prev.getOrElse(f, Files.size(Paths.get(resolveEntry(root, f)))))
   }
 
   /** Attach commit metadata to a PREPARED (not yet swapped) version —
@@ -210,10 +270,16 @@ object SnapshotTable {
     }
     val v = latestVersion(root).getOrElse(0L) + 1
     Files.createDirectories(snapDir(root))
+    // sizes resolve BEFORE clearing sidecars (carried entries read the
+    // previous version's sizes sidecar, which clearStaleSidecars must not
+    // race — it only clears version v's own abandoned files)
+    val sizes = sizesFor(root, files)
+    clearStaleSidecars(root, v)
     // meta BEFORE swap: commit metadata becomes visible through the same
     // atomic pointer flip as the data — same contract as prepare()
     if (meta != null)
       Files.write(snapDir(root).resolve(s"v$v.meta"), meta.getBytes(UTF_8))
+    writeSizesSidecar(root, v, sizes)
     Files.write(snapDir(root).resolve(s"v$v.manifest"),
       files.sorted.mkString("\n").getBytes(UTF_8))
     swap(root, v)
@@ -242,11 +308,15 @@ object SnapshotTable {
     val prev = latestVersion(root).map(v =>
       new String(Files.readAllBytes(snapDir(root).resolve(s"v$v.manifest")), UTF_8)
         .split("\n").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val prevSizes = sizesFor(root, prev)
     val v = latestVersion(root).getOrElse(0L) + 1
+    clearStaleSidecars(root, v)
     val dataDir = Paths.get(root, "data", s"v$v")
     df.write.mode("overwrite").parquet(dataDir.toString)
     val added = listParquet(dataDir, v)
     Files.createDirectories(snapDir(root))
+    writeSizesSidecar(root, v, prevSizes ++ added.map(f =>
+      f -> Files.size(Paths.get(root, f))))
     Files.write(snapDir(root).resolve(s"v$v.manifest"),
       (prev ++ added).mkString("\n").getBytes(UTF_8))
     v
@@ -350,6 +420,7 @@ object SnapshotTable {
     expiring.foreach { v =>
       Files.deleteIfExists(snapDir(root).resolve(s"v$v.meta"))
       Files.deleteIfExists(snapDir(root).resolve(s"v$v.reserved"))
+      Files.deleteIfExists(snapDir(root).resolve(s"v$v.sizes"))
       Files.deleteIfExists(snapDir(root).resolve(s"v$v.manifest"))
     }
     candidates.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
@@ -423,7 +494,9 @@ object SnapshotTable {
 
   private def writePartitioned(df: DataFrame, root: String,
       cols: Seq[String], carried: Seq[String]): Long = {
+    val carriedSizes = sizesFor(root, carried)
     val v = latestVersion(root).getOrElse(0L) + 1
+    clearStaleSidecars(root, v)
     val dataDir = Paths.get(root, "data", s"v$v")
     // cluster rows by the partition columns first: one file per directory
     // instead of one per (task × directory) — the standard dynamic-
@@ -440,6 +513,8 @@ object SnapshotTable {
     Files.createDirectories(snapDir(root))
     Files.write(snapDir(root).resolve(s"v$v.meta"),
       s"partspec:${cols.mkString(",")}".getBytes(UTF_8))
+    writeSizesSidecar(root, v, carriedSizes ++ added.map(f =>
+      f -> Files.size(Paths.get(root, f))))
     Files.write(snapDir(root).resolve(s"v$v.manifest"),
       (carried ++ added).mkString("\n").getBytes(UTF_8))
     v
@@ -504,7 +579,8 @@ object SnapshotTable {
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
     // (2) abandoned staging: nothing at a version above LATEST is reachable
     staged.foreach { v =>
-      Seq(s"v$v.meta", s"v$v.reserved", s"v$v.schema", s"v$v.manifest").foreach { n =>
+      Seq(s"v$v.meta", s"v$v.reserved", s"v$v.schema", s"v$v.copied",
+          s"v$v.sizes", s"v$v.manifest").foreach { n =>
         if (Files.deleteIfExists(snapDir(root).resolve(n)))
           deleted += s"_snapshots/$n"
       }
@@ -672,16 +748,7 @@ object SnapshotTable {
     * columns); previous generations' files are untouched — their bytes stay
     * identical, which is the whole point of metadata-level evolution. */
   def appendEvo(df: DataFrame, root: String, fields: Seq[EvoField]): Long = {
-    val prev = latestVersion(root).map(v =>
-      new String(Files.readAllBytes(snapDir(root).resolve(s"v$v.manifest")), UTF_8)
-        .split("\n").filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val v = latestVersion(root).getOrElse(0L) + 1
-    val dataDir = Paths.get(root, "data", s"v$v")
-    df.write.mode("overwrite").parquet(dataDir.toString)
-    val added = listParquet(dataDir, v)
-    Files.createDirectories(snapDir(root))
-    Files.write(snapDir(root).resolve(s"v$v.manifest"),
-      (prev ++ added).mkString("\n").getBytes(UTF_8))
+    val v = appendPrepare(df, root)
     writeSchemaSidecar(root, v, fields)
     swap(root, v)
     v
@@ -695,15 +762,27 @@ object SnapshotTable {
     * per schema GENERATION (bounded by the number of schema changes, never
     * by file count), unioned by name — at 100 TB this plans as a handful of
     * parquet scans with per-scan projections, no data rewrite ever. */
-  def readEvo(spark: SparkSession, root: String): DataFrame = {
+  def readEvo(spark: SparkSession, root: String): DataFrame =
+    readEvoAt(spark, root, latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root")))
+
+  /** [[readEvo]] at a specific version — evolution-aware TIME TRAVEL: the
+    * manifest AND the schema both resolve as of `v`, so a read of the
+    * pre-rename version comes back under the old column name (exactly what
+    * `VERSION AS OF` means on an evolving table). */
+  def readEvoAt(spark: SparkSession, root: String, v: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val v = latestVersion(root).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot at $root"))
     val current = schemaAt(root, v).getOrElse(
-      throw new IllegalStateException(s"no evolution schema at $root"))
-    val files = new String(
-      Files.readAllBytes(snapDir(root).resolve(s"v$v.manifest")), UTF_8)
+      throw new IllegalStateException(s"no evolution schema at $root as of v$v"))
+    val m = snapDir(root).resolve(s"v$v.manifest")
+    require(Files.exists(m), s"no snapshot v$v at $root")
+    val files = new String(Files.readAllBytes(m), UTF_8)
       .split("\n").filter(_.nonEmpty).toSeq
+    // same refusal as readVersion: a partitioned generation keeps columns
+    // in DIRECTORY names — a flat file read would silently drop them
+    require(!files.exists(_.matches(".*/[^/]+=[^/]*/.*")),
+      s"snapshot v$v at $root has partitioned-generation data files — " +
+        "field-id evolution does not compose with partition-spec layouts")
     // field-id evolution keys the physical schema on THIS table's version
     // number in each entry's path, and the sidecars live under THIS root —
     // a shallow clone's foreign entries would resolve generation numbers
@@ -729,4 +808,67 @@ object SnapshotTable {
       }
       .reduce(_.unionByName(_))
   }
+
+  /** Whether the table has field-id evolution metadata in effect at its
+    * current version (the switch between the plain and evolved read path). */
+  def hasEvoSchema(root: String): Boolean =
+    latestVersion(root).exists(schemaAt(root, _).isDefined)
+
+  /** The evolution schema at the current version, BOOTSTRAPPING it from the
+    * physical parquet schema if the table predates evolution: ids are
+    * assigned 1..n in field order and the sidecar lands at the EARLIEST
+    * version (v1) — before the first schema change every generation shares
+    * one physical schema, so the retroactive sidecar describes what is
+    * already physically true for ALL of them (writing it at the current
+    * version instead would leave older generations resolving to the
+    * post-ALTER schema). Idempotent; the ALTER TABLE entry point. */
+  def ensureEvoSchema(spark: SparkSession, root: String): Seq[EvoField] = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    schemaAt(root, v).getOrElse {
+      val fields = read(spark, root).schema.fields.toSeq.zipWithIndex.map {
+        case (f, i) => EvoField(i + 1, f.name, f.dataType.catalogString)
+      }
+      writeSchemaSidecar(root, 1L, fields)
+      fields
+    }
+  }
+
+  /** METADATA-ONLY schema-change commit (SQL ALTER TABLE): the next version
+    * carries the CURRENT manifest unchanged plus the new schema sidecar —
+    * zero data bytes move at any table size; old generations resolve their
+    * own physical schema by field id at read time. The sidecar lands before
+    * [[swap]], so the new schema becomes visible atomically. */
+  def commitSchemaChange(root: String, fields: Seq[EvoField],
+      meta: String): Long = {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val files = manifestFiles(root, latest)
+    val sizes = sizesFor(root, files)
+    val v = latest + 1
+    clearStaleSidecars(root, v)
+    Files.write(snapDir(root).resolve(s"v$v.meta"), meta.getBytes(UTF_8))
+    writeSchemaSidecar(root, v, fields)
+    writeSizesSidecar(root, v, sizes)
+    Files.write(snapDir(root).resolve(s"v$v.manifest"),
+      files.mkString("\n").getBytes(UTF_8))
+    swap(root, v)
+    v
+  }
+
+  /** The current snapshot through the RIGHT read path: evolved tables
+    * resolve names/types by field id, plain tables read their manifests
+    * directly. What every SQL statement (reads and DML targets) uses once
+    * ALTER TABLE exists — DML over an evolved table then rewrites/appends
+    * under the CURRENT schema, and the new generation resolves against the
+    * newest sidecar, so evolution and DML compose. */
+  def readCurrent(spark: SparkSession, root: String): DataFrame =
+    if (hasEvoSchema(root)) readEvo(spark, root)
+    else read(spark, root)
+
+  /** [[readCurrent]] at a specific version — `VERSION AS OF` on a possibly
+    * evolved table (schema resolved as of that version). */
+  def readVersionCurrent(spark: SparkSession, root: String, v: Long): DataFrame =
+    if (schemaAt(root, v).isDefined) readEvoAt(spark, root, v)
+    else readVersion(spark, root, v)
 }
