@@ -1453,6 +1453,185 @@ object WarehouseQueries extends QueryModule {
             col("revenue"))
           .orderBy("phase", "yr", "mo")
       } finally s.conf.set(GraftMvRewriteRule.Flag, "false")
+    }),
+
+    // M39: DURABLE CATALOG — the piece that turns the SQL surface from a
+    // session demo into a system: with `spark.graft.metastoreDir` set,
+    // every SQL-created table and MV records into a two-file metastore
+    // sidecar, and a NEW session (new JVM) pointing at the same directory
+    // re-materializes them on its FIRST statement. The scenario: CTAS +
+    // INSERT + CREATE MATERIALIZED VIEW while the metastore records; then
+    // a simulated restart (this query's names dropped from all three
+    // in-JVM registries + the loaded-marker forgotten — a real restart is
+    // an empty JVM, same observable state for these names); then the
+    // "morning after" statements — DESCRIBE HISTORY, a raw read, and the
+    // MV-served aggregate — run against the RELOADED names and are
+    // value-graded. The reload path is all metadata: two catalog files +
+    // one MV re-analysis; no data scan. ExtensionsSpec pins the restart
+    // on a fully fresh session and the MV serve plan after reload.
+    "m39_sql_metastore" -> ((s, dir) => {
+      import graft.plans.{GraftDmlRegistry, GraftMetastore, GraftMvDdlRegistry,
+        GraftMvRewriteRule, MvRegistry}
+      val t = Tables(s, dir)
+      val key = Tables.pathKey(dir)
+      val metaDir = s"${System.getProperty("java.io.tmpdir")}/graft_m39meta_$key"
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m39t_$key"
+      val mvPath = s"${System.getProperty("java.io.tmpdir")}/graft_m39mv_$key"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      Seq(metaDir, root, mvPath).foreach(p => rmrf(new java.io.File(p)))
+      ensureMvRule(s)
+      val name = s"m39t_$key"
+      val mv = s"m39v_$key"
+      GraftDmlRegistry.unregister(name)
+      GraftMvDdlRegistry.remove(mv); MvRegistry.unregister(mv)
+      t.orders.select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .createOrReplaceTempView("m39_src")
+      val prevMeta = s.conf.get(GraftMetastore.DirKey, "")
+      s.conf.set(GraftMetastore.DirKey, metaDir)
+      try {
+        s.sql(s"CREATE SNAPSHOT TABLE $name LOCATION '$root' AS " +
+          "SELECT * FROM m39_src WHERE o_orderkey % 3 = 0")
+        s.sql(s"INSERT INTO $name SELECT * FROM m39_src WHERE o_orderkey % 3 = 1")
+        val defSql = s"SELECT o_orderstatus, count(*) AS n, " +
+          "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) " +
+          s"AS revenue FROM $name GROUP BY o_orderstatus"
+        s.sql(s"CREATE MATERIALIZED VIEW $mv LOCATION '$mvPath' AS $defSql")
+        // ---- simulated restart: the JVM forgets, the metastore remembers
+        GraftDmlRegistry.unregister(name)
+        GraftMvDdlRegistry.remove(mv); MvRegistry.unregister(mv)
+        GraftMetastore.forget(metaDir)
+        // first statements of the "new session" — ensureLoaded fires on
+        // parse and the names resolve again, table first (history + raw
+        // read), then the MV (flag-on aggregate served from the stored
+        // parquet; 'direct' and 'mv' phases must agree value-for-value)
+        val hist = s.sql(s"DESCRIBE HISTORY $name")
+          .agg(count(lit(1)).as("n_versions"),
+            max(col("version")).as("current_version"))
+        val direct = eagerDf(s, s.sql(defSql).withColumn("phase", lit("direct")))
+        val served = try {
+          s.conf.set(GraftMvRewriteRule.Flag, "true")
+          eagerDf(s, s.sql(defSql).withColumn("phase", lit("mv")))
+        } finally s.conf.set(GraftMvRewriteRule.Flag, "false")
+        direct.unionByName(served)
+          .crossJoin(hist)
+          .select(col("phase"), col("o_orderstatus"), col("n"), col("revenue"),
+            col("n_versions"), col("current_version"))
+          .orderBy("phase", "o_orderstatus")
+      } finally {
+        if (prevMeta.isEmpty) s.conf.unset(GraftMetastore.DirKey)
+        else s.conf.set(GraftMetastore.DirKey, prevMeta)
+      }
+    }),
+
+    // M40: SQL SCHEMA EVOLUTION — ALTER TABLE over the field-id sidecar
+    // machinery (m18/m19's library surface, now reachable from pure SQL).
+    // The full lifecycle, every step a METADATA-ONLY commit (zero data
+    // bytes move at any table size): ADD COLUMN (old generation null-
+    // fills), a second generation INSERTed WITH the new column, RENAME
+    // (both generations come back under the new name — the physical bytes
+    // still carry the old one), UPDATE through the renamed name (DML and
+    // evolution compose: the rewrite lands under the CURRENT schema),
+    // ALTER COLUMN TYPE widening int->bigint (the old generation upcasts
+    // at read), and DROP COLUMN. Time travel re-reads v1 under the schema
+    // IN EFFECT AT v1. The graded rollup reads every evolved column plus
+    // the version ledger, so a mis-resolved generation cannot hash-match.
+    "m40_sql_alter_evolution" -> ((s, dir) => {
+      import graft.plans.GraftDmlRegistry
+      val t = Tables(s, dir)
+      val key = Tables.pathKey(dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m40t_$key"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root))
+      val name = s"m40t_$key"
+      GraftDmlRegistry.unregister(name)
+      t.orders.select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"),
+          year(col("o_orderdate")).cast("int").as("yr"))
+        .createOrReplaceTempView("m40_src")
+      s.sql(s"CREATE SNAPSHOT TABLE $name LOCATION '$root' AS " +
+        "SELECT * FROM m40_src WHERE o_orderkey % 4 = 0")          // v1
+      s.sql(s"ALTER TABLE $name ADD COLUMN note string")            // v2
+      s.sql(s"INSERT INTO $name SELECT o_orderkey, o_totalprice, " +
+        "o_orderstatus, yr, 'w2' AS note FROM m40_src " +
+        "WHERE o_orderkey % 4 = 1")                                 // v3
+      s.sql(s"ALTER TABLE $name RENAME COLUMN note TO batch_tag")   // v4
+      val upd = s.sql(s"UPDATE $name SET batch_tag = 'seed' " +
+        "WHERE batch_tag IS NULL").head()                           // v5
+      s.sql(s"ALTER TABLE $name ALTER COLUMN yr TYPE bigint")       // v6
+      val alt = s.sql(s"ALTER TABLE $name DROP COLUMN o_orderstatus")
+        .head()                                                     // v7
+      val v1 = s.sql(s"SELECT count(*) AS n_v1, count(o_orderstatus) " +
+        s"AS n_status_v1 FROM $name VERSION AS OF 1")
+      s.sql(s"SELECT batch_tag, count(*) AS n, " +
+          "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) " +
+          "AS revenue, CAST(sum(yr) AS BIGINT) AS sum_yr " +
+          s"FROM $name GROUP BY batch_tag")
+        .crossJoin(v1)
+        .withColumn("n_updated", lit(upd.getLong(1)))
+        .withColumn("current_version", lit(alt.getLong(0)))
+        .withColumn("n_columns", lit(alt.getLong(1)))
+        .orderBy("batch_tag")
+    }),
+
+    // M41: COMPOSITE-KEY MERGE with CONDITIONAL INSERT FAMILIES — the two
+    // grammar residuals ordinary lakehouse MERGEs hit first: an ON
+    // conjunction over the natural composite PK (l_orderkey, l_linenumber
+    // — the same full-outer projection, keyed on both columns), and a
+    // first-match-wins NOT MATCHED family (two conditional INSERT clauses;
+    // the second leaves l_extendedprice unlisted -> NULL, so a clause
+    // mis-claim cannot hash-match count(l_extendedprice)). The standard-
+    // MERGE cardinality guard rides the plan (window count over BOTH
+    // keys + raise_error), so the source is computed exactly once.
+    "m41_sql_merge_composite" -> ((s, dir) => {
+      import graft.plans.GraftDmlRegistry
+      val t = Tables(s, dir)
+      val key = Tables.pathKey(dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m41t_$key"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root))
+      val name = s"m41t_$key"
+      GraftDmlRegistry.unregister(name)
+      val base = t.lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+      SnapshotTable.commit(base.filter(col("l_orderkey") % 4 === 0), root)
+      GraftDmlRegistry.registerSnapshot(name, root)
+      // the fixture's lineitem repeats (l_orderkey, l_linenumber) — a
+      // valid MERGE source needs one row per key (the cardinality rule
+      // this very statement's in-plan guard enforces; multiple TARGET
+      // rows per key are fine and present), so the feed collapses by max
+      base.filter(col("l_orderkey") % 2 === 0)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(max(col("l_quantity")).as("l_quantity"),
+          max(col("l_extendedprice")).as("l_extendedprice"))
+        .createOrReplaceTempView("m41_chg")
+      val mergeRow = s.sql(
+        s"MERGE INTO $name USING m41_chg " +
+          s"ON $name.l_orderkey = m41_chg.l_orderkey " +
+          s"AND $name.l_linenumber = m41_chg.l_linenumber " +
+          s"WHEN MATCHED AND m41_chg.l_quantity > 25 THEN UPDATE SET " +
+          s"l_quantity = $name.l_quantity + m41_chg.l_quantity, " +
+          "l_returnflag = 'M' " +
+          "WHEN NOT MATCHED AND m41_chg.l_extendedprice > 30000 THEN " +
+          "INSERT (l_orderkey, l_linenumber, l_quantity, l_extendedprice, " +
+          "l_returnflag) VALUES (m41_chg.l_orderkey, m41_chg.l_linenumber, " +
+          "m41_chg.l_quantity, m41_chg.l_extendedprice, 'H') " +
+          "WHEN NOT MATCHED THEN INSERT (l_orderkey, l_linenumber, " +
+          "l_quantity, l_returnflag) VALUES (m41_chg.l_orderkey, " +
+          "m41_chg.l_linenumber, 0.0, 'L')").head()
+      s.sql(s"SELECT l_returnflag, count(*) AS n, " +
+          "round(CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE), 6) AS sum_qty, " +
+          "count(l_extendedprice) AS n_price " +
+          s"FROM $name GROUP BY l_returnflag")
+        .withColumn("merged_rows", lit(mergeRow.getLong(1)))
+        .withColumn("current_version", lit(mergeRow.getLong(0)))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -2082,6 +2261,74 @@ object WarehouseQueries extends QueryModule {
     "m32_mv_filtered_containment" ->
       ("SELECT month(o_orderdate) AS mo, count(*) AS n_orders, " +
         s"round(${Tables.dsumSql("o_totalprice")}, 6) AS revenue " +
-        "FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1 ORDER BY mo")
+        "FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1 ORDER BY mo"),
+
+    // the catalog only remaps NAMES — the data is CTAS (%3=0) + INSERT
+    // (%3=1), and both the restart-reloaded raw read and the reloaded-MV
+    // serve must produce the identical rollup (phases 'direct' and 'mv')
+    "m39_sql_metastore" ->
+      ("WITH base AS (SELECT o_orderstatus, o_totalprice FROM orders " +
+        "WHERE o_orderkey % 3 IN (0, 1)), " +
+        "agg AS (SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) " +
+        "AS revenue FROM base GROUP BY o_orderstatus) " +
+        "SELECT p.phase, a.o_orderstatus, a.n, a.revenue, " +
+        "CAST(2 AS BIGINT) AS n_versions, CAST(2 AS BIGINT) AS current_version " +
+        "FROM agg a CROSS JOIN (SELECT 'direct' AS phase UNION ALL " +
+        "SELECT 'mv') p ORDER BY phase, o_orderstatus"),
+
+    // the evolved table replayed from the raw facts: generation 1 (%4=0,
+    // tag backfilled 'seed' by the post-rename UPDATE through null-fill)
+    // + generation 2 (%4=1, tag 'w2' at insert); yr sums as BIGINT (the
+    // widened read type); v1 time-travels to the pre-evolution schema
+    "m40_sql_alter_evolution" ->
+      ("WITH w1 AS (SELECT o_totalprice, CAST(year(o_orderdate) AS INT) AS yr " +
+        "FROM orders WHERE o_orderkey % 4 = 0), " +
+        "w2 AS (SELECT o_totalprice, CAST(year(o_orderdate) AS INT) AS yr " +
+        "FROM orders WHERE o_orderkey % 4 = 1), " +
+        "fin AS (SELECT 'seed' AS batch_tag, o_totalprice, yr FROM w1 " +
+        "UNION ALL SELECT 'w2', o_totalprice, yr FROM w2) " +
+        "SELECT batch_tag, count(*) AS n, " +
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) " +
+        "AS revenue, CAST(sum(yr) AS BIGINT) AS sum_yr, " +
+        "(SELECT count(*) FROM w1) AS n_v1, " +
+        "(SELECT count(*) FROM w1) AS n_status_v1, " +
+        "(SELECT count(*) FROM w1) AS n_updated, " +
+        "CAST(7 AS BIGINT) AS current_version, " +
+        "CAST(4 AS BIGINT) AS n_columns " +
+        "FROM fin GROUP BY batch_tag ORDER BY batch_tag"),
+
+    // the composite-key merge replayed: matched rows (both keys) with
+    // qty > 25 take the conditional update; source-only rows split
+    // first-match-wins between the two INSERT clauses (price > 30000 ->
+    // 'H' full row, else 'L' with l_extendedprice left NULL)
+    "m41_sql_merge_composite" ->
+      ("WITH tgt AS (SELECT l_orderkey, l_linenumber, l_quantity, " +
+        "l_extendedprice, l_returnflag FROM lineitem WHERE l_orderkey % 4 = 0), " +
+        "chg AS (SELECT l_orderkey, l_linenumber, max(l_quantity) AS " +
+        "l_quantity, max(l_extendedprice) AS l_extendedprice FROM lineitem " +
+        "WHERE l_orderkey % 2 = 0 GROUP BY 1, 2), " +
+        "kept AS (SELECT CASE WHEN c.l_orderkey IS NOT NULL AND " +
+        "c.l_quantity > 25 THEN t.l_quantity + c.l_quantity " +
+        "ELSE t.l_quantity END AS l_quantity, t.l_extendedprice, " +
+        "CASE WHEN c.l_orderkey IS NOT NULL AND c.l_quantity > 25 " +
+        "THEN 'M' ELSE t.l_returnflag END AS l_returnflag " +
+        "FROM tgt t LEFT JOIN chg c ON t.l_orderkey = c.l_orderkey " +
+        "AND t.l_linenumber = c.l_linenumber), " +
+        "ins AS (SELECT CASE WHEN c.l_extendedprice > 30000 " +
+        "THEN c.l_quantity ELSE 0.0 END AS l_quantity, " +
+        "CASE WHEN c.l_extendedprice > 30000 THEN c.l_extendedprice " +
+        "ELSE NULL END AS l_extendedprice, " +
+        "CASE WHEN c.l_extendedprice > 30000 THEN 'H' ELSE 'L' END " +
+        "AS l_returnflag FROM chg c LEFT JOIN tgt t " +
+        "ON c.l_orderkey = t.l_orderkey AND c.l_linenumber = t.l_linenumber " +
+        "WHERE t.l_orderkey IS NULL), " +
+        "fin AS (SELECT * FROM kept UNION ALL SELECT * FROM ins) " +
+        "SELECT l_returnflag, count(*) AS n, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE), 6) " +
+        "AS sum_qty, count(l_extendedprice) AS n_price, " +
+        "(SELECT count(*) FROM fin) AS merged_rows, " +
+        "CAST(2 AS BIGINT) AS current_version " +
+        "FROM fin GROUP BY l_returnflag ORDER BY l_returnflag")
   )
 }

@@ -1,0 +1,133 @@
+package graft.plans
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Base64
+
+import org.apache.spark.sql.SparkSession
+
+/** DURABLE CATALOG for the SQL surface — what turns the session-scoped
+  * name registries ([[GraftDmlRegistry]], [[GraftMvDdlRegistry]]) into a
+  * warehouse: every table and materialized view CREATEd through SQL while
+  * `spark.graft.metastoreDir` is set is recorded in a metastore sidecar
+  * under that directory, and a NEW session — a new JVM — pointing at the
+  * same directory sees them all again on its first statement. Without
+  * this, tomorrow morning's `SELECT * FROM yesterdays_table` fails until
+  * someone re-runs `registerSnapshot` by hand, even though the snapshot
+  * data itself survived on disk.
+  *
+  * Layout (one small file per registry, the production-metastore pair):
+  * {{{
+  * <metastoreDir>/tables.catalog   name \t snapshot-root        per line
+  * <metastoreDir>/mvs.catalog      name \t path \t base64(sql)  per line
+  * }}}
+  * The MV definition text is base64-encoded so arbitrary SQL (newlines,
+  * tabs) keeps the file line-oriented. Rewrites are staged to a temp file
+  * and ATOMIC_MOVE'd, so a reader never sees a torn catalog — the same
+  * pointer-swap discipline as the snapshot protocol.
+  *
+  * Loading happens lazily at the first SQL statement the parser sees
+  * ([[GraftSqlParser.parsePlan]] calls [[ensureLoaded]]): tables register
+  * first, then each MV definition re-analyzes through `session.sql` (with
+  * the MV-rewrite flag forced OFF — the m27 discipline: a stale same-shape
+  * MV must not serve its own re-registration) so [[MvRegistry]] recovers
+  * the match key and a FRESH source fingerprint. Names already registered
+  * in the session win over catalog entries (the session is newer).
+  *
+  * Scale note: the catalog is metadata — one line per table/MV, read once
+  * per JVM per directory. The 100 TB of data behind the names never
+  * enters the picture; a production deployment swaps the two files for a
+  * metastore service with the same two verbs (put/list).
+  */
+object GraftMetastore {
+
+  /** The conf key a deployment sets once, session- or cluster-wide. */
+  val DirKey = "spark.graft.metastoreDir"
+
+  // dirs already loaded in this JVM: ensureLoaded is called on EVERY
+  // parsed statement, so membership here is the fast path; marked BEFORE
+  // loading so the MV re-analysis (which re-enters the parser via
+  // session.sql) cannot recurse into another load
+  private val loaded = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def confDir(session: SparkSession): Option[String] =
+    Option(session.conf.get(DirKey, null)).filter(_.nonEmpty)
+
+  private def tablesFile(dir: String): Path = Paths.get(dir, "tables.catalog")
+  private def mvsFile(dir: String): Path = Paths.get(dir, "mvs.catalog")
+
+  /** Load the metastore at the configured directory into the session's
+    * registries, once per JVM per directory. No-op when the conf is unset
+    * or the directory was already loaded. */
+  def ensureLoaded(session: SparkSession): Unit = confDir(session).foreach { dir =>
+    if (loaded.add(dir)) load(session, dir)
+  }
+
+  /** Drop the loaded-marker for `dir` so the NEXT statement reloads from
+    * disk — the restart simulation hook (a real restart is a fresh JVM,
+    * where the marker set starts empty). */
+  def forget(dir: String): Unit = { loaded.remove(dir); () }
+
+  private def load(session: SparkSession, dir: String): Unit = synchronized {
+    // tables first: MV definitions may read registered snapshot names
+    readLines(tablesFile(dir)).foreach { line =>
+      val Array(name, root) = line.split("\t", 2)
+      if (GraftDmlRegistry.rootOf(name).isEmpty)
+        GraftDmlRegistry.registerSnapshot(name, root)
+    }
+    readLines(mvsFile(dir)).foreach { line =>
+      val Array(name, path, sql64) = line.split("\t", 3)
+      if (GraftMvDdlRegistry.get(name).isEmpty) {
+        val sql = new String(Base64.getDecoder.decode(sql64), UTF_8)
+        val flag = session.conf.get(GraftMvRewriteRule.Flag, "false")
+        session.conf.set(GraftMvRewriteRule.Flag, "false")
+        try {
+          MvRegistry.register(name.toLowerCase, session.sql(sql), path)
+          GraftMvDdlRegistry.put(name, sql, path)
+        } finally session.conf.set(GraftMvRewriteRule.Flag, flag)
+      }
+    }
+  }
+
+  /** Record a SQL-created snapshot table, if a metastore is configured. */
+  def recordTable(session: SparkSession, name: String, root: String): Unit =
+    confDir(session).foreach { dir =>
+      upsertLine(tablesFile(dir), name.toLowerCase,
+        s"${name.toLowerCase}\t$root")
+    }
+
+  /** Record a SQL-created/refreshed materialized view. */
+  def recordMv(session: SparkSession, name: String, sql: String,
+      path: String): Unit =
+    confDir(session).foreach { dir =>
+      val sql64 = Base64.getEncoder.encodeToString(sql.getBytes(UTF_8))
+      upsertLine(mvsFile(dir), name.toLowerCase,
+        s"${name.toLowerCase}\t$path\t$sql64")
+    }
+
+  /** Forget a DROPped materialized view. */
+  def removeMv(session: SparkSession, name: String): Unit =
+    confDir(session).foreach { dir =>
+      rewrite(mvsFile(dir),
+        readLines(mvsFile(dir)).filterNot(_.startsWith(s"${name.toLowerCase}\t")))
+    }
+
+  private def readLines(p: Path): Seq[String] =
+    if (!Files.exists(p)) Nil
+    else new String(Files.readAllBytes(p), UTF_8).split("\n")
+      .filter(_.nonEmpty).toSeq
+
+  private def upsertLine(p: Path, key: String, line: String): Unit =
+    synchronized {
+      rewrite(p, readLines(p).filterNot(_.startsWith(s"$key\t")) :+ line)
+    }
+
+  private def rewrite(p: Path, lines: Seq[String]): Unit = {
+    Files.createDirectories(p.getParent)
+    val tmp = p.getParent.resolve(s".${p.getFileName}.tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+}

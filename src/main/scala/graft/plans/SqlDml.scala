@@ -262,6 +262,7 @@ case class GraftCreateTableCommand(name: String, root: String,
     SnapshotTable.attachMeta(root, v, s"ctas:$n")
     SnapshotTable.swap(root, v)
     GraftDmlRegistry.registerSnapshot(name, root)
+    GraftMetastore.recordTable(spark, name, root)
     Seq(Row(v, n))
   }
 }
@@ -460,6 +461,65 @@ case class GraftRestoreCommand(root: String, toVersion: Long)
   }
 }
 
+/** `ALTER TABLE t ADD COLUMN c <type> | RENAME COLUMN a TO b | DROP
+  * COLUMN c | ALTER COLUMN c TYPE <type>` — SQL schema evolution over the
+  * field-id sidecar machinery (m18/m19's library surface made reachable
+  * from pure SQL). Every form is a METADATA-ONLY commit: the new version
+  * carries the current manifest unchanged plus a schema sidecar — zero
+  * data bytes move at any table size; each file generation keeps its own
+  * physical schema and resolves to the current one BY FIELD ID at read
+  * time (old generations null-fill added columns, come back under renamed
+  * names, upcast to widened types, lose dropped columns). A table
+  * predating evolution bootstraps ids 1..n from its physical schema
+  * first ([[SnapshotTable.ensureEvoSchema]]). `ALTER COLUMN ... TYPE`
+  * accepts WIDENING casts only (`Cast.canUpCast`) — a narrowing change
+  * could corrupt existing values at read time and is refused. */
+case class GraftAlterTableCommand(root: String, kind: String, colName: String,
+    arg: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_columns", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.sources.EvoField
+    val cur = SnapshotTable.ensureEvoSchema(spark, root)
+    def parseType(t: String): DataType =
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(t)
+    def find(c: String): EvoField =
+      cur.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"ALTER TABLE: unknown column $c (have ${cur.map(_.name).mkString(", ")})"))
+    val next: Seq[EvoField] = kind match {
+      case "add" =>
+        require(!cur.exists(_.name.equalsIgnoreCase(colName)),
+          s"ALTER TABLE: column $colName already exists")
+        parseType(arg) // validate the type text before committing it
+        cur :+ EvoField(cur.map(_.id).max + 1, colName, arg)
+      case "rename" =>
+        val f = find(colName)
+        require(!cur.exists(_.name.equalsIgnoreCase(arg)),
+          s"ALTER TABLE: column $arg already exists")
+        cur.map(x => if (x.id == f.id) x.copy(name = arg) else x)
+      case "drop" =>
+        val f = find(colName)
+        require(cur.size > 1, "ALTER TABLE: cannot drop the last column")
+        cur.filterNot(_.id == f.id)
+      case "widen" =>
+        val f = find(colName)
+        require(org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(
+            parseType(f.typ), parseType(arg)),
+          s"ALTER TABLE: ${f.typ} -> $arg is not a widening change " +
+            "(only up-casts are safe against already-written generations)")
+        cur.map(x => if (x.id == f.id) x.copy(typ = arg) else x)
+      case other => throw new IllegalStateException(s"ALTER TABLE: $other")
+    }
+    val v = SnapshotTable.commitSchemaChange(root, next,
+      meta = s"alter:$kind:$colName")
+    Seq(Row(v, next.size.toLong))
+  }
+}
+
 /** Session registry of MATERIALIZED VIEW definitions created through SQL —
   * the definition TEXT plus the storage path, what REFRESH needs to re-run
   * and DROP to forget (a production metastore persists exactly this pair;
@@ -509,6 +569,7 @@ case class GraftCreateMvCommand(name: String, path: String, sourceSql: String,
       // and DROP under any casing unregisters the entry CREATE made
       MvRegistry.register(name.toLowerCase, df, path)
       GraftMvDdlRegistry.put(name, sourceSql, path)
+      GraftMetastore.recordMv(spark, name, sourceSql, path)
       val n = spark.read.parquet(path).count()
       Seq(Row(n))
     } finally spark.conf.set(GraftMvRewriteRule.Flag, flag)
@@ -526,6 +587,7 @@ case class GraftDropMvCommand(name: String) extends LeafRunnableCommand {
     val had = GraftMvDdlRegistry.get(name).isDefined
     MvRegistry.unregister(name.toLowerCase)
     GraftMvDdlRegistry.remove(name)
+    GraftMetastore.removeMv(spark, name)
     Seq(Row(if (had) 1L else 0L))
   }
 }
@@ -831,6 +893,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan = {
+    // durable catalog: the first statement against a configured metastore
+    // re-materializes every SQL-created table/MV name (fast-path no-op on
+    // every later statement)
+    GraftMetastore.ensureLoaded(session)
     val t = sqlText.trim
     val verb = t.takeWhile(!_.isWhitespace).toUpperCase
     val plan = verb match {
@@ -847,6 +913,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case "DROP"     => parseDropMv(t)
       case "COPY"     => parseCopyInto(t)
       case "SHOW"     => parseShow(t)
+      case "ALTER"    => parseAlter(t)
       case _        => None
     }
     plan.getOrElse(delegate.parsePlan(rewriteReads(session, sqlText)))
@@ -1056,6 +1123,29 @@ object GraftSqlParser {
   private def parseRestore(t: String): Option[LogicalPlan] = t match {
     case RestoreRe(name, v) =>
       GraftDmlRegistry.rootOf(name).map(GraftRestoreCommand(_, v.toLong))
+    case _ => None
+  }
+
+  private val AlterAddRe: Regex =
+    """(?is)^ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.+?)\s*;?\s*$""".r
+  private val AlterRenameRe: Regex =
+    """(?is)^ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val AlterDropRe: Regex =
+    """(?is)^ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val AlterTypeRe: Regex =
+    """(?is)^ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TYPE\s+(.+?)\s*;?\s*$""".r
+
+  /** SQL schema evolution on a registered snapshot table; `ALTER TABLE`
+    * against any other name delegates to Spark untouched. */
+  private def parseAlter(t: String): Option[LogicalPlan] = t match {
+    case AlterAddRe(name, c, typ) =>
+      GraftDmlRegistry.rootOf(name).map(GraftAlterTableCommand(_, "add", c, typ))
+    case AlterRenameRe(name, a, b) =>
+      GraftDmlRegistry.rootOf(name).map(GraftAlterTableCommand(_, "rename", a, b))
+    case AlterDropRe(name, c) =>
+      GraftDmlRegistry.rootOf(name).map(GraftAlterTableCommand(_, "drop", c, ""))
+    case AlterTypeRe(name, c, typ) =>
+      GraftDmlRegistry.rootOf(name).map(GraftAlterTableCommand(_, "widen", c, typ))
     case _ => None
   }
 
@@ -1280,14 +1370,16 @@ object GraftSqlParser {
           out = vPat.replaceAllIn(out, m => {
             val v = m.group(1).toLong
             val view = s"__graft_snap_${name}_v$v"
-            SnapshotTable.readVersion(session, root, v)
+            // evolution-aware: the schema resolves as of THAT version
+            SnapshotTable.readVersionCurrent(session, root, v)
               .createOrReplaceTempView(view)
             view
           })
           val bPat = ("(?i)\\b" + Regex.quote(name) + "\\b").r
           if (bPat.findFirstIn(out).isDefined) {
             val view = s"__graft_snap_${name}_latest"
-            SnapshotTable.read(session, root).createOrReplaceTempView(view)
+            SnapshotTable.readCurrent(session, root)
+              .createOrReplaceTempView(view)
             out = bPat.replaceAllIn(out, view)
           }
         }

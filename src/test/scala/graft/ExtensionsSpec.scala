@@ -620,4 +620,185 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  test("metastore: SQL-created tables and MVs survive a restart (registry wipe + reload)") {
+    import spark.implicits._
+    import graft.plans.{GraftDmlRegistry, GraftMetastore, GraftMvDdlRegistry,
+      GraftMvRewriteRule, MvRegistry}
+    val dir = java.nio.file.Files.createTempDirectory("graft_metaspec").toString
+    val name = "metaspec_t"; val mv = "metaspec_v"
+    GraftDmlRegistry.unregister(name)
+    GraftMvDdlRegistry.remove(mv); MvRegistry.unregister(mv)
+    if (!spark.experimental.extraOptimizations.contains(GraftMvRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GraftMvRewriteRule
+    spark.conf.set(GraftMetastore.DirKey, s"$dir/meta")
+    try {
+      (1L to 60L).map(i => (i, i % 5, i * 1.5)).toDF("k", "g", "v")
+        .createOrReplaceTempView("metaspec_src")
+      spark.sql(s"CREATE SNAPSHOT TABLE $name LOCATION '$dir/t' AS " +
+        "SELECT * FROM metaspec_src")
+      val defSql = s"SELECT g, count(*) AS n, " +
+        s"CAST(floor(sum(CAST(v AS DECIMAL(27,6)))) AS BIGINT) AS sv " +
+        s"FROM $name GROUP BY g"
+      spark.sql(s"CREATE MATERIALIZED VIEW $mv LOCATION '$dir/mv' AS $defSql")
+      // both catalog files exist and are line-oriented metadata
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/meta/tables.catalog")))
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/meta/mvs.catalog")))
+
+      // ---- restart: wipe the in-JVM registries for these names ----
+      GraftDmlRegistry.unregister(name)
+      GraftMvDdlRegistry.remove(mv); MvRegistry.unregister(mv)
+      GraftMetastore.forget(s"$dir/meta")
+      assert(GraftDmlRegistry.rootOf(name).isEmpty)
+
+      // first statement reloads the catalog: the table resolves again
+      assert(spark.sql(s"SELECT count(*) AS n FROM $name").head()
+        .getLong(0) == 60L)
+      assert(GraftMvDdlRegistry.get(mv).isDefined, "MV definition reloaded")
+      // the reloaded MV SERVES: flag on, the plan reads the MV parquet
+      // and no source scan survives
+      spark.conf.set(GraftMvRewriteRule.Flag, "true")
+      try {
+        val served = spark.sql(defSql)
+        val inputs = served.inputFiles.toSeq
+        assert(inputs.nonEmpty && inputs.forall(_.contains(s"$dir/mv")),
+          s"MV parquet is not the only input: $inputs")
+        assert(served.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+          == (0L to 4L).map(g => g -> 12L).toMap)
+      } finally spark.conf.set(GraftMvRewriteRule.Flag, "false")
+      // DESCRIBE HISTORY through the reloaded name
+      assert(spark.sql(s"DESCRIBE HISTORY $name").collect().length == 1)
+      // DROP MV removes the catalog line: a second restart must NOT recall it
+      spark.sql(s"DROP MATERIALIZED VIEW $mv").collect()
+      GraftMetastore.forget(s"$dir/meta")
+      spark.sql("SHOW SNAPSHOT TABLES").collect() // any statement reloads
+      assert(GraftMvDdlRegistry.get(mv).isEmpty, "dropped MV resurrected")
+    } finally {
+      spark.conf.unset(GraftMetastore.DirKey)
+      GraftDmlRegistry.unregister(name)
+      GraftMvDdlRegistry.remove(mv); MvRegistry.unregister(mv)
+    }
+  }
+
+  test("ALTER TABLE: add/rename/widen/drop resolve per generation; unsafe changes refuse") {
+    import spark.implicits._
+    import graft.plans.GraftDmlRegistry
+    val dir = java.nio.file.Files.createTempDirectory("graft_alterspec").toString
+    val name = "alterspec_t"
+    GraftDmlRegistry.unregister(name)
+    try {
+      (1L to 20L).map(i => (i, i.toInt, s"r$i")).toDF("k", "small", "tag")
+        .createOrReplaceTempView("alterspec_src")
+      spark.sql(s"CREATE SNAPSHOT TABLE $name LOCATION '$dir/t' AS " +
+        "SELECT * FROM alterspec_src")
+      spark.sql(s"ALTER TABLE $name ADD COLUMN score double")
+      // generation 1 null-fills the added column
+      assert(spark.sql(s"SELECT count(score) AS n FROM $name").head()
+        .getLong(0) == 0L)
+      spark.sql(s"INSERT INTO $name VALUES (100, 7, 'new', 2.5)")
+      spark.sql(s"ALTER TABLE $name RENAME COLUMN tag TO label")
+      // both generations answer under the NEW name; old bytes untouched
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM $name WHERE label IN ('r3', 'new')")
+        .head().getLong(0) == 2L)
+      // DML through the renamed name composes with evolution
+      spark.sql(s"UPDATE $name SET score = 0.0 WHERE score IS NULL")
+      assert(spark.sql(s"SELECT count(score) AS n FROM $name").head()
+        .getLong(0) == 21L)
+      // widen int -> bigint: the old generation upcasts at read
+      spark.sql(s"ALTER TABLE $name ALTER COLUMN small TYPE bigint")
+      assert(spark.sql(s"SELECT sum(small) AS s FROM $name").head()
+        .getLong(0) == (1 to 20).sum + 7L)
+      assert(spark.table(s"__graft_snap_${name}_latest").schema("small")
+        .dataType.typeName == "long")
+      spark.sql(s"ALTER TABLE $name DROP COLUMN label")
+      assert(!spark.sql(s"SELECT * FROM $name").columns.contains("label"))
+      // time travel resolves the schema IN EFFECT at that version
+      assert(spark.sql(s"SELECT tag FROM $name VERSION AS OF 1")
+        .collect().length == 20)
+      // history records each alter as a metadata-only commit
+      val ops = spark.sql(s"DESCRIBE HISTORY $name")
+        .collect().map(_.getString(1)).toSeq
+      assert(ops.count(_.startsWith("alter:")) == 4, ops.toString)
+      // refusals: narrowing widen, unknown/duplicate column, last column
+      intercept[Exception](spark.sql(
+        s"ALTER TABLE $name ALTER COLUMN small TYPE int").collect())
+      intercept[Exception](spark.sql(
+        s"ALTER TABLE $name RENAME COLUMN nosuch TO x").collect())
+      intercept[Exception](spark.sql(
+        s"ALTER TABLE $name ADD COLUMN score double").collect())
+      // unregistered names delegate to Spark's parser untouched
+      intercept[Exception](spark.sql(
+        "ALTER TABLE nosuch_alter_t ADD COLUMN c string").collect())
+    } finally GraftDmlRegistry.unregister(name)
+  }
+
+  test("OPTIMIZE plans from the sizes sidecar; staging clears a dead COPY's ledger; COPY enforces schemas") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_sizespec").toString
+    val root = s"$dir/t"; val name = "sizespec_t"
+    graft.plans.GraftDmlRegistry.unregister(name)
+    SnapshotTable.commit(
+      (1L to 400L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(4), root)
+    graft.plans.GraftDmlRegistry.registerSnapshot(name, root)
+    try {
+      // tamper the sidecar: record the first file as huge — OPTIMIZE must
+      // believe the METADATA (carry it untouched), proving the planner
+      // never stats the filesystem for sized entries
+      val sizesPath = java.nio.file.Paths.get(root, "_snapshots", "v1.sizes")
+      val lines = new String(java.nio.file.Files.readAllBytes(sizesPath), "UTF-8")
+        .split("\n").toSeq
+      val victim = lines.head.split("\t")(0)
+      java.nio.file.Files.write(sizesPath,
+        (s"$victim\t999999999" +: lines.tail).mkString("\n").getBytes("UTF-8"))
+      val o = spark.sql(
+        s"OPTIMIZE $name SMALLER THAN 1000000 BYTES INTO 1 FILES").head()
+      assert(o.getLong(2) == 3L, s"rewrote ${o.getLong(2)} files, not 3 — " +
+        "bin-packing consulted the filesystem instead of the sizes sidecar")
+      assert(SnapshotTable.manifestFiles(root, o.getLong(0)).contains(victim),
+        "the metadata-large file was not carried over")
+
+      // dead COPY ledger: stage a sidecar at the NEXT version (a load that
+      // crashed between sidecar write and swap), then commit a DIFFERENT
+      // statement at that version — the orphan must be cleared, or the
+      // landing file below would be silently skipped forever
+      val landing = s"$dir/landing"
+      (500L to 509L).map(i => (i, 1.0)).toDF("k", "v").repartition(1)
+        .write.parquet(landing)
+      val f = new java.io.File(landing).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.getName
+      SnapshotTable.writeCopiedSidecar(root,
+        SnapshotTable.latestVersion(root).get + 1, Seq(f))
+      spark.sql(s"INSERT INTO $name VALUES (999, 9.9)").collect()
+      assert(!SnapshotTable.copiedFiles(root).contains(f),
+        "INSERT adopted the dead COPY's ledger — landing file lost")
+      val c = spark.sql(s"COPY INTO $name FROM '$landing'").head()
+      assert(c.getLong(1) == 1L && c.getLong(2) == 10L)
+
+      // schema enforcement: a drifted landing file fails loudly
+      val bad = s"$dir/bad"
+      Seq((1L, "oops")).toDF("k", "v").write.parquet(bad) // v: string, not double
+      val e1 = intercept[Exception](
+        spark.sql(s"COPY INTO $name FROM '$bad'").collect())
+      assert(e1.getMessage.contains("not loadable"), e1.getMessage)
+      val extra = s"$dir/extra"
+      Seq((1L, 1.0, 5L)).toDF("k", "v", "zz").write.parquet(extra)
+      val e2 = intercept[Exception](
+        spark.sql(s"COPY INTO $name FROM '$extra'").collect())
+      assert(e2.getMessage.contains("absent from the target"), e2.getMessage)
+      val missing = s"$dir/missing"
+      Seq(Tuple1(1L)).toDF("k").write.parquet(missing)
+      val e3 = intercept[Exception](
+        spark.sql(s"COPY INTO $name FROM '$missing'").collect())
+      assert(e3.getMessage.contains("missing target column"), e3.getMessage)
+      // an upcastable landing file (int-keyed) loads fine
+      val ok = s"$dir/ok"
+      Seq((601, 6.0)).toDF("k", "v").write.parquet(ok)
+      assert(spark.sql(s"COPY INTO $name FROM '$ok'").head().getLong(2) == 1L)
+    } finally graft.plans.GraftDmlRegistry.unregister(name)
+  }
 }

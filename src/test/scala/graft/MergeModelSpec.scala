@@ -164,4 +164,84 @@ class MergeModelSpec extends AnyFunSuite {
       } finally graft.plans.GraftDmlRegistry.unregister(name)
     }
   }
+
+  test("12 random COMPOSITE-KEY scenarios (ON k1 AND k2, conditional INSERT) equal the model") {
+    import spark.implicits._
+    var seed = 0x243F6A8885A308D3L
+    def next(): Long = {
+      seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
+      seed & Long.MaxValue
+    }
+    def pick(n: Int): Int = (next() % n).toInt
+    val tags = Seq("a", "b", "c")
+    // rows are (k1, k2, v, tag); the ON conjunction is k1 AND k2, so two
+    // rows sharing k1 but not k2 must NOT match — the single-key model
+    // would conflate them, which is exactly what this block guards
+    case class CRow(k1: Option[Long], k2: Long, v: Double, tag: String)
+
+    (1 to 12).foreach { i =>
+      val name = s"mmc_t$i"
+      val root = java.nio.file.Files.createTempDirectory(s"graft_mmc$i").toString + "/t"
+      graft.plans.GraftDmlRegistry.unregister(name)
+      val tkeys = (0 until 5 + pick(6))
+        .map(_ => (pick(5).toLong, pick(3).toLong)).distinct
+      val target = tkeys.map { case (a, b) =>
+        CRow(Some(a), b, pick(100).toDouble, tags(pick(3))) } ++
+        (if (pick(2) == 0) Seq(CRow(None, 0L, pick(100).toDouble, "a")) else Nil)
+      val source = (0 until 4 + pick(7))
+        .map(_ => (pick(7).toLong, pick(3).toLong)).distinct
+        .map { case (a, b) => CRow(Some(a), b, pick(100).toDouble, tags(pick(3))) }
+      // clause list: one conditional update family draw + a conditional /
+      // unconditional INSERT pair (first-match-wins across the family)
+      val updCond = pick(3) // reuses condSql/condHolds codes 0-2
+      val insCond = pick(2) == 0 // whether the FIRST insert is conditional
+
+      graft.sources.SnapshotTable.commit(
+        target.map(r => (r.k1, r.k2, r.v, r.tag)).toDF("k1", "k2", "v", "tag"),
+        root)
+      graft.plans.GraftDmlRegistry.registerSnapshot(name, root)
+      try {
+        source.map(r => (r.k1.get, r.k2, r.v, r.tag))
+          .toDF("k1", "k2", "v", "tag").createOrReplaceTempView(s"mmc_src$i")
+        val insClauses =
+          if (insCond)
+            "WHEN NOT MATCHED AND s.v > 50 THEN INSERT (k1, k2, v, tag) " +
+              "VALUES (s.k1, s.k2, s.v, 'hi') " +
+              "WHEN NOT MATCHED THEN INSERT (k1, k2, tag) VALUES (s.k1, s.k2, 'lo')"
+          else "WHEN NOT MATCHED THEN INSERT (k1, k2, v, tag) " +
+            "VALUES (s.k1, s.k2, s.v, 'n')"
+        val stmt = s"MERGE INTO $name USING mmc_src$i AS s " +
+          s"ON $name.k1 = s.k1 AND $name.k2 = s.k2 " +
+          s"WHEN MATCHED${condSql(name, updCond)} THEN UPDATE SET v = s.v + 1 " +
+          insClauses
+        spark.sql(stmt).collect()
+        val got = spark.sql(s"SELECT k1, k2, v, tag FROM $name").collect()
+          .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) -999.5 else r.getDouble(2),
+            r.getString(3))).toSeq
+          .sortBy(t => (t._1, t._2, t._4))
+        // reference model over composite keys
+        val srcByKey = source.map(r => (r.k1.get, r.k2) -> r).toMap
+        val kept = target.map { t =>
+          val s = t.k1.flatMap(a => srcByKey.get((a, t.k2)))
+          if (s.isDefined && condHolds(updCond, TRow(t.k1, t.v, t.tag),
+              s.map(x => TRow(x.k1, x.v, x.tag))))
+            t.copy(v = s.get.v + 1)
+          else t
+        }
+        val matchedKeys = target.flatMap(t => t.k1.map(a => (a, t.k2))).toSet
+        val ins = source.filter(r => !matchedKeys((r.k1.get, r.k2))).map { r =>
+          if (!insCond) CRow(r.k1, r.k2, r.v, "n")
+          else if (r.v > 50) CRow(r.k1, r.k2, r.v, "hi")
+          else CRow(r.k1, r.k2, -999.5, "lo") // v unlisted -> NULL (sentinel)
+        }
+        val want = (kept ++ ins)
+          .map(r => (r.k1.getOrElse(-1L), r.k2, r.v, r.tag))
+          .sortBy(t => (t._1, t._2, t._4))
+        assert(got == want,
+          s"scenario $i\nstmt: $stmt\ntarget: $target\nsource: $source\n" +
+            s"got:  $got\nwant: $want")
+      } finally graft.plans.GraftDmlRegistry.unregister(name)
+    }
+  }
 }

@@ -84,4 +84,17 @@ class SqlParserSpec extends AnyFunSuite {
     assert(cs(1) == "WHEN MATCHED THEN UPDATE SET *")
     assert(cs(2) == "WHEN NOT MATCHED THEN INSERT *")
   }
+
+  test("splitTopLevelAll: ON-conjunction ANDs, not ANDs inside parens/literals") {
+    import GraftSqlParser.splitTopLevelAll
+    assert(splitTopLevelAll("t.a = s.a AND t.b = s.b", "AND").map(_.trim) ==
+      Seq("t.a = s.a", "t.b = s.b"))
+    assert(splitTopLevelAll("t.a = s.a", "AND").map(_.trim) == Seq("t.a = s.a"))
+    // an AND inside parens or a literal is not a conjunct boundary
+    assert(splitTopLevelAll("f(x AND y) = 1 AND c = 'a AND b'", "AND")
+      .map(_.trim) == Seq("f(x AND y) = 1", "c = 'a AND b'"))
+    // word-bounded: a column named brand must not split
+    assert(splitTopLevelAll("t.brand = s.brand", "AND").map(_.trim) ==
+      Seq("t.brand = s.brand"))
+  }
 }
