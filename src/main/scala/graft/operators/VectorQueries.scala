@@ -1850,6 +1850,27 @@ object VectorQueries extends QueryModule {
   /** Shared g76/g78 replay: train on the 90% base, assign the 10% delta to
     * the ROUNDED frozen codebook, union, probe, top-10 — compaction must
     * not change a single served row, so both queries grade against it. */
+  /** i24/i28 shared replay: training, per-query probe selection, every
+    * per-query top-10 cut — shard layout must not change a single value. */
+  private def i24Oracle: String =
+    s"WITH ${kmeansCtes(5)}, ${kmeansAssign("c5", "f")}, " +
+      "cb AS (SELECT cx.ci AS cell, " +
+      "list_transform(cs[cx.ci + 1], v -> round(v, 6)) AS cv " +
+      "FROM c5, range(0, 8) cx(ci)), " +
+      "qs AS (SELECT vec_id AS q_id, x AS qv FROM emb " +
+      "WHERE vec_id % 37 = 0 AND vec_id IN (SELECT doc_id FROM documents)), " +
+      "probed AS (SELECT q_id, qv, cell FROM (SELECT q.q_id, q.qv, cb.cell, " +
+      "row_number() OVER (PARTITION BY q.q_id ORDER BY " +
+      "round(list_cosine_similarity(q.qv, cb.cv), 6) DESC, cb.cell) AS rn " +
+      "FROM qs q, cb) WHERE rn <= 2), " +
+      "cand AS (SELECT p.q_id, a.vec_id AS b_id, " +
+      "round(list_cosine_similarity(a.x, p.qv), 6) AS cos " +
+      "FROM af a JOIN probed p ON a.cid = p.cell AND a.vec_id <> p.q_id) " +
+      "SELECT q_id, CAST(rn AS INT) AS rn, b_id, cos FROM (" +
+      "SELECT q_id, b_id, cos, row_number() OVER (PARTITION BY q_id " +
+      "ORDER BY cos DESC, b_id) AS rn FROM cand) WHERE rn <= 10 " +
+      "ORDER BY q_id, rn"
+
   private def g76Oracle: String =
     s"WITH ${kmeansCtes(5, " WHERE vec_id % 10 <> 9")}, " +
       s"${kmeansAssign("c5", "f")}, " +
@@ -2051,24 +2072,12 @@ object VectorQueries extends QueryModule {
     // is pinned for the campaign, so union-of-batch ledgers == this
     // single-shot answer: training, per-query probe selection, every
     // per-query top-10 cut
-    "i24_stream_ann_serve" ->
-      (s"WITH ${kmeansCtes(5)}, ${kmeansAssign("c5", "f")}, " +
-        "cb AS (SELECT cx.ci AS cell, " +
-        "list_transform(cs[cx.ci + 1], v -> round(v, 6)) AS cv " +
-        "FROM c5, range(0, 8) cx(ci)), " +
-        "qs AS (SELECT vec_id AS q_id, x AS qv FROM emb " +
-        "WHERE vec_id % 37 = 0 AND vec_id IN (SELECT doc_id FROM documents)), " +
-        "probed AS (SELECT q_id, qv, cell FROM (SELECT q.q_id, q.qv, cb.cell, " +
-        "row_number() OVER (PARTITION BY q.q_id ORDER BY " +
-        "round(list_cosine_similarity(q.qv, cb.cv), 6) DESC, cb.cell) AS rn " +
-        "FROM qs q, cb) WHERE rn <= 2), " +
-        "cand AS (SELECT p.q_id, a.vec_id AS b_id, " +
-        "round(list_cosine_similarity(a.x, p.qv), 6) AS cos " +
-        "FROM af a JOIN probed p ON a.cid = p.cell AND a.vec_id <> p.q_id) " +
-        "SELECT q_id, CAST(rn AS INT) AS rn, b_id, cos FROM (" +
-        "SELECT q_id, b_id, cos, row_number() OVER (PARTITION BY q_id " +
-        "ORDER BY cos DESC, b_id) AS rn FROM cand) WHERE rn <= 10 " +
-        "ORDER BY q_id, rn"),
+    "i24_stream_ann_serve" -> i24Oracle,
+
+    // i28 shards the SAME query stream across 4 concurrent serving
+    // queries against the SAME pinned index — scale-out must be
+    // correctness-neutral, so the oracle is literally i24's
+    "i28_stream_ann_shard_serve" -> i24Oracle,
 
     // comparative-anchor LSH: bits, band keys, candidate buckets, the exact
     // truth set, and per-anchor integer recall all replay relationally

@@ -637,4 +637,29 @@ class StreamingSpec extends AnyFunSuite {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("i28 sharded ANN serving: disjoint shards, concurrent queries, i24-identical answer") {
+    val sharded = SparkEntry.queries("i28_stream_ann_shard_serve")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val single = SparkEntry.queries("i24_stream_ann_serve")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // scale-out is correctness-neutral: the union of the 4 shard ledgers
+    // equals the single-stream answer row-for-row
+    assert(sharded == single,
+      s"shard union diverged from single-stream: ${sharded.size} vs ${single.size}")
+    assert(sharded.nonEmpty)
+    // the ledger tree really is per-shard (s0..s3 subtrees), and each
+    // shard's q_ids are exactly its hash slice — disjoint by construction
+    val out = s"${operators.StreamingQueries.ckptRoot}/graft_out_i28_${Tables.pathKey(sfDir)}"
+    val shardDirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(shardDirs == Set("s0", "s1", "s2", "s3"), shardDirs.toString)
+    (0 until 4).foreach { k =>
+      val ids = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$out/s$k").select("q_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(ids.forall(id => id % (37L * 4) == 37L * k),
+        s"shard $k served foreign q_ids: ${ids.filterNot(id => id % 148 == 37L * k)}")
+    }
+  }
 }
