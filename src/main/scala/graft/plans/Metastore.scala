@@ -112,6 +112,14 @@ object GraftMetastore {
         readLines(mvsFile(dir)).filterNot(_.startsWith(s"${name.toLowerCase}\t")))
     }
 
+  /** Forget a DROPped snapshot table name (the data root stays — DROP
+    * detaches the NAME, the external-table convention). */
+  def removeTable(session: SparkSession, name: String): Unit =
+    confDir(session).foreach { dir =>
+      rewrite(tablesFile(dir),
+        readLines(tablesFile(dir)).filterNot(_.startsWith(s"${name.toLowerCase}\t")))
+    }
+
   private def readLines(p: Path): Seq[String] =
     if (!Files.exists(p)) Nil
     else new String(Files.readAllBytes(p), UTF_8).split("\n")

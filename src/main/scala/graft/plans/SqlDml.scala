@@ -267,6 +267,47 @@ case class GraftCreateTableCommand(name: String, root: String,
   }
 }
 
+/** `CREATE SNAPSHOT TABLE name LOCATION 'root'` (no AS) — ATTACH an
+  * existing snapshot root under a SQL name: how a new session adopts a
+  * table that already lives on disk (and, with a metastore configured,
+  * how it enters the durable catalog). Metadata-only — nothing is read
+  * but the version pointer. */
+case class GraftAttachTableCommand(name: String, root: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(GraftDmlRegistry.rootOf(name).isEmpty,
+      s"CREATE SNAPSHOT TABLE: '$name' is already registered in this session")
+    val v = SnapshotTable.latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"CREATE SNAPSHOT TABLE: no committed snapshot at LOCATION '$root' " +
+          "(use LOCATION ... AS <query> to create one)"))
+    GraftDmlRegistry.registerSnapshot(name, root)
+    GraftMetastore.recordTable(spark, name, root)
+    Seq(Row(v))
+  }
+}
+
+/** `DROP SNAPSHOT TABLE name` — detach the NAME from the session registry
+  * and the metastore; the snapshot data stays on disk for the owner to
+  * vacuum (the external-table convention, same as DROP MATERIALIZED
+  * VIEW's treatment of the stored parquet). */
+case class GraftDropTableCommand(name: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("dropped", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val had = GraftDmlRegistry.rootOf(name).isDefined
+    GraftDmlRegistry.unregister(name)
+    GraftMetastore.removeTable(spark, name)
+    Seq(Row(if (had) 1L else 0L))
+  }
+}
+
 /** `OPTIMIZE t [SMALLER THAN n BYTES] [ZORDER BY (c1, ...)] INTO k FILES`
   * — the lakehouse maintenance verb: bin-pack the table's small files into
   * `k` files, carrying every file at/over the size bound into the new
@@ -1039,12 +1080,19 @@ object GraftSqlParser {
   private val DropMvRe: Regex =
     """(?is)^DROP\s+MATERIALIZED\s+VIEW\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
 
+  private val CreateAttachRe: Regex =
+    """(?is)^CREATE\s+SNAPSHOT\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+LOCATION\s+'([^']+)'\s*;?\s*$""".r
+  private val DropTableRe: Regex =
+    """(?is)^DROP\s+SNAPSHOT\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+
   /** Only the exact `CREATE SNAPSHOT TABLE` / `CREATE MATERIALIZED VIEW`
     * shapes are ours — every other CREATE (table, view, function, ...)
     * delegates to Spark untouched. */
   private def parseCreate(t: String): Option[LogicalPlan] = t match {
     case CreateRe(name, root, query) =>
       Some(GraftCreateTableCommand(name, root, query))
+    case CreateAttachRe(name, root) =>
+      Some(GraftAttachTableCommand(name, root))
     case CreateMvRe(name, path, query) =>
       Some(GraftCreateMvCommand(name, path, query, isRefresh = false))
     case _ => None
@@ -1101,6 +1149,8 @@ object GraftSqlParser {
   private def parseDropMv(t: String): Option[LogicalPlan] = t match {
     case DropMvRe(name) if GraftMvDdlRegistry.get(name).isDefined =>
       Some(GraftDropMvCommand(name))
+    case DropTableRe(name) if GraftDmlRegistry.rootOf(name).isDefined =>
+      Some(GraftDropTableCommand(name))
     case _ => None
   }
 

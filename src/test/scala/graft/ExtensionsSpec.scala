@@ -676,6 +676,26 @@ class ExtensionsSpec extends AnyFunSuite {
       GraftMetastore.forget(s"$dir/meta")
       spark.sql("SHOW SNAPSHOT TABLES").collect() // any statement reloads
       assert(GraftMvDdlRegistry.get(mv).isEmpty, "dropped MV resurrected")
+      // DROP SNAPSHOT TABLE detaches the NAME (data stays on disk) and
+      // removes the catalog line — no resurrection across a restart
+      assert(spark.sql(s"DROP SNAPSHOT TABLE $name").head().getLong(0) == 1L)
+      GraftMetastore.forget(s"$dir/meta")
+      spark.sql("SHOW SNAPSHOT TABLES").collect()
+      assert(GraftDmlRegistry.rootOf(name).isEmpty, "dropped table resurrected")
+      assert(graft.sources.SnapshotTable.latestVersion(s"$dir/t").isDefined,
+        "DROP must not delete the snapshot data")
+      // ATTACH form: adopt the surviving root back under the name — it
+      // re-enters the catalog and survives yet another restart
+      val att = spark.sql(
+        s"CREATE SNAPSHOT TABLE $name LOCATION '$dir/t'").head()
+      assert(att.getLong(0) == 1L) // existing v1 adopted, nothing rewritten
+      GraftDmlRegistry.unregister(name)
+      GraftMetastore.forget(s"$dir/meta")
+      assert(spark.sql(s"SELECT count(*) AS n FROM $name").head()
+        .getLong(0) == 60L, "attached table lost across restart")
+      // attaching an empty root is a loud error, not a silent registration
+      intercept[Exception](spark.sql(
+        s"CREATE SNAPSHOT TABLE metaspec_empty LOCATION '$dir/nosuch'").collect())
     } finally {
       spark.conf.unset(GraftMetastore.DirKey)
       GraftDmlRegistry.unregister(name)
