@@ -865,54 +865,56 @@ case class GraftMergeColsCommand(root: String, sourceSql: String,
         remainingNS = remainingNS && !claimed
       case _: NotMatchedInsert => // handled on the source-only side below
     }
-    val kept = j.filter(col("__t_present").isNotNull && !deleted)
-      .select(targetFields.map(f => updates(f.name).as(f.name)): _*)
-
     // the NOT MATCHED family over its DISJOINT row set (source-only rows),
     // same first-match-wins fold as the other two families: the first
     // INSERT clause whose condition passes claims the row and supplies its
     // values; rows no clause claims are not inserted
     val insertClauses = clauses.collect { case ni: NotMatchedInsert => ni }
-    val inserts = if (insertClauses.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[Row](), target.schema)
-    else {
-      var remainingIns: Column = col("__t_present").isNull
-      var claimedAny: Column = lit(false)
-      var insVals: Map[String, Column] = targetFields.map(f =>
-        f.name -> lit(null).cast(f.dataType)).toMap
-      insertClauses.foreach { ni =>
-        val hit = remainingIns && ni.cond.map(resolve(_)).getOrElse(lit(true))
-        val claimed = coalesce(hit, lit(false))
-        val vals: Map[String, Column] =
-          if (ni.cols == Seq("*")) {
-            // INSERT *: the full row from the source side (name-matched —
-            // the source must carry every target column)
-            targetFields.map { f =>
-              require(srcCols.exists(_.equalsIgnoreCase(f.name)),
-                s"MERGE: INSERT * needs source column ${f.name}")
-              f.name.toLowerCase -> col(s"__s_${f.name}")
-            }.toMap
-          } else {
-            val byCol = ni.cols.map(_.toLowerCase).zip(ni.exprs).toMap
-            require(byCol.size == ni.cols.size, "MERGE: duplicate INSERT column")
-            byCol.keys.foreach(c => require(
-              targetFields.exists(_.name.equalsIgnoreCase(c)),
-              s"MERGE: INSERT names unknown target column $c"))
-            byCol.map { case (c, e) => c -> resolve(e) }
-          }
-        targetFields.foreach { f =>
-          vals.get(f.name.toLowerCase).foreach { v =>
-            insVals += f.name ->
-              when(claimed, v.cast(f.dataType)).otherwise(insVals(f.name))
-          }
+    var remainingIns: Column = col("__t_present").isNull
+    var claimedIns: Column = lit(false)
+    var insVals: Map[String, Column] = targetFields.map(f =>
+      f.name -> lit(null).cast(f.dataType)).toMap
+    insertClauses.foreach { ni =>
+      val hit = remainingIns && ni.cond.map(resolve(_)).getOrElse(lit(true))
+      val claimed = coalesce(hit, lit(false))
+      val vals: Map[String, Column] =
+        if (ni.cols == Seq("*")) {
+          // INSERT *: the full row from the source side (name-matched —
+          // the source must carry every target column)
+          targetFields.map { f =>
+            require(srcCols.exists(_.equalsIgnoreCase(f.name)),
+              s"MERGE: INSERT * needs source column ${f.name}")
+            f.name.toLowerCase -> col(s"__s_${f.name}")
+          }.toMap
+        } else {
+          val byCol = ni.cols.map(_.toLowerCase).zip(ni.exprs).toMap
+          require(byCol.size == ni.cols.size, "MERGE: duplicate INSERT column")
+          byCol.keys.foreach(c => require(
+            targetFields.exists(_.name.equalsIgnoreCase(c)),
+            s"MERGE: INSERT names unknown target column $c"))
+          byCol.map { case (c, e) => c -> resolve(e) }
         }
-        claimedAny = claimedAny || claimed
-        remainingIns = remainingIns && !claimed
+      targetFields.foreach { f =>
+        vals.get(f.name.toLowerCase).foreach { v =>
+          insVals += f.name ->
+            when(claimed, v.cast(f.dataType)).otherwise(insVals(f.name))
+        }
       }
-      j.filter(claimedAny)
-        .select(targetFields.map(f => insVals(f.name).as(f.name)): _*)
+      claimedIns = claimedIns || claimed
+      remainingIns = remainingIns && !claimed
     }
-    val merged = kept.unionByName(inserts)
+    // ONE projection over the joined row set — kept rows and inserted rows
+    // have DISJOINT predicates on the same full-outer join, so a union of
+    // two arms would execute the join (and the source subquery feeding it)
+    // TWICE; emitting 0-or-1 output rows per joined row keeps the whole
+    // merge a single pass (ExtensionsSpec pins one source evaluation per
+    // source row via a counting UDF)
+    val tPresent = col("__t_present").isNotNull
+    val merged = j
+      .filter((tPresent && !deleted) || (col("__t_present").isNull && claimedIns))
+      .select(targetFields.map(f =>
+        when(tPresent, updates(f.name).cast(f.dataType))
+          .otherwise(insVals(f.name)).as(f.name)): _*)
     // single computation: the full-outer projection runs once (the write);
     // n_rows is the staged footers' count
     val v = SnapshotTable.prepare(merged, root)

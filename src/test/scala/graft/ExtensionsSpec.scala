@@ -621,6 +621,38 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("per-column MERGE computes the source subquery exactly once") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_once").toString
+    val name = "oncespec_t"
+    graft.plans.GraftDmlRegistry.unregister(name)
+    SnapshotTable.commit(
+      (1L to 50L).map(i => (i, i * 1.0)).toDF("k", "v"), s"$dir/t")
+    graft.plans.GraftDmlRegistry.registerSnapshot(name, s"$dir/t")
+    try {
+      // every source-row evaluation rings the accumulator: the old eager
+      // duplicate-key pre-check was a SEPARATE pass over the source (2×
+      // per row), and without exchange reuse the kept/inserts union arms
+      // would each re-run the scan — exactly once per row pins both
+      val acc = spark.sparkContext.longAccumulator("oncespec_evals")
+      spark.udf.register("oncespec_tick", (k: Long) => { acc.add(1); k })
+      (20L to 80L).map(i => (i, i * 2.0)).toDF("k0", "v")
+        .createOrReplaceTempView("oncespec_raw")
+      spark.sql(
+        s"MERGE INTO $name USING " +
+          s"(SELECT oncespec_tick(k0) AS k, v FROM oncespec_raw) AS s " +
+          s"ON $name.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET v = s.v " +
+          "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)").collect()
+      assert(acc.value == 61L,
+        s"source evaluated ${acc.value} times for 61 rows — the merge " +
+          "must consume ONE computation of the source subquery")
+      assert(spark.sql(s"SELECT count(*) AS n FROM $name").head()
+        .getLong(0) == 80L)
+    } finally graft.plans.GraftDmlRegistry.unregister(name)
+  }
+
   test("metastore: SQL-created tables and MVs survive a restart (registry wipe + reload)") {
     import spark.implicits._
     import graft.plans.{GraftDmlRegistry, GraftMetastore, GraftMvDdlRegistry,
