@@ -716,6 +716,33 @@ class PlanSpec extends AnyFunSuite {
     assert(foPlan.contains("SortMergeJoin") || foPlan.contains("ShuffledHashJoin"), foPlan)
   }
 
+  test("merge cardinality guard: the source window rides the join's own shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the shape GraftMergeColsCommand builds: a per-key window count over
+    // the source side feeding a full-outer equi-join on the same keys. The
+    // window's required distribution (hash on the keys) IS the join's
+    // requirement for that side, so the plan must carry exactly TWO
+    // exchanges — one per side — never a third for the window
+    val tgt = (1L to 500L).map(i => (i, i % 7, i * 1.0)).toDF("k1", "k2", "v")
+      .withColumn("__t_present", lit(true))
+    val src = (300L to 800L).map(i => (i, i % 7, i * 2.0)).toDF("k1", "k2", "v")
+      .select(col("k1").as("__s_k1"), col("k2").as("__s_k2"), col("v").as("__s_v"))
+      .withColumn("__s_dup",
+        count(lit(1)).over(Window.partitionBy(col("__s_k1"), col("__s_k2"))))
+    val j = tgt.join(src,
+      col("k1") === col("__s_k1") && col("k2") === col("__s_k2"), "full_outer")
+    j.count()
+    val p = j.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2,
+      s"expected 2 exchanges (one per join side, window reusing the source " +
+        s"side's), found $exchanges:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("g49: delta dedup serves the existing side from the persisted snapshot index") {
     val df = SparkEntry.queries("g49_incremental_dedup")(spark, sfDir)
     df.count()
