@@ -1632,6 +1632,46 @@ object WarehouseQueries extends QueryModule {
         .withColumn("merged_rows", lit(mergeRow.getLong(1)))
         .withColumn("current_version", lit(mergeRow.getLong(0)))
         .orderBy("l_returnflag")
+    }),
+
+    // M42: ROW-LEVEL CHANGE FEED — `t CHANGES BETWEEN v1 AND v2` in SQL
+    // (Delta's table_changes, keyless): the verb a downstream consumer
+    // replays to bring a derived table current WITHOUT rescanning the
+    // source. Two lineages graded: the INSERT commit (v1→v2) takes the
+    // APPEND fast path — the feed is exactly the delta files' rows,
+    // O(delta) at any table size, PlanSpec-pinned to read ONLY the delta
+    // files; the UPDATE commit (v2→v3) rewrote files, so the feed is the
+    // grouped multiset diff, emitting one delete (old price) + one insert
+    // (new price) per updated row. The rollup reads both feeds through
+    // plain spark.sql and the oracle replays every count and revenue sum.
+    "m42_sql_table_changes" -> ((s, dir) => {
+      import graft.plans.GraftDmlRegistry
+      val t = Tables(s, dir)
+      val key = Tables.pathKey(dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m42t_$key"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root))
+      val name = s"m42t_$key"
+      GraftDmlRegistry.unregister(name)
+      t.orders.select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .createOrReplaceTempView("m42_src")
+      s.sql(s"CREATE SNAPSHOT TABLE $name LOCATION '$root' AS " +
+        "SELECT * FROM m42_src WHERE o_orderkey % 3 = 0")          // v1
+      s.sql(s"INSERT INTO $name SELECT * FROM m42_src " +
+        "WHERE o_orderkey % 3 = 1")                                 // v2
+      s.sql(s"UPDATE $name SET o_totalprice = o_totalprice + 1.0 " +
+        "WHERE o_orderkey % 6 = 3")                                 // v3
+      def roll(phase: String, v1: Int, v2: Int) = s.sql(
+        s"SELECT '$phase' AS phase, _change_type, " +
+          "count(*) AS n_groups, CAST(sum(_n) AS BIGINT) AS n_rows, " +
+          "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)) * _n)) AS BIGINT) " +
+          s"AS revenue FROM $name CHANGES BETWEEN $v1 AND $v2 " +
+          "GROUP BY _change_type")
+      roll("v1_v2", 1, 2).unionByName(roll("v2_v3", 2, 3))
+        .orderBy("phase", "_change_type")
     })
   )
 
@@ -2329,6 +2369,27 @@ object WarehouseQueries extends QueryModule {
         "AS sum_qty, count(l_extendedprice) AS n_price, " +
         "(SELECT count(*) FROM fin) AS merged_rows, " +
         "CAST(2 AS BIGINT) AS current_version " +
-        "FROM fin GROUP BY l_returnflag ORDER BY l_returnflag")
+        "FROM fin GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    // both feeds replay from the raw facts: v1→v2 inserts are the %3=1
+    // slice (orderkeys unique, so groups == rows); v2→v3 is one delete at
+    // the old price + one insert at price+1 per updated row. The UPDATE
+    // predicate %6=3 implies %3=0, so every matched key is in the seeded
+    // slice (a %6 residue coprime to the seed residues would silently
+    // match nothing and grade an empty feed)
+    "m42_sql_table_changes" ->
+      ("WITH w1 AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 3 = 1), " +
+        "upd AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 6 = 3) " +
+        "SELECT * FROM (" +
+        "SELECT 'v1_v2' AS phase, 'insert' AS _change_type, " +
+        "count(*) AS n_groups, count(*) AS n_rows, " +
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) " +
+        "AS revenue FROM w1 " +
+        "UNION ALL SELECT 'v2_v3', 'delete', count(*), count(*), " +
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) " +
+        "FROM upd " +
+        "UNION ALL SELECT 'v2_v3', 'insert', count(*), count(*), " +
+        "CAST(floor(sum(CAST(o_totalprice + 1.0 AS DECIMAL(27,6)))) AS BIGINT) " +
+        "FROM upd) ORDER BY phase, _change_type")
   )
 }

@@ -1417,6 +1417,17 @@ object GraftSqlParser {
       names.foreach { name =>
         if (out.toLowerCase.contains(name)) {
           val root = GraftDmlRegistry.rootOf(name).get
+          // the CDC read: `t CHANGES BETWEEN v1 AND v2` resolves to the
+          // row-level change feed (O(delta) for append lineage)
+          val cPat = ("(?i)\\b" + Regex.quote(name) +
+            "\\s+CHANGES\\s+BETWEEN\\s+(\\d+)\\s+AND\\s+(\\d+)").r
+          out = cPat.replaceAllIn(out, m => {
+            val (v1, v2) = (m.group(1).toLong, m.group(2).toLong)
+            val view = s"__graft_changes_${name}_v${v1}_v$v2"
+            SnapshotTable.changesBetween(session, root, v1, v2)
+              .createOrReplaceTempView(view)
+            view
+          })
           val vPat = ("(?i)\\b" + Regex.quote(name) +
             "\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)").r
           out = vPat.replaceAllIn(out, m => {

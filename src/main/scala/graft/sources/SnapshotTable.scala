@@ -856,6 +856,71 @@ object SnapshotTable {
     v
   }
 
+  /** ROW-LEVEL CHANGE FEED between two committed versions (Delta's
+    * `table_changes`, keyless): what a downstream consumer replays to
+    * bring a derived table current without rescanning the source. Output
+    * schema = the table's columns + `_change_type` ('insert'/'delete') +
+    * `_n` (the multiset multiplicity of that row-shape's change).
+    *
+    * Two physical paths, chosen by LINEAGE:
+    *  - APPEND lineage (v1's manifest ⊆ v2's — what INSERT/COPY INTO
+    *    produce): the changes are exactly the delta files' rows, so the
+    *    feed costs **O(delta)** — one scan of the new files, no diff, at
+    *    any table size. This is the path a 100 TB append-mostly table
+    *    serves from.
+    *  - REWRITE lineage (UPDATE/DELETE/MERGE/OPTIMIZE rewrote files): a
+    *    grouped multiset diff — both versions aggregate by ALL columns
+    *    (null-safe) and the count difference per row-shape emits as
+    *    insert/delete. O(v1 + v2), inherent to keyless CDC across a
+    *    rewrite (a keyed table would use its key; OPTIMIZE-style pure
+    *    re-layouts diff to zero rows, correctly).
+    *
+    * Refuses across a schema change (the sidecar in effect at v1 differs
+    * from v2's): a diff is only well-defined under ONE schema — the
+    * Delta CDF restriction. */
+  def changesBetween(spark: SparkSession, root: String, v1: Long,
+      v2: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(v1 <= v2, s"CHANGES BETWEEN $v1 AND $v2: versions out of order")
+    require(schemaAt(root, v1) == schemaAt(root, v2),
+      s"CHANGES BETWEEN $v1 AND $v2 crosses a schema change — the diff " +
+        "is only well-defined under one schema (read each side explicitly)")
+    val b = readVersionCurrent(spark, root, v2)
+    val cols = b.columns.toSeq
+    val f1 = manifestFiles(root, v1)
+    val f2 = manifestFiles(root, v2)
+    val evolved = schemaAt(root, v2).isDefined
+    if (!evolved && f1.toSet.subsetOf(f2.toSet)) {
+      val delta = f2.filterNot(f1.toSet)
+      if (delta.isEmpty)
+        return b.limit(0)
+          .withColumn("_change_type", lit(""))
+          .withColumn("_n", lit(0L))
+      spark.read.schema(b.schema)
+        .parquet(delta.map(resolveEntry(root, _)): _*)
+        .groupBy(cols.map(col): _*).agg(count(lit(1)).as("_n"))
+        .withColumn("_change_type", lit("insert"))
+        .select(cols.map(col) ++ Seq(col("_change_type"), col("_n")): _*)
+    } else {
+      val a = readVersionCurrent(spark, root, v1)
+      val ga = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__na"))
+        .select(cols.map(c => col(c).as(s"__a_$c")) :+ col("__na"): _*)
+      val gb = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__nb"))
+      // null-safe equality on every column: NULL is an identity for
+      // multiset membership, not a non-match
+      val joined = gb.join(ga,
+        cols.map(c => col(c) <=> col(s"__a_$c")).reduce(_ && _), "full_outer")
+      val delta = coalesce(col("__nb"), lit(0L)) - coalesce(col("__na"), lit(0L))
+      joined
+        .withColumn("__delta", delta)
+        .filter(col("__delta") =!= 0)
+        .select(cols.map(c => coalesce(col(c), col(s"__a_$c")).as(c)) ++ Seq(
+          when(col("__delta") > 0, "insert").otherwise("delete")
+            .as("_change_type"),
+          abs(col("__delta")).as("_n")): _*)
+    }
+  }
+
   /** The current snapshot through the RIGHT read path: evolved tables
     * resolve names/types by field id, plain tables read their manifests
     * directly. What every SQL statement (reads and DML targets) uses once

@@ -653,6 +653,56 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally graft.plans.GraftDmlRegistry.unregister(name)
   }
 
+  test("CHANGES BETWEEN: O(delta) append lineage, multiset rewrite diff, schema-change refusal") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val name = "cdcspec_t"
+    graft.plans.GraftDmlRegistry.unregister(name)
+    // duplicate row-shapes on purpose: (7, 'x') twice — multiplicity matters
+    SnapshotTable.commit(
+      (Seq((1L, "a"), (2L, "b"), (7L, "x"), (7L, "x"))).toDF("k", "tag"),
+      s"$dir/t")
+    graft.plans.GraftDmlRegistry.registerSnapshot(name, s"$dir/t")
+    try {
+      spark.sql(s"INSERT INTO $name VALUES (3, 'c'), (7, 'x')") // v2 append
+      // APPEND lineage: the feed reads ONLY the delta files — O(delta)
+      val feed12 = SnapshotTable.changesBetween(spark, s"$dir/t", 1, 2)
+      assert(feed12.inputFiles.forall(_.contains("/data/v2/")),
+        s"append-lineage feed read beyond the delta: ${feed12.inputFiles.toSeq}")
+      val f12 = feed12.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSet
+      assert(f12 == Set((3L, "c", "insert", 1L), (7L, "x", "insert", 1L)), f12)
+      // rewrite lineage through SQL: delete one of the duplicate (7,'x')
+      // rows... a keyless DELETE removes BOTH; use UPDATE to fork one shape
+      spark.sql(s"UPDATE $name SET tag = 'y' WHERE k = 2") // v3 rewrite
+      val f23 = spark.sql(
+        s"SELECT k, tag, _change_type, _n FROM $name CHANGES BETWEEN 2 AND 3")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSet
+      assert(f23 == Set((2L, "b", "delete", 1L), (2L, "y", "insert", 1L)), f23)
+      // multiplicity: dropping ONE copy of a duplicated shape via rewrite
+      SnapshotTable.commit(
+        spark.sql(s"SELECT * FROM $name").where("k <> 7")
+          .union(Seq((7L, "x")).toDF("k", "tag")), s"$dir/t") // v4: 3->1 copy
+      val f34 = spark.sql(
+        s"SELECT k, tag, _change_type, _n FROM $name CHANGES BETWEEN 3 AND 4")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSet
+      assert(f34 == Set((7L, "x", "delete", 2L)), f34)
+      // identical versions diff to the empty feed (RESTORE-style lineage)
+      assert(SnapshotTable.changesBetween(spark, s"$dir/t", 4, 4).count() == 0)
+      // crossing a schema change refuses loudly
+      spark.sql(s"ALTER TABLE $name ADD COLUMN extra string") // v5
+      val e = intercept[Exception](
+        spark.sql(s"SELECT * FROM $name CHANGES BETWEEN 4 AND 5").collect())
+      assert(e.getMessage.contains("schema change"), e.getMessage)
+    } finally graft.plans.GraftDmlRegistry.unregister(name)
+  }
+
   test("metastore: SQL-created tables and MVs survive a restart (registry wipe + reload)") {
     import spark.implicits._
     import graft.plans.{GraftDmlRegistry, GraftMetastore, GraftMvDdlRegistry,
