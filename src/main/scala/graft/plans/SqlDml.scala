@@ -237,6 +237,32 @@ case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
   }
 }
 
+/** `DESCRIBE DETAIL t` — current-state table introspection (the Delta
+  * verb): committed version, file count, total bytes, column count.
+  * Metadata-only at any table size: the manifest is one line per file and
+  * the byte total reads the sizes sidecar (stat fallback only for versions
+  * predating it); no data is scanned. Byte totals are encoding-dependent,
+  * so this is a spec-graded verb, not an oracle row. */
+case class GraftDescribeDetailCommand(root: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("total_bytes", LongType, nullable = false)(),
+    AttributeReference("n_columns", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = SnapshotTable.latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val files = SnapshotTable.manifestFiles(root, v)
+    val sizes = SnapshotTable.fileSizes(root, v)
+    val bytes = files.map(f => sizes.getOrElse(f,
+      java.nio.file.Files.size(java.nio.file.Paths.get(root, f)))).sum
+    val nCols = SnapshotTable.readCurrent(spark, root).schema.fields.length
+    Seq(Row(v, files.size.toLong, bytes, nCols.toLong))
+  }
+}
+
 /** `CREATE SNAPSHOT TABLE name LOCATION 'root' AS <query>` — CTAS into the
   * snapshot protocol: the query's result commits as version 1 at `root`
   * and `name` registers for every later DML/read statement in the session.
@@ -1031,12 +1057,16 @@ object GraftSqlParser {
     """(?is)^INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.+?)\s*;?\s*$""".r
   private val HistoryRe: Regex =
     """(?is)^DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val DetailRe: Regex =
+    """(?is)^DESCRIBE\s+DETAIL\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
 
-  /** `DESCRIBE HISTORY t` for a registered snapshot table; every other
-    * DESCRIBE delegates to Spark untouched. */
+  /** `DESCRIBE HISTORY t` / `DESCRIBE DETAIL t` for a registered snapshot
+    * table; every other DESCRIBE delegates to Spark untouched. */
   private def parseHistory(t: String): Option[LogicalPlan] = t match {
     case HistoryRe(name) =>
       GraftDmlRegistry.rootOf(name).map(GraftHistoryCommand)
+    case DetailRe(name) =>
+      GraftDmlRegistry.rootOf(name).map(GraftDescribeDetailCommand)
     case _ => None
   }
 

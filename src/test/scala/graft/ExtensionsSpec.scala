@@ -695,6 +695,17 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(f34 == Set((7L, "x", "delete", 2L)), f34)
       // identical versions diff to the empty feed (RESTORE-style lineage)
       assert(SnapshotTable.changesBetween(spark, s"$dir/t", 4, 4).count() == 0)
+      // DESCRIBE DETAIL: version/file-count from the manifest, byte total
+      // from the sizes sidecar (metadata-only), column count from schema
+      val det = spark.sql(s"DESCRIBE DETAIL $name").head()
+      assert(det.getLong(0) == 4L)
+      assert(det.getLong(1) ==
+        SnapshotTable.manifestFiles(s"$dir/t", 4L).size.toLong)
+      assert(det.getLong(2) ==
+        SnapshotTable.manifestFiles(s"$dir/t", 4L)
+          .map(SnapshotTable.fileSizes(s"$dir/t", 4L)).sum)
+      assert(det.getLong(3) == 2L)
+      intercept[Exception](spark.sql("DESCRIBE DETAIL nosuch_detail_t").collect())
       // crossing a schema change refuses loudly
       spark.sql(s"ALTER TABLE $name ADD COLUMN extra string") // v5
       val e = intercept[Exception](
