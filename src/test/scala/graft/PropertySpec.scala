@@ -155,4 +155,45 @@ class PropertySpec extends AnyFunSuite {
         1.0000000000005, -1.0000000000005, 123.4567890123455))
       assert(graft.plans.PowerIteration.scaled12(p) == ref(p), s"p=$p")
   }
+
+  test("change feed algebra: v1 plus the feed reconstructs v2 on random multisets") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    // the defining property of a keyless CDC feed: for every row-shape,
+    // count_v1 + inserts·_n − deletes·_n == count_v2 — over tables with
+    // duplicate shapes, NULL fields, and ARBITRARY rewrites (not just the
+    // DML paths the oracle queries exercise)
+    var seed = 0xC0FFEE5EED1234L
+    def next(): Long = {
+      seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
+      seed & Long.MaxValue
+    }
+    def pick(n: Int): Int = (next() % n).toInt
+    def randRows(): Seq[(Option[Long], String)] =
+      (0 until 3 + pick(20)).map { _ =>
+        (if (pick(6) == 0) None else Some(pick(5).toLong), // dup-heavy keys
+          Seq("a", "b", "c")(pick(3)))
+      }
+    (1 to 15).foreach { i =>
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_cdcprop$i").toString + "/t"
+      val r1 = randRows(); val r2 = randRows()
+      SnapshotTable.commit(r1.toDF("k", "tag"), root)
+      SnapshotTable.commit(r2.toDF("k", "tag"), root)
+      def counts(rs: Seq[(Option[Long], String)]) =
+        rs.groupBy(identity).map { case (r, g) => r -> g.size.toLong }
+      val c1 = counts(r1); val c2 = counts(r2)
+      val feed = SnapshotTable.changesBetween(spark, root, 1, 2).collect()
+        .map(r => ((if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          r.getString(1)), r.getString(2), r.getLong(3)))
+      val applied = scala.collection.mutable.Map(c1.toSeq: _*)
+        .withDefaultValue(0L)
+      feed.foreach { case (shape, typ, n) =>
+        applied(shape) += (if (typ == "insert") n else -n)
+      }
+      val got = applied.filter(_._2 != 0).toMap
+      assert(got == c2,
+        s"scenario $i: v1 ⊎ feed != v2\nv1=$c1\nv2=$c2\nfeed=${feed.toSeq}")
+    }
+  }
 }
