@@ -939,6 +939,53 @@ object StreamingQueries extends QueryModule {
     // selection, and every top-10 cut.
     "i24_stream_ann_serve" -> ((s, dir) => annServe(s, dir, "i24", 1)),
 
+    // I29: STREAMING READ OF A SNAPSHOT TABLE — the table→stream half of
+    // the CDC loop (i12/i13 own the stream→table half): the custom V1
+    // source (sources/GraftTableStream.scala) turns committed VERSIONS
+    // into micro-batches, with offsets == version numbers (the snapshot
+    // protocol already provides a totally ordered, atomically published,
+    // checkpointable marker) and each batch == exactly the files the new
+    // manifest adds — O(delta) at any table size, never a scan or diff.
+    // Two campaigns against ONE checkpoint grade the contract: campaign 1
+    // drains the seeded v1+v2, a third version lands, campaign 2 resumes
+    // off the checkpointed version and emits EXACTLY the delta. The
+    // append-only lineage rule (rewrites refuse loudly) is spec-pinned.
+    "i29_stream_table_feed" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val key = Tables.pathKey(dir)
+      val t = Tables(s, dir)
+      val root = s"$ckptRoot/graft_snap_i29_$key"
+      val out = s"$ckptRoot/graft_out_i29_$key"
+      val ckpt = s"$ckptRoot/graft_i29ck_$key"
+      Seq(root, out, ckpt).foreach(p => rmrfDir(new java.io.File(p)))
+      val base = t.orders.select(col("o_orderkey"), col("o_totalprice"))
+      SnapshotTable.commit(base.filter(col("o_orderkey") % 30 === 0), root)
+      SnapshotTable.append(base.filter(col("o_orderkey") % 30 === 1), root)
+      def campaign(tag: String): Unit = {
+        val sq = withStreamShufflePartitions(s) {
+          s.readStream.format("graft.sources.GraftTableStream")
+            .option("path", root).load()
+            .writeStream.outputMode(OutputMode.Append())
+            .foreachBatch { (df: DataFrame, batchId: Long) =>
+              df.withColumn("campaign", lit(tag))
+                .write.mode("overwrite").parquet(f"$out/${tag}_b$batchId%04d")
+              ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+        }
+        sq.awaitTermination()
+      }
+      campaign("c1")
+      SnapshotTable.append(base.filter(col("o_orderkey") % 30 === 2), root)
+      campaign("c2") // resumes from the checkpointed version
+      s.read.option("recursiveFileLookup", "true").parquet(out)
+        .groupBy(col("campaign"), (col("o_orderkey") % 4).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(Tables.dsum(col("o_totalprice")), 6).as("revenue"))
+        .orderBy("campaign", "bucket")
+    }),
+
     // I28: SHARDED ANN SERVING — the production lever SCALING_r17 named
     // for i24's honest linearity (query stream ×100 AND corpus ×100 →
     // candidate work ×100²/100): the query stream PARTITIONS into K hash
@@ -1631,6 +1678,21 @@ object StreamingQueries extends QueryModule {
     // [p*k, p*(k+1)) with the size-derived cap p = ceil(count/24) — the
     // admission split applied per campaign, since the restarted stream
     // resumes at each partition's campaign-1 end offset
+    // the table feed replayed from the raw facts: campaign 1 drains the
+    // seeded v1 (%30=0) + v2 (%30=1), campaign 2 resumes and emits
+    // EXACTLY the v3 delta (%30=2) — losing the checkpoint would re-emit
+    // c1 rows under c2 and hash-mismatch
+    "i29_stream_table_feed" ->
+      ("WITH c1 AS (SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey % 30 IN (0, 1)), " +
+        "c2 AS (SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey % 30 = 2), " +
+        "u AS (SELECT 'c1' AS campaign, * FROM c1 " +
+        "UNION ALL SELECT 'c2', * FROM c2) " +
+        "SELECT campaign, o_orderkey % 4 AS bucket, count(*) AS n, " +
+        s"round(${graft.Tables.dsumSql("o_totalprice")}, 6) AS revenue " +
+        "FROM u GROUP BY 1, 2 ORDER BY campaign, bucket"),
+
     "i27_stream_log_resume" ->
       ("WITH ids AS (SELECT max(event_id) AS mx, count(*) AS cnt FROM events), " +
         "ev AS (SELECT value, " +

@@ -26,4 +26,14 @@ object GraftSqlBridge {
     * against a driver-collected literal blob). */
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
     ExpressionUtils.column(e)
+
+  /** A V1 streaming Source's `getBatch` must return a DataFrame flagged
+    * `isStreaming = true` (MicroBatchExecution asserts it), and the only
+    * constructor carrying that flag is `private[sql]` — the same door every
+    * V1-source library (Delta's original source included) opens. Used by
+    * [[graft.sources.GraftTableStreamSource]]. */
+  def streamingDf(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): Dataset[org.apache.spark.sql.Row] =
+    spark.internalCreateDataFrame(rdd, schema, isStreaming = true)
 }

@@ -638,6 +638,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("table stream: startingVersion tails the delta; rewrite lineage refuses") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_tstream").toString
+    val root = s"$dir/t"
+    SnapshotTable.commit((1L to 10L).map(i => (i, "v1")).toDF("k", "tag"), root)
+    SnapshotTable.append((11L to 15L).map(i => (i, "v2")).toDF("k", "tag"), root)
+    // startingVersion=1: the stream tails AFTER v1 — first batch is the
+    // v2 delta only (5 rows), not the 15-row table
+    val q1 = spark.readStream.format("graft.sources.GraftTableStream")
+      .option("path", root).option("startingVersion", "1").load()
+      .writeStream.format("memory").queryName("tstream_tail")
+      .option("checkpointLocation", s"$dir/ck1")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    val tail = spark.table("tstream_tail").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(tail == (11L to 15L).map((_, "v2")).toSet, tail.toString)
+    // a REWRITE commit breaks append lineage: the stream must fail loudly,
+    // never silently re-emit or skip
+    SnapshotTable.commit((1L to 8L).map(i => (i, "rw")).toDF("k", "tag"), root)
+    val q2 = spark.readStream.format("graft.sources.GraftTableStream")
+      .option("path", root).option("startingVersion", "2").load()
+      .writeStream.format("memory").queryName("tstream_rw")
+      .option("checkpointLocation", s"$dir/ck2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val e = intercept[Exception](q2.awaitTermination())
+    assert(e.getMessage.contains("append-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("append-only")), e.toString)
+  }
+
   test("i28 sharded ANN serving: disjoint shards, concurrent queries, i24-identical answer") {
     val sharded = SparkEntry.queries("i28_stream_ann_shard_serve")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
