@@ -233,10 +233,17 @@ object StreamingQueries extends QueryModule {
       }
       (sq, ckpt)
     }
-    // start ALL shards, then await: concurrency is the point
+    // start ALL shards, then await: concurrency is the point. If one
+    // shard fails, STOP the survivors before touching their checkpoints —
+    // deleting live state out from under a running query would cascade
+    // the failure (and could leak detached queries into later runs)
     val started = (0 until shards).map(startShard)
     try started.foreach(_._1.awaitTermination())
-    finally started.foreach(p => rmrfDir(new java.io.File(p._2)))
+    finally {
+      started.foreach(p =>
+        try p._1.stop() catch { case _: Exception => () })
+      started.foreach(p => rmrfDir(new java.io.File(p._2)))
+    }
     s.read.option("recursiveFileLookup", "true").parquet(out)
       .select(col("q_id"), col("rn"), col("b_id"), col("cos"))
       .orderBy("q_id", "rn")

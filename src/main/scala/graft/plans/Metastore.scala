@@ -58,9 +58,20 @@ object GraftMetastore {
 
   /** Load the metastore at the configured directory into the session's
     * registries, once per JVM per directory. No-op when the conf is unset
-    * or the directory was already loaded. */
+    * or the directory was already loaded. A concurrent second caller
+    * BLOCKS until the load finishes (never resolves against a half-loaded
+    * catalog); the re-entrant call the MV re-analysis makes (session.sql
+    * → parsePlan → here, same thread) sees the marker already set and
+    * skips — which is why the marker lands before load() runs. A load
+    * that THROWS (e.g. an unreadable catalog file) clears the marker so
+    * the next statement retries instead of poisoning the session. */
   def ensureLoaded(session: SparkSession): Unit = confDir(session).foreach { dir =>
-    if (loaded.add(dir)) load(session, dir)
+    if (!loaded.contains(dir)) synchronized {
+      if (loaded.add(dir)) {
+        try load(session, dir)
+        catch { case e: Throwable => loaded.remove(dir); throw e }
+      }
+    }
   }
 
   /** Drop the loaded-marker for `dir` so the NEXT statement reloads from
@@ -81,13 +92,25 @@ object GraftMetastore {
         val sql = new String(Base64.getDecoder.decode(sql64), UTF_8)
         val flag = session.conf.get(GraftMvRewriteRule.Flag, "false")
         session.conf.set(GraftMvRewriteRule.Flag, "false")
+        // PER-ENTRY fault isolation: one MV whose definition no longer
+        // analyzes (its source table was dropped after the MV was
+        // recorded) must not block every entry after it — the catalog
+        // serves what it can; the broken view simply stays unregistered
+        // (its next CREATE/REFRESH will surface the real error)
         try {
           MvRegistry.register(name.toLowerCase, session.sql(sql), path)
           GraftMvDdlRegistry.put(name, sql, path)
+        } catch {
+          case e: Exception => logWarn(name, e)
         } finally session.conf.set(GraftMvRewriteRule.Flag, flag)
       }
     }
   }
+
+  private def logWarn(name: String, e: Exception): Unit =
+    Console.err.println(
+      s"[graft metastore] skipping MV '$name': definition no longer " +
+        s"analyzes (${e.getMessage.linesIterator.toSeq.headOption.getOrElse("")})")
 
   /** Record a SQL-created snapshot table, if a metastore is configured. */
   def recordTable(session: SparkSession, name: String, root: String): Unit =
@@ -107,18 +130,18 @@ object GraftMetastore {
 
   /** Forget a DROPped materialized view. */
   def removeMv(session: SparkSession, name: String): Unit =
-    confDir(session).foreach { dir =>
-      rewrite(mvsFile(dir),
-        readLines(mvsFile(dir)).filterNot(_.startsWith(s"${name.toLowerCase}\t")))
-    }
+    confDir(session).foreach(dir => removeLine(mvsFile(dir), name.toLowerCase))
 
   /** Forget a DROPped snapshot table name (the data root stays — DROP
     * detaches the NAME, the external-table convention). */
   def removeTable(session: SparkSession, name: String): Unit =
-    confDir(session).foreach { dir =>
-      rewrite(tablesFile(dir),
-        readLines(tablesFile(dir)).filterNot(_.startsWith(s"${name.toLowerCase}\t")))
-    }
+    confDir(session).foreach(dir => removeLine(tablesFile(dir), name.toLowerCase))
+
+  // read-modify-write under the SAME lock upsertLine takes — a concurrent
+  // CREATE and DROP must not interleave and lose one of the two updates
+  private def removeLine(p: Path, key: String): Unit = synchronized {
+    rewrite(p, readLines(p).filterNot(_.startsWith(s"$key\t")))
+  }
 
   private def readLines(p: Path): Seq[String] =
     if (!Files.exists(p)) Nil

@@ -134,7 +134,10 @@ case class GraftUpdateCommand(root: String, assigns: Seq[(String, String)],
     val v = SnapshotTable.prepare(updated, root)
     val nUpd = obs.get.get("n_upd") match {
       case Some(n: Long) => n
-      case _ => 0L // empty table: sum over zero rows observes NULL
+      case Some(null) => 0L // empty table: sum over zero rows observes NULL
+      case other => throw new IllegalStateException(
+        "UPDATE: the observed row-count metric vanished from the rewrite " +
+          s"plan (got $other) — refusing to record a silent n_updated=0")
     }
     SnapshotTable.attachMeta(root, v, s"update:$nUpd")
     SnapshotTable.swap(root, v)
@@ -254,12 +257,11 @@ case class GraftDescribeDetailCommand(root: String) extends LeafRunnableCommand 
   override def run(spark: SparkSession): Seq[Row] = {
     val v = SnapshotTable.latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
-    val files = SnapshotTable.manifestFiles(root, v)
-    val sizes = SnapshotTable.fileSizes(root, v)
-    val bytes = files.map(f => sizes.getOrElse(f,
-      java.nio.file.Files.size(java.nio.file.Paths.get(root, f)))).sum
+    // sidecar-first with foreign (shallow-clone) entries resolved — the
+    // same resolution the commit path uses
+    val sized = SnapshotTable.currentSizes(root)
     val nCols = SnapshotTable.readCurrent(spark, root).schema.fields.length
-    Seq(Row(v, files.size.toLong, bytes, nCols.toLong))
+    Seq(Row(v, sized.size.toLong, sized.map(_._2).sum, nCols.toLong))
   }
 }
 
@@ -363,17 +365,22 @@ case class GraftOptimizeCommand(root: String, smallerThan: Option[Long],
     // (ONE metadata file) — OPTIMIZE on a 100 TB table never stats the
     // filesystem per data file; the stat fallback only serves tables whose
     // versions predate the sidecar
-    val recorded = SnapshotTable.fileSizes(root, latest)
+    val recorded = SnapshotTable.currentSizes(root).toMap
     val (rewrite, carry) = smallerThan match {
-      case Some(thr) => files.partition { f =>
-        recorded.getOrElse(f,
-          java.nio.file.Files.size(java.nio.file.Paths.get(root, f))) < thr
-      }
+      case Some(thr) => files.partition(f => recorded(f) < thr)
       case None => (files, Seq.empty[String])
     }
     if (rewrite.isEmpty)
       return Seq(Row(latest, files.size.toLong, 0L, files.size.toLong))
-    val df = spark.read.parquet(rewrite.map(f => s"$root/$f"): _*)
+    // an EVOLVED table's files span schema generations (renamed/widened
+    // columns under old physical names) — a plain multi-file read would
+    // infer one footer's schema and silently corrupt the others' columns;
+    // resolve each generation by field id, exactly like the read path
+    val df =
+      if (SnapshotTable.hasEvoSchema(root))
+        SnapshotTable.readFilesEvo(spark, root, rewrite,
+          SnapshotTable.ensureEvoSchema(spark, root))
+      else SnapshotTable.readFiles(spark, root, rewrite)
     val packed =
       if (zorderCols.isEmpty) df.repartition(targetFiles)
       else {

@@ -73,6 +73,12 @@ private[sources] class GraftTableStreamSource(ctx: SQLContext, root: String,
     SnapshotTable.latestVersion(root).filter(_ > startingVersion)
       .map(LongOffset(_))
 
+  // the schema the stream STARTED under: every batch must be served under
+  // this one schema (emitted rows cannot be re-shaped), so a batch whose
+  // delta was written under a DIFFERENT schema generation refuses below
+  private val startSchemaGen = SnapshotTable.latestVersion(root)
+    .flatMap(SnapshotTable.schemaAt(root, _))
+
   /** Rows of versions (v1, v2]: exactly the files v2's manifest adds over
     * v1's, read through the ordinary parquet scan. */
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -88,11 +94,24 @@ private[sources] class GraftTableStreamSource(ctx: SQLContext, root: String,
         "stream (already-emitted rows cannot be retracted); restart the " +
         "stream from the rewritten version with startingVersion")
     val delta = f2.filterNot(f1.toSet)
+    // every delta file must have been written under THE STREAM'S schema:
+    // an ALTER TABLE mid-stream (or a pre-evolution generation reached by
+    // startingVersion 0) would otherwise be force-read under the wrong
+    // names and silently NULL-fill renamed columns
+    delta.foreach { f =>
+      val gen = "data/v(\\d+)/".r.findFirstMatchIn(f).map(_.group(1).toLong)
+        .getOrElse(0L)
+      require(SnapshotTable.schemaAt(root, gen) == startSchemaGen,
+        s"graft table stream: file $f of $root was written under a " +
+          "different schema than the stream started with — a stream " +
+          "cannot re-shape emitted rows; restart it (startingVersion) " +
+          "after the schema change")
+    }
     val batch =
       if (delta.isEmpty) spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
       else spark.read.schema(schema).parquet(
-        delta.map(f => java.nio.file.Paths.get(root, f).toString): _*)
+        delta.map(SnapshotTable.resolveEntry(root, _)): _*)
     org.apache.spark.sql.classic.GraftSqlBridge.streamingDf(
       spark, batch.queryExecution.toRdd, schema)
   }

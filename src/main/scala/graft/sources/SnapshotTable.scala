@@ -625,7 +625,7 @@ object SnapshotTable {
   /** Resolve a manifest entry: entries are root-relative except FOREIGN
     * (absolute) entries written by [[cloneFrom]] — a shallow clone's
     * manifest points into its source's data directory. */
-  private def resolveEntry(root: String, f: String): String =
+  private[sources] def resolveEntry(root: String, f: String): String =
     if (Paths.get(f).isAbsolute) f else Paths.get(root, f).toString
 
   /** SHALLOW CLONE — the zero-copy table copy (Delta's CLONE, Iceberg
@@ -650,10 +650,58 @@ object SnapshotTable {
       .map(f => Paths.get(srcRoot).toAbsolutePath.resolve(f).toString)
     val v = latestVersion(dstRoot).getOrElse(0L) + 1
     Files.createDirectories(snapDir(dstRoot))
+    clearStaleSidecars(dstRoot, v)
+    // the clone carries byte sizes too (copied from the source's sidecar,
+    // stat fallback) — maintenance planning on the clone stays metadata
+    val srcSizes = fileSizes(srcRoot, sv).map { case (f, n) =>
+      Paths.get(srcRoot).toAbsolutePath.resolve(f).toString -> n }
+    writeSizesSidecar(dstRoot, v, files.map(f =>
+      f -> srcSizes.getOrElse(f, Files.size(Paths.get(f)))))
     Files.write(snapDir(dstRoot).resolve(s"v$v.manifest"),
       files.sorted.mkString("\n").getBytes(UTF_8))
     swap(dstRoot, v)
     v
+  }
+
+  /** Read a subset of manifest entries (foreign shallow-clone entries
+    * resolved) under one uniform physical schema — the non-evolved
+    * maintenance read. */
+  def readFiles(spark: SparkSession, root: String,
+      files: Seq[String]): DataFrame =
+    spark.read.parquet(files.map(resolveEntry(root, _)): _*)
+
+  /** Current-version manifest sizes with foreign entries resolved — the
+    * DESCRIBE DETAIL read: sidecar first, one stat per missing entry. */
+  def currentSizes(root: String): Seq[(String, Long)] = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    sizesFor(root, manifestFiles(root, v))
+  }
+
+  /** The schema-generation of a manifest entry: which version's sidecar
+    * governs its physical column names (entries embed their write version
+    * in the path). */
+  private def entryGeneration(f: String): Long =
+    "data/v(\\d+)/".r.findFirstMatchIn(f).map(_.group(1).toLong).getOrElse(0L)
+
+  /** Read a SUBSET of an evolved table's files, each generation resolved
+    * to `current` by field id (the readEvo projection restricted to a file
+    * list) — what OPTIMIZE needs to rewrite mixed-generation files without
+    * corrupting renamed/widened columns. */
+  def readFilesEvo(spark: SparkSession, root: String,
+      files: Seq[String], current: Seq[EvoField]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    files.groupBy(entryGeneration).toSeq.sortBy(_._1).map { case (w, fs) =>
+      val physByField = schemaAt(root, w).getOrElse(current)
+        .map(f => f.id -> f).toMap
+      val cols = current.map { cf =>
+        physByField.get(cf.id) match {
+          case Some(pf) => col(pf.name).cast(cf.typ).as(cf.name)
+          case None => lit(null).cast(cf.typ).as(cf.name)
+        }
+      }
+      spark.read.parquet(fs.map(resolveEntry(root, _)): _*).select(cols: _*)
+    }.reduce(_.unionByName(_))
   }
 
   /** Read a specific committed (or prepared) version — time travel. */
@@ -889,9 +937,17 @@ object SnapshotTable {
     val cols = b.columns.toSeq
     val f1 = manifestFiles(root, v1)
     val f2 = manifestFiles(root, v2)
-    val evolved = schemaAt(root, v2).isDefined
-    if (!evolved && f1.toSet.subsetOf(f2.toSet)) {
-      val delta = f2.filterNot(f1.toSet)
+    val delta = f2.filterNot(f1.toSet)
+    // the fast path needs every DELTA file's physical schema to BE the
+    // window's schema: ordinarily true (the window's commits wrote them
+    // under the constant schema the require above pins), but a RESTORE
+    // can re-add files from a pre-evolution generation — those must take
+    // the field-id diff path, not a forced-name read that would NULL-fill
+    // renamed columns
+    val windowSchema = schemaAt(root, v2)
+    val deltaSameSchema = windowSchema.isEmpty ||
+      delta.forall(f => schemaAt(root, entryGeneration(f)) == windowSchema)
+    if (f1.toSet.subsetOf(f2.toSet) && deltaSameSchema) {
       if (delta.isEmpty)
         return b.limit(0)
           .withColumn("_change_type", lit(""))

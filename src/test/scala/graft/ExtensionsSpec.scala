@@ -714,6 +714,40 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally graft.plans.GraftDmlRegistry.unregister(name)
   }
 
+  test("shallow clones compose with DESCRIBE DETAIL, OPTIMIZE, and the table stream") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_clonesql").toString
+    SnapshotTable.commit(
+      (1L to 200L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(3),
+      s"$dir/src")
+    SnapshotTable.cloneFrom(s"$dir/src", s"$dir/clone")
+    val name = "clonespec_t"
+    graft.plans.GraftDmlRegistry.unregister(name)
+    graft.plans.GraftDmlRegistry.registerSnapshot(name, s"$dir/clone")
+    try {
+      // foreign (absolute) manifest entries resolve through every new verb:
+      // sizes come from the clone's sidecar, bytes match the source's
+      val det = spark.sql(s"DESCRIBE DETAIL $name").head()
+      assert(det.getLong(1) == 3L && det.getLong(2) > 0L, det.toString)
+      // the table stream reads the clone's foreign entries (one batch)
+      val q = spark.readStream.format("graft.sources.GraftTableStream")
+        .option("path", s"$dir/clone").load()
+        .writeStream.format("memory").queryName("clonespec_stream")
+        .option("checkpointLocation", s"$dir/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      assert(spark.table("clonespec_stream").count() == 200L)
+      // OPTIMIZE bin-packs the clone: foreign files rewrite into LOCAL
+      // files (the clone materializes what it compacts — correct: the
+      // source's files are not the clone's to rewrite)
+      val o = spark.sql(s"OPTIMIZE $name INTO 1 FILES").head()
+      assert(o.getLong(3) == 1L, o.toString)
+      assert(spark.sql(s"SELECT count(*) AS n FROM $name").head()
+        .getLong(0) == 200L)
+    } finally graft.plans.GraftDmlRegistry.unregister(name)
+  }
+
   test("metastore: SQL-created tables and MVs survive a restart (registry wipe + reload)") {
     import spark.implicits._
     import graft.plans.{GraftDmlRegistry, GraftMetastore, GraftMvDdlRegistry,
