@@ -202,6 +202,13 @@ class VectorSpec extends AnyFunSuite {
     // Lloyd monotonicity: inertia never increases across iterations
     inertias.sliding(2).foreach { case Seq(a, b) =>
       assert(b <= a + 1e-9, s"inertia rose: $a -> $b") }
+    // CONVERGENCE PIN for the declared query's 5-iteration budget (r19):
+    // by iteration 5 the fixture's inertia is within 1% of the
+    // 10-iteration value (measured 0.3-0.6% across sf0.001/0.01/0.1), so
+    // the 5 extra passes the query used to run bought noise-scale inertia
+    // for double the training wall — this assertion licenses the cut.
+    assert(inertias(4) - inertias(9) <= 0.01 * inertias(9),
+      s"fixture no longer converges by iter 5: ${inertias(4)} vs ${inertias(9)}")
     // the declared query: every vector in exactly one cluster
     val q = SparkEntry.queries("g40_kmeans")(spark, sfDir).collect()
     assert(q.map(_.getLong(1)).sum == base.count())
@@ -429,6 +436,18 @@ class VectorSpec extends AnyFunSuite {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("x")))
     val (cbs, q) = operators.VectorQueries.pqTrain(base, t)
     assert(cbs.length == 4 && cbs.forall(cb => cb.length == 16 && cb.forall(_.length == 16)))
+    // CONVERGENCE PIN for the 2-round training budget (r19): per subspace,
+    // rounds 3-4 improve inertia by < 10% of the round-4 value (measured
+    // 3-5% across fixtures) — round 1 does the clustering, so the trainer's
+    // 2-round budget keeps nearly all the quantization quality at half the
+    // distributed passes.
+    (0 until 4).foreach { j =>
+      val (_, pin) = graft.plans.KMeans.fit(
+        base.select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col(s"sub$j")), "vec_id", s"sub$j", 16, 16, 4)
+      assert(pin(1) - pin(3) <= 0.10 * pin(3),
+        s"subspace $j no longer near-converged by round 2: ${pin(1)} vs ${pin(3)}")
+    }
     val vecs = t.embeddings.select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
     def sq(a: Array[Double], b: Array[Double], off: Int): Double = {
