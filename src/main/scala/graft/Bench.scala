@@ -38,6 +38,46 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.contains(n)))
+    // ANCHOR-PROBE CALIBRATION (r19, the round-18 verdict's "what's wrong
+    // #3"): bench totals on this VM drift 1.1-2x with neighbor I/O pressure
+    // (documented since r10), and the official number was a coin-flip —
+    // r18's landed at 1.999x the anchor on a bad window with the identical
+    // HEAD measuring 1.88x on a good one. Before the measured passes, probe
+    // the two BASELINE.md anchor shapes warm (one throwaway cold eval, then
+    // the timed one) and compare against their recorded idle-window floors;
+    // if the window reads hot, WAIT (bounded: ~4 min worst case) for the
+    // pressure to pass and re-probe. The suite then runs on the best window
+    // available, and the calibration itself is recorded in the JSON so a
+    // still-hot forced start is visible instead of silently inflating the
+    // number. Disable with SPARK_GRAFT_NO_CALIBRATION=1 (scoped profiling
+    // runs where 2 extra evals of d1/c4 would pollute a measurement).
+    // idle floors are sf0.1 measurements, so only the official sf0.1 shape
+    // calibrates; other scales (sf1/sf10 scaling runs) skip.
+    val anchorIdle = Seq("d1_agg_hash" -> 0.17, "c4_join_5way_star" -> 0.81)
+    var calibration = "skipped"
+    if (!sys.env.contains("SPARK_GRAFT_NO_CALIBRATION") && only.isEmpty &&
+        sfDir.endsWith("sf0.1")) {
+      def probe(): Double = {
+        val ratios = anchorIdle.map { case (n, idle) =>
+          val fn = SparkEntry.queries(n)
+          fn(spark, sfDir).count() // warm-up eval: JIT + page cache, untimed
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          ((System.nanoTime() - t0) / 1e9) / idle
+        }
+        ratios.sum / ratios.size
+      }
+      var attempt = 0
+      var ratio = probe()
+      while (ratio > 1.4 && attempt < 4) {
+        System.err.println(f"BENCH CALIBRATION: window hot (anchor ratio $ratio%.2f x idle), waiting 60s")
+        Thread.sleep(60000)
+        attempt += 1
+        ratio = probe()
+      }
+      calibration = f"$ratio%.2f" + (if (ratio > 1.4) "-forced" else "")
+      System.err.println(s"BENCH CALIBRATION: anchor ratio $calibration x idle after $attempt wait(s)")
+    }
     // A failed query must be visible, not bench as ~0 s: record -1 for its
     // time, keep its error, and surface n_failed in both JSON lines.
     var failures = List.empty[(String, String)]
@@ -77,7 +117,7 @@ object Bench {
     // it sums only the queries that ran (failed ones are excluded, not 0 s).
     val partial = failedNames.nonEmpty
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","partial":$partial,"n_queries":${results.size},"n_failed":${failedNames.size},"repeats":$repeats,"queries":${qjson(results)},"passes":$passesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","partial":$partial,"n_queries":${results.size},"n_failed":${failedNames.size},"repeats":$repeats,"calibration":"$calibration","queries":${qjson(results)},"passes":$passesJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
         (fullLine + "\n").getBytes("UTF-8"))
@@ -85,7 +125,7 @@ object Bench {
     println(fullLine)
     val compact = headline.flatMap(k => byName.get(k).map(v => "\"" + k + "\":" + r3(v)))
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","partial":$partial,"n_queries":${results.size},"n_failed":${failedNames.size},"repeats":$repeats,"queries":$compact,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","partial":$partial,"n_queries":${results.size},"n_failed":${failedNames.size},"repeats":$repeats,"calibration":"$calibration","queries":$compact,"sf":"$sfDir"}"""
     // stop BEFORE the final line so shutdown logs can't push it out of the
     // driver's 2000-char tail buffer; a shutdown race must not eat the line
     try spark.stop() catch { case _: Throwable => () }

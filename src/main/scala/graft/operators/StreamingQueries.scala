@@ -1036,6 +1036,68 @@ object StreamingQueries extends QueryModule {
         .orderBy("campaign", "bucket")
     }),
 
+    // I30: STREAMING CHANGE FEED (Delta's CDF streaming — readChangeFeed):
+    // closes the i29 gap the r18 verdict named first among missing CDC
+    // pieces: i29's row feed refuses rewrites BY DESIGN (emitted rows
+    // cannot be retracted), so a pipeline following a table through
+    // UPDATE/DELETE/MERGE needs the source to serve ROW-LEVEL CHANGES
+    // instead of rows. Composes the two halves the engine already proves:
+    // the version-offset table stream (i29) and the m42 `changesBetween`
+    // kernel — each streamed version serves its own change set tagged
+    // `_change_type`/`_n`/`_commit_version`, so appends stay O(delta)
+    // (delta files only), a rewrite emits its grouped multiset diff, and
+    // the union ledger is independent of how versions pack into
+    // micro-batches — which is what licenses the FULL VALUE ORACLE across
+    // a campaign holding an append AND a rewrite: campaign 1 drains the
+    // seeded v1+v2 (pure inserts), an UPDATE-shaped rewrite lands (every
+    // 60-multiple's price bumped), and campaign 2 resumes off the SAME
+    // checkpoint and emits exactly v3's diff — one delete and one insert
+    // per changed row, nothing for untouched rows. Restart-resume and the
+    // ALTER-mid-stream refusal (the checkpoint-pinned schema generation)
+    // are additionally pinned in StreamingSpec.
+    "i30_stream_change_feed" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val key = Tables.pathKey(dir)
+      val t = Tables(s, dir)
+      val root = s"$ckptRoot/graft_snap_i30_$key"
+      val out = s"$ckptRoot/graft_out_i30_$key"
+      val ckpt = s"$ckptRoot/graft_i30ck_$key"
+      Seq(root, out, ckpt).foreach(p => rmrfDir(new java.io.File(p)))
+      val base = t.orders.select(col("o_orderkey"), col("o_totalprice"))
+      SnapshotTable.commit(base.filter(col("o_orderkey") % 30 === 0), root)
+      SnapshotTable.append(base.filter(col("o_orderkey") % 30 === 1), root)
+      def campaign(tag: String): Unit = {
+        val sq = withStreamShufflePartitions(s) {
+          s.readStream.format("graft.sources.GraftTableStream")
+            .option("path", root).option("readChangeFeed", "true").load()
+            .writeStream.outputMode(OutputMode.Append())
+            .foreachBatch { (df: DataFrame, batchId: Long) =>
+              df.withColumn("campaign", lit(tag))
+                .write.mode("overwrite").parquet(f"$out/${tag}_b$batchId%04d")
+              ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+        }
+        sq.awaitTermination()
+      }
+      campaign("c1") // v1 + v2: pure insert changes, O(delta) each
+      // the REWRITE a row feed cannot follow: UPDATE-shaped full rewrite —
+      // every 60-multiple's price bumped by 10, all other rows carried
+      SnapshotTable.commit(
+        SnapshotTable.read(s, root).withColumn("o_totalprice",
+          when(col("o_orderkey") % 60 === 0, col("o_totalprice") + lit(10.0))
+            .otherwise(col("o_totalprice"))),
+        root)
+      campaign("c2") // resumes from the checkpoint: exactly v3's diff
+      s.read.option("recursiveFileLookup", "true").parquet(out)
+        .groupBy(col("campaign"), col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_shapes"), sum(col("_n")).as("n_rows"),
+          round(Tables.dsum(col("o_totalprice") * col("_n")), 6).as("revenue"))
+        .orderBy("campaign", "commit_version", "change_type")
+    }),
+
     // I28: SHARDED ANN SERVING — the production lever SCALING_r17 named
     // for i24's honest linearity (query stream ×100 AND corpus ×100 →
     // candidate work ×100²/100): the query stream PARTITIONS into K hash
@@ -1742,6 +1804,30 @@ object StreamingQueries extends QueryModule {
         "SELECT campaign, o_orderkey % 4 AS bucket, count(*) AS n, " +
         s"round(${graft.Tables.dsumSql("o_totalprice")}, 6) AS revenue " +
         "FROM u GROUP BY 1, 2 ORDER BY campaign, bucket"),
+
+    // the change-feed ledger replays exactly: v1 = the %30=0 slice as
+    // inserts, v2 = the %30=1 slice as inserts (campaign 1), v3 = the
+    // rewrite's multiset diff — one delete at the old price and one insert
+    // at +10.0 per 60-multiple (campaign 2); untouched rows emit nothing.
+    // every order key is unique so each change shape has _n = 1
+    "i30_stream_change_feed" ->
+      ("WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey % 30 = 0), " +
+        "v2 AS (SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey % 30 = 1), " +
+        "ch AS (SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey % 60 = 0), " +
+        "feed AS (" +
+        "SELECT 'c1' AS campaign, 1 AS commit_version, 'insert' AS change_type, " +
+        "o_totalprice, 1 AS _n FROM v1 " +
+        "UNION ALL SELECT 'c1', 2, 'insert', o_totalprice, 1 FROM v2 " +
+        "UNION ALL SELECT 'c2', 3, 'delete', o_totalprice, 1 FROM ch " +
+        "UNION ALL SELECT 'c2', 3, 'insert', o_totalprice + 10.0, 1 FROM ch) " +
+        "SELECT campaign, CAST(commit_version AS BIGINT) AS commit_version, " +
+        "change_type, count(*) AS n_shapes, CAST(sum(_n) AS BIGINT) AS n_rows, " +
+        s"round(${graft.Tables.dsumSql("o_totalprice * _n")}, 6) AS revenue " +
+        "FROM feed GROUP BY 1, 2, 3 " +
+        "ORDER BY campaign, commit_version, change_type"),
 
     "i27_stream_log_resume" ->
       ("WITH ids AS (SELECT max(event_id) AS mx, count(*) AS cnt FROM events), " +

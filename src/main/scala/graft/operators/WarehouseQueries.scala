@@ -1678,6 +1678,57 @@ object WarehouseQueries extends QueryModule {
           "GROUP BY _change_type")
       roll("v1_v2", 1, 2).unionByName(roll("v2_v3", 2, 3))
         .orderBy("phase", "_change_type")
+    }),
+
+    // M43: KEYED CDC — the r18 verdict's "keyed change feed" item, closing
+    // the one weakness it named in m42: the keyless feed is a full
+    // two-version multiset diff across any rewrite. With a declared
+    // PRIMARY KEY (`ALTER TABLE t SET KEY (o_orderkey)` — validated
+    // unique+non-null at declaration, the writer's contract afterwards),
+    // `t CHANGES BETWEEN v1 AND v2` serves Delta-CDF-with-row-tracking
+    // semantics instead: insert / delete / update_preimage /
+    // update_postimage rows, diffed from ONLY the files the versions
+    // exchanged. Because UPDATE/DELETE are now FILE-GRANULAR (this round:
+    // one column-pruned discovery pass finds the touched files; untouched
+    // entries carry as metadata), removed∖added is exactly the touched
+    // set, so the rewrite feed costs O(touched files) at ANY table size —
+    // the SCALING_r19 row pins that it does NOT grow with the table. Rows
+    // rewritten unchanged (same file, different layout) cancel in the key
+    // join and emit nothing. Full oracle: every phase replays from the raw
+    // facts — appends are inserts, the UPDATE emits one preimage at the
+    // old price and one postimage at +1.0 per matched key, the DELETE
+    // emits one delete per %120=30 key at its post-update price.
+    "m43_sql_keyed_changes" -> ((s, dir) => {
+      import graft.plans.GraftDmlRegistry
+      val t = Tables(s, dir)
+      val key = Tables.pathKey(dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m43t_$key"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root))
+      val name = s"m43t_$key"
+      GraftDmlRegistry.unregister(name)
+      t.orders.select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .createOrReplaceTempView("m43_src")
+      s.sql(s"CREATE SNAPSHOT TABLE $name LOCATION '$root' AS " +
+        "SELECT * FROM m43_src WHERE o_orderkey % 30 = 0")         // v1
+      s.sql(s"ALTER TABLE $name SET KEY (o_orderkey)")             // keyed
+      s.sql(s"INSERT INTO $name SELECT * FROM m43_src " +
+        "WHERE o_orderkey % 30 = 1")                                // v2
+      s.sql(s"UPDATE $name SET o_totalprice = o_totalprice + 1.0 " +
+        "WHERE o_orderkey % 60 = 30")                               // v3
+      s.sql(s"DELETE FROM $name WHERE o_orderkey % 120 = 30")       // v4
+      def roll(phase: String, v1: Int, v2: Int) = s.sql(
+        s"SELECT '$phase' AS phase, _change_type AS change_type, " +
+          "count(*) AS n_rows, " +
+          "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) " +
+          s"AS revenue FROM $name CHANGES BETWEEN $v1 AND $v2 " +
+          "GROUP BY _change_type")
+      roll("v1_v2", 1, 2).unionByName(roll("v2_v3", 2, 3))
+        .unionByName(roll("v3_v4", 3, 4))
+        .orderBy("phase", "change_type")
     })
   )
 
@@ -2396,6 +2447,31 @@ object WarehouseQueries extends QueryModule {
         "FROM upd " +
         "UNION ALL SELECT 'v2_v3', 'insert', count(*), count(*), " +
         "CAST(floor(sum(CAST(o_totalprice + 1.0 AS DECIMAL(27,6)))) AS BIGINT) " +
-        "FROM upd) ORDER BY phase, _change_type")
+        "FROM upd) ORDER BY phase, _change_type"),
+
+    // the keyed feed replays from the raw facts: v1→v2 appends are
+    // inserts; the v2→v3 UPDATE (%60=30 ⊂ the %30=0 seed) emits exactly
+    // one preimage at the old price and one postimage at +1.0 per matched
+    // key (rows merely rewritten in the same files cancel); the v3→v4
+    // DELETE (%120=30 ⊂ %60=30, so every deleted key carries the updated
+    // price) emits one delete per key
+    "m43_sql_keyed_changes" ->
+      ("WITH ins AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 30 = 1), " +
+        "upd AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 60 = 30), " +
+        "del AS (SELECT o_totalprice + 1.0 AS o_totalprice FROM orders " +
+        "WHERE o_orderkey % 120 = 30) " +
+        "SELECT * FROM (" +
+        "SELECT 'v1_v2' AS phase, 'insert' AS change_type, count(*) AS n_rows, " +
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) " +
+        "AS revenue FROM ins " +
+        "UNION ALL SELECT 'v2_v3', 'update_preimage', count(*), " +
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) " +
+        "FROM upd " +
+        "UNION ALL SELECT 'v2_v3', 'update_postimage', count(*), " +
+        "CAST(floor(sum(CAST(o_totalprice + 1.0 AS DECIMAL(27,6)))) AS BIGINT) " +
+        "FROM upd " +
+        "UNION ALL SELECT 'v3_v4', 'delete', count(*), " +
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) " +
+        "FROM del) ORDER BY phase, change_type")
   )
 }

@@ -22,9 +22,15 @@ import org.apache.spark.sql.SparkSession
   * <metastoreDir>/mvs.catalog      name \t path \t base64(sql)  per line
   * }}}
   * The MV definition text is base64-encoded so arbitrary SQL (newlines,
-  * tabs) keeps the file line-oriented. Rewrites are staged to a temp file
-  * and ATOMIC_MOVE'd, so a reader never sees a torn catalog — the same
-  * pointer-swap discipline as the snapshot protocol.
+  * tabs) keeps the file line-oriented. Rewrites are staged to a
+  * UNIQUELY-NAMED temp file and ATOMIC_MOVE'd, so a reader never sees a
+  * torn catalog — the same pointer-swap discipline as the snapshot
+  * protocol. MULTI-WRITER safety (r19): every read-modify-write holds an
+  * exclusive cross-process lock (`FileChannel.lock` on `.catalog.lock` in
+  * the metastore dir), so two JVMs sharing one metastoreDir — the exact
+  * scenario the durable catalog exists for — can CREATE/DROP concurrently
+  * without one session's entry being silently dropped by the other's
+  * rewrite (lost-update), and their staged temp files can never collide.
   *
   * Loading happens lazily at the first SQL statement the parser sees
   * ([[GraftSqlParser.parsePlan]] calls [[ensureLoaded]]): tables register
@@ -65,11 +71,20 @@ object GraftMetastore {
     * skips — which is why the marker lands before load() runs. A load
     * that THROWS (e.g. an unreadable catalog file) clears the marker so
     * the next statement retries instead of poisoning the session. */
+  // PER-DIRECTORY load guard (r19): two sessions loading two DIFFERENT
+  // metastore dirs must not serialize on one object-global lock; each dir
+  // gets its own monitor (bounded: one per distinct dir string per JVM).
+  private val loadLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def ensureLoaded(session: SparkSession): Unit = confDir(session).foreach { dir =>
-    if (!loaded.contains(dir)) synchronized {
-      if (loaded.add(dir)) {
-        try load(session, dir)
-        catch { case e: Throwable => loaded.remove(dir); throw e }
+    if (!loaded.contains(dir)) {
+      val lock = loadLocks.computeIfAbsent(dir, _ => new Object)
+      lock.synchronized {
+        if (loaded.add(dir)) {
+          try load(session, dir)
+          catch { case e: Throwable => loaded.remove(dir); throw e }
+        }
       }
     }
   }
@@ -79,30 +94,41 @@ object GraftMetastore {
     * where the marker set starts empty). */
   def forget(dir: String): Unit = { loaded.remove(dir); () }
 
-  private def load(session: SparkSession, dir: String): Unit = synchronized {
-    // tables first: MV definitions may read registered snapshot names
+  private def load(session: SparkSession, dir: String): Unit = {
+    // tables first: MV definitions may read registered snapshot names.
+    // PER-ENTRY fault isolation on BOTH loops (the MV loop had it from
+    // day one, the tables loop gained it in r19): one malformed or
+    // truncated line must not abort the load and poison every subsequent
+    // statement — the catalog serves what it can parse.
     readLines(tablesFile(dir)).foreach { line =>
-      val Array(name, root) = line.split("\t", 2)
-      if (GraftDmlRegistry.rootOf(name).isEmpty)
-        GraftDmlRegistry.registerSnapshot(name, root)
+      line.split("\t", 2) match {
+        case Array(name, root) if name.nonEmpty && root.nonEmpty =>
+          if (GraftDmlRegistry.rootOf(name).isEmpty)
+            GraftDmlRegistry.registerSnapshot(name, root)
+        case _ => Console.err.println(
+          s"[graft metastore] skipping unparseable tables.catalog line: ${line.take(80)}")
+      }
     }
     readLines(mvsFile(dir)).foreach { line =>
-      val Array(name, path, sql64) = line.split("\t", 3)
-      if (GraftMvDdlRegistry.get(name).isEmpty) {
-        val sql = new String(Base64.getDecoder.decode(sql64), UTF_8)
-        val flag = session.conf.get(GraftMvRewriteRule.Flag, "false")
-        session.conf.set(GraftMvRewriteRule.Flag, "false")
-        // PER-ENTRY fault isolation: one MV whose definition no longer
-        // analyzes (its source table was dropped after the MV was
-        // recorded) must not block every entry after it — the catalog
-        // serves what it can; the broken view simply stays unregistered
-        // (its next CREATE/REFRESH will surface the real error)
-        try {
-          MvRegistry.register(name.toLowerCase, session.sql(sql), path)
-          GraftMvDdlRegistry.put(name, sql, path)
-        } catch {
-          case e: Exception => logWarn(name, e)
-        } finally session.conf.set(GraftMvRewriteRule.Flag, flag)
+      line.split("\t", 3) match {
+        case Array(name, path, sql64) if GraftMvDdlRegistry.get(name).isEmpty =>
+          val flag = session.conf.get(GraftMvRewriteRule.Flag, "false")
+          session.conf.set(GraftMvRewriteRule.Flag, "false")
+          // PER-ENTRY fault isolation: one MV whose definition no longer
+          // analyzes (its source table was dropped after the MV was
+          // recorded) or whose base64 is corrupt must not block every
+          // entry after it — the broken view simply stays unregistered
+          // (its next CREATE/REFRESH will surface the real error)
+          try {
+            val sql = new String(Base64.getDecoder.decode(sql64), UTF_8)
+            MvRegistry.register(name.toLowerCase, session.sql(sql), path)
+            GraftMvDdlRegistry.put(name, sql, path)
+          } catch {
+            case e: Exception => logWarn(name, e)
+          } finally session.conf.set(GraftMvRewriteRule.Flag, flag)
+        case Array(_, _, _) => // already registered in-session: session wins
+        case _ => Console.err.println(
+          s"[graft metastore] skipping unparseable mvs.catalog line: ${line.take(80)}")
       }
     }
   }
@@ -137,9 +163,34 @@ object GraftMetastore {
   def removeTable(session: SparkSession, name: String): Unit =
     confDir(session).foreach(dir => removeLine(tablesFile(dir), name.toLowerCase))
 
-  // read-modify-write under the SAME lock upsertLine takes — a concurrent
-  // CREATE and DROP must not interleave and lose one of the two updates
-  private def removeLine(p: Path, key: String): Unit = synchronized {
+  /** CROSS-PROCESS mutual exclusion for catalog read-modify-writes (r19):
+    * an exclusive `FileChannel.lock` on `.catalog.lock` in the metastore
+    * dir serializes writers across JVMs — ATOMIC_MOVE alone prevents torn
+    * READS but not lost UPDATES (two sessions reading the same base lines,
+    * each rewriting without the other's entry). Same-JVM threads are
+    * serialized by the outer `synchronized` first (two threads locking the
+    * same file region would throw OverlappingFileLockException); holding
+    * one object-wide monitor across dirs is fine at metadata scale — the
+    * critical section is a two-file read+rename. The lock file is tiny,
+    * permanent, and shared by both catalogs so CREATE TABLE and DROP MV
+    * from different processes cannot interleave either. */
+  private def withCatalogLock[T](catalogFile: Path)(body: => T): T =
+    synchronized {
+      Files.createDirectories(catalogFile.getParent)
+      val ch = java.nio.channels.FileChannel.open(
+        catalogFile.getParent.resolve(".catalog.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock() // blocks until any other PROCESS releases
+        try body finally lock.release()
+      } finally ch.close()
+    }
+
+  // read-modify-write under the SAME locks upsertLine takes — a concurrent
+  // CREATE and DROP (same or different JVM) must not interleave and lose
+  // one of the two updates
+  private def removeLine(p: Path, key: String): Unit = withCatalogLock(p) {
     rewrite(p, readLines(p).filterNot(_.startsWith(s"$key\t")))
   }
 
@@ -149,16 +200,21 @@ object GraftMetastore {
       .filter(_.nonEmpty).toSeq
 
   private def upsertLine(p: Path, key: String, line: String): Unit =
-    synchronized {
+    withCatalogLock(p) {
       rewrite(p, readLines(p).filterNot(_.startsWith(s"$key\t")) :+ line)
     }
 
   private def rewrite(p: Path, lines: Seq[String]): Unit = {
     Files.createDirectories(p.getParent)
-    val tmp = p.getParent.resolve(s".${p.getFileName}.tmp")
-    Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
-    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // unique temp name: two processes staging at once (belt-and-braces
+    // under the file lock) can never clobber each other's staging file
+    val tmp = p.getParent.resolve(
+      s".${p.getFileName}.tmp.${ProcessHandle.current().pid()}.${System.nanoTime()}")
+    try {
+      Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp)
     ()
   }
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, LongType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 
 import graft.operators.MergeInto
 import graft.sources.SnapshotTable
@@ -98,8 +98,54 @@ object GraftDmlRegistry {
   def clear(): Unit = tables.clear()
 }
 
-/** `UPDATE t SET c = expr[, ...] [WHERE pred]` executed as a conditional
-  * projection over the current snapshot, committed as the next version. */
+/** FILE-GRANULAR copy-on-write planning shared by UPDATE and DELETE (r19
+  * — the Delta "touched files" discipline): ONE column-pruned discovery
+  * pass evaluates the predicate over the current version tagged with
+  * `input_file_name()` and aggregates per-file match counts, so the
+  * command learns (a) exactly which manifest entries hold matched rows and
+  * (b) the total matched count — then rewrites ONLY those files, carrying
+  * every untouched entry into the new manifest as metadata (zero bytes
+  * move for them). At 100 TB this is the difference between rewriting the
+  * table and rewriting the handful of files a selective WHERE touches —
+  * and it is what makes the keyed change feed (m43) O(rewritten files):
+  * the feed diffs removed vs added entries, which are now exactly the
+  * touched ones. The discovery pass reads only the predicate's columns
+  * (Catalyst prunes the rest). */
+private[plans] object FileGranularDml {
+  /** @return (touched manifest entries, untouched entries, matched rows) */
+  def touchedFiles(spark: SparkSession, root: String,
+      pred: Column): (Seq[String], Seq[String], Long) = {
+    val latest = SnapshotTable.latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val files = SnapshotTable.manifestFiles(root, latest)
+    // physical path (as input_file_name reports it, URI-decoded) → entry
+    val byPath = files.map { f =>
+      val abs = SnapshotTable.resolveEntry(root, f)
+      java.nio.file.Paths.get(abs).toAbsolutePath.normalize.toString -> f
+    }.toMap
+    val perFile = SnapshotTable.readCurrent(spark, root)
+      .withColumn("__graft_file", input_file_name())
+      .filter(coalesce(pred, lit(false)))
+      .groupBy(col("__graft_file")).agg(count(lit(1)).as("__n"))
+      .collect() // one row per TOUCHED file — file-count-bounded metadata
+    val touched = perFile.map { r =>
+      val raw = r.getString(0)
+      val p = if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
+      byPath.getOrElse(
+        java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString,
+        throw new IllegalStateException(
+          s"UPDATE/DELETE: matched file $raw is not a manifest entry"))
+    }.toSeq
+    val untouched = files.filterNot(touched.toSet)
+    (touched, untouched, perFile.map(_.getLong(1)).sum)
+  }
+}
+
+/** `UPDATE t SET c = expr[, ...] [WHERE pred]` — file-granular
+  * copy-on-write: only files holding pred-TRUE rows are rewritten (their
+  * rows re-projected through the conditional assignments); untouched files
+  * carry into the new manifest as metadata. n_updated falls out of the
+  * discovery pass — no second count scan. */
 case class GraftUpdateCommand(root: String, assigns: Seq[(String, String)],
     whereSql: Option[String]) extends LeafRunnableCommand {
 
@@ -114,43 +160,37 @@ case class GraftUpdateCommand(root: String, assigns: Seq[(String, String)],
     require(byName.size == assigns.size, "UPDATE: duplicate SET column")
     val known = t.columns.map(_.toLowerCase).toSet
     byName.keys.foreach(c => require(known(c), s"UPDATE: unknown column $c"))
-    // n_updated rides the rewrite plan as an observed metric (a map-side
-    // conditional count collected during the ONE data pass the rewrite
-    // already makes) — the separate `t.filter(pred).count()` pass every
-    // other DML command already avoids via staged-footer counts
-    val obs = org.apache.spark.sql.Observation()
-    val updated = t
-      .observe(obs, sum(when(coalesce(pred, lit(false)), 1L).otherwise(0L))
-        .as("n_upd"))
-      .select(t.schema.fields.map { f =>
-      byName.get(f.name.toLowerCase) match {
-        // cast back to the stored type so a widened assignment expression
-        // (decimal arithmetic, int promotion) can't drift the table schema
-        case Some(e) => when(pred, expr(e)).otherwise(col(f.name))
-          .cast(f.dataType).as(f.name)
-        case None => col(f.name)
-      }
-    }.toIndexedSeq: _*)
-    val v = SnapshotTable.prepare(updated, root)
-    val nUpd = obs.get.get("n_upd") match {
-      case Some(n: Long) => n
-      case Some(null) => 0L // empty table: sum over zero rows observes NULL
-      case other => throw new IllegalStateException(
-        "UPDATE: the observed row-count metric vanished from the rewrite " +
-          s"plan (got $other) — refusing to record a silent n_updated=0")
+    val (touched, carry, nUpd) = FileGranularDml.touchedFiles(spark, root, pred)
+    if (touched.isEmpty) {
+      // nothing matched: a metadata-only commit (current manifest carried)
+      // keeps the version ledger shape without moving a byte
+      val v = SnapshotTable.commitFiles(root, carry, meta = "update:0")
+      return Seq(Row(v, 0L))
     }
-    SnapshotTable.attachMeta(root, v, s"update:$nUpd")
-    SnapshotTable.swap(root, v)
+    val updated = SnapshotTable.readFilesCurrent(spark, root, touched)
+      .select(t.schema.fields.map { f =>
+        byName.get(f.name.toLowerCase) match {
+          // cast back to the stored type so a widened assignment expression
+          // (decimal arithmetic, int promotion) can't drift the table schema
+          case Some(e) => when(pred, expr(e)).otherwise(col(f.name))
+            .cast(f.dataType).as(f.name)
+          case None => col(f.name)
+        }
+      }.toIndexedSeq: _*)
+    val v = SnapshotTable.commitRewrite(updated, root, carry,
+      metaFor = _ => s"update:$nUpd")
     Seq(Row(v, nUpd))
   }
 }
 
-/** `DELETE FROM t [WHERE pred]` — copy-on-write: the next version keeps
-  * every row whose predicate is NOT TRUE (a NULL predicate keeps the row,
-  * the standard three-valued DELETE semantics — `NOT pred` alone would
-  * silently delete NULL-predicate rows); history keeps the deleted ones
-  * until expire. n_deleted counts pred = TRUE rows, which by the same
-  * three-valued rule is exactly the number of rows removed. */
+/** `DELETE FROM t [WHERE pred]` — file-granular copy-on-write: only files
+  * holding pred-TRUE rows are rewritten, keeping their rows whose
+  * predicate is NOT TRUE (a NULL predicate keeps the row, the standard
+  * three-valued DELETE semantics — `NOT pred` alone would silently delete
+  * NULL-predicate rows); untouched files carry as metadata, and history
+  * keeps the deleted rows until expire. n_deleted = the discovery pass's
+  * pred-TRUE count, which by the same three-valued rule is exactly the
+  * number of rows removed. */
 case class GraftDeleteCommand(root: String, whereSql: Option[String])
     extends LeafRunnableCommand {
 
@@ -159,20 +199,18 @@ case class GraftDeleteCommand(root: String, whereSql: Option[String])
     AttributeReference("n_deleted", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val t = SnapshotTable.readCurrent(spark, root)
     val pred = whereSql.map(expr).getOrElse(lit(true))
-    val kept = t.filter(!coalesce(pred, lit(false)))
-    // n_deleted = before − after: both are footer-cheap parquet counts, so
-    // the filtered rewrite is computed exactly ONCE (rows removed equals
-    // pred-TRUE rows under the three-valued keep rule, so the ledger value
-    // is unchanged); meta attaches before the flip — the m12 discipline
-    val before = t.count()
-    val v = SnapshotTable.prepare(kept, root)
-    val after = spark.read.schema(t.schema)
-      .parquet(s"$root/data/v$v").count()
-    val nDel = before - after
-    SnapshotTable.attachMeta(root, v, s"delete:$nDel")
-    SnapshotTable.swap(root, v)
+    val (touched, carry, nDel) = FileGranularDml.touchedFiles(spark, root, pred)
+    if (touched.isEmpty) {
+      val v = SnapshotTable.commitFiles(root, carry, meta = "delete:0")
+      return Seq(Row(v, 0L))
+    }
+    val kept = SnapshotTable.readFilesCurrent(spark, root, touched)
+      .filter(!coalesce(pred, lit(false)))
+    // a delete that empties the table still needs a manifest: commitFiles
+    // refuses empty ones, so the rewrite side writes even a 0-row file set
+    val v = SnapshotTable.commitRewrite(kept, root, carry,
+      metaFor = _ => s"delete:$nDel")
     Seq(Row(v, nDel))
   }
 }
@@ -594,6 +632,30 @@ case class GraftAlterTableCommand(root: String, kind: String, colName: String,
   }
 }
 
+/** `ALTER TABLE t SET KEY (c1[, ...])` — declare the table's PRIMARY KEY
+  * (m43, the keyed-CDC contract): validates that the current version is
+  * unique and non-null on the named columns (one aggregation pass, the
+  * usual ADD CONSTRAINT cost), then records them in the `table.key`
+  * metadata sidecar. With a declared key, `t CHANGES BETWEEN v1 AND v2`
+  * serves the KEYED feed — insert/delete/update_preimage/update_postimage
+  * rows diffed from ONLY the rewritten files (O(rewritten), never
+  * O(v1 + v2)) — instead of the keyless multiset diff. Uniqueness stays
+  * the writer's contract afterwards (MERGE's cardinality guard maintains
+  * it; appends of existing keys are the writer's bug, as in every
+  * lakehouse that does not revalidate constraints per write). */
+case class GraftSetKeyCommand(root: String, keys: Seq[String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("n_columns", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    SnapshotTable.declareKey(spark, root, keys)
+    Seq(Row(keys.map(_.toLowerCase).mkString(","), keys.size.toLong))
+  }
+}
+
 /** Session registry of MATERIALIZED VIEW definitions created through SQL —
   * the definition TEXT plus the storage path, what REFRESH needs to re-run
   * and DROP to forget (a production metastore persists exactly this pair;
@@ -750,8 +812,9 @@ private[plans] final case class NotMatchedBySourceUpdate(cond: Option[String],
   * source side — source wins ambiguity, matching the "assign from the
   * incoming row" MERGE convention). `keys` is the ON conjunction
   * (same-name equi-keys); a source row with ANY null key matches nothing,
-  * by SQL join semantics. The standard-MERGE cardinality rule (a source
-  * with duplicate keys is an error) is enforced INSIDE the merge plan —
+  * by SQL join semantics. The standard-MERGE cardinality rule (multiple
+  * source rows MATCHING one target row is an error; unmatched duplicates
+  * are legal inserts) is enforced INSIDE the merge plan —
   * a window count over the source side feeding a `raise_error` guard — so
   * the source query is computed exactly ONCE, and the checked rows are
   * the very rows the join consumes (an eager pre-check would re-execute
@@ -828,20 +891,24 @@ case class GraftMergeColsCommand(root: String, sourceSql: String,
     // through the INSERT branch as garbage
     val tgt = target.withColumn("__t_present", lit(true))
     // the STANDARD MERGE cardinality rule, enforced in-plan: every joined
-    // row carries its source row's per-key count; any duplicate surfacing
-    // on either side of the full outer join (matched or source-only — a
-    // non-null-key source row always lands in exactly one of them) raises
-    // before a single row commits. Filtered ABOVE the join, evaluated on
-    // every joined row; null __s_dup (target-only rows) passes.
+    // row carries its source row's per-key count, and a duplicate raises
+    // only when it MATCHES a target row (__t_present non-null on the
+    // joined row) — the rule exists because one target row must not be
+    // updated/deleted twice, so duplicate source rows that match NOTHING
+    // legally flow to the NOT MATCHED family and each inserts (the
+    // SQL-standard/Delta contract; refusing them rejected valid
+    // statements, the r18 ADVICE item). Filtered ABOVE the join, evaluated
+    // on every joined row; null __s_dup (target-only rows) passes.
     val joinCond = keys.map(k => col(k) === col(s"__s_$k")).reduce(_ && _)
     val keyDesc = concat_ws(",", keyCols.map(_.cast("string")): _*)
     val j = tgt.join(src, joinCond, "full_outer")
       .filter(coalesce(
-        when(col("__s_dup") > 1, raise_error(concat(
-          lit(s"MERGE: the source has multiple rows for the same " +
-            s"${keys.mkString(", ")} ("), keyDesc,
-          lit(") — standard MERGE rejects this (each target row may " +
-            "match at most one source row)"))).cast("boolean")),
+        when(col("__s_dup") > 1 && col("__t_present").isNotNull,
+          raise_error(concat(
+            lit(s"MERGE: the source has multiple rows matching one target " +
+              s"row on ${keys.mkString(", ")} ("), keyDesc,
+            lit(") — standard MERGE rejects this (each target row may " +
+              "match at most one source row)"))).cast("boolean")),
         lit(true)))
 
     // per-row first-match-wins over the MATCHED and NOT-MATCHED-BY-SOURCE
@@ -1223,6 +1290,8 @@ object GraftSqlParser {
     """(?is)^ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val AlterTypeRe: Regex =
     """(?is)^ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TYPE\s+(.+?)\s*;?\s*$""".r
+  private val AlterSetKeyRe: Regex =
+    """(?is)^ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+KEY\s*\(\s*([A-Za-z0-9_,\s]+?)\s*\)\s*;?\s*$""".r
 
   /** SQL schema evolution on a registered snapshot table; `ALTER TABLE`
     * against any other name delegates to Spark untouched. */
@@ -1235,6 +1304,9 @@ object GraftSqlParser {
       GraftDmlRegistry.rootOf(name).map(GraftAlterTableCommand(_, "drop", c, ""))
     case AlterTypeRe(name, c, typ) =>
       GraftDmlRegistry.rootOf(name).map(GraftAlterTableCommand(_, "widen", c, typ))
+    case AlterSetKeyRe(name, cols) =>
+      GraftDmlRegistry.rootOf(name).map(GraftSetKeyCommand(_,
+        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
     case _ => None
   }
 
@@ -1455,13 +1527,18 @@ object GraftSqlParser {
         if (out.toLowerCase.contains(name)) {
           val root = GraftDmlRegistry.rootOf(name).get
           // the CDC read: `t CHANGES BETWEEN v1 AND v2` resolves to the
-          // row-level change feed (O(delta) for append lineage)
+          // row-level change feed — KEYED (insert/delete/update_preimage/
+          // update_postimage from only the rewritten files, m43) when the
+          // table declared a key via ALTER TABLE SET KEY, the keyless
+          // multiset diff otherwise (O(delta) for append lineage in both)
           val cPat = ("(?i)\\b" + Regex.quote(name) +
             "\\s+CHANGES\\s+BETWEEN\\s+(\\d+)\\s+AND\\s+(\\d+)").r
           out = cPat.replaceAllIn(out, m => {
             val (v1, v2) = (m.group(1).toLong, m.group(2).toLong)
             val view = s"__graft_changes_${name}_v${v1}_v$v2"
-            SnapshotTable.changesBetween(session, root, v1, v2)
+            (if (SnapshotTable.declaredKey(root).isDefined)
+              SnapshotTable.keyedChangesBetween(session, root, v1, v2)
+            else SnapshotTable.changesBetween(session, root, v1, v2))
               .createOrReplaceTempView(view)
             view
           })

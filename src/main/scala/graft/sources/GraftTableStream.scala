@@ -3,8 +3,9 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
 /** STREAMING READ of a [[SnapshotTable]] — the table→stream half of the
   * CDC loop (the streaming-sink half is the i12/i13 exactly-once append
@@ -21,12 +22,35 @@ import org.apache.spark.sql.types.StructType
   * size**, never a table scan, never a diff. Restart replays from the
   * checkpointed version exactly-once.
   *
-  * APPEND-ONLY lineage is required (the Delta streaming-source rule): a
-  * version that REWROTE files (UPDATE/DELETE/MERGE/OPTIMIZE) fails the
-  * batch loudly — rows already emitted downstream cannot be retracted by
-  * a source. `option("startingVersion", v)` begins after version v
-  * (default 0 = the table's full history, v1 included); starting at the
-  * current version tails only future commits.
+  * TWO MODES:
+  *  - default (row feed): APPEND-ONLY lineage is required (the Delta
+  *    streaming-source rule): a version that REWROTE files
+  *    (UPDATE/DELETE/MERGE/OPTIMIZE) fails the batch loudly — rows already
+  *    emitted downstream cannot be retracted by a source.
+  *  - `option("readChangeFeed", "true")` (i30 — Delta's CDF streaming):
+  *    batches carry ROW-LEVEL CHANGES instead of raw rows — the table's
+  *    columns plus `_change_type` ('insert'/'delete'), `_n` (multiset
+  *    multiplicity) and `_commit_version` — served PER VERSION via
+  *    [[SnapshotTable.changesBetween]], so appends still cost O(delta)
+  *    while rewrites emit their multiset diff instead of refusing: a
+  *    downstream pipeline follows the table through UPDATE/DELETE/MERGE.
+  *    Because every version's changes are tagged with that version, the
+  *    union of batch ledgers is independent of how versions pack into
+  *    micro-batches — what gives the declared query its full value oracle.
+  *
+  * `option("startingVersion", v)` begins after version v (default 0 = the
+  * table's full history, v1 included); starting at the current version
+  * tails only future commits.
+  *
+  * The schema (and in-feed mode the diff shape) is PINNED at the stream's
+  * FIRST start and persisted in the checkpoint's source-metadata directory
+  * (`graft.schema.pin`), so a restart re-pins the SAME generation even if
+  * the table was ALTERed meanwhile or a race moved `latestVersion` between
+  * construction and the first batch — refusals are keyed to the
+  * checkpoint, never to construction timing (the r18 ADVICE item). A batch
+  * whose files were written under a different schema generation refuses
+  * loudly in both modes; restart the stream (new checkpoint) after a
+  * schema change.
   *
   * Implementation note: this is a V1 `Source` — the API whose
   * `getBatch` returns a DataFrame, letting the delta files flow through
@@ -42,25 +66,68 @@ class GraftTableStream extends StreamSourceProvider with DataSourceRegister {
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft table stream: set .option(\"path\", <snapshot table root>)"))
 
+  private def isCdf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
+
+  private def cdfSchema(base: StructType): StructType = base
+    .add("_change_type", StringType).add("_n", LongType)
+    .add("_commit_version", LongType)
+
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) =
-    (s"graft_table(${root(parameters)})", schema.getOrElse(
-      SnapshotTable.readCurrent(ctx.sparkSession, root(parameters)).schema))
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val base = schema.getOrElse(
+      SnapshotTable.readCurrent(ctx.sparkSession, root(parameters)).schema)
+    (s"graft_table(${root(parameters)})",
+      if (isCdf(parameters)) cdfSchema(base) else base)
+  }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new GraftTableStreamSource(ctx, root(parameters),
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      isCdf(parameters), metadataPath)
 }
 
 private[sources] class GraftTableStreamSource(ctx: SQLContext, root: String,
-    startingVersion: Long) extends Source {
+    startingVersion: Long, cdf: Boolean, metadataPath: String) extends Source {
 
   private val spark =
     ctx.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
 
-  override val schema: StructType = SnapshotTable.readCurrent(spark, root).schema
+  /** The version whose schema generation the stream serves under, pinned
+    * ONCE per checkpoint: read back on restart, written at first start
+    * (single-writer — the streaming driver owns its checkpoint). */
+  private val pinnedVersion: Long = {
+    val p = new org.apache.hadoop.fs.Path(metadataPath, "graft.schema.pin")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+        .readLine().trim.toLong
+      finally in.close()
+    } else {
+      val v = SnapshotTable.latestVersion(root).getOrElse(
+        throw new IllegalStateException(
+          s"graft table stream: no committed snapshot at $root"))
+      val out = fs.create(p, false)
+      try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+      v
+    }
+  }
+
+  // the schema generation the stream STARTED under (from the PINNED
+  // version, never from construction-time latest): every batch must be
+  // served under this one schema — emitted rows cannot be re-shaped
+  private val startSchemaGen = SnapshotTable.schemaAt(root, pinnedVersion)
+
+  private val baseSchema: StructType =
+    SnapshotTable.readVersionCurrent(spark, root, pinnedVersion).schema
+
+  override val schema: StructType =
+    if (cdf) baseSchema.add("_change_type", StringType).add("_n", LongType)
+      .add("_commit_version", LongType)
+    else baseSchema
 
   private def versionOf(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -73,45 +140,73 @@ private[sources] class GraftTableStreamSource(ctx: SQLContext, root: String,
     SnapshotTable.latestVersion(root).filter(_ > startingVersion)
       .map(LongOffset(_))
 
-  // the schema the stream STARTED under: every batch must be served under
-  // this one schema (emitted rows cannot be re-shaped), so a batch whose
-  // delta was written under a DIFFERENT schema generation refuses below
-  private val startSchemaGen = SnapshotTable.latestVersion(root)
-    .flatMap(SnapshotTable.schemaAt(root, _))
+  /** One version's row-level changes under the CDF contract: version 1 is
+    * the table's birth (every row an insert, multiset-grouped like every
+    * other feed); later versions serve [[SnapshotTable.changesBetween]]
+    * (v-1, v] — O(delta) on append lineage, the grouped multiset diff
+    * across a rewrite. Tagged with the commit version so the union ledger
+    * is micro-batch-packing-independent. */
+  private def versionChanges(v: Long): DataFrame = {
+    require(SnapshotTable.schemaAt(root, v) == startSchemaGen,
+      s"graft table stream: version $v of $root was committed under a " +
+        "different schema than the stream started with — a stream cannot " +
+        "re-shape emitted rows; restart it (a fresh checkpoint re-pins) " +
+        "after the schema change")
+    val cols = baseSchema.fieldNames.toSeq
+    val base =
+      if (v == 1L)
+        SnapshotTable.readVersionCurrent(spark, root, 1L)
+          .groupBy(cols.map(col): _*).agg(count(lit(1)).as("_n"))
+          .withColumn("_change_type", lit("insert"))
+      else SnapshotTable.changesBetween(spark, root, v - 1, v)
+    base.withColumn("_commit_version", lit(v))
+      .select(cols.map(col) ++ Seq(col("_change_type"), col("_n"),
+        col("_commit_version")): _*)
+  }
 
-  /** Rows of versions (v1, v2]: exactly the files v2's manifest adds over
-    * v1's, read through the ordinary parquet scan. */
+  /** Batch (v1, v2]: the row feed reads exactly the files v2's manifest
+    * adds over v1's; the change feed unions each contained version's
+    * changes. */
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val v1 = start.map(versionOf).getOrElse(startingVersion)
     val v2 = versionOf(end)
-    val f1 =
-      if (v1 == 0L) Seq.empty[String]
-      else SnapshotTable.manifestFiles(root, v1)
-    val f2 = SnapshotTable.manifestFiles(root, v2)
-    require(f1.toSet.subsetOf(f2.toSet),
-      s"graft table stream: versions ($v1, $v2] of $root are not " +
-        "append-only — a rewrite (UPDATE/DELETE/MERGE/OPTIMIZE) cannot " +
-        "stream (already-emitted rows cannot be retracted); restart the " +
-        "stream from the rewritten version with startingVersion")
-    val delta = f2.filterNot(f1.toSet)
-    // every delta file must have been written under THE STREAM'S schema:
-    // an ALTER TABLE mid-stream (or a pre-evolution generation reached by
-    // startingVersion 0) would otherwise be force-read under the wrong
-    // names and silently NULL-fill renamed columns
-    delta.foreach { f =>
-      val gen = "data/v(\\d+)/".r.findFirstMatchIn(f).map(_.group(1).toLong)
-        .getOrElse(0L)
-      require(SnapshotTable.schemaAt(root, gen) == startSchemaGen,
-        s"graft table stream: file $f of $root was written under a " +
-          "different schema than the stream started with — a stream " +
-          "cannot re-shape emitted rows; restart it (startingVersion) " +
-          "after the schema change")
-    }
     val batch =
-      if (delta.isEmpty) spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else spark.read.schema(schema).parquet(
-        delta.map(SnapshotTable.resolveEntry(root, _)): _*)
+      if (cdf) {
+        (v1 + 1 to v2).map(versionChanges)
+          .reduceOption(_.unionByName(_))
+          .getOrElse(spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+      } else {
+        val f1 =
+          if (v1 == 0L) Seq.empty[String]
+          else SnapshotTable.manifestFiles(root, v1)
+        val f2 = SnapshotTable.manifestFiles(root, v2)
+        require(f1.toSet.subsetOf(f2.toSet),
+          s"graft table stream: versions ($v1, $v2] of $root are not " +
+            "append-only — a rewrite (UPDATE/DELETE/MERGE/OPTIMIZE) cannot " +
+            "stream as a row feed (already-emitted rows cannot be " +
+            "retracted); use option(\"readChangeFeed\", \"true\") to follow " +
+            "rewrites as row-level changes, or restart from the rewritten " +
+            "version with startingVersion")
+        val delta = f2.filterNot(f1.toSet)
+        // every delta file must have been written under THE STREAM'S schema:
+        // an ALTER TABLE mid-stream (or a pre-evolution generation reached by
+        // startingVersion 0) would otherwise be force-read under the wrong
+        // names and silently NULL-fill renamed columns
+        delta.foreach { f =>
+          val gen = "data/v(\\d+)/".r.findFirstMatchIn(f).map(_.group(1).toLong)
+            .getOrElse(0L)
+          require(SnapshotTable.schemaAt(root, gen) == startSchemaGen,
+            s"graft table stream: file $f of $root was written under a " +
+              "different schema than the stream started with — a stream " +
+              "cannot re-shape emitted rows; restart it (startingVersion) " +
+              "after the schema change")
+        }
+        if (delta.isEmpty) spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        else spark.read.schema(schema).parquet(
+          delta.map(SnapshotTable.resolveEntry(root, _)): _*)
+      }
     org.apache.spark.sql.classic.GraftSqlBridge.streamingDf(
       spark, batch.queryExecution.toRdd, schema)
   }

@@ -266,7 +266,11 @@ object SnapshotTable {
   def commitFiles(root: String, files: Seq[String], meta: String = null): Long = {
     require(files.nonEmpty, "commitFiles: refusing to commit an empty manifest")
     files.foreach { f =>
-      require(Files.exists(Paths.get(root, f)), s"commitFiles: missing data file $f")
+      // resolveEntry, not a blind join: a shallow clone's FOREIGN entries
+      // are absolute paths into the source's data directory, and
+      // file-granular DML legitimately carries them
+      require(Files.exists(Paths.get(resolveEntry(root, f))),
+        s"commitFiles: missing data file $f")
     }
     val v = latestVersion(root).getOrElse(0L) + 1
     Files.createDirectories(snapDir(root))
@@ -625,7 +629,7 @@ object SnapshotTable {
   /** Resolve a manifest entry: entries are root-relative except FOREIGN
     * (absolute) entries written by [[cloneFrom]] — a shallow clone's
     * manifest points into its source's data directory. */
-  private[sources] def resolveEntry(root: String, f: String): String =
+  def resolveEntry(root: String, f: String): String =
     if (Paths.get(f).isAbsolute) f else Paths.get(root, f).toString
 
   /** SHALLOW CLONE — the zero-copy table copy (Delta's CLONE, Iceberg
@@ -974,6 +978,121 @@ object SnapshotTable {
           when(col("__delta") > 0, "insert").otherwise("delete")
             .as("_change_type"),
           abs(col("__delta")).as("_n")): _*)
+    }
+  }
+
+  /** Read a manifest-entry subset under the table's CURRENT schema — the
+    * generation-aware twin of [[readFiles]], used by file-granular DML and
+    * the keyed change feed. */
+  def readFilesCurrent(spark: SparkSession, root: String,
+      files: Seq[String]): DataFrame =
+    if (hasEvoSchema(root)) readFilesEvo(spark, root, files,
+      ensureEvoSchema(spark, root))
+    else readFiles(spark, root, files)
+
+  /** DECLARED PRIMARY KEY of the table (the m43 keyed-CDC contract): a
+    * metadata sidecar (`_snapshots/table.key`, one line of comma-separated
+    * lowercase column names). Uniqueness/non-nullness is VALIDATED when the
+    * key is declared (one aggregation pass) and is the writer's contract
+    * afterwards — MERGE's cardinality guard maintains it naturally; the
+    * feed never revalidates globally (that would cost O(table) per read). */
+  def declaredKey(root: String): Option[Seq[String]] = {
+    val p = snapDir(root).resolve("table.key")
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), UTF_8).trim
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+  }
+
+  /** Declare (or replace) the table's primary key after validating that
+    * the CURRENT version is unique and non-null on it. */
+  def declareKey(spark: SparkSession, root: String, keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val t = readCurrent(spark, root)
+    keys.foreach(k => require(t.columns.exists(_.equalsIgnoreCase(k)),
+      s"SET KEY: unknown column $k"))
+    val kc = keys.map(col)
+    val bad = t.groupBy(kc: _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1 || kc.map(_.isNull).reduce(_ || _))
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"SET KEY (${keys.mkString(", ")}): the current version has a " +
+        s"duplicate or NULL key (e.g. ${bad.headOption.getOrElse("")}) — " +
+        "a declared key must be unique and non-null")
+    Files.write(snapDir(root).resolve("table.key"),
+      keys.map(_.toLowerCase).mkString(",").getBytes(UTF_8))
+    ()
+  }
+
+  /** KEYED row-level change feed (m43 — Delta's CDF with row tracking):
+    * when the table has a [[declaredKey]], changes between two versions
+    * diff ONLY the rewritten files — `removed = v1 ∖ v2` holds every
+    * changed key's preimage, `added = v2 ∖ v1` every postimage, and a key
+    * whose row moved files unchanged cancels out — so the feed costs
+    * O(rewritten files) at ANY table size, never O(v1 + v2) like the
+    * keyless multiset diff (untouched files are never read; with
+    * file-granular UPDATE/DELETE the rewritten set IS the touched rows'
+    * files). Output = the table's columns + `_change_type`
+    * ('insert'/'delete'/'update_preimage'/'update_postimage') + `_n`
+    * (always 1 — keys are unique; kept for shape-compatibility with the
+    * keyless feed). Same schema-crossing refusal as [[changesBetween]].
+    * Correctness is ENDPOINT semantics (net change between v1 and v2),
+    * exactly like Delta CDF over a version range. */
+  def keyedChangesBetween(spark: SparkSession, root: String, v1: Long,
+      v2: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keys = declaredKey(root).getOrElse(throw new IllegalStateException(
+      s"keyedChangesBetween: $root has no declared key"))
+    require(v1 <= v2, s"CHANGES BETWEEN $v1 AND $v2: versions out of order")
+    require(v1 == 0 || schemaAt(root, v1) == schemaAt(root, v2),
+      s"CHANGES BETWEEN $v1 AND $v2 crosses a schema change — the diff " +
+        "is only well-defined under one schema (read each side explicitly)")
+    val cur = readVersionCurrent(spark, root, v2)
+    val cols = cur.columns.toSeq
+    val f1 = if (v1 == 0) Seq.empty[String] else manifestFiles(root, v1)
+    val f2 = manifestFiles(root, v2)
+    val removed = f1.filterNot(f2.toSet)
+    val added = f2.filterNot(f1.toSet)
+    if (removed.isEmpty && added.isEmpty)
+      return cur.limit(0)
+        .withColumn("_change_type", lit("")).withColumn("_n", lit(0L))
+    def side(files: Seq[String]): DataFrame =
+      if (files.isEmpty) cur.limit(0)
+      else readFilesCurrent(spark, root, files)
+    val keyCols = keys.map(k => cols.find(_.equalsIgnoreCase(k)).getOrElse(
+      throw new IllegalStateException(
+        s"keyedChangesBetween: declared key column $k missing from schema")))
+    val nonKey = cols.filterNot(c => keyCols.exists(_.equalsIgnoreCase(c)))
+    if (removed.isEmpty) {
+      // pure append: every added row is an insert — O(delta), no join
+      side(added)
+        .withColumn("_change_type", lit("insert")).withColumn("_n", lit(1L))
+        .select(cols.map(col) ++ Seq(col("_change_type"), col("_n")): _*)
+    } else {
+      val old = side(removed)
+        .select(cols.map(c => col(c).as(s"__o_$c")): _*)
+      val neu = side(added)
+      // the key join: unique keys ⇒ at most one row per key per side
+      val cond = keyCols.map(k => col(k) <=> col(s"__o_$k")).reduce(_ && _)
+      val j = neu.withColumn("__n_present", lit(true))
+        .join(old.withColumn("__o_present", lit(true)), cond, "full_outer")
+      val rowChanged = nonKey.map(c =>
+        !(col(c) <=> col(s"__o_$c"))).reduceOption(_ || _).getOrElse(lit(false))
+      val ct = when(col("__o_present").isNull, lit("insert"))
+        .when(col("__n_present").isNull, lit("delete"))
+        .when(rowChanged, lit("update"))
+      j.withColumn("_ct", ct).filter(col("_ct").isNotNull)
+        // updates explode into preimage + postimage rows (the Delta CDF
+        // shape); inserts/deletes carry their own side's values
+        .select(
+          explode(when(col("_ct") === "update",
+            array(lit("update_preimage"), lit("update_postimage")))
+            .otherwise(array(col("_ct")))).as("_change_type"),
+          struct(cols.map(col): _*).as("__new"),
+          struct(cols.map(c => col(s"__o_$c").as(c)): _*).as("__old"))
+        .select(cols.map(c =>
+          when(col("_change_type").isin("insert", "update_postimage"),
+            col(s"__new.$c")).otherwise(col(s"__old.$c")).as(c)) ++
+          Seq(col("_change_type"), lit(1L).as("_n")): _*)
     }
   }
 

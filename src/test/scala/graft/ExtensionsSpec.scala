@@ -830,6 +830,100 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("metastore: concurrent CREATE/DROP writers never lose a catalog line") {
+    import graft.plans.GraftMetastore
+    // the r19 lost-update guard: every writer read-modify-writes under the
+    // cross-process catalog lock, so an interleaved storm of upserts and
+    // removes (8 writers × 24 keys, each writer also dropping a third of
+    // its own keys) must land on EXACTLY the surviving key set — a single
+    // lost update drops another writer's key from the final file
+    val dir = java.nio.file.Files.createTempDirectory("graft_metarace").toString
+    spark.conf.set(GraftMetastore.DirKey, s"$dir/meta")
+    try {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 8).map { t =>
+        new Thread(() => {
+          try (0 until 24).foreach { i =>
+            val nm = s"race_t${t}_$i"
+            GraftMetastore.recordTable(spark, nm, s"$dir/root/$nm")
+            if (i % 3 == 0) GraftMetastore.removeTable(spark, nm)
+          } catch { case e: Throwable => errs.add(e); () }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"writer threads failed: ${errs.peek()}")
+      val lines = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/meta/tables.catalog")), "UTF-8")
+        .split("\n").filter(_.nonEmpty)
+      val expect = (for { t <- 0 until 8; i <- 0 until 24 if i % 3 != 0 }
+        yield s"race_t${t}_$i").toSet
+      assert(lines.map(_.split("\t")(0)).toSet == expect,
+        s"catalog lost/gained lines: ${lines.length} vs ${expect.size}")
+    } finally spark.conf.unset(GraftMetastore.DirKey)
+  }
+
+  test("metastore: a malformed tables.catalog line is skipped, not load-fatal") {
+    import spark.implicits._
+    import graft.plans.{GraftDmlRegistry, GraftMetastore}
+    val dir = java.nio.file.Files.createTempDirectory("graft_metabad").toString
+    val name = "metabad_t"
+    GraftDmlRegistry.unregister(name)
+    spark.conf.set(GraftMetastore.DirKey, s"$dir/meta")
+    try {
+      graft.sources.SnapshotTable.commit(
+        (1L to 7L).toDF("k"), s"$dir/t")
+      GraftMetastore.recordTable(spark, name, s"$dir/t")
+      // corrupt the catalog with a truncated line (no tab) BEFORE the
+      // valid entry — pre-r19 this MatchError'd the whole load and every
+      // statement after it
+      val p = java.nio.file.Paths.get(s"$dir/meta/tables.catalog")
+      val good = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      java.nio.file.Files.write(p, s"corrupt_line_without_tab\n$good".getBytes("UTF-8"))
+      GraftDmlRegistry.unregister(name)
+      GraftMetastore.forget(s"$dir/meta")
+      assert(spark.sql(s"SELECT count(*) AS n FROM $name").head().getLong(0) == 7L,
+        "valid entry after the malformed line must still load")
+    } finally {
+      spark.conf.unset(GraftMetastore.DirKey)
+      GraftDmlRegistry.unregister(name)
+    }
+  }
+
+  test("metastore: two sessions load two different dirs concurrently (per-dir guard)") {
+    import spark.implicits._
+    import graft.plans.{GraftDmlRegistry, GraftMetastore}
+    val dirs = Seq("a", "b").map { tag =>
+      val d = java.nio.file.Files.createTempDirectory(s"graft_meta2_$tag").toString
+      graft.sources.SnapshotTable.commit((1L to 5L).toDF("k"), s"$d/t")
+      (tag, d)
+    }
+    val names = dirs.map { case (tag, d) =>
+      val nm = s"meta2dir_$tag"
+      GraftDmlRegistry.unregister(nm)
+      // seed each dir's catalog directly, then load through a fresh session
+      val sess = spark.newSession()
+      sess.conf.set(GraftMetastore.DirKey, s"$d/meta")
+      GraftMetastore.recordTable(sess, nm, s"$d/t")
+      GraftDmlRegistry.unregister(nm)
+      GraftMetastore.forget(s"$d/meta")
+      (nm, sess)
+    }
+    try {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = names.map { case (nm, sess) =>
+        new Thread(() => {
+          try assert(sess.sql(s"SELECT count(*) AS n FROM $nm").head().getLong(0) == 5L)
+          catch { case e: Throwable => errs.add(e); () }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"concurrent two-dir load failed: ${errs.peek()}")
+    } finally names.foreach { case (nm, sess) =>
+      sess.conf.unset(GraftMetastore.DirKey)
+      GraftDmlRegistry.unregister(nm)
+    }
+  }
+
   test("ALTER TABLE: add/rename/widen/drop resolve per generation; unsafe changes refuse") {
     import spark.implicits._
     import graft.plans.GraftDmlRegistry

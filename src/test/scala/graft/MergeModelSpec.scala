@@ -244,4 +244,45 @@ class MergeModelSpec extends AnyFunSuite {
       } finally graft.plans.GraftDmlRegistry.unregister(name)
     }
   }
+
+  test("cardinality: unmatched duplicate source rows insert; matched duplicates raise") {
+    import spark.implicits._
+    // the SQL-standard/Delta contract (r19, closing the r18 ADVICE item):
+    // the multiple-rows error exists to keep one TARGET row from being
+    // updated twice, so duplicate source keys that match no target row are
+    // legal — each flows to the INSERT family — while a duplicate that
+    // matches raises before anything commits.
+    val name = "mm_dup"
+    val root = java.nio.file.Files.createTempDirectory("graft_mmdup").toString + "/t"
+    graft.plans.GraftDmlRegistry.unregister(name)
+    graft.sources.SnapshotTable.commit(
+      Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("k", "v", "tag"), root)
+    graft.plans.GraftDmlRegistry.registerSnapshot(name, root)
+    try {
+      // k=7 twice (matches nothing), k=2 once (matches): must succeed,
+      // updating k=2 and inserting BOTH k=7 rows
+      Seq((7L, 1.0, "x"), (7L, 2.0, "y"), (2L, 99.0, "z"))
+        .toDF("k", "v", "tag").createOrReplaceTempView("mm_dup_src")
+      spark.sql(s"MERGE INTO $name USING mm_dup_src AS s ON $name.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v " +
+        "WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (s.k, s.v, 'n')").collect()
+      val got = spark.sql(s"SELECT k, v, tag FROM $name").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq.sorted
+      assert(got == Seq((1L, 10.0, "a"), (2L, 99.0, "b"),
+        (7L, 1.0, "n"), (7L, 2.0, "n")), got.toString)
+      // now a duplicate that MATCHES k=1: must raise, and the table must
+      // be unchanged afterwards (nothing committed)
+      Seq((1L, 5.0, "p"), (1L, 6.0, "q")).toDF("k", "v", "tag")
+        .createOrReplaceTempView("mm_dup_src2")
+      val e = intercept[Exception](
+        spark.sql(s"MERGE INTO $name USING mm_dup_src2 AS s ON $name.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET v = s.v " +
+          "WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (s.k, s.v, 'n')").collect())
+      assert(e.getMessage != null && e.getMessage.contains("multiple rows"),
+        s"wrong error: ${e.getMessage}")
+      val after = spark.sql(s"SELECT k, v, tag FROM $name").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq.sorted
+      assert(after == got, "a failed MERGE must not commit")
+    } finally graft.plans.GraftDmlRegistry.unregister(name)
+  }
 }

@@ -669,6 +669,67 @@ class StreamingSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("append-only")), e.toString)
   }
 
+  test("i30 change feed: resume emits only the rewrite diff; the feed replays to v3; ALTER mid-stream refuses") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.SnapshotTable
+    val agg = SparkEntry.queries("i30_stream_change_feed")(spark, sfDir).collect()
+    // the resumed campaign (c2) carries ONLY the rewrite version's changes —
+    // the checkpoint really did resume (no v1/v2 replay, no loss)
+    val c2 = agg.filter(_.getString(0) == "c2")
+    assert(c2.nonEmpty && c2.forall(_.getLong(1) == 3L),
+      s"c2 must carry only commit_version 3: ${agg.mkString(", ")}")
+    assert(c2.map(_.getString(2)).sorted.toSeq == Seq("delete", "insert"))
+    // CDC soundness: applying the raw change ledger as a signed multiset
+    // (insert +_n / delete -_n) reproduces the final table EXACTLY — the
+    // m42 v1⊎feed==v2 property, across the streamed campaign boundary
+    val key = Tables.pathKey(sfDir)
+    val out = s"${operators.StreamingQueries.ckptRoot}/graft_out_i30_$key"
+    val root = s"${operators.StreamingQueries.ckptRoot}/graft_snap_i30_$key"
+    val raw = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    val applied = raw.groupBy(col("o_orderkey"), col("o_totalprice"))
+      .agg(sum(when(col("_change_type") === "insert", col("_n"))
+        .otherwise(-col("_n"))).as("n")).filter(col("n") =!= 0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val fin = SnapshotTable.read(spark, root)
+      .groupBy(col("o_orderkey"), col("o_totalprice"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(applied == fin, s"feed does not replay to the final table " +
+      s"(${applied.size} shapes vs ${fin.size})")
+    // ALTER mid-stream: the CHECKPOINT-pinned schema generation (not
+    // construction-time latest — the r18 ADVICE race) refuses the
+    // post-ALTER version loudly on resume
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_cdfalter").toString
+    val root2 = s"$dir2/t"
+    SnapshotTable.commit((1L to 6L).map(i => (i, i * 1.0)).toDF("k", "v"), root2)
+    def run(tag: String): Unit = {
+      // foreachBatch sink: the memory sink refuses checkpoint recovery,
+      // and the RESUME is exactly what this pin exercises
+      val sq = spark.readStream.format("graft.sources.GraftTableStream")
+        .option("path", root2).option("readChangeFeed", "true").load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.write.mode("overwrite").parquet(f"$dir2/out/${tag}_b$id%04d")
+          ()
+        }
+        .option("checkpointLocation", s"$dir2/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+    }
+    run("cdfalter_1") // drains v1 and pins its schema generation
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir2/out").count() == 6L)
+    val f = SnapshotTable.ensureEvoSchema(spark, root2)
+    SnapshotTable.commitSchemaChange(root2,
+      f :+ graft.sources.EvoField(f.map(_.id).max + 1, "extra", "bigint"),
+      meta = "ALTER ADD extra")
+    val e = intercept[Exception](run("cdfalter_2"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("different schema")), e.toString)
+  }
+
   test("i28 sharded ANN serving: disjoint shards, concurrent queries, i24-identical answer") {
     val sharded = SparkEntry.queries("i28_stream_ann_shard_serve")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq

@@ -674,4 +674,98 @@ class WarehouseSpec extends AnyFunSuite {
     assert(reasons.subsetOf(Set("quantity_gt_45", "discount_gt_8pct",
       "tax_gt_7pct", "bad_returnflag")))
   }
+
+  test("file-granular DML: UPDATE/DELETE rewrite only touched files, carry the rest") {
+    import spark.implicits._
+    import graft.plans.GraftDmlRegistry
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("graft_fgdml").toString + "/t"
+    val name = "fgdml_t"
+    GraftDmlRegistry.unregister(name)
+    // 8 files, keys range-partitioned so a selective WHERE touches few
+    (1L to 800L).map(i => (i, i * 1.0)).toDF("k", "v")
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .createOrReplaceTempView("fgdml_src")
+    spark.sql(s"CREATE SNAPSHOT TABLE $name LOCATION '$root' AS " +
+      "SELECT * FROM fgdml_src")
+    GraftDmlRegistry.registerSnapshot(name, root) // idempotent
+    val f1 = SnapshotTable.manifestFiles(root, 1).toSet
+    assert(f1.size >= 4, s"fixture needs several files, got ${f1.size}")
+    // UPDATE hits keys 1-50: at most 1-2 range files contain them
+    spark.sql(s"UPDATE $name SET v = v + 1000 WHERE k <= 50")
+    val f2 = SnapshotTable.manifestFiles(root, 2).toSet
+    val carried = f1 & f2
+    assert(carried.nonEmpty && carried.size >= f1.size - 2,
+      s"UPDATE rewrote ${f1.size - carried.size} of ${f1.size} files for a " +
+        "1-file predicate — file granularity lost")
+    // content is the full conditional projection regardless of granularity
+    val got = spark.sql(s"SELECT CAST(sum(CAST(v AS DECIMAL(27,6))) AS DOUBLE) " +
+      s"AS sv, count(*) AS n FROM $name").head()
+    assert(got.getLong(1) == 800L)
+    assert(got.getDouble(0) == (1L to 800L).map(_.toDouble).sum + 50 * 1000.0)
+    // DELETE the same way: untouched files carry
+    spark.sql(s"DELETE FROM $name WHERE k > 760")
+    val f3 = SnapshotTable.manifestFiles(root, 3).toSet
+    assert((f2 & f3).size >= f2.size - 2,
+      s"DELETE rewrote ${f2.size - (f2 & f3).size} of ${f2.size} files")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $name").head().getLong(0) == 760L)
+    // an UPDATE matching nothing is a metadata-only commit (manifest carried)
+    spark.sql(s"UPDATE $name SET v = 0 WHERE k < 0")
+    assert(SnapshotTable.manifestFiles(root, 4).toSet == f3)
+    GraftDmlRegistry.unregister(name)
+  }
+
+  test("keyed CDC: SET KEY validates; the feed reads only exchanged files; re-layouts cancel") {
+    import spark.implicits._
+    import graft.plans.GraftDmlRegistry
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("graft_keyedcdc").toString + "/t"
+    val name = "keyedcdc_t"
+    GraftDmlRegistry.unregister(name)
+    (1L to 400L).map(i => (i, i * 1.0, s"t${i % 3}")).toDF("k", "v", "tag")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .createOrReplaceTempView("keyedcdc_src")
+    spark.sql(s"CREATE SNAPSHOT TABLE $name LOCATION '$root' AS " +
+      "SELECT * FROM keyedcdc_src")
+    // SET KEY validates uniqueness: a duplicated key column refuses
+    val dupRoot = java.nio.file.Files.createTempDirectory("graft_keydup").toString + "/t"
+    SnapshotTable.commit(Seq((1L, 1.0), (1L, 2.0)).toDF("k", "v"), dupRoot)
+    GraftDmlRegistry.registerSnapshot("keydup_t", dupRoot)
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE keydup_t SET KEY (k)").collect())
+    assert(e.getMessage.contains("unique"), e.getMessage)
+    GraftDmlRegistry.unregister("keydup_t")
+    // unknown column refuses
+    val e2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $name SET KEY (nope)").collect())
+    assert(e2.getMessage.contains("unknown column"), e2.getMessage)
+    spark.sql(s"ALTER TABLE $name SET KEY (k)")
+    assert(SnapshotTable.declaredKey(root).contains(Seq("k")))
+    // UPDATE 30 keys, then assert the keyed feed's INPUTS are only the
+    // exchanged files — the carried files never enter the diff
+    spark.sql(s"UPDATE $name SET v = v * 2 WHERE k > 370")
+    val f1 = SnapshotTable.manifestFiles(root, 1).toSet
+    val f2 = SnapshotTable.manifestFiles(root, 2).toSet
+    val exchanged = ((f1 -- f2) ++ (f2 -- f1))
+      .map(SnapshotTable.resolveEntry(root, _))
+      .map(p => java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString)
+    val feed = spark.sql(s"SELECT * FROM $name CHANGES BETWEEN 1 AND 2")
+    val inputs = feed.inputFiles.map(f =>
+      java.nio.file.Paths.get(new java.net.URI(f).getPath)
+        .toAbsolutePath.normalize.toString).toSet
+    assert(inputs.nonEmpty && inputs.subsetOf(exchanged),
+      s"keyed feed read carried files: ${inputs -- exchanged}")
+    // the feed content: one preimage + one postimage per updated key
+    val rows = feed.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getString(3))).toSet
+    val want = (371L to 400L).flatMap(k => Seq(
+      (k, k * 1.0, "update_preimage"), (k, k * 2.0, "update_postimage"))).toSet
+    assert(rows == want, s"keyed feed diverged: ${rows.size} vs ${want.size}")
+    // a PURE RE-LAYOUT (OPTIMIZE into 1 file) rewrites rows unchanged:
+    // every key cancels in the join and the feed is EMPTY
+    spark.sql(s"OPTIMIZE $name INTO 1 FILES")
+    assert(spark.sql(s"SELECT * FROM $name CHANGES BETWEEN 2 AND 3").count() == 0L,
+      "a content-neutral re-layout must emit no keyed changes")
+    GraftDmlRegistry.unregister(name)
+  }
 }
