@@ -62,6 +62,40 @@ object Prof {
         spark.read.parquet(zdir)
           .filter(col("k") >= 1000000L && col("k") <= 1500000L).count()
       }
+    } else if (sys.env.get("PROF_MODE").contains("keyedcdc")) {
+      // SCALING evidence for m43: on a range-clustered keyed table, an
+      // UPDATE touching a FIXED key band rewrites a bounded file set, so
+      // the keyed change feed's cost must stay ~FLAT as the table grows
+      // 10x (it reads only the exchanged files — never O(v1+v2)).
+      import graft.sources.SnapshotTable
+      Seq(("10M", 10L * 1000 * 1000), ("100M", 100L * 1000 * 1000)).foreach {
+        case (tag, n) =>
+          val root =
+            s"${System.getProperty("java.io.tmpdir")}/graft_prof_kcdc_$tag/t"
+          def rmrf(f: java.io.File): Unit = {
+            val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf)
+            f.delete(); ()
+          }
+          rmrf(new java.io.File(s"${System.getProperty("java.io.tmpdir")}/graft_prof_kcdc_$tag"))
+          val t0 = System.nanoTime()
+          SnapshotTable.commit(
+            spark.range(n).select(col("id").as("k"), (col("id") % 997).cast("double").as("v"))
+              .repartitionByRange(64, col("k")).sortWithinPartitions("k"),
+            root)
+          SnapshotTable.declareKey(spark, root, Seq("k"))
+          println(f"$tag build+declare ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+          graft.plans.GraftDmlRegistry.registerSnapshot(s"kcdc_$tag", root)
+          val t1 = System.nanoTime()
+          spark.sql(s"UPDATE kcdc_$tag SET v = v + 1 " +
+            "WHERE k >= 1000000 AND k < 1010000") // FIXED 10k-key band
+          println(f"$tag update(10k keys) ${(System.nanoTime() - t1) / 1e9}%7.2f s")
+          val t2 = System.nanoTime()
+          val feed = SnapshotTable.keyedChangesBetween(spark, root, 1, 2)
+          val rows = feed.count()
+          println(f"$tag keyed feed ${(System.nanoTime() - t2) / 1e9}%7.2f s " +
+            s"rows=$rows inputFiles=${feed.inputFiles.length}")
+          graft.plans.GraftDmlRegistry.unregister(s"kcdc_$tag")
+      }
     } else {
       val names = sys.env.getOrElse("PROF_QUERIES", "m1_scd2_merge").split(",")
       names.foreach { q =>

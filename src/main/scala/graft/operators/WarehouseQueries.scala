@@ -1729,6 +1729,50 @@ object WarehouseQueries extends QueryModule {
       roll("v1_v2", 1, 2).unionByName(roll("v2_v3", 2, 3))
         .unionByName(roll("v3_v4", 3, 4))
         .orderBy("phase", "change_type")
+    }),
+
+    // M44: SCHEMA-CROSSING CHANGE FEED — the m40×m42 composition the r18
+    // verdict listed ("a user tailing an evolving table hits this
+    // immediately"): ONE `CHANGES BETWEEN 1 AND 5` window spanning the
+    // table's whole life — two pre-ALTER versions, the metadata-only
+    // `ALTER TABLE ADD COLUMN note` (v3), a post-ALTER INSERT carrying the
+    // new column (v4), and a post-ALTER file-granular UPDATE (v5). The
+    // feed splits at the schema boundary, serves each sub-window with the
+    // m42 kernel under its own generation, and projects everything to the
+    // FINAL schema by field id: pre-ALTER inserts come back with `note`
+    // NULL-filled, the ALTER itself contributes nothing (manifest
+    // carried), and the post-ALTER window diffs normally. Additive only —
+    // a window crossing DROP/narrowing refuses (ExtensionsSpec). Full
+    // oracle: every phase replays from the raw facts, grouped by change
+    // type and the note tag.
+    "m44_sql_evolving_changes" -> ((s, dir) => {
+      import graft.plans.GraftDmlRegistry
+      val t = Tables(s, dir)
+      val key = Tables.pathKey(dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m44t_$key"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root))
+      val name = s"m44t_$key"
+      GraftDmlRegistry.unregister(name)
+      t.orders.select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("m44_src")
+      s.sql(s"CREATE SNAPSHOT TABLE $name LOCATION '$root' AS " +
+        "SELECT * FROM m44_src WHERE o_orderkey % 30 = 0")           // v1
+      s.sql(s"INSERT INTO $name SELECT * FROM m44_src " +
+        "WHERE o_orderkey % 30 = 1")                                  // v2
+      s.sql(s"ALTER TABLE $name ADD COLUMN note string")              // v3
+      s.sql(s"INSERT INTO $name SELECT o_orderkey, o_totalprice, 'new' " +
+        "FROM m44_src WHERE o_orderkey % 30 = 2")                     // v4
+      s.sql(s"UPDATE $name SET o_totalprice = o_totalprice + 1.0 " +
+        "WHERE o_orderkey % 60 = 30")                                 // v5
+      s.sql(s"SELECT _change_type AS change_type, " +
+        "coalesce(note, 'none') AS tag, " +
+        "count(*) AS n_groups, CAST(sum(_n) AS BIGINT) AS n_rows, " +
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)) * _n)) AS BIGINT) " +
+        s"AS revenue FROM $name CHANGES BETWEEN 1 AND 5 " +
+        "GROUP BY 1, 2 ORDER BY change_type, tag")
     })
   )
 
@@ -2472,6 +2516,26 @@ object WarehouseQueries extends QueryModule {
         "FROM upd " +
         "UNION ALL SELECT 'v3_v4', 'delete', count(*), " +
         "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) " +
-        "FROM del) ORDER BY phase, change_type")
+        "FROM del) ORDER BY phase, change_type"),
+
+    // the evolving feed replays from the raw facts: the pre-ALTER window
+    // contributes the %30=1 inserts (note NULL → 'none'), the ALTER
+    // contributes nothing, the post-ALTER window contributes the %30=2
+    // inserts tagged 'new' plus one delete at the old price and one insert
+    // at +1.0 per %60=30 key (both note-less — the updated rows predate
+    // the column). Order keys are unique, so every shape has _n = 1 and
+    // n_groups == n_rows
+    "m44_sql_evolving_changes" ->
+      ("WITH ins1 AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 30 = 1), " +
+        "ins2 AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 30 = 2), " +
+        "upd AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 60 = 30), " +
+        "feed AS (" +
+        "SELECT 'insert' AS change_type, 'none' AS tag, o_totalprice FROM ins1 " +
+        "UNION ALL SELECT 'insert', 'new', o_totalprice FROM ins2 " +
+        "UNION ALL SELECT 'insert', 'none', o_totalprice + 1.0 FROM upd " +
+        "UNION ALL SELECT 'delete', 'none', o_totalprice FROM upd) " +
+        "SELECT change_type, tag, count(*) AS n_groups, count(*) AS n_rows, " +
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) " +
+        "AS revenue FROM feed GROUP BY 1, 2 ORDER BY change_type, tag")
   )
 }

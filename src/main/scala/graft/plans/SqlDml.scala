@@ -487,12 +487,17 @@ case class GraftCopyIntoCommand(root: String, fromDir: String)
         val ff = byName.getOrElse(tf.name.toLowerCase, throw new
             IllegalArgumentException(
           s"COPY INTO: landing file $f is missing target column ${tf.name}"))
-        require(ff.dataType == tf.dataType ||
-            org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(
-              ff.dataType, tf.dataType),
+        // the accepted pairs are the PARQUET READER's widening subset, not
+        // all of Cast.canUpCast: a pair the forced-schema scan cannot
+        // widen (date->timestamp_ntz, int->decimal, anything->string)
+        // would pass an upcast check here only to die mid-scan with a
+        // low-level 'Parquet column cannot be converted' — the r18 ADVICE
+        // item. Refuse it HERE, with the schema-enforcement wording.
+        require(GraftCopyIntoCommand.parquetLoadable(ff.dataType, tf.dataType),
           s"COPY INTO: landing file $f column ${tf.name} has type " +
             s"${ff.dataType.catalogString}, not loadable into " +
-            s"${tf.dataType.catalogString}")
+            s"${tf.dataType.catalogString} (the parquet reader widens " +
+            "only byte->short->int->long and float->double)")
       }
       val extra = byName.keySet --
         target.schema.fields.map(_.name.toLowerCase).toSet
@@ -512,6 +517,23 @@ case class GraftCopyIntoCommand(root: String, fromDir: String)
     SnapshotTable.swap(root, v)
     Seq(Row(v, fresh.size.toLong, n))
   }
+}
+
+object GraftCopyIntoCommand {
+  import org.apache.spark.sql.types._
+  /** The type pairs the FORCED-SCHEMA parquet scan actually widens — the
+    * subset of `Cast.canUpCast` the vectorized reader supports. Everything
+    * else (date→timestamp, int→decimal, anything→string, …) must be an
+    * explicit transform before landing, not an implicit load-time cast. */
+  private[plans] def parquetLoadable(src: DataType, dst: DataType): Boolean =
+    (src, dst) match {
+      case (a, b) if a == b => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
 }
 
 object GraftOptimizeCommand {

@@ -927,16 +927,25 @@ object SnapshotTable {
     *    rewrite (a keyed table would use its key; OPTIMIZE-style pure
     *    re-layouts diff to zero rows, correctly).
     *
-    * Refuses across a schema change (the sidecar in effect at v1 differs
-    * from v2's): a diff is only well-defined under ONE schema — the
-    * Delta CDF restriction. */
+    * A window that CROSSES a schema change splits at every boundary and
+    * projects each sub-window to the v2 schema by field id
+    * ([[changesEvolving]]) — additive evolution only; DROP/narrowing
+    * crossings refuse. */
   def changesBetween(spark: SparkSession, root: String, v1: Long,
       v2: Long): DataFrame = {
-    import org.apache.spark.sql.functions._
     require(v1 <= v2, s"CHANGES BETWEEN $v1 AND $v2: versions out of order")
-    require(schemaAt(root, v1) == schemaAt(root, v2),
-      s"CHANGES BETWEEN $v1 AND $v2 crosses a schema change — the diff " +
-        "is only well-defined under one schema (read each side explicitly)")
+    if (schemaAt(root, v1) == schemaAt(root, v2))
+      changesWindow(spark, root, v1, v2)
+    else changesEvolving(spark, root, v1, v2)
+  }
+
+  /** One same-schema window of the change feed — the original m42 kernel:
+    * append lineage reads only the delta files (O(delta)); a rewrite takes
+    * the grouped null-safe multiset diff (O(v1 + v2), inherent to keyless
+    * CDC across a rewrite). */
+  private def changesWindow(spark: SparkSession, root: String, v1: Long,
+      v2: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
     val b = readVersionCurrent(spark, root, v2)
     val cols = b.columns.toSeq
     val f1 = manifestFiles(root, v1)
@@ -1094,6 +1103,96 @@ object SnapshotTable {
             col(s"__new.$c")).otherwise(col(s"__old.$c")).as(c)) ++
           Seq(col("_change_type"), lit(1L).as("_n")): _*)
     }
+  }
+
+  /** Versions that committed a schema sidecar, ascending. */
+  private def schemaSidecarVersions(root: String): Seq[Long] = {
+    if (!Files.exists(snapDir(root))) return Nil
+    Files.list(snapDir(root)).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".schema") =>
+        s.stripPrefix("v").stripSuffix(".schema").toLong }
+      .toSeq.sorted
+  }
+
+  /** SCHEMA-CROSSING change feed (m44, closing the r18 verdict's "what's
+    * missing #5"): when the window straddles ALTER TABLE commits, split it
+    * at every schema boundary, serve each sub-window under ITS generation
+    * with the m42 kernel, and PROJECT each piece to the v2 schema by FIELD
+    * ID — pre-ALTER preimages come back under renamed names, upcast to
+    * widened types, and NULL-filled on added columns (the Delta
+    * `schemaTrackingLocation` answer). ADDITIVE evolution only: a window
+    * crossing a DROP refuses (the dropped column's values cannot be
+    * replayed), as does one crossing a narrowing (ALTER itself only widens,
+    * but a foreign sidecar could lie). A boundary version that both
+    * rewrote files AND changed schema refuses — that diff is not
+    * well-defined; metadata-only ALTERs (the SQL path) and appendEvo
+    * deltas (new files under the new schema) both serve cleanly. */
+  private def changesEvolving(spark: SparkSession, root: String, v1: Long,
+      v2: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val target = schemaAt(root, v2).getOrElse(throw new IllegalArgumentException(
+      s"CHANGES BETWEEN $v1 AND $v2 crosses a schema change — the diff " +
+        "is only well-defined under one schema (read each side explicitly)"))
+    def parse(t: String) =
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(t)
+    schemaAt(root, v1).getOrElse(Seq.empty).foreach { f =>
+      val t = target.find(_.id == f.id).getOrElse(
+        throw new IllegalArgumentException(
+          s"CHANGES BETWEEN $v1 AND $v2 crosses a DROP of column " +
+            s"${f.name} — its values cannot be replayed under the v$v2 " +
+            "schema (read each side explicitly)"))
+      require(f.typ == t.typ ||
+        org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(
+          parse(f.typ), parse(t.typ)),
+        s"CHANGES BETWEEN $v1 AND $v2 crosses a NARROWING of column " +
+          s"${f.name} (${f.typ} -> ${t.typ}) — old values cannot be " +
+          "replayed losslessly")
+    }
+    val tgtCols = target.map(_.name)
+    // project a sub-window's feed (columns named per generation `wEnd`) to
+    // the v2 schema by field id; the feed's _change_type/_n pass through
+    def project(df: DataFrame, wEnd: Long): DataFrame = {
+      val wf = schemaAt(root, wEnd).getOrElse(throw new IllegalStateException(
+        s"CHANGES BETWEEN: window end v$wEnd lost its schema sidecar"))
+      val byId = wf.map(f => f.id -> f).toMap
+      df.select(target.map { cf =>
+        byId.get(cf.id) match {
+          case Some(pf) => col(pf.name).cast(cf.typ).as(cf.name)
+          case None => lit(null).cast(cf.typ).as(cf.name)
+        }
+      } ++ Seq(col("_change_type"), col("_n")): _*)
+    }
+    // a boundary version's own delta (b-1, b]: empty for the metadata-only
+    // SQL ALTER (manifest carried), the appended files for appendEvo —
+    // readFilesEvo resolves them straight to the target schema
+    def boundary(b: Long): Option[DataFrame] = {
+      val fPrev =
+        if (b - 1 == 0) Seq.empty[String] else manifestFiles(root, b - 1)
+      val fB = manifestFiles(root, b)
+      require(fPrev.toSet.subsetOf(fB.toSet),
+        s"CHANGES BETWEEN $v1 AND $v2: version $b rewrote files WHILE " +
+          "changing schema — that diff is not well-defined (read each " +
+          "side explicitly)")
+      val delta = fB.filterNot(fPrev.toSet)
+      if (delta.isEmpty) None
+      else Some(readFilesEvo(spark, root, delta, target)
+        .groupBy(tgtCols.map(col): _*).agg(count(lit(1)).as("_n"))
+        .withColumn("_change_type", lit("insert"))
+        .select(tgtCols.map(col) ++ Seq(col("_change_type"), col("_n")): _*))
+    }
+    val bounds = schemaSidecarVersions(root).filter(b => b > v1 && b <= v2)
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var lo = v1
+    bounds.foreach { b =>
+      if (b - 1 > lo) pieces += project(changesWindow(spark, root, lo, b - 1), b - 1)
+      boundary(b).foreach(pieces += _)
+      lo = b
+    }
+    if (v2 > lo) pieces += project(changesWindow(spark, root, lo, v2), v2)
+    pieces.reduceOption(_.unionByName(_)).getOrElse(
+      readVersionCurrent(spark, root, v2).limit(0)
+        .withColumn("_change_type", lit("")).withColumn("_n", lit(0L)))
   }
 
   /** The current snapshot through the RIGHT read path: evolved tables

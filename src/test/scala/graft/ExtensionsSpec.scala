@@ -706,11 +706,28 @@ class ExtensionsSpec extends AnyFunSuite {
           .map(SnapshotTable.fileSizes(s"$dir/t", 4L)).sum)
       assert(det.getLong(3) == 2L)
       intercept[Exception](spark.sql("DESCRIBE DETAIL nosuch_detail_t").collect())
-      // crossing a schema change refuses loudly
+      // crossing an ADDITIVE schema change now SERVES (m44): the window
+      // splits at the boundary and projects to the v2 schema. The
+      // metadata-only ALTER itself moves no data, so (4,5] is the EMPTY
+      // feed — under the NEW schema
       spark.sql(s"ALTER TABLE $name ADD COLUMN extra string") // v5
+      val f45 = spark.sql(s"SELECT * FROM $name CHANGES BETWEEN 4 AND 5")
+      assert(f45.columns.toSeq == Seq("k", "tag", "extra", "_change_type", "_n"),
+        f45.columns.mkString(","))
+      assert(f45.count() == 0L)
+      // a window SPANNING the ALTER serves the pre-ALTER changes with the
+      // added column NULL-filled (field-id projection)
+      val f35 = spark.sql(s"SELECT k, tag, extra, _change_type, _n " +
+          s"FROM $name CHANGES BETWEEN 3 AND 5").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSet
+      assert(f35 == Set((7L, "x", null, "delete", 2L)), f35)
+      // crossing a DROP refuses loudly — the dropped column's values
+      // cannot be replayed under the target schema
+      spark.sql(s"ALTER TABLE $name DROP COLUMN tag") // v6
       val e = intercept[Exception](
-        spark.sql(s"SELECT * FROM $name CHANGES BETWEEN 4 AND 5").collect())
-      assert(e.getMessage.contains("schema change"), e.getMessage)
+        spark.sql(s"SELECT * FROM $name CHANGES BETWEEN 4 AND 6").collect())
+      assert(e.getMessage.contains("DROP"), e.getMessage)
     } finally graft.plans.GraftDmlRegistry.unregister(name)
   }
 
@@ -1040,6 +1057,22 @@ class ExtensionsSpec extends AnyFunSuite {
       val ok = s"$dir/ok"
       Seq((601, 6.0)).toDF("k", "v").write.parquet(ok)
       assert(spark.sql(s"COPY INTO $name FROM '$ok'").head().getLong(2) == 1L)
+      // the r18 ADVICE pair: date -> timestamp_ntz passes Cast.canUpCast
+      // but the forced-schema parquet scan cannot widen it — it must
+      // refuse HERE with the schema-enforcement wording, not die mid-scan
+      // with a low-level conversion error
+      val root2 = s"$dir/t2"
+      SnapshotTable.commit(Seq(Tuple1(1L)).toDF("k")
+        .withColumn("t", org.apache.spark.sql.functions.lit("2024-01-01 00:00:00").cast("timestamp_ntz")), root2)
+      graft.plans.GraftDmlRegistry.registerSnapshot("copyts_t", root2)
+      try {
+        val badDate = s"$dir/baddate"
+        Seq(Tuple1(2L)).toDF("k")
+          .withColumn("t", org.apache.spark.sql.functions.lit("2024-01-02").cast("date")).write.parquet(badDate)
+        val e4 = intercept[Exception](
+          spark.sql(s"COPY INTO copyts_t FROM '$badDate'").collect())
+        assert(e4.getMessage.contains("not loadable"), e4.getMessage)
+      } finally graft.plans.GraftDmlRegistry.unregister("copyts_t")
     } finally graft.plans.GraftDmlRegistry.unregister(name)
   }
 }
