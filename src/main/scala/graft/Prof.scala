@@ -13,6 +13,7 @@ object Prof {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions) // the SQL DML surface
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

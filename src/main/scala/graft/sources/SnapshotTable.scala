@@ -1064,9 +1064,15 @@ object SnapshotTable {
     if (removed.isEmpty && added.isEmpty)
       return cur.limit(0)
         .withColumn("_change_type", lit("")).withColumn("_n", lit(0L))
+    // resolve file subsets to the schema AT v2 (the window's schema), not
+    // the table's LATEST — an ALTER committed after v2 must not re-shape a
+    // historical feed
     def side(files: Seq[String]): DataFrame =
       if (files.isEmpty) cur.limit(0)
-      else readFilesCurrent(spark, root, files)
+      else schemaAt(root, v2) match {
+        case Some(fields) => readFilesEvo(spark, root, files, fields)
+        case None => readFiles(spark, root, files)
+      }
     val keyCols = keys.map(k => cols.find(_.equalsIgnoreCase(k)).getOrElse(
       throw new IllegalStateException(
         s"keyedChangesBetween: declared key column $k missing from schema")))
