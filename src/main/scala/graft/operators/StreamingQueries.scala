@@ -1324,19 +1324,21 @@ object StreamingQueries extends QueryModule {
     // per batch under ADMISSION CONTROL (Kafka's maxOffsetsPerTrigger
     // split), so batch boundaries are a DETERMINISTIC function of the log
     // content and the per-batch ledger replays in SQL. The cap is SIZE-
-    // DERIVED — per-partition advance = ceil(total/48), i.e. ~12 batches
-    // at ANY scale (an sf10 log drains in 12 big batches, not 1200 small
+    // DERIVED — per-partition advance = ceil(total/24), i.e. ~6 batches
+    // at ANY scale (an sf10 log drains in 6 big batches, not 600 small
     // ones — the backpressure knob tracks throughput, exactly how a
-    // production job sizes maxOffsetsPerTrigger); the oracle replays the
+    // production job sizes maxOffsetsPerTrigger; 6 batches exercise the
+    // offset-map advance as fully as 12 did at half the fixed per-trigger
+    // cost, the r19 bench-floor cut); the oracle replays the
     // same formula: batch k = each partition's offsets
-    // [perPart*k, perPart*(k+1)) with perPart = (count + 47) // 48. The
+    // [perPart*k, perPart*(k+1)) with perPart = (count + 23) // 24. The
     // cap read is metadata-only (the per-partition _end markers).
     // Offset-checkpoint RESUME (stop, append, restart → only the delta) is
     // graded by i27 and pinned in LogSourceSpec.
     "i26_stream_log_offsets" -> ((s, dir) => {
       val root = ScanFilterQueries.logFixture(s, dir)
       val total = graft.sources.GraftLog.endOffsets(root).values.sum
-      val perPart = (total + 47) / 48
+      val perPart = (total + 23) / 24
       val q = s.readStream.format("graft.sources.GraftLogSource")
         .option("path", root)
         .option("maxRowsPerBatch", (4 * perPart).toString).load()
@@ -1774,13 +1776,13 @@ object StreamingQueries extends QueryModule {
 
     // i26's batch boundaries replay exactly: batch k = each partition's
     // offsets [p*k, p*(k+1)) with the size-derived per-partition cap
-    // p = ceil(count/48), where offset = event_id rank within partition
+    // p = ceil(count/24), where offset = event_id rank within partition
     // user_id % 4
     "i26_stream_log_offsets" ->
       ("WITH c AS (SELECT count(*) AS cnt FROM events), " +
         "ev AS (SELECT value, " +
         "(row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id) - 1) " +
-        "// ((cnt + 47) // 48) AS batch_id FROM events, c) " +
+        "// ((cnt + 23) // 24) AS batch_id FROM events, c) " +
         "SELECT batch_id, count(*) AS n, " +
         s"round(${graft.Tables.dsumSql("value")}, 6) AS val_sum " +
         "FROM ev GROUP BY 1 ORDER BY batch_id"),
