@@ -56,7 +56,9 @@ object Bench {
     val anchorIdle = Seq("d1_agg_hash" -> 0.17, "c4_join_5way_star" -> 0.81)
     var calibration = "skipped"
     if (!sys.env.contains("SPARK_GRAFT_NO_CALIBRATION") && only.isEmpty &&
-        sfDir.endsWith("sf0.1")) {
+        // basename match, not endsWith: a trailing slash or redundant path
+        // segment must not silently disable calibration on the official run
+        new java.io.File(sfDir).getName == "sf0.1") {
       def probe(): Double = {
         val ratios = anchorIdle.map { case (n, idle) =>
           val fn = SparkEntry.queries(n)

@@ -307,14 +307,15 @@ object StreamingQueries extends QueryModule {
     * themselves are never modified in place by any caller. */
   private def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
     Files.createDirectories(dst.getParent)
-    Files.walk(src).forEach { p =>
+    val walk = Files.walk(src)
+    try walk.forEach { p =>
       val rel = src.relativize(p)
       val d = dst.resolve(rel.toString)
       if (Files.isDirectory(p)) Files.createDirectories(d)
       else
         try { Files.createLink(d, p); () }
         catch { case _: Exception => Files.copy(p, d); () }
-    }
+    } finally walk.close()
   }
 
   /** i27's two-campaign log staging, built ONCE per fixture (fingerprint-

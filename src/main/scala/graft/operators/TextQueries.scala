@@ -34,12 +34,25 @@ object TextQueries extends QueryModule {
     val f = new java.io.File(s"$dir/documents.parquet")
     val key = s"${System.identityHashCode(s)}:${Tables.pathKey(dir)}:" +
       s"${f.length()}:${f.lastModified()}"
-    shingleSetsCache.computeIfAbsent(key, _ =>
-      Tables(s, dir).documents
-        .withColumn("toks", TF.tokens(lower(col("text"))))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), TF.shingles3("toks").as("sh"))
-        .localCheckpoint())
+    // identityHashCode is not unique: serve a hit ONLY when the cached
+    // frame really belongs to this session (recompute on a collision), and
+    // evict entries whose session's context has stopped so a JVM serving
+    // many short-lived sessions cannot accumulate dead pins unboundedly
+    val hit = shingleSetsCache.get(key)
+    if (hit != null && (hit.sparkSession eq s)) return hit
+    if (shingleSetsCache.size > 8) {
+      val it = shingleSetsCache.entrySet().iterator()
+      while (it.hasNext) {
+        if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
+      }
+    }
+    val built = Tables(s, dir).documents
+      .withColumn("toks", TF.tokens(lower(col("text"))))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), TF.shingles3("toks").as("sh"))
+      .localCheckpoint()
+    shingleSetsCache.put(key, built)
+    built
   }
 
   /** DuckDB half of `jaccardPairs`: the blocked-shingle CTE both the g2 and

@@ -1579,11 +1579,11 @@ object VectorQueries extends QueryModule {
       d.withColumn(name, expr(s"slice(x, ${j * 16 + 1}, 16)"))
     }
 
-  /** Train one 16-centroid codebook per subspace on `base` (already carrying
-    * sub0..sub3); returns the codebooks and the query vector (vec_id 0, the
-    * held-out probe every g4-family query uses). Each fit is the standard
-    * distributed Lloyd loop — 12 passes total, k×d driver state. */
-  /** g55's in-query PQ trainer. 2 Lloyd rounds per subspace: round 1 does
+  /** Train one 16-centroid codebook per subspace on `base` (already
+    * carrying sub0..sub3); returns the codebooks and the query vector
+    * (vec_id 0, the held-out probe every g4-family query uses). Each fit
+    * is the standard distributed Lloyd loop (8 passes total, k×d driver
+    * state). 2 Lloyd rounds per subspace: round 1 does
     * the clustering (inertia drops ~30%), rounds 3-4 refine by only ~3-5%
     * (pinned in VectorSpec alongside the g40 convergence pin), and every
     * extra round is 4 more distributed passes of pure bench wall — the ADC

@@ -123,9 +123,22 @@ private[plans] object FileGranularDml {
       val abs = SnapshotTable.resolveEntry(root, f)
       java.nio.file.Paths.get(abs).toAbsolutePath.normalize.toString -> f
     }.toMap
-    val perFile = SnapshotTable.readCurrent(spark, root)
+    val filtered = SnapshotTable.readCurrent(spark, root)
       .withColumn("__graft_file", input_file_name())
       .filter(coalesce(pred, lit(false)))
+    // the predicate evaluates twice (discovery, then the rewrite) — for a
+    // NON-DETERMINISTIC predicate the two passes would see different rows:
+    // n_updated/n_deleted would lie, and rows matching only in the second
+    // pass inside never-flagged files would silently never rewrite. Refuse
+    // loudly (Delta refuses non-deterministic DML predicates for exactly
+    // this reason).
+    require(!filtered.queryExecution.analyzed.exists {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        !f.condition.deterministic
+      case _ => false
+    }, "UPDATE/DELETE: the WHERE predicate is non-deterministic — the " +
+      "touched-files pass and the rewrite must see the same rows")
+    val perFile = filtered
       .groupBy(col("__graft_file")).agg(count(lit(1)).as("__n"))
       .collect() // one row per TOUCHED file — file-count-bounded metadata
     val touched = perFile.map { r =>
@@ -487,17 +500,18 @@ case class GraftCopyIntoCommand(root: String, fromDir: String)
         val ff = byName.getOrElse(tf.name.toLowerCase, throw new
             IllegalArgumentException(
           s"COPY INTO: landing file $f is missing target column ${tf.name}"))
-        // the accepted pairs are the PARQUET READER's widening subset, not
-        // all of Cast.canUpCast: a pair the forced-schema scan cannot
-        // widen (date->timestamp_ntz, int->decimal, anything->string)
-        // would pass an upcast check here only to die mid-scan with a
-        // low-level 'Parquet column cannot be converted' — the r18 ADVICE
-        // item. Refuse it HERE, with the schema-enforcement wording.
+        // the accepted pairs are the PARQUET READER's widening subset
+        // (measured against this build — see parquetLoadable), not all of
+        // Cast.canUpCast: a pair the forced-schema scan cannot widen
+        // (long->double, date->timestamp, anything->string) would pass an
+        // upcast check here only to die mid-scan with a low-level
+        // conversion error — the r18 ADVICE item. Refuse it HERE, with the
+        // schema-enforcement wording.
         require(GraftCopyIntoCommand.parquetLoadable(ff.dataType, tf.dataType),
           s"COPY INTO: landing file $f column ${tf.name} has type " +
             s"${ff.dataType.catalogString}, not loadable into " +
-            s"${tf.dataType.catalogString} (the parquet reader widens " +
-            "only byte->short->int->long and float->double)")
+            s"${tf.dataType.catalogString} (not in the parquet reader's " +
+            "widening subset)")
       }
       val extra = byName.keySet --
         target.schema.fields.map(_.name.toLowerCase).toSet
@@ -522,16 +536,30 @@ case class GraftCopyIntoCommand(root: String, fromDir: String)
 object GraftCopyIntoCommand {
   import org.apache.spark.sql.types._
   /** The type pairs the FORCED-SCHEMA parquet scan actually widens — the
-    * subset of `Cast.canUpCast` the vectorized reader supports. Everything
-    * else (date→timestamp, int→decimal, anything→string, …) must be an
-    * explicit transform before landing, not an implicit load-time cast. */
+    * subset of `Cast.canUpCast` the Spark 4.1 vectorized reader supports,
+    * MEASURED pair by pair against this build (not guessed from the cast
+    * rules): the integral chain and int→double load; LONG→double does NOT
+    * (the 53-bit mantissa would silently lose precision — canUpCast allows
+    * it, the reader refuses); integrals→decimal load when the decimal has
+    * room for the full integral range; decimal→decimal widens when both
+    * scale and integer digits grow monotonically; date→timestamp_ntz
+    * loads; date→timestamp (TZ) and anything→string do not. Unsupported
+    * pairs must be an explicit transform before landing, not an implicit
+    * load-time cast. */
   private[plans] def parquetLoadable(src: DataType, dst: DataType): Boolean =
     (src, dst) match {
       case (a, b) if a == b => true
-      case (ByteType, ShortType | IntegerType | LongType) => true
-      case (ShortType, IntegerType | LongType) => true
-      case (IntegerType, LongType) => true
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
       case (FloatType, DoubleType) => true
+      case (ByteType, d: DecimalType) => d.precision - d.scale >= 3
+      case (ShortType, d: DecimalType) => d.precision - d.scale >= 5
+      case (IntegerType, d: DecimalType) => d.precision - d.scale >= 10
+      case (LongType, d: DecimalType) => d.precision - d.scale >= 20
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale >= a.scale && b.precision - b.scale >= a.precision - a.scale
+      case (DateType, TimestampNTZType) => true
       case _ => false
     }
 }
@@ -919,17 +947,28 @@ case class GraftMergeColsCommand(root: String, sourceSql: String,
     // updated/deleted twice, so duplicate source rows that match NOTHING
     // legally flow to the NOT MATCHED family and each inserts (the
     // SQL-standard/Delta contract; refusing them rejected valid
-    // statements, the r18 ADVICE item). Filtered ABOVE the join, evaluated
-    // on every joined row; null __s_dup (target-only rows) passes.
+    // statements, the r18 ADVICE item). EXCEPTION (r19 review finding):
+    // when the target's DECLARED KEY (ALTER TABLE SET KEY) is exactly the
+    // ON keys, an unmatched duplicate would INSERT the same primary key
+    // twice — there the guard stays strict for matched AND unmatched rows,
+    // which is what lets the keyed change feed trust per-version key
+    // uniqueness. Filtered ABOVE the join, evaluated on every joined row;
+    // null __s_dup (target-only rows) passes.
+    val declaredIsOnKeys = SnapshotTable.declaredKey(root)
+      .exists(_.toSet == keys.map(_.toLowerCase).toSet)
     val joinCond = keys.map(k => col(k) === col(s"__s_$k")).reduce(_ && _)
     val keyDesc = concat_ws(",", keyCols.map(_.cast("string")): _*)
     val j = tgt.join(src, joinCond, "full_outer")
       .filter(coalesce(
-        when(col("__s_dup") > 1 && col("__t_present").isNotNull,
+        when(col("__s_dup") > 1 &&
+            (col("__t_present").isNotNull || lit(declaredIsOnKeys)),
           raise_error(concat(
-            lit(s"MERGE: the source has multiple rows matching one target " +
-              s"row on ${keys.mkString(", ")} ("), keyDesc,
-            lit(") — standard MERGE rejects this (each target row may " +
+            lit(s"MERGE: the source has multiple rows for the same " +
+              s"${keys.mkString(", ")} ("), keyDesc,
+            lit(if (declaredIsOnKeys)
+              ") — the target's declared key forbids duplicate inserts " +
+                "and standard MERGE forbids duplicate matches"
+            else ") — standard MERGE rejects this (each target row may " +
               "match at most one source row)"))).cast("boolean")),
         lit(true)))
 

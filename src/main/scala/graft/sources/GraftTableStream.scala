@@ -101,18 +101,39 @@ private[sources] class GraftTableStreamSource(ctx: SQLContext, root: String,
   private val pinnedVersion: Long = {
     val p = new org.apache.hadoop.fs.Path(metadataPath, "graft.schema.pin")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      try new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
-        .readLine().trim.toLong
-      finally in.close()
-    } else {
+    def readPin(): Option[Long] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val line =
+          try new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, "UTF-8")).readLine()
+          finally in.close()
+        // an empty/torn pin (legacy non-atomic write) re-pins below — safe:
+        // the pin is written before the FIRST getBatch, so a missing value
+        // means no batch was ever served under a different generation
+        Option(line).map(_.trim).filter(_.nonEmpty).map(_.toLong)
+      }
+    readPin().getOrElse {
       val v = SnapshotTable.latestVersion(root).getOrElse(
         throw new IllegalStateException(
           s"graft table stream: no committed snapshot at $root"))
-      val out = fs.create(p, false)
+      // stage + rename: the pin must never exist half-written (the repo's
+      // pointer-swap discipline) — a crash mid-write would otherwise leave
+      // a restart failing on an empty file forever
+      val tmp = new org.apache.hadoop.fs.Path(metadataPath,
+        s".graft.schema.pin.tmp.${System.nanoTime()}")
+      val out = fs.create(tmp, true)
       try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
-      v
+      // a blank legacy pin would block the rename — clear it (blank ⇒ no
+      // batch ever served, see above)
+      if (fs.exists(p)) fs.delete(p, false)
+      if (!fs.rename(tmp, p)) {
+        // lost a (theoretical) race to another starter: their pin wins
+        fs.delete(tmp, false)
+      }
+      readPin().getOrElse(throw new IllegalStateException(
+        s"graft table stream: could not persist the schema pin at $p"))
     }
   }
 

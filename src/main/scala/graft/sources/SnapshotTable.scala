@@ -373,10 +373,12 @@ object SnapshotTable {
     * released version numbers. */
   def releaseStaleReservation(root: String): Seq[Long] = {
     if (!Files.exists(snapDir(root))) return Nil
-    val stale = Files.list(snapDir(root)).iterator().asScala
+    val st = Files.list(snapDir(root))
+    val stale = (try st.iterator().asScala
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".reserved") =>
         s.stripPrefix("v").stripSuffix(".reserved").toLong }
+      .toSeq finally st.close()).iterator
       .filter(v => !Files.exists(snapDir(root).resolve(s"v$v.manifest")))
       .toSeq.sorted
     stale.foreach(v => Files.deleteIfExists(snapDir(root).resolve(s"v$v.reserved")))
@@ -403,11 +405,15 @@ object SnapshotTable {
     val latest = latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     val cutoff = latest - keepLast + 1
-    def manifests() = Files.list(snapDir(root)).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
-        s.stripPrefix("v").stripSuffix(".manifest").toLong }
-      .toSeq.sorted
+    def manifests() = {
+      val st = Files.list(snapDir(root))
+      try st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
+          s.stripPrefix("v").stripSuffix(".manifest").toLong }
+        .toSeq.sorted
+      finally st.close()
+    }
     val (expiring, retained) = manifests().partition(_ < cutoff)
     // REFERENCE-COUNTED vacuum: append-committed versions share data files
     // with their ancestors, so a file is deletable only when NO retained
@@ -570,11 +576,14 @@ object SnapshotTable {
   def removeOrphans(root: String): Seq[String] = {
     val latest = latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
-    val versions = Files.list(snapDir(root)).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
-        s.stripPrefix("v").stripSuffix(".manifest").toLong }
-      .toSeq.sorted
+    val vst = Files.list(snapDir(root))
+    val versions =
+      try vst.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
+          s.stripPrefix("v").stripSuffix(".manifest").toLong }
+        .toSeq.sorted
+      finally vst.close()
     val (staged, committed) = versions.partition(_ > latest)
     val referenced = committed.flatMap { v =>
       new String(Files.readAllBytes(snapDir(root).resolve(s"v$v.manifest")), UTF_8)
@@ -767,11 +776,14 @@ object SnapshotTable {
     * their predecessor's — only schema CHANGES write one). */
   def schemaAt(root: String, v: Long): Option[Seq[EvoField]] = {
     if (!Files.exists(snapDir(root))) return None
-    val vers = Files.list(snapDir(root)).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".schema") =>
-        s.stripPrefix("v").stripSuffix(".schema").toLong }
-      .filter(_ <= v).toSeq
+    val st = Files.list(snapDir(root))
+    val vers =
+      try st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".schema") =>
+          s.stripPrefix("v").stripSuffix(".schema").toLong }
+        .filter(_ <= v).toSeq
+      finally st.close()
     if (vers.isEmpty) None
     else {
       val sv = vers.max
@@ -1002,9 +1014,13 @@ object SnapshotTable {
   /** DECLARED PRIMARY KEY of the table (the m43 keyed-CDC contract): a
     * metadata sidecar (`_snapshots/table.key`, one line of comma-separated
     * lowercase column names). Uniqueness/non-nullness is VALIDATED when the
-    * key is declared (one aggregation pass) and is the writer's contract
-    * afterwards — MERGE's cardinality guard maintains it naturally; the
-    * feed never revalidates globally (that would cost O(table) per read). */
+    * key is declared (one aggregation pass) and is the WRITER'S CONTRACT
+    * afterwards: a MERGE whose ON keys equal the declared key enforces it
+    * in-plan (its cardinality guard raises on duplicate source keys even
+    * when unmatched), but INSERT/COPY INTO/UPDATE-of-key-columns and
+    * MERGEs keyed differently can still violate it — exactly like every
+    * lakehouse that does not revalidate constraints per write. The feed
+    * never revalidates globally (that would cost O(table) per read). */
   def declaredKey(root: String): Option[Seq[String]] = {
     val p = snapDir(root).resolve("table.key")
     if (!Files.exists(p)) None
@@ -1114,11 +1130,13 @@ object SnapshotTable {
   /** Versions that committed a schema sidecar, ascending. */
   private def schemaSidecarVersions(root: String): Seq[Long] = {
     if (!Files.exists(snapDir(root))) return Nil
-    Files.list(snapDir(root)).iterator().asScala
+    val st = Files.list(snapDir(root))
+    try st.iterator().asScala
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".schema") =>
         s.stripPrefix("v").stripSuffix(".schema").toLong }
       .toSeq.sorted
+    finally st.close()
   }
 
   /** SCHEMA-CROSSING change feed (m44, closing the r18 verdict's "what's

@@ -1057,21 +1057,33 @@ class ExtensionsSpec extends AnyFunSuite {
       val ok = s"$dir/ok"
       Seq((601, 6.0)).toDF("k", "v").write.parquet(ok)
       assert(spark.sql(s"COPY INTO $name FROM '$ok'").head().getLong(2) == 1L)
-      // the r18 ADVICE pair: date -> timestamp_ntz passes Cast.canUpCast
-      // but the forced-schema parquet scan cannot widen it — it must
-      // refuse HERE with the schema-enforcement wording, not die mid-scan
-      // with a low-level conversion error
+      // the r18 ADVICE class, pinned to the MEASURED reader matrix:
+      // long -> double passes Cast.canUpCast but the forced-schema scan
+      // refuses it (53-bit mantissa) — COPY INTO must refuse HERE with the
+      // schema-enforcement wording, not die mid-scan; date -> timestamp_ntz
+      // IS reader-widenable and must load
       val root2 = s"$dir/t2"
       SnapshotTable.commit(Seq(Tuple1(1L)).toDF("k")
-        .withColumn("t", org.apache.spark.sql.functions.lit("2024-01-01 00:00:00").cast("timestamp_ntz")), root2)
+        .withColumn("t", org.apache.spark.sql.functions.lit("2024-01-01 00:00:00")
+          .cast("timestamp_ntz"))
+        .withColumn("d", org.apache.spark.sql.functions.lit(1.5)), root2)
       graft.plans.GraftDmlRegistry.registerSnapshot("copyts_t", root2)
       try {
-        val badDate = s"$dir/baddate"
+        val badLong = s"$dir/badlong"
         Seq(Tuple1(2L)).toDF("k")
-          .withColumn("t", org.apache.spark.sql.functions.lit("2024-01-02").cast("date")).write.parquet(badDate)
+          .withColumn("t", org.apache.spark.sql.functions.lit("2024-01-02 00:00:00")
+            .cast("timestamp_ntz"))
+          .withColumn("d", org.apache.spark.sql.functions.lit(7L)) // long, target double
+          .write.parquet(badLong)
         val e4 = intercept[Exception](
-          spark.sql(s"COPY INTO copyts_t FROM '$badDate'").collect())
+          spark.sql(s"COPY INTO copyts_t FROM '$badLong'").collect())
         assert(e4.getMessage.contains("not loadable"), e4.getMessage)
+        val okDate = s"$dir/okdate"
+        Seq(Tuple1(3L)).toDF("k")
+          .withColumn("t", org.apache.spark.sql.functions.lit("2024-01-03").cast("date"))
+          .withColumn("d", org.apache.spark.sql.functions.lit(2.5))
+          .write.parquet(okDate)
+        assert(spark.sql(s"COPY INTO copyts_t FROM '$okDate'").head().getLong(2) == 1L)
       } finally graft.plans.GraftDmlRegistry.unregister("copyts_t")
     } finally graft.plans.GraftDmlRegistry.unregister(name)
   }

@@ -283,6 +283,29 @@ class MergeModelSpec extends AnyFunSuite {
       val after = spark.sql(s"SELECT k, v, tag FROM $name").collect()
         .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq.sorted
       assert(after == got, "a failed MERGE must not commit")
+      // with a DECLARED KEY equal to the ON keys, even UNMATCHED duplicate
+      // source keys must raise — each would insert the same primary key
+      // (the r19 review finding: the keyed change feed depends on
+      // per-version key uniqueness). First clear the legally-inserted k=7
+      // duplicates — SET KEY itself (correctly) refuses a duplicated table
+      val eDup = intercept[Exception](
+        spark.sql(s"ALTER TABLE $name SET KEY (k)").collect())
+      assert(eDup.getMessage.contains("unique"), eDup.getMessage)
+      spark.sql(s"DELETE FROM $name WHERE k = 7")
+      val got2 = spark.sql(s"SELECT k, v, tag FROM $name").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq.sorted
+      spark.sql(s"ALTER TABLE $name SET KEY (k)")
+      Seq((99L, 1.0, "x"), (99L, 2.0, "y")).toDF("k", "v", "tag")
+        .createOrReplaceTempView("mm_dup_src3")
+      val e2 = intercept[Exception](
+        spark.sql(s"MERGE INTO $name USING mm_dup_src3 AS s ON $name.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET v = s.v " +
+          "WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (s.k, s.v, 'n')").collect())
+      assert(e2.getMessage != null && e2.getMessage.contains("declared key"),
+        s"wrong error: ${e2.getMessage}")
+      val after2 = spark.sql(s"SELECT k, v, tag FROM $name").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq.sorted
+      assert(after2 == got2, "a keyed-dup MERGE must not commit")
     } finally graft.plans.GraftDmlRegistry.unregister(name)
   }
 }

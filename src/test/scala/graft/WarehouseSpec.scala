@@ -712,6 +712,14 @@ class WarehouseSpec extends AnyFunSuite {
     // an UPDATE matching nothing is a metadata-only commit (manifest carried)
     spark.sql(s"UPDATE $name SET v = 0 WHERE k < 0")
     assert(SnapshotTable.manifestFiles(root, 4).toSet == f3)
+    // a NON-DETERMINISTIC predicate refuses loudly: the touched-files pass
+    // and the rewrite would see different rows (the Delta rule)
+    val e = intercept[Exception](
+      spark.sql(s"UPDATE $name SET v = 0 WHERE rand() < 0.5").collect())
+    assert(e.getMessage.contains("non-deterministic"), e.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql(s"DELETE FROM $name WHERE rand() < 0.5").collect())
+    assert(e2.getMessage.contains("non-deterministic"), e2.getMessage)
     GraftDmlRegistry.unregister(name)
   }
 
