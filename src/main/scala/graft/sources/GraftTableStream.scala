@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
@@ -161,12 +161,21 @@ private[sources] class GraftTableStreamSource(ctx: SQLContext, root: String,
     SnapshotTable.latestVersion(root).filter(_ > startingVersion)
       .map(LongOffset(_))
 
-  /** One version's row-level changes under the CDF contract: version 1 is
-    * the table's birth (every row an insert, multiset-grouped like every
-    * other feed); later versions serve [[SnapshotTable.changesBetween]]
-    * (v-1, v] — O(delta) on append lineage, the grouped multiset diff
-    * across a rewrite. Tagged with the commit version so the union ledger
-    * is micro-batch-packing-independent. */
+  /** Whether the table had a DECLARED KEY (m43) when the stream was
+    * constructed: keyed tables stream KEYED changes — insert / delete /
+    * update_preimage / update_postimage diffed from only the exchanged
+    * files — while keyless tables stream the grouped multiset diff. Both
+    * shapes share the same columns, so the sink schema is identical; a key
+    * declared MID-campaign takes effect at the next (re)start. */
+  private val keyed = SnapshotTable.declaredKey(root).isDefined
+
+  /** One version's row-level changes under the CDF contract: (v-1, v]
+    * through [[SnapshotTable.keyedChangesBetween]] /
+    * [[SnapshotTable.changesBetween]] (both treat v1 = 0 as the empty
+    * table, so version 1 is the table's birth — every row an insert) —
+    * O(delta) on append lineage, a diff only across rewrites. Tagged with
+    * the commit version so the union ledger is
+    * micro-batch-packing-independent. */
   private def versionChanges(v: Long): DataFrame = {
     require(SnapshotTable.schemaAt(root, v) == startSchemaGen,
       s"graft table stream: version $v of $root was committed under a " +
@@ -175,10 +184,7 @@ private[sources] class GraftTableStreamSource(ctx: SQLContext, root: String,
         "after the schema change")
     val cols = baseSchema.fieldNames.toSeq
     val base =
-      if (v == 1L)
-        SnapshotTable.readVersionCurrent(spark, root, 1L)
-          .groupBy(cols.map(col): _*).agg(count(lit(1)).as("_n"))
-          .withColumn("_change_type", lit("insert"))
+      if (keyed) SnapshotTable.keyedChangesBetween(spark, root, v - 1, v)
       else SnapshotTable.changesBetween(spark, root, v - 1, v)
     base.withColumn("_commit_version", lit(v))
       .select(cols.map(col) ++ Seq(col("_change_type"), col("_n"),

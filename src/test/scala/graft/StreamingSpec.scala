@@ -730,6 +730,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("different schema")), e.toString)
   }
 
+  test("CDF stream on a KEYED table emits update pre/postimage pairs across a rewrite") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdfkeyed").toString
+    val root = s"$dir/t"
+    val name = "cdfkeyed_t"
+    graft.plans.GraftDmlRegistry.unregister(name)
+    SnapshotTable.commit(
+      (1L to 200L).map(i => (i, i * 1.0)).toDF("k", "v")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"), root)
+    graft.plans.GraftDmlRegistry.registerSnapshot(name, root)
+    try {
+      spark.sql(s"ALTER TABLE $name SET KEY (k)")
+      def run(tag: String): Unit = {
+        val sq = spark.readStream.format("graft.sources.GraftTableStream")
+          .option("path", root).option("readChangeFeed", "true").load()
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            df.write.mode("overwrite").parquet(f"$dir/out/${tag}_b$id%04d")
+            ()
+          }
+          .option("checkpointLocation", s"$dir/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        sq.awaitTermination()
+      }
+      run("c1") // v1: 200 keyed inserts
+      spark.sql(s"UPDATE $name SET v = v * 2 WHERE k > 190") // v2 rewrite
+      run("c2") // resumes: the KEYED diff, not a refusal, not a multiset
+      val c2 = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$dir/out").filter(col("_commit_version") === 2L)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      val want = (191L to 200L).flatMap(k => Seq(
+        (k, k * 1.0, "update_preimage"), (k, k * 2.0, "update_postimage"))).toSet
+      assert(c2 == want,
+        s"keyed CDF stream diverged: got ${c2.size} rows vs ${want.size}")
+    } finally graft.plans.GraftDmlRegistry.unregister(name)
+  }
+
   test("i28 sharded ANN serving: disjoint shards, concurrent queries, i24-identical answer") {
     val sharded = SparkEntry.queries("i28_stream_ann_shard_serve")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
