@@ -40,7 +40,14 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *
   * `option("startingVersion", v)` begins after version v (default 0 = the
   * table's full history, v1 included); starting at the current version
-  * tails only future commits.
+  * tails only future commits. `option("maxVersionsPerBatch", n)` is the
+  * backpressure knob (Delta's maxFilesPerTrigger analog): the source
+  * implements SupportsAdmissionControl + SupportsTriggerAvailableNow (the
+  * FileStreamSource discipline), so catch-up over a long history runs in
+  * bounded batches and Trigger.AvailableNow drains exactly to the version
+  * committed at run start — no single-batch fallback. On a KEYED table
+  * (m43) the change feed serves keyed semantics (update_preimage /
+  * update_postimage instead of delete+insert), same columns.
   *
   * The schema (and in-feed mode the diff shape) is PINNED at the stream's
   * FIRST start and persisted in the checkpoint's source-metadata directory
@@ -86,11 +93,15 @@ class GraftTableStream extends StreamSourceProvider with DataSourceRegister {
       parameters: Map[String, String]): Source =
     new GraftTableStreamSource(ctx, root(parameters),
       parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
-      isCdf(parameters), metadataPath)
+      isCdf(parameters), metadataPath,
+      parameters.get("maxVersionsPerBatch").map(_.toInt))
 }
 
 private[sources] class GraftTableStreamSource(ctx: SQLContext, root: String,
-    startingVersion: Long, cdf: Boolean, metadataPath: String) extends Source {
+    startingVersion: Long, cdf: Boolean, metadataPath: String,
+    maxVersionsPerBatch: Option[Int]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val spark =
     ctx.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -155,11 +166,54 @@ private[sources] class GraftTableStreamSource(ctx: SQLContext, root: String,
     case other => other.json.trim.toLong // SerializedOffset from a restart
   }
 
-  /** The newest committed version — one pointer read; None until a commit
-    * lands beyond the starting point. */
+  private def versionOfV2(
+      o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+    o match {
+      case l: LongOffset => l.offset
+      case other => other.json.trim.toLong
+    }
+
+  // ADMISSION CONTROL (r19): the engine drives this source through
+  // latestOffset(start, limit) instead of the legacy getOffset, which
+  // gives the table stream (a) REAL Trigger.AvailableNow semantics — the
+  // run drains exactly to the version committed when it STARTED (pinned by
+  // prepareForTriggerAvailableNow) instead of the single-batch fallback —
+  // and (b) `option("maxVersionsPerBatch", n)` backpressure, Delta's
+  // maxFilesPerTrigger analog: a stream starting against a long table
+  // history catches up in bounded batches instead of one giant one. Both
+  // reads are metadata (a pointer + version arithmetic).
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = SnapshotTable.latestVersion(root)
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    maxVersionsPerBatch.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  }
+
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val start = Option(startOffset).map(versionOfV2).getOrElse(startingVersion)
+    val latestNow = SnapshotTable.latestVersion(root).getOrElse(startingVersion)
+    val capped = availableNowCap.fold(latestNow)(math.min(latestNow, _))
+    val end = limit match {
+      case f: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        math.min(capped, start + f.maxFiles())
+      case _ => capped
+    }
+    if (end <= start) null else LongOffset(end)
+  }
+
+  /** Unused once SupportsAdmissionControl is implemented — the engine
+    * calls [[latestOffset]] (the FileStreamSource discipline). */
   override def getOffset: Option[Offset] =
-    SnapshotTable.latestVersion(root).filter(_ > startingVersion)
-      .map(LongOffset(_))
+    throw new UnsupportedOperationException(
+      "graft table stream: latestOffset(Offset, ReadLimit) drives this source")
 
   /** Whether the table had a DECLARED KEY (m43) when the stream was
     * constructed: keyed tables stream KEYED changes — insert / delete /

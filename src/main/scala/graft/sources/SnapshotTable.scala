@@ -960,6 +960,12 @@ object SnapshotTable {
     import org.apache.spark.sql.functions._
     val b = readVersionCurrent(spark, root, v2)
     val cols = b.columns.toSeq
+    // v1 = 0 is the EMPTY table (the stream's first window — the table's
+    // birth): every v2 row is an insert, read generation-aware
+    if (v1 == 0L)
+      return b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("_n"))
+        .withColumn("_change_type", lit("insert"))
+        .select(cols.map(col) ++ Seq(col("_change_type"), col("_n")): _*)
     val f1 = manifestFiles(root, v1)
     val f2 = manifestFiles(root, v2)
     val delta = f2.filterNot(f1.toSet)

@@ -730,6 +730,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("different schema")), e.toString)
   }
 
+  test("table stream admission control: maxVersionsPerBatch bounds catch-up batches under AvailableNow") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsadm").toString
+    val root = s"$dir/t"
+    SnapshotTable.commit((1L to 5L).map(i => (i, "v1")).toDF("k", "tag"), root)
+    SnapshotTable.append((6L to 9L).map(i => (i, "v2")).toDF("k", "tag"), root)
+    SnapshotTable.append((10L to 12L).map(i => (i, "v3")).toDF("k", "tag"), root)
+    val sq = spark.readStream.format("graft.sources.GraftTableStream")
+      .option("path", root).option("maxVersionsPerBatch", "1").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.write.mode("overwrite").parquet(f"$dir/out/b$id%04d")
+        ()
+      }
+      .option("checkpointLocation", s"$dir/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    // one batch per VERSION (the single-batch fallback could never produce
+    // this), and the union is the full table — bounded catch-up, no loss
+    val batches = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(batches.length == 3, s"expected 3 one-version batches: ${batches.toSeq}")
+    val perBatch = batches.map(b =>
+      spark.read.parquet(s"$dir/out/$b").count()).toSeq
+    assert(perBatch == Seq(5L, 4L, 3L), perBatch.toString)
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/out").select("k").distinct().count() == 12L)
+  }
+
   test("CDF stream on a KEYED table emits update pre/postimage pairs across a rewrite") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
