@@ -32,14 +32,18 @@ object TextQueries extends QueryModule {
   private def shingleSets(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val f = new java.io.File(s"$dir/documents.parquet")
-    val key = s"${System.identityHashCode(s)}:${Tables.pathKey(dir)}:" +
-      s"${f.length()}:${f.lastModified()}"
+    val prefix = s"${System.identityHashCode(s)}:${Tables.pathKey(dir)}:"
+    val key = s"$prefix${f.length()}:${f.lastModified()}"
     // identityHashCode is not unique: serve a hit ONLY when the cached
     // frame really belongs to this session (recompute on a collision), and
     // evict entries whose session's context has stopped so a JVM serving
     // many short-lived sessions cannot accumulate dead pins unboundedly
     val hit = shingleSetsCache.get(key)
     if (hit != null && (hit.sparkSession eq s)) return hit
+    // a REGENERATED fixture changes the fingerprint: drop this (session,
+    // fixture)'s stale entry NOW — stopped-session sweeping alone would pin
+    // the dead localCheckpoint blocks for the live session's lifetime
+    shingleSetsCache.keySet.removeIf(k => k.startsWith(prefix) && k != key)
     if (shingleSetsCache.size > 8) {
       val it = shingleSetsCache.entrySet().iterator()
       while (it.hasNext) {

@@ -1773,6 +1773,98 @@ object WarehouseQueries extends QueryModule {
         "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)) * _n)) AS BIGINT) " +
         s"AS revenue FROM $name CHANGES BETWEEN 1 AND 5 " +
         "GROUP BY 1, 2 ORDER BY change_type, tag")
+    }),
+
+    // M45: KEYED × SCHEMA-CROSSING FEED — the m43×m44 composition the r19
+    // verdict named the one open cell of the CDC matrix: a KEYED table
+    // that evolves its schema keeps keyed CDC ACROSS the boundary. One
+    // `CHANGES BETWEEN 1 AND 5` window spans: the SET KEY declaration, a
+    // pre-ALTER INSERT (v2), the metadata-only `ALTER TABLE ADD COLUMN
+    // note` (v3), a post-ALTER INSERT carrying the column (v4), and a
+    // file-granular UPDATE (v5). The feed splits at the schema boundary,
+    // runs the m43 KEYED kernel per sub-window (diffing only exchanged
+    // files — O(touched) at any table size), and projects everything to
+    // the final schema by field id: pre-ALTER inserts and the UPDATE's
+    // preimages come back with `note` NULL-filled; the update postimages
+    // are NULL too (the rewritten rows predate the column — file-granular
+    // DML rewrites under the current schema with a NULL fill). Keyed
+    // change types (update_preimage/update_postimage, _n = 1) instead of
+    // the keyless delete+insert multiset. Full oracle replay.
+    "m45_sql_keyed_evolving_changes" -> ((s, dir) => {
+      import graft.plans.GraftDmlRegistry
+      val t = Tables(s, dir)
+      val key = Tables.pathKey(dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m45t_$key"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root))
+      val name = s"m45t_$key"
+      GraftDmlRegistry.unregister(name)
+      t.orders.select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("m45_src")
+      s.sql(s"CREATE SNAPSHOT TABLE $name LOCATION '$root' AS " +
+        "SELECT * FROM m45_src WHERE o_orderkey % 30 = 0")            // v1
+      s.sql(s"ALTER TABLE $name SET KEY (o_orderkey)")                // keyed
+      s.sql(s"INSERT INTO $name SELECT * FROM m45_src " +
+        "WHERE o_orderkey % 30 = 1")                                   // v2
+      s.sql(s"ALTER TABLE $name ADD COLUMN note string")               // v3
+      s.sql(s"INSERT INTO $name SELECT o_orderkey, o_totalprice, 'new' " +
+        "FROM m45_src WHERE o_orderkey % 30 = 2")                      // v4
+      s.sql(s"UPDATE $name SET o_totalprice = o_totalprice + 1.0 " +
+        "WHERE o_orderkey % 60 = 30")                                  // v5
+      s.sql(s"SELECT _change_type AS change_type, " +
+        "coalesce(note, 'none') AS tag, count(*) AS n_rows, " +
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) " +
+        s"AS revenue FROM $name CHANGES BETWEEN 1 AND 5 " +
+        "GROUP BY 1, 2 ORDER BY change_type, tag")
+    }),
+
+    // M46: CHANGE FEED BY TIMESTAMP — `t CHANGES BETWEEN TIMESTAMP 'a' AND
+    // TIMESTAMP 'b'` (Delta CDF's startingTimestamp/endingTimestamp),
+    // closing the r19 verdict's last missing CDC verb: each bound resolves
+    // to a version through the m14 LOGICAL-timestamp machinery — the
+    // highest version whose commit metadata records a date ≤ the bound
+    // (wall clocks are non-deterministic; writers attach logical effective
+    // dates, the m14 convention), read from O(versions) tiny meta files,
+    // no data scan — then the feed serves exactly the version-bounds
+    // kernel, so the output is hash-identical to the version form (the
+    // spec pins the equality; the oracle replays both phases from raw
+    // facts). A start bound before the first dated commit is the table's
+    // birth — phase t0_t2 covers it (v1's rows surface as inserts).
+    "m46_sql_changes_by_timestamp" -> ((s, dir) => {
+      import graft.plans.GraftDmlRegistry
+      import graft.sources.SnapshotTable
+      val t = Tables(s, dir)
+      val key = Tables.pathKey(dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m46t_$key"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root))
+      val name = s"m46t_$key"
+      GraftDmlRegistry.unregister(name)
+      val src = t.orders.select(col("o_orderkey"), col("o_totalprice"))
+      // each commit carries its logical effective date as metadata —
+      // committed through the same atomic pointer swap as the data
+      SnapshotTable.commit(src.filter(col("o_orderkey") % 30 === 0), root,
+        meta = "2024-01-01")                                           // v1
+      SnapshotTable.append(src.filter(col("o_orderkey") % 30 === 1), root,
+        meta = "2024-01-02")                                           // v2
+      SnapshotTable.append(src.filter(col("o_orderkey") % 30 === 2), root,
+        meta = "2024-01-03")                                           // v3
+      GraftDmlRegistry.registerSnapshot(name, root)
+      def roll(phase: String, ts1: String, ts2: String) = s.sql(
+        s"SELECT '$phase' AS phase, _change_type AS change_type, " +
+          "count(*) AS n_groups, CAST(sum(_n) AS BIGINT) AS n_rows, " +
+          "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)) * _n)) AS BIGINT) " +
+          s"AS revenue FROM $name CHANGES BETWEEN TIMESTAMP '$ts1' " +
+          s"AND TIMESTAMP '$ts2' GROUP BY 1, 2")
+      // t1_t3: (as-of 01-01, as-of 01-05] = v1→v3; t0_t2: a start before
+      // the first dated commit = the table's birth, so v1's rows surface
+      roll("t1_t3", "2024-01-01", "2024-01-05")
+        .unionByName(roll("t0_t2", "2023-12-31", "2024-01-02"))
+        .orderBy("phase", "change_type")
     })
   )
 
@@ -2536,6 +2628,43 @@ object WarehouseQueries extends QueryModule {
         "UNION ALL SELECT 'delete', 'none', o_totalprice FROM upd) " +
         "SELECT change_type, tag, count(*) AS n_groups, count(*) AS n_rows, " +
         "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) " +
-        "AS revenue FROM feed GROUP BY 1, 2 ORDER BY change_type, tag")
+        "AS revenue FROM feed GROUP BY 1, 2 ORDER BY change_type, tag"),
+
+    // the keyed evolving feed replays from the raw facts: the pre-ALTER
+    // sub-window contributes the %30=1 inserts (note NULL → 'none'), the
+    // ALTER nothing, the post-ALTER keyed sub-window the %30=2 inserts
+    // tagged 'new' plus one preimage (old price) and one postimage (+1.0)
+    // per %60=30 key — both note-less (the updated rows predate the
+    // column; file-granular DML rewrites them with a NULL fill). Keys are
+    // unique, so every keyed row has _n = 1
+    "m45_sql_keyed_evolving_changes" ->
+      ("WITH ins1 AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 30 = 1), " +
+        "ins2 AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 30 = 2), " +
+        "upd AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 60 = 30), " +
+        "feed AS (" +
+        "SELECT 'insert' AS change_type, 'none' AS tag, o_totalprice FROM ins1 " +
+        "UNION ALL SELECT 'insert', 'new', o_totalprice FROM ins2 " +
+        "UNION ALL SELECT 'update_preimage', 'none', o_totalprice FROM upd " +
+        "UNION ALL SELECT 'update_postimage', 'none', o_totalprice + 1.0 FROM upd) " +
+        "SELECT change_type, tag, count(*) AS n_rows, " +
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) " +
+        "AS revenue FROM feed GROUP BY 1, 2 ORDER BY change_type, tag"),
+
+    // the timestamp-bounds feed replays from the raw facts: t1_t3 =
+    // (as-of 01-01, as-of 01-05] = v1→v3 = the %30∈{1,2} appends; t0_t2
+    // starts before the first dated commit (the table's birth), so v1's
+    // %30=0 rows surface as inserts alongside the %30=1 append. Order
+    // keys are unique, so every shape has _n = 1 and n_groups == n_rows
+    "m46_sql_changes_by_timestamp" ->
+      ("WITH a AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 30 IN (1, 2)), " +
+        "b AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 30 IN (0, 1)) " +
+        "SELECT * FROM (" +
+        "SELECT 't1_t3' AS phase, 'insert' AS change_type, " +
+        "count(*) AS n_groups, count(*) AS n_rows, " +
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) " +
+        "AS revenue FROM a " +
+        "UNION ALL SELECT 't0_t2', 'insert', count(*), count(*), " +
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) " +
+        "FROM b) ORDER BY phase, change_type")
   )
 }

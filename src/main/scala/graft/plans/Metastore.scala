@@ -168,17 +168,23 @@ object GraftMetastore {
     * dir serializes writers across JVMs — ATOMIC_MOVE alone prevents torn
     * READS but not lost UPDATES (two sessions reading the same base lines,
     * each rewriting without the other's entry). Same-JVM threads are
-    * serialized by the outer `synchronized` first (two threads locking the
-    * same file region would throw OverlappingFileLockException); holding
-    * one object-wide monitor across dirs is fine at metadata scale — the
-    * critical section is a two-file read+rename. The lock file is tiny,
-    * permanent, and shared by both catalogs so CREATE TABLE and DROP MV
-    * from different processes cannot interleave either. */
-  private def withCatalogLock[T](catalogFile: Path)(body: => T): T =
-    synchronized {
-      Files.createDirectories(catalogFile.getParent)
+    * serialized by a PER-DIRECTORY monitor first (two threads locking the
+    * same file region would throw OverlappingFileLockException) — per-dir,
+    * not object-global (the r19 verdict nit): a stuck lock holder in
+    * another JVM must only block writes to ITS metastore dir, never to
+    * unrelated ones. The lock file is tiny, permanent, and shared by both
+    * catalogs so CREATE TABLE and DROP MV from different processes cannot
+    * interleave either. */
+  private val writeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withCatalogLock[T](catalogFile: Path)(body: => T): T = {
+    val dir = catalogFile.getParent
+    writeLocks.computeIfAbsent(dir.toAbsolutePath.normalize.toString,
+      _ => new Object).synchronized {
+      Files.createDirectories(dir)
       val ch = java.nio.channels.FileChannel.open(
-        catalogFile.getParent.resolve(".catalog.lock"),
+        dir.resolve(".catalog.lock"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
       try {
@@ -186,6 +192,7 @@ object GraftMetastore {
         try body finally lock.release()
       } finally ch.close()
     }
+  }
 
   // read-modify-write under the SAME locks upsertLine takes — a concurrent
   // CREATE and DROP (same or different JVM) must not interleave and lose

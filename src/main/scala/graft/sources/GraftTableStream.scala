@@ -45,19 +45,29 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * implements SupportsAdmissionControl + SupportsTriggerAvailableNow (the
   * FileStreamSource discipline), so catch-up over a long history runs in
   * bounded batches and Trigger.AvailableNow drains exactly to the version
-  * committed at run start — no single-batch fallback. On a KEYED table
+  * committed at run start — no single-batch fallback. The change feed
+  * DEFAULTS to a bound of [[GraftTableStream.DefaultCdfMaxVersionsPerBatch]]
+  * versions per batch (its getBatch unions one plan per version, so an
+  * unbounded catch-up would be a driver-side planning bomb — pass
+  * `maxVersionsPerBatch=all` to opt out); the row feed defaults to
+  * unbounded (one plan regardless of version count). On a KEYED table
   * (m43) the change feed serves keyed semantics (update_preimage /
-  * update_postimage instead of delete+insert), same columns.
+  * update_postimage instead of delete+insert), same columns — keyed from
+  * the version the key was validated at, keyless before it.
   *
-  * The schema (and in-feed mode the diff shape) is PINNED at the stream's
-  * FIRST start and persisted in the checkpoint's source-metadata directory
-  * (`graft.schema.pin`), so a restart re-pins the SAME generation even if
-  * the table was ALTERed meanwhile or a race moved `latestVersion` between
-  * construction and the first batch — refusals are keyed to the
-  * checkpoint, never to construction timing (the r18 ADVICE item). A batch
-  * whose files were written under a different schema generation refuses
-  * loudly in both modes; restart the stream (new checkpoint) after a
-  * schema change.
+  * The schema is PINNED per checkpoint in the source-metadata directory
+  * (`graft.schema.pin`), so refusals are keyed to the checkpoint, never
+  * to construction timing (the r18 ADVICE item). SCHEMA TRACKING (r20,
+  * Delta's `schemaTrackingLocation`): a CHANGE-FEED restart after an
+  * ADDITIVE `ALTER TABLE` (add / rename / widen) RE-PINS the checkpoint
+  * to the new generation and CONTINUES from the checkpointed version —
+  * pending pre-ALTER versions serve through the m44 field-id projection
+  * (added columns NULL-fill). DROP/narrowing crossings, shape changes
+  * without field-id metadata, and ANY schema change under the row feed
+  * (emitted rows cannot be re-shaped, and the restarted plan was analyzed
+  * under the current schema) refuse loudly with the fresh-checkpoint
+  * message; an ALTER mid-run refuses the affected batch and tells the
+  * operator to restart on the same checkpoint.
   *
   * Implementation note: this is a V1 `Source` — the API whose
   * `getBatch` returns a DataFrame, letting the delta files flow through
@@ -94,7 +104,31 @@ class GraftTableStream extends StreamSourceProvider with DataSourceRegister {
     new GraftTableStreamSource(ctx, root(parameters),
       parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
       isCdf(parameters), metadataPath,
-      parameters.get("maxVersionsPerBatch").map(_.toInt))
+      GraftTableStream.maxVersions(parameters))
+}
+
+object GraftTableStream {
+  /** The change feed's DEFAULT catch-up bound (r20, the r19 verdict's
+    * first item): getBatch unions ONE plan PER VERSION, so an unbounded
+    * catch-up from version 0 of a long-history table would union thousands
+    * of per-version plans into a single micro-batch — a driver-side
+    * planning bomb at scale. Delta ships a bounded default the same way
+    * (maxFilesPerTrigger = 1000); `allAvailable` is the explicit opt-in.
+    * The row feed stays unbounded by default — its batch is ONE plan over
+    * the delta files regardless of version count. */
+  val DefaultCdfMaxVersionsPerBatch = 100
+
+  private[graft] def maxVersions(
+      parameters: Map[String, String]): Option[Int] =
+    parameters.get("maxVersionsPerBatch") match {
+      case Some(s) if s.equalsIgnoreCase("all") ||
+        s.equalsIgnoreCase("allAvailable") => None
+      case Some(s) => Some(s.toInt)
+      case None if parameters.get("readChangeFeed")
+        .exists(_.equalsIgnoreCase("true")) =>
+        Some(DefaultCdfMaxVersionsPerBatch)
+      case None => None
+    }
 }
 
 private[sources] class GraftTableStreamSource(ctx: SQLContext, root: String,
@@ -107,45 +141,102 @@ private[sources] class GraftTableStreamSource(ctx: SQLContext, root: String,
     ctx.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
 
   /** The version whose schema generation the stream serves under, pinned
-    * ONCE per checkpoint: read back on restart, written at first start
-    * (single-writer — the streaming driver owns its checkpoint). */
-  private val pinnedVersion: Long = {
-    val p = new org.apache.hadoop.fs.Path(metadataPath, "graft.schema.pin")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    def readPin(): Option[Long] =
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        val line =
-          try new java.io.BufferedReader(
-            new java.io.InputStreamReader(in, "UTF-8")).readLine()
-          finally in.close()
-        // an empty/torn pin (legacy non-atomic write) re-pins below — safe:
-        // the pin is written before the FIRST getBatch, so a missing value
-        // means no batch was ever served under a different generation
-        Option(line).map(_.trim).filter(_.nonEmpty).map(_.toLong)
-      }
-    readPin().getOrElse {
+    * per checkpoint: written at first start, read back on restart
+    * (single-writer — the streaming driver owns its checkpoint). SCHEMA
+    * TRACKING (r20, Delta's `schemaTrackingLocation`): a CHANGE-FEED
+    * restart that finds the table ALTERed since the pin RE-PINS to the new
+    * generation when the evolution is ADDITIVE — pending pre-ALTER
+    * versions then serve through the m44 field-id projection (renames come
+    * back under new names, widenings upcast, added columns NULL-fill) and
+    * the stream continues from the checkpointed version instead of
+    * abandoning its progress. DROP/narrowing still refuses loudly (old
+    * rows cannot be replayed under the new schema), as does any shape
+    * change without field-id metadata. The ROW feed never re-pins —
+    * emitted rows cannot be re-shaped, and the restarted plan was analyzed
+    * under the CURRENT schema (the r19 ADVICE pin-vs-plan finding), so a
+    * schema change refuses at construction with the fresh-checkpoint
+    * message rather than binding old rows by position into a new-schema
+    * plan. */
+  private val pinPath = new org.apache.hadoop.fs.Path(metadataPath,
+    "graft.schema.pin")
+  private val pinFs =
+    pinPath.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def readPin(): Option[Long] =
+    if (!pinFs.exists(pinPath)) None
+    else {
+      val in = pinFs.open(pinPath)
+      val line =
+        try new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8")).readLine()
+        finally in.close()
+      // an empty/torn pin (legacy non-atomic write) re-pins — safe: the
+      // pin is written before the FIRST getBatch, so a missing value means
+      // no batch was ever served under a different generation (and a
+      // tracking re-pin that crashed mid-swap re-resolves to the same
+      // current generation on the next restart)
+      Option(line).map(_.trim).filter(_.nonEmpty).map(_.toLong)
+    }
+
+  /** Stage + rename (the repo's pointer-swap discipline): the pin must
+    * never exist half-written — a crash mid-write would otherwise leave a
+    * restart failing on an empty file forever. */
+  private def writePin(v: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(metadataPath,
+      s".graft.schema.pin.tmp.${System.nanoTime()}")
+    val out = pinFs.create(tmp, true)
+    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+    // an existing pin blocks the rename — clear it first (fresh start: a
+    // blank legacy pin means no batch was served; re-pin: the tracking
+    // path replaces the old generation deliberately)
+    if (pinFs.exists(pinPath)) pinFs.delete(pinPath, false)
+    if (!pinFs.rename(tmp, pinPath)) {
+      // lost a (theoretical) race to another starter: their pin wins
+      pinFs.delete(tmp, false)
+    }
+    ()
+  }
+
+  private val pinnedVersion: Long = readPin() match {
+    case None =>
       val v = SnapshotTable.latestVersion(root).getOrElse(
         throw new IllegalStateException(
           s"graft table stream: no committed snapshot at $root"))
-      // stage + rename: the pin must never exist half-written (the repo's
-      // pointer-swap discipline) — a crash mid-write would otherwise leave
-      // a restart failing on an empty file forever
-      val tmp = new org.apache.hadoop.fs.Path(metadataPath,
-        s".graft.schema.pin.tmp.${System.nanoTime()}")
-      val out = fs.create(tmp, true)
-      try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
-      // a blank legacy pin would block the rename — clear it (blank ⇒ no
-      // batch ever served, see above)
-      if (fs.exists(p)) fs.delete(p, false)
-      if (!fs.rename(tmp, p)) {
-        // lost a (theoretical) race to another starter: their pin wins
-        fs.delete(tmp, false)
-      }
+      writePin(v)
       readPin().getOrElse(throw new IllegalStateException(
-        s"graft table stream: could not persist the schema pin at $p"))
-    }
+        s"graft table stream: could not persist the schema pin at $pinPath"))
+    case Some(pin) =>
+      val latest = SnapshotTable.latestVersion(root).getOrElse(pin)
+      val pinGen = SnapshotTable.schemaAt(root, pin)
+      val curGen = SnapshotTable.schemaAt(root, latest)
+      lazy val sameShape = pinGen == curGen &&
+        (pin == latest || SnapshotTable.readVersionCurrent(spark, root, pin)
+          .schema == SnapshotTable.readVersionCurrent(spark, root, latest)
+          .schema)
+      if (sameShape) pin
+      else if (!cdf) throw new IllegalStateException(
+        s"graft table stream: the schema of $root changed since this " +
+          "checkpoint's stream started — a row feed cannot re-shape " +
+          "emitted rows; restart with a FRESH checkpoint (startingVersion " +
+          "past the schema change), or follow the table with " +
+          "option(\"readChangeFeed\", \"true\"), whose restarts track " +
+          "additive schema changes")
+      else (pinGen, curGen) match {
+        case (Some(from), Some(to)) =>
+          SnapshotTable.evolutionRefusal(from, to).foreach(r =>
+            throw new IllegalStateException(
+              s"graft table stream: the schema of $root crossed a $r " +
+                "since this checkpoint's stream started — old change rows " +
+                "cannot be replayed under the new schema; restart with a " +
+                "FRESH checkpoint"))
+          writePin(latest) // additive: re-pin and continue from the offset
+          latest
+        case _ => throw new IllegalStateException(
+          s"graft table stream: the schema of $root changed WITHOUT " +
+            "field-id evolution metadata since this checkpoint's stream " +
+            "started — old change rows cannot be projected; restart with " +
+            "a FRESH checkpoint")
+      }
   }
 
   // the schema generation the stream STARTED under (from the PINNED
@@ -215,13 +306,14 @@ private[sources] class GraftTableStreamSource(ctx: SQLContext, root: String,
     throw new UnsupportedOperationException(
       "graft table stream: latestOffset(Offset, ReadLimit) drives this source")
 
-  /** Whether the table had a DECLARED KEY (m43) when the stream was
-    * constructed: keyed tables stream KEYED changes — insert / delete /
-    * update_preimage / update_postimage diffed from only the exchanged
-    * files — while keyless tables stream the grouped multiset diff. Both
-    * shapes share the same columns, so the sink schema is identical; a key
-    * declared MID-campaign takes effect at the next (re)start. */
-  private val keyed = SnapshotTable.declaredKey(root).isDefined
+  /** Whether version `v`'s window streams KEYED changes (m43): the table
+    * declared a key AND the window start (v-1) is at-or-after the version
+    * the key was VALIDATED against — pre-declaration windows may hold
+    * duplicate keys and take the keyless multiset diff instead (same
+    * columns, so the sink schema is identical either way). Resolved
+    * per-version so a key declared MID-history routes each side correctly. */
+  private def keyed(v: Long): Boolean =
+    SnapshotTable.keyedFeedApplies(root, v - 1)
 
   /** One version's row-level changes under the CDF contract: (v-1, v]
     * through [[SnapshotTable.keyedChangesBetween]] /
@@ -231,15 +323,34 @@ private[sources] class GraftTableStreamSource(ctx: SQLContext, root: String,
     * the commit version so the union ledger is
     * micro-batch-packing-independent. */
   private def versionChanges(v: Long): DataFrame = {
-    require(SnapshotTable.schemaAt(root, v) == startSchemaGen,
-      s"graft table stream: version $v of $root was committed under a " +
-        "different schema than the stream started with — a stream cannot " +
-        "re-shape emitted rows; restart it (a fresh checkpoint re-pins) " +
-        "after the schema change")
+    val gen = SnapshotTable.schemaAt(root, v)
     val cols = baseSchema.fieldNames.toSeq
-    val base =
-      if (keyed) SnapshotTable.keyedChangesBetween(spark, root, v - 1, v)
+    val raw =
+      if (keyed(v)) SnapshotTable.keyedChangesBetween(spark, root, v - 1, v)
       else SnapshotTable.changesBetween(spark, root, v - 1, v)
+    val base =
+      if (gen == startSchemaGen) raw
+      else {
+        // only versions AT OR BELOW the pin differ benignly (pre-ALTER
+        // backlog after a tracking re-pin — project them up); a different
+        // generation ABOVE the pin is an ALTER that landed MID-RUN, and a
+        // running plan cannot re-shape — the restart on the SAME
+        // checkpoint re-pins (additive) and continues from the offset
+        require(v <= pinnedVersion,
+          s"graft table stream: version $v of $root was committed under a " +
+            "different schema than the stream is pinned to — a running " +
+            "stream cannot re-shape its plan; restart the stream on the " +
+            "SAME checkpoint (additive schema changes re-pin and continue)")
+        (gen, startSchemaGen) match {
+          case (Some(_), Some(target)) =>
+            SnapshotTable.projectFeedTo(raw, root, v, target)
+          case _ => throw new IllegalStateException(
+            s"graft table stream: version $v of $root predates the " +
+              "table's field-id evolution metadata — its change rows " +
+              "cannot be projected to the pinned schema; restart with a " +
+              "fresh checkpoint past the schema change")
+        }
+      }
     base.withColumn("_commit_version", lit(v))
       .select(cols.map(col) ++ Seq(col("_change_type"), col("_n"),
         col("_commit_version")): _*)

@@ -1018,24 +1018,48 @@ object SnapshotTable {
     else readFiles(spark, root, files)
 
   /** DECLARED PRIMARY KEY of the table (the m43 keyed-CDC contract): a
-    * metadata sidecar (`_snapshots/table.key`, one line of comma-separated
-    * lowercase column names). Uniqueness/non-nullness is VALIDATED when the
-    * key is declared (one aggregation pass) and is the WRITER'S CONTRACT
-    * afterwards: a MERGE whose ON keys equal the declared key enforces it
-    * in-plan (its cardinality guard raises on duplicate source keys even
-    * when unmatched), but INSERT/COPY INTO/UPDATE-of-key-columns and
-    * MERGEs keyed differently can still violate it — exactly like every
-    * lakehouse that does not revalidate constraints per write. The feed
-    * never revalidates globally (that would cost O(table) per read). */
+    * metadata sidecar (`_snapshots/table.key` — line 1 the comma-separated
+    * lowercase column names, line 2 `@declared:<version>`, the version the
+    * key was VALIDATED against). Uniqueness/non-nullness is validated when
+    * the key is declared (one aggregation pass) and is the WRITER'S
+    * CONTRACT afterwards: a MERGE whose ON keys equal the declared key
+    * enforces it in-plan, and keyed INSERT/COPY INTO refuse within-batch
+    * duplicate/NULL keys (plus optional table-collision probing under
+    * `spark.graft.validateKeyOnAppend`) — but an UPDATE of key columns or
+    * a differently-keyed MERGE can still violate it, like every lakehouse
+    * that does not revalidate constraints per write. The feed never
+    * revalidates globally (that would cost O(table) per read). */
   def declaredKey(root: String): Option[Seq[String]] = {
     val p = snapDir(root).resolve("table.key")
     if (!Files.exists(p)) None
-    else Some(new String(Files.readAllBytes(p), UTF_8).trim
+    else Some(new String(Files.readAllBytes(p), UTF_8).linesIterator
+      .toSeq.headOption.getOrElse("")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
   }
 
+  /** The version the declared key was VALIDATED against (0 for sidecars
+    * predating the marker): uniqueness is only known to hold from here on,
+    * so CHANGES windows STARTING before it must not use the keyed diff —
+    * duplicate keys in pre-declaration history would fan out the key join
+    * and silently emit wrong preimage/postimage multiplicities. */
+  def keyDeclaredAt(root: String): Long = {
+    val p = snapDir(root).resolve("table.key")
+    if (!Files.exists(p)) 0L
+    else new String(Files.readAllBytes(p), UTF_8).linesIterator
+      .find(_.startsWith("@declared:"))
+      .map(_.stripPrefix("@declared:").trim.toLong).getOrElse(0L)
+  }
+
+  /** Whether window-start `v1` may serve the KEYED diff: a key is declared
+    * and `v1` is at-or-after the version it was validated against. */
+  def keyedFeedApplies(root: String, v1: Long): Boolean =
+    declaredKey(root).isDefined && v1 >= keyDeclaredAt(root)
+
   /** Declare (or replace) the table's primary key after validating that
-    * the CURRENT version is unique and non-null on it. */
+    * the CURRENT version is unique and non-null on it. The sidecar records
+    * that version (see [[keyDeclaredAt]]) and lands via stage+ATOMIC_MOVE —
+    * the repo's pointer-swap discipline, so a concurrent reader can never
+    * observe a torn/empty key file and silently route the keyless feed. */
   def declareKey(spark: SparkSession, root: String, keys: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val t = readCurrent(spark, root)
@@ -1049,8 +1073,13 @@ object SnapshotTable {
       s"SET KEY (${keys.mkString(", ")}): the current version has a " +
         s"duplicate or NULL key (e.g. ${bad.headOption.getOrElse("")}) — " +
         "a declared key must be unique and non-null")
-    Files.write(snapDir(root).resolve("table.key"),
-      keys.map(_.toLowerCase).mkString(",").getBytes(UTF_8))
+    val v = latestVersion(root).getOrElse(0L)
+    val tmp = snapDir(root).resolve(
+      s".table.key.tmp.${ProcessHandle.current().pid()}.${System.nanoTime()}")
+    Files.write(tmp, (keys.map(_.toLowerCase).mkString(",") +
+      s"\n@declared:$v").getBytes(UTF_8))
+    Files.move(tmp, snapDir(root).resolve("table.key"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 
@@ -1065,18 +1094,44 @@ object SnapshotTable {
     * files). Output = the table's columns + `_change_type`
     * ('insert'/'delete'/'update_preimage'/'update_postimage') + `_n`
     * (always 1 — keys are unique; kept for shape-compatibility with the
-    * keyless feed). Same schema-crossing refusal as [[changesBetween]].
-    * Correctness is ENDPOINT semantics (net change between v1 and v2),
-    * exactly like Delta CDF over a version range. */
+    * keyless feed). A window crossing a schema change splits at every
+    * ALTER boundary and projects each keyed sub-window to the v2 schema by
+    * field id, exactly like [[changesBetween]] (additive evolution only —
+    * DROP/narrowing crossings refuse). Correctness is ENDPOINT semantics
+    * (net change between v1 and v2), exactly like Delta CDF over a version
+    * range. */
   def keyedChangesBetween(spark: SparkSession, root: String, v1: Long,
+      v2: Long): DataFrame = {
+    require(declaredKey(root).isDefined,
+      s"keyedChangesBetween: $root has no declared key")
+    require(v1 <= v2, s"CHANGES BETWEEN $v1 AND $v2: versions out of order")
+    // the key was validated at declaration time only — a window STARTING
+    // in pre-declaration history may hold duplicate keys, which would fan
+    // out the key join and emit wrong multiplicities silently; such windows
+    // route to the keyless multiset diff at the call sites
+    require(v1 >= keyDeclaredAt(root),
+      s"keyedChangesBetween: window start v$v1 predates the key " +
+        s"declaration (validated at v${keyDeclaredAt(root)}) — uniqueness " +
+        "is unknown there; use the keyless feed")
+    // a window that CROSSES a schema change splits at every ALTER boundary
+    // and projects each keyed sub-window to the v2 schema by field id —
+    // the m43×m44 composition (r20); same-schema windows take the direct
+    // kernel below
+    if (v1 != 0 && schemaAt(root, v1) != schemaAt(root, v2))
+      return changesEvolvingWith(spark, root, v1, v2, keyed = true)
+    keyedChangesWindow(spark, root, v1, v2)
+  }
+
+  /** One same-schema window of the KEYED feed — the m43 kernel (see
+    * [[keyedChangesBetween]] for the contract and cost model). The declared
+    * key columns resolve BY NAME against the window-end schema; a key
+    * column renamed after declaration refuses loudly (re-declare the key
+    * under the new name) rather than mis-joining. */
+  private def keyedChangesWindow(spark: SparkSession, root: String, v1: Long,
       v2: Long): DataFrame = {
     import org.apache.spark.sql.functions._
     val keys = declaredKey(root).getOrElse(throw new IllegalStateException(
       s"keyedChangesBetween: $root has no declared key"))
-    require(v1 <= v2, s"CHANGES BETWEEN $v1 AND $v2: versions out of order")
-    require(v1 == 0 || schemaAt(root, v1) == schemaAt(root, v2),
-      s"CHANGES BETWEEN $v1 AND $v2 crosses a schema change — the diff " +
-        "is only well-defined under one schema (read each side explicitly)")
     val cur = readVersionCurrent(spark, root, v2)
     val cols = cur.columns.toSeq
     val f1 = if (v1 == 0) Seq.empty[String] else manifestFiles(root, v1)
@@ -1159,43 +1214,39 @@ object SnapshotTable {
     * well-defined; metadata-only ALTERs (the SQL path) and appendEvo
     * deltas (new files under the new schema) both serve cleanly. */
   private def changesEvolving(spark: SparkSession, root: String, v1: Long,
-      v2: Long): DataFrame = {
+      v2: Long): DataFrame =
+    changesEvolvingWith(spark, root, v1, v2, keyed = false)
+
+  /** The generalized schema-crossing kernel: `keyed = true` runs the m43
+    * KEYED diff per sub-window instead of the keyless multiset kernel (the
+    * m43×m44 composition, r20) — each sub-window diffs only exchanged
+    * files under ITS generation and the pre/postimage rows project to the
+    * v2 schema by field id; same refusal matrix either way. */
+  private def changesEvolvingWith(spark: SparkSession, root: String, v1: Long,
+      v2: Long, keyed: Boolean): DataFrame = {
     import org.apache.spark.sql.functions._
     val target = schemaAt(root, v2).getOrElse(throw new IllegalArgumentException(
       s"CHANGES BETWEEN $v1 AND $v2 crosses a schema change — the diff " +
         "is only well-defined under one schema (read each side explicitly)"))
-    def parse(t: String) =
-      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(t)
-    schemaAt(root, v1).getOrElse(Seq.empty).foreach { f =>
-      val t = target.find(_.id == f.id).getOrElse(
+    schemaAt(root, v1).foreach { from =>
+      evolutionRefusal(from, target).foreach(r =>
         throw new IllegalArgumentException(
-          s"CHANGES BETWEEN $v1 AND $v2 crosses a DROP of column " +
-            s"${f.name} — its values cannot be replayed under the v$v2 " +
-            "schema (read each side explicitly)"))
-      require(f.typ == t.typ ||
-        org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(
-          parse(f.typ), parse(t.typ)),
-        s"CHANGES BETWEEN $v1 AND $v2 crosses a NARROWING of column " +
-          s"${f.name} (${f.typ} -> ${t.typ}) — old values cannot be " +
-          "replayed losslessly")
+          s"CHANGES BETWEEN $v1 AND $v2 crosses a $r — old values cannot " +
+            s"be replayed under the v$v2 schema (read each side explicitly)"))
     }
     val tgtCols = target.map(_.name)
     // project a sub-window's feed (columns named per generation `wEnd`) to
     // the v2 schema by field id; the feed's _change_type/_n pass through
-    def project(df: DataFrame, wEnd: Long): DataFrame = {
-      val wf = schemaAt(root, wEnd).getOrElse(throw new IllegalStateException(
-        s"CHANGES BETWEEN: window end v$wEnd lost its schema sidecar"))
-      val byId = wf.map(f => f.id -> f).toMap
-      df.select(target.map { cf =>
-        byId.get(cf.id) match {
-          case Some(pf) => col(pf.name).cast(cf.typ).as(cf.name)
-          case None => lit(null).cast(cf.typ).as(cf.name)
-        }
-      } ++ Seq(col("_change_type"), col("_n")): _*)
-    }
+    def project(df: DataFrame, wEnd: Long): DataFrame =
+      projectFeedTo(df, root, wEnd, target)
+    def window(lo: Long, hi: Long): DataFrame =
+      if (keyed) keyedChangesWindow(spark, root, lo, hi)
+      else changesWindow(spark, root, lo, hi)
     // a boundary version's own delta (b-1, b]: empty for the metadata-only
     // SQL ALTER (manifest carried), the appended files for appendEvo —
-    // readFilesEvo resolves them straight to the target schema
+    // readFilesEvo resolves them straight to the target schema (keyed
+    // tables emit one _n=1 insert per row, the m43 shape; keyless ones the
+    // grouped multiset shape)
     def boundary(b: Long): Option[DataFrame] = {
       val fPrev =
         if (b - 1 == 0) Seq.empty[String] else manifestFiles(root, b - 1)
@@ -1206,6 +1257,9 @@ object SnapshotTable {
           "side explicitly)")
       val delta = fB.filterNot(fPrev.toSet)
       if (delta.isEmpty) None
+      else if (keyed) Some(readFilesEvo(spark, root, delta, target)
+        .withColumn("_change_type", lit("insert")).withColumn("_n", lit(1L))
+        .select(tgtCols.map(col) ++ Seq(col("_change_type"), col("_n")): _*))
       else Some(readFilesEvo(spark, root, delta, target)
         .groupBy(tgtCols.map(col): _*).agg(count(lit(1)).as("_n"))
         .withColumn("_change_type", lit("insert"))
@@ -1215,14 +1269,74 @@ object SnapshotTable {
     val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var lo = v1
     bounds.foreach { b =>
-      if (b - 1 > lo) pieces += project(changesWindow(spark, root, lo, b - 1), b - 1)
+      if (b - 1 > lo) pieces += project(window(lo, b - 1), b - 1)
       boundary(b).foreach(pieces += _)
       lo = b
     }
-    if (v2 > lo) pieces += project(changesWindow(spark, root, lo, v2), v2)
+    if (v2 > lo) pieces += project(window(lo, v2), v2)
     pieces.reduceOption(_.unionByName(_)).getOrElse(
       readVersionCurrent(spark, root, v2).limit(0)
         .withColumn("_change_type", lit("")).withColumn("_n", lit(0L)))
+  }
+
+  /** Why evolving `from` → `to` is NOT additive (None when it is): every
+    * surviving field must keep its id with an equal or widened type — a
+    * DROP or narrowing makes old rows non-replayable under `to`. The
+    * shared gate of the schema-crossing feeds and the streaming CDF's
+    * checkpoint re-pin (schema tracking, r20). */
+  def evolutionRefusal(from: Seq[EvoField], to: Seq[EvoField]): Option[String] = {
+    def parse(t: String) =
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(t)
+    from.iterator.map { f =>
+      to.find(_.id == f.id) match {
+        case None => Some(s"DROP of column ${f.name}")
+        case Some(t) if f.typ != t.typ &&
+            !org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(
+              parse(f.typ), parse(t.typ)) =>
+          Some(s"NARROWING of column ${f.name} (${f.typ} -> ${t.typ})")
+        case _ => None
+      }
+    }.collectFirst { case Some(r) => r }
+  }
+
+  /** Project a change-feed frame whose TABLE columns follow the schema in
+    * effect at version `asOf` to `target` by FIELD ID — renamed columns
+    * come back under target names, widened types upcast, later-added
+    * columns NULL-fill; the `_change_type`/`_n` tail passes through.
+    * Metadata-only plan surgery (one SELECT), shared by the evolving batch
+    * feeds and the streaming CDF's schema tracking. */
+  def projectFeedTo(df: DataFrame, root: String, asOf: Long,
+      target: Seq[EvoField]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val from = schemaAt(root, asOf).getOrElse(throw new IllegalStateException(
+      s"projectFeedTo: no schema sidecar governs v$asOf at $root"))
+    val byId = from.map(f => f.id -> f).toMap
+    df.select(target.map { cf =>
+      byId.get(cf.id) match {
+        case Some(pf) => col(pf.name).cast(cf.typ).as(cf.name)
+        case None => lit(null).cast(cf.typ).as(cf.name)
+      }
+    } ++ Seq(col("_change_type"), col("_n")): _*)
+  }
+
+  /** Resolve a LOGICAL timestamp to the highest live version whose commit
+    * metadata records a timestamp ≤ the probe — the m14 time-travel
+    * machinery, shared by `CHANGES BETWEEN TIMESTAMP ... AND TIMESTAMP ...`
+    * (r20): a table serving timestamp addressing attaches its logical
+    * effective date as each commit's `meta` (the m14 convention — wall
+    * clocks are non-deterministic; Delta resolves commit-file mtimes the
+    * same shape). Versions whose meta is an operation tag (`insert:N`,
+    * ...) are not timestamp-addressable and never become bounds. None when
+    * no version qualifies (a probe before the first dated commit resolves
+    * to the table's birth at the CALLER'S choice). Metadata-only:
+    * O(versions) tiny reads, no data scan. */
+  def resolveAsOf(root: String, ts: String): Option[Long] = {
+    val latest = latestVersion(root).getOrElse(return None)
+    val tsLike = "^\\d{4}-\\d{2}-\\d{2}".r
+    (1L to latest)
+      .filter(v => versionExists(root, v) && versionMeta(root, v).exists(m =>
+        tsLike.findFirstIn(m).isDefined && m <= ts))
+      .lastOption
   }
 
   /** The current snapshot through the RIGHT read path: evolved tables

@@ -306,6 +306,16 @@ class MergeModelSpec extends AnyFunSuite {
       val after2 = spark.sql(s"SELECT k, v, tag FROM $name").collect()
         .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq.sorted
       assert(after2 == got2, "a keyed-dup MERGE must not commit")
+      // ...but a MATCHED-ONLY merge (no INSERT branch) with the same
+      // unmatched duplicates is VALID (r19 ADVICE refinement): those rows
+      // can never insert a duplicate primary key, so refusing them would
+      // reject a legal statement — the merge runs and changes nothing
+      spark.sql(s"MERGE INTO $name USING mm_dup_src3 AS s ON $name.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v").collect()
+      val after3 = spark.sql(s"SELECT k, v, tag FROM $name").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq.sorted
+      assert(after3 == got2,
+        "a matched-only MERGE with unmatched dup keys must be a no-op")
     } finally graft.plans.GraftDmlRegistry.unregister(name)
   }
 }

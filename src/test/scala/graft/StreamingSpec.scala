@@ -696,9 +696,11 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
     assert(applied == fin, s"feed does not replay to the final table " +
       s"(${applied.size} shapes vs ${fin.size})")
-    // ALTER mid-stream: the CHECKPOINT-pinned schema generation (not
-    // construction-time latest — the r18 ADVICE race) refuses the
-    // post-ALTER version loudly on resume
+    // schema tracking (r20, Delta's schemaTrackingLocation): a restart on
+    // the SAME checkpoint after an ADDITIVE ALTER re-pins to the new
+    // generation and CONTINUES — the pre-ALTER backlog serves through the
+    // m44 field-id projection (extra NULL-filled), post-ALTER versions
+    // carry their values, and the checkpointed progress is never abandoned
     import spark.implicits._
     val dir2 = java.nio.file.Files.createTempDirectory("graft_cdfalter").toString
     val root2 = s"$dir2/t"
@@ -720,14 +722,39 @@ class StreamingSpec extends AnyFunSuite {
     run("cdfalter_1") // drains v1 and pins its schema generation
     assert(spark.read.option("recursiveFileLookup", "true")
       .parquet(s"$dir2/out").count() == 6L)
+    // a PRE-ALTER backlog version the first campaign never saw...
+    SnapshotTable.append((7L to 8L).map(i => (i, i * 1.0)).toDF("k", "v"), root2)
+    // ...then the additive ALTER (v3, metadata-only)...
     val f = SnapshotTable.ensureEvoSchema(spark, root2)
     SnapshotTable.commitSchemaChange(root2,
       f :+ graft.sources.EvoField(f.map(_.id).max + 1, "extra", "bigint"),
       meta = "ALTER ADD extra")
-    val e = intercept[Exception](run("cdfalter_2"))
+    // ...and a post-ALTER append carrying the new column (v4)
+    SnapshotTable.appendEvo((9L to 9L).map(i => (i, i * 1.0, i * 10L))
+      .toDF("k", "v", "extra"), root2, SnapshotTable.ensureEvoSchema(spark, root2))
+    run("cdfalter_2") // SAME checkpoint: re-pins, serves v2 projected + v4
+    // campaign-2 files only (campaign 1's predate `extra`): columns are
+    // k, v, extra, _change_type, _n, _commit_version under the new pin
+    val tracked = spark.read.parquet(s"$dir2/out/cdfalter_2_b*")
+      .select("k", "v", "extra", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3),
+        r.getLong(4))).toSet
+    assert(tracked == Set((7L, 7.0, -1L, "insert", 2L),
+      (8L, 8.0, -1L, "insert", 2L), (9L, 9.0, 90L, "insert", 4L)),
+      s"schema-tracked resume diverged: $tracked")
+    // DROP still refuses loudly on restart — old change rows cannot be
+    // replayed without the dropped column
+    val f2 = SnapshotTable.ensureEvoSchema(spark, root2)
+    SnapshotTable.commitSchemaChange(root2, f2.filterNot(_.name == "extra"),
+      meta = "ALTER DROP extra")
+    SnapshotTable.append((10L to 10L).map(i => (i, i * 1.0)).toDF("k", "v"),
+      root2)
+    val e = intercept[Exception](run("cdfalter_3"))
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("different schema")), e.toString)
+    assert(msgs(e).exists(m => m.contains("DROP") &&
+      m.contains("FRESH checkpoint")), e.toString)
   }
 
   test("table stream admission control: maxVersionsPerBatch bounds catch-up batches under AvailableNow") {
@@ -759,6 +786,83 @@ class StreamingSpec extends AnyFunSuite {
     assert(perBatch == Seq(5L, 4L, 3L), perBatch.toString)
     assert(spark.read.option("recursiveFileLookup", "true")
       .parquet(s"$dir/out").select("k").distinct().count() == 12L)
+  }
+
+  test("CDF default admission is BOUNDED (100 versions/batch); row feed defaults unbounded; 'all' opts out") {
+    import graft.sources.{GraftTableStream, SnapshotTable}
+    import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
+    import spark.implicits._
+    // option-parse level: the change feed's default is the bounded limit
+    // (its getBatch unions one plan per version — an unbounded catch-up
+    // from version 0 of a long table is a driver-side planning bomb); the
+    // row feed stays unbounded (one plan regardless of version count) and
+    // maxVersionsPerBatch=all is the explicit opt-out
+    assert(GraftTableStream.maxVersions(Map("readChangeFeed" -> "true"))
+      .contains(GraftTableStream.DefaultCdfMaxVersionsPerBatch))
+    assert(GraftTableStream.DefaultCdfMaxVersionsPerBatch == 100)
+    assert(GraftTableStream.maxVersions(Map.empty).isEmpty)
+    assert(GraftTableStream.maxVersions(
+      Map("readChangeFeed" -> "true", "maxVersionsPerBatch" -> "all")).isEmpty)
+    assert(GraftTableStream.maxVersions(
+      Map("readChangeFeed" -> "true", "maxVersionsPerBatch" -> "7")).contains(7))
+    // source level: a live CDF source created WITHOUT the option reports
+    // the bounded default to the engine, and its latestOffset honors it
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdfadm").toString
+    val root = s"$dir/t"
+    SnapshotTable.commit(Seq((1L, 1.0)).toDF("k", "v"), root)
+    (2 to 4).foreach(i =>
+      SnapshotTable.append(Seq((i.toLong, i * 1.0)).toDF("k", "v"), root))
+    val src = new GraftTableStream().createSource(spark.sqlContext,
+      s"$dir/meta", None, "graft-table",
+      Map("path" -> root, "readChangeFeed" -> "true"))
+      .asInstanceOf[org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]
+    src.getDefaultReadLimit match {
+      case f: ReadMaxFiles =>
+        assert(f.maxFiles() == GraftTableStream.DefaultCdfMaxVersionsPerBatch)
+      case other => fail(s"expected the bounded default, got $other")
+    }
+    // a limit of 2 admits versions (0, 2] first — bounded catch-up
+    val end = src.latestOffset(null, ReadLimit.maxFiles(2))
+    assert(end.json.trim.toLong == 2L, end.toString)
+    // and the default limit admits everything here (4 < 100)
+    val end2 = src.latestOffset(null, src.getDefaultReadLimit)
+    assert(end2.json.trim.toLong == 4L, end2.toString)
+  }
+
+  test("row feed: restart after a schema change refuses at construction (pin-vs-plan guard)") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rowalter").toString
+    val root = s"$dir/t"
+    SnapshotTable.commit((1L to 4L).map(i => (i, i.toInt)).toDF("k", "v"), root)
+    def run(tag: String): Unit = {
+      val sq = spark.readStream.format("graft.sources.GraftTableStream")
+        .option("path", root).load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.write.mode("overwrite").parquet(f"$dir/out/${tag}_b$id%04d")
+          ()
+        }
+        .option("checkpointLocation", s"$dir/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+    }
+    run("row_1")
+    // a WIDENING type ALTER is metadata-only: a pre-ALTER backlog version
+    // would pass a naive per-version generation check while the restarted
+    // plan (analyzed under the CURRENT schema) binds old int rows into a
+    // bigint column by position — the r19 ADVICE finding. The restart must
+    // refuse at construction, loudly.
+    SnapshotTable.append((5L to 6L).map(i => (i, i.toInt)).toDF("k", "v"), root)
+    val f = SnapshotTable.ensureEvoSchema(spark, root)
+    SnapshotTable.commitSchemaChange(root,
+      f.map(x => if (x.name == "v") x.copy(typ = "bigint") else x),
+      meta = "ALTER widen v")
+    val e = intercept[Exception](run("row_2"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("row feed cannot re-shape") &&
+      m.contains("FRESH checkpoint")), e.toString)
   }
 
   test("CDF stream on a KEYED table emits update pre/postimage pairs across a rewrite") {

@@ -776,4 +776,103 @@ class WarehouseSpec extends AnyFunSuite {
       "a content-neutral re-layout must emit no keyed changes")
     GraftDmlRegistry.unregister(name)
   }
+
+  test("keyed-append guard: dup/NULL batch keys refuse; collisions refuse under the flag") {
+    import spark.implicits._
+    import graft.plans.GraftDmlRegistry
+    import graft.sources.SnapshotTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_keyguard").toString
+    val root = s"$dir/t"
+    val name = "keyguard_t"
+    GraftDmlRegistry.unregister(name)
+    SnapshotTable.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), root)
+    GraftDmlRegistry.registerSnapshot(name, root)
+    try {
+      spark.sql(s"ALTER TABLE $name SET KEY (k)")
+      // WITHIN-BATCH duplicate: always refuses (one O(delta) agg), and the
+      // refused version never publishes — the table is unchanged
+      val e1 = intercept[Exception](
+        spark.sql(s"INSERT INTO $name VALUES (5, 1.0), (5, 2.0)").collect())
+      assert(e1.getMessage.contains("duplicate or NULL"), e1.getMessage)
+      // NULL key: same guard (a declared key is non-null by contract) —
+      // the unlisted key column NULL-fills, which must refuse
+      val e2 = intercept[Exception](
+        spark.sql(s"INSERT INTO $name (v) VALUES (6.0)").collect())
+      assert(e2.getMessage.contains("duplicate or NULL"), e2.getMessage)
+      assert(SnapshotTable.latestVersion(root).contains(1L),
+        "a refused keyed append must not publish a version")
+      // cross-version COLLISION: the writer's contract by default (the
+      // lakehouse convention — no O(table) probe per append)...
+      spark.sql(s"INSERT INTO $name VALUES (3, 30.0)")
+      assert(SnapshotTable.latestVersion(root).contains(2L))
+      // ...and a REFUSAL under the opt-in flag, probing only key columns
+      spark.conf.set("spark.graft.validateKeyOnAppend", "true")
+      try {
+        val e3 = intercept[Exception](
+          spark.sql(s"INSERT INTO $name VALUES (2, 99.0)").collect())
+        assert(e3.getMessage.contains("EXISTING"), e3.getMessage)
+        assert(SnapshotTable.latestVersion(root).contains(2L))
+        // a non-colliding append still passes under the flag
+        spark.sql(s"INSERT INTO $name VALUES (4, 40.0)")
+        assert(SnapshotTable.latestVersion(root).contains(3L))
+      } finally spark.conf.unset("spark.graft.validateKeyOnAppend")
+      // COPY INTO rides the same guard: a landing file with an in-batch
+      // duplicate key refuses and records nothing as loaded
+      Seq((7L, 1.0), (7L, 2.0)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$dir/landing_dup")
+      val dupFile = new java.io.File(s"$dir/landing_dup").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$dir/landing"))
+      java.nio.file.Files.copy(dupFile.toPath,
+        java.nio.file.Paths.get(s"$dir/landing/${dupFile.getName}"))
+      val e4 = intercept[Exception](
+        spark.sql(s"COPY INTO $name FROM '$dir/landing'").collect())
+      assert(e4.getMessage.contains("duplicate or NULL"), e4.getMessage)
+      assert(SnapshotTable.copiedFiles(root).isEmpty,
+        "a refused COPY INTO must not record its files as loaded")
+    } finally GraftDmlRegistry.unregister(name)
+  }
+
+  test("keyed feed is not retroactive: windows starting before the declaration fall back keyless") {
+    import spark.implicits._
+    import graft.plans.GraftDmlRegistry
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("graft_keyretro")
+      .toString + "/t"
+    val name = "keyretro_t"
+    GraftDmlRegistry.unregister(name)
+    // v1 holds DUPLICATE keys — legal history, the key does not exist yet
+    SnapshotTable.commit(
+      Seq((1L, 1.0), (1L, 2.0), (2L, 5.0)).toDF("k", "v"), root)
+    // v2 rewrites to a unique-keyed state; the declaration validates v2
+    SnapshotTable.commit(Seq((1L, 3.0), (2L, 5.0)).toDF("k", "v"), root)
+    GraftDmlRegistry.registerSnapshot(name, root)
+    try {
+      spark.sql(s"ALTER TABLE $name SET KEY (k)")
+      assert(SnapshotTable.keyDeclaredAt(root) == 2L)
+      // the keyed kernel REFUSES a pre-declaration window start (duplicate
+      // keys there would fan out the key join into wrong multiplicities)
+      val e = intercept[Exception](
+        SnapshotTable.keyedChangesBetween(spark, root, 1, 2).collect())
+      assert(e.getMessage.contains("predates the key declaration"),
+        e.getMessage)
+      // ...and SQL routes that window to the KEYLESS multiset diff, whose
+      // multiplicities are exact: two (1, *) shapes deleted, one inserted
+      val f12 = spark.sql(
+        s"SELECT k, v, _change_type, _n FROM $name CHANGES BETWEEN 1 AND 2")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+          r.getLong(3))).toSet
+      assert(f12 == Set((1L, 1.0, "delete", 1L), (1L, 2.0, "delete", 1L),
+        (1L, 3.0, "insert", 1L)), f12.toString)
+      // windows starting AT/after the declaration serve keyed semantics
+      spark.sql(s"UPDATE $name SET v = v + 1 WHERE k = 2")
+      val f23 = spark.sql(
+        s"SELECT k, v, _change_type FROM $name CHANGES BETWEEN 2 AND 3")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+        .toSet
+      assert(f23 == Set((2L, 5.0, "update_preimage"),
+        (2L, 6.0, "update_postimage")), f23.toString)
+    } finally GraftDmlRegistry.unregister(name)
+  }
 }
