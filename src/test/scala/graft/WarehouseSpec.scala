@@ -834,6 +834,52 @@ class WarehouseSpec extends AnyFunSuite {
     } finally GraftDmlRegistry.unregister(name)
   }
 
+  test("CHANGES BETWEEN TIMESTAMP: hash-equals the version feed; undated/early bounds behave") {
+    import spark.implicits._
+    import graft.plans.GraftDmlRegistry
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("graft_tsfeed")
+      .toString + "/t"
+    val name = "tsfeed_t"
+    GraftDmlRegistry.unregister(name)
+    SnapshotTable.commit(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), root,
+      meta = "2024-01-01")
+    SnapshotTable.append(Seq((3L, 3.0)).toDF("k", "v"), root,
+      meta = "2024-01-02")
+    GraftDmlRegistry.registerSnapshot(name, root)
+    try {
+      // an UNDATED commit (op-tag meta, the SQL DML shape) between dated
+      // ones: never a bound itself, but covered by any later dated bound
+      spark.sql(s"INSERT INTO $name VALUES (4, 4.0)")               // v3
+      SnapshotTable.append(Seq((5L, 5.0)).toDF("k", "v"), root,
+        meta = "2024-01-04")                                         // v4
+      // resolution: ≤ 01-02 → v2 (v3's 'insert:1' is not addressable);
+      // ≤ 01-04 → v4; the window (v2, v4] therefore INCLUDES v3's rows
+      assert(SnapshotTable.resolveAsOf(root, "2024-01-02").contains(2L))
+      assert(SnapshotTable.resolveAsOf(root, "2024-01-05").contains(4L))
+      assert(SnapshotTable.resolveAsOf(root, "2023-12-31").isEmpty)
+      def rows(sql: String) = spark.sql(sql).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3)))
+        .toSet
+      val ts = rows(s"SELECT k, v, _change_type, _n FROM $name CHANGES " +
+        "BETWEEN TIMESTAMP '2024-01-02' AND TIMESTAMP '2024-01-04'")
+      val vers = rows(
+        s"SELECT k, v, _change_type, _n FROM $name CHANGES BETWEEN 2 AND 4")
+      assert(ts == vers && ts == Set((4L, 4.0, "insert", 1L),
+        (5L, 5.0, "insert", 1L)), s"ts=$ts vers=$vers")
+      // a start bound before the first dated commit = the table's birth
+      val birth = rows(s"SELECT k, v, _change_type, _n FROM $name CHANGES " +
+        "BETWEEN TIMESTAMP '2023-12-31' AND TIMESTAMP '2024-01-01'")
+      assert(birth == Set((1L, 1.0, "insert", 1L), (2L, 2.0, "insert", 1L)),
+        birth.toString)
+      // an END bound no dated version satisfies refuses loudly
+      val e = intercept[Exception](spark.sql(
+        s"SELECT * FROM $name CHANGES BETWEEN TIMESTAMP '2023-01-01' " +
+          "AND TIMESTAMP '2023-06-01'").collect())
+      assert(e.getMessage.contains("no version"), e.getMessage)
+    } finally GraftDmlRegistry.unregister(name)
+  }
+
   test("keyed feed is not retroactive: windows starting before the declaration fall back keyless") {
     import spark.implicits._
     import graft.plans.GraftDmlRegistry
