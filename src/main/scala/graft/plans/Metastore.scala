@@ -180,9 +180,12 @@ object GraftMetastore {
 
   private def withCatalogLock[T](catalogFile: Path)(body: => T): T = {
     val dir = catalogFile.getParent
-    writeLocks.computeIfAbsent(dir.toAbsolutePath.normalize.toString,
+    Files.createDirectories(dir)
+    // toRealPath, not normalize: two spellings of one PHYSICAL dir (a
+    // symlink vs its target) must share one monitor, or two same-JVM
+    // threads would race into OverlappingFileLockException on the file lock
+    writeLocks.computeIfAbsent(dir.toRealPath().toString,
       _ => new Object).synchronized {
-      Files.createDirectories(dir)
       val ch = java.nio.channels.FileChannel.open(
         dir.resolve(".catalog.lock"),
         java.nio.file.StandardOpenOption.CREATE,

@@ -245,6 +245,22 @@ case class GraftDeleteCommand(root: String, whereSql: Option[String])
   *    default — the lakehouse convention keeps cross-version uniqueness
   *    the writer's contract). */
 private[plans] object GraftKeyedAppendGuard {
+  /** [[check]], discarding the staged version on refusal: an unswapped
+    * version is invisible to LATEST readers but its manifest is still
+    * addressable by explicit version number — a `CHANGES BETWEEN` right
+    * after a refused INSERT must not serve the very rows the guard
+    * refused. The staged-read plan is re-bound by path, so the discard
+    * must not race the check — the refusal collects first. */
+  def checkOrDiscard(spark: SparkSession, root: String, v: Long,
+      staged: org.apache.spark.sql.DataFrame, verb: String): Unit =
+    try check(spark, root, staged, verb)
+    catch {
+      case e: Throwable =>
+        try SnapshotTable.discardStaged(root, v)
+        catch { case d: Throwable => e.addSuppressed(d) }
+        throw e
+    }
+
   def check(spark: SparkSession, root: String,
       staged: org.apache.spark.sql.DataFrame, verb: String): Unit =
     SnapshotTable.declaredKey(root).foreach { keys =>
@@ -309,7 +325,7 @@ case class GraftInsertCommand(root: String, cols: Seq[String],
     // staged delta files' footer count, attached before the flip
     val v = SnapshotTable.appendPrepare(aligned, root)
     val staged = spark.read.schema(t.schema).parquet(s"$root/data/v$v")
-    GraftKeyedAppendGuard.check(spark, root, staged, "INSERT")
+    GraftKeyedAppendGuard.checkOrDiscard(spark, root, v, staged, "INSERT")
     val n = staged.count()
     SnapshotTable.attachMeta(root, v, s"insert:$n")
     SnapshotTable.swap(root, v)
@@ -574,7 +590,7 @@ case class GraftCopyIntoCommand(root: String, fromDir: String)
     // comes from the staged files' footers; ledger + meta land before swap
     val v = SnapshotTable.appendPrepare(df, root)
     val staged = spark.read.schema(target.schema).parquet(s"$root/data/v$v")
-    GraftKeyedAppendGuard.check(spark, root, staged, "COPY INTO")
+    GraftKeyedAppendGuard.checkOrDiscard(spark, root, v, staged, "COPY INTO")
     val n = staged.count()
     SnapshotTable.writeCopiedSidecar(root, v, fresh)
     SnapshotTable.attachMeta(root, v, s"copy:$n")
@@ -1641,28 +1657,33 @@ object GraftSqlParser {
     // logical-timestamp machinery (the highest version whose commit meta
     // records a date ≤ the bound; a start bound before the first dated
     // commit is the table's birth) and rewrites to the version form, which
-    // the code-segment pass below serves — keyed routing included. Runs on
-    // the RAW text because the bounds ARE string literals (the segment
-    // mapper deliberately skips literals); the pattern is anchored on a
-    // registered name + the full CHANGES grammar, so collisions with
-    // ordinary literals are not reachable from well-formed SQL.
-    var pre = sql
-    names.foreach { name =>
-      if (pre.toLowerCase.contains(name)) {
-        val root = GraftDmlRegistry.rootOf(name).get
-        val tPat = ("(?i)\\b" + Regex.quote(name) +
-          "\\s+CHANGES\\s+BETWEEN\\s+TIMESTAMP\\s+'([^']*)'\\s+AND" +
-          "\\s+TIMESTAMP\\s+'([^']*)'").r
-        pre = tPat.replaceAllIn(pre, m => {
-          val v1 = SnapshotTable.resolveAsOf(root, m.group(1)).getOrElse(0L)
-          val v2 = SnapshotTable.resolveAsOf(root, m.group(2)).getOrElse(
-            throw new IllegalArgumentException(
-              s"CHANGES BETWEEN TIMESTAMP: no version of $name committed " +
-                s"at or before '${m.group(2)}' (commit metadata carries " +
-                "the logical timestamps — the m14 convention)"))
-          s"$name CHANGES BETWEEN $v1 AND $v2"
-        })
+    // the code-segment pass below serves — keyed routing included. Runs
+    // through mapOutsideComments, not mapCodeSegments, because the bounds
+    // ARE string literals (the code-segment mapper skips them) while the
+    // grammar inside a `--`/`/* */` comment must stay inert; a plain
+    // literal CONTAINING the full registered-name + CHANGES grammar
+    // remains the one accepted collision (unreachable without quoting the
+    // grammar verbatim inside a string).
+    val pre = mapOutsideComments(sql) { region =>
+      var out = region
+      names.foreach { name =>
+        if (out.toLowerCase.contains(name)) {
+          val root = GraftDmlRegistry.rootOf(name).get
+          val tPat = ("(?i)\\b" + Regex.quote(name) +
+            "\\s+CHANGES\\s+BETWEEN\\s+TIMESTAMP\\s+'([^']*)'\\s+AND" +
+            "\\s+TIMESTAMP\\s+'([^']*)'").r
+          out = tPat.replaceAllIn(out, m => {
+            val v1 = SnapshotTable.resolveAsOf(root, m.group(1)).getOrElse(0L)
+            val v2 = SnapshotTable.resolveAsOf(root, m.group(2)).getOrElse(
+              throw new IllegalArgumentException(
+                s"CHANGES BETWEEN TIMESTAMP: no version of $name committed " +
+                  s"at or before '${m.group(2)}' (commit metadata carries " +
+                  "the logical timestamps — the m14 convention)"))
+            s"$name CHANGES BETWEEN $v1 AND $v2"
+          })
+        }
       }
+      out
     }
     mapCodeSegments(pre) { code =>
       var out = code
@@ -1734,6 +1755,36 @@ object GraftSqlParser {
         val e = sql.indexOf("*/", i) match { case -1 => sql.length; case x => x + 2 }
         out.append(sql.substring(i, e)); i = e
       } else { code.append(c); i += 1 }
+    }
+    flush()
+    out.toString
+  }
+
+  /** Apply `f` to each NON-COMMENT region of a SQL text — literals stay
+    * INSIDE the region (unlike [[mapCodeSegments]]), which is what the
+    * `CHANGES BETWEEN TIMESTAMP '...'` pre-pass needs: its bounds ARE
+    * string literals, but the grammar inside a `--`/`/* */` comment must
+    * stay inert. Literals are still tracked (a `--` inside one is not a
+    * comment start). */
+  private[plans] def mapOutsideComments(sql: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val region = new StringBuilder
+    def flush(): Unit = { out.append(f(region.toString)); region.clear() }
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        val e = endOfLiteral(sql, i)
+        region.append(sql.substring(i, e)); i = e
+      } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        flush()
+        val e = sql.indexOf('\n', i) match { case -1 => sql.length; case x => x }
+        out.append(sql.substring(i, e)); i = e
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        flush()
+        val e = sql.indexOf("*/", i) match { case -1 => sql.length; case x => x + 2 }
+        out.append(sql.substring(i, e)); i = e
+      } else { region.append(c); i += 1 }
     }
     flush()
     out.toString

@@ -209,10 +209,16 @@ private[sources] class GraftTableStreamSource(ctx: SQLContext, root: String,
       val latest = SnapshotTable.latestVersion(root).getOrElse(pin)
       val pinGen = SnapshotTable.schemaAt(root, pin)
       val curGen = SnapshotTable.schemaAt(root, latest)
-      lazy val sameShape = pinGen == curGen &&
-        (pin == latest || SnapshotTable.readVersionCurrent(spark, root, pin)
-          .schema == SnapshotTable.readVersionCurrent(spark, root, latest)
-          .schema)
+      // equal DEFINED generations pin names/types by construction — only
+      // metadata-less plain tables need the structural footer comparison
+      // (a recommit can reshape them without any sidecar changing)
+      lazy val sameShape = (pinGen, curGen) match {
+        case (Some(a), Some(b)) => a == b
+        case (None, None) => pin == latest ||
+          SnapshotTable.readVersionCurrent(spark, root, pin).schema ==
+            SnapshotTable.readVersionCurrent(spark, root, latest).schema
+        case _ => false
+      }
       if (sameShape) pin
       else if (!cdf) throw new IllegalStateException(
         s"graft table stream: the schema of $root changed since this " +
@@ -342,7 +348,17 @@ private[sources] class GraftTableStreamSource(ctx: SQLContext, root: String,
             "stream cannot re-shape its plan; restart the stream on the " +
             "SAME checkpoint (additive schema changes re-pin and continue)")
         (gen, startSchemaGen) match {
-          case (Some(_), Some(target)) =>
+          case (Some(from), Some(target)) =>
+            // the backlog projection is gated the same way as the re-pin:
+            // a version whose evolution to the pinned generation crosses a
+            // DROP/narrowing cannot be replayed — projecting it would
+            // silently lose (or lossily cast) the affected column
+            SnapshotTable.evolutionRefusal(from, target).foreach(r =>
+              throw new IllegalStateException(
+                s"graft table stream: version $v of $root was committed " +
+                  s"under a schema whose evolution to the stream's pinned " +
+                  s"generation crosses a $r — its change rows cannot be " +
+                  "replayed; start past the change with startingVersion"))
             SnapshotTable.projectFeedTo(raw, root, v, target)
           case _ => throw new IllegalStateException(
             s"graft table stream: version $v of $root predates the " +

@@ -1319,6 +1319,30 @@ object SnapshotTable {
     } ++ Seq(col("_change_type"), col("_n")): _*)
   }
 
+  /** Discard a STAGED (never swapped) version — the cleanup a REFUSED
+    * write runs (e.g. the keyed-append guard): although an unswapped
+    * version is invisible to LATEST-following readers, its manifest IS
+    * addressable by explicit version (`CHANGES BETWEEN`, `VERSION AS OF`),
+    * so leaving it would let a version-addressed read serve rows a guard
+    * just refused. Deletes the manifest first (the version stops
+    * resolving), then sidecars and the staged data dir. Refuses to touch
+    * published versions. */
+  def discardStaged(root: String, v: Long): Unit = {
+    require(latestVersion(root).getOrElse(0L) < v,
+      s"discardStaged: v$v is published at $root")
+    Files.deleteIfExists(snapDir(root).resolve(s"v$v.manifest"))
+    clearStaleSidecars(root, v)
+    val d = Paths.get(root, "data", s"v$v")
+    if (Files.exists(d)) {
+      def walk(p: Path): Seq[Path] =
+        if (Files.isDirectory(p))
+          Files.list(p).iterator().asScala.toSeq.flatMap(walk) :+ p
+        else Seq(p)
+      walk(d).foreach(Files.deleteIfExists)
+    }
+    ()
+  }
+
   /** Resolve a LOGICAL timestamp to the highest live version whose commit
     * metadata records a timestamp ≤ the probe — the m14 time-travel
     * machinery, shared by `CHANGES BETWEEN TIMESTAMP ... AND TIMESTAMP ...`
@@ -1331,8 +1355,14 @@ object SnapshotTable {
     * to the table's birth at the CALLER'S choice). Metadata-only:
     * O(versions) tiny reads, no data scan. */
   def resolveAsOf(root: String, ts: String): Option[Long] = {
-    val latest = latestVersion(root).getOrElse(return None)
     val tsLike = "^\\d{4}-\\d{2}-\\d{2}".r
+    // the probe itself must be a zero-padded ISO date/timestamp — the
+    // comparison is lexicographic, so a malformed bound ('banana',
+    // '2024-1-2') would silently misorder instead of failing
+    require(tsLike.findFirstIn(ts).isDefined,
+      s"resolveAsOf: '$ts' is not a logical timestamp (expected " +
+        "YYYY-MM-DD[...], the m14 convention)")
+    val latest = latestVersion(root).getOrElse(return None)
     (1L to latest)
       .filter(v => versionExists(root, v) && versionMeta(root, v).exists(m =>
         tsLike.findFirstIn(m).isDefined && m <= ts))

@@ -755,6 +755,22 @@ class StreamingSpec extends AnyFunSuite {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(m => m.contains("DROP") &&
       m.contains("FRESH checkpoint")), e.toString)
+    // and a FRESH checkpoint from version 0 refuses as well: the pre-DROP
+    // backlog cannot be PROJECTED to the pinned post-DROP generation either
+    // (the projection is gated by the same additivity check as the re-pin)
+    val e2 = intercept[Exception] {
+      val sq = spark.readStream.format("graft.sources.GraftTableStream")
+        .option("path", root2).option("readChangeFeed", "true").load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.write.mode("overwrite").parquet(f"$dir2/out_fresh/b$id%04d")
+          ()
+        }
+        .option("checkpointLocation", s"$dir2/ck_fresh")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+    }
+    assert(msgs(e2).exists(_.contains("DROP")), e2.toString)
   }
 
   test("table stream admission control: maxVersionsPerBatch bounds catch-up batches under AvailableNow") {

@@ -794,6 +794,11 @@ class WarehouseSpec extends AnyFunSuite {
       val e1 = intercept[Exception](
         spark.sql(s"INSERT INTO $name VALUES (5, 1.0), (5, 2.0)").collect())
       assert(e1.getMessage.contains("duplicate or NULL"), e1.getMessage)
+      // the refused version is DISCARDED, not just unswapped: a staged
+      // manifest would still be addressable by explicit version number
+      // (CHANGES BETWEEN / VERSION AS OF), serving the refused rows
+      assert(!SnapshotTable.versionExists(root, 2L),
+        "a refused keyed append must discard its staged manifest")
       // NULL key: same guard (a declared key is non-null by contract) —
       // the unlisted key column NULL-fills, which must refuse
       val e2 = intercept[Exception](
@@ -877,6 +882,19 @@ class WarehouseSpec extends AnyFunSuite {
         s"SELECT * FROM $name CHANGES BETWEEN TIMESTAMP '2023-01-01' " +
           "AND TIMESTAMP '2023-06-01'").collect())
       assert(e.getMessage.contains("no version"), e.getMessage)
+      // a MALFORMED bound refuses instead of silently misordering the
+      // lexicographic comparison
+      val e2 = intercept[Exception](spark.sql(
+        s"SELECT * FROM $name CHANGES BETWEEN TIMESTAMP 'banana' " +
+          "AND TIMESTAMP 'zzz'").collect())
+      assert(e2.getMessage.contains("not a logical timestamp"), e2.getMessage)
+      // the grammar inside a COMMENT is inert (the pre-pass maps only
+      // non-comment regions) — this end bound would refuse if resolved
+      val n = spark.sql(
+        s"SELECT count(*) AS n FROM $name\n-- $name CHANGES BETWEEN " +
+          "TIMESTAMP '2023-01-01' AND TIMESTAMP '2023-06-01'\n")
+        .head().getLong(0)
+      assert(n == 5L, s"commented grammar must stay inert (n=$n)")
     } finally GraftDmlRegistry.unregister(name)
   }
 
