@@ -1865,6 +1865,45 @@ object WarehouseQueries extends QueryModule {
       roll("t1_t3", "2024-01-01", "2024-01-05")
         .unionByName(roll("t0_t2", "2023-12-31", "2024-01-02"))
         .orderBy("phase", "change_type")
+    }),
+
+    // M47: `t TIMESTAMP AS OF 'ts'` IN SQL — the read-side twin of the m46
+    // feed (Delta's timestamp time travel; m14 proved the resolution
+    // machinery as a library pattern, this makes it a SQL verb): the bound
+    // resolves to the highest version whose commit metadata records a
+    // logical date ≤ the probe (O(versions) tiny meta reads, no data
+    // scan), then reads that snapshot through the ordinary VERSION AS OF
+    // path — evolution-aware, any table size. A probe BEFORE the first
+    // dated commit refuses (no snapshot to read — unlike a feed's start
+    // bound, where the table's birth is a valid window edge; the spec pins
+    // the refusal). Probes at, between, and past the commit dates grade
+    // the ≤ semantics.
+    "m47_sql_timestamp_as_of" -> ((s, dir) => {
+      import graft.plans.GraftDmlRegistry
+      import graft.sources.SnapshotTable
+      val t = Tables(s, dir)
+      val key = Tables.pathKey(dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_m47t_$key"
+      def rmrf(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(root))
+      val name = s"m47t_$key"
+      GraftDmlRegistry.unregister(name)
+      val src = t.orders.select(col("o_orderkey"), col("o_totalprice"))
+      SnapshotTable.commit(src.filter(col("o_orderkey") % 4 === 0), root,
+        meta = "2024-01-01")                                           // v1
+      SnapshotTable.commit(src.filter(col("o_orderkey") % 2 === 0), root,
+        meta = "2024-01-02")                                           // v2
+      SnapshotTable.commit(src, root, meta = "2024-01-03")             // v3
+      GraftDmlRegistry.registerSnapshot(name, root)
+      def probe(ts: String) = s.sql(
+        s"SELECT '$ts' AS as_of, count(*) AS n_rows, " +
+          "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) " +
+          s"AS revenue FROM $name TIMESTAMP AS OF '$ts'")
+      probe("2024-01-01").unionByName(probe("2024-01-02"))
+        .unionByName(probe("2024-01-05"))
+        .orderBy("as_of")
     })
   )
 
@@ -2665,6 +2704,21 @@ object WarehouseQueries extends QueryModule {
         "AS revenue FROM a " +
         "UNION ALL SELECT 't0_t2', 'insert', count(*), count(*), " +
         "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) " +
-        "FROM b) ORDER BY phase, change_type")
+        "FROM b) ORDER BY phase, change_type"),
+
+    // timestamp time travel replays from the raw facts: ≤ 01-01 reads the
+    // %4 slice (v1), ≤ 01-02 the %2 slice (v2), and 01-05 (past every
+    // commit) the full table (v3)
+    "m47_sql_timestamp_as_of" ->
+      ("SELECT * FROM (" +
+        "SELECT '2024-01-01' AS as_of, count(*) AS n_rows, " +
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) " +
+        "AS revenue FROM orders WHERE o_orderkey % 4 = 0 " +
+        "UNION ALL SELECT '2024-01-02', count(*), " +
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) " +
+        "FROM orders WHERE o_orderkey % 2 = 0 " +
+        "UNION ALL SELECT '2024-01-05', count(*), " +
+        "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) " +
+        "FROM orders) ORDER BY as_of")
   )
 }

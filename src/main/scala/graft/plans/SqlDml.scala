@@ -1669,6 +1669,22 @@ object GraftSqlParser {
       names.foreach { name =>
         if (out.toLowerCase.contains(name)) {
           val root = GraftDmlRegistry.rootOf(name).get
+          // `t TIMESTAMP AS OF 'ts'` — timestamp time travel (Delta's
+          // read-side twin of the m46 feed): resolve to a version through
+          // the same m14 machinery and rewrite to the VERSION AS OF form
+          // the code-segment pass serves; a probe before the first dated
+          // commit refuses (there is no snapshot to read — unlike a feed's
+          // start bound, where the table's birth is a valid window edge)
+          val aPat = ("(?i)\\b" + Regex.quote(name) +
+            "\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']*)'").r
+          out = aPat.replaceAllIn(out, m => {
+            val v = SnapshotTable.resolveAsOf(root, m.group(1)).getOrElse(
+              throw new IllegalArgumentException(
+                s"TIMESTAMP AS OF: no version of $name committed at or " +
+                  s"before '${m.group(1)}' (commit metadata carries the " +
+                  "logical timestamps — the m14 convention)"))
+            s"$name VERSION AS OF $v"
+          })
           val tPat = ("(?i)\\b" + Regex.quote(name) +
             "\\s+CHANGES\\s+BETWEEN\\s+TIMESTAMP\\s+'([^']*)'\\s+AND" +
             "\\s+TIMESTAMP\\s+'([^']*)'").r

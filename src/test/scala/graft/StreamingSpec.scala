@@ -920,6 +920,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally graft.plans.GraftDmlRegistry.unregister(name)
   }
 
+  test("keyed CDF stream tracks an additive ALTER across a restart (m43×m44×i30)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdfkeyedevo").toString
+    val root = s"$dir/t"
+    val name = "cdfkeyedevo_t"
+    graft.plans.GraftDmlRegistry.unregister(name)
+    SnapshotTable.commit(
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"), root)
+    graft.plans.GraftDmlRegistry.registerSnapshot(name, root)
+    try {
+      spark.sql(s"ALTER TABLE $name SET KEY (k)")
+      def run(tag: String): Unit = {
+        val sq = spark.readStream.format("graft.sources.GraftTableStream")
+          .option("path", root).option("readChangeFeed", "true").load()
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            df.write.mode("overwrite").parquet(f"$dir/out/${tag}_b$id%04d")
+            ()
+          }
+          .option("checkpointLocation", s"$dir/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        sq.awaitTermination()
+      }
+      run("c1") // drains v1
+      // an UNDRAINED keyed rewrite (v2), then the additive ALTER (v3) and
+      // a post-ALTER keyed insert carrying the new column (v4)
+      spark.sql(s"UPDATE $name SET v = v * 2 WHERE k > 98")        // v2
+      spark.sql(s"ALTER TABLE $name ADD COLUMN note string")        // v3
+      spark.sql(s"INSERT INTO $name VALUES (101, 101.0, 'new')")    // v4
+      run("c2") // SAME checkpoint: re-pins, keyed backlog projects, keyed
+                // post-ALTER insert carries its column
+      val c2 = spark.read.parquet(s"$dir/out/c2_b*")
+        .select("k", "v", "note", "_change_type", "_commit_version")
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          Option(r.getString(2)).getOrElse("-"), r.getString(3),
+          r.getLong(4))).toSet
+      val want = (99L to 100L).flatMap(k => Seq(
+        (k, k * 1.0, "-", "update_preimage", 2L),
+        (k, k * 2.0, "-", "update_postimage", 2L))).toSet ++
+        Set((101L, 101.0, "new", "insert", 4L))
+      assert(c2 == want, s"keyed tracked resume diverged: $c2")
+    } finally graft.plans.GraftDmlRegistry.unregister(name)
+  }
+
   test("i28 sharded ANN serving: disjoint shards, concurrent queries, i24-identical answer") {
     val sharded = SparkEntry.queries("i28_stream_ann_shard_serve")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq

@@ -895,6 +895,18 @@ class WarehouseSpec extends AnyFunSuite {
           "TIMESTAMP '2023-01-01' AND TIMESTAMP '2023-06-01'\n")
         .head().getLong(0)
       assert(n == 5L, s"commented grammar must stay inert (n=$n)")
+      // TIMESTAMP AS OF (m47): ≤-semantics — the undated v3 is not
+      // timestamp-addressable itself (AS OF 01-03 reads v2's 3 rows), and
+      // becomes visible through the NEXT dated version (AS OF 01-04 reads
+      // v4's snapshot, v3's row included); a probe before the first dated
+      // commit refuses — there is no snapshot to read
+      assert(spark.sql(s"SELECT count(*) AS n FROM $name " +
+        "TIMESTAMP AS OF '2024-01-03'").head().getLong(0) == 3L)
+      assert(spark.sql(s"SELECT count(*) AS n FROM $name " +
+        "TIMESTAMP AS OF '2024-01-04'").head().getLong(0) == 5L)
+      val e3 = intercept[Exception](spark.sql(
+        s"SELECT * FROM $name TIMESTAMP AS OF '2023-01-01'").collect())
+      assert(e3.getMessage.contains("no version"), e3.getMessage)
     } finally GraftDmlRegistry.unregister(name)
   }
 
