@@ -40,7 +40,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *
   * `option("startingVersion", v)` begins after version v (default 0 = the
   * table's full history, v1 included); starting at the current version
-  * tails only future commits. `option("maxVersionsPerBatch", n)` is the
+  * tails only future commits. `option("startingTimestamp", ts)` resolves
+  * the logical timestamp to the as-of version through the commit-metadata
+  * machinery (the m14 convention) and begins after THAT snapshot — a
+  * timestamp before the first dated commit is the table's birth. `option("maxVersionsPerBatch", n)` is the
   * backpressure knob (Delta's maxFilesPerTrigger analog): the source
   * implements SupportsAdmissionControl + SupportsTriggerAvailableNow (the
   * FileStreamSource discipline), so catch-up over a long history runs in
@@ -100,11 +103,22 @@ class GraftTableStream extends StreamSourceProvider with DataSourceRegister {
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
-    new GraftTableStreamSource(ctx, root(parameters),
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      parameters: Map[String, String]): Source = {
+    val r = root(parameters)
+    // `startingTimestamp` (Delta's analog, r20): resolve the logical
+    // timestamp to the as-of version through the m14 commit-metadata
+    // machinery and tail changes committed AFTER that snapshot — the same
+    // exclusive-start-bound semantics as `CHANGES BETWEEN`'s first bound
+    // (a timestamp before the first dated commit is the table's birth,
+    // i.e. the full history). Ignored when startingVersion is given.
+    val startVer = parameters.get("startingVersion").map(_.toLong)
+      .orElse(parameters.get("startingTimestamp").map(ts =>
+        SnapshotTable.resolveAsOf(r, ts).getOrElse(0L)))
+      .getOrElse(0L)
+    new GraftTableStreamSource(ctx, r, startVer,
       isCdf(parameters), metadataPath,
       GraftTableStream.maxVersions(parameters))
+  }
 }
 
 object GraftTableStream {

@@ -804,6 +804,38 @@ class StreamingSpec extends AnyFunSuite {
       .parquet(s"$dir/out").select("k").distinct().count() == 12L)
   }
 
+  test("startingTimestamp tails changes committed after the as-of snapshot") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsstart").toString
+    val root = s"$dir/t"
+    SnapshotTable.commit((1L to 3L).map(i => (i, "d1")).toDF("k", "tag"), root,
+      meta = "2024-01-01")
+    SnapshotTable.append((4L to 5L).map(i => (i, "d2")).toDF("k", "tag"), root,
+      meta = "2024-01-02")
+    SnapshotTable.append((6L to 6L).map(i => (i, "d3")).toDF("k", "tag"), root,
+      meta = "2024-01-03")
+    // as-of 01-01 = v1: the stream tails v2+v3 only (exclusive start
+    // bound, the CHANGES BETWEEN convention)
+    val q = spark.readStream.format("graft.sources.GraftTableStream")
+      .option("path", root).option("startingTimestamp", "2024-01-01").load()
+      .writeStream.format("memory").queryName("tsstart_tail")
+      .option("checkpointLocation", s"$dir/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("tsstart_tail").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((4L, "d2"), (5L, "d2"), (6L, "d3")), got.toString)
+    // a timestamp before the first dated commit = the table's birth
+    val q2 = spark.readStream.format("graft.sources.GraftTableStream")
+      .option("path", root).option("startingTimestamp", "2023-12-31").load()
+      .writeStream.format("memory").queryName("tsstart_birth")
+      .option("checkpointLocation", s"$dir/ck2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.table("tsstart_birth").count() == 6L)
+  }
+
   test("CDF default admission is BOUNDED (100 versions/batch); row feed defaults unbounded; 'all' opts out") {
     import graft.sources.{GraftTableStream, SnapshotTable}
     import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
