@@ -137,7 +137,19 @@ object GraftTableStream {
     parameters.get("maxVersionsPerBatch") match {
       case Some(s) if s.equalsIgnoreCase("all") ||
         s.equalsIgnoreCase("allAvailable") => None
-      case Some(s) => Some(s.toInt)
+      case Some(s) =>
+        // a non-positive bound would make latestOffset return null on
+        // every trigger — a stream that silently stalls forever; refuse
+        // at construction with the option named (Delta validates
+        // maxFilesPerTrigger the same way)
+        val n = try s.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft table stream: maxVersionsPerBatch must be a positive " +
+              s"integer or 'all' (got '$s')")
+        }
+        require(n > 0, "graft table stream: maxVersionsPerBatch must be " +
+          s"a positive integer or 'all' (got $n)")
+        Some(n)
       case None if parameters.get("readChangeFeed")
         .exists(_.equalsIgnoreCase("true")) =>
         Some(DefaultCdfMaxVersionsPerBatch)
@@ -200,13 +212,17 @@ private[sources] class GraftTableStreamSource(ctx: SQLContext, root: String,
       s".graft.schema.pin.tmp.${System.nanoTime()}")
     val out = pinFs.create(tmp, true)
     try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
-    // an existing pin blocks the rename — clear it first (fresh start: a
-    // blank legacy pin means no batch was served; re-pin: the tracking
-    // path replaces the old generation deliberately)
-    if (pinFs.exists(pinPath)) pinFs.delete(pinPath, false)
+    // RENAME FIRST: on filesystems whose rename overwrites this is the
+    // whole swap; only when it refuses (an existing pin on a
+    // no-overwrite filesystem) delete-and-retry — which shrinks the
+    // no-pin crash window of a tracking RE-pin to that retry path alone
+    // (a fresh start has no existing pin, so its swap stays atomic)
     if (!pinFs.rename(tmp, pinPath)) {
-      // lost a (theoretical) race to another starter: their pin wins
-      pinFs.delete(tmp, false)
+      if (pinFs.exists(pinPath)) pinFs.delete(pinPath, false)
+      if (!pinFs.rename(tmp, pinPath)) {
+        // lost a (theoretical) race to another starter: their pin wins
+        pinFs.delete(tmp, false)
+      }
     }
     ()
   }
@@ -272,16 +288,14 @@ private[sources] class GraftTableStreamSource(ctx: SQLContext, root: String,
       .add("_commit_version", LongType)
     else baseSchema
 
-  private def versionOf(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json.trim.toLong // SerializedOffset from a restart
-  }
-
-  private def versionOfV2(
+  /** The version a (V1 or connector) offset denotes — the V1 streaming
+    * Offset extends the connector one, so one decoder serves both the
+    * getBatch and the admission-control paths. */
+  private def versionOf(
       o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
     o match {
       case l: LongOffset => l.offset
-      case other => other.json.trim.toLong
+      case other => other.json.trim.toLong // SerializedOffset from a restart
     }
 
   // ADMISSION CONTROL (r19): the engine drives this source through
@@ -309,7 +323,7 @@ private[sources] class GraftTableStreamSource(ctx: SQLContext, root: String,
       startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset = {
-    val start = Option(startOffset).map(versionOfV2).getOrElse(startingVersion)
+    val start = Option(startOffset).map(versionOf).getOrElse(startingVersion)
     val latestNow = SnapshotTable.latestVersion(root).getOrElse(startingVersion)
     val capped = availableNowCap.fold(latestNow)(math.min(latestNow, _))
     val end = limit match {
@@ -423,6 +437,21 @@ private[sources] class GraftTableStreamSource(ctx: SQLContext, root: String,
               "different schema than the stream started with — a stream " +
               "cannot re-shape emitted rows; restart it (startingVersion) " +
               "after the schema change")
+        }
+        // PLAIN table (no field-id metadata): the generation check above
+        // is vacuous (None == None), so a reshaped append must be caught
+        // from the delta FOOTERS — a forced-schema read would silently
+        // NULL-fill renamed/missing columns into emitted rows
+        if (startSchemaGen.isEmpty && delta.nonEmpty) {
+          val ft = spark.read.option("mergeSchema", "true")
+            .parquet(delta.map(SnapshotTable.resolveEntry(root, _)): _*)
+            .schema.fields.map(f => f.name -> f.dataType).toMap
+          val want = baseSchema.fields.map(f => f.name -> f.dataType).toMap
+          require(ft == want,
+            s"graft table stream: versions ($v1, $v2] of $root carry files " +
+              "whose physical schema differs from the stream's — the table " +
+              "was reshaped without field-id evolution metadata; restart " +
+              "with a fresh checkpoint past the schema change")
         }
         if (delta.isEmpty) spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), schema)

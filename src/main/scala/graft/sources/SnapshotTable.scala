@@ -51,6 +51,14 @@ object SnapshotTable {
 
   private def snapDir(root: String): Path = Paths.get(root, "_snapshots")
 
+  /** Children of `p`, stream CLOSED on exit — every directory walk must
+    * use this (an unclosed `Files.list` leaks a file descriptor per call;
+    * a long-lived driver expiring per micro-batch would hit EMFILE). */
+  private def listDir(p: Path): Seq[Path] = {
+    val st = Files.list(p)
+    try st.iterator().asScala.toSeq finally st.close()
+  }
+
   /** Clear abandoned per-version sidecars before (re)staging version `v`.
     * A writer that crashed between staging and [[swap]] can leave
     * `v<N>.meta` / `v<N>.schema` / `v<N>.copied` behind; a LATER statement
@@ -359,13 +367,24 @@ object SnapshotTable {
           s"snapshot v$v already reserved or committed at $root — " +
             "re-read the current snapshot and rebase")
     }
-    require(latestVersion(root).getOrElse(0L) == baseVersion,
-      s"base $baseVersion is not the current version — rebase")
-    val staged = prepare(df, root, meta)
-    // prepare derives latest+1 == v because the reservation serialized us
-    require(staged == v, s"staged v$staged but reserved v$v")
-    swap(root, v)
-    v
+    // any failure AFTER the reservation (stale base, a failed Spark write)
+    // must release it — otherwise this writer's own RETRY deadlocks on its
+    // own reservation with a misleading 'rebase' error, and the version
+    // slot stays blocked until a manual releaseStaleReservation
+    try {
+      require(latestVersion(root).getOrElse(0L) == baseVersion,
+        s"base $baseVersion is not the current version — rebase")
+      val staged = prepare(df, root, meta)
+      // prepare derives latest+1 == v because the reservation serialized us
+      require(staged == v, s"staged v$staged but reserved v$v")
+      swap(root, v)
+      v
+    } catch {
+      case e: Throwable =>
+        try Files.deleteIfExists(snapDir(root).resolve(s"v$v.reserved"))
+        catch { case d: Throwable => e.addSuppressed(d) }
+        throw e
+    }
   }
 
   /** Recovery for a CAS writer that crashed between reserve and swap:
@@ -443,7 +462,7 @@ object SnapshotTable {
     // are always > latest) are never touched.
     val dataRoot = Paths.get(root, "data")
     if (Files.exists(dataRoot)) {
-      Files.list(dataRoot).iterator().asScala
+      listDir(dataRoot)
         .filter(d => d.getFileName.toString.matches("v\\d+") &&
           d.getFileName.toString.stripPrefix("v").toLong < cutoff &&
           !stillReferenced.exists(_.startsWith(s"data/${d.getFileName}/")))
@@ -453,8 +472,7 @@ object SnapshotTable {
           // .crc sidecars appear in no manifest — a flat list would throw
           // DirectoryNotEmptyException and abort the vacuum half-swept
           def walk(p: Path): Seq[Path] =
-            if (Files.isDirectory(p))
-              Files.list(p).iterator().asScala.toSeq.flatMap(walk) :+ p
+            if (Files.isDirectory(p)) listDir(p).flatMap(walk) :+ p
             else Seq(p)
           walk(d).foreach(Files.deleteIfExists)
         }
@@ -515,7 +533,7 @@ object SnapshotTable {
     df.repartition(cols.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("overwrite").partitionBy(cols: _*).parquet(dataDir.toString)
     def rec(p: Path): Seq[Path] =
-      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.toSeq.flatMap(rec)
+      if (Files.isDirectory(p)) listDir(p).flatMap(rec)
       else Seq(p)
     val added = rec(dataDir)
       .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -602,12 +620,11 @@ object SnapshotTable {
     // hold Spark's _temporary/ tree from a mid-write crash — a flat list
     // would abort on DirectoryNotEmptyException half-swept
     def walk(p: Path): Seq[Path] =
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.toSeq.flatMap(walk) :+ p
+      if (Files.isDirectory(p)) listDir(p).flatMap(walk) :+ p
       else Seq(p)
     val dataRoot = Paths.get(root, "data")
     if (Files.exists(dataRoot)) {
-      Files.list(dataRoot).iterator().asScala.toSeq
+      listDir(dataRoot)
         .filter(_.getFileName.toString.matches("v\\d+")).foreach { d =>
           val v = d.getFileName.toString.stripPrefix("v").toLong
           if (v > latest) {
@@ -976,8 +993,29 @@ object SnapshotTable {
     // the field-id diff path, not a forced-name read that would NULL-fill
     // renamed columns
     val windowSchema = schemaAt(root, v2)
-    val deltaSameSchema = windowSchema.isEmpty ||
-      delta.forall(f => schemaAt(root, entryGeneration(f)) == windowSchema)
+    val deltaSameSchema = windowSchema match {
+      case Some(_) =>
+        delta.forall(f => schemaAt(root, entryGeneration(f)) == windowSchema)
+      case None =>
+        // PLAIN table: no sidecar pins the physical schema, so a reshaped
+        // append (library-level misuse — the SQL surface always aligns)
+        // must be detected from the delta FOOTERS: a forced-name read
+        // would silently NULL-fill renamed/missing columns, and the
+        // multiset fallback's un-merged multi-file read is just as
+        // unsound — refuse loudly instead
+        delta.isEmpty || {
+          val ft = spark.read.option("mergeSchema", "true")
+            .parquet(delta.map(resolveEntry(root, _)): _*)
+            .schema.fields.map(f => f.name -> f.dataType).toMap
+          val want = b.schema.fields.map(f => f.name -> f.dataType).toMap
+          require(ft == want,
+            s"CHANGES BETWEEN $v1 AND $v2: the delta files' physical " +
+              "schema differs from the table's, and the table has no " +
+              "field-id evolution metadata — the diff is not well-defined; " +
+              "evolve schemas through ALTER TABLE (schema sidecars)")
+          true
+        }
+    }
     if (f1.toSet.subsetOf(f2.toSet) && deltaSameSchema) {
       if (delta.isEmpty)
         return b.limit(0)
@@ -1265,7 +1303,12 @@ object SnapshotTable {
         .withColumn("_change_type", lit("insert"))
         .select(tgtCols.map(col) ++ Seq(col("_change_type"), col("_n")): _*))
     }
-    val bounds = schemaSidecarVersions(root).filter(b => b > v1 && b <= v2)
+    // only REAL schema changes are boundaries: commitEvo/appendEvo may
+    // re-write a content-identical sidecar every batch, and splitting (or
+    // refusing a rewrite) at a version whose schema did not actually
+    // change would be spurious
+    val bounds = schemaSidecarVersions(root).filter(b =>
+      b > v1 && b <= v2 && schemaAt(root, b) != schemaAt(root, b - 1))
     val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var lo = v1
     bounds.foreach { b =>
@@ -1335,8 +1378,7 @@ object SnapshotTable {
     val d = Paths.get(root, "data", s"v$v")
     if (Files.exists(d)) {
       def walk(p: Path): Seq[Path] =
-        if (Files.isDirectory(p))
-          Files.list(p).iterator().asScala.toSeq.flatMap(walk) :+ p
+        if (Files.isDirectory(p)) listDir(p).flatMap(walk) :+ p
         else Seq(p)
       walk(d).foreach(Files.deleteIfExists)
     }

@@ -804,6 +804,37 @@ class StreamingSpec extends AnyFunSuite {
       .parquet(s"$dir/out").select("k").distinct().count() == 12L)
   }
 
+  test("row feed refuses a plain-table reshaped append; maxVersionsPerBatch validates") {
+    import graft.sources.{GraftTableStream, SnapshotTable}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rowreshape").toString
+    val root = s"$dir/t"
+    SnapshotTable.commit((1L to 3L).map(i => (i, i * 1.0)).toDF("k", "v"), root)
+    // a library-level append under a RENAMED column (no field-id metadata):
+    // the per-file generation check is vacuous (None == None) — the footer
+    // check must refuse, never silently NULL-fill emitted rows
+    SnapshotTable.append(Seq((4L, 4.0)).toDF("k", "v2"), root)
+    val e = intercept[Exception] {
+      val sq = spark.readStream.format("graft.sources.GraftTableStream")
+        .option("path", root).load()
+        .writeStream.format("memory").queryName("rowreshape_t")
+        .option("checkpointLocation", s"$dir/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("reshaped without field-id")), e.toString)
+    // a non-positive or non-numeric maxVersionsPerBatch refuses at
+    // construction instead of silently stalling (null latestOffset forever)
+    val e2 = intercept[Exception](GraftTableStream.maxVersions(
+      Map("maxVersionsPerBatch" -> "0")))
+    assert(e2.getMessage.contains("positive"), e2.getMessage)
+    val e3 = intercept[Exception](GraftTableStream.maxVersions(
+      Map("maxVersionsPerBatch" -> "lots")))
+    assert(e3.getMessage.contains("maxVersionsPerBatch"), e3.getMessage)
+  }
+
   test("startingTimestamp tails changes committed after the as-of snapshot") {
     import graft.sources.SnapshotTable
     import spark.implicits._

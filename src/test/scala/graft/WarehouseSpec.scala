@@ -910,6 +910,64 @@ class WarehouseSpec extends AnyFunSuite {
     } finally GraftDmlRegistry.unregister(name)
   }
 
+  test("plain-table reshape, identical sidecars, and failed CAS commits behave (r20 review fixes)") {
+    import spark.implicits._
+    import graft.sources.{EvoField, SnapshotTable}
+    // (1) a PLAIN table reshaped by a library-level append (renamed column,
+    // no field-id metadata) must REFUSE the change feed — the fast path
+    // would silently NULL-fill, the multiset fallback would misread
+    val d1 = java.nio.file.Files.createTempDirectory("graft_reshape").toString
+    SnapshotTable.commit(Seq((1L, 1.0)).toDF("k", "v"), s"$d1/t")
+    SnapshotTable.append(Seq((2L, 2.0)).toDF("k", "v2"), s"$d1/t") // reshaped!
+    val e1 = intercept[Exception](
+      SnapshotTable.changesBetween(spark, s"$d1/t", 1, 2).collect())
+    assert(e1.getMessage.contains("field-id evolution metadata"), e1.getMessage)
+    // (2) a CONTENT-IDENTICAL schema sidecar is not a boundary: a rewrite
+    // that re-writes the same fields (a recompute pipeline's habit) must
+    // serve the ordinary multiset diff, not refuse as a schema-crossing
+    val d2 = java.nio.file.Files.createTempDirectory("graft_samegen").toString
+    val fields = Seq(EvoField(1, "k", "bigint"), EvoField(2, "v", "double"))
+    SnapshotTable.commitEvo(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"),
+      s"$d2/t", fields)
+    SnapshotTable.commitEvo(Seq((1L, 1.0), (2L, 5.0)).toDF("k", "v"),
+      s"$d2/t", fields) // rewrite WITH an identical sidecar
+    val f12 = SnapshotTable.changesBetween(spark, s"$d2/t", 1, 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(f12 == Set((2L, 2.0, "delete"), (2L, 5.0, "insert")), f12.toString)
+    // ...and inside a CROSSING window, a post-ALTER rewrite carrying a
+    // sidecar identical to the ALTER's must not be treated as a second
+    // boundary (the old bounds logic refused it as 'rewrote files WHILE
+    // changing schema')
+    val fields3 = fields :+ EvoField(3, "note", "string")
+    SnapshotTable.commitSchemaChange(s"$d2/t", fields3, meta = "alter")  // v3
+    SnapshotTable.commitEvo(Seq((1L, 1.0, "x"), (2L, 5.0, "y"))
+      .toDF("k", "v", "note"), s"$d2/t", fields3)                        // v4
+    val f14 = SnapshotTable.changesBetween(spark, s"$d2/t", 1, 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getString(2)).getOrElse("-"), r.getString(3))).toSet
+    assert(f14 == Set(
+      (2L, 2.0, "-", "delete"), (2L, 5.0, "-", "insert"),   // (1,2] projected
+      (1L, 1.0, "-", "delete"), (2L, 5.0, "-", "delete"),   // (3,4] rewrite
+      (1L, 1.0, "x", "insert"), (2L, 5.0, "y", "insert")), f14.toString)
+    // (3) a FAILED CAS commit releases its reservation: the same writer's
+    // retry gets the honest 'rebase' error again (not a bogus
+    // already-reserved ConcurrentModificationException), and a corrected
+    // retry commits
+    val d3 = java.nio.file.Files.createTempDirectory("graft_casfail").toString
+    SnapshotTable.commit(Seq((1L, 1.0)).toDF("k", "v"), s"$d3/t")
+    val stale1 = intercept[IllegalArgumentException](
+      SnapshotTable.commitIfUnchanged(Seq((9L, 9.0)).toDF("k", "v"),
+        s"$d3/t", baseVersion = 0))
+    assert(stale1.getMessage.contains("rebase"))
+    val stale2 = intercept[IllegalArgumentException](
+      SnapshotTable.commitIfUnchanged(Seq((9L, 9.0)).toDF("k", "v"),
+        s"$d3/t", baseVersion = 0))
+    assert(stale2.getMessage.contains("rebase"),
+      s"retry must re-reserve, not deadlock: $stale2")
+    assert(SnapshotTable.commitIfUnchanged(Seq((9L, 9.0)).toDF("k", "v"),
+      s"$d3/t", baseVersion = 1) == 2L)
+  }
+
   test("keyed feed is not retroactive: windows starting before the declaration fall back keyless") {
     import spark.implicits._
     import graft.plans.GraftDmlRegistry
