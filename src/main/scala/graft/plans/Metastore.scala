@@ -103,8 +103,17 @@ object GraftMetastore {
     readLines(tablesFile(dir)).foreach { line =>
       line.split("\t", 2) match {
         case Array(name, root) if name.nonEmpty && root.nonEmpty =>
-          if (GraftDmlRegistry.rootOf(name).isEmpty)
-            GraftDmlRegistry.registerSnapshot(name, root)
+          // registerSnapshot's own identifier validation is part of the
+          // per-entry isolation too: a hand-edited non-identifier name
+          // skips, it must not abort the load
+          try {
+            if (GraftDmlRegistry.rootOf(name).isEmpty)
+              GraftDmlRegistry.registerSnapshot(name, root)
+          } catch {
+            case e: Exception => Console.err.println(
+              s"[graft metastore] skipping tables.catalog entry '$name': " +
+                s"${Option(e.getMessage).getOrElse(e.toString)}")
+          }
         case _ => Console.err.println(
           s"[graft metastore] skipping unparseable tables.catalog line: ${line.take(80)}")
       }
@@ -136,7 +145,8 @@ object GraftMetastore {
   private def logWarn(name: String, e: Exception): Unit =
     Console.err.println(
       s"[graft metastore] skipping MV '$name': definition no longer " +
-        s"analyzes (${e.getMessage.linesIterator.toSeq.headOption.getOrElse("")})")
+        s"analyzes (${Option(e.getMessage).getOrElse(e.toString)
+          .linesIterator.toSeq.headOption.getOrElse("")})")
 
   /** Record a SQL-created snapshot table, if a metastore is configured. */
   def recordTable(session: SparkSession, name: String, root: String): Unit =

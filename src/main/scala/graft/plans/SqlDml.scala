@@ -742,8 +742,19 @@ case class GraftAlterTableCommand(root: String, kind: String, colName: String,
         cur.map(x => if (x.id == f.id) x.copy(typ = arg) else x)
       case other => throw new IllegalStateException(s"ALTER TABLE: $other")
     }
+    // the DECLARED KEY follows the schema (r20 review finding): dropping a
+    // key column would brick every keyed verb with a missing-column error
+    // later — refuse NOW with the real reason; a rename REMAPS the sidecar
+    // under the new name (same field id, the validation still stands)
+    val declared = SnapshotTable.declaredKey(root).getOrElse(Seq.empty)
+    if (kind == "drop" && declared.exists(_.equalsIgnoreCase(colName)))
+      throw new IllegalArgumentException(
+        s"ALTER TABLE: cannot drop $colName — it is part of the declared " +
+          s"key (${declared.mkString(", ")}); declare a different key first")
     val v = SnapshotTable.commitSchemaChange(root, next,
       meta = s"alter:$kind:$colName")
+    if (kind == "rename")
+      SnapshotTable.renameDeclaredKeyColumn(root, colName, arg)
     Seq(Row(v, next.size.toLong))
   }
 }
@@ -957,14 +968,14 @@ case class GraftMergeColsCommand(root: String, sourceSql: String,
     }
     val keyCols = keys.map(k => col(s"__s_$k"))
     val allKeysNotNull = keyCols.map(_.isNotNull).reduce(_ && _)
-    // __s_dup rides the SAME plan the join consumes: the window's hash
+    // __graft_src_dup rides the SAME plan the join consumes: the window's hash
     // partitioning on the join keys is exactly the distribution the join
     // requires from the source side, so the count costs no extra shuffle
     // and the source subquery runs once. NULL-key rows match nothing and
     // are exempt from the cardinality rule (dup forced to 1).
     val src = srcRaw.select(
-        srcCols.map(c => col(c).as(s"__s_$c")) :+ lit(true).as("__s_present"): _*)
-      .withColumn("__s_dup",
+        srcCols.map(c => col(c).as(s"__s_$c")) :+ lit(true).as("__graft_src_present"): _*)
+      .withColumn("__graft_src_dup",
         when(allKeysNotNull,
           count(lit(1)).over(Window.partitionBy(keyCols: _*)))
           .otherwise(lit(1L)))
@@ -988,8 +999,13 @@ case class GraftMergeColsCommand(root: String, sourceSql: String,
       // EXCEPT in NOT MATCHED BY SOURCE clauses, where the source side is
       // all NULL by definition and unqualified names mean the target (the
       // Delta/SQL-Server convention; resolving them to NULLs would
-      // silently corrupt assignments and disable conditions)
-      if (preferSource) srcCols.foreach { c =>
+      // silently corrupt assignments and disable conditions). Source
+      // columns NAMED like SQL keywords are also excluded — rewriting the
+      // END of a CASE expression into __s_end would corrupt valid SQL;
+      // qualify such columns explicitly (s.end).
+      if (preferSource) srcCols
+        .filterNot(c => GraftSqlParser.SqlKeywords(c.toLowerCase))
+        .foreach { c =>
         out = GraftSqlParser.substOutsideLiterals(out,
           s"(?i)(?<![A-Za-z0-9_.])${Regex.quote(c)}\\b", s"__s_$c")
       }
@@ -999,7 +1015,7 @@ case class GraftMergeColsCommand(root: String, sourceSql: String,
       }
       expr(out)
     }
-    val matched = col("__s_present").isNotNull
+    val matched = col("__graft_src_present").isNotNull
     // presence on each side is a MARKER column, never the key itself: a
     // NULL-key row (reachable via INSERT's NULL fill) matches nothing by
     // SQL join semantics and must pass through kept UNCHANGED — keying
@@ -1022,7 +1038,7 @@ case class GraftMergeColsCommand(root: String, sourceSql: String,
     // an INSERT branch (r19 ADVICE refinement) unmatched rows can never
     // insert anything, so a matched-only MERGE with duplicate unmatched
     // source keys is valid and passes. Filtered ABOVE the join, evaluated
-    // on every joined row; null __s_dup (target-only rows) passes.
+    // on every joined row; null __graft_src_dup (target-only rows) passes.
     val declaredIsOnKeys = SnapshotTable.declaredKey(root)
       .exists(_.toSet == keys.map(_.toLowerCase).toSet) &&
       clauses.exists(_.isInstanceOf[NotMatchedInsert])
@@ -1030,7 +1046,7 @@ case class GraftMergeColsCommand(root: String, sourceSql: String,
     val keyDesc = concat_ws(",", keyCols.map(_.cast("string")): _*)
     val j = tgt.join(src, joinCond, "full_outer")
       .filter(coalesce(
-        when(col("__s_dup") > 1 &&
+        when(col("__graft_src_dup") > 1 &&
             (col("__t_present").isNotNull || lit(declaredIsOnKeys)),
           raise_error(concat(
             lit(s"MERGE: the source has multiple rows for the same " +
@@ -1049,7 +1065,7 @@ case class GraftMergeColsCommand(root: String, sourceSql: String,
     var remaining: Column = matched // matched rows not yet claimed by a clause
     // target-present rows NO source row matched — the full-sync family
     var remainingNS: Column =
-      col("__t_present").isNotNull && col("__s_present").isNull
+      col("__t_present").isNotNull && col("__graft_src_present").isNull
     var deleted: Column = lit(false)
     var updates: Map[String, Column] = targetFields.map(f => f.name ->
       col(f.name)).toMap
@@ -1171,7 +1187,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     // re-materializes every SQL-created table/MV name (fast-path no-op on
     // every later statement)
     GraftMetastore.ensureLoaded(session)
-    val t = sqlText.trim
+    // leading comments must not defeat the verb dispatch: a statement
+    // opening with `-- note` or `/* ... */` is still a graft verb (the
+    // bare-name rewrite would otherwise turn the registered target into a
+    // temp view and Spark would refuse e.g. 'INSERT into a view')
+    val t = GraftSqlParser.stripLeadingComments(sqlText)
     val verb = t.takeWhile(!_.isWhitespace).toUpperCase
     val plan = verb match {
       case "MERGE"  => parseMerge(t)
@@ -1213,6 +1233,35 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 }
 
 object GraftSqlParser {
+
+  /** SQL keywords a bare source-column substitution must never rewrite
+    * (they appear as syntax inside clause expressions — CASE ... END,
+    * boolean operators, literals); a source column carrying one of these
+    * names must be alias-qualified to be referenced. */
+  private[plans] val SqlKeywords: Set[String] = Set(
+    "and", "or", "not", "in", "is", "like", "between", "case", "when",
+    "then", "else", "end", "null", "true", "false", "distinct", "exists",
+    "cast", "as")
+
+  /** Drop leading whitespace and `--`/`/* */` comments — what the verb
+    * dispatch and the statement-anchored parsers consume. */
+  private[plans] def stripLeadingComments(sql: String): String = {
+    var t = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      val trimmed = t.dropWhile(_.isWhitespace)
+      if (trimmed ne t) { t = trimmed; changed = true }
+      if (t.startsWith("--")) {
+        val e = t.indexOf('\n') match { case -1 => t.length; case x => x + 1 }
+        t = t.substring(e); changed = true
+      } else if (t.startsWith("/*")) {
+        val e = t.indexOf("*/") match { case -1 => t.length; case x => x + 2 }
+        t = t.substring(e); changed = true
+      }
+    }
+    t
+  }
 
   private val UpdateRe: Regex =
     """(?is)^UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.*?)\s*;?\s*$""".r
@@ -1549,11 +1598,23 @@ object GraftSqlParser {
   private def compileMerge(root: String, target: String, srcSql: String,
       srcAlias: String, keys: Seq[String],
       clauses: Seq[MergeClause]): LogicalPlan = {
+    // an alias equal to the target name would make every target-qualified
+    // reference resolve to the (renamed) SOURCE side — silently wrong
+    // values; Delta rejects the aliasing the same way
+    require(!srcAlias.equalsIgnoreCase(target),
+      s"MERGE: the source alias '$srcAlias' must differ from the target " +
+        "table name")
     // the CDC form is identified by its UPDATE SET * clause — a marker-
     // shaped conditional DELETE alone is perfectly valid per-column MERGE
     // (delete-only statements) and must not be claimed by the CDC path
     val isCdc = clauses.exists {
       case MatchedUpdate(None, Seq(("*", "*"))) => true
+      case _ => false
+    } && clauses.exists {
+      // without the unconditional INSERT * the statement is not the CDC
+      // apply shape — an update-only (or conditional) SET * is ordinary
+      // per-column MERGE and routes below, where SET * expands per column
+      case NotMatchedInsert(None, Seq("*"), Seq("*")) => true
       case _ => false
     } && clauses.forall {
       case MatchedUpdate(None, Seq(("*", "*"))) => true
@@ -1597,8 +1658,12 @@ object GraftSqlParser {
       }
     } else {
       clauses.foreach {
-        case MatchedUpdate(_, as) => require(!as.exists(_._1 == "*"),
-          "MERGE: UPDATE SET * cannot mix with per-column clauses")
+        // SET * is legal per clause (applyUpdate expands it column by
+        // column — update-only and conditional SET * statements route
+        // here); it just cannot MIX with named assignments in ONE clause
+        case MatchedUpdate(_, as) if as.exists(_._1 == "*") =>
+          require(as == Seq(("*", "*")),
+            "MERGE: UPDATE SET * must be the clause's only assignment")
         case _ =>
       }
       // the Delta discipline for the NOT MATCHED family: every INSERT

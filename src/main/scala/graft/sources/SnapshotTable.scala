@@ -1121,6 +1121,28 @@ object SnapshotTable {
     ()
   }
 
+  /** Rename a column INSIDE the declared key (the ALTER TABLE RENAME
+    * companion): rewrites `table.key` under the new name, PRESERVING the
+    * recorded declaration version — the column's identity (field id) did
+    * not change, so the validation still stands. Atomic like
+    * [[declareKey]]. No-op when no key is declared or the column is not
+    * part of it. */
+  def renameDeclaredKeyColumn(root: String, from: String, to: String): Unit =
+    declaredKey(root).foreach { keys =>
+      if (keys.exists(_.equalsIgnoreCase(from))) {
+        val next = keys.map(k =>
+          if (k.equalsIgnoreCase(from)) to.toLowerCase else k)
+        val at = keyDeclaredAt(root)
+        val tmp = snapDir(root).resolve(
+          s".table.key.tmp.${ProcessHandle.current().pid()}.${System.nanoTime()}")
+        Files.write(tmp,
+          (next.mkString(",") + s"\n@declared:$at").getBytes(UTF_8))
+        Files.move(tmp, snapDir(root).resolve("table.key"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    }
+
   /** KEYED row-level change feed (m43 — Delta's CDF with row tracking):
     * when the table has a [[declaredKey]], changes between two versions
     * diff ONLY the rewritten files — `removed = v1 ∖ v2` holds every
@@ -1203,12 +1225,12 @@ object SnapshotTable {
       val neu = side(added)
       // the key join: unique keys ⇒ at most one row per key per side
       val cond = keyCols.map(k => col(k) <=> col(s"__o_$k")).reduce(_ && _)
-      val j = neu.withColumn("__n_present", lit(true))
-        .join(old.withColumn("__o_present", lit(true)), cond, "full_outer")
+      val j = neu.withColumn("__graft_new_present", lit(true))
+        .join(old.withColumn("__graft_old_present", lit(true)), cond, "full_outer")
       val rowChanged = nonKey.map(c =>
         !(col(c) <=> col(s"__o_$c"))).reduceOption(_ || _).getOrElse(lit(false))
-      val ct = when(col("__o_present").isNull, lit("insert"))
-        .when(col("__n_present").isNull, lit("delete"))
+      val ct = when(col("__graft_old_present").isNull, lit("insert"))
+        .when(col("__graft_new_present").isNull, lit("delete"))
         .when(rowChanged, lit("update"))
       j.withColumn("_ct", ct).filter(col("_ct").isNotNull)
         // updates explode into preimage + postimage rows (the Delta CDF

@@ -318,4 +318,52 @@ class MergeModelSpec extends AnyFunSuite {
         "a matched-only MERGE with unmatched dup keys must be a no-op")
     } finally graft.plans.GraftDmlRegistry.unregister(name)
   }
+
+  test("merge shapes and name hygiene: update-only SET *, conditional SET *, keyword/marker-named columns, alias=target refusal") {
+    import spark.implicits._
+    val name = "mm_shapes"
+    val root = java.nio.file.Files.createTempDirectory("graft_mmshape").toString + "/t"
+    graft.plans.GraftDmlRegistry.unregister(name)
+    graft.sources.SnapshotTable.commit(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), root)
+    graft.plans.GraftDmlRegistry.registerSnapshot(name, root)
+    try {
+      // UPDATE-only SET * (no INSERT branch): valid Delta shape — apply
+      // updates, ignore unknown keys (previously refused as CDC-incomplete)
+      Seq((1L, 11.0), (9L, 99.0)).toDF("k", "v")
+        .createOrReplaceTempView("mm_shape_src")
+      spark.sql(s"MERGE INTO $name USING mm_shape_src AS s ON $name.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET *").collect()
+      val g1 = spark.sql(s"SELECT k, v FROM $name").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(g1 == Set((1L, 11.0), (2L, 20.0)), g1.toString)
+      // CONDITIONAL SET * with a conditional INSERT: per-column expansion
+      // (previously refused as 'cannot mix with per-column clauses')
+      Seq((1L, 5.0), (2L, 50.0), (7L, 70.0)).toDF("k", "v")
+        .createOrReplaceTempView("mm_shape_src2")
+      spark.sql(s"MERGE INTO $name USING mm_shape_src2 AS s ON $name.k = s.k " +
+        s"WHEN MATCHED AND s.v > $name.v THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *").collect()
+      val g2 = spark.sql(s"SELECT k, v FROM $name").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(g2 == Set((1L, 11.0), (2L, 50.0), (7L, 70.0)), g2.toString)
+      // source columns named like the internal markers ('present', 'dup')
+      // and like SQL keywords ('end') must survive: the markers live in a
+      // __graft_* namespace and keywords are excluded from the bare-name
+      // substitution (qualify s.end to reference the column)
+      Seq((2L, 1.0, 2.0, 3.0)).toDF("k", "present", "dup", "end")
+        .createOrReplaceTempView("mm_shape_src3")
+      spark.sql(s"MERGE INTO $name USING mm_shape_src3 AS s ON $name.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = " +
+        "CASE WHEN s.present > 0 THEN dup + s.end ELSE 0 END").collect()
+      val g3 = spark.sql(s"SELECT v FROM $name WHERE k = 2").head().getDouble(0)
+      assert(g3 == 5.0, s"marker/keyword-named source columns corrupted: $g3")
+      // a source alias equal to the target name silently hijacked
+      // target-qualified references — refuse loudly (the Delta rule)
+      val e = intercept[Exception](spark.sql(
+        s"MERGE INTO $name USING mm_shape_src AS $name ON $name.k = $name.k " +
+          "WHEN MATCHED THEN UPDATE SET v = 0").collect())
+      assert(e.getMessage.contains("must differ from the target"), e.getMessage)
+    } finally graft.plans.GraftDmlRegistry.unregister(name)
+  }
 }

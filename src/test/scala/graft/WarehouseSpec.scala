@@ -910,6 +910,47 @@ class WarehouseSpec extends AnyFunSuite {
     } finally GraftDmlRegistry.unregister(name)
   }
 
+  test("the declared key follows ALTER TABLE: rename remaps the sidecar, drop refuses") {
+    import spark.implicits._
+    import graft.plans.GraftDmlRegistry
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("graft_keyalter")
+      .toString + "/t"
+    val name = "keyalter_t"
+    GraftDmlRegistry.unregister(name)
+    SnapshotTable.commit(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), root)
+    GraftDmlRegistry.registerSnapshot(name, root)
+    try {
+      spark.sql(s"ALTER TABLE $name SET KEY (k)")
+      val declaredAt = SnapshotTable.keyDeclaredAt(root)
+      // RENAME of a key column remaps table.key (same field id — the
+      // validation still stands, @declared preserved) and the keyed verbs
+      // keep working under the new name
+      spark.sql(s"ALTER TABLE $name RENAME COLUMN k TO id")          // v2
+      assert(SnapshotTable.declaredKey(root).contains(Seq("id")))
+      assert(SnapshotTable.keyDeclaredAt(root) == declaredAt)
+      // the leading comment must not defeat the verb dispatch (r20 review:
+      // the bare-name rewrite would otherwise hand Spark an INSERT into a
+      // temp view)
+      spark.sql(s"-- nightly load\nINSERT INTO $name VALUES (3, 3.0)") // v3
+      spark.sql(s"UPDATE $name SET v = v + 1 WHERE id = 2")           // v4
+      val f34 = spark.sql(
+        s"SELECT id, v, _change_type FROM $name CHANGES BETWEEN 3 AND 4")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+        .toSet
+      assert(f34 == Set((2L, 2.0, "update_preimage"),
+        (2L, 3.0, "update_postimage")), f34.toString)
+      // the keyed-append guard still fires under the new name
+      val e0 = intercept[Exception](
+        spark.sql(s"INSERT INTO $name VALUES (3, 9.0), (3, 8.0)").collect())
+      assert(e0.getMessage.contains("duplicate or NULL"), e0.getMessage)
+      // DROP of a key column refuses with the real reason
+      val e = intercept[Exception](
+        spark.sql(s"ALTER TABLE $name DROP COLUMN id").collect())
+      assert(e.getMessage.contains("declared"), e.getMessage)
+    } finally GraftDmlRegistry.unregister(name)
+  }
+
   test("plain-table reshape, identical sidecars, and failed CAS commits behave (r20 review fixes)") {
     import spark.implicits._
     import graft.sources.{EvoField, SnapshotTable}
