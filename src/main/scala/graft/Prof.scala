@@ -97,6 +97,24 @@ object Prof {
             s"rows=$rows inputFiles=${feed.inputFiles.length}")
           graft.plans.GraftDmlRegistry.unregister(s"kcdc_$tag")
       }
+    } else if (sys.env.get("PROF_MODE").contains("plans")) {
+      // .explain("formatted") dumps for the optimization-round evidence
+      // (plans/r21/<query>_<tag>.txt): execute first (count), THEN print, so
+      // AQE's final plan (isFinalPlan=true) is what lands in the file.
+      val outDir = sys.env.getOrElse("PROF_OUT", "plans/r21")
+      val tag = sys.env.getOrElse("PROF_TAG", "before")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      val names = sys.env.getOrElse("PROF_QUERIES", "d1_agg_hash").split(",")
+      names.map(_.trim).filter(_.nonEmpty).foreach { q =>
+        val df = SparkEntry.queries(q)(spark, sfDir)
+        df.count()
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outDir, s"${q}_$tag.txt"),
+          txt.getBytes("UTF-8"))
+        println(s"wrote $outDir/${q}_$tag.txt (${txt.length} chars)")
+      }
     } else {
       val names = sys.env.getOrElse("PROF_QUERIES", "m1_scd2_merge").split(",")
       names.foreach { q =>

@@ -166,7 +166,18 @@ final class Dag(val jobs: Seq[Job]) {
               attempt += 1
               try {
                 val df = job.run(spark, depMap)
-                df.count() // materialize: a job is "done" when its output exists
+                // materialize: a job is "done" when its output exists. A
+                // DRIVER-LOCAL output (LocalRelation — e.g. a version-fresh
+                // node's skip marker, j17's 334-of-337 case) already exists
+                // in driver memory: counting it would launch a real cluster
+                // job per skipped node just to scan rows the driver holds,
+                // which at inventory scale dominates the whole run (measured
+                // 5.7 s -> the 3 dirty nodes' cost). Anything with a remote
+                // subtree still materializes through count().
+                df.queryExecution.optimizedPlan match {
+                  case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => ()
+                  case _ => df.count()
+                }
                 result = Some(df)
               } catch {
                 case NonFatal(e) =>

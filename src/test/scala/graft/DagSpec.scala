@@ -45,6 +45,30 @@ class DagSpec extends AnyFunSuite {
     assert(status("child_boom") == "skipped" && status("grandchild_boom") == "skipped")
   }
 
+  test("driver-local job output skips the cluster materialization but stays consumable") {
+    // r21 optimization: a LocalRelation output (the version-fresh skip path
+    // in j17-style inventory DAGs) must not launch a Spark job per node —
+    // and must still flow to downstream jobs and the returned dfs map.
+    val spark2 = spark
+    import spark2.implicits._
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val (dfsLocal, runsLocal) = new Dag(Seq(
+      Job("local", Nil, 0, (s, _) => Seq((1L, "fresh")).toDF("v", "tag"))
+    )).run(spark, parallelism = 2)
+    // the whole point: zero Spark jobs launched for a driver-held output
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length == before)
+    assert(runsLocal.head.status == "ok" && runsLocal.head.inputs.isEmpty)
+    assert(dfsLocal("local").count() == 1L) // output exists and is correct
+    // and it still flows to a downstream job like any materialized output
+    val (dfs, runs) = new Dag(Seq(
+      Job("local", Nil, 0, (s, _) => Seq((1L, "fresh")).toDF("v", "tag")),
+      Job("consumer", Seq("local"), 0, (_, deps) => deps("local").filter($"v" === 1L))
+    )).run(spark, parallelism = 2)
+    assert(runs.map(r => r.name -> r.status).toMap ==
+      Map("local" -> "ok", "consumer" -> "ok"))
+    assert(dfs("consumer").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("retry succeeds after transient failures and records attempts") {
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     val dag = new Dag(Seq(Job("flaky", Nil, 3, (s, _) => {
