@@ -1593,10 +1593,11 @@ object VectorQueries extends QueryModule {
   private[graft] val g55PqIters = 2
   private[graft] def pqTrain(base: org.apache.spark.sql.DataFrame, t: Tables)
       : (Seq[Array[Array[Double]]], Array[Double]) = {
-    val codebooks = pqSubCols.map { name =>
-      graft.plans.KMeans.fit(
-        base.select(col("vec_id"), col(name)), "vec_id", name, 16, 16, g55PqIters)._1
-    }
+    // one fused fit: all 4 subspace codebooks from one pass per iteration
+    // (KMeans.fitMany — bit-identical to 4 sequential fits, 4x fewer jobs)
+    val codebooks = graft.plans.KMeans.fitMany(
+      base.select((col("vec_id") +: pqSubCols.map(col)): _*),
+      "vec_id", pqSubCols, 16, g55PqIters)
     val spark = t.spark
     import spark.implicits._
     val query = t.embeddings.filter(col("vec_id") === 0)

@@ -93,4 +93,52 @@ object KMeans {
     }
     (cents, inertias.result())
   }
+
+  /** Fit INDEPENDENT k-means models over several vector columns of the same
+    * rows in ONE distributed pass per iteration — the product-quantization
+    * training shape (M subspace codebooks over one cached base). Fitting the
+    * M subspaces with separate [[fit]] calls prices M seed collects plus
+    * M×iters full passes; the models never interact, so one pass can carry
+    * all M assignments (each the identical [[assignCols]] expression) and
+    * one aggregation keyed (subspace, cluster) can carry all M update sums.
+    * Bit-identical to the sequential fits by construction: same smallest-id
+    * seeds (one collect, all columns), same per-subspace assignment
+    * expression, and the per-(subspace, cluster) groups hold exactly the
+    * rows the per-subspace groupBy held — DECIMAL sums are merge-order
+    * independent, so the extra grouping key cannot move a digit. (r21: cut
+    * g55's PQ training from 12 jobs to 3 over the same cached base.)
+    * Returns the final centroids per column, in `xCols` order. */
+  def fitMany(df: DataFrame, idCol: String, xCols: Seq[String], k: Int,
+      iters: Int): Seq[Array[Array[Double]]] = {
+    val seedRows = df.orderBy(col(idCol)).limit(k)
+      .select(xCols.map(col): _*).collect()
+    require(seedRows.length == k, s"need >= $k rows to seed $k clusters")
+    var cents: Array[Array[Array[Double]]] = xCols.indices.map { j =>
+      seedRows.map(_.getSeq[Double](j).toArray)
+    }.toArray
+    val vecsum = udaf(graft.functions.DecVecSumAgg)
+    for (_ <- 1 to iters) {
+      val pairs = xCols.zipWithIndex.map { case (xc, j) =>
+        val (cid, _) = assignCols(xc, cents(j))
+        struct(lit(j).as("j"), cid.as("cid"), col(xc).as("x"))
+      }
+      val stats = df
+        .select(explode(array(pairs: _*)).as("p"))
+        .select(col("p.j").as("j"), col("p.cid").as("cid"), col("p.x").as("x"))
+        .groupBy(col("j"), col("cid"))
+        .agg(vecsum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.map(_.clone()))
+      stats.foreach { r =>
+        val j = r.getInt(0)
+        val c = r.getInt(1)
+        val sx = r.getSeq[java.math.BigDecimal](2)
+        val n = r.getLong(3)
+        var i = 0
+        while (i < sx.length) { next(j)(c)(i) = sx(i).doubleValue() / n; i += 1 }
+      }
+      cents = next
+    }
+    cents.toSeq
+  }
 }

@@ -51,6 +51,41 @@ object SnapshotTable {
 
   private def snapDir(root: String): Path = Paths.get(root, "_snapshots")
 
+  /** Analyzed-scan cache for committed version reads — the same metastore
+    * discipline as Tables.readCached (r21): `spark.read.parquet` pays
+    * ~60-90 ms of driver-side source resolution + footer inference per call,
+    * and lifecycle queries re-read each version many times (every DML
+    * statement, every CHANGES sub-window). The cached object is the
+    * immutable analyzed plan — no rows, no results; every execution still
+    * scans the version's parquet files. Keyed on (session, root, version,
+    * CRC of the manifest BYTES): a version is immutable once committed, but
+    * a table whose root is rebuilt (rmrf + recommit, the per-run fixture
+    * reset) restarts version numbers with NEW part-file names, so the
+    * manifest CRC is what detects it. Manifest existence is re-checked on
+    * every hit so an [[expire]]d version fails loudly, exactly like the
+    * uncached read. */
+  private val scanCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def cachedScan(spark: SparkSession, root: String, tag: String,
+      v: Long, manifestBytes: Array[Byte])(build: => DataFrame): DataFrame = {
+    val crc = new java.util.zip.CRC32
+    crc.update(manifestBytes)
+    val prefix = s"${System.identityHashCode(spark)}:$root:$tag:v$v:"
+    val key = s"$prefix${java.lang.Long.toHexString(crc.getValue)}"
+    val hit = scanCache.get(key)
+    if (hit != null && (hit.sparkSession eq spark)) return hit
+    scanCache.keySet.removeIf(k => k.startsWith(prefix) && k != key)
+    if (scanCache.size > 256) {
+      val it = scanCache.entrySet().iterator()
+      while (it.hasNext) {
+        if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
+      }
+    }
+    val df = build
+    scanCache.put(key, df)
+    df
+  }
+
   /** Children of `p`, stream CLOSED on exit — every directory walk must
     * use this (an unclosed `Files.list` leaks a file descriptor per call;
     * a long-lived driver expiring per micro-batch would hit EMFILE). */
@@ -738,18 +773,20 @@ object SnapshotTable {
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     val m = snapDir(root).resolve(s"v$v.manifest")
     require(Files.exists(m), s"no snapshot v$v at $root")
-    val entries = new String(Files.readAllBytes(m), UTF_8)
-      .split("\n").filter(_.nonEmpty)
-    // a PARTITIONED generation stores its partition columns in directory
-    // names, not file footers — a flat file-list read would silently DROP
-    // those columns (and a DML rewrite would then commit the loss). Refuse
-    // loudly; the generation-aware reader owns this layout.
-    require(!entries.exists(_.matches(".*/[^/]+=[^/]*/.*")),
-      s"snapshot v$v at $root has partitioned-generation data files — " +
-        "read via partitionedGenerations (the per-generation spec decides " +
-        "the partition columns; a flat file read would silently drop them)")
-    val files = entries.map(resolveEntry(root, _))
-    spark.read.parquet(files.toIndexedSeq: _*)
+    val bytes = Files.readAllBytes(m)
+    cachedScan(spark, root, "flat", v, bytes) {
+      val entries = new String(bytes, UTF_8).split("\n").filter(_.nonEmpty)
+      // a PARTITIONED generation stores its partition columns in directory
+      // names, not file footers — a flat file-list read would silently DROP
+      // those columns (and a DML rewrite would then commit the loss). Refuse
+      // loudly; the generation-aware reader owns this layout.
+      require(!entries.exists(_.matches(".*/[^/]+=[^/]*/.*")),
+        s"snapshot v$v at $root has partitioned-generation data files — " +
+          "read via partitionedGenerations (the per-generation spec decides " +
+          "the partition columns; a flat file read would silently drop them)")
+      val files = entries.map(resolveEntry(root, _))
+      spark.read.parquet(files.toIndexedSeq: _*)
+    }
   }
 
   /** Read the current snapshot with SCHEMA MERGING — the ADD-COLUMN
@@ -766,9 +803,15 @@ object SnapshotTable {
     val v = latestVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     val m = snapDir(root).resolve(s"v$v.manifest")
-    val files = new String(Files.readAllBytes(m), UTF_8)
-      .split("\n").filter(_.nonEmpty).map(resolveEntry(root, _))
-    spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
+    val bytes = Files.readAllBytes(m)
+    // cached like readVersion — mergeSchema additionally prices a
+    // distributed footer-union job per call, so the resolution saving is
+    // even larger here (the add-column CHANGES feeds re-read per sub-window)
+    cachedScan(spark, root, "merged", v, bytes) {
+      val files = new String(bytes, UTF_8)
+        .split("\n").filter(_.nonEmpty).map(resolveEntry(root, _))
+      spark.read.option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
+    }
   }
 
   /** Read the current snapshot (what LATEST points to). */
