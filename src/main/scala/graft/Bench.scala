@@ -12,7 +12,15 @@ object Bench {
     "e1_win_rownumber_topk", "g8_text_stats_by_lang", "b2_filter_pred",
     "f1_sort_global", "g3_sim_cosine_pairs", "g5_knn_join",
     "g9_tfidf_topterms", "g2b_dedup_minhash_lsh", "g16_pipeline_clean_corpus",
-    "s1_sql_tpch3", "i1_stream_tumbling", "i3_stream_session")
+    "s1_sql_tpch3", "i1_stream_tumbling", "i3_stream_session",
+    // r22 ADDITIONS (never remove/rename the 15 above — round-over-round
+    // comparability): scale-SENSITIVE shapes, so the driver's low-core vs
+    // high-core probe measures queries that CAN scale at sf0.1 — the
+    // original 15 are dominated by fixed per-query overhead at this SF and
+    // ratio ≈ 1 regardless of cores (the r21 `suspect_cpus_ignored` false
+    // positive). m23/g53/i23 measured 3-6x slower at 8 cores in r21.
+    "g53_setsim_prefix", "m23_concurrent_writers", "i23_stream_index_dedup",
+    "m26_snapshot_rollback")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -97,6 +97,53 @@ object Prof {
             s"rows=$rows inputFiles=${feed.inputFiles.length}")
           graft.plans.GraftDmlRegistry.unregister(s"kcdc_$tag")
       }
+    } else if (sys.env.get("PROF_MODE").contains("stream")) {
+      // i-band fixed-cost attribution (guide §1.1 measure first, §7.3): a
+      // StreamingQueryListener captures every micro-batch's durationMs
+      // breakdown (triggerExecution = addBatch + latestOffset + planning +
+      // WAL commits...), plus query start/termination wall timestamps, so a
+      // query's wall time splits into: pre-stream setup (fixture staging,
+      // batch prep), in-stream time (itself split by phase), and post-stream
+      // consumption (result count / teardown).
+      val events = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String)]()
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit =
+          events.add(("start", System.nanoTime(), e.id.toString))
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val p = e.progress
+          val dm = p.durationMs
+          val keys = dm.keySet().toArray(Array.empty[String]).sorted
+          val detail = keys.map(k => s"$k=${dm.get(k)}").mkString(",")
+          val st = p.stateOperators.map(o =>
+            s"op=${o.operatorName}:commitMs=${o.commitTimeMs}").mkString(";")
+          events.add(("progress", System.nanoTime(),
+            s"batch=${p.batchId} rows=${p.numInputRows} $detail $st"))
+        }
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          events.add(("end", System.nanoTime(), e.id.toString))
+      }
+      spark.streams.addListener(listener)
+      val names = sys.env.getOrElse("PROF_QUERIES",
+        "i1_stream_tumbling,i7_stream_static_join").split(",").map(_.trim)
+      names.foreach { q =>
+        (1 to 2).foreach { pass =>
+          events.clear()
+          val t0 = System.nanoTime()
+          val n = SparkEntry.queries(q)(spark, sfDir).count()
+          val t1 = System.nanoTime()
+          println(f"========== $q pass$pass total ${(t1 - t0) / 1e9}%6.3f s rows=$n ==========")
+          val evs = events.toArray(Array.empty[(String, Long, String)])
+          evs.foreach { case (kind, ts, detail) =>
+            println(f"  +${(ts - t0) / 1e9}%6.3f s $kind%-8s $detail")
+          }
+          val starts = evs.filter(_._1 == "start").map(_._2)
+          val ends = evs.filter(_._1 == "end").map(_._2)
+          if (starts.nonEmpty && ends.nonEmpty)
+            println(f"  pre-stream ${(starts.min - t0) / 1e9}%6.3f s | in-stream ${(ends.max - starts.min) / 1e9}%6.3f s | post-stream ${(t1 - ends.max) / 1e9}%6.3f s")
+        }
+      }
+      spark.streams.removeListener(listener)
     } else if (sys.env.get("PROF_MODE").contains("plans")) {
       // .explain("formatted") dumps for the optimization-round evidence
       // (plans/r21/<query>_<tag>.txt): execute first (count), THEN print, so

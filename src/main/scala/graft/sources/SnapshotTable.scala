@@ -64,8 +64,9 @@ object SnapshotTable {
     * manifest CRC is what detects it. Manifest existence is re-checked on
     * every hit so an [[expire]]d version fails loudly, exactly like the
     * uncached read. */
-  private val scanCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // bounded access-order LRU (r22): a long-lived session reading more than
+  // 256 distinct (root, version) pairs evicts LRU instead of growing forever
+  private val scanCache = graft.Tables.boundedLru[DataFrame](256)
   private def cachedScan(spark: SparkSession, root: String, tag: String,
       v: Long, manifestBytes: Array[Byte])(build: => DataFrame): DataFrame = {
     val crc = new java.util.zip.CRC32
@@ -75,12 +76,6 @@ object SnapshotTable {
     val hit = scanCache.get(key)
     if (hit != null && (hit.sparkSession eq spark)) return hit
     scanCache.keySet.removeIf(k => k.startsWith(prefix) && k != key)
-    if (scanCache.size > 256) {
-      val it = scanCache.entrySet().iterator()
-      while (it.hasNext) {
-        if (it.next().getValue.sparkSession.sparkContext.isStopped) it.remove()
-      }
-    }
     val df = build
     scanCache.put(key, df)
     df
