@@ -39,6 +39,10 @@ object Bench {
       // the uniform s*-band drift round 8 measured. A long-lived session
       // serving a large query mix sizes this to its working set.
       .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // fork-free local FS (see NoForkLocalFileSystem): without the native
+      // Hadoop lib every local create/mkdirs EXECs chmod (~4-20 ms each);
+      // file-scheme only, so HDFS/S3 deployments are untouched
+      .config("spark.hadoop.fs.file.impl", classOf[NoForkLocalFileSystem].getName)
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

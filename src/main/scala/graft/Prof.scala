@@ -13,6 +13,7 @@ object Prof {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", classOf[NoForkLocalFileSystem].getName)
       .withExtensions(new GraftExtensions) // the SQL DML surface
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -144,6 +145,108 @@ object Prof {
         }
       }
       spark.streams.removeListener(listener)
+    } else if (sys.env.get("PROF_MODE").contains("streamx")) {
+      // controlled A/B isolation of the i-band fixed costs (guide §1.1):
+      // time i1's pipeline under variants that differ in ONE factor each,
+      // plus a checkpoint-manager I/O microbench.
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      val dir = sfDir
+      val src = {
+        // same chunked source the i-band uses
+        val m = graft.operators.StreamingQueries.getClass.getDeclaredMethods
+          .find(_.getName == "chunkedSource").get
+        m.setAccessible(true)
+        m.invoke(graft.operators.StreamingQueries, spark, dir).asInstanceOf[String]
+      }
+      val chunkSchema =
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      def run(tag: String, parts: Int, sink: String): Unit = (1 to 3).foreach { p =>
+        val t0 = System.nanoTime()
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val qn = s"px_${tag}_$p${System.nanoTime()}"
+        val ckpt = s"/dev/shm/graft_px/$qn"
+        val q = agg(spark.readStream.schema(chunkSchema).parquet(src))
+        val sq = sink match {
+          case "memory" =>
+            q.writeStream.format("memory").queryName(qn).outputMode("complete")
+              .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+          case "noop" =>
+            q.writeStream.outputMode(OutputMode.Complete())
+              .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+                { df.write.format("noop").mode("overwrite").save() })
+              .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+        }
+        sq.awaitTermination()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        println(f"streamx $tag%-28s pass$p ${(System.nanoTime() - t0) / 1e9}%6.3f s")
+      }
+      // batch floor: identical agg over the same files, batch engine
+      (1 to 3).foreach { p =>
+        val t0 = System.nanoTime()
+        agg(spark.read.schema(chunkSchema).parquet(src)).write.format("noop").mode("overwrite").save()
+        println(f"streamx batch-floor-noop         pass$p ${(System.nanoTime() - t0) / 1e9}%6.3f s")
+      }
+      if (!sys.env.contains("PROF_SKIP_VARIANTS")) {
+      run("mem_4part", 4, "memory")
+      run("mem_1part", 1, "memory")
+      run("mem_32part", 32, "memory")
+      run("noop_4part", 4, "noop")
+      }
+      // i3-shaped session-window A/B over state partition counts: the
+      // no-data flush batch re-reads/sorts/merges ALL session state, so its
+      // cost may scale down with parallelism at 95k sessions
+      def runSess(tag: String, parts: Int): Unit = (1 to 3).foreach { p =>
+        val t0 = System.nanoTime()
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val qn = s"pxs_${tag}_$p${System.nanoTime()}"
+        val ckpt = s"/dev/shm/graft_px/$qn"
+        val q = spark.readStream.schema(chunkSchema).parquet(src)
+          .withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+        val sq = q.writeStream.format("memory").queryName(qn).outputMode("append")
+          .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+        sq.awaitTermination()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        println(f"streamx $tag%-28s pass$p ${(System.nanoTime() - t0) / 1e9}%6.3f s rows=${spark.table(qn).count()}")
+      }
+      if (!sys.env.contains("PROF_SKIP_VARIANTS")) {
+      runSess("sess_2part", 2)
+      runSess("sess_8part", 8)
+      runSess("sess_32part", 32)
+      }
+      // checkpoint-manager I/O microbench: atomic metadata writes on tmpfs
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/dev/shm/graft_px_cm"))
+      import org.apache.spark.sql.execution.streaming.checkpointing.{CheckpointFileManager, FileContextBasedCheckpointFileManager, FileSystemBasedCheckpointFileManager}
+      val hc = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path("/dev/shm/graft_px_cm")
+      def benchCm(tag: String, cm: CheckpointFileManager): Unit = (1 to 3).foreach { p =>
+        val t0 = System.nanoTime()
+        (0 until 20).foreach { i =>
+          val out = cm.createAtomic(
+            new org.apache.hadoop.fs.Path(s"/dev/shm/graft_px_cm/${tag}_f_${p}_$i"),
+            overwriteIfPossible = true)
+          out.write(("x" * 500).getBytes("UTF-8")); out.close()
+        }
+        println(f"streamx 20 writes $tag%-16s pass$p ${(System.nanoTime() - t0) / 1e9}%6.3f s")
+      }
+      benchCm("filecontext", new FileContextBasedCheckpointFileManager(root, hc))
+      benchCm("filesystem", new FileSystemBasedCheckpointFileManager(root, hc))
+      (1 to 3).foreach { p =>
+        val t0 = System.nanoTime()
+        (0 until 20).foreach { i =>
+          val tmp = java.nio.file.Paths.get(s"/dev/shm/graft_px_cm/nio_${p}_$i.tmp")
+          java.nio.file.Files.write(tmp, ("x" * 500).getBytes("UTF-8"))
+          java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"/dev/shm/graft_px_cm/nio_${p}_$i"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+        println(f"streamx 20 writes raw-nio          pass$p ${(System.nanoTime() - t0) / 1e9}%6.3f s")
+      }
     } else if (sys.env.get("PROF_MODE").contains("plans")) {
       // .explain("formatted") dumps for the optimization-round evidence
       // (plans/r21/<query>_<tag>.txt): execute first (count), THEN print, so

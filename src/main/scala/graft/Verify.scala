@@ -15,6 +15,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // fork-free local FS — same deployment conf as Bench (file-scheme only)
+      .config("spark.hadoop.fs.file.impl", classOf[NoForkLocalFileSystem].getName)
       // the library's documented deployment: functions, planner strategies,
       // conf-gated rules, and the DML parser arrive via the extension point
       .withExtensions(new GraftExtensions)

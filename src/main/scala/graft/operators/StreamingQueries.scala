@@ -164,9 +164,26 @@ object StreamingQueries extends QueryModule {
     */
   private def withStreamShufflePartitions[T](s: SparkSession, n: Int = 4)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    // Local checkpoint roots only (every root here lives under ckptRoot /
+    // tmpdir): the shell-exec-free manager removes ~40 ms of fork overhead
+    // PER metadata write (offsets WAL, commit log, source log, state-store
+    // delta — measured in Prof streamx: 42 ms default vs 0.07 ms nio; the
+    // native Hadoop lib is absent so every Hadoop local create execs chmod).
+    // Captured at query START like the partition conf, so batch sessions and
+    // non-local deployments (HDFS/S3 checkpoints) are untouched — see the
+    // manager's scaladoc for the production posture.
+    val cmKey = "spark.sql.streaming.checkpointFileManagerClass"
     val prev = s.conf.get(key)
+    val prevCm = s.conf.getOption(cmKey)
     s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+    s.conf.set(cmKey, classOf[graft.streaming.LocalFsCheckpointFileManager].getName)
+    try body finally {
+      s.conf.set(key, prev)
+      prevCm match {
+        case Some(v) => s.conf.set(cmKey, v)
+        case None => s.conf.unset(cmKey)
+      }
+    }
   }
 
   /** The ANN serving loop behind i24 (shards = 1) and i28 (shards = K):
