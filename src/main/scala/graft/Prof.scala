@@ -247,6 +247,52 @@ object Prof {
         }
         println(f"streamx 20 writes raw-nio          pass$p ${(System.nanoTime() - t0) / 1e9}%6.3f s")
       }
+    } else if (sys.env.get("PROF_MODE").contains("cc")) {
+      // ConnectedComponents fixed-cost attribution: rounds × actions × jobs
+      // on the metadata-scale fixture pair graph (guide §1.1).
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      })
+      val edges = spark.range(0, 50).select((col("id") * 2).as("u"), (col("id") * 2 + 1).as("v"))
+        .union(spark.range(0, 10).select((col("id") * 4).as("u"), (col("id") * 4 + 2).as("v")))
+        .localCheckpoint()
+      (1 to 3).foreach { p =>
+        jobs.set(0)
+        val t0 = System.nanoTime()
+        val n = graft.plans.ConnectedComponents.labels(edges).count()
+        println(f"cc labels synthetic pass$p ${(System.nanoTime() - t0) / 1e9}%6.3f s rows=$n jobs=${jobs.get()}")
+      }
+      (1 to 3).foreach { p =>
+        jobs.set(0)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val t0 = System.nanoTime()
+        val n = try graft.plans.ConnectedComponents.labels(edges).count()
+          finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+        println(f"cc labels noAQE pass$p ${(System.nanoTime() - t0) / 1e9}%6.3f s rows=$n jobs=${jobs.get()}")
+      }
+      (1 to 3).foreach { p =>
+        jobs.set(0)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        val t0 = System.nanoTime()
+        val n = try graft.plans.ConnectedComponents.labels(edges).count()
+          finally {
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+          }
+        println(f"cc labels noAQE p8 pass$p ${(System.nanoTime() - t0) / 1e9}%6.3f s rows=$n jobs=${jobs.get()}")
+      }
+      // the real g24 edge set
+      val t = Tables(spark, sfDir)
+      val real = SparkEntry.queries("g24_dedup_components")
+      (1 to 3).foreach { p =>
+        jobs.set(0)
+        val t0 = System.nanoTime()
+        val n = real(spark, sfDir).count()
+        println(f"cc g24 full pass$p ${(System.nanoTime() - t0) / 1e9}%6.3f s rows=$n jobs=${jobs.get()}")
+      }
     } else if (sys.env.get("PROF_MODE").contains("plans")) {
       // .explain("formatted") dumps for the optimization-round evidence
       // (plans/r21/<query>_<tag>.txt): execute first (count), THEN print, so

@@ -163,13 +163,17 @@ object TextQueries extends QueryModule {
     * prefix blocking + exact 3-shingle Jaccard ≥ 0.4 over `documents`. */
   private def jaccardPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val t = Tables(s, dir)
-    // both self-join sides consume base — pin it so tokenize→shingle runs
-    // once per query instead of twice (one bounded row per doc)
+    // r22 (§2.3): the kernel runs on the DICTIONARY-ENCODED shingle sets
+    // (dictIndex, shared with g53/g53b/g64) — 8-B longs instead of ~25-B
+    // strings through the blocked self-join and the intersect/union. A
+    // bijection on the shingle alphabet preserves every |∩| and |∪|, so
+    // `jac` is the identical double (g2 rounds it into its output; oracle
+    // re-verified). base re-attaches the blocking key and is pinned — both
+    // self-join sides consume it.
+    val (intSets, _) = dictIndex(s, dir)
     val base = t.documents
-      .withColumn("toks", TF.tokens(lower(col("text"))))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), substring(lower(col("text")), 1, 40).as("blk"),
-        TF.shingles3("toks").as("sh"))
+      .select(col("doc_id"), substring(lower(col("text")), 1, 40).as("blk"))
+      .join(intSets, "doc_id") // inner: exactly the ≥3-token docs
       .localCheckpoint()
     // pinned partition count on the block key: the join's shuffle input is
     // small but its output is the quadratic per-block pair enumeration,
@@ -177,9 +181,9 @@ object TextQueries extends QueryModule {
     // it merges a duplicate-heavy corpus's pair kernel onto ~1 core (the
     // g30 family documents the same effect; FuzzyBlocking.scala)
     val n = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val a = base.select(col("doc_id").as("a_id"), col("blk"), col("sh").as("sha"))
+    val a = base.select(col("doc_id").as("a_id"), col("blk"), col("shi").as("sha"))
       .repartition(n, col("blk"))
-    val b = base.select(col("doc_id").as("b_id"), col("blk").as("blkb"), col("sh").as("shb"))
+    val b = base.select(col("doc_id").as("b_id"), col("blk").as("blkb"), col("shi").as("shb"))
       .repartition(n, col("blkb"))
     a.join(b, col("blk") === col("blkb") && col("a_id") < col("b_id"))
       .withColumn("jac", TF.jaccard(col("sha"), col("shb")))
@@ -534,32 +538,46 @@ object TextQueries extends QueryModule {
     // FULL pair graph.
     "g64_incremental_components" -> ((s, dir) => {
       val t = Tables(s, dir)
-      // base feeds six join sides across the three pair kernels below —
-      // pin it so the tokenize→shingle chain runs once (same rationale as
-      // g53; a deployment keeps this as the persisted shingle index).
+      // r22 (§2.3 shuffle fewer bytes; §1.2 fewer kernels): the pair
+      // kernels run on the DICTIONARY-ENCODED shingle sets (dictIndex,
+      // shared with g53/g53b) instead of string arrays — a bijection on the
+      // shingle alphabet preserves every intersection/union size, so the
+      // jac ≥ 0.4 pair set and the resulting labels are identical (the g53
+      // argument; oracle re-verified). base re-attaches the blocking key to
+      // the pinned encoded sets and is pinned itself — it feeds the three
+      // join sides below.
+      val (intSets, _) = dictIndex(s, dir)
       val base = t.documents
-        .withColumn("toks", TF.tokens(lower(col("text"))))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), substring(lower(col("text")), 1, 40).as("blk"),
-          TF.shingles3("toks").as("sh"))
+        .select(col("doc_id"), substring(lower(col("text")), 1, 40).as("blk"))
+        .join(intSets, "doc_id") // inner: keeps exactly the ≥3-token docs
         .localCheckpoint()
       val n = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
       val isDelta = col("doc_id") % 5 === 0
       def side(df: org.apache.spark.sql.DataFrame, p: String) = df
         .select(col("doc_id").as(s"${p}_id"), col("blk").as(s"${p}_blk"),
-          col("sh").as(s"${p}_sh"))
+          col("shi").as(s"${p}_sh"))
         .repartition(n, col(s"${p}_blk"))
-      def pairs(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
-        side(l, "a").join(side(r, "b"),
-            col("a_blk") === col("b_blk") && col("a_id") < col("b_id"))
-          .filter(TF.jaccard(col("a_sh"), col("b_sh")) >= 0.4)
-          .select(col("a_id").as("u"), col("b_id").as("v"))
       // yesterday's state: labels over the existing-only pair graph
       val exist = base.filter(!isDelta)
-      val oldLabels = graft.plans.ConnectedComponents.labels(pairs(exist, exist))
-      // today: pairs touching the delta (delta×existing + delta×delta)
-      val deltaEdges = pairs(base.filter(isDelta), base)
-        .unionByName(pairs(base, base.filter(isDelta)))
+      val oldLabels = graft.plans.ConnectedComponents.labels(
+        side(exist, "a").join(side(exist, "b"),
+            col("a_blk") === col("b_blk") && col("a_id") < col("b_id"))
+          .filter(TF.jaccard(col("a_sh"), col("b_sh")) >= 0.4)
+          .select(col("a_id").as("u"), col("b_id").as("v")))
+      // today: pairs touching the delta, in ONE kernel (r22 — was two
+      // mirrored blocked joins, delta×base with a<b plus base×delta with
+      // a<b, unioned): enumerate (delta, other) per block once, normalize
+      // to the unordered pair with least/greatest, distinct. Identical
+      // set: every qualifying pair with ≥1 delta member appears (twice
+      // when both are delta — collapsed by the same distinct the union
+      // already needed), at half the candidate enumeration and one
+      // exchange+kernel instead of two.
+      val deltaEdges = side(base.filter(isDelta), "a")
+        .join(side(base, "b"),
+          col("a_blk") === col("b_blk") && col("a_id") =!= col("b_id"))
+        .filter(TF.jaccard(col("a_sh"), col("b_sh")) >= 0.4)
+        .select(least(col("a_id"), col("b_id")).as("u"),
+          greatest(col("a_id"), col("b_id")).as("v"))
         .distinct()
       val starEdges = oldLabels.filter(col("id") =!= col("comp"))
         .select(col("id").as("u"), col("comp").as("v"))
@@ -775,16 +793,22 @@ object TextQueries extends QueryModule {
       val t = Tables(s, dir)
       val scored = t.documents
         .withColumn("norm", lower(trim(col("text"))))
-        .withColumn("toks", TF.tokens(lower(col("text"))))
         .withColumn("blk", substring(lower(col("text")), 1, 40))
         .withColumn("score", round(TF.qualityScoreCol(col("text")), 6))
       val quality = scored.filter(col("score") >= 3.5)
       val w = Window.partitionBy(col("norm")).orderBy(col("doc_id"))
       val exact = quality.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      val sh = exact.filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), col("blk"), TF.shingles3("toks").as("sh"))
-      val dupB = sh.select(col("doc_id").as("a_id"), col("blk"), col("sh").as("sha"))
-        .join(sh.select(col("doc_id").as("b_id"), col("blk").as("blkb"), col("sh").as("shb")),
+      // r22 (§2.3): the near-dup kernel reads the pinned DICTIONARY-ENCODED
+      // sets (dictIndex) instead of re-tokenizing + re-shingling the
+      // filtered survivors per invocation — the inner join keeps exactly
+      // the ≥3-token survivors (intSets carries the same filter), and the
+      // encoded arrays give the identical jaccard by bijection (the g53
+      // argument; oracle re-verified). The main pipeline no longer needs a
+      // toks column at all.
+      val (intSets, _) = dictIndex(s, dir)
+      val sh = exact.select(col("doc_id"), col("blk")).join(intSets, "doc_id")
+      val dupB = sh.select(col("doc_id").as("a_id"), col("blk"), col("shi").as("sha"))
+        .join(sh.select(col("doc_id").as("b_id"), col("blk").as("blkb"), col("shi").as("shb")),
           col("blk") === col("blkb") && col("a_id") < col("b_id"))
         .filter(TF.jaccard(col("sha"), col("shb")) >= 0.4)
         .select(col("b_id").as("doc_id")).distinct()
