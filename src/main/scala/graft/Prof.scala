@@ -293,6 +293,44 @@ object Prof {
         val n = real(spark, sfDir).count()
         println(f"cc g24 full pass$p ${(System.nanoTime() - t0) / 1e9}%6.3f s rows=$n jobs=${jobs.get()}")
       }
+    } else if (sys.env.get("PROF_MODE").contains("m45")) {
+      // statement-level cost attribution for the keyed evolving-changes
+      // lifecycle (guide §1.1): which of the 6 DML statements + the feed
+      // query owns m45's ~2.2 s.
+      import graft.plans.GraftDmlRegistry
+      val t = Tables(spark, sfDir)
+      val key = Tables.pathKey(sfDir)
+      (1 to 2).foreach { pass =>
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_prof_m45_$pass"
+        def rmrf(f: java.io.File): Unit = {
+          val cs = f.listFiles(); if (cs != null) cs.foreach(rmrf); f.delete(); ()
+        }
+        rmrf(new java.io.File(root))
+        val name = s"m45prof_$pass"
+        GraftDmlRegistry.unregister(name)
+        t.orders.select(col("o_orderkey"), col("o_totalprice"))
+          .createOrReplaceTempView("m45p_src")
+        def step(tag: String)(sql: String): Unit = {
+          val t0 = System.nanoTime()
+          spark.sql(sql).collect()
+          println(f"m45 $tag%-12s pass$pass ${(System.nanoTime() - t0) / 1e9}%6.3f s")
+        }
+        step("create")(s"CREATE SNAPSHOT TABLE $name LOCATION '$root' AS " +
+          "SELECT * FROM m45p_src WHERE o_orderkey % 30 = 0")
+        step("setkey")(s"ALTER TABLE $name SET KEY (o_orderkey)")
+        step("insert1")(s"INSERT INTO $name SELECT * FROM m45p_src WHERE o_orderkey % 30 = 1")
+        step("alter")(s"ALTER TABLE $name ADD COLUMN note string")
+        step("insert2")(s"INSERT INTO $name SELECT o_orderkey, o_totalprice, 'new' " +
+          "FROM m45p_src WHERE o_orderkey % 30 = 2")
+        step("update")(s"UPDATE $name SET o_totalprice = o_totalprice + 1.0 " +
+          "WHERE o_orderkey % 60 = 30")
+        step("feed")(s"SELECT _change_type AS change_type, " +
+          "coalesce(note, 'none') AS tag, count(*) AS n_rows, " +
+          "CAST(floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))) AS BIGINT) " +
+          s"AS revenue FROM $name CHANGES BETWEEN 1 AND 5 " +
+          "GROUP BY 1, 2 ORDER BY change_type, tag")
+        GraftDmlRegistry.unregister(name)
+      }
     } else if (sys.env.get("PROF_MODE").contains("plans")) {
       // .explain("formatted") dumps for the optimization-round evidence
       // (plans/r21/<query>_<tag>.txt): execute first (count), THEN print, so

@@ -103,6 +103,38 @@ object Tables {
           size() > cap
       })
 
+  /** In-session memo for CONTENT-FINGERPRINT jobs (r22, §1.2 don't recompute
+    * what cannot have changed): the persisted-index freshness checks
+    * (IvfIndex/IvfPqIndex `_ready`, the pair-index commit meta, g49's index
+    * fingerprint) each run a small distributed CRC aggregation over their
+    * source table PER INVOCATION — ~0.1-0.2 s of pure re-verification per
+    * query per bench pass. The memo keys on (session identity, caller tag,
+    * the source scan's input FILES with their size+mtime) — all metadata —
+    * and stores the computed fingerprint string: while the underlying files
+    * are byte-identical the fingerprint is a pure function of them, so the
+    * memoized value IS the recomputation's result (the same (size, mtime)
+    * staleness contract as readCached / the chunkedSource staging). An
+    * input without resolvable files (in-memory test frames) skips the memo
+    * and computes directly. */
+  private val fpMemo = boundedLru[String](256)
+  private[graft] def memoFingerprint(df: DataFrame, tag: String)(
+      compute: => String): String = {
+    val files = try df.inputFiles.sorted.toSeq catch { case _: Throwable => Seq.empty }
+    if (files.isEmpty) return compute
+    val meta = files.map { u =>
+      val p = try new java.io.File(new java.net.URI(u)) catch {
+        case _: Throwable => new java.io.File(u)
+      }
+      s"$u=${p.length()}:${p.lastModified()}"
+    }.mkString(",")
+    val key = s"${System.identityHashCode(df.sparkSession)}:$tag:$meta"
+    val hit = fpMemo.get(key)
+    if (hit != null) return hit
+    val fp = compute
+    fpMemo.put(key, fp)
+    fp
+  }
+
   /** Collision-free tmp-path key for a fixture dir: the full sanitized path
     * PLUS a CRC of the original string — sanitization alone is not injective
     * (`sf0.1` and `sf0_1` both sanitize to `sf0_1`), and two dirs keying

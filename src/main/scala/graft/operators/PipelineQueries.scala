@@ -50,9 +50,13 @@ object PipelineQueries extends QueryModule {
     val bdocs = t.documents.filter(col("doc_id") < BenchmarkK)
     val idxRoot = s"${System.getProperty("java.io.tmpdir")}/graft_benchidx_" +
       s"${Tables.pathKey(dir)}"
-    val fpRow = bdocs.agg(count(lit(1)),
-      coalesce(sum(crc32(col("text").cast("binary"))), lit(0L))).head()
-    val fingerprint = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    // CRC job memoized per (session, root, source-files size+mtime) — r22,
+    // see Tables.memoFingerprint
+    val fingerprint = Tables.memoFingerprint(bdocs, s"benchidx:$idxRoot") {
+      val fpRow = bdocs.agg(count(lit(1)),
+        coalesce(sum(crc32(col("text").cast("binary"))), lit(0L))).head()
+      s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    }
     if (!SnapshotTable.latestMeta(idxRoot).contains(fingerprint)) {
       SnapshotTable.commit(
         bdocs.withColumn("toks", TF.tokens(lower(col("text"))))

@@ -206,9 +206,13 @@ object TextQueries extends QueryModule {
     val t = Tables(s, dir)
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_pairidx_" +
       s"${Tables.pathKey(dir)}"
-    val fpRow = t.documents.agg(count(lit(1)),
-      coalesce(sum(crc32(col("text").cast("binary"))), lit(0L))).head()
-    val fingerprint = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    // CRC job memoized per (session, root, source-files size+mtime) — r22,
+    // see Tables.memoFingerprint
+    val fingerprint = Tables.memoFingerprint(t.documents, s"pairidx:$root") {
+      val fpRow = t.documents.agg(count(lit(1)),
+        coalesce(sum(crc32(col("text").cast("binary"))), lit(0L))).head()
+      s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    }
     if (!SnapshotTable.latestMeta(root).contains(fingerprint)) {
       SnapshotTable.commit(
         jaccardPairs(s, dir).select(col("a_id"), col("b_id")),
@@ -495,10 +499,14 @@ object TextQueries extends QueryModule {
       // version on its ingest ledger instead of hashing the corpus).
       val idxRoot = s"${System.getProperty("java.io.tmpdir")}/graft_shidx_docs_" +
         s"${Tables.pathKey(dir)}"
-      val fpRow = t.documents
-        .agg(count(lit(1)),
-          coalesce(sum(crc32(col("text").cast("binary"))), lit(0L))).head()
-      val fingerprint = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+      // CRC job memoized per (session, root, source-files size+mtime) —
+      // r22, see Tables.memoFingerprint
+      val fingerprint = Tables.memoFingerprint(t.documents, s"shidx:$idxRoot") {
+        val fpRow = t.documents
+          .agg(count(lit(1)),
+            coalesce(sum(crc32(col("text").cast("binary"))), lit(0L))).head()
+        s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+      }
       if (!SnapshotTable.latestMeta(idxRoot).contains(fingerprint)) {
         SnapshotTable.commit(
           base.filter(col("doc_id") % 5 =!= 0)

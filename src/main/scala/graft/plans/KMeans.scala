@@ -22,6 +22,22 @@ import graft.Tables
   */
 object KMeans {
 
+  /** Scope AQE OFF across the Lloyd loop's actions (r22 — the
+    * ConnectedComponents finding): with AQE on, every per-iteration
+    * aggregate runs its shuffle stage as a SEPARATE job, roughly doubling
+    * the per-iteration scheduling overhead on metadata-scale aggregates
+    * whose partitioning the loop's inputs already pin (callers cache /
+    * repartition the base). Decimal sums are merge-order independent, so
+    * AQE on/off cannot move a digit; the session conf is captured per
+    * action and restored in the finally. */
+  private def withoutAqe[T](df: DataFrame)(body: => T): T = {
+    val spark = df.sparkSession
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Squared-L2 distances to ALL centroids, as one sequential fold per
     * centroid (bit-stable). The centroid matrix rides in as a SINGLE
     * array<array<double>> literal (a codegen reference object), not k×d
@@ -61,7 +77,7 @@ object KMeans {
     * @return (final centroids, per-iteration inertia — decimal-exact sums,
     *         non-increasing by Lloyd's monotonicity) */
   def fit(df: DataFrame, idCol: String, xCol: String, d: Int, k: Int,
-      iters: Int): (Array[Array[Double]], Seq[Double]) = {
+      iters: Int): (Array[Array[Double]], Seq[Double]) = withoutAqe(df) {
     var cents: Array[Array[Double]] = df.orderBy(col(idCol)).limit(k)
       .select(col(xCol)).collect()
       .map(_.getSeq[Double](0).toArray)
@@ -109,7 +125,7 @@ object KMeans {
     * g55's PQ training from 12 jobs to 3 over the same cached base.)
     * Returns the final centroids per column, in `xCols` order. */
   def fitMany(df: DataFrame, idCol: String, xCols: Seq[String], k: Int,
-      iters: Int): Seq[Array[Array[Double]]] = {
+      iters: Int): Seq[Array[Array[Double]]] = withoutAqe(df) {
     val seedRows = df.orderBy(col(idCol)).limit(k)
       .select(xCols.map(col): _*).collect()
     require(seedRows.length == k, s"need >= $k rows to seed $k clusters")

@@ -152,20 +152,28 @@ object PowerIteration {
     // sums are merge-order independent, so the round-robin reshuffle is
     // free of determinism risk and moves only n rows
     val par = spark.sparkContext.defaultParallelism
+    // SYMMETRIC fold (r22, §1.2 don't compute what you throw away): C is
+    // symmetric and scaled12(xi·xj) is literally the same call for (i,j)
+    // and (j,i), so only the upper triangle (d(d+1)/2 products instead of
+    // d²) is accumulated and shipped; the mirror below copies the identical
+    // digits — bit-for-bit the same matrix at ~half the per-row kernel and
+    // half the partial-transfer bytes.
+    val tri = d * (d + 1) / 2
     val partials = xc.select(col(xcCol)).repartition(par).as[Seq[Double]]
       .mapPartitions { it =>
-        val hi = new Array[Long](d * d)
-        val lo = new Array[Long](d * d)
+        val hi = new Array[Long](tri)
+        val lo = new Array[Long](tri)
         var m = 0L
         it.foreach { x =>
           val a = x.toArray
           var i = 0
+          var k = 0
           while (i < d) {
-            val xi = a(i); var j = 0
+            val xi = a(i); var j = i
             while (j < d) {
               val add = scaled12(xi * a(j))
-              add128(hi, lo, i * d + j, add >> 63, add)
-              j += 1
+              add128(hi, lo, k, add >> 63, add)
+              j += 1; k += 1
             }
             i += 1
           }
@@ -175,21 +183,31 @@ object PowerIteration {
         else Iterator((m, hi.toSeq, lo.toSeq))
       }.collect()
     require(partials.nonEmpty, "empty input")
-    val hi = new Array[Long](d * d)
-    val lo = new Array[Long](d * d)
+    val hi = new Array[Long](tri)
+    val lo = new Array[Long](tri)
     var n = 0L
     partials.foreach { case (m, ph, pl) =>
       var k = 0
-      while (k < d * d) { add128(hi, lo, k, ph(k), pl(k)); k += 1 }
+      while (k < tri) { add128(hi, lo, k, ph(k), pl(k)); k += 1 }
       n += m
     }
     val mask64 = java.math.BigInteger.ONE.shiftLeft(64)
       .subtract(java.math.BigInteger.ONE)
-    val c = Array.tabulate(d * d) { k =>
-      new java.math.BigDecimal(
-        java.math.BigInteger.valueOf(hi(k)).shiftLeft(64)
-          .add(java.math.BigInteger.valueOf(lo(k)).and(mask64)), 12)
-        .doubleValue()
+    val c = new Array[Double](d * d)
+    var i = 0
+    var k = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val v = new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(hi(k)).shiftLeft(64)
+            .add(java.math.BigInteger.valueOf(lo(k)).and(mask64)), 12)
+          .doubleValue()
+        c(i * d + j) = v
+        c(j * d + i) = v
+        j += 1; k += 1
+      }
+      i += 1
     }
     (c, n)
   }

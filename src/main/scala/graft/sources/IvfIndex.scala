@@ -45,12 +45,16 @@ object IvfIndex {
     val ready = Paths.get(path, "_ready")
     // label rides in the fingerprint because the index CONTENT (cells,
     // centroids, postings partitioning) derives from it — any column the
-    // index depends on must flip the `_ready` marker on change
-    val fpRow = emb.agg(count(lit(1)),
-      coalesce(sum(crc32(concat_ws(",", col("vec_id"), col("label"),
-        concat_ws(",", transform(col("embedding"), x => x.cast("string"))))
-        .cast("binary"))), lit(0L))).head()
-    val fingerprint = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    // index depends on must flip the `_ready` marker on change; the CRC
+    // job is memoized per (session, path, source-files size+mtime), see
+    // Tables.memoFingerprint (r22)
+    val fingerprint = Tables.memoFingerprint(emb, s"ivf:$path") {
+      val fpRow = emb.agg(count(lit(1)),
+        coalesce(sum(crc32(concat_ws(",", col("vec_id"), col("label"),
+          concat_ws(",", transform(col("embedding"), x => x.cast("string"))))
+          .cast("binary"))), lit(0L))).head()
+      s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    }
     val stale = Files.exists(ready) &&
       new String(Files.readAllBytes(ready), "UTF-8") != fingerprint
     if (!Files.exists(ready) || stale) {
@@ -177,11 +181,13 @@ object IvfIndex {
   def appendSegment(delta: DataFrame, path: String, name: String): Unit = {
     val spark = delta.sparkSession
     val segReady = Paths.get(path, s"_seg_${name}_ready")
-    val fpRow = delta.agg(count(lit(1)),
-      coalesce(sum(crc32(concat_ws(",", col("vec_id"), col("label"),
-        concat_ws(",", transform(col("embedding"), x => x.cast("string"))))
-        .cast("binary"))), lit(0L))).head()
-    val fingerprint = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    val fingerprint = Tables.memoFingerprint(delta, s"ivfseg:$path:$name") {
+      val fpRow = delta.agg(count(lit(1)),
+        coalesce(sum(crc32(concat_ws(",", col("vec_id"), col("label"),
+          concat_ws(",", transform(col("embedding"), x => x.cast("string"))))
+          .cast("binary"))), lit(0L))).head()
+      s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    }
     val stale = Files.exists(segReady) &&
       new String(Files.readAllBytes(segReady), "UTF-8") != fingerprint
     if (!Files.exists(segReady) || stale) {
@@ -215,10 +221,12 @@ object IvfIndex {
     * tombstone-set fingerprint. */
   def delete(ids: DataFrame, path: String): Unit = {
     val ready = Paths.get(path, "_tombstones_ready")
-    val fpRow = ids.agg(count(lit(1)),
-      coalesce(sum(crc32(col("vec_id").cast("string").cast("binary"))),
-        lit(0L))).head()
-    val fingerprint = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    val fingerprint = Tables.memoFingerprint(ids, s"ivftomb:$path") {
+      val fpRow = ids.agg(count(lit(1)),
+        coalesce(sum(crc32(col("vec_id").cast("string").cast("binary"))),
+          lit(0L))).head()
+      s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    }
     val stale = Files.exists(ready) &&
       new String(Files.readAllBytes(ready), "UTF-8") != fingerprint
     if (!Files.exists(ready) || stale) {

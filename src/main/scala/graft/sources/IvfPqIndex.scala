@@ -3,6 +3,8 @@ package graft.sources
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
 import org.apache.spark.sql.functions._
 
 /** PERSISTED IVF-PQ index — the full FAISS-style serving artifact, joining
@@ -45,11 +47,15 @@ object IvfPqIndex {
     val spark = emb.sparkSession
     import spark.implicits._
     val ready = Paths.get(path, "_ready")
-    val fpRow = emb.agg(count(lit(1)),
-      coalesce(sum(crc32(concat_ws(",", col("vec_id"), col("label"),
-        concat_ws(",", transform(col("embedding"), x => x.cast("string"))))
-        .cast("binary"))), lit(0L))).head()
-    val fingerprint = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    // CRC job memoized per (session, path, source-files size+mtime) — r22,
+    // see Tables.memoFingerprint
+    val fingerprint = Tables.memoFingerprint(emb, s"ivfpq:$path") {
+      val fpRow = emb.agg(count(lit(1)),
+        coalesce(sum(crc32(concat_ws(",", col("vec_id"), col("label"),
+          concat_ws(",", transform(col("embedding"), x => x.cast("string"))))
+          .cast("binary"))), lit(0L))).head()
+      s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    }
     val stale = Files.exists(ready) &&
       new String(Files.readAllBytes(ready), "UTF-8") != fingerprint
     if (!Files.exists(ready) || stale) {
@@ -110,11 +116,13 @@ object IvfPqIndex {
   def appendSegment(delta: DataFrame, path: String, name: String): Unit = {
     val spark = delta.sparkSession
     val segReady = Paths.get(path, s"_seg_${name}_ready")
-    val fpRow = delta.agg(count(lit(1)),
-      coalesce(sum(crc32(concat_ws(",", col("vec_id"), col("label"),
-        concat_ws(",", transform(col("embedding"), x => x.cast("string"))))
-        .cast("binary"))), lit(0L))).head()
-    val fingerprint = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    val fingerprint = Tables.memoFingerprint(delta, s"ivfpqseg:$path:$name") {
+      val fpRow = delta.agg(count(lit(1)),
+        coalesce(sum(crc32(concat_ws(",", col("vec_id"), col("label"),
+          concat_ws(",", transform(col("embedding"), x => x.cast("string"))))
+          .cast("binary"))), lit(0L))).head()
+      s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    }
     val stale = Files.exists(segReady) &&
       new String(Files.readAllBytes(segReady), "UTF-8") != fingerprint
     if (!Files.exists(segReady) || stale) {

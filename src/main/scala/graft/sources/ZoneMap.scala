@@ -47,10 +47,14 @@ object ZoneMap {
     // is NOT content-sensitive — a regenerated same-cardinality input (the
     // failure the sf10 gate caught on g49's shingle index) must also flip
     // the marker, so the cluster column's crc32 sum rides along.
-    val fpRow = df.agg(count(lit(1)),
-      coalesce(sum(crc32(col(clusterCol).cast("string").cast("binary"))),
-        lit(0L))).head()
-    val fingerprint = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    // CRC job memoized per (session, path, source-files size+mtime) — r22,
+    // see Tables.memoFingerprint
+    val fingerprint = graft.Tables.memoFingerprint(df, s"zonemap:$path") {
+      val fpRow = df.agg(count(lit(1)),
+        coalesce(sum(crc32(col(clusterCol).cast("string").cast("binary"))),
+          lit(0L))).head()
+      s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    }
     val stale = Files.exists(ready) &&
       new String(Files.readAllBytes(ready), "UTF-8") != fingerprint
     if (!Files.exists(ready) || stale) {
