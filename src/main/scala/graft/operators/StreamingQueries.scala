@@ -1166,8 +1166,13 @@ object StreamingQueries extends QueryModule {
         .when(col("event_type") === "error", "error_event")
         .when(col("user_id") % 97 === 13, "blocked_user")
       val ckpt = s"$ckptRoot/graft_i25_${System.nanoTime()}"
+      // 2 files per trigger (r22): the rules are STATELESS, so the union of
+      // batch splits equals the single-shot split at any chunking (the
+      // query's own oracle argument) — the per-table exactly-once appends
+      // are still exercised across 2 batches; halving the batch count
+      // halves the per-batch split + two-append fixed cost.
       val sq = withStreamShufflePartitions(s) {
-        stream(s, dir).writeStream.outputMode(OutputMode.Append())
+        stream(s, dir, filesPerTrigger = 2).writeStream.outputMode(OutputMode.Append())
           .foreachBatch { (df: DataFrame, batchId: Long) =>
             val tagged = df.withColumn("__reason", reason).localCheckpoint()
             def appliedAt(root: String) =
